@@ -1,0 +1,114 @@
+package graft.etl
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A1–A3: the per-(store, day) rollup — the reference's core aggregate
+  * (reference: backend/functions/calculate-metrics/lambda_function.py:107-184).
+  *
+  * Scale posture: one hash aggregation keyed (store_id, sale_date) with
+  * map-side partial aggregation; no joins. At 100 TB this is a single
+  * shuffle on the natural partition key of the lake (the reference
+  * partitions its lake by exactly these columns,
+  * process_upload.py:205) — with the lake bucketed/partitioned by date
+  * the shuffle disappears entirely.
+  */
+object StoreDaily {
+
+  /** A1: total_sales, total_discount, net_sales, transaction_count
+    * (deliberately the LINE-ITEM count, not distinct transaction ids —
+    * calculate-metrics/lambda_function.py:151), item_count, avg_transaction.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.sales(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(
+        sum(col("line_total")).as("gross_dec"),
+        sum(col("discount_amount")).as("disc_dec"),
+        count(lit(1)).as("transaction_count"),
+        sum(col("quantity")).as("item_count"))
+      .select(
+        col("store_id"), col("sale_date"),
+        col("gross_dec").cast("double").as("total_sales"),
+        col("disc_dec").cast("double").as("total_discount"),
+        (col("gross_dec") - col("disc_dec")).cast("double").as("net_sales"),
+        col("transaction_count"),
+        col("item_count"),
+        ((col("gross_dec") - col("disc_dec")).cast("double") / col("transaction_count"))
+          .as("avg_transaction"))
+      .orderBy(col("store_id"), col("sale_date"))
+
+  val rollupSql: String =
+    s"""WITH sales AS (${Tables.salesSql})
+       |SELECT store_id, sale_date,
+       |  CAST(SUM(line_total) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(discount_amount) AS DOUBLE) AS total_discount,
+       |  CAST(SUM(line_total) - SUM(discount_amount) AS DOUBLE) AS net_sales,
+       |  COUNT(*) AS transaction_count,
+       |  CAST(SUM(quantity) AS BIGINT) AS item_count,
+       |  CAST(SUM(line_total) - SUM(discount_amount) AS DOUBLE) / COUNT(*) AS avg_transaction
+       |FROM sales
+       |GROUP BY store_id, sale_date
+       |ORDER BY store_id, sale_date""".stripMargin
+
+  /** A2: payment breakdown — per (store, day, method):
+    * sum(line_total - discount_amount)
+    * (calculate-metrics/lambda_function.py:128,143,170-173). Kept relational
+    * (long form) rather than a map column: map columns don't survive the
+    * oracle compare, and long form re-aggregates without explode at scale. */
+  def paymentBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.salesWithPayment(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
+      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"))
+      .select(col("store_id"), col("sale_date"), col("payment_method"),
+        col("amt_dec").cast("double").as("amount"))
+      .orderBy(col("store_id"), col("sale_date"), col("payment_method"))
+
+  val paymentBreakdownSql: String =
+    s"""WITH sales AS (${Tables.salesWithPaymentSql})
+       |SELECT store_id, sale_date, payment_method,
+       |  CAST(SUM(line_total - discount_amount) AS DOUBLE) AS amount
+       |FROM sales
+       |GROUP BY store_id, sale_date, payment_method
+       |ORDER BY store_id, sale_date, payment_method""".stripMargin
+
+  /** A3/O1: top-5 products per (store, day) by revenue
+    * (calculate-metrics/lambda_function.py:155-167). Ties broken by sku
+    * (Python's sort is stable; SQL needs the explicit tiebreak —
+    * SURVEY.md §7.4). Window row_number keeps the whole thing one shuffle;
+    * at scale Catalyst plans partial top-k per partition via
+    * WindowGroupLimit pushdown (rank-limit optimization). */
+  def topProducts(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val perSku = Tables.sales(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"), col("sku"))
+      .agg(
+        sum(col("quantity")).as("units"),
+        sum(col("line_total") - col("discount_amount")).as("rev_dec"))
+    val w = Window.partitionBy(col("store_id"), col("sale_date"))
+      .orderBy(col("rev_dec").desc, col("sku").asc)
+    perSku
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("store_id"), col("sale_date"), col("rank"), col("sku"),
+        col("units"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("store_id"), col("sale_date"), col("rank"))
+  }
+
+  def topProductsSql(k: Int = 5): String =
+    s"""WITH sales AS (${Tables.salesSql}),
+       |per_sku AS (
+       |  SELECT store_id, sale_date, sku,
+       |    CAST(SUM(quantity) AS BIGINT) AS units,
+       |    SUM(line_total - discount_amount) AS rev_dec
+       |  FROM sales GROUP BY store_id, sale_date, sku),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY store_id, sale_date
+       |    ORDER BY rev_dec DESC, sku ASC) AS rank
+       |  FROM per_sku)
+       |SELECT store_id, sale_date, rank, sku, units,
+       |  CAST(rev_dec AS DOUBLE) AS revenue
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY store_id, sale_date, rank""".stripMargin
+}
