@@ -17,11 +17,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object StoreDaily {
 
-  /** A1: total_sales, total_discount, net_sales, transaction_count
-    * (deliberately the LINE-ITEM count, not distinct transaction ids —
-    * calculate-metrics/lambda_function.py:151), item_count, avg_transaction.
-    */
-  def rollup(spark: SparkSession, dir: String): DataFrame =
+  /** Exact-decimal form of A1, reused by company/product re-aggregations
+    * (keeps all downstream sums order-independent → oracle-exact). */
+  def rollupDec(spark: SparkSession, dir: String): DataFrame =
     Tables.sales(spark, dir)
       .groupBy(col("store_id"), col("sale_date"))
       .agg(
@@ -29,6 +27,22 @@ object StoreDaily {
         sum(col("discount_amount")).as("disc_dec"),
         count(lit(1)).as("transaction_count"),
         sum(col("quantity")).as("item_count"))
+
+  val rollupDecSql: String =
+    s"""SELECT store_id, sale_date,
+       |  SUM(line_total) AS gross_dec,
+       |  SUM(discount_amount) AS disc_dec,
+       |  COUNT(*) AS transaction_count,
+       |  CAST(SUM(quantity) AS BIGINT) AS item_count
+       |FROM (${Tables.salesSql})
+       |GROUP BY store_id, sale_date""".stripMargin
+
+  /** A1: total_sales, total_discount, net_sales, transaction_count
+    * (deliberately the LINE-ITEM count, not distinct transaction ids —
+    * calculate-metrics/lambda_function.py:151), item_count, avg_transaction.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    rollupDec(spark, dir)
       .select(
         col("store_id"), col("sale_date"),
         col("gross_dec").cast("double").as("total_sales"),
@@ -80,7 +94,16 @@ object StoreDaily {
     * SURVEY.md §7.4). Window row_number keeps the whole thing one shuffle;
     * at scale Catalyst plans partial top-k per partition via
     * WindowGroupLimit pushdown (rank-limit optimization). */
-  def topProducts(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def topProducts(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topProductsDec(spark, dir, k)
+      .select(col("store_id"), col("sale_date"), col("rank"), col("sku"),
+        col("units"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("store_id"), col("sale_date"), col("rank"))
+
+  /** Exact-decimal top-k-per-(store,day), reused by the lossy product
+    * rollup (A7) which by reference semantics aggregates truncated
+    * per-store top-5s, not raw line items. */
+  def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val perSku = Tables.sales(spark, dir)
       .groupBy(col("store_id"), col("sale_date"), col("sku"))
       .agg(
@@ -91,10 +114,18 @@ object StoreDaily {
     perSku
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("store_id"), col("sale_date"), col("rank"), col("sku"),
-        col("units"), col("rev_dec").cast("double").as("revenue"))
-      .orderBy(col("store_id"), col("sale_date"), col("rank"))
   }
+
+  def topProductsDecSql(k: Int = 5): String =
+    s"""SELECT * FROM (
+       |  SELECT store_id, sale_date, sku,
+       |    CAST(SUM(quantity) AS BIGINT) AS units,
+       |    SUM(line_total - discount_amount) AS rev_dec,
+       |    ROW_NUMBER() OVER (PARTITION BY store_id, sale_date
+       |      ORDER BY SUM(line_total - discount_amount) DESC, sku ASC) AS rank
+       |  FROM (${Tables.salesSql})
+       |  GROUP BY store_id, sale_date, sku)
+       |WHERE rank <= $k""".stripMargin
 
   def topProductsSql(k: Int = 5): String =
     s"""WITH sales AS (${Tables.salesSql}),
