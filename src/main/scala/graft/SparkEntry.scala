@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{StoreDaily, CompanyDaily, ProductDaily, Completeness}
-import graft.analytics.Kpis
+import graft.etl.{StoreDaily, CompanyDaily, ProductDaily, Completeness, Spine}
+import graft.analytics.{Kpis, History, Trends}
+import graft.streaming.EventsBatch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are SURVEY.md §2 operator ids. Every oracle-checked query
@@ -27,7 +28,23 @@ object SparkEntry {
     "a18_available_dates" -> ((s, dir) => Kpis.availableDates(s, dir)),
     "a19_completeness" -> ((s, dir) => Completeness.completeness(s, dir)),
     "j3_missing_stores" -> ((s, dir) => Completeness.missingStores(s, dir)),
-    "product_rollup_exact" -> ((s, dir) => ProductDaily.rollupExact(s, dir))
+    "product_rollup_exact" -> ((s, dir) => ProductDaily.rollupExact(s, dir)),
+    "a10_store_history" -> ((s, dir) => History.storeHistory(s, dir)),
+    "a11_anomaly_rules" -> ((s, dir) => History.anomalies(s, dir)),
+    "a12_trend_direction" -> ((s, dir) => History.trendDirection(s, dir)),
+    "a15_company_history" -> ((s, dir) => History.companyHistory(s, dir)),
+    "a16_product_history" -> ((s, dir) => History.productHistory(s, dir)),
+    "a22_insight_counts" -> ((s, dir) => History.insightCounts(s, dir)),
+    "a13_trend_halves" -> ((s, dir) => Trends.trendHalves(s, dir)),
+    "a14_trend_first_last" -> ((s, dir) => Trends.trendFirstLast(s, dir)),
+    "a17_product_trends" -> ((s, dir) => Trends.productTrends(s, dir)),
+    "a20_pivot_wide" -> ((s, dir) => Trends.pivotWide(s, dir)),
+    "a21_store_period_summary" -> ((s, dir) => Trends.storePeriodSummary(s, dir)),
+    "j4_date_spine" -> ((s, dir) => Spine.dateSpine(s, dir)),
+    "j5_union_ranges" -> ((s, dir) => Spine.unionRanges(s, dir)),
+    "s2_filename_parse" -> ((s, dir) => Spine.filenameParse(s, dir)),
+    "e1_events_daily" -> ((s, dir) => EventsBatch.dailyByType(s, dir)),
+    "e2_events_hourly" -> ((s, dir) => EventsBatch.hourlyWindow(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +62,22 @@ object SparkEntry {
     "a18_available_dates" -> Kpis.availableDatesSql,
     "a19_completeness" -> Completeness.completenessSql(),
     "j3_missing_stores" -> Completeness.missingStoresSql(),
-    "product_rollup_exact" -> ProductDaily.rollupExactSql
+    "product_rollup_exact" -> ProductDaily.rollupExactSql,
+    "a10_store_history" -> History.storeHistorySql,
+    "a11_anomaly_rules" -> History.anomaliesSql,
+    "a12_trend_direction" -> History.trendDirectionSql,
+    "a15_company_history" -> History.companyHistorySql(),
+    "a16_product_history" -> History.productHistorySql(),
+    "a22_insight_counts" -> History.insightCountsSql,
+    "a13_trend_halves" -> Trends.trendHalvesSql(),
+    "a14_trend_first_last" -> Trends.trendFirstLastSql(),
+    "a17_product_trends" -> Trends.productTrendsSql(),
+    "a20_pivot_wide" -> Trends.pivotWideSql(),
+    "a21_store_period_summary" -> Trends.storePeriodSummarySql(),
+    "j4_date_spine" -> Spine.dateSpineSql(),
+    "j5_union_ranges" -> Spine.unionRangesSql,
+    "s2_filename_parse" -> Spine.filenameParseSql,
+    "e1_events_daily" -> EventsBatch.dailyByTypeSql,
+    "e2_events_hourly" -> EventsBatch.hourlyWindowSql
   )
 }

@@ -1,0 +1,250 @@
+package graft.analytics
+
+import graft.etl.{Defaults, StoreDaily}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A13/A14/A17/A20/A21: the /trends read path (reference:
+  * backend/functions/get-trends/lambda_function.py:171-336).
+  *
+  * All inputs are the (store,day) / (sku,day) summary relations — already
+  * reduced — so these stay cheap at any fact-table scale. Window functions
+  * partition on the analyzed key (store / sku): one hash shuffle each.
+  */
+object Trends {
+
+  private def sdRange(spark: SparkSession, dir: String,
+                      from: String, to: String): DataFrame =
+    StoreDaily.rollupDec(spark, dir)
+      .filter(col("sale_date").between(from, to))
+
+  private def sdRangeSql(from: String, to: String): String =
+    s"""SELECT * FROM (${StoreDaily.rollupDecSql})
+       |WHERE sale_date BETWEEN '$from' AND '$to'""".stripMargin
+
+  /** A13: half-vs-half trend per store over a date range
+    * (get-trends:232-247): order the store's (nonzero) daily sales by
+    * date, split at mid = n/2; second-half avg vs first-half avg ±10%.
+    * Days without sales simply don't exist in the summary relation, which
+    * matches the reference's nonzero filter. */
+  def trendHalves(spark: SparkSession, dir: String,
+                  from: String = Defaults.rangeStart,
+                  to: String = Defaults.rangeEnd): DataFrame = {
+    val w = Window.partitionBy(col("store_id")).orderBy(col("sale_date"))
+    sdRange(spark, dir, from, to)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("store_id"))))
+      .withColumn("mid", (col("n") / 2).cast("long"))
+      .groupBy(col("store_id"))
+      .agg(
+        max(col("n")).as("days"),
+        sum(when(col("rn") <= col("mid"), col("gross_dec"))).as("first_dec"),
+        sum(when(col("rn") > col("mid"), col("gross_dec"))).as("second_dec"),
+        max(col("mid")).as("first_n"),
+        (max(col("n")) - max(col("mid"))).as("second_n"))
+      .select(
+        col("store_id"), col("days"),
+        when(col("first_n") > 0, col("first_dec").cast("double") / col("first_n"))
+          .as("first_half_avg"),
+        (col("second_dec").cast("double") / col("second_n")).as("second_half_avg"),
+        when(col("first_n") > 0,
+          (col("second_dec").cast("double") / col("second_n")
+            - col("first_dec").cast("double") / col("first_n"))
+            / (col("first_dec").cast("double") / col("first_n")) * 100).as("trend_percent"),
+        when(col("days") < 2, "insufficient_data")
+          .when(col("second_dec").cast("double") / col("second_n") >
+            col("first_dec").cast("double") / col("first_n") * 1.1, "increasing")
+          .when(col("second_dec").cast("double") / col("second_n") <
+            col("first_dec").cast("double") / col("first_n") * 0.9, "decreasing")
+          .otherwise("stable").as("direction"))
+      .orderBy(col("store_id"))
+  }
+
+  def trendHalvesSql(from: String = Defaults.rangeStart,
+                     to: String = Defaults.rangeEnd): String =
+    s"""WITH sd AS (${sdRangeSql(from, to)}),
+       |ranked AS (
+       |  SELECT store_id, gross_dec,
+       |    ROW_NUMBER() OVER (PARTITION BY store_id ORDER BY sale_date) AS rn,
+       |    COUNT(*) OVER (PARTITION BY store_id) AS n,
+       |    COUNT(*) OVER (PARTITION BY store_id) // 2 AS mid
+       |  FROM sd),
+       |agg AS (
+       |  SELECT store_id,
+       |    MAX(n) AS days,
+       |    SUM(CASE WHEN rn <= mid THEN gross_dec END) AS first_dec,
+       |    SUM(CASE WHEN rn > mid THEN gross_dec END) AS second_dec,
+       |    MAX(mid) AS first_n,
+       |    MAX(n) - MAX(mid) AS second_n
+       |  FROM ranked GROUP BY store_id)
+       |SELECT store_id, days,
+       |  CASE WHEN first_n > 0 THEN CAST(first_dec AS DOUBLE) / first_n END AS first_half_avg,
+       |  CAST(second_dec AS DOUBLE) / second_n AS second_half_avg,
+       |  CASE WHEN first_n > 0 THEN
+       |    (CAST(second_dec AS DOUBLE) / second_n - CAST(first_dec AS DOUBLE) / first_n)
+       |      / (CAST(first_dec AS DOUBLE) / first_n) * 100 END AS trend_percent,
+       |  CASE
+       |    WHEN days < 2 THEN 'insufficient_data'
+       |    WHEN CAST(second_dec AS DOUBLE) / second_n >
+       |      CAST(first_dec AS DOUBLE) / first_n * 1.1 THEN 'increasing'
+       |    WHEN CAST(second_dec AS DOUBLE) / second_n <
+       |      CAST(first_dec AS DOUBLE) / first_n * 0.9 THEN 'decreasing'
+       |    ELSE 'stable' END AS direction
+       |FROM agg
+       |ORDER BY store_id""".stripMargin
+
+  /** A14: first-vs-last trend percent per store (get-trends:318-324).
+    * min_by/max_by on the unique date key — deterministic argmin/argmax. */
+  def trendFirstLast(spark: SparkSession, dir: String,
+                     from: String = Defaults.rangeStart,
+                     to: String = Defaults.rangeEnd): DataFrame =
+    sdRange(spark, dir, from, to)
+      .groupBy(col("store_id"))
+      .agg(
+        min_by(col("gross_dec"), col("sale_date")).as("first_dec"),
+        max_by(col("gross_dec"), col("sale_date")).as("last_dec"))
+      .select(
+        col("store_id"),
+        col("first_dec").cast("double").as("first_sales"),
+        col("last_dec").cast("double").as("last_sales"),
+        when(col("first_dec") > 0,
+          (col("last_dec").cast("double") - col("first_dec").cast("double"))
+            / col("first_dec").cast("double") * 100).as("trend_percent"))
+      .orderBy(col("store_id"))
+
+  def trendFirstLastSql(from: String = Defaults.rangeStart,
+                        to: String = Defaults.rangeEnd): String =
+    s"""WITH sd AS (${sdRangeSql(from, to)})
+       |SELECT store_id,
+       |  CAST(arg_min(gross_dec, sale_date) AS DOUBLE) AS first_sales,
+       |  CAST(arg_max(gross_dec, sale_date) AS DOUBLE) AS last_sales,
+       |  CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
+       |    (CAST(arg_max(gross_dec, sale_date) AS DOUBLE) - CAST(arg_min(gross_dec, sale_date) AS DOUBLE))
+       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END AS trend_percent
+       |FROM sd
+       |GROUP BY store_id
+       |ORDER BY store_id""".stripMargin
+
+  /** A17/O3: per-product multi-day totals over a range, averages over
+    * NONZERO days only (get-trends:225-229), top-15 by revenue. Built on
+    * the lossy per-(day,sku) rollup like the reference. */
+  def productTrends(spark: SparkSession, dir: String,
+                    from: String = Defaults.rangeStart,
+                    to: String = Defaults.rangeEnd): DataFrame = {
+    val pd = StoreDaily.topProductsDec(spark, dir, 5)
+      .filter(col("sale_date").between(from, to))
+      .groupBy(col("sale_date"), col("sku"))
+      .agg(sum(col("units")).as("units"), sum(col("rev_dec")).as("rev_dec"))
+    val w = Window.orderBy(col("rev_total").desc, col("sku").asc)
+    pd.groupBy(col("sku"))
+      .agg(
+        sum(col("units")).as("units_total"),
+        sum(col("rev_dec")).as("rev_total"),
+        countDistinct(col("sale_date")).as("days_sold"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 15)
+      .select(col("rank"), col("sku"), col("units_total").as("units_sold"),
+        col("rev_total").cast("double").as("revenue"), col("days_sold"),
+        (col("units_total").cast("double") / col("days_sold")).as("avg_daily_units"),
+        (col("rev_total").cast("double") / col("days_sold")).as("avg_daily_revenue"))
+      .orderBy(col("rank"))
+  }
+
+  def productTrendsSql(from: String = Defaults.rangeStart,
+                       to: String = Defaults.rangeEnd): String =
+    s"""WITH top5 AS (${StoreDaily.topProductsDecSql(5)}),
+       |pd AS (
+       |  SELECT sale_date, sku, CAST(SUM(units) AS BIGINT) AS units, SUM(rev_dec) AS rev_dec
+       |  FROM top5 WHERE sale_date BETWEEN '$from' AND '$to'
+       |  GROUP BY sale_date, sku),
+       |agg AS (
+       |  SELECT sku,
+       |    CAST(SUM(units) AS BIGINT) AS units_sold,
+       |    SUM(rev_dec) AS rev_total,
+       |    COUNT(DISTINCT sale_date) AS days_sold
+       |  FROM pd GROUP BY sku),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rev_total DESC, sku ASC) AS rank FROM agg)
+       |SELECT rank, sku, units_sold,
+       |  CAST(rev_total AS DOUBLE) AS revenue, days_sold,
+       |  CAST(units_sold AS DOUBLE) / days_sold AS avg_daily_units,
+       |  CAST(rev_total AS DOUBLE) / days_sold AS avg_daily_revenue
+       |FROM ranked WHERE rank <= 15
+       |ORDER BY rank""".stripMargin
+
+  /** A20: wide time-series pivot — per date: company totals + per-store
+    * sales columns zero-filled (get-trends:266-304). Pivoted stores are a
+    * fixed projection (0001–0005) so the schema is static; implemented as
+    * conditional aggregation (no second pivot pass). */
+  def pivotWide(spark: SparkSession, dir: String,
+                from: String = Defaults.rangeStart,
+                to: String = Defaults.rangeEnd): DataFrame = {
+    def storeCol(s: String) =
+      coalesce(sum(when(col("store_id") === s, col("gross_dec"))), lit(0))
+        .cast("double").as(s"s${s}_sales")
+    sdRange(spark, dir, from, to)
+      .groupBy(col("sale_date"))
+      .agg(
+        sum(col("gross_dec")).as("sales_dec"),
+        sum(col("transaction_count")).as("total_transactions"),
+        storeCol("0001"), storeCol("0002"), storeCol("0003"),
+        storeCol("0004"), storeCol("0005"))
+      .withColumn("total_sales", col("sales_dec").cast("double"))
+      .drop("sales_dec")
+      .orderBy(col("sale_date"))
+  }
+
+  def pivotWideSql(from: String = Defaults.rangeStart,
+                   to: String = Defaults.rangeEnd): String = {
+    def storeCol(s: String) =
+      s"CAST(COALESCE(SUM(CASE WHEN store_id = '$s' THEN gross_dec END), 0) AS DOUBLE) AS s${s}_sales"
+    s"""WITH sd AS (${sdRangeSql(from, to)})
+       |SELECT sale_date,
+       |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
+       |  ${storeCol("0001")}, ${storeCol("0002")}, ${storeCol("0003")},
+       |  ${storeCol("0004")}, ${storeCol("0005")},
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales
+       |FROM sd
+       |GROUP BY sale_date
+       |ORDER BY sale_date""".stripMargin
+  }
+
+  /** A21/O5: per-store period summary, sorted by total sales desc
+    * (get-trends:307-336), with the A14 trend percent folded in. */
+  def storePeriodSummary(spark: SparkSession, dir: String,
+                         from: String = Defaults.rangeStart,
+                         to: String = Defaults.rangeEnd): DataFrame =
+    sdRange(spark, dir, from, to)
+      .groupBy(col("store_id"))
+      .agg(
+        sum(col("gross_dec")).as("sales_dec"),
+        sum(col("transaction_count")).as("total_transactions"),
+        count(lit(1)).as("days_with_data"),
+        min_by(col("gross_dec"), col("sale_date")).as("first_dec"),
+        max_by(col("gross_dec"), col("sale_date")).as("last_dec"))
+      .select(
+        col("store_id"),
+        col("sales_dec").cast("double").as("total_sales"),
+        col("total_transactions"), col("days_with_data"),
+        (col("sales_dec").cast("double") / col("days_with_data")).as("avg_daily_sales"),
+        when(col("first_dec") > 0,
+          (col("last_dec").cast("double") - col("first_dec").cast("double"))
+            / col("first_dec").cast("double") * 100).as("trend_percent"))
+      .orderBy(col("total_sales").desc, col("store_id").asc)
+
+  def storePeriodSummarySql(from: String = Defaults.rangeStart,
+                            to: String = Defaults.rangeEnd): String =
+    s"""WITH sd AS (${sdRangeSql(from, to)})
+       |SELECT store_id,
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
+       |  COUNT(*) AS days_with_data,
+       |  CAST(SUM(gross_dec) AS DOUBLE) / COUNT(*) AS avg_daily_sales,
+       |  CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
+       |    (CAST(arg_max(gross_dec, sale_date) AS DOUBLE) - CAST(arg_min(gross_dec, sale_date) AS DOUBLE))
+       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END AS trend_percent
+       |FROM sd
+       |GROUP BY store_id
+       |ORDER BY CAST(SUM(gross_dec) AS DOUBLE) DESC, store_id ASC""".stripMargin
+}

@@ -51,7 +51,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default — read it as epoch-nanos long and convert (exact integer
+    * division to micros; DuckDB reads ns natively and both render the
+    * same second-resolution strings). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
