@@ -1,0 +1,102 @@
+package graft.text
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared text-corpus primitives for the training-data-pipeline operators
+  * (dedup / text analysis / similarity): tokenization, shingling, and the
+  * integer dictionaries that make sketch algorithms (MinHash, SimHash,
+  * fingerprints) bit-exact reproducible in the DuckDB oracle.
+  *
+  * ORACLE-DETERMINISM DESIGN: sketch algorithms need `token -> int` hashes.
+  * Spark's `hash`/`xxhash64` are not reproducible in DuckDB, so the
+  * oracle-checked operators derive token ids from a *rank dictionary*
+  * (`row_number` over the sorted distinct vocabulary) and then apply an
+  * affine hash family `h_j(x) = (a_j*x + b_j) mod P` — pure 64-bit integer
+  * arithmetic, identical in any engine.
+  *
+  * SCALE POSTURE (100 TB): a rank dictionary is only viable while the
+  * vocabulary is dimension-sized (it needs a global sort; here the corpus
+  * vocabulary is tiny and the dict broadcasts). At real scale you swap
+  * `wid`/`sid` for `pmod(xxhash64(token), P)` — same downstream algebra, no
+  * dictionary, no shuffle; [[graft.dedup.Dedup.minhashPairsXxhash]] is that
+  * variant (bench-only, since DuckDB can't replay xxhash64).
+  */
+object Corpus {
+  /** Modulus for all affine hash families: prime, small enough that every
+    * intermediate (`P*a_j + b_j`) stays far inside Long range. */
+  val P = 1000003L
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Whitespace tokens, in document order. Documents are single-space
+    * separated by construction (TESTDATA.md); the regex keeps this robust
+    * to incidental runs of whitespace without changing token content. */
+  def wordsCol: Column = split(col("text"), "\\s+")
+
+  val wordsSqlExpr = "string_split_regex(text, '\\s+')"
+
+  /** Distinct corpus vocabulary with rank ids (1-based, sorted order).
+    * Vocabulary-sized (tiny) — computed once, broadcast into every join;
+    * the single-partition window is deliberate and safe at this size. */
+  def wordDict(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(wordsCol).as("word")).distinct()
+      .withColumn("wid", row_number().over(Window.orderBy("word")).cast("long"))
+
+  val wordDictSql: String =
+    s"""SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+       |FROM (SELECT DISTINCT unnest($wordsSqlExpr) AS word FROM documents)""".stripMargin
+
+  /** Word 3-shingles (space-joined), in document order, duplicates kept.
+    * Every document has >= 10 words (TESTDATA.md) so size-3 >= 0. */
+  def shinglesCol: Column = {
+    val w = wordsCol
+    transform(sequence(lit(0), size(w) - lit(3)),
+      i => concat_ws(" ",
+        element_at(w, i + lit(1)), element_at(w, i + lit(2)), element_at(w, i + lit(3))))
+  }
+
+  val shinglesSqlExpr: String = {
+    val ws = wordsSqlExpr
+    s"[list_extract($ws, i) || ' ' || list_extract($ws, i+1) || ' ' || list_extract($ws, i+2) " +
+      s"for i in range(1, len($ws) - 1)]"
+  }
+
+  /** (doc_id, shingle) with per-document distinct shingles (set semantics —
+    * what Jaccard/MinHash operate on). */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(shinglesCol)).as("shingle"))
+
+  val docShinglesSql: String =
+    s"SELECT doc_id, unnest(list_distinct($shinglesSqlExpr)) AS shingle FROM documents"
+
+  /** Distinct corpus shingle dictionary with rank ids (see class doc for
+    * why rank ids instead of hashes). */
+  def shingleDict(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .select(col("shingle")).distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+
+  val shingleDictSql: String =
+    s"""SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+       |FROM (SELECT DISTINCT shingle FROM ($docShinglesSql))""".stripMargin
+
+  /** (doc_id, sids: array<long>) — each document's distinct shingle-id set.
+    * The dict side is vocabulary-sized => broadcast hash join, then a
+    * single shuffle on doc_id to re-assemble the arrays. */
+  def docShingleIds(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .join(broadcast(shingleDict(spark, dir)), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("sid")).as("sids"))
+
+  val docShingleIdsSql: String =
+    s"""SELECT ds.doc_id, list(d.sid) AS sids
+       |FROM ($docShinglesSql) ds JOIN ($shingleDictSql) d USING (shingle)
+       |GROUP BY ds.doc_id""".stripMargin
+}

@@ -1,0 +1,156 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * document fingerprinting. All four are pure narrow/map-side transforms
+  * (no shuffle except the fingerprint's broadcast dictionary join) — at
+  * 100 TB they stream through the parquet scan at I/O speed inside one
+  * WholeStageCodegen span.
+  */
+object TextAnalysis {
+
+  /** t1: token statistics per document — whitespace tokens and a BPE-ish
+    * regex token count (letter runs | digit runs | single punctuation, the
+    * shape of a GPT-2-style pre-tokenizer), plus char length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docs(spark, dir).select(
+      col("doc_id"),
+      size(Corpus.wordsCol).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+        .as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured")
+    ).orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_measured
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t2: heuristic quality score per document (Gopher-rules style: length
+    * bounds, mean word length, stopword presence, alpha ratio). Ratios are
+    * a single IEEE double division of exact integers (oracle parity, see
+    * [[graft.model.Tables]]); the score itself is integer arithmetic. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(Corpus.wordsCol).cast("long")
+    val nChars = length(col("text")).cast("long")
+    // chars in words = total - separating spaces
+    val wordChars = nChars - (nWords - lit(1L))
+    val nStop = size(filter(Corpus.wordsCol, w => w === "the" || w === "a")).cast("long")
+    val nAlpha = (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))).cast("long")
+    val meanWordLen = wordChars.cast("double") / nWords.cast("double")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val alphaRatio = nAlpha.cast("double") / nChars.cast("double")
+    val score =
+      when(nWords.between(20L, 90L), lit(25L)).otherwise(lit(0L)) +
+        when(wordChars * lit(10L) > nWords * lit(30L) && wordChars * lit(10L) < nWords * lit(100L),
+          lit(25L)).otherwise(lit(0L)) + // 3 < mean word len < 10, integer-exact
+        when(nStop > lit(0L), lit(25L)).otherwise(lit(0L)) +
+        when(nAlpha * lit(10L) >= nChars * lit(7L), lit(25L)).otherwise(lit(0L)) // >= 70% alpha
+    Corpus.docs(spark, dir).select(
+      col("doc_id"), nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      stopRatio.as("stopword_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      score.as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val nw = s"CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT)"
+    val nc = "CAST(length(text) AS BIGINT)"
+    val wc = s"($nc - ($nw - 1))"
+    val nstop = s"CAST(len(list_filter(${Corpus.wordsSqlExpr}, w -> w = 'the' OR w = 'a')) AS BIGINT)"
+    val nalpha = "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)"
+    s"""SELECT doc_id, $nw AS n_words,
+       |  CAST($wc AS DOUBLE) / CAST($nw AS DOUBLE) AS mean_word_len,
+       |  CAST($nstop AS DOUBLE) / CAST($nw AS DOUBLE) AS stopword_ratio,
+       |  CAST($nalpha AS DOUBLE) / CAST($nc AS DOUBLE) AS alpha_ratio,
+       |  (CASE WHEN $nw BETWEEN 20 AND 90 THEN 25 ELSE 0 END
+       |   + CASE WHEN $wc * 10 > $nw * 30 AND $wc * 10 < $nw * 100 THEN 25 ELSE 0 END
+       |   + CASE WHEN $nstop > 0 THEN 25 ELSE 0 END
+       |   + CASE WHEN $nalpha * 10 >= $nc * 7 THEN 25 ELSE 0 END)::BIGINT AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t3: n-gram-heuristic language ID — score each candidate language by
+    * counts of its marker character-bigrams/stopwords, pick the argmax
+    * (fixed tiebreak order en>fr>es>de>zh). The marker lists are the
+    * classic textcat-style profile approach; on this synthetic corpus the
+    * interesting part is the *shape* (pure map-side scoring, no shuffle),
+    * and the deterministic rule is what the oracle checks. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
+    val sEn = cnt("the ") * 3 + cnt("th") + cnt("he")
+    val sFr = cnt("le ") * 3 + cnt("ou") + cnt("es")
+    val sEs = cnt("el ") * 3 + cnt("os") + cnt("ar")
+    val sDe = cnt("der ") * 3 + cnt("ch") + cnt("ei")
+    val sZh = cnt("de ") * 3 + cnt("sh") + cnt("ng")
+    val pred = when(sEn >= sFr && sEn >= sEs && sEn >= sDe && sEn >= sZh, "en")
+      .when(sFr >= sEs && sFr >= sDe && sFr >= sZh, "fr")
+      .when(sEs >= sDe && sEs >= sZh, "es")
+      .when(sDe >= sZh, "de")
+      .otherwise("zh")
+    Corpus.docs(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_labeled"), pred.as("lang_pred"),
+      sEn.as("score_en"), sZh.as("score_zh")
+    ).orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def cnt(pat: String) = s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    val sEn = s"(${cnt("the ")} * 3 + ${cnt("th")} + ${cnt("he")})"
+    val sFr = s"(${cnt("le ")} * 3 + ${cnt("ou")} + ${cnt("es")})"
+    val sEs = s"(${cnt("el ")} * 3 + ${cnt("os")} + ${cnt("ar")})"
+    val sDe = s"(${cnt("der ")} * 3 + ${cnt("ch")} + ${cnt("ei")})"
+    val sZh = s"(${cnt("de ")} * 3 + ${cnt("sh")} + ${cnt("ng")})"
+    s"""SELECT doc_id, lang AS lang_labeled,
+       |  CASE WHEN $sEn >= $sFr AND $sEn >= $sEs AND $sEn >= $sDe AND $sEn >= $sZh THEN 'en'
+       |       WHEN $sFr >= $sEs AND $sFr >= $sDe AND $sFr >= $sZh THEN 'fr'
+       |       WHEN $sEs >= $sDe AND $sEs >= $sZh THEN 'es'
+       |       WHEN $sDe >= $sZh THEN 'de'
+       |       ELSE 'zh' END AS lang_pred,
+       |  $sEn AS score_en, $sZh AS score_zh
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t4: document fingerprint — polynomial rolling hash over the ordered
+    * word-id sequence, `h = fold(h*131 + wid mod P)`. Content-defined,
+    * order-sensitive, collision-negligible at corpus scale; equal
+    * fingerprints <=> equal token streams (used by exact dedup at scale
+    * without comparing full text). Word ids come from the rank dictionary
+    * (broadcast join; see [[Corpus]] for the 100 TB swap to xxhash64). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.docs(spark, dir)
+      .select(col("doc_id"), posexplode(Corpus.wordsCol).as(Seq("pos", "word")))
+      .join(broadcast(Corpus.wordDict(spark, dir)), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wid")))),
+        s => s.getField("wid")).as("wids"))
+    d.select(
+      col("doc_id"),
+      aggregate(col("wids"), lit(0L),
+        (acc, x) => (acc * lit(131L) + x) % lit(Corpus.P)).as("fingerprint"),
+      size(col("wids")).cast("long").as("n_words")
+    ).orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH dict AS (${Corpus.wordDictSql}),
+       |tok AS (
+       |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word,
+       |         generate_subscripts(${Corpus.wordsSqlExpr}, 1) AS pos
+       |  FROM documents),
+       |seqs AS (
+       |  SELECT t.doc_id, list(d.wid ORDER BY t.pos) AS wids
+       |  FROM tok t JOIN dict d USING (word) GROUP BY t.doc_id)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), wids),
+       |              (acc, x) -> (acc * 131 + x) % ${Corpus.P}) AS fingerprint,
+       |  CAST(len(wids) AS BIGINT) AS n_words
+       |FROM seqs ORDER BY doc_id""".stripMargin
+}
