@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{StoreDaily, CompanyDaily, ProductDaily, Completeness, Spine}
 import graft.analytics.{Kpis, History, Trends}
 import graft.streaming.EventsBatch
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are SURVEY.md §2 operator ids. Every oracle-checked query
@@ -44,7 +45,11 @@ object SparkEntry {
     "j5_union_ranges" -> ((s, dir) => Spine.unionRanges(s, dir)),
     "s2_filename_parse" -> ((s, dir) => Spine.filenameParse(s, dir)),
     "e1_events_daily" -> ((s, dir) => EventsBatch.dailyByType(s, dir)),
-    "e2_events_hourly" -> ((s, dir) => EventsBatch.hourlyWindow(s, dir))
+    "e2_events_hourly" -> ((s, dir) => EventsBatch.hourlyWindow(s, dir)),
+    "t1_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "t3_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +83,10 @@ object SparkEntry {
     "j5_union_ranges" -> Spine.unionRangesSql,
     "s2_filename_parse" -> Spine.filenameParseSql,
     "e1_events_daily" -> EventsBatch.dailyByTypeSql,
-    "e2_events_hourly" -> EventsBatch.hourlyWindowSql
+    "e2_events_hourly" -> EventsBatch.hourlyWindowSql,
+    "t1_token_stats" -> TextAnalysis.tokenStatsSql,
+    "t2_quality_score" -> TextAnalysis.qualityScoreSql,
+    "t3_lang_id" -> TextAnalysis.langIdSql,
+    "t4_fingerprint" -> TextAnalysis.fingerprintSql
   )
 }

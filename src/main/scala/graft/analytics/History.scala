@@ -53,7 +53,10 @@ object History {
       .orderBy(col("store_id"), col("sale_date"))
   }
 
-  val storeHistorySql: String =
+  /** Unordered body, composed into downstream CTEs; the public SQL appends
+    * its ORDER BY separately (no post-hoc string surgery on embedded
+    * clauses — ADVICE r1). */
+  private val storeHistoryBodySql: String =
     s"""WITH sd AS ($sdSql),
        |win AS (
        |  SELECT store_id, sale_date, gross_dec,
@@ -68,8 +71,10 @@ object History {
        |  hist_days,
        |  CASE WHEN hist_days > 0 THEN CAST(hist_sales_dec AS DOUBLE) / hist_days END AS hist_avg_sales,
        |  CASE WHEN hist_days > 0 THEN CAST(hist_txn AS DOUBLE) / hist_days END AS hist_avg_transactions
-       |FROM win
-       |ORDER BY store_id, sale_date""".stripMargin
+       |FROM win""".stripMargin
+
+  val storeHistorySql: String =
+    s"$storeHistoryBodySql\nORDER BY store_id, sale_date"
 
   /** A11 + the deterministic anomaly rubric (the prompt's own thresholds as
     * code — detect-anomalies:268-271: |deviation| > 50% → critical,
@@ -89,8 +94,8 @@ object History {
         col("hist_avg_sales"), col("deviation_pct"), col("severity"))
       .orderBy(col("store_id"), col("sale_date"))
 
-  val anomaliesSql: String =
-    s"""WITH h AS (${storeHistorySql.replace("ORDER BY store_id, sale_date", "")})
+  private val anomaliesBodySql: String =
+    s"""WITH h AS ($storeHistoryBodySql)
        |SELECT store_id, sale_date, today_sales, hist_avg_sales,
        |  (today_sales - hist_avg_sales) / hist_avg_sales * 100 AS deviation_pct,
        |  CASE
@@ -98,8 +103,10 @@ object History {
        |    WHEN ABS((today_sales - hist_avg_sales) / hist_avg_sales * 100) > 25 THEN 'warning'
        |    ELSE 'info' END AS severity
        |FROM h
-       |WHERE hist_days >= 3 AND hist_avg_sales > 0
-       |ORDER BY store_id, sale_date""".stripMargin
+       |WHERE hist_days >= 3 AND hist_avg_sales > 0""".stripMargin
+
+  val anomaliesSql: String =
+    s"$anomaliesBodySql\nORDER BY store_id, sale_date"
 
   /** A22 + O8: insight counts by severity, in the reference's custom
     * priority order critical < warning < info
@@ -115,7 +122,7 @@ object History {
       .orderBy(col("priority_rank"))
 
   val insightCountsSql: String =
-    s"""WITH a AS (${anomaliesSql.replace("ORDER BY store_id, sale_date", "")})
+    s"""WITH a AS ($anomaliesBodySql)
        |SELECT severity, COUNT(*) AS n,
        |  CASE severity WHEN 'critical' THEN 0 WHEN 'warning' THEN 1 ELSE 2 END AS priority_rank
        |FROM a
@@ -125,8 +132,11 @@ object History {
   /** A12: trend direction per (store, day) — the most recent 2 history
     * days vs the earlier days of the trailing 7-day window
     * (analyze-trends:210-229): increasing if recent > 1.05× earlier,
-    * decreasing if < 0.95×, insufficient_data when history < 2 days,
-    * stable otherwise (including the earlier-set-empty case, n == 2).
+    * decreasing if < 0.95×, insufficient_data when history < 2 days.
+    * At exactly 2 history days the reference keeps BOTH days in the recent
+    * set and reuses the older day alone as the earlier set
+    * (`historical_values[:1]`, analyze-trends:212-213) — earlier is never
+    * empty once hist_days >= 2, so direction can move at n == 2.
     *
     * Implemented scale-first: each history day is exploded to the ≤7
     * target days it can serve → equi-join on (store_id, day_idx). */
@@ -149,22 +159,24 @@ object History {
       .agg(
         count(col("h_idx")).as("hist_days"),
         sum(when(col("rn") <= 2, col("h_sales"))).as("recent_dec"),
-        sum(when(col("rn") > 2, col("h_sales"))).as("earlier_dec"),
+        sum(when(col("rn") === 2, col("h_sales"))).as("rn2_dec"),
+        sum(when(col("rn") > 2, col("h_sales"))).as("gt2_dec"),
         sum(when(col("rn") <= 2 && col("h_idx").isNotNull, 1).otherwise(0)).as("recent_n"),
-        sum(when(col("rn") > 2, 1).otherwise(0)).as("earlier_n"))
+        sum(when(col("rn") > 2, 1).otherwise(0)).as("gt2_n"))
+      .withColumn("earlier_dec",
+        when(col("hist_days") === 2, col("rn2_dec")).otherwise(col("gt2_dec")))
+      .withColumn("earlier_n",
+        when(col("hist_days") === 2, lit(1L)).otherwise(col("gt2_n")))
+      .withColumn("recent_avg",
+        when(col("recent_n") > 0, col("recent_dec").cast("double") / col("recent_n")))
+      .withColumn("earlier_avg",
+        when(col("earlier_n") > 0, col("earlier_dec").cast("double") / col("earlier_n")))
       .select(
         col("store_id"), col("sale_date"), col("hist_days"),
-        when(col("recent_n") > 0, col("recent_dec").cast("double") / col("recent_n"))
-          .as("recent_avg"),
-        when(col("earlier_n") > 0, col("earlier_dec").cast("double") / col("earlier_n"))
-          .as("earlier_avg"),
+        col("recent_avg"), col("earlier_avg"),
         when(col("hist_days") < 2, "insufficient_data")
-          .when(col("earlier_n") > 0 &&
-            col("recent_dec").cast("double") / col("recent_n") >
-              col("earlier_dec").cast("double") / col("earlier_n") * 1.05, "increasing")
-          .when(col("earlier_n") > 0 &&
-            col("recent_dec").cast("double") / col("recent_n") <
-              col("earlier_dec").cast("double") / col("earlier_n") * 0.95, "decreasing")
+          .when(col("recent_avg") > col("earlier_avg") * 1.05, "increasing")
+          .when(col("recent_avg") < col("earlier_avg") * 0.95, "decreasing")
           .otherwise("stable").as("direction"))
       .orderBy(col("store_id"), col("sale_date"))
   }
@@ -184,21 +196,25 @@ object History {
        |  SELECT store_id, sale_date,
        |    COUNT(h_idx) AS hist_days,
        |    SUM(CASE WHEN rn <= 2 THEN h_sales END) AS recent_dec,
-       |    SUM(CASE WHEN rn > 2 THEN h_sales END) AS earlier_dec,
+       |    SUM(CASE WHEN rn = 2 THEN h_sales END) AS rn2_dec,
+       |    SUM(CASE WHEN rn > 2 THEN h_sales END) AS gt2_dec,
        |    SUM(CASE WHEN rn <= 2 AND h_idx IS NOT NULL THEN 1 ELSE 0 END) AS recent_n,
-       |    SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS earlier_n
-       |  FROM ranked GROUP BY store_id, sale_date)
-       |SELECT store_id, sale_date, hist_days,
-       |  CASE WHEN recent_n > 0 THEN CAST(recent_dec AS DOUBLE) / recent_n END AS recent_avg,
-       |  CASE WHEN earlier_n > 0 THEN CAST(earlier_dec AS DOUBLE) / earlier_n END AS earlier_avg,
+       |    SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS gt2_n
+       |  FROM ranked GROUP BY store_id, sale_date),
+       |sel AS (
+       |  SELECT store_id, sale_date, hist_days,
+       |    CASE WHEN recent_n > 0 THEN CAST(recent_dec AS DOUBLE) / recent_n END AS recent_avg,
+       |    CASE WHEN (CASE WHEN hist_days = 2 THEN 1 ELSE gt2_n END) > 0 THEN
+       |      CAST(CASE WHEN hist_days = 2 THEN rn2_dec ELSE gt2_dec END AS DOUBLE)
+       |        / (CASE WHEN hist_days = 2 THEN 1 ELSE gt2_n END) END AS earlier_avg
+       |  FROM agg)
+       |SELECT store_id, sale_date, hist_days, recent_avg, earlier_avg,
        |  CASE
        |    WHEN hist_days < 2 THEN 'insufficient_data'
-       |    WHEN earlier_n > 0 AND CAST(recent_dec AS DOUBLE) / recent_n >
-       |      CAST(earlier_dec AS DOUBLE) / earlier_n * 1.05 THEN 'increasing'
-       |    WHEN earlier_n > 0 AND CAST(recent_dec AS DOUBLE) / recent_n <
-       |      CAST(earlier_dec AS DOUBLE) / earlier_n * 0.95 THEN 'decreasing'
+       |    WHEN recent_avg > earlier_avg * 1.05 THEN 'increasing'
+       |    WHEN recent_avg < earlier_avg * 0.95 THEN 'decreasing'
        |    ELSE 'stable' END AS direction
-       |FROM agg
+       |FROM sel
        |ORDER BY store_id, sale_date""".stripMargin
 
   /** A15: company history series — the A4 rollup over the 7 dates

@@ -173,23 +173,33 @@ object Trends {
        |FROM ranked WHERE rank <= 15
        |ORDER BY rank""".stripMargin
 
+  /** Stores materialized as wide columns by A20. DOCUMENTED DEVIATION from
+    * the reference: get-trends:295-301 pivots every store present (its
+    * store set is a fixed 11); our testdata store set grows with the scale
+    * factor, so we pivot a fixed demo projection to keep the output schema
+    * static across SFs. Both `{store}_sales` AND `{store}_transactions`
+    * columns are produced, matching the reference's per-store column pair. */
+  val pivotStores: Seq[String] = Seq("0001", "0002", "0003", "0004", "0005")
+
   /** A20: wide time-series pivot — per date: company totals + per-store
-    * sales columns zero-filled (get-trends:266-304). Pivoted stores are a
-    * fixed projection (0001–0005) so the schema is static; implemented as
-    * conditional aggregation (no second pivot pass). */
+    * sales/transactions columns zero-filled (get-trends:266-304).
+    * Implemented as conditional aggregation (no second pivot pass). */
   def pivotWide(spark: SparkSession, dir: String,
                 from: String = Defaults.rangeStart,
                 to: String = Defaults.rangeEnd): DataFrame = {
-    def storeCol(s: String) =
+    def salesCol(s: String) =
       coalesce(sum(when(col("store_id") === s, col("gross_dec"))), lit(0))
         .cast("double").as(s"s${s}_sales")
+    def txnCol(s: String) =
+      coalesce(sum(when(col("store_id") === s, col("transaction_count"))), lit(0L))
+        .as(s"s${s}_transactions")
+    val aggCols =
+      Seq(sum(col("gross_dec")).as("sales_dec"),
+        sum(col("transaction_count")).as("total_transactions")) ++
+        pivotStores.flatMap(s => Seq(salesCol(s), txnCol(s)))
     sdRange(spark, dir, from, to)
       .groupBy(col("sale_date"))
-      .agg(
-        sum(col("gross_dec")).as("sales_dec"),
-        sum(col("transaction_count")).as("total_transactions"),
-        storeCol("0001"), storeCol("0002"), storeCol("0003"),
-        storeCol("0004"), storeCol("0005"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("total_sales", col("sales_dec").cast("double"))
       .drop("sales_dec")
       .orderBy(col("sale_date"))
@@ -197,13 +207,15 @@ object Trends {
 
   def pivotWideSql(from: String = Defaults.rangeStart,
                    to: String = Defaults.rangeEnd): String = {
-    def storeCol(s: String) =
+    def salesCol(s: String) =
       s"CAST(COALESCE(SUM(CASE WHEN store_id = '$s' THEN gross_dec END), 0) AS DOUBLE) AS s${s}_sales"
+    def txnCol(s: String) =
+      s"COALESCE(SUM(CASE WHEN store_id = '$s' THEN transaction_count END), 0) AS s${s}_transactions"
+    val perStore = pivotStores.flatMap(s => Seq(salesCol(s), txnCol(s))).mkString(",\n  ")
     s"""WITH sd AS (${sdRangeSql(from, to)})
        |SELECT sale_date,
        |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
-       |  ${storeCol("0001")}, ${storeCol("0002")}, ${storeCol("0003")},
-       |  ${storeCol("0004")}, ${storeCol("0005")},
+       |  $perStore,
        |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales
        |FROM sd
        |GROUP BY sale_date

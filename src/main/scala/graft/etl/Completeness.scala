@@ -22,10 +22,10 @@ object Completeness {
 
   def expectedStores(spark: SparkSession, dir: String): DataFrame =
     Tables.supplier(spark, dir)
-      .select(lpad(col("s_suppkey").cast("string"), 4, "0").as("store_id"))
+      .select(format_string("%04d", col("s_suppkey")).as("store_id"))
 
   val expectedStoresSql: String =
-    "SELECT lpad(CAST(s_suppkey AS VARCHAR), 4, '0') AS store_id FROM supplier"
+    "SELECT printf('%04d', s_suppkey) AS store_id FROM supplier"
 
   /** J3: stores expected but not reported on `date` — left anti join. */
   def missingStores(spark: SparkSession, dir: String,

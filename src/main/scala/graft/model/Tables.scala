@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * upload-schema.json:5-69, process_upload.py:31-42): sales line items with
   * (store_id, date, sku, quantity, money columns as decimal(10,2),
   * payment_method enum). We map:
-  *   store_id       <- lpad(l_suppkey, 4, '0')   (4-digit store ids, reference
-  *                     scripts/generate_sample_data.py:283)
+  *   store_id       <- format_string('%04d', l_suppkey)  (4-digit store ids,
+  *                     reference scripts/generate_sample_data.py:283 uses
+  *                     {store_num:04d} — pads but NEVER truncates, so ids
+  *                     stay collision-free at sf>=1 where suppkey > 9999)
   *   sale_date      <- to_date(l_shipdate) as 'yyyy-MM-dd' string key
   *                     (reference keeps dates as string keys for BI,
   *                     export-to-quicksight/lambda_function.py:215-217)
@@ -56,7 +58,10 @@ object Tables {
     * division to micros; DuckDB reads ns natively and both render the
     * same second-resolution strings). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "at session build (Verify/Bench/test fixtures do; a read-time conf.set here would " +
+        "be a global side effect on the shared session)")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -67,7 +72,7 @@ object Tables {
   def sales(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.select(
-      lpad(col("l_suppkey").cast(StringType), 4, "0").as("store_id"),
+      format_string("%04d", col("l_suppkey")).as("store_id"),
       date_format(col("l_shipdate"), "yyyy-MM-dd").as("sale_date"),
       col("l_partkey").as("sku"),
       col("l_quantity").cast(LongType).as("quantity"),
@@ -83,7 +88,7 @@ object Tables {
   /** SQL (DuckDB) twin of [[sales]] for oracle WITH-clauses. */
   val salesSql: String =
     """SELECT
-      |  lpad(CAST(l_suppkey AS VARCHAR), 4, '0') AS store_id,
+      |  printf('%04d', l_suppkey) AS store_id,
       |  strftime(l_shipdate, '%Y-%m-%d') AS sale_date,
       |  l_partkey AS sku,
       |  CAST(l_quantity AS BIGINT) AS quantity,
