@@ -5,6 +5,8 @@ import graft.etl.{StoreDaily, CompanyDaily, ProductDaily, Completeness, Spine}
 import graft.analytics.{Kpis, History, Trends}
 import graft.streaming.EventsBatch
 import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.vector.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are SURVEY.md §2 operator ids. Every oracle-checked query
@@ -49,7 +51,15 @@ object SparkEntry {
     "t1_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "t3_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
-    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir))
+    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "d2_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "d3_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "d4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "d5_minhash_xxhash" -> ((s, dir) => Dedup.minhashPairsXxhash(s, dir)),
+    "v1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "v2_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "v3_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +97,15 @@ object SparkEntry {
     "t1_token_stats" -> TextAnalysis.tokenStatsSql,
     "t2_quality_score" -> TextAnalysis.qualityScoreSql,
     "t3_lang_id" -> TextAnalysis.langIdSql,
-    "t4_fingerprint" -> TextAnalysis.fingerprintSql
+    "t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d2_minhash_lsh" -> Dedup.minhashLshSql,
+    "d3_simhash" -> Dedup.simhashSql,
+    "d4_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    // d5_minhash_xxhash: deliberately no oracle — xxhash64 has no DuckDB
+    // twin; driver records the weaker rows-only check (scale-path variant).
+    "v1_cosine_topk" -> Similarity.cosineTopKSql(),
+    "v2_ann_lsh" -> Similarity.annLshSql(),
+    "v3_cosine_near_dup" -> Similarity.cosineNearDupSql()
   )
 }

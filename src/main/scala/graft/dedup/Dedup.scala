@@ -1,0 +1,294 @@
+package graft.dedup
+
+import graft.text.Corpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline over the
+  * `documents` table: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  * (Embedding-cosine near-dup lives in [[graft.vector.Similarity]] next to
+  * the other vector ops.)
+  *
+  * Scale posture (the whole point of these shapes at 100 TB):
+  *  - Everything is LONG-FORM relational — (doc, token) / (doc, j, minhash)
+  *    rows, hash-partitionable on doc_id, never a per-doc driver loop and
+  *    never an order-sensitive collect_list.
+  *  - Candidate generation is always sub-quadratic: LSH band buckets
+  *    (MinHash), byte bands (SimHash), shared-token inverted index
+  *    (Jaccard). The only pairwise work done is per-candidate.
+  *  - Sketch hashes are affine families `(a_j*x + b_j) mod P` over rank-
+  *    dictionary ids — pure 64-bit integer math, bit-identical in the
+  *    DuckDB oracle (see [[Corpus]] for the xxhash64 swap at real scale,
+  *    where the rank dictionary's global sort is the thing you drop).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- d1
+
+  /** d1: exact dedup — canonical-keeper assignment per identical text.
+    * keep_id = min(doc_id) of the group (the reference-style "first upload
+    * wins" idempotent overwrite, write-metrics:104, generalized to content
+    * identity). One hash aggregation on the text key; at 100 TB you group
+    * on xxhash64(text) and resolve the (vanishingly rare) collisions with
+    * a second exact pass. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Corpus.docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+    Corpus.docs(spark, dir)
+      .join(groups, Seq("text"))
+      .select(col("doc_id"), col("keep_id"), col("group_size"),
+        (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql: String =
+    """WITH groups AS (
+      |  SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+      |  FROM documents GROUP BY text)
+      |SELECT d.doc_id, g.keep_id, g.group_size,
+      |  d.doc_id <> g.keep_id AS is_duplicate
+      |FROM documents d JOIN groups g USING (text)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d2
+
+  /** 16 affine hash functions grouped into 4 bands of 4 rows; `w` is the
+    * per-row weight 31^(j mod 4) used to combine a band's minhashes into
+    * one band key order-independently (a weighted SUM — safe because
+    * minhash < P so the weighted sum is injective enough for bucketing,
+    * and aggregation order never matters for integer sums). */
+  private def hashParams(spark: SparkSession): DataFrame =
+    spark.range(16).select(
+      col("id").as("j"),
+      (lit(37L) + lit(101L) * col("id")).as("a"),
+      (lit(17L) + lit(61L) * col("id")).as("b"),
+      expr("id div 4").as("band"),
+      expr("CASE CAST(id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END")
+        .cast("long").as("w"))
+
+  private val hashParamsSql: String =
+    """SELECT j, 37 + 101*j AS a, 17 + 61*j AS b, j // 4 AS band,
+      |  CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END AS w
+      |FROM range(16) t(j)""".stripMargin
+
+  /** (doc_id, sid) long-form distinct shingle ids. */
+  private def docSids(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docShingles(spark, dir)
+      .join(broadcast(Corpus.shingleDict(spark, dir)), Seq("shingle"))
+      .select(col("doc_id"), col("sid"))
+
+  private val docSidsSql: String =
+    s"""SELECT ds.doc_id, d.sid
+       |FROM (${Corpus.docShinglesSql}) ds
+       |JOIN (${Corpus.shingleDictSql}) d USING (shingle)""".stripMargin
+
+  /** (doc_id, j, band, w, mh) minhash signatures, long-form: 16 rows/doc.
+    * One shuffle on (doc_id, j); the hash-function table broadcasts. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    docSids(spark, dir)
+      .crossJoin(broadcast(hashParams(spark)))
+      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
+      .agg(min((col("a") * col("sid") + col("b")) % lit(Corpus.P)).as("mh"))
+
+  private val signaturesSql: String =
+    s"""SELECT ds.doc_id, h.j, h.band, h.w,
+       |  MIN((h.a * ds.sid + h.b) % ${Corpus.P}) AS mh
+       |FROM ($docSidsSql) ds CROSS JOIN ($hashParamsSql) h
+       |GROUP BY ds.doc_id, h.j, h.band, h.w""".stripMargin
+
+  /** Shared-shingle pair relation: (doc_a, doc_b, n_common) via the
+    * inverted-index self-join — the sub-quadratic candidate generator for
+    * Jaccard (only pairs that share >= 1 shingle materialize). */
+  private def commonShingles(spark: SparkSession, dir: String): DataFrame = {
+    val ds = docSids(spark, dir)
+    ds.select(col("doc_id").as("doc_a"), col("sid"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sid")), Seq("sid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  private val commonShinglesSql: String =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |FROM ($docSidsSql) a JOIN ($docSidsSql) b
+       |  ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** d2: MinHash + LSH near-dup candidates — 16 minhashes, 4 bands × 4
+    * rows; docs sharing any band bucket become candidates; per candidate:
+    * the LSH evidence (bands in common), the signature-estimated Jaccard
+    * (equal minhashes / 16), and the exact shingle Jaccard for reference.
+    * Self-join happens on (band, bandhash) buckets, NOT all pairs. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val bands = sigs.groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("mh") * col("w")).as("bandkey"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
+        Seq("band", "bandkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common_bands"))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("mh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mh_b"))
+    val est = cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "j"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_common_bands"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_eq_minhash"))
+    val sizes = docSids(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    est
+      .join(commonShingles(spark, dir), Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common_bands"), col("n_eq_minhash"),
+        (col("n_eq_minhash").cast("double") / 16.0).as("est_jaccard"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH sigs AS ($signaturesSql),
+       |bands AS (
+       |  SELECT doc_id, band, SUM(mh * w) AS bandkey
+       |  FROM sigs GROUP BY doc_id, band),
+       |cands AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_common_bands,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_eq_minhash
+       |  FROM cands c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+       |  GROUP BY 1, 2, 3),
+       |common AS ($commonShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id)
+       |SELECT e.doc_a, e.doc_b, e.n_common_bands,
+       |  CAST(e.n_eq_minhash AS BIGINT) AS n_eq_minhash,
+       |  CAST(e.n_eq_minhash AS DOUBLE) / 16.0 AS est_jaccard,
+       |  CAST(cm.n_common AS DOUBLE)
+       |    / CAST(za.sz + zb.sz - cm.n_common AS DOUBLE) AS jaccard
+       |FROM est e
+       |JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+       |JOIN sizes za ON za.doc_id = e.doc_a
+       |JOIN sizes zb ON zb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d3
+
+  private val A32 = 2654435761L  // Knuth multiplicative constants, < 2^32
+  private val B32 = 2246822519L
+  private val P32 = 4294967291L  // largest 32-bit prime
+
+  /** d3: 32-bit SimHash per document over word-frequency features:
+    * h(wid) = (A*wid + B) mod P32; weight of bit b = Σ_tokens
+    * cnt * (bit_b(h) ? 1 : -1); signature bit b set iff weight > 0.
+    * Emitted with the 4 byte-bands used for Hamming-neighbor bucketing at
+    * scale (near-dups within Hamming distance d share >= 1 of 4 bytes for
+    * d <= 3 by pigeonhole). Pure map-side + one (doc_id,bit) aggregation. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Corpus.docs(spark, dir)
+      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+      .join(broadcast(Corpus.wordDict(spark, dir)), Seq("word"))
+      .groupBy(col("doc_id"), col("wid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", (lit(A32) * col("wid") + lit(B32)) % lit(P32))
+    val bits = spark.range(32).select(col("id").cast("long").as("bit"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
+    val weights = tokens.crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("bit"), col("pw"))
+      .agg(sum(col("cnt") *
+        (expr("h div pw") % 2L * 2L - 1L)).as("weight"))
+    weights.groupBy(col("doc_id"))
+      .agg(sum(when(col("weight") > 0, col("pw")).otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        (expr("simhash div 1") % 256L).as("band0"),
+        (expr("simhash div 256") % 256L).as("band1"),
+        (expr("simhash div 65536") % 256L).as("band2"),
+        (expr("simhash div 16777216") % 256L).as("band3"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String =
+    s"""WITH tokens AS (
+       |  SELECT doc_id, wid, COUNT(*) AS cnt,
+       |    ($A32 * wid + $B32) % $P32 AS h
+       |  FROM (
+       |    SELECT t.doc_id, d.wid
+       |    FROM (SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents) t
+       |    JOIN (${Corpus.wordDictSql}) d USING (word))
+       |  GROUP BY doc_id, wid),
+       |bits AS (SELECT b AS bit, CAST(2**b AS BIGINT) AS pw FROM range(32) t(b)),
+       |weights AS (
+       |  SELECT doc_id, bit, pw,
+       |    SUM(cnt * ((h // pw) % 2 * 2 - 1)) AS weight
+       |  FROM tokens CROSS JOIN bits
+       |  GROUP BY doc_id, bit, pw),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN weight > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM weights GROUP BY doc_id)
+       |SELECT doc_id, simhash,
+       |  (simhash // 1) % 256 AS band0,
+       |  (simhash // 256) % 256 AS band1,
+       |  (simhash // 65536) % 256 AS band2,
+       |  (simhash // 16777216) % 256 AS band3
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d4
+
+  /** d4: exact n-gram (3-shingle) Jaccard near-dup pairs above 0.2 —
+    * inverted-index join (pairs sharing >= 1 shingle), never all-pairs.
+    * |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes. */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    val sizes = docSids(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    commonShingles(spark, dir)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("size_a"), col("size_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.2): String =
+    s"""WITH common AS ($commonShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id)
+       |SELECT c.doc_a, c.doc_b, c.n_common,
+       |  za.sz AS size_a, zb.sz AS size_b,
+       |  CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) AS jaccard
+       |FROM common c
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b
+       |WHERE CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) >= $threshold
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // ------------------------------------------------- xxhash scale variant
+
+  /** Bench-only (no DuckDB twin): the 100 TB MinHash variant — token ids
+    * from xxhash64 instead of the rank dictionary, dropping the global
+    * vocabulary sort entirely. Same band/bucket algebra as [[minhashLsh]].
+    * Registered without an oracleSql entry → driver's rows-only check. */
+  def minhashPairsXxhash(spark: SparkSession, dir: String): DataFrame = {
+    val sids = Corpus.docShingles(spark, dir)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
+    val sigs = sids.crossJoin(broadcast(hashParams(spark)))
+      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
+      .agg(min((col("a") * col("sid") + col("b")) % lit(Corpus.P)).as("mh"))
+    val bands = sigs.groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("mh") * col("w")).as("bandkey"))
+    bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
+        Seq("band", "bandkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.vector
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over the `embeddings` table (vec_id,
+  * embedding: array<float>, label): brute-force cosine top-k, an
+  * LSH-bucketed ANN variant, and embedding-cosine near-dup.
+  *
+  * FLOAT-PARITY DESIGN: every dot product is a strict left-to-right fold
+  * over the element list in double precision — Spark `aggregate(zip_with)`
+  * and DuckDB `list_reduce` both evaluate sequentially in list order, so
+  * the IEEE result is bit-identical (see [[graft.model.Tables]] doc: never
+  * a SUM over rows of doubles, and never an engine-internal vectorized
+  * summation whose accumulation order we don't control).
+  *
+  * Scale posture:
+  *  - v1 broadcast: the query set is small by construction; brute force is
+  *    a broadcast nested loop — scan-speed over any number of candidate
+  *    vectors, no shuffle of the big side.
+  *  - v2 buckets both sides by deterministic sign-bit LSH (axis-aligned
+  *    hyperplanes): candidates shrink ~2^nbits-fold and the join is a hash
+  *    join on the bucket key — the IVF-style cell-local search pattern.
+  *  - v3 near-dup partitions by the coarse label (IVF cell): pairwise work
+  *    is cell-local, never corpus-quadratic.
+  */
+object Similarity {
+
+  /** Strict sequential fold dot product of two float vectors, in double. */
+  def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB twin of [[dotCol]]: index comprehension + sequential
+    * list_reduce (NOT list_sum / list_dot_product — their accumulation
+    * order is an implementation detail). */
+  def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]), " +
+      "(acc, v) -> acc + v)"
+
+  /** Embeddings with the precomputed squared norm (one pass, reused by
+    * every pairwise cosine — norms are never recomputed per pair). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm2", dotCol(col("embedding"), col("embedding")))
+
+  private val withNormSql: String =
+    s"""SELECT vec_id, embedding, label,
+       |  ${dotSql("embedding", "embedding")} AS norm2
+       |FROM embeddings""".stripMargin
+
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / sqrt(n2a * n2b)
+
+  /** v1: brute-force cosine top-k — query vectors (vec_id < 10) broadcast
+    * against every candidate; row_number window per query. The exhaustive
+    * baseline every ANN variant is measured against. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"))
+    val pairs = broadcast(q).crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("norm2").as("n_norm2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def cosineTopKSql(k: Int = 5): String =
+    s"""WITH e AS ($withNormSql),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic sign-bit LSH bucket: bit i of the bucket is the sign of
+    * dimension 4i+1 (1-based), i = 0..7 — 8 axis-aligned hyperplanes, 256
+    * buckets. Data-independent and engine-exact (float > 0 compare). */
+  private def bucketCol(e: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(e, i * 4 + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def bucketSql(e: String): String =
+    (0 until 8).map(i =>
+      s"CASE WHEN $e[${i * 4 + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** v2: LSH-bucketed ANN — same queries/k as v1 but candidates restricted
+    * to the query's bucket (the scale path: a hash join on bucket instead
+    * of a full cross product; recall traded for a ~256× candidate cut). */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("bucket"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    val pairs = broadcast(q).join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annLshSql(k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT *, ${bucketSql("embedding")} AS bucket FROM ($withNormSql)),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.bucket, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, bucket, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** v3/d5: embedding-cosine near-dup — each vector's nearest neighbor
+    * within its coarse cluster (label = the IVF cell), flagged when the
+    * cosine crosses the near-dup threshold. Cell-local pairwise work only. */
+  def cosineNearDup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(spark, dir)
+    val a = e.select(col("label"), col("vec_id"),
+      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("label"), col("neighbor_id"), col("cosine"),
+        (col("cosine") >= threshold).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  def cosineNearDupSql(threshold: Double = 0.4): String =
+    s"""WITH e AS ($withNormSql),
+       |pairs AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+       |    ${dotSql("a.embedding", "b.embedding")}
+       |      / sqrt(a.norm2 * b.norm2) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT vec_id, label, neighbor_id, cosine,
+       |  cosine >= $threshold AS is_near_dup
+       |FROM ranked WHERE rank = 1
+       |ORDER BY vec_id""".stripMargin
+}
