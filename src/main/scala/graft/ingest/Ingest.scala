@@ -1,0 +1,141 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1–S7: the write path — JSON array upload files → validated, typed,
+  * Hive-partitioned parquet lake + quarantine, and the NDJSON BI export
+  * (reference: backend/functions/process-upload/process_upload.py:28-206,
+  * export-to-quicksight/lambda_function.py:332-388).
+  *
+  * Spark-first shape: schema-on-read with PERMISSIVE corrupt-record
+  * capture replaces jsonschema validation; constraint predicates replace
+  * the draft-07 keywords; a single lineage splits valid/rejected (one scan,
+  * two sinks); `partitionBy(year, month, day, store_id)` reproduces the
+  * reference's lake layout (process_upload.py:205) and makes date/store
+  * pruning free for every downstream query. Dynamic partition overwrite
+  * gives the reference's idempotent per-(store,day) re-upload semantics
+  * (write-metrics:104 unconditional put).
+  */
+object Ingest {
+
+  /** The upload record schema (process-upload/upload-schema.json:5-69).
+    * Money arrives as JSON numbers → read as double, cast to Decimal(10,2)
+    * in [[normalize]] (process_upload.py:37-39). */
+  val uploadSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("transaction_timestamp", StringType),
+    StructField("item_sku", StringType),
+    StructField("item_name", StringType),
+    StructField("quantity", IntegerType),
+    StructField("unit_price", DoubleType),
+    StructField("line_total", DoubleType),
+    StructField("discount_amount", DoubleType),
+    StructField("payment_method", StringType),
+    StructField("customer_id", StringType)))
+
+  val paymentEnum: Seq[String] = Seq("cash", "credit", "debit", "gift_card", "mobile")
+
+  /** `store_XXXX_YYYY-MM-DD.json` (process_upload.py:28). */
+  val filenamePattern = "^store_(\\d{4})_(\\d{4})-(\\d{2})-(\\d{2})\\.json$"
+
+  private val corrupt = "_corrupt_record"
+
+  /** S1+S2: read a directory of JSON-array upload files; each row tagged
+    * with its source filename (the partition-key carrier). */
+  def readUploads(spark: SparkSession, inDir: String): DataFrame =
+    spark.read
+      .schema(uploadSchema.add(corrupt, StringType))
+      .option("multiLine", value = true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(s"$inDir/*.json")
+      .withColumn("_filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+  /** S3: constraint predicates = the JSON-Schema keywords as columns.
+    * Returns the input with an `_errors` column (empty string = valid). */
+  def withErrors(df: DataFrame): DataFrame = {
+    def failed(cond: org.apache.spark.sql.Column, tag: String) =
+      when(cond, tag).otherwise(lit(null))
+    df.withColumn("_errors", concat_ws(";",
+      failed(!col("_filename").rlike(filenamePattern), "invalid_filename"),
+      failed(col(corrupt).isNotNull, "malformed_json"),
+      failed(col(corrupt).isNull &&
+        (col("transaction_id").isNull || length(col("transaction_id")) < 1),
+        "missing_transaction_id"),
+      failed(col(corrupt).isNull && to_timestamp(col("transaction_timestamp")).isNull,
+        "bad_timestamp"),
+      failed(col(corrupt).isNull && col("item_sku").isNull, "missing_sku"),
+      failed(col(corrupt).isNull &&
+        (col("quantity").isNull || col("quantity") < 1), "quantity_lt_1"),
+      failed(col(corrupt).isNull &&
+        (col("discount_amount").isNull || col("discount_amount") < 0),
+        "negative_discount"),
+      failed(col(corrupt).isNull && !col("payment_method").isin(paymentEnum: _*),
+        "bad_payment_method")))
+  }
+
+  /** S4: typed/normalized valid rows + lake partition columns parsed from
+    * the filename (str→timestamp, double→Decimal(10,2), int32 —
+    * process_upload.py:183-192). */
+  def normalize(validated: DataFrame): DataFrame =
+    validated
+      .filter(col("_errors") === "")
+      .select(
+        col("transaction_id"),
+        to_timestamp(col("transaction_timestamp")).as("transaction_timestamp"),
+        col("item_sku"), col("item_name"),
+        col("quantity"),
+        col("unit_price").cast(DecimalType(10, 2)).as("unit_price"),
+        col("line_total").cast(DecimalType(10, 2)).as("line_total"),
+        col("discount_amount").cast(DecimalType(10, 2)).as("discount_amount"),
+        col("payment_method"), col("customer_id"),
+        regexp_extract(col("_filename"), filenamePattern, 1).as("store_id"),
+        regexp_extract(col("_filename"), filenamePattern, 2).as("year"),
+        regexp_extract(col("_filename"), filenamePattern, 3).as("month"),
+        regexp_extract(col("_filename"), filenamePattern, 4).as("day"))
+
+  /** Rejected rows with their error tags + source file (the `rejected/`
+    * + `.error.json` sidecar analogue, process_upload.py:78-113). */
+  def rejects(validated: DataFrame): DataFrame =
+    validated.filter(col("_errors") =!= "")
+      .select(col("_filename").as("source_file"), col("_errors").as("errors"),
+        col(corrupt).as("corrupt_record"), col("transaction_id"))
+
+  /** S5: Hive-layout lake write. Dynamic partition overwrite = idempotent
+    * (store, day) re-upload. */
+  def writeLake(df: DataFrame, lakeDir: String): Unit =
+    df.write
+      .partitionBy("year", "month", "day", "store_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(lakeDir)
+
+  /** The full S1→S5 pipeline over a directory: one scan, two sinks.
+    * Returns (validCount, rejectCount). */
+  def processUploads(spark: SparkSession, inDir: String,
+                     lakeDir: String, rejectDir: String): (Long, Long) = {
+    val validated = withErrors(readUploads(spark, inDir)).cache()
+    try {
+      val valid = normalize(validated)
+      val bad = rejects(validated)
+      writeLake(valid, lakeDir)
+      bad.write.mode("overwrite").json(rejectDir) // S7 sink doubles as sidecar
+      (valid.count(), bad.count())
+    } finally validated.unpersist()
+  }
+
+  /** S6: lake scan — partition discovery turns the Hive path layout back
+    * into (year, month, day, store_id) columns for free; predicates on
+    * them prune directories, not files. */
+  def readLake(spark: SparkSession, lakeDir: String): DataFrame =
+    spark.read.parquet(lakeDir)
+
+  /** S7: NDJSON export — Spark's JSON sink is JSON-Lines by default,
+    * exactly the QuickSight-manifest dataset shape
+    * (export-to-quicksight:332-388). Coalesce keeps one object per
+    * dataset-partition like the reference's one-file-per-dataset layout. */
+  def exportNdjson(df: DataFrame, outDir: String, parts: Int = 1): Unit =
+    df.coalesce(parts).write.mode("overwrite").json(outDir)
+}

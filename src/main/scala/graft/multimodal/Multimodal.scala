@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A typed media row: opaque binary payload + typed metadata. The shape a
+  * 100 TB multimodal training-data lake uses — media as `binary` columns
+  * co-partitioned with their features, never driver-side. */
+case class MediaRecord(
+    media_id: Long,
+    kind: String, // image | audio | video
+    bytes: Array[Byte],
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    checksum: Long,
+    features: Array[Float])
+
+/** Multimodal-column operators: decode / feature-extract / frame-sample
+  * over opaque binary media columns.
+  *
+  * The DECODE STEP IS A STUB: real image/audio codecs aren't in this
+  * container, so [[decodeStub]] produces a deterministic fake feature
+  * vector from the payload bytes. Everything around it — the binary
+  * column schema, the Dataset[MediaRecord] encoder, the per-partition
+  * batched iteration (the Scala analogue of `mapInPandas`: one iterator
+  * per partition, amortizing model/codec init across the partition's
+  * rows), the frame-sampling explode — is real Spark plumbing and tested.
+  *
+  * Scale posture: media bytes never leave executors; feature extraction is
+  * a narrow map (no shuffle); frame sampling is a Generator-style explode
+  * whose output is bounded by n_frames/step per row.
+  */
+object Multimodal {
+
+  /** Deterministic media table derived from `documents` (payload = UTF-8
+    * bytes, kind round-robins image/audio/video, dims from n_chars) — a
+    * stand-in for a real (id, bytes, metadata) media lake. */
+  def mediaFromDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.model.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        (col("n_chars") % 120 + 1).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode / embed: a rolling-hash "feature vector" of the payload.
+    * Swap for a real codec + model (e.g. an ONNX session initialized once
+    * per partition) without touching any caller. */
+  def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % dim
+      acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
+      i += 1
+    }
+    acc.map(v => (v % 997).toFloat / 997f)
+  }
+
+  /** Feature extraction as a per-partition batched map — the
+    * `mapInPandas` shape: the lambda sees the partition ITERATOR, so
+    * per-partition setup (codec contexts, model weights) happens once per
+    * partition, not once per row. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init goes here (codec/model session) — stubbed.
+      rows.map { r =>
+        var checksum = 0L
+        var i = 0
+        while (i < r.bytes.length) { checksum = checksum * 31 + (r.bytes(i) & 0xff); i += 1 }
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
+          decodeStub(r.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `step`-th frame index becomes a
+    * row (the UDTF/Generator shape — built-in explode over a sequence, no
+    * custom Generator needed). Non-video rows pass through with frame 0. */
+  def frameSample(media: Dataset[MediaRecord], step: Int = 10): DataFrame = {
+    val df = media.toDF()
+    val video = df.filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))))
+    val other = df.filter(col("kind") =!= "video").withColumn("frame_idx", lit(0))
+    video.unionByName(other)
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        col("width"), col("height"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.vector.Similarity
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends GraftSpec {
+
+  test("d1: keep_id <= doc_id and keepers are not duplicates") {
+    val d = Dedup.exactDedup(spark, sfDir)
+    assert(d.filter(col("keep_id") > col("doc_id")).count() === 0)
+    assert(d.filter(col("doc_id") === col("keep_id") && col("is_duplicate")).count() === 0)
+  }
+
+  test("d2: minhash-estimated jaccard tracks exact jaccard on candidates") {
+    val d = Dedup.minhashLsh(spark, sfDir)
+    assert(d.count() > 0, "corpus should contain LSH candidate pairs")
+    // est in [0,1], exact in (0,1], and candidates share at least one band
+    assert(d.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+    assert(d.filter(col("n_common_bands") < 1).count() === 0)
+    // sketch quality: on average |est - exact| < 0.35 (16 hashes is coarse)
+    val mae = d.agg(avg(abs(col("est_jaccard") - col("jaccard")))).head.getDouble(0)
+    assert(mae < 0.35, s"minhash estimate too far from exact jaccard: $mae")
+  }
+
+  test("d3: simhash byte bands recombine to the signature") {
+    val d = Dedup.simhash(spark, sfDir)
+    val bad = d.filter(
+      col("band0") + col("band1") * 256L + col("band2") * 65536L +
+        col("band3") * 16777216L =!= col("simhash")).count()
+    assert(bad === 0)
+    assert(d.filter(col("simhash") < 0 || col("simhash") > 4294967295L).count() === 0)
+  }
+
+  test("d4: jaccard pairs are symmetric-free, above threshold, correct algebra") {
+    val d = Dedup.ngramJaccard(spark, sfDir)
+    assert(d.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(d.filter(col("jaccard") < 0.2).count() === 0)
+    val bad = d.filter(abs(col("jaccard") -
+      col("n_common") / (col("size_a") + col("size_b") - col("n_common"))) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("v1: rank-1 neighbor has the max cosine; self excluded; k respected") {
+    val v = Similarity.cosineTopK(spark, sfDir)
+    assert(v.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    val perQuery = v.groupBy("query_id").agg(
+      count(lit(1)).as("n"), max("cosine").as("mx"),
+      max(when(col("rank") === 1, col("cosine"))).as("r1"))
+    assert(perQuery.filter(col("n") > 5).count() === 0)
+    assert(perQuery.filter(col("r1") =!= col("mx")).count() === 0)
+  }
+
+  test("v2: LSH neighbors are a subset of the same bucket; cosine matches v1 where present") {
+    val v2 = Similarity.annLsh(spark, sfDir)
+    val v1 = Similarity.cosineTopK(spark, sfDir, k = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_bf"))
+    val joined = v2.join(v1, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("cos_bf").isNull).count() === 0,
+      "every LSH pair must exist in the brute-force relation")
+    assert(joined.filter(abs(col("cosine") - col("cos_bf")) > 0).count() === 0,
+      "cosine must be bit-identical between v1 and v2 paths")
+  }
+
+  test("v3: near-dup neighbor stays within the label cell") {
+    val v3 = Similarity.cosineNearDup(spark, sfDir)
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val joined = v3.join(e, "neighbor_id")
+    assert(joined.filter(col("label") =!= col("n_label")).count() === 0)
+    // exactly one row per vector
+    assert(v3.groupBy("vec_id").count().filter(col("count") =!= 1).count() === 0)
+  }
+}
