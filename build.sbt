@@ -29,5 +29,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: 32 local threads share one JVM; cached summary tables +
+  // 32-way shuffle execution memory under 8g caused GC churn at sf0.1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiling entry: time one query N times, print plan. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -57,39 +57,61 @@ object Dedup {
     * per-row weight 31^(j mod 4) used to combine a band's minhashes into
     * one band key order-independently (a weighted SUM — safe because
     * minhash < P so the weighted sum is injective enough for bucketing,
-    * and aggregation order never matters for integer sums). */
-  private def hashParams(spark: SparkSession): DataFrame =
-    spark.range(16).select(
-      col("id").as("j"),
-      (lit(37L) + lit(101L) * col("id")).as("a"),
-      (lit(17L) + lit(61L) * col("id")).as("b"),
-      expr("id div 4").as("band"),
-      expr("CASE CAST(id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END")
-        .cast("long").as("w"))
-
+    * and aggregation order never matters for integer sums). The oracle SQL
+    * keeps this long form (readable, fine at oracle scale); the Spark side
+    * computes the identical values as 16 wide min-aggregates — see
+    * [[signaturesWide]]. */
   private val hashParamsSql: String =
     """SELECT j, 37 + 101*j AS a, 17 + 61*j AS b, j // 4 AS band,
       |  CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END AS w
       |FROM range(16) t(j)""".stripMargin
 
-  /** (doc_id, sid) long-form distinct shingle ids. */
+  /** (doc_id, sid) long-form distinct shingle ids. CACHED: this subtree
+    * (tokenize → explode → dict join) feeds signatures, the inverted-index
+    * self-join (twice) and the size relation — without a cache Spark
+    * recomputes it per physical occurrence. At 100 TB the same move is a
+    * materialized token table (write once, read by every dedup pass), not
+    * an executor-memory cache. Spark's CacheManager dedupes by logical
+    * plan, so d2/d4 share one entry and re-calls are no-ops. */
   private def docSids(spark: SparkSession, dir: String): DataFrame =
     Corpus.docShingles(spark, dir)
       .join(broadcast(Corpus.shingleDict(spark, dir)), Seq("shingle"))
       .select(col("doc_id"), col("sid"))
+      .cache()
 
   private val docSidsSql: String =
     s"""SELECT ds.doc_id, d.sid
        |FROM (${Corpus.docShinglesSql}) ds
        |JOIN (${Corpus.shingleDictSql}) d USING (shingle)""".stripMargin
 
-  /** (doc_id, j, band, w, mh) minhash signatures, long-form: 16 rows/doc.
-    * One shuffle on (doc_id, j); the hash-function table broadcasts. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    docSids(spark, dir)
-      .crossJoin(broadcast(hashParams(spark)))
-      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
-      .agg(min((col("a") * col("sid") + col("b")) % lit(Corpus.P)).as("mh"))
+  private val NumHashes = 16
+  private def aj(j: Int): Long = 37L + 101L * j
+  private def bj(j: Int): Long = 17L + 61L * j
+  private val bandWeight = Array(1L, 31L, 961L, 29791L)
+
+  /** Wide minhash signatures: (doc_id, mh0..mh15) via 16 `min` aggregates
+    * in ONE groupBy(doc_id) — map-side partial aggregation reduces each
+    * partition to |docs-in-partition| rows before the shuffle. (The naive
+    * 16× hash-function crossJoin multiplies the shuffle by 16 and was the
+    * bench bottleneck; a custom Catalyst Expression isn't needed — 16
+    * codegen'd min aggregates are exactly as fast.) */
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumHashes).map(j =>
+      min((col("sid") * aj(j) + bj(j)) % lit(Corpus.P)).as(s"mh$j"))
+    docSids(spark, dir).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, bandkey) long form — a 4× explode of the tiny wide
+    * signature relation (NOT of the token relation). */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
+    val arr = array((0 until 4).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (0 until 4).map(i => col(s"mh${4 * b + i}") * bandWeight(i)).reduce(_ + _)
+          .as("bandkey"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(arr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+  }
 
   private val signaturesSql: String =
     s"""SELECT ds.doc_id, h.j, h.band, h.w,
@@ -121,23 +143,39 @@ object Dedup {
     * (equal minhashes / 16), and the exact shingle Jaccard for reference.
     * Self-join happens on (band, bandhash) buckets, NOT all pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
-    val bands = sigs.groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("mh") * col("w")).as("bandkey"))
+    val sigs = signaturesWide(spark, dir).cache() // bands + both estimate sides
+    val bands = bandKeys(sigs)
     val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
         Seq("band", "bandkey"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common_bands"))
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("mh_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mh_b"))
-    val est = cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "j"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_common_bands"))
-      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_eq_minhash"))
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+    val nEq = (0 until NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common_bands"),
+        nEq.as("n_eq_minhash"))
     val sizes = docSids(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Exact intersections CANDIDATE-RESTRICTED (join the shingle relation
+    // to the candidate pairs, not to itself): the full inverted-index
+    // self-join is |pairs sharing a shingle| — fine on real corpora, but
+    // it must never be on d2's critical path when LSH already cut the
+    // candidate set. (d4 keeps the full relation: exact all-pair Jaccard
+    // IS its semantic.)
+    val ds = docSids(spark, dir)
+    val inter = cands.select(col("doc_a"), col("doc_b"))
+      .join(ds.select(col("doc_id").as("doc_a"), col("sid")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
     est
-      .join(commonShingles(spark, dir), Seq("doc_a", "doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_common_bands"), col("n_eq_minhash"),
@@ -164,7 +202,13 @@ object Dedup {
        |  JOIN sigs sa ON sa.doc_id = c.doc_a
        |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
        |  GROUP BY 1, 2, 3),
-       |common AS ($commonShinglesSql),
+       |ds AS ($docSidsSql),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cands c
+       |  JOIN ds a ON a.doc_id = c.doc_a
+       |  JOIN ds b ON b.doc_id = c.doc_b AND b.sid = a.sid
+       |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id)
        |SELECT e.doc_a, e.doc_b, e.n_common_bands,
        |  CAST(e.n_eq_minhash AS BIGINT) AS n_eq_minhash,
@@ -172,7 +216,7 @@ object Dedup {
        |  CAST(cm.n_common AS DOUBLE)
        |    / CAST(za.sz + zb.sz - cm.n_common AS DOUBLE) AS jaccard
        |FROM est e
-       |JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+       |JOIN inter cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
        |JOIN sizes za ON za.doc_id = e.doc_a
        |JOIN sizes zb ON zb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin
@@ -278,11 +322,10 @@ object Dedup {
   def minhashPairsXxhash(spark: SparkSession, dir: String): DataFrame = {
     val sids = Corpus.docShingles(spark, dir)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
-    val sigs = sids.crossJoin(broadcast(hashParams(spark)))
-      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
-      .agg(min((col("a") * col("sid") + col("b")) % lit(Corpus.P)).as("mh"))
-    val bands = sigs.groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("mh") * col("w")).as("bandkey"))
+    val mins = (0 until NumHashes).map(j =>
+      min((col("sid") * aj(j) + bj(j)) % lit(Corpus.P)).as(s"mh$j"))
+    val sigs = sids.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = bandKeys(sigs)
     bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
         Seq("band", "bandkey"))

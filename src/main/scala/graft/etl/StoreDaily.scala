@@ -18,7 +18,16 @@ import org.apache.spark.sql.expressions.Window
 object StoreDaily {
 
   /** Exact-decimal form of A1, reused by company/product re-aggregations
-    * (keeps all downstream sums order-independent → oracle-exact). */
+    * (keeps all downstream sums order-independent → oracle-exact).
+    *
+    * CACHED: this is the engine's materialized (store, day) summary table —
+    * the reference PERSISTS exactly this relation in DynamoDB
+    * (write-metrics:77-104) and every read path re-queries it rather than
+    * the raw line items. Our medallion equivalent is a silver parquet
+    * table maintained incrementally by [[graft.streaming.StreamingIngest]];
+    * in the ad-hoc query path the cache plays that role (CacheManager
+    * dedupes by plan, so all ~15 downstream operators share one entry;
+    * |stores|×|days| rows — dimension-sized at any fact-table scale). */
   def rollupDec(spark: SparkSession, dir: String): DataFrame =
     Tables.sales(spark, dir)
       .groupBy(col("store_id"), col("sale_date"))
@@ -27,6 +36,7 @@ object StoreDaily {
         sum(col("discount_amount")).as("disc_dec"),
         count(lit(1)).as("transaction_count"),
         sum(col("quantity")).as("item_count"))
+      .cache()
 
   val rollupDecSql: String =
     s"""SELECT store_id, sale_date,
@@ -114,6 +124,9 @@ object StoreDaily {
     perSku
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    // deliberately NOT cached: date-filtered consumers (a16/a17) push
+    // their predicates below this window (sale_date is a partition key of
+    // it); a cache would freeze the full relation and defeat the pushdown.
   }
 
   def topProductsDecSql(k: Int = 5): String =

@@ -51,14 +51,18 @@ object Corpus {
     s"""SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
        |FROM (SELECT DISTINCT unnest($wordsSqlExpr) AS word FROM documents)""".stripMargin
 
-  /** Word 3-shingles (space-joined), in document order, duplicates kept.
-    * Every document has >= 10 words (TESTDATA.md) so size-3 >= 0. */
-  def shinglesCol: Column = {
-    val w = wordsCol
-    transform(sequence(lit(0), size(w) - lit(3)),
+  /** Word 3-shingles (space-joined) over an ALREADY-BOUND words-array
+    * column, in document order, duplicates kept. The argument must be a
+    * plain attribute (not the `split` expression itself): expressions
+    * inside a higher-order-function lambda are re-evaluated PER ELEMENT,
+    * so inlining `split` here costs O(words² · regex) per document — the
+    * round-2 bench bottleneck. Callers project `wordsCol.as("ws")` first;
+    * CollapseProject keeps the alias because it is non-cheap and used
+    * multiple times, so the split runs once per row. */
+  def shinglesOf(ws: Column): Column =
+    transform(sequence(lit(0), size(ws) - lit(3)),
       i => concat_ws(" ",
-        element_at(w, i + lit(1)), element_at(w, i + lit(2)), element_at(w, i + lit(3))))
-  }
+        element_at(ws, i + lit(1)), element_at(ws, i + lit(2)), element_at(ws, i + lit(3))))
 
   val shinglesSqlExpr: String = {
     val ws = wordsSqlExpr
@@ -70,7 +74,8 @@ object Corpus {
     * what Jaccard/MinHash operate on). */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(shinglesCol)).as("shingle"))
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("ws")))).as("shingle"))
 
   val docShinglesSql: String =
     s"SELECT doc_id, unnest(list_distinct($shinglesSqlExpr)) AS shingle FROM documents"
