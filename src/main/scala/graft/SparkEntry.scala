@@ -7,6 +7,7 @@ import graft.streaming.EventsBatch
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.vector.Similarity
+import graft.export.Flatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are SURVEY.md §2 operator ids. Every oracle-checked query
@@ -59,7 +60,15 @@ object SparkEntry {
     "d5_minhash_xxhash" -> ((s, dir) => Dedup.minhashPairsXxhash(s, dir)),
     "v1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v2_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
-    "v3_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir))
+    "v3_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
+    "j6_explode_products" -> ((s, dir) => Flatten.explodeTopProducts(s, dir)),
+    "x1_export_summaries" -> ((s, dir) => Flatten.exportStoreSummariesCsv(s, dir)),
+    "k1_kv_keys" -> ((s, dir) => Flatten.kvKeys(s, dir)),
+    "r1_report_lines" -> ((s, dir) => Flatten.reportLines(s, dir)),
+    "x2_dow_profile" -> ((s, dir) => Trends.dowProfile(s, dir)),
+    "e3_props_parse" -> ((s, dir) => EventsBatch.propsParse(s, dir)),
+    "e4_sessionize" -> ((s, dir) => EventsBatch.sessionize(s, dir)),
+    "e5_sliding_window" -> ((s, dir) => EventsBatch.slidingWindow(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +115,14 @@ object SparkEntry {
     // twin; driver records the weaker rows-only check (scale-path variant).
     "v1_cosine_topk" -> Similarity.cosineTopKSql(),
     "v2_ann_lsh" -> Similarity.annLshSql(),
-    "v3_cosine_near_dup" -> Similarity.cosineNearDupSql()
+    "v3_cosine_near_dup" -> Similarity.cosineNearDupSql(),
+    "j6_explode_products" -> Flatten.explodeTopProductsSql,
+    "x1_export_summaries" -> Flatten.exportStoreSummariesCsvSql,
+    "k1_kv_keys" -> Flatten.kvKeysSql,
+    "r1_report_lines" -> Flatten.reportLinesSql,
+    "x2_dow_profile" -> Trends.dowProfileSql,
+    "e3_props_parse" -> EventsBatch.propsParseSql,
+    "e4_sessionize" -> EventsBatch.sessionizeSql,
+    "e5_sliding_window" -> EventsBatch.slidingWindowSql
   )
 }

@@ -94,7 +94,7 @@ object History {
         col("hist_avg_sales"), col("deviation_pct"), col("severity"))
       .orderBy(col("store_id"), col("sale_date"))
 
-  private val anomaliesBodySql: String =
+  private[graft] val anomaliesBodySql: String =
     s"""WITH h AS ($storeHistoryBodySql)
        |SELECT store_id, sale_date, today_sales, hist_avg_sales,
        |  (today_sales - hist_avg_sales) / hist_avg_sales * 100 AS deviation_pct,

@@ -245,6 +245,36 @@ object Trends {
             / col("first_dec").cast("double") * 100).as("trend_percent"))
       .orderBy(col("total_sales").desc, col("store_id").asc)
 
+  /** x2: day-of-week seasonality profile — company daily sales averaged by
+    * weekday (the reference bakes Mon 0.85 … Sat 1.40 multipliers into its
+    * generator, generate_sample_data.py:75-88; this is the read-side
+    * recovery of that profile). Spark `dayofweek` is 1=Sunday..7; DuckDB
+    * `dayofweek` is 0=Sunday..6, hence the +1 in the oracle. */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame =
+    StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(sum(col("gross_dec")).as("day_dec"))
+      .withColumn("dow", dayofweek(to_date(col("sale_date"))).cast("long"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("day_dec")).as("sales_dec"))
+      .select(col("dow"), col("n_days"),
+        col("sales_dec").cast("double").as("total_sales"),
+        (col("sales_dec").cast("double") / col("n_days")).as("avg_daily_sales"))
+      .orderBy(col("dow"))
+
+  val dowProfileSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |daily AS (
+       |  SELECT sale_date, SUM(gross_dec) AS day_dec
+       |  FROM sd GROUP BY sale_date)
+       |SELECT CAST(dayofweek(CAST(sale_date AS DATE)) + 1 AS BIGINT) AS dow,
+       |  COUNT(*) AS n_days,
+       |  CAST(SUM(day_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(day_dec) AS DOUBLE) / COUNT(*) AS avg_daily_sales
+       |FROM daily
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def storePeriodSummarySql(from: String = Defaults.rangeStart,
                             to: String = Defaults.rangeEnd): String =
     s"""WITH sd AS (${sdRangeSql(from, to)})

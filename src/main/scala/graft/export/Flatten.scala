@@ -1,0 +1,166 @@
+package graft.export
+
+import graft.analytics.History
+import graft.etl.StoreDaily
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** J6 + S7/S8 shapes + O8/report formatting: the BI-export flatten layer
+  * (reference: backend/functions/export-to-quicksight/lambda_function.py:
+  * 222-246,205-209; write-metrics:77-98; generate-report:52-175).
+  */
+object Flatten {
+
+  /** J6: the nested top_products array<struct> column built per (store,
+    * day) — the reference's summary shape (calculate-metrics:155-167) —
+    * then flattened back to rows with explode (export-to-quicksight:
+    * 222-246). Round-trips ArrayType(StructType) through collect_list →
+    * array_sort → explode; values = the a3 relation, proving the nested
+    * path is lossless. array_sort on the unique rank key makes the
+    * collect_list order irrelevant (oracle-deterministic). */
+  def explodeTopProducts(spark: SparkSession, dir: String): DataFrame = {
+    val nested = StoreDaily.topProductsDec(spark, dir, 5)
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(array_sort(collect_list(struct(
+        col("rank"), col("sku"), col("units"), col("rev_dec")))).as("top_products"))
+    nested
+      .select(col("store_id"), col("sale_date"), explode(col("top_products")).as("p"))
+      .select(col("store_id"), col("sale_date"),
+        col("p.rank").as("rank"), col("p.sku").as("sku"),
+        col("p.units").as("units"), col("p.rev_dec").cast("double").as("revenue"))
+      .orderBy(col("store_id"), col("sale_date"), col("rank"))
+  }
+
+  val explodeTopProductsSql: String =
+    s"""WITH top5 AS (${StoreDaily.topProductsDecSql(5)}),
+       |nested AS (
+       |  SELECT store_id, sale_date,
+       |    list(struct_pack(rank := rank, sku := sku, units := units,
+       |      rev_dec := rev_dec) ORDER BY rank) AS top_products
+       |  FROM top5 GROUP BY store_id, sale_date)
+       |SELECT store_id, sale_date,
+       |  p.rank AS rank, p.sku AS sku, p.units AS units,
+       |  CAST(p.rev_dec AS DOUBLE) AS revenue
+       |FROM (SELECT store_id, sale_date, unnest(top_products) AS p FROM nested)
+       |ORDER BY store_id, sale_date, rank""".stripMargin
+
+  /** x1: the flattened store-summary export dataset — per (store, day)
+    * with the 4-method payment pivot (`mobile` DROPPED, the deliberate
+    * reference quirk at export-to-quicksight:205-209) plus the full
+    * 5-method breakdown serialized as a sorted `method:amount` CSV (the
+    * reference's list→CSV joins, export-to-quicksight:283-285; the
+    * relational stand-in for the payment map column — map values don't
+    * hash-compare portably, their sorted CSV serialization does). Decimal
+    * amounts render identically ("12.50") in both engines. */
+  def exportStoreSummariesCsv(spark: SparkSession, dir: String): DataFrame = {
+    val perMethod = Tables.salesWithPayment(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
+      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"),
+        sum(col("line_total")).as("gross_dec"),
+        count(lit(1)).as("txn"))
+    def pay(m: String) =
+      sum(when(col("payment_method") === m, col("amt_dec"))).cast("double").as(s"payment_$m")
+    perMethod
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(
+        sum(col("gross_dec")).cast("double").as("total_sales"),
+        sum(col("txn")).as("transaction_count"),
+        pay("cash"), pay("credit"), pay("debit"), pay("gift_card"),
+        array_join(array_sort(collect_list(
+          concat(col("payment_method"), lit(":"), col("amt_dec").cast("string")))), ",")
+          .as("payment_csv"))
+      .orderBy(col("store_id"), col("sale_date"))
+  }
+
+  val exportStoreSummariesCsvSql: String =
+    s"""WITH sales AS (${Tables.salesWithPaymentSql}),
+       |per_method AS (
+       |  SELECT store_id, sale_date, payment_method,
+       |    SUM(line_total - discount_amount) AS amt_dec,
+       |    SUM(line_total) AS gross_dec,
+       |    COUNT(*) AS txn
+       |  FROM sales GROUP BY 1, 2, 3)
+       |SELECT store_id, sale_date,
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(txn) AS BIGINT) AS transaction_count,
+       |  CAST(SUM(CASE WHEN payment_method = 'cash' THEN amt_dec END) AS DOUBLE) AS payment_cash,
+       |  CAST(SUM(CASE WHEN payment_method = 'credit' THEN amt_dec END) AS DOUBLE) AS payment_credit,
+       |  CAST(SUM(CASE WHEN payment_method = 'debit' THEN amt_dec END) AS DOUBLE) AS payment_debit,
+       |  CAST(SUM(CASE WHEN payment_method = 'gift_card' THEN amt_dec END) AS DOUBLE) AS payment_gift_card,
+       |  string_agg(payment_method || ':' || CAST(amt_dec AS VARCHAR), ','
+       |    ORDER BY payment_method || ':' || CAST(amt_dec AS VARCHAR)) AS payment_csv
+       |FROM per_method
+       |GROUP BY store_id, sale_date
+       |ORDER BY store_id, sale_date""".stripMargin
+
+  /** k1/S8/P2: DynamoDB-style key construction and its inverse — build the
+    * reference's single-table keys (PK=STORE#id, SK=DATE#d, inverted GSI1,
+    * write-metrics:77-98), then recover the attributes with the prefix
+    * predicates/strips the read paths use (check-all-stores:108-110,
+    * get-analytics:96-101). In a relational engine this is just string
+    * algebra — the point is byte-identical key semantics. */
+  def kvKeys(spark: SparkSession, dir: String): DataFrame =
+    StoreDaily.rollupDec(spark, dir)
+      .select(
+        concat(lit("STORE#"), col("store_id")).as("pk"),
+        concat(lit("DATE#"), col("sale_date")).as("sk"),
+        concat(lit("DATE#"), col("sale_date")).as("gsi1pk"),
+        concat(lit("STORE#"), col("store_id")).as("gsi1sk"),
+        col("gross_dec"))
+      .filter(col("sk").startsWith("DATE#"))
+      .select(col("pk"), col("sk"),
+        regexp_replace(col("pk"), "^STORE#", "").as("store_id"),
+        regexp_replace(col("sk"), "^DATE#", "").as("sale_date"),
+        col("gross_dec").cast("double").as("total_sales"))
+      .orderBy(col("pk"), col("sk"))
+
+  val kvKeysSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |keyed AS (
+       |  SELECT 'STORE#' || store_id AS pk, 'DATE#' || sale_date AS sk, gross_dec
+       |  FROM sd)
+       |SELECT pk, sk,
+       |  regexp_replace(pk, '^STORE#', '') AS store_id,
+       |  regexp_replace(sk, '^DATE#', '') AS sale_date,
+       |  CAST(gross_dec AS DOUBLE) AS total_sales
+       |FROM keyed
+       |WHERE starts_with(sk, 'DATE#')
+       |ORDER BY pk, sk""".stripMargin
+
+  /** r1/O8: report lines — severity icon lookup, initcap labels, custom
+    * priority order critical < warning < info (generate-report:150-167,
+    * generate-recommendations:210-211). Deviation is bucketed with integer
+    * floor (float *formatting* is engine-divergent; integer buckets are
+    * exact — Tables doc). */
+  def reportLines(spark: SparkSession, dir: String): DataFrame = {
+    val icon = when(col("severity") === "critical", "[CRIT]")
+      .when(col("severity") === "warning", "[WARN]")
+      .otherwise("[INFO]")
+    val rank = when(col("severity") === "critical", 0)
+      .when(col("severity") === "warning", 1).otherwise(2)
+    History.anomalies(spark, dir)
+      .withColumn("priority_rank", rank)
+      .withColumn("dev_bucket", floor(abs(col("deviation_pct"))).cast("long"))
+      .withColumn("line", concat(
+        icon, lit(" "), initcap(col("severity")), lit(": store "), col("store_id"),
+        lit(" on "), col("sale_date"), lit(" deviated ~"), col("dev_bucket"), lit("%")))
+      .select(col("priority_rank"), col("store_id"), col("sale_date"), col("line"))
+      .orderBy(col("priority_rank"), col("store_id"), col("sale_date"))
+  }
+
+  val reportLinesSql: String = {
+    val body = History.anomaliesBodySql
+    s"""WITH a AS ($body)
+       |SELECT
+       |  CASE severity WHEN 'critical' THEN 0 WHEN 'warning' THEN 1 ELSE 2 END AS priority_rank,
+       |  store_id, sale_date,
+       |  (CASE severity WHEN 'critical' THEN '[CRIT]' WHEN 'warning' THEN '[WARN]'
+       |    ELSE '[INFO]' END)
+       |  || ' ' || upper(substr(severity, 1, 1)) || substr(severity, 2)
+       |  || ': store ' || store_id || ' on ' || sale_date
+       |  || ' deviated ~' || CAST(CAST(floor(abs(deviation_pct)) AS BIGINT) AS VARCHAR) || '%' AS line
+       |FROM a
+       |ORDER BY priority_rank, store_id, sale_date""".stripMargin
+  }
+}

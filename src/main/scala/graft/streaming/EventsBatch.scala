@@ -3,6 +3,8 @@ package graft.streaming
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Batch twins of the streaming semantics (SURVEY.md §2.7): tumbling
   * windows over the `events` stream table. The live Structured Streaming
@@ -66,6 +68,121 @@ object EventsBatch {
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** e3: semi-structured props parse — `from_json` on the JSON props
+    * column (the reference's LLM-output JSON parse shape,
+    * detect-anomalies:280-301: strip → parse → extract typed fields) +
+    * aggregation over the extracted value. The oracle extracts the same
+    * integer with a regex (same values; the Spark side is the operator
+    * under test). */
+  def propsParse(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .select(col("event_type"), col("n_events"), col("sum_k"),
+        (col("sum_k").cast("double") / col("n_events")).as("avg_k"),
+        col("min_k"), col("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val propsParseSql: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k,
+      |  MIN(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** e4: sessionization — the canonical stateful-streaming operation as
+    * its batch window-function twin (in live streaming this is
+    * `session_window($"ts", "30 minutes")` / flatMapGroupsWithState; the
+    * algebra — gap > 30 min starts a new session — is identical). Per
+    * user: lag → gap flag → running sum = session id; then session counts
+    * and sizes. One shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // integer-microsecond floor-division on BOTH engines (epoch(ts) in
+      // DuckDB is a double and would round, not floor, at cast)
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) div 1000000") - expr("unix_micros(prev_ts) div 1000000") > 1800,
+          1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("session_events")).as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        (col("n_events").cast("double") / col("n_sessions")).as("avg_session_events"),
+        col("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS session_events
+      |  FROM sessioned GROUP BY 1, 2)
+      |SELECT user_id,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(session_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(session_events) AS DOUBLE) / COUNT(*) AS avg_session_events,
+      |  MAX(session_events) AS max_session_events
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** e5: sliding (hopping) 1-hour windows every 30 minutes — each event
+    * lands in exactly two windows. Spark's `window(ts, "1 hour",
+    * "30 minutes")`; the oracle replays the same two-window expansion with
+    * integer epoch arithmetic. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingWindowSql: String =
+    """WITH expanded AS (
+      |  SELECT to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800) AS w, event_type FROM events
+      |  UNION ALL
+      |  SELECT to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800 - 1800) AS w, event_type FROM events)
+      |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM expanded
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 }
