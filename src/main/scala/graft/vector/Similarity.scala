@@ -28,8 +28,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Strict sequential fold dot product of two float vectors, in double. */
+  /** Strict sequential dot product of two float vectors, in double —
+    * the native codegen'd [[graft.functions.VectorDot]] expression (one
+    * fused loop per row inside WholeStageCodegen). Bit-identical to
+    * [[dotColHof]], which stays as the built-ins-only reference
+    * implementation (their equality is a unit test). */
   def dotCol(x: Column, y: Column): Column =
+    graft.functions.VectorDot.vectorDot(x, y)
+
+  /** Higher-order-function formulation (`aggregate(zip_with(...))`) —
+    * same fold order, kept for cross-checking the native expression. */
+  def dotColHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

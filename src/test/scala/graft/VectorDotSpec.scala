@@ -1,0 +1,55 @@
+package graft
+
+import graft.vector.Similarity
+import graft.model.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class VectorDotSpec extends GraftSpec {
+
+  test("native vector_dot is bit-identical to the aggregate/zip_with fold") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val both = e.select(
+      Similarity.dotCol(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotColHof(col("embedding"), col("embedding")).as("hof"))
+    // exact bitwise equality, not tolerance: same fold order, same rounding
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.filter(col("native") <= 0).count() === 0) // self-dot > 0
+  }
+
+  test("vector_dot registers for SQL via GraftExtensions") {
+    // getOrCreate() would return the suite's shared session and skip
+    // extension wiring — build a genuinely new session on the same context.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a STATIC conf — inert once a context
+      // exists; the programmatic hook works on any new session.
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+      assert(r === 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
+  test("vector_dot survives codegen-disabled interpretation identically") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val withCodegen = e.select(Similarity.dotCol(col("embedding"), col("embedding"))
+      .as("d")).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = e.select(Similarity.dotCol(col("embedding"), col("embedding"))
+        .as("d")).collect().map(_.getDouble(0))
+      assert(withCodegen.sameElements(interpreted))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+}
