@@ -27,8 +27,7 @@ object Kpis {
     def pay(m: String) =
       sum(when(col("payment_method") === m, col("line_total") - col("discount_amount"))
         .otherwise(lit(null))).as(s"pay_${m}_dec")
-    Tables.salesWithPayment(spark, dir)
-      .filter(col("sale_date").between(from, to))
+    Tables.salesWithPaymentInRange(spark, dir, from, to)
       .agg(
         sum(col("line_total")).as("sales_dec"),
         count(lit(1)).as("total_transactions"),

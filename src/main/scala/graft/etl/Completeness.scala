@@ -30,8 +30,7 @@ object Completeness {
   /** J3: stores expected but not reported on `date` — left anti join. */
   def missingStores(spark: SparkSession, dir: String,
                     date: String = Defaults.targetDate): DataFrame = {
-    val reported = Tables.sales(spark, dir)
-      .filter(col("sale_date") === date)
+    val reported = Tables.salesInRange(spark, dir, date, date)
       .select(col("store_id")).distinct()
     expectedStores(spark, dir)
       .join(reported, Seq("store_id"), "left_anti")
@@ -52,8 +51,7 @@ object Completeness {
                    from: String = Defaults.rangeStart,
                    to: String = Defaults.rangeEnd): DataFrame = {
     val expected = expectedStores(spark, dir).count() // dimension-sized; driver-side scalar is fine
-    Tables.sales(spark, dir)
-      .filter(col("sale_date").between(from, to))
+    Tables.salesInRange(spark, dir, from, to)
       .groupBy(col("sale_date"))
       .agg(countDistinct(col("store_id")).as("stores_reported_count"))
       .select(col("sale_date"), col("stores_reported_count"),

@@ -68,9 +68,7 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Canonical sales-line-item view (the reference's only fact table). */
-  def sales(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
+  private def salesProjection(li: DataFrame): DataFrame =
     li.select(
       format_string("%04d", col("l_suppkey")).as("store_id"),
       date_format(col("l_shipdate"), "yyyy-MM-dd").as("sale_date"),
@@ -83,7 +81,26 @@ object Tables {
       col("l_linenumber"),
       col("l_returnflag")
     )
-  }
+
+  /** Canonical sales-line-item view (the reference's only fact table). */
+  def sales(spark: SparkSession, dir: String): DataFrame =
+    salesProjection(lineitem(spark, dir))
+
+  /** [[sales]] restricted to sale_date ∈ [from, to] with the REDUNDANT raw
+    * `l_shipdate` range predicate applied before the projection: the
+    * string-typed sale_date filter can't reach the parquet reader (it's an
+    * expression on a derived column), but the equivalent timestamp range
+    * pushes into row-group stats pruning. (`ReadSchema`/`PushedFilters`
+    * audited via Profile; at production scale the lake is additionally
+    * partitioned by year/month/day/store — [[graft.ingest.Ingest]] — so
+    * pruning is structural.) Oracle twins are unchanged: the predicate is
+    * semantically implied. */
+  def salesInRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame =
+    salesProjection(
+      lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit(from).cast(TimestampNTZType) &&
+          col("l_shipdate") < date_add(to_date(lit(to)), 1).cast(TimestampNTZType)))
+      .filter(col("sale_date").between(from, to))
 
   /** SQL (DuckDB) twin of [[sales]] for oracle WITH-clauses. */
   val salesSql: String =
@@ -100,11 +117,19 @@ object Tables {
   /** Sales + payment_method (o_orderpriority bucketed onto the reference's
     * 5-value enum, upload-schema.json:58-62). Requires a join to orders —
     * at scale this is a shuffle join on l_orderkey; AQE handles skew. */
-  def salesWithPayment(spark: SparkSession, dir: String): DataFrame = {
+  def salesWithPayment(spark: SparkSession, dir: String): DataFrame =
+    withPayment(spark, dir, sales(spark, dir))
+
+  /** [[salesWithPayment]] over the range-pruned scan. */
+  def salesWithPaymentInRange(spark: SparkSession, dir: String,
+                              from: String, to: String): DataFrame =
+    withPayment(spark, dir, salesInRange(spark, dir, from, to))
+
+  private def withPayment(spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
     val o = orders(spark, dir).select(
       col("o_orderkey"),
       paymentFromPriority(col("o_orderpriority")).as("payment_method"))
-    sales(spark, dir).join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+    base.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
       .drop("o_orderkey")
   }
 
