@@ -15,10 +15,17 @@ object Bench {
     // JVM/codegen warmup outside the measurement (steady-state numbers;
     // otherwise whichever query runs first eats ~5 s of JIT).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // min over iterations: single-JVM local mode on a shared host sees
+    // multi-second scheduling noise; the min is the honest steady-state
+    // per-query cost. Override with SPARK_GRAFT_BENCH_ITERS=1 for one-shot.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

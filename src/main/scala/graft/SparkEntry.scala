@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{StoreDaily, CompanyDaily, ProductDaily, Completeness, Spine}
-import graft.analytics.{Kpis, History, Trends}
+import graft.analytics.{Kpis, History, Trends, Sketches}
 import graft.streaming.EventsBatch
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -68,7 +68,11 @@ object SparkEntry {
     "x2_dow_profile" -> ((s, dir) => Trends.dowProfile(s, dir)),
     "e3_props_parse" -> ((s, dir) => EventsBatch.propsParse(s, dir)),
     "e4_sessionize" -> ((s, dir) => EventsBatch.sessionize(s, dir)),
-    "e5_sliding_window" -> ((s, dir) => EventsBatch.slidingWindow(s, dir))
+    "e5_sliding_window" -> ((s, dir) => EventsBatch.slidingWindow(s, dir)),
+    // sk1/sk2: approximate sketches — no oracle (implementation-defined
+    // values); driver records rows-only. Error-bounded in SketchesSpec.
+    "sk1_daily_approx" -> ((s, dir) => Sketches.dailyApprox(s, dir)),
+    "sk2_store_sku_approx" -> ((s, dir) => Sketches.storeSkuApprox(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

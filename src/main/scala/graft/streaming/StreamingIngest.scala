@@ -54,6 +54,21 @@ object StreamingIngest {
     query.awaitTermination()
   }
 
+  /** Watermarked tumbling-window event counts — the genuinely-streaming
+    * aggregation shape (late events beyond 30 min are dropped; append mode
+    * emits a window only once its watermark passes, giving exactly-once
+    * finalized rows downstream). Works on any streaming DataFrame with
+    * (ts timestamp, event_type string); the batch twin is
+    * [[EventsBatch.hourlyWindow]] — same plan minus the watermark node. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+
   /** One micro-batch: validate → lake append → (store, day) summary
     * upsert → completeness ledger. Package-visible for direct batch tests. */
   private[streaming] def processBatch(batch: DataFrame, lakeDir: String,
