@@ -1,0 +1,41 @@
+package graft
+
+import graft.etl.Skew
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/** Salted operators must be value-equivalent to their unsalted forms. */
+class SkewSpec extends GraftSpec {
+
+  test("salted two-phase sum equals direct groupBy sum") {
+    val sales = Tables.sales(spark, sfDir)
+    val salted = Skew.saltedSum(sales,
+      col("store_id"), col("l_orderkey"), salts = 8,
+      (sum(col("line_total")), "gross"), (count(lit(1)).cast("long"), "n"))
+    val direct = sales.groupBy(col("store_id").as("key"))
+      .agg(sum(col("line_total")).as("gross"), count(lit(1)).as("n"))
+    assert(salted.count() === direct.count())
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+  }
+
+  test("salted join equals plain join") {
+    val sales = Tables.sales(spark, sfDir).select("store_id", "sku", "quantity", "l_orderkey")
+    val dim = graft.etl.Completeness.expectedStores(spark, sfDir)
+      .withColumn("region_tag", concat(lit("R"), col("store_id").substr(4, 1)))
+    val plain = sales.join(dim, Seq("store_id"))
+      .select("store_id", "sku", "quantity", "region_tag")
+    val salted = Skew.saltedJoin(sales, dim, "store_id",
+      spreader = col("l_orderkey"), salts = 8)
+      .select("store_id", "sku", "quantity", "region_tag")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("salt actually spreads a hot key across buckets") {
+    val hot = Tables.sales(spark, sfDir).filter(col("store_id") === "0001")
+    val buckets = hot.select(Skew.saltCol(col("l_orderkey"), 8).as("s"))
+      .distinct().count()
+    assert(buckets >= 6, s"expected near-uniform salt spread, got $buckets/8 buckets")
+  }
+}
