@@ -253,7 +253,8 @@ object History {
     * (analyze-trends:156-194,233-280). */
   def productHistory(spark: SparkSession, dir: String,
                      date: String = Defaults.targetDate): DataFrame = {
-    val pd = StoreDaily.topProductsDec(spark, dir, 5)
+    val histFrom = java.time.LocalDate.parse(date).minusDays(7).toString
+    val pd = StoreDaily.topProductsDecRange(spark, dir, 5, histFrom, date)
       .groupBy(col("sale_date"), col("sku"))
       .agg(sum(col("units")).as("units"), sum(col("rev_dec")).as("rev_dec"))
     val today = pd.filter(col("sale_date") === date)

@@ -132,8 +132,7 @@ object Trends {
   def productTrends(spark: SparkSession, dir: String,
                     from: String = Defaults.rangeStart,
                     to: String = Defaults.rangeEnd): DataFrame = {
-    val pd = StoreDaily.topProductsDec(spark, dir, 5)
-      .filter(col("sale_date").between(from, to))
+    val pd = StoreDaily.topProductsDecRange(spark, dir, 5, from, to)
       .groupBy(col("sale_date"), col("sku"))
       .agg(sum(col("units")).as("units"), sum(col("rev_dec")).as("rev_dec"))
     val w = Window.orderBy(col("rev_total").desc, col("sku").asc)

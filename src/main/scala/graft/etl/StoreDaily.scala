@@ -113,8 +113,20 @@ object StoreDaily {
   /** Exact-decimal top-k-per-(store,day), reused by the lossy product
     * rollup (A7) which by reference semantics aggregates truncated
     * per-store top-5s, not raw line items. */
-  def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val perSku = Tables.sales(spark, dir)
+  def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topProductsFrom(Tables.sales(spark, dir), k)
+
+  /** Date-bounded variant built on the range-pruned scan ([[Tables.
+    * salesInRange]]): the sale_date window-partition filter alone never
+    * reaches parquet (derived string column); this pushes the equivalent
+    * l_shipdate range into the reader. Same values as filtering
+    * [[topProductsDec]] afterwards — oracle twins unchanged. */
+  def topProductsDecRange(spark: SparkSession, dir: String, k: Int,
+                          from: String, to: String): DataFrame =
+    topProductsFrom(Tables.salesInRange(spark, dir, from, to), k)
+
+  private def topProductsFrom(sales: DataFrame, k: Int): DataFrame = {
+    val perSku = sales
       .groupBy(col("store_id"), col("sale_date"), col("sku"))
       .agg(
         sum(col("quantity")).as("units"),
