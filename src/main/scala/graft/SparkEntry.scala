@@ -72,7 +72,10 @@ object SparkEntry {
     // sk1/sk2: approximate sketches — no oracle (implementation-defined
     // values); driver records rows-only. Error-bounded in SketchesSpec.
     "sk1_daily_approx" -> ((s, dir) => Sketches.dailyApprox(s, dir)),
-    "sk2_store_sku_approx" -> ((s, dir) => Sketches.storeSkuApprox(s, dir))
+    "sk2_store_sku_approx" -> ((s, dir) => Sketches.storeSkuApprox(s, dir)),
+    "a23_weekly_rollup" -> ((s, dir) => Kpis.calendarRollup(s, dir, "week")),
+    "a24_monthly_rollup" -> ((s, dir) => Kpis.calendarRollup(s, dir, "month")),
+    "a25_resolve_date" -> ((s, dir) => Kpis.resolveDate(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +130,9 @@ object SparkEntry {
     "x2_dow_profile" -> Trends.dowProfileSql,
     "e3_props_parse" -> EventsBatch.propsParseSql,
     "e4_sessionize" -> EventsBatch.sessionizeSql,
-    "e5_sliding_window" -> EventsBatch.slidingWindowSql
+    "e5_sliding_window" -> EventsBatch.slidingWindowSql,
+    "a23_weekly_rollup" -> Kpis.calendarRollupSql("week"),
+    "a24_monthly_rollup" -> Kpis.calendarRollupSql("month"),
+    "a25_resolve_date" -> Kpis.resolveDateSql()
   )
 }

@@ -58,6 +58,54 @@ object Kpis {
        |FROM sales
        |WHERE sale_date BETWEEN '$from' AND '$to'""".stripMargin
 
+  /** a23/a24: calendar rollups — company sales by ISO week / month start
+    * (the BI layer's date_trunc aggregations over the exported datasets,
+    * dashboard-definition.json LINE/BAR widgets). Both engines truncate
+    * weeks to Monday. */
+  def calendarRollup(spark: SparkSession, dir: String, unit: String): DataFrame =
+    graft.etl.StoreDaily.rollupDec(spark, dir)
+      .groupBy(date_format(date_trunc(unit, to_date(col("sale_date"))), "yyyy-MM-dd")
+        .as("period_start"))
+      .agg(
+        sum(col("gross_dec")).as("sales_dec"),
+        sum(col("transaction_count")).as("total_transactions"),
+        countDistinct(col("sale_date")).as("days_with_data"))
+      .select(col("period_start"),
+        col("sales_dec").cast("double").as("total_sales"),
+        col("total_transactions"), col("days_with_data"))
+      .orderBy(col("period_start"))
+
+  def calendarRollupSql(unit: String): String =
+    s"""WITH sd AS (${graft.etl.StoreDaily.rollupDecSql})
+       |SELECT strftime(date_trunc('$unit', CAST(sale_date AS DATE)), '%Y-%m-%d') AS period_start,
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
+       |  COUNT(DISTINCT sale_date) AS days_with_data
+       |FROM sd
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** a25: target-date resolution — the requested date if it has data,
+    * else the latest earlier date, else the overall latest
+    * (get-analytics:294-309's fallback chain as one aggregate). */
+  def resolveDate(spark: SparkSession, dir: String,
+                  requested: String = Defaults.targetDate): DataFrame =
+    Tables.sales(spark, dir)
+      .select(col("sale_date")).distinct()
+      .agg(
+        max(when(col("sale_date") <= requested, col("sale_date"))).as("latest_at_or_before"),
+        max(col("sale_date")).as("latest_overall"))
+      .select(
+        lit(requested).as("requested"),
+        coalesce(col("latest_at_or_before"), col("latest_overall")).as("resolved_date"))
+
+  def resolveDateSql(requested: String = Defaults.targetDate): String =
+    s"""SELECT '$requested' AS requested,
+       |  COALESCE(
+       |    MAX(CASE WHEN sale_date <= '$requested' THEN sale_date END),
+       |    MAX(sale_date)) AS resolved_date
+       |FROM (SELECT DISTINCT sale_date FROM (${Tables.salesSql}))""".stripMargin
+
   /** A18: distinct-date inventory, newest first (get-analytics:80). */
   def availableDates(spark: SparkSession, dir: String): DataFrame =
     Tables.sales(spark, dir)

@@ -91,17 +91,4 @@ object Corpus {
     s"""SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
        |FROM (SELECT DISTINCT shingle FROM ($docShinglesSql))""".stripMargin
 
-  /** (doc_id, sids: array<long>) — each document's distinct shingle-id set.
-    * The dict side is vocabulary-sized => broadcast hash join, then a
-    * single shuffle on doc_id to re-assemble the arrays. */
-  def docShingleIds(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir)
-      .join(broadcast(shingleDict(spark, dir)), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("sid")).as("sids"))
-
-  val docShingleIdsSql: String =
-    s"""SELECT ds.doc_id, list(d.sid) AS sids
-       |FROM ($docShinglesSql) ds JOIN ($shingleDictSql) d USING (shingle)
-       |GROUP BY ds.doc_id""".stripMargin
 }
