@@ -1,8 +1,25 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed form of one validated, normalized upload line — the
+  * `Dataset[T]` edge for callers that want compile-time schema safety
+  * (SURVEY.md §1.3: typed at the ingest edge, untyped DataFrame +
+  * `functions._` for aggregates). */
+case class SalesRecord(
+    transaction_id: String,
+    transaction_timestamp: java.sql.Timestamp,
+    item_sku: String,
+    item_name: String,
+    quantity: Int,
+    unit_price: BigDecimal,
+    line_total: BigDecimal,
+    discount_amount: BigDecimal,
+    payment_method: String,
+    customer_id: String,
+    store_id: String)
 
 /** S1–S7: the write path — JSON array upload files → validated, typed,
   * Hive-partitioned parquet lake + quarantine, and the NDJSON BI export
@@ -95,6 +112,16 @@ object Ingest {
         regexp_extract(col("_filename"), filenamePattern, 2).as("year"),
         regexp_extract(col("_filename"), filenamePattern, 3).as("month"),
         regexp_extract(col("_filename"), filenamePattern, 4).as("day"))
+
+  /** Typed view of [[normalize]]'s output (drops the lake partition parts;
+    * `store_id` retained). Encoder-checked at compile time. */
+  def typedRecords(validated: DataFrame): Dataset[SalesRecord] = {
+    val spark = validated.sparkSession
+    import spark.implicits._
+    normalize(validated)
+      .drop("year", "month", "day")
+      .as[SalesRecord]
+  }
 
   /** Rejected rows with their error tags + source file (the `rejected/`
     * + `.error.json` sidecar analogue, process_upload.py:78-113). */

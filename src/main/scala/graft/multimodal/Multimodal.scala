@@ -87,6 +87,24 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: recompute target dims preserving aspect ratio (integer
+    * math, deterministic) and "re-encode" by truncating/padding the
+    * payload to a size proportional to the target area — a real
+    * implementation swaps the payload transform for a codec call; the
+    * schema contract (same columns, mutated bytes + dims) is what
+    * downstream operators depend on and what the spec checks. */
+  def resizeStub(media: Dataset[MediaRecord], maxDim: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val scaleNum = math.min(maxDim, math.max(r.width, r.height))
+      val scaleDen = math.max(r.width, r.height)
+      val w = math.max(1, r.width * scaleNum / scaleDen)
+      val h = math.max(1, r.height * scaleNum / scaleDen)
+      val targetLen = math.max(1, math.min(r.bytes.length, w * h))
+      r.copy(bytes = java.util.Arrays.copyOf(r.bytes, targetLen), width = w, height = h)
+    }
+  }
+
   /** Frame sampling for video rows: every `step`-th frame index becomes a
     * row (the UDTF/Generator shape — built-in explode over a sequence, no
     * custom Generator needed). Non-video rows pass through with frame 0. */

@@ -69,6 +69,40 @@ object StreamingIngest {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Watermarked SESSION windows (dynamic-gap analogue of [[EventsBatch.
+    * sessionize]]'s fixed 30-min rule): Spark merges events closer than
+    * the gap into one window per key, with watermark-driven finalization
+    * in append mode. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Arbitrary stateful streaming: running per-store cumulative sales via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset custom-state shape
+    * for logic that windowed aggregation can't express (here: a monotone
+    * running total carried across micro-batches in a typed state cell).
+    * GroupStateTimeout.NoTimeout: store keys are a fixed dimension, state
+    * is one Double per store — bounded regardless of stream length. */
+  def runningStoreTotals(updates: org.apache.spark.sql.Dataset[(String, Double)])
+  : org.apache.spark.sql.Dataset[(String, Double)] = {
+    import updates.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => _}
+    updates
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (store: String, rows: Iterator[(String, Double)], state: GroupState[Double]) =>
+          val sum = rows.map(_._2).sum + state.getOption.getOrElse(0.0)
+          state.update(sum)
+          (store, sum)
+      }
+  }
+
   /** One micro-batch: validate → lake append → (store, day) summary
     * upsert → completeness ledger. Package-visible for direct batch tests. */
   private[streaming] def processBatch(batch: DataFrame, lakeDir: String,

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import graft.multimodal.Multimodal
+import graft.ingest.Ingest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Session windows, mapGroupsWithState custom state, resize stub, typed
+  * Dataset edge. */
+class StatefulStreamingSpec extends GraftSpec {
+
+  test("session_window merges events within the gap, append mode finalizes on watermark") {
+    val in = Files.createTempDirectory("sess_in"); in.toFile.deleteOnExit()
+    val ckpt = Files.createTempDirectory("sess_ckpt"); ckpt.toFile.deleteOnExit()
+    def line(ts: String, uid: Long) = s"""{"ts": "$ts", "user_id": $uid}"""
+    // user 1: two events 10 min apart (one session), then one 2h later
+    Files.writeString(in.resolve("a.json"), Seq(
+      line("2024-03-01T10:00:00", 1),
+      line("2024-03-01T10:10:00", 1),
+      line("2024-03-01T12:00:00", 1)).mkString("\n"))
+    // advance watermark far past everything above
+    Files.writeString(in.resolve("b.json"), line("2024-03-01T20:00:00", 2))
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    val q = StreamingIngest.sessionWindowCounts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in.toString))
+      .writeStream.outputMode("append").format("memory").queryName("sess_agg")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.sql(
+        "SELECT session_start, user_id, n_events FROM sess_agg ORDER BY session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-03-01 10:00:00", 1L, 2L), // merged pair
+      ("2024-03-01 12:00:00", 1L, 1L))) // separate session; 20:00 still open
+  }
+
+  test("mapGroupsWithState carries running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingIngest.runningStoreTotals(input.toDS())
+      .toDF("store_id", "running_total")
+      .writeStream.outputMode("update").format("memory").queryName("run_tot")
+      .start()
+    try {
+      input.addData(("0001", 10.0), ("0001", 5.0), ("0002", 1.0))
+      q.processAllAvailable()
+      input.addData(("0001", 2.5), ("0002", 1.5))
+      q.processAllAvailable()
+      val last = spark.sql(
+          """SELECT store_id, running_total FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY store_id ORDER BY running_total DESC) rn
+            |  FROM run_tot) WHERE rn = 1 ORDER BY store_id""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(last.toSeq === Seq(("0001", 17.5), ("0002", 2.5)))
+    } finally q.stop()
+  }
+
+  test("resize stub preserves schema contract and aspect ratio bounds") {
+    val media = Multimodal.mediaFromDocs(spark, sfDir)
+    val resized = Multimodal.resizeStub(media, maxDim = 64)
+    assert(resized.count() === media.count())
+    val bad = resized.filter(r => r.width > 64 || r.height > 64 ||
+      r.width < 1 || r.height < 1 || r.bytes.length < 1)
+    assert(bad.count() === 0)
+  }
+
+  test("typed Dataset[SalesRecord] edge compiles the schema and round-trips values") {
+    val in = Files.createTempDirectory("typed_in"); in.toFile.deleteOnExit()
+    val rec =
+      """{"transaction_id": "TXN-1", "transaction_timestamp": "2024-01-02T09:15:00",
+        | "item_sku": "S-1", "item_name": "N", "quantity": 3, "unit_price": 2.50,
+        | "line_total": 7.50, "discount_amount": 0.50, "payment_method": "cash",
+        | "customer_id": "C-1"}""".stripMargin.replaceAll("\n", "")
+    Files.writeString(in.resolve("store_0009_2024-01-02.json"), s"[$rec]")
+    val ds = Ingest.typedRecords(Ingest.withErrors(Ingest.readUploads(spark, in.toString)))
+    val r = ds.head()
+    assert(r.store_id === "0009")
+    assert(r.quantity === 3)
+    assert(r.line_total === BigDecimal("7.50"))
+    // typed transforms compose with compile-time fields
+    import spark.implicits._
+    val net = ds.map(x => (x.line_total - x.discount_amount).toDouble).head()
+    assert(net === 7.0)
+  }
+}
