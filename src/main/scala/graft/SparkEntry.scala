@@ -75,7 +75,10 @@ object SparkEntry {
     "sk2_store_sku_approx" -> ((s, dir) => Sketches.storeSkuApprox(s, dir)),
     "a23_weekly_rollup" -> ((s, dir) => Kpis.calendarRollup(s, dir, "week")),
     "a24_monthly_rollup" -> ((s, dir) => Kpis.calendarRollup(s, dir, "month")),
-    "a25_resolve_date" -> ((s, dir) => Kpis.resolveDate(s, dir))
+    "a25_resolve_date" -> ((s, dir) => Kpis.resolveDate(s, dir)),
+    "d6_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    // s6: Spark _metadata hidden column — no DuckDB analogue; rows-only.
+    "s6_file_inventory" -> ((s, dir) => Spine.fileInventory(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +136,7 @@ object SparkEntry {
     "e5_sliding_window" -> EventsBatch.slidingWindowSql,
     "a23_weekly_rollup" -> Kpis.calendarRollupSql("week"),
     "a24_monthly_rollup" -> Kpis.calendarRollupSql("month"),
-    "a25_resolve_date" -> Kpis.resolveDateSql()
+    "a25_resolve_date" -> Kpis.resolveDateSql(),
+    "d6_dup_clusters" -> Dedup.dupClustersSql()
   )
 }

@@ -313,6 +313,74 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) >= $threshold
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d6
+
+  /** d6: near-dup CLUSTERS — connected components over the d4 Jaccard
+    * graph (edges at >= 0.5), cluster id = min doc_id in the component,
+    * every document labeled (singletons label themselves).
+    *
+    * The classic distributed CC algorithm: iterate label = min(label,
+    * neighbors' labels) to fixpoint. Each round is one join + aggregate
+    * (hash-partitioned on doc_id); rounds needed = component diameter
+    * (near-dup clusters are shallow — a handful). The driver-side loop
+    * carries only a convergence COUNT, never data. Oracle: DuckDB
+    * replays the same closure with WITH RECURSIVE (UNION dedup
+    * terminates it). */
+  def dupClusters(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = Corpus.docs(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("n_label")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("n_label")).as("min_n_label"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupClustersSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b AS dst
+       |  FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |labels AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   // ------------------------------------------------- xxhash scale variant
 
   /** Bench-only (no DuckDB twin): the 100 TB MinHash variant — token ids

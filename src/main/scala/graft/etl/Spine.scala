@@ -81,6 +81,19 @@ object Spine {
        |ORDER BY range_tag, sale_date""".stripMargin
   }
 
+  /** S6/O6: file inventory via the `_metadata` hidden column — path,
+    * size, modification time per scanned file, newest first (the
+    * reference's S3 listing + last_modified sort, list-files:60,96-169).
+    * No oracle: DuckDB has no analogue of Spark's _metadata; rows-only. */
+  def fileInventory(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("file_size"),
+        col("_metadata.file_modification_time").as("last_modified"))
+      .distinct()
+      .orderBy(col("last_modified").desc, col("file_path"))
+
   /** S2: filename/partition-key parser — the reference's regex
     * `store_(\\d{4})_(\\d{4})-(\\d{2})-(\\d{2})\\.json` over upload names
     * (process_upload.py:28,45-57,132-150). Round-trips the canonical

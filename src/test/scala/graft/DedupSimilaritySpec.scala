@@ -41,6 +41,24 @@ class DedupSimilaritySpec extends GraftSpec {
     assert(bad.count() === 0)
   }
 
+  test("d6: clusters are closed over the edge relation; ids are component minima") {
+    val clusters = Dedup.dupClusters(spark, sfDir).cache()
+    try {
+      assert(clusters.filter(col("cluster_id") > col("doc_id")).count() === 0)
+      // every >=0.5-jaccard pair lands in the same cluster
+      val edges = Dedup.ngramJaccard(spark, sfDir, 0.5).select("doc_a", "doc_b")
+      val la = clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+      val lb = clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+      val joined = edges.join(la, "doc_a").join(lb, "doc_b")
+      assert(joined.filter(col("ca") =!= col("cb")).count() === 0)
+      // each cluster's id is a member of the cluster
+      val badRoot = clusters.select(col("cluster_id")).distinct()
+        .join(clusters.select(col("doc_id"), col("cluster_id").as("c2")),
+          col("cluster_id") === col("doc_id"), "left_anti")
+      assert(badRoot.count() === 0)
+    } finally clusters.unpersist()
+  }
+
   test("v1: rank-1 neighbor has the max cosine; self excluded; k respected") {
     val v = Similarity.cosineTopK(spark, sfDir)
     assert(v.filter(col("query_id") === col("neighbor_id")).count() === 0)
