@@ -217,6 +217,23 @@ object History {
        |FROM sel
        |ORDER BY store_id, sale_date""".stripMargin
 
+  /** P3: the optional-equality store filter of the read APIs
+    * (get-trends:69-72 — `GSI1SK = STORE#xxxx` only when the store_id
+    * param is present). Parameter presence = plan shape, not a WHERE on
+    * every row: None compiles to the unfiltered plan. */
+  def storeHistoryFiltered(spark: SparkSession, dir: String,
+                           storeId: Option[String]): DataFrame =
+    storeId.foldLeft(storeHistory(spark, dir))((df, s) => df.filter(col("store_id") === s))
+
+  def storeHistoryFilteredSql(storeId: Option[String]): String =
+    storeId match {
+      case Some(s) =>
+        s"""SELECT * FROM ($storeHistoryBodySql)
+           |WHERE store_id = '$s'
+           |ORDER BY store_id, sale_date""".stripMargin
+      case None => storeHistorySql
+    }
+
   /** A15: company history series — the A4 rollup over the 7 dates
     * preceding the target date (analyze-trends:108-152). */
   def companyHistory(spark: SparkSession, dir: String,
