@@ -77,7 +77,8 @@ object SparkEntry {
     "a24_monthly_rollup" -> ((s, dir) => Kpis.calendarRollup(s, dir, "month")),
     "a25_resolve_date" -> ((s, dir) => Kpis.resolveDate(s, dir)),
     "d6_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
-    "p3_store_filter" -> ((s, dir) => History.storeHistoryFiltered(s, dir, Some("0042"))),
+    // store 0007 exists at every scale factor (sf0.001 has only 10 stores)
+    "p3_store_filter" -> ((s, dir) => History.storeHistoryFiltered(s, dir, Some("0007"))),
     "l1_insight_roundtrip" -> ((s, dir) => graft.llm.Insight.insightsRoundTrip(s, dir)),
     // s6: Spark _metadata hidden column — no DuckDB analogue; rows-only.
     "s6_file_inventory" -> ((s, dir) => Spine.fileInventory(s, dir))
@@ -140,7 +141,7 @@ object SparkEntry {
     "a24_monthly_rollup" -> Kpis.calendarRollupSql("month"),
     "a25_resolve_date" -> Kpis.resolveDateSql(),
     "d6_dup_clusters" -> Dedup.dupClustersSql(),
-    "p3_store_filter" -> History.storeHistoryFilteredSql(Some("0042")),
+    "p3_store_filter" -> History.storeHistoryFilteredSql(Some("0007")),
     "l1_insight_roundtrip" -> graft.llm.Insight.insightsRoundTripSql
   )
 }
