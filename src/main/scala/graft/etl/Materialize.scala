@@ -44,6 +44,50 @@ object Materialize {
       "product_daily" -> s"$root/product_daily")
   }
 
+  /** Bucketed variants of the summary tables: 8 buckets on store_id,
+    * sorted within buckets. Two tables bucketed the same way join WITHOUT
+    * an exchange on either side — at 1000 executors this is the
+    * difference between a co-located hash join and a full-cluster shuffle
+    * of both relations. Bucketing rides the session catalog
+    * (`saveAsTable`); `spark.sql.sources.bucketing.enabled` is on by
+    * default. Returns the two table names. */
+  def writeBucketed(spark: SparkSession, dir: String): (String, String) = {
+    // idempotent: drop catalog entries AND any orphaned managed location
+    // (a killed session can leave the directory without the entry, which
+    // fails CTAS with LOCATION_ALREADY_EXISTS)
+    Seq("graft_store_daily_bucketed", "graft_store_top5_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    StoreDaily.rollupDec(spark, dir).write
+      .bucketBy(8, "store_id").sortBy("store_id")
+      .mode("overwrite")
+      .saveAsTable("graft_store_daily_bucketed")
+    StoreDaily.topProductsDec(spark, dir, 5)
+      .groupBy(col("store_id"))
+      .agg(sum(col("rev_dec")).as("top5_rev_dec"))
+      .write
+      .bucketBy(8, "store_id").sortBy("store_id")
+      .mode("overwrite")
+      .saveAsTable("graft_store_top5_bucketed")
+    ("graft_store_daily_bucketed", "graft_store_top5_bucketed")
+  }
+
+  /** Join the two bucketed tables on their bucket key — the plan must
+    * contain no ShuffleExchange (asserted in MaterializeSpec). */
+  def bucketedJoin(spark: SparkSession): DataFrame = {
+    val sd = spark.table("graft_store_daily_bucketed")
+      .groupBy(col("store_id")).agg(sum(col("gross_dec")).as("gross_dec"))
+    val t5 = spark.table("graft_store_top5_bucketed")
+    sd.join(t5, Seq("store_id"))
+      .select(col("store_id"), col("gross_dec").cast("double").as("total_sales"),
+        col("top5_rev_dec").cast("double").as("top5_revenue"))
+      .orderBy(col("store_id"))
+  }
+
   /** Read the silver store-daily table (partition-pruned on sale_date). */
   def storeDaily(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/store_daily")

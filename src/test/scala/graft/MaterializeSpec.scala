@@ -26,6 +26,26 @@ class MaterializeSpec extends GraftSpec {
     assert(direct.exceptAll(viaSilver).count() === 0)
   }
 
+  test("bucketed tables join without a shuffle on the bucketed side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Materialize.writeBucketed(spark, sfDir)
+      val joined = Materialize.bucketedJoin(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the scan side feeding the join must not re-shuffle on store_id;
+      // only the final orderBy may exchange (range partitioning)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 0, s"expected no hash exchanges, plan:\n$plan")
+      assert(joined.count() > 0)
+      // values correct vs unbucketed computation
+      val direct = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+        .groupBy("store_id").agg(sum("gross_dec").cast("double").as("total_sales"))
+      val cmp = joined.select("store_id", "total_sales")
+        .exceptAll(direct.select("store_id", "total_sales"))
+      assert(cmp.count() === 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("silver date-range read prunes partitions (plan contains PartitionFilters)") {
     val root = Files.createTempDirectory("medallion2")
     root.toFile.deleteOnExit()
