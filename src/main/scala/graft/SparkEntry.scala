@@ -81,7 +81,11 @@ object SparkEntry {
     "p3_store_filter" -> ((s, dir) => History.storeHistoryFiltered(s, dir, Some("0007"))),
     "l1_insight_roundtrip" -> ((s, dir) => graft.llm.Insight.insightsRoundTrip(s, dir)),
     // s6: Spark _metadata hidden column — no DuckDB analogue; rows-only.
-    "s6_file_inventory" -> ((s, dir) => Spine.fileInventory(s, dir))
+    "s6_file_inventory" -> ((s, dir) => Spine.fileInventory(s, dir)),
+    "t5_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
+    "t6_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
+    "e6_funnel" -> ((s, dir) => EventsBatch.funnel(s, dir)),
+    "d7_lsh_eval" -> ((s, dir) => Dedup.lshEval(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +146,10 @@ object SparkEntry {
     "a25_resolve_date" -> Kpis.resolveDateSql(),
     "d6_dup_clusters" -> Dedup.dupClustersSql(),
     "p3_store_filter" -> History.storeHistoryFilteredSql(Some("0007")),
-    "l1_insight_roundtrip" -> graft.llm.Insight.insightsRoundTripSql
+    "l1_insight_roundtrip" -> graft.llm.Insight.insightsRoundTripSql,
+    "t5_keywords" -> TextAnalysis.keywordsSql(),
+    "t6_normalize" -> TextAnalysis.normalizeTextSql,
+    "e6_funnel" -> EventsBatch.funnelSql,
+    "d7_lsh_eval" -> Dedup.lshEvalSql()
   )
 }

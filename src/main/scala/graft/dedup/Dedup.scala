@@ -313,6 +313,53 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) >= $threshold
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  /** d7: LSH quality evaluation — confusion counts of the MinHash
+    * pipeline against exact Jaccard at threshold 0.5: true/false
+    * positives among candidates (by estimated Jaccard), candidate pairs
+    * the estimate missed, and true pairs LSH banding never surfaced
+    * (recall loss). One row of integer counts — the eval harness a
+    * production dedup pipeline runs per corpus before trusting a sketch
+    * config. */
+  def lshEval(spark: SparkSession, dir: String,
+              threshold: Double = 0.5): DataFrame = {
+    val cands = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+    val truePairs = ngramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val missedByBanding = truePairs
+      .join(cands.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
+    cands.agg(
+        sum(when(col("est_jaccard") >= threshold && col("jaccard") >= threshold, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("est_jaccard") >= threshold && col("jaccard") < threshold, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("est_jaccard") < threshold && col("jaccard") >= threshold, 1L)
+          .otherwise(0L)).as("fn_estimate"),
+        count(lit(1)).as("n_candidates"))
+      .crossJoin(missedByBanding.agg(count(lit(1)).as("fn_banding")))
+      .select(col("tp"), col("fp"), col("fn_estimate"), col("fn_banding"),
+        col("n_candidates"))
+  }
+
+  def lshEvalSql(threshold: Double = 0.5): String =
+    s"""WITH cands AS (
+       |  SELECT doc_a, doc_b, est_jaccard, jaccard FROM ($minhashLshSql)),
+       |true_pairs AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),
+       |missed AS (
+       |  SELECT COUNT(*) AS fn_banding FROM true_pairs t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cands c
+       |    WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+       |conf AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN est_jaccard >= $threshold AND jaccard >= $threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN est_jaccard >= $threshold AND jaccard < $threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN est_jaccard < $threshold AND jaccard >= $threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn_estimate,
+       |    COUNT(*) AS n_candidates
+       |  FROM cands)
+       |SELECT conf.tp, conf.fp, conf.fn_estimate, missed.fn_banding, conf.n_candidates
+       |FROM conf CROSS JOIN missed""".stripMargin
+
   // ---------------------------------------------------------------- d6
 
   /** d6: near-dup CLUSTERS — connected components over the d4 Jaccard

@@ -162,6 +162,59 @@ object EventsBatch {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** e6: conversion funnel view → click → purchase per user — each stage
+    * must happen strictly AFTER the previous one (first-touch
+    * attribution: min event time per stage). Three aggregate+join rounds,
+    * all hash-partitioned on user_id; timestamps compared as integer
+    * microseconds (engine-exact). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val v = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+    val c = e.join(v, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("us") > col("t_view"),
+        col("us"))).as("t_click"))
+    val p = e.join(c, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_click"),
+        col("us"))).as("t_purchase"))
+    p.select(
+        col("user_id"),
+        col("t_view").isNotNull.as("reached_view"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_purchase").isNotNull.as("reached_purchase"),
+        (col("t_click") - col("t_view")).as("view_to_click_us"),
+        (col("t_purchase") - col("t_click")).as("click_to_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      |  FROM e GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.t_view,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.us > v.t_view THEN e.us END) AS t_click
+      |  FROM e JOIN v USING (user_id) GROUP BY e.user_id, v.t_view),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click THEN e.us END) AS t_purchase
+      |  FROM e JOIN c USING (user_id) GROUP BY e.user_id, c.t_view, c.t_click)
+      |SELECT user_id,
+      |  t_view IS NOT NULL AS reached_view,
+      |  t_click IS NOT NULL AS reached_click,
+      |  t_purchase IS NOT NULL AS reached_purchase,
+      |  t_click - t_view AS view_to_click_us,
+      |  t_purchase - t_click AS click_to_purchase_us
+      |FROM p
+      |ORDER BY user_id""".stripMargin
+
   /** e5: sliding (hopping) 1-hour windows every 30 minutes — each event
     * lands in exactly two windows. Spark's `window(ts, "1 hour",
     * "30 minutes")`; the oracle replays the same two-window expansion with

@@ -118,6 +118,63 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** t5: keyword extraction — top-3 terms per document ranked by term
+    * frequency, ties broken by rarity (document frequency asc) then word.
+    * The tf-idf ranking with INTEGER sort keys only: same ordering
+    * semantics, none of the cross-engine float-log drift (log() differs
+    * in the last ulp between libm implementations — Tables doc). */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tokens = Corpus.docs(spark, dir)
+      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+    val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def keywordsSql(k: Int = 3): String =
+    s"""WITH tokens AS (
+       |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rank
+       |  FROM tf JOIN df USING (word))
+       |SELECT doc_id, rank, word, tf, df
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
+  /** t6: text normalization — the cleaning stage of a training pipeline:
+    * lowercase, strip non-alphanumerics, collapse whitespace, trim.
+    * Explicit character classes only (Java regex vs RE2 agree on them;
+    * \\p{...} classes don't port). */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_before"),
+      length(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "))).cast("long").as("n_chars_after"),
+      substring(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")), 1, 40).as("normalized_prefix")
+    ).orderBy(col("doc_id"))
+
+  val normalizeTextSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_before,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_after,
+      |  substr(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS normalized_prefix
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** t4: document fingerprint — polynomial rolling hash over the ordered
     * word-id sequence, `h = fold(h*131 + wid mod P)`. Content-defined,
     * order-sensitive, collision-negligible at corpus scale; equal
