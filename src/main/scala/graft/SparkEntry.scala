@@ -85,7 +85,8 @@ object SparkEntry {
     "t5_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "t6_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
     "e6_funnel" -> ((s, dir) => EventsBatch.funnel(s, dir)),
-    "d7_lsh_eval" -> ((s, dir) => Dedup.lshEval(s, dir))
+    "d7_lsh_eval" -> ((s, dir) => Dedup.lshEval(s, dir)),
+    "d8_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,6 +151,7 @@ object SparkEntry {
     "t5_keywords" -> TextAnalysis.keywordsSql(),
     "t6_normalize" -> TextAnalysis.normalizeTextSql,
     "e6_funnel" -> EventsBatch.funnelSql,
-    "d7_lsh_eval" -> Dedup.lshEvalSql()
+    "d7_lsh_eval" -> Dedup.lshEvalSql(),
+    "d8_simhash_pairs" -> Dedup.simhashPairsSql()
   )
 }

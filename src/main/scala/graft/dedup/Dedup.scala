@@ -282,6 +282,51 @@ object Dedup {
        |  (simhash // 16777216) % 256 AS band3
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** d8: SimHash near-dup pairs — complete the d3 pipeline: candidates
+    * share at least one of the 4 signature bytes (pigeonhole: Hamming
+    * distance ≤ 3 guarantees a shared byte; ≤ threshold generally needs
+    * it with high probability), then exact Hamming distance via
+    * `bit_count(xor)` (built-in, codegen'd — no custom expression
+    * needed). Self-join is on the byte bands, never all-pairs. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(spark, dir).cache()
+    // candidate = same (band position, byte value)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("pos", "byte_band")))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("pos"), col("byte_band"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("pos"), col("byte_band")), Seq("pos", "byte_band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+    cands
+      .withColumn("hamming",
+        expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashPairsSql(maxHamming: Int = 8): String =
+    s"""WITH sig AS ($simhashSql),
+       |bands AS (
+       |  SELECT doc_id, simhash, 0 AS pos, band0 AS byte_band FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 1, band1 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 2, band2 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 3, band3 FROM sig),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.pos = b.pos AND a.byte_band = b.byte_band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cands
+       |WHERE bit_count(xor(sh_a, sh_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- d4
 
   /** d4: exact n-gram (3-shingle) Jaccard near-dup pairs above 0.2 —
