@@ -86,7 +86,9 @@ object SparkEntry {
     "t6_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
     "e6_funnel" -> ((s, dir) => EventsBatch.funnel(s, dir)),
     "d7_lsh_eval" -> ((s, dir) => Dedup.lshEval(s, dir)),
-    "d8_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir))
+    "d8_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "c1_corpus_filter" -> ((s, dir) => graft.text.CorpusFilter.corpusFilter(s, dir)),
+    "a26_rollup_bias" -> ((s, dir) => ProductDaily.rollupBias(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +154,8 @@ object SparkEntry {
     "t6_normalize" -> TextAnalysis.normalizeTextSql,
     "e6_funnel" -> EventsBatch.funnelSql,
     "d7_lsh_eval" -> Dedup.lshEvalSql(),
-    "d8_simhash_pairs" -> Dedup.simhashPairsSql()
+    "d8_simhash_pairs" -> Dedup.simhashPairsSql(),
+    "c1_corpus_filter" -> graft.text.CorpusFilter.corpusFilterSql(),
+    "a26_rollup_bias" -> ProductDaily.rollupBiasSql
   )
 }

@@ -99,4 +99,36 @@ object ProductDaily {
        |FROM (${Tables.salesSql})
        |GROUP BY sku
        |ORDER BY sku""".stripMargin
+
+  /** a26: quantified bias of the reference's lossy rollup — per sku, the
+    * revenue the top-5 truncation loses vs the exact fact-table rollup
+    * (lossy ≤ exact by construction; documents SURVEY §7.4's "lossy
+    * product rollup" risk as a measurement instead of a footnote). */
+  def rollupBias(spark: SparkSession, dir: String): DataFrame = {
+    val lossy = StoreDaily.topProductsDec(spark, dir, 5)
+      .groupBy(col("sku")).agg(sum(col("rev_dec")).as("lossy_dec"))
+    val exact = Tables.sales(spark, dir)
+      .groupBy(col("sku"))
+      .agg(sum(col("line_total") - col("discount_amount")).as("exact_dec"))
+    exact.join(lossy, Seq("sku"), "left")
+      .select(col("sku"),
+        col("exact_dec").cast("double").as("exact_revenue"),
+        coalesce(col("lossy_dec"), lit(0)).cast("double").as("lossy_revenue"),
+        (col("exact_dec") - coalesce(col("lossy_dec"), lit(0))).cast("double")
+          .as("underreported"))
+      .orderBy(col("sku"))
+  }
+
+  val rollupBiasSql: String =
+    s"""WITH top5 AS (${StoreDaily.topProductsDecSql(5)}),
+       |lossy AS (SELECT sku, SUM(rev_dec) AS lossy_dec FROM top5 GROUP BY sku),
+       |exact AS (
+       |  SELECT sku, SUM(line_total - discount_amount) AS exact_dec
+       |  FROM (${Tables.salesSql}) GROUP BY sku)
+       |SELECT e.sku,
+       |  CAST(e.exact_dec AS DOUBLE) AS exact_revenue,
+       |  CAST(COALESCE(l.lossy_dec, 0) AS DOUBLE) AS lossy_revenue,
+       |  CAST(e.exact_dec - COALESCE(l.lossy_dec, 0) AS DOUBLE) AS underreported
+       |FROM exact e LEFT JOIN lossy l USING (sku)
+       |ORDER BY e.sku""".stripMargin
 }
