@@ -1,0 +1,51 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.EventsBatch
+import graft.text.{CorpusFilter, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Cross-operator consistency for the round-2 composition queries. */
+class CompositionSpec extends GraftSpec {
+
+  test("e6: funnel stages are monotone (purchase => click => view)") {
+    val f = EventsBatch.funnel(spark, sfDir)
+    assert(f.filter(col("reached_click") && !col("reached_view")).count() === 0)
+    assert(f.filter(col("reached_purchase") && !col("reached_click")).count() === 0)
+    // stage gaps are strictly positive when present
+    assert(f.filter(col("view_to_click_us") <= 0).count() === 0)
+    assert(f.filter(col("click_to_purchase_us") <= 0).count() === 0)
+  }
+
+  test("t6: normalization never grows text; prefix is lowercase") {
+    val n = TextAnalysis.normalizeText(spark, sfDir)
+    assert(n.filter(col("n_chars_after") > col("n_chars_before")).count() === 0)
+    assert(n.filter(col("normalized_prefix") =!= lower(col("normalized_prefix"))).count() === 0)
+  }
+
+  test("d8: hamming pairs are ordered, within bound, consistent with d3 signatures") {
+    val p = Dedup.simhashPairs(spark, sfDir)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(p.filter(col("hamming") > 8 || col("hamming") < 0).count() === 0)
+  }
+
+  test("c1: kept docs pass every individual gate; losers trace to a reason") {
+    val c = CorpusFilter.corpusFilter(spark, sfDir).cache()
+    try {
+      assert(c.count() > 0)
+      val kept = c.filter(col("kept"))
+      assert(kept.filter(col("quality_score") < 50 || col("is_exact_dup") ||
+        col("is_near_dup_loser")).count() === 0)
+      val dropped = c.filter(!col("kept"))
+      assert(dropped.filter(col("quality_score") >= 50 && !col("is_exact_dup") &&
+        !col("is_near_dup_loser")).count() === 0)
+    } finally c.unpersist()
+  }
+
+  test("a26: lossy rollup never exceeds exact; bias is the difference") {
+    val b = graft.etl.ProductDaily.rollupBias(spark, sfDir)
+    assert(b.filter(col("lossy_revenue") > col("exact_revenue")).count() === 0)
+    assert(b.filter(abs(col("underreported") -
+      (col("exact_revenue") - col("lossy_revenue"))) > 1e-6).count() === 0)
+  }
+}
