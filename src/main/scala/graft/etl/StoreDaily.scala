@@ -141,6 +141,37 @@ object StoreDaily {
     // it); a cache would freeze the full relation and defeat the pushdown.
   }
 
+  /** The reference's complete store-daily summary DOCUMENT — one row per
+    * (store, day) with the nested `top_products: array<struct>` (sorted,
+    * truncated to 5) and `payment_breakdown: map<method, amount>` columns
+    * (write-metrics:77-98's DynamoDB item as a typed nested row;
+    * map_from_entries over the per-method aggregate). Not oracle-checked
+    * (nested values don't hash-compare portably — their flat projections
+    * j6/x1/a2 are); value-consistency with the flat relations is
+    * spec-tested. */
+  def summaryDocument(spark: SparkSession, dir: String): DataFrame = {
+    val base = rollupDec(spark, dir)
+    val top = topProductsDec(spark, dir, 5)
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(array_sort(collect_list(struct(col("rank"), col("sku"),
+        col("units"), col("rev_dec")))).as("top_products"))
+    val pay = Tables.salesWithPayment(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
+      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"))
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("payment_method"), col("amt_dec"))))).as("payment_breakdown"))
+    base
+      .join(top, Seq("store_id", "sale_date"), "left")
+      .join(pay, Seq("store_id", "sale_date"), "left")
+      .select(col("store_id"), col("sale_date"),
+        col("gross_dec").cast("double").as("total_sales"),
+        col("disc_dec").cast("double").as("total_discount"),
+        (col("gross_dec") - col("disc_dec")).cast("double").as("net_sales"),
+        col("transaction_count"), col("item_count"),
+        col("top_products"), col("payment_breakdown"))
+  }
+
   def topProductsDecSql(k: Int = 5): String =
     s"""SELECT * FROM (
        |  SELECT store_id, sale_date, sku,

@@ -64,6 +64,27 @@ class OperatorInvariantsSpec extends GraftSpec {
     assert(over.count() === 0)
   }
 
+  test("summary document: nested columns agree with their flat projections") {
+    val doc = StoreDaily.summaryDocument(spark, sfDir).cache()
+    try {
+      // nested top_products explodes back to the a3 relation
+      val fromDoc = doc.select(col("store_id"), col("sale_date"),
+          explode(col("top_products")).as("p"))
+        .select(col("store_id"), col("sale_date"), col("p.rank"),
+          col("p.sku"), col("p.units"), col("p.rev_dec"))
+      val flat = StoreDaily.topProductsDec(spark, sfDir, 5)
+        .select(col("store_id"), col("sale_date"), col("rank"),
+          col("sku"), col("units"), col("rev_dec"))
+      assert(fromDoc.exceptAll(flat).count() === 0)
+      assert(flat.exceptAll(fromDoc).count() === 0)
+      // payment map values sum to total_sales - total_discount (net)
+      val mapSum = doc.select(col("store_id"), col("sale_date"), col("net_sales"),
+        aggregate(map_values(col("payment_breakdown")),
+          lit(0.0), (acc, v) => acc + v.cast("double")).as("map_total"))
+      assert(mapSum.filter(abs(col("map_total") - col("net_sales")) > 1e-6).count() === 0)
+    } finally doc.unpersist()
+  }
+
   test("j3: missing ∪ reported = expected stores, disjoint") {
     val date = graft.etl.Defaults.targetDate
     val expected = Completeness.expectedStores(spark, sfDir)
