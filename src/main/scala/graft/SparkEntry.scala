@@ -88,7 +88,9 @@ object SparkEntry {
     "d7_lsh_eval" -> ((s, dir) => Dedup.lshEval(s, dir)),
     "d8_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "c1_corpus_filter" -> ((s, dir) => graft.text.CorpusFilter.corpusFilter(s, dir)),
-    "a26_rollup_bias" -> ((s, dir) => ProductDaily.rollupBias(s, dir))
+    "a26_rollup_bias" -> ((s, dir) => ProductDaily.rollupBias(s, dir)),
+    "a27_rank_movement" -> ((s, dir) => Trends.rankMovement(s, dir)),
+    "a28_wow_growth" -> ((s, dir) => Trends.wowGrowth(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,6 +158,8 @@ object SparkEntry {
     "d7_lsh_eval" -> Dedup.lshEvalSql(),
     "d8_simhash_pairs" -> Dedup.simhashPairsSql(),
     "c1_corpus_filter" -> graft.text.CorpusFilter.corpusFilterSql(),
-    "a26_rollup_bias" -> ProductDaily.rollupBiasSql
+    "a26_rollup_bias" -> ProductDaily.rollupBiasSql,
+    "a27_rank_movement" -> Trends.rankMovementSql(),
+    "a28_wow_growth" -> Trends.wowGrowthSql
   )
 }

@@ -244,6 +244,79 @@ object Trends {
             / col("first_dec").cast("double") * 100).as("trend_percent"))
       .orderBy(col("total_sales").desc, col("store_id").asc)
 
+  /** a27: daily store ranking and day-over-day movement — rank by sales
+    * within each day (dense ranking over the summary relation), then the
+    * movement vs the store's previous reported day. Two window passes:
+    * one partitioned by day (rank), one by store (lag) — each a single
+    * hash shuffle of the dimension-sized summary. */
+  def rankMovement(spark: SparkSession, dir: String,
+                   from: String = Defaults.rangeStart,
+                   to: String = Defaults.rangeEnd): DataFrame = {
+    val byDay = Window.partitionBy(col("sale_date"))
+      .orderBy(col("gross_dec").desc, col("store_id").asc)
+    val byStore = Window.partitionBy(col("store_id")).orderBy(col("sale_date"))
+    sdRange(spark, dir, from, to)
+      .withColumn("day_rank", row_number().over(byDay))
+      .withColumn("prev_rank", lag(col("day_rank"), 1).over(byStore))
+      .select(col("store_id"), col("sale_date"), col("day_rank"),
+        col("prev_rank"),
+        (coalesce(col("prev_rank"), col("day_rank")) - col("day_rank")).as("movement"))
+      .orderBy(col("sale_date"), col("day_rank"))
+  }
+
+  def rankMovementSql(from: String = Defaults.rangeStart,
+                      to: String = Defaults.rangeEnd): String =
+    s"""WITH sd AS (${sdRangeSql(from, to)}),
+       |ranked AS (
+       |  SELECT store_id, sale_date,
+       |    ROW_NUMBER() OVER (PARTITION BY sale_date
+       |      ORDER BY gross_dec DESC, store_id ASC) AS day_rank
+       |  FROM sd),
+       |moved AS (
+       |  SELECT *, LAG(day_rank) OVER (PARTITION BY store_id ORDER BY sale_date) AS prev_rank
+       |  FROM ranked)
+       |SELECT store_id, sale_date, day_rank, prev_rank,
+       |  COALESCE(prev_rank, day_rank) - day_rank AS movement
+       |FROM moved
+       |ORDER BY sale_date, day_rank""".stripMargin
+
+  /** a28: week-over-week growth — weekly company sales with the previous
+    * week's value (lag over the ISO-week rollup) and the growth ratio as
+    * one exact-operand IEEE division. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = StoreDaily.rollupDec(spark, dir)
+      .groupBy(date_format(date_trunc("week", to_date(col("sale_date"))), "yyyy-MM-dd")
+        .as("week_start"))
+      .agg(sum(col("gross_dec")).as("week_dec"))
+    val w = Window.orderBy(col("week_start"))
+    weekly
+      .withColumn("prev_dec", lag(col("week_dec"), 1).over(w))
+      .select(col("week_start"),
+        col("week_dec").cast("double").as("week_sales"),
+        col("prev_dec").cast("double").as("prev_week_sales"),
+        when(col("prev_dec") > 0,
+          (col("week_dec").cast("double") - col("prev_dec").cast("double"))
+            / col("prev_dec").cast("double") * 100).as("wow_growth_pct"))
+      .orderBy(col("week_start"))
+  }
+
+  val wowGrowthSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |weekly AS (
+       |  SELECT strftime(date_trunc('week', CAST(sale_date AS DATE)), '%Y-%m-%d') AS week_start,
+       |    SUM(gross_dec) AS week_dec
+       |  FROM sd GROUP BY 1),
+       |lagged AS (
+       |  SELECT *, LAG(week_dec) OVER (ORDER BY week_start) AS prev_dec FROM weekly)
+       |SELECT week_start,
+       |  CAST(week_dec AS DOUBLE) AS week_sales,
+       |  CAST(prev_dec AS DOUBLE) AS prev_week_sales,
+       |  CASE WHEN prev_dec > 0 THEN
+       |    (CAST(week_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE))
+       |      / CAST(prev_dec AS DOUBLE) * 100 END AS wow_growth_pct
+       |FROM lagged
+       |ORDER BY week_start""".stripMargin
+
   /** x2: day-of-week seasonality profile — company daily sales averaged by
     * weekday (the reference bakes Mon 0.85 … Sat 1.40 multipliers into its
     * generator, generate_sample_data.py:75-88; this is the read-side
