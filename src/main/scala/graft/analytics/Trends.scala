@@ -48,10 +48,12 @@ object Trends {
         when(col("first_n") > 0, col("first_dec").cast("double") / col("first_n"))
           .as("first_half_avg"),
         (col("second_dec").cast("double") / col("second_n")).as("second_half_avg"),
+        // reference emits 0, not null, when the guard fails (get-trends:245)
         when(col("first_n") > 0,
           (col("second_dec").cast("double") / col("second_n")
             - col("first_dec").cast("double") / col("first_n"))
-            / (col("first_dec").cast("double") / col("first_n")) * 100).as("trend_percent"),
+            / (col("first_dec").cast("double") / col("first_n")) * 100)
+          .otherwise(0.0).as("trend_percent"),
         when(col("days") < 2, "insufficient_data")
           .when(col("second_dec").cast("double") / col("second_n") >
             col("first_dec").cast("double") / col("first_n") * 1.1, "increasing")
@@ -81,9 +83,9 @@ object Trends {
        |SELECT store_id, days,
        |  CASE WHEN first_n > 0 THEN CAST(first_dec AS DOUBLE) / first_n END AS first_half_avg,
        |  CAST(second_dec AS DOUBLE) / second_n AS second_half_avg,
-       |  CASE WHEN first_n > 0 THEN
+       |  COALESCE(CASE WHEN first_n > 0 THEN
        |    (CAST(second_dec AS DOUBLE) / second_n - CAST(first_dec AS DOUBLE) / first_n)
-       |      / (CAST(first_dec AS DOUBLE) / first_n) * 100 END AS trend_percent,
+       |      / (CAST(first_dec AS DOUBLE) / first_n) * 100 END, 0.0) AS trend_percent,
        |  CASE
        |    WHEN days < 2 THEN 'insufficient_data'
        |    WHEN CAST(second_dec AS DOUBLE) / second_n >
@@ -108,9 +110,10 @@ object Trends {
         col("store_id"),
         col("first_dec").cast("double").as("first_sales"),
         col("last_dec").cast("double").as("last_sales"),
+        // reference emits 0, not null, when first <= 0 (get-trends:322)
         when(col("first_dec") > 0,
           (col("last_dec").cast("double") - col("first_dec").cast("double"))
-            / col("first_dec").cast("double") * 100).as("trend_percent"))
+            / col("first_dec").cast("double") * 100).otherwise(0.0).as("trend_percent"))
       .orderBy(col("store_id"))
 
   def trendFirstLastSql(from: String = Defaults.rangeStart,
@@ -119,9 +122,9 @@ object Trends {
        |SELECT store_id,
        |  CAST(arg_min(gross_dec, sale_date) AS DOUBLE) AS first_sales,
        |  CAST(arg_max(gross_dec, sale_date) AS DOUBLE) AS last_sales,
-       |  CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
+       |  COALESCE(CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
        |    (CAST(arg_max(gross_dec, sale_date) AS DOUBLE) - CAST(arg_min(gross_dec, sale_date) AS DOUBLE))
-       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END AS trend_percent
+       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END, 0.0) AS trend_percent
        |FROM sd
        |GROUP BY store_id
        |ORDER BY store_id""".stripMargin
@@ -241,7 +244,7 @@ object Trends {
         (col("sales_dec").cast("double") / col("days_with_data")).as("avg_daily_sales"),
         when(col("first_dec") > 0,
           (col("last_dec").cast("double") - col("first_dec").cast("double"))
-            / col("first_dec").cast("double") * 100).as("trend_percent"))
+            / col("first_dec").cast("double") * 100).otherwise(0.0).as("trend_percent"))
       .orderBy(col("total_sales").desc, col("store_id").asc)
 
   /** a27: daily store ranking and day-over-day movement — rank by sales
@@ -355,9 +358,9 @@ object Trends {
        |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
        |  COUNT(*) AS days_with_data,
        |  CAST(SUM(gross_dec) AS DOUBLE) / COUNT(*) AS avg_daily_sales,
-       |  CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
+       |  COALESCE(CASE WHEN arg_min(gross_dec, sale_date) > 0 THEN
        |    (CAST(arg_max(gross_dec, sale_date) AS DOUBLE) - CAST(arg_min(gross_dec, sale_date) AS DOUBLE))
-       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END AS trend_percent
+       |      / CAST(arg_min(gross_dec, sale_date) AS DOUBLE) * 100 END, 0.0) AS trend_percent
        |FROM sd
        |GROUP BY store_id
        |ORDER BY CAST(SUM(gross_dec) AS DOUBLE) DESC, store_id ASC""".stripMargin

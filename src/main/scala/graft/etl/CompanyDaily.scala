@@ -54,16 +54,18 @@ object CompanyDaily {
        |ORDER BY sale_date""".stripMargin
 
   /** A5: best & worst store per date (argmax/argmin by total sales,
-    * calc-company-metrics:83-85,104-111). Deterministic tiebreak on
-    * store_id — Python's stable sort needs an explicit SQL analogue
-    * (SURVEY.md §7.4). One hash partitioning, two window sorts. */
+    * calc-company-metrics:83-85,104-111). Tiebreaks replay Python's
+    * STABLE `sorted(..., reverse=True)` over store_id-ordered input
+    * (get-store-summaries:83): best = first of the max ties = SMALLEST
+    * store_id; worst = `sorted_by_sales[-1]` = last of the min ties =
+    * LARGEST store_id. One hash partitioning, two window sorts. */
   def bestWorstStore(spark: SparkSession, dir: String): DataFrame = {
     val sd = StoreDaily.rollupDec(spark, dir)
       .select(col("sale_date"), col("store_id"), col("gross_dec"))
     val wBest = Window.partitionBy(col("sale_date"))
       .orderBy(col("gross_dec").desc, col("store_id").asc)
     val wWorst = Window.partitionBy(col("sale_date"))
-      .orderBy(col("gross_dec").asc, col("store_id").asc)
+      .orderBy(col("gross_dec").asc, col("store_id").desc)
     sd.withColumn("rb", row_number().over(wBest))
       .withColumn("rw", row_number().over(wWorst))
       .groupBy(col("sale_date"))
@@ -80,7 +82,7 @@ object CompanyDaily {
        |ranked AS (
        |  SELECT sale_date, store_id, gross_dec,
        |    ROW_NUMBER() OVER (PARTITION BY sale_date ORDER BY gross_dec DESC, store_id ASC) AS rb,
-       |    ROW_NUMBER() OVER (PARTITION BY sale_date ORDER BY gross_dec ASC, store_id ASC) AS rw
+       |    ROW_NUMBER() OVER (PARTITION BY sale_date ORDER BY gross_dec ASC, store_id DESC) AS rw
        |  FROM sd)
        |SELECT sale_date,
        |  MAX(CASE WHEN rb = 1 THEN store_id END) AS best_store_id,
