@@ -106,9 +106,12 @@ object Kpis {
        |    MAX(sale_date)) AS resolved_date
        |FROM (SELECT DISTINCT sale_date FROM (${Tables.salesSql}))""".stripMargin
 
-  /** A18: distinct-date inventory, newest first (get-analytics:80). */
+  /** A18: distinct-date inventory, newest first (get-analytics:80).
+    * Reads the cached (store,day) summary — the reference likewise scans
+    * its materialized summary rows for this (a GSI1 projection scan), never
+    * the raw line items; same distinct result, dimension-sized input. */
   def availableDates(spark: SparkSession, dir: String): DataFrame =
-    Tables.sales(spark, dir)
+    graft.etl.StoreDaily.rollupDec(spark, dir)
       .select(col("sale_date")).distinct()
       .orderBy(col("sale_date").desc)
 

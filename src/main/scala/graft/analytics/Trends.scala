@@ -138,14 +138,19 @@ object Trends {
     val pd = StoreDaily.topProductsDecRange(spark, dir, 5, from, to)
       .groupBy(col("sale_date"), col("sku"))
       .agg(sum(col("units")).as("units"), sum(col("rev_dec")).as("rev_dec"))
+    // top-15 as sort+limit (TakeOrderedAndProject: per-partition partial
+    // top-k, then a 15-row driver merge) instead of a global row_number
+    // window, which would funnel every sku through one partition at scale;
+    // the rank window then runs over only the 15 surviving rows.
     val w = Window.orderBy(col("rev_total").desc, col("sku").asc)
     pd.groupBy(col("sku"))
       .agg(
         sum(col("units")).as("units_total"),
         sum(col("rev_dec")).as("rev_total"),
         countDistinct(col("sale_date")).as("days_sold"))
+      .orderBy(col("rev_total").desc, col("sku").asc)
+      .limit(15)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 15)
       .select(col("rank"), col("sku"), col("units_total").as("units_sold"),
         col("rev_total").cast("double").as("revenue"), col("days_sold"),
         (col("units_total").cast("double") / col("days_sold")).as("avg_daily_units"),

@@ -28,16 +28,18 @@ object ProductDaily {
     val top5 = StoreDaily.topProductsDec(spark, dir, 5)
     val names = Tables.part(spark, dir)
       .select(col("p_partkey").as("sku"), col("p_name").as("product_name"))
+    // one collect_set serves both store_count (its size) and the CSV —
+    // a separate countDistinct would add an Expand + second aggregate pass
     top5.groupBy(col("sale_date"), col("sku"))
       .agg(
         sum(col("units")).as("units_sold"),
         sum(col("rev_dec")).as("rev_dec"),
-        countDistinct(col("store_id")).as("store_count"),
-        array_join(sort_array(collect_set(col("store_id"))), ",").as("stores_sold_at"))
+        sort_array(collect_set(col("store_id"))).as("stores_arr"))
       .join(broadcast(names), Seq("sku"), "left")
       .select(col("sale_date"), col("sku"), col("product_name"),
         col("units_sold"), col("rev_dec").cast("double").as("revenue"),
-        col("store_count"), col("stores_sold_at"))
+        size(col("stores_arr")).cast("long").as("store_count"),
+        array_join(col("stores_arr"), ",").as("stores_sold_at"))
       .orderBy(col("sale_date"), col("sku"))
   }
 
