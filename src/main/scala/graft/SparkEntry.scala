@@ -90,7 +90,10 @@ object SparkEntry {
     "c1_corpus_filter" -> ((s, dir) => graft.text.CorpusFilter.corpusFilter(s, dir)),
     "a26_rollup_bias" -> ((s, dir) => ProductDaily.rollupBias(s, dir)),
     "a27_rank_movement" -> ((s, dir) => Trends.rankMovement(s, dir)),
-    "a28_wow_growth" -> ((s, dir) => Trends.wowGrowth(s, dir))
+    "a28_wow_growth" -> ((s, dir) => Trends.wowGrowth(s, dir)),
+    "v4_ivf_ann" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
+    "t7_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    "e7_retention" -> ((s, dir) => EventsBatch.retention(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,6 +163,9 @@ object SparkEntry {
     "c1_corpus_filter" -> graft.text.CorpusFilter.corpusFilterSql(),
     "a26_rollup_bias" -> ProductDaily.rollupBiasSql,
     "a27_rank_movement" -> Trends.rankMovementSql(),
-    "a28_wow_growth" -> Trends.wowGrowthSql
+    "a28_wow_growth" -> Trends.wowGrowthSql,
+    "v4_ivf_ann" -> Similarity.ivfAnnSql(),
+    "t7_repetition" -> TextAnalysis.repetitionSql,
+    "e7_retention" -> EventsBatch.retentionSql
   )
 }

@@ -238,4 +238,55 @@ object EventsBatch {
       |FROM expanded
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** e7: weekly cohort retention — each user's cohort is the Monday of
+    * their first active week; for every (cohort, week-offset) cell, the
+    * distinct users still active and the retention ratio vs the cohort
+    * size. The classic triangular retention matrix, built as three hash
+    * aggregations on user_id / cohort_week (no window functions, no
+    * per-user driver state) — the shape survives any user-count scale-up
+    * because every stage is keyed and map-side combinable. Week offsets
+    * are exact integer day-diffs / 7 (both weeks are date_trunc'd Mondays,
+    * so the division is exact — engine-portable integer math). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(to_date(col("week")), to_date(col("cohort_week"))) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week),
+      |cells AS (
+      |  SELECT c.cohort_week,
+      |    date_diff('day', CAST(c.cohort_week AS DATE), CAST(u.week AS DATE)) // 7 AS week_offset,
+      |    COUNT(DISTINCT u.user_id) AS active_users
+      |  FROM uw u JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cells.cohort_week, cells.week_offset, cells.active_users,
+      |  sizes.cohort_size,
+      |  CAST(cells.active_users AS DOUBLE) / CAST(sizes.cohort_size AS DOUBLE) AS retention
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY 1, 2""".stripMargin
 }

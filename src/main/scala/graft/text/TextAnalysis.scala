@@ -210,4 +210,60 @@ object TextAnalysis {
        |              (acc, x) -> (acc * 131 + x) % ${Corpus.P}) AS fingerprint,
        |  CAST(len(wids) AS BIGINT) AS n_words
        |FROM seqs ORDER BY doc_id""".stripMargin
+
+  /** t7: repetition metrics per document — the Gopher-style repetition
+    * filters a quality pipeline applies after t2's length/stopword rules:
+    * duplicate-word ratio (1 − distinct/total) and the fraction of word
+    * 2-grams occupied by the single most frequent 2-gram. Boilerplate and
+    * templated spam score high on both; natural prose stays low. Two
+    * hash aggregations keyed by doc_id — explode → count, map-side
+    * combined, no joins beyond the final doc-id merge. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Corpus.docs(spark, dir).select(col("doc_id"), Corpus.wordsCol.as("ws"))
+    val bigramsOf = transform(sequence(lit(0), size(col("ws")) - lit(2)),
+      i => concat_ws(" ", element_at(col("ws"), i + lit(1)), element_at(col("ws"), i + lit(2))))
+    val bg = ws.select(col("doc_id"), explode(bigramsOf).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_count"))
+    val words = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct_words"))
+    words.join(bg, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("top_bigram_count").cast("long").as("top_bigram_count"),
+        (col("top_bigram_count").cast("double") /
+          col("n_bigrams").cast("double")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest([$ws[i] || ' ' || $ws[i+1]
+       |    for i in range(1, len($ws))]) AS bg
+       |  FROM documents),
+       |bgc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+       |bga AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(MAX(cnt) AS BIGINT) AS top_bigram_count
+       |  FROM bgc GROUP BY doc_id),
+       |w AS (
+       |  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct_words
+       |  FROM (SELECT doc_id, unnest($ws) AS word FROM documents)
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       |  CAST(w.n_words - w.n_distinct_words AS DOUBLE)
+       |    / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+       |  bga.n_bigrams, bga.top_bigram_count,
+       |  CAST(bga.top_bigram_count AS DOUBLE)
+       |    / CAST(bga.n_bigrams AS DOUBLE) AS top_bigram_frac
+       |FROM w JOIN bga USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin
+  }
 }

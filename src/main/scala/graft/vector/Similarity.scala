@@ -177,6 +177,90 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** v4: IVF ANN — the inverted-file index pattern (coarse quantizer +
+    * cell-local probe), completing the ANN pair next to v2's LSH variant:
+    *  1. coarse centroids = the embeddings of the `nCentroids` smallest
+    *     vec_ids (data-sampled, deterministic — a seeded k-means would add
+    *     iterations, not semantics, and its FP update order isn't
+    *     oracle-reproducible);
+    *  2. every vector is assigned to its max-cosine centroid (argmax over
+    *     a broadcast centroid table — one narrow pass over the corpus, no
+    *     shuffle of the big side);
+    *  3. a query probes its `nProbe` nearest cells and ranks only those
+    *     cells' members — candidate count drops ~|cells|/nProbe-fold while
+    *     the big side is touched via a hash join on the cell id.
+    * At 100 TB the assignment pass is the IVF build (persist it
+    * partitioned by cell); probing reads only the probed cells' partitions. */
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
+             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(spark, dir)
+    val cents = e.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
+        col("norm2").as("c_norm2"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("cent_vid"))) - 1)
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dotCol(col("embedding"), col("c_emb")), col("norm2"), col("c_norm2")))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val ranked = aff.withColumn("crank", row_number().over(wv))
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"),
+        col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"),
+        col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val pairs = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfAnnSql(k: Int = 5, nCentroids: Int = 8, nProbe: Int = 2): String =
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, e.norm2, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id AS cell,
+       |    embedding AS n_emb, norm2 AS n_norm2
+       |  FROM ranked WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell,
+       |    embedding AS q_emb, norm2 AS q_norm2
+       |  FROM ranked WHERE vec_id < 10 AND crank <= $nProbe),
+       |pairs AS (
+       |  SELECT p.query_id, a.cell, a.neighbor_id,
+       |    ${dotSql("p.q_emb", "a.n_emb")}
+       |      / sqrt(p.q_norm2 * a.n_norm2) AS cosine
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE p.query_id <> a.neighbor_id),
+       |rankedp AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cell, cosine
+       |FROM rankedp WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def cosineNearDupSql(threshold: Double = 0.4): String =
     s"""WITH e AS ($withNormSql),
        |pairs AS (

@@ -23,6 +23,27 @@ class CompositionSpec extends GraftSpec {
     assert(n.filter(col("normalized_prefix") =!= lower(col("normalized_prefix"))).count() === 0)
   }
 
+  test("t7: repetition fractions bounded; bigram count is words-1 per doc") {
+    val r = TextAnalysis.repetition(spark, sfDir)
+    assert(r.count() > 0)
+    assert(r.filter(col("dup_word_frac") < 0 || col("dup_word_frac") >= 1).count() === 0)
+    assert(r.filter(col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() === 0)
+    // duplicates kept in the bigram stream: every doc has exactly words-1 bigrams
+    assert(r.filter(col("n_bigrams") =!= col("n_words") - 1).count() === 0)
+  }
+
+  test("e7: retention matrix — offset 0 is complete, cells never exceed cohort") {
+    val m = EventsBatch.retention(spark, sfDir).cache()
+    try {
+      assert(m.count() > 0)
+      assert(m.filter(col("week_offset") < 0).count() === 0)
+      assert(m.filter(col("active_users") > col("cohort_size")).count() === 0)
+      val zero = m.filter(col("week_offset") === 0)
+      assert(zero.filter(col("retention") =!= 1.0).count() === 0,
+        "every user is active in their own cohort week")
+    } finally m.unpersist()
+  }
+
   test("d8: hamming pairs are ordered, within bound, consistent with d3 signatures") {
     val p = Dedup.simhashPairs(spark, sfDir)
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)

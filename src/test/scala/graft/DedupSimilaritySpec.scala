@@ -89,4 +89,20 @@ class DedupSimilaritySpec extends GraftSpec {
     // exactly one row per vector
     assert(v3.groupBy("vec_id").count().filter(col("count") =!= 1).count() === 0)
   }
+
+  test("v4: IVF pairs exist in brute force with identical cosine; ranks contiguous") {
+    val v4 = Similarity.ivfAnn(spark, sfDir)
+    assert(v4.count() > 0)
+    val v1 = Similarity.cosineTopK(spark, sfDir, k = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_bf"))
+    val joined = v4.join(v1, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("cos_bf").isNull).count() === 0,
+      "every IVF pair must exist in the brute-force relation")
+    assert(joined.filter(abs(col("cosine") - col("cos_bf")) > 0).count() === 0,
+      "cosine must be bit-identical between v1 and v4 paths")
+    // per query: ranks are 1..n with no gaps
+    val ranks = v4.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+    assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
+  }
 }
