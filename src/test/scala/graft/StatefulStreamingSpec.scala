@@ -64,6 +64,42 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly detector matches the batch A11 relation bit-for-bit") {
+    import spark.implicits._
+    import graft.streaming.{StatefulAnomalies, DailySummary}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .select(col("store_id"), col("sale_date"), col("gross_dec"),
+        unix_date(to_date(col("sale_date"))).as("day_idx"))
+      .collect()
+      .map(r => DailySummary(r.getString(0), r.getInt(3), r.getString(1),
+        BigDecimal(r.getDecimal(2))))
+      .sortBy(_.sale_date)
+    // split mid-corpus by date: per-store arrival order is preserved, and
+    // windows spanning the micro-batch boundary must still see their history
+    val midDate = rows(rows.length / 2).sale_date
+    val (b1, b2) = rows.partition(_.sale_date < midDate)
+    val input = MemoryStream[DailySummary]
+    val q = StatefulAnomalies.detect(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anoms").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getString(5))
+      val got = spark.sql(
+          """SELECT store_id, sale_date, today_sales, hist_avg_sales,
+            |  deviation_pct, severity FROM anoms""".stripMargin)
+        .collect().map(key).sortBy(t => (t._1, t._2))
+      val want = graft.analytics.History.anomalies(spark, sfDir)
+        .collect().map(key).sortBy(t => (t._1, t._2))
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streaming anomalies must equal the batch relation exactly")
+    } finally q.stop()
+  }
+
   test("resize stub preserves schema contract and aspect ratio bounds") {
     val media = Multimodal.mediaFromDocs(spark, sfDir)
     val resized = Multimodal.resizeStub(media, maxDim = 64)
