@@ -180,54 +180,61 @@ object Trends {
        |FROM ranked WHERE rank <= 15
        |ORDER BY rank""".stripMargin
 
-  /** Stores materialized as wide columns by A20. DOCUMENTED DEVIATION from
-    * the reference: get-trends:295-301 pivots every store present (its
-    * store set is a fixed 11); our testdata store set grows with the scale
-    * factor, so we pivot a fixed demo projection to keep the output schema
-    * static across SFs. Both `{store}_sales` AND `{store}_transactions`
-    * columns are produced, matching the reference's per-store column pair. */
-  val pivotStores: Seq[String] = Seq("0001", "0002", "0003", "0004", "0005")
-
   /** A20: wide time-series pivot — per date: company totals + per-store
-    * sales/transactions columns zero-filled (get-trends:266-304).
-    * Implemented as conditional aggregation (no second pivot pass). */
+    * `{store}_sales`/`{store}_transactions` columns, zero-filled
+    * (get-trends:266-304). The pivot column list is the REAL store set of
+    * the queried range (the reference pivots its full fixed store set,
+    * get-trends:295-301); deriving it costs one dimension-sized distinct +
+    * driver collect — the same broadcast-config pattern as the reference's
+    * store list. Spark's native pivot plans this as two aggregates
+    * (partial per (date,store) cell, then PivotFirst per date) rather than
+    * 2·|stores| conditional aggregates, which keeps codegen tractable when
+    * the store dimension grows with SF. */
   def pivotWide(spark: SparkSession, dir: String,
                 from: String = Defaults.rangeStart,
                 to: String = Defaults.rangeEnd): DataFrame = {
-    def salesCol(s: String) =
-      coalesce(sum(when(col("store_id") === s, col("gross_dec"))), lit(0))
-        .cast("double").as(s"s${s}_sales")
-    def txnCol(s: String) =
-      coalesce(sum(when(col("store_id") === s, col("transaction_count"))), lit(0L))
-        .as(s"s${s}_transactions")
-    val aggCols =
-      Seq(sum(col("gross_dec")).as("sales_dec"),
-        sum(col("transaction_count")).as("total_transactions")) ++
-        pivotStores.flatMap(s => Seq(salesCol(s), txnCol(s)))
-    sdRange(spark, dir, from, to)
-      .groupBy(col("sale_date"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("total_sales", col("sales_dec").cast("double"))
-      .drop("sales_dec")
+    val sd = sdRange(spark, dir, from, to)
+    val stores = sd.select(col("store_id")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val piv = sd.groupBy(col("sale_date"))
+      .pivot(concat(lit("s"), col("store_id")), stores.map("s" + _))
+      .agg(sum(col("gross_dec")).as("sales"),
+        sum(col("transaction_count")).as("transactions"))
+    val tot = sd.groupBy(col("sale_date"))
+      .agg(sum(col("transaction_count")).as("total_transactions"),
+        sum(col("gross_dec")).cast("double").as("total_sales"))
+    val storeCols = stores.flatMap(s => Seq(
+      coalesce(col(s"s${s}_sales"), lit(0)).cast("double").as(s"s${s}_sales"),
+      coalesce(col(s"s${s}_transactions"), lit(0L)).as(s"s${s}_transactions")))
+    piv.join(tot, Seq("sale_date"))
+      .select(col("sale_date") +: storeCols :+ col("total_transactions")
+        :+ col("total_sales"): _*)
       .orderBy(col("sale_date"))
   }
 
+  /** Oracle twin of [[pivotWide]]: DuckDB's dynamic `PIVOT` derives the
+    * same store column set from the data; the outer `COLUMNS` regex
+    * re-select zero-fills and types the generated columns (`CAST AS
+    * BIGINT` on the transaction sums — DuckDB SUM(BIGINT) is HUGEINT,
+    * the r2 hash-mismatch). */
   def pivotWideSql(from: String = Defaults.rangeStart,
-                   to: String = Defaults.rangeEnd): String = {
-    def salesCol(s: String) =
-      s"CAST(COALESCE(SUM(CASE WHEN store_id = '$s' THEN gross_dec END), 0) AS DOUBLE) AS s${s}_sales"
-    def txnCol(s: String) =
-      s"COALESCE(SUM(CASE WHEN store_id = '$s' THEN transaction_count END), 0) AS s${s}_transactions"
-    val perStore = pivotStores.flatMap(s => Seq(salesCol(s), txnCol(s))).mkString(",\n  ")
-    s"""WITH sd AS (${sdRangeSql(from, to)})
+                   to: String = Defaults.rangeEnd): String =
+    s"""WITH sd AS (${sdRangeSql(from, to)}),
+       |piv AS (
+       |  PIVOT sd ON 's' || store_id
+       |  USING SUM(gross_dec) AS sales, SUM(transaction_count) AS transactions
+       |  GROUP BY sale_date),
+       |tot AS (
+       |  SELECT sale_date,
+       |    CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
+       |    CAST(SUM(gross_dec) AS DOUBLE) AS total_sales
+       |  FROM sd GROUP BY sale_date)
        |SELECT sale_date,
-       |  CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
-       |  $perStore,
-       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales
-       |FROM sd
-       |GROUP BY sale_date
+       |  CAST(COALESCE(COLUMNS('(s[0-9]+_sales)'), 0) AS DOUBLE) AS '\\1',
+       |  CAST(COALESCE(COLUMNS('(s[0-9]+_transactions)'), 0) AS BIGINT) AS '\\1',
+       |  total_transactions, total_sales
+       |FROM piv JOIN tot USING (sale_date)
        |ORDER BY sale_date""".stripMargin
-  }
 
   /** A21/O5: per-store period summary, sorted by total sales desc
     * (get-trends:307-336), with the A14 trend percent folded in. */
