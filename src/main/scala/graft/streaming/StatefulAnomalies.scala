@@ -39,6 +39,9 @@ case class HistoryState(entries: List[(Int, BigDecimal)])
   *    files arrive day by day, a late re-upload overwrites the summary
   *    but never re-triggers analysis for dates already analyzed
   *    (write-metrics:104; SURVEY.md §2.7 "late file for an old date").
+  *    A re-DELIVERED day is tolerated: state entries are keyed by
+  *    day_idx, so a duplicate summary overwrites its prior entry rather
+  *    than double-counting it in later windows.
   *
   * Scale posture: state is ≤ 7 (day, decimal) pairs per store — bounded
   * by the window width, not the stream length; stores hash-partition the
@@ -74,8 +77,12 @@ object StatefulAnomalies {
                 out += AnomalyEvent(store, r.sale_date, today, histAvg, dev, sev)
               }
             }
-            // keep only entries a future day (> r.day_idx) can still see
-            entries = ((r.day_idx, r.gross) :: entries)
+            // keyed by day_idx: a re-delivered (store, day) summary
+            // OVERWRITES its previous entry instead of double-counting —
+            // the reference's put_item overwrite semantics
+            // (write-metrics:104). Then keep only entries a future day
+            // (> r.day_idx) can still see.
+            entries = ((r.day_idx, r.gross) :: entries.filter(_._1 != r.day_idx))
               .filter(_._1 > r.day_idx - HistDays)
           }
           state.update(HistoryState(entries))

@@ -217,27 +217,41 @@ object TextAnalysis {
     * 2-grams occupied by the single most frequent 2-gram. Boilerplate and
     * templated spam score high on both; natural prose stays low. Two
     * hash aggregations keyed by doc_id — explode → count, map-side
-    * combined, no joins beyond the final doc-id merge. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Corpus.docs(spark, dir).select(col("doc_id"), Corpus.wordsCol.as("ws"))
+    * combined, no joins beyond the final doc-id merge.
+    *
+    * Short-doc semantics (identical in both engines): a document with
+    * fewer than 2 tokens has NO bigrams — the bigram branch skips it
+    * (guarding the descending `sequence(0, size-2)` that would otherwise
+    * index element 0 and throw), the doc-id merge is a LEFT join, counts
+    * zero-fill, and top_bigram_frac is null (0/0). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Corpus.docs(spark, dir))
+
+  /** [[repetition]] over an arbitrary (doc_id, text) relation — the
+    * operator itself, separated so specs can drive edge-case corpora
+    * (1-token and duplicate-day documents) not present in the testdata. */
+  def repetitionOf(docsDf: DataFrame): DataFrame = {
+    val ws = docsDf.select(col("doc_id"), Corpus.wordsCol.as("ws"))
     val bigramsOf = transform(sequence(lit(0), size(col("ws")) - lit(2)),
       i => concat_ws(" ", element_at(col("ws"), i + lit(1)), element_at(col("ws"), i + lit(2))))
-    val bg = ws.select(col("doc_id"), explode(bigramsOf).as("bg"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_count"))
     val words = ws.select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct_words"))
-    words.join(bg, Seq("doc_id"))
+    words.join(bg, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_words"), col("n_distinct_words"),
         ((col("n_words") - col("n_distinct_words")).cast("double") /
           col("n_words").cast("double")).as("dup_word_frac"),
-        col("n_bigrams").cast("long").as("n_bigrams"),
-        col("top_bigram_count").cast("long").as("top_bigram_count"),
-        (col("top_bigram_count").cast("double") /
-          col("n_bigrams").cast("double")).as("top_bigram_frac"))
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).cast("long").as("top_bigram_count"),
+        when(col("n_bigrams") > 0,
+          col("top_bigram_count").cast("double") /
+            col("n_bigrams").cast("double")).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -260,10 +274,12 @@ object TextAnalysis {
        |SELECT w.doc_id, w.n_words, w.n_distinct_words,
        |  CAST(w.n_words - w.n_distinct_words AS DOUBLE)
        |    / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
-       |  bga.n_bigrams, bga.top_bigram_count,
-       |  CAST(bga.top_bigram_count AS DOUBLE)
-       |    / CAST(bga.n_bigrams AS DOUBLE) AS top_bigram_frac
-       |FROM w JOIN bga USING (doc_id)
+       |  CAST(COALESCE(bga.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(bga.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       |  CASE WHEN bga.n_bigrams > 0 THEN
+       |    CAST(bga.top_bigram_count AS DOUBLE)
+       |      / CAST(bga.n_bigrams AS DOUBLE) END AS top_bigram_frac
+       |FROM w LEFT JOIN bga USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin
   }
 }

@@ -32,6 +32,19 @@ class CompositionSpec extends GraftSpec {
     assert(r.filter(col("n_bigrams") =!= col("n_words") - 1).count() === 0)
   }
 
+  test("t7: documents with fewer than 2 tokens yield zero bigrams, null frac") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo"), (2L, "two words"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionOf(docs).orderBy("doc_id").collect()
+    assert(r.length === 3)
+    val solo = r(0) // 1 token: no bigrams, zero-filled counts, null fraction
+    assert(solo.getLong(1) === 1L && solo.getLong(4) === 0L && solo.getLong(5) === 0L)
+    assert(solo.isNullAt(6))
+    val aa = r(2) // "a a a": 2 bigrams, both "a a"
+    assert(aa.getLong(4) === 2L && aa.getLong(5) === 2L && aa.getDouble(6) === 1.0)
+  }
+
   test("e7: retention matrix — offset 0 is complete, cells never exceed cohort") {
     val m = EventsBatch.retention(spark, sfDir).cache()
     try {

@@ -100,6 +100,33 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("re-delivered (store, day) summary overwrites state, not double-counts") {
+    import spark.implicits._
+    import graft.streaming.{StatefulAnomalies, DailySummary}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def s(d: Int, g: Int) = DailySummary("0001", d, f"2024-01-${d + 1}%02d", BigDecimal(g))
+    val input = MemoryStream[DailySummary]
+    val q = StatefulAnomalies.detect(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anoms_dup").start()
+    try {
+      input.addData(s(0, 100), s(1, 100), s(2, 100)); q.processAllAvailable()
+      // day 2 re-delivered with a corrected total, then the following days:
+      // each later trailing-7-day window must see ONE day-2 entry valued
+      // 400 (overwrite) — day 3's window is {100,100,400} avg 200;
+      // double-counting would make it {100,100,100,400} avg 175 instead
+      input.addData(s(2, 400), s(3, 100), s(4, 100), s(5, 100)); q.processAllAvailable()
+      val got = spark.sql(
+          """SELECT sale_date, hist_avg_sales, deviation_pct, severity
+            |FROM anoms_dup ORDER BY sale_date""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+      val want = Seq(
+        ("2024-01-04", 200.0, (100.0 - 200.0) / 200.0 * 100, "warning"),
+        ("2024-01-05", 175.0, (100.0 - 175.0) / 175.0 * 100, "warning"),
+        ("2024-01-06", 160.0, (100.0 - 160.0) / 160.0 * 100, "warning"))
+      assert(got.toSeq === want)
+    } finally q.stop()
+  }
+
   test("resize stub preserves schema contract and aspect ratio bounds") {
     val media = Multimodal.mediaFromDocs(spark, sfDir)
     val resized = Multimodal.resizeStub(media, maxDim = 64)
