@@ -93,7 +93,10 @@ object SparkEntry {
     "a28_wow_growth" -> ((s, dir) => Trends.wowGrowth(s, dir)),
     "v4_ivf_ann" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
     "t7_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
-    "e7_retention" -> ((s, dir) => EventsBatch.retention(s, dir))
+    "e7_retention" -> ((s, dir) => EventsBatch.retention(s, dir)),
+    "r2_recommendations" -> ((s, dir) => graft.analytics.Recommendations.recommendations(s, dir)),
+    "x3_export_trends" -> ((s, dir) => Flatten.exportTrendsCsv(s, dir)),
+    "x4_export_recommendations" -> ((s, dir) => Flatten.exportRecommendationsCsv(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,6 +169,9 @@ object SparkEntry {
     "a28_wow_growth" -> Trends.wowGrowthSql,
     "v4_ivf_ann" -> Similarity.ivfAnnSql(),
     "t7_repetition" -> TextAnalysis.repetitionSql,
-    "e7_retention" -> EventsBatch.retentionSql
+    "e7_retention" -> EventsBatch.retentionSql,
+    "r2_recommendations" -> graft.analytics.Recommendations.recommendationsSql,
+    "x3_export_trends" -> Flatten.exportTrendsCsvSql,
+    "x4_export_recommendations" -> Flatten.exportRecommendationsCsvSql
   )
 }

@@ -181,7 +181,8 @@ object History {
       .orderBy(col("store_id"), col("sale_date"))
   }
 
-  val trendDirectionSql: String =
+  /** Unordered body for downstream CTE composition (Recommendations). */
+  private[graft] val trendDirectionBodySql: String =
     s"""WITH sd AS ($sdSql),
        |joined AS (
        |  SELECT t.store_id, t.sale_date, h.day_idx AS h_idx, h.gross_dec AS h_sales
@@ -214,8 +215,10 @@ object History {
        |    WHEN recent_avg > earlier_avg * 1.05 THEN 'increasing'
        |    WHEN recent_avg < earlier_avg * 0.95 THEN 'decreasing'
        |    ELSE 'stable' END AS direction
-       |FROM sel
-       |ORDER BY store_id, sale_date""".stripMargin
+       |FROM sel""".stripMargin
+
+  val trendDirectionSql: String =
+    s"$trendDirectionBodySql\nORDER BY store_id, sale_date"
 
   /** P3: the optional-equality store filter of the read APIs
     * (get-trends:69-72 — `GSI1SK = STORE#xxxx` only when the store_id

@@ -128,6 +128,45 @@ object Flatten {
        |WHERE starts_with(sk, 'DATE#')
        |ORDER BY pk, sk""".stripMargin
 
+  /** x3: the flattened QuickSight `trends` dataset — exactly
+    * create_trends_df's columns (export-to-quicksight/lambda_function.py:
+    * 275-299): date, trend_type, significance, title, description, and
+    * the affected_items list joined to a CSV string (:283-285). Source is
+    * the deterministic trend-insight relation (the LLM seam's rubric
+    * twin, [[graft.analytics.Recommendations.trendInsights]]). */
+  def exportTrendsCsv(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Recommendations.trendInsights(spark, dir)
+      .select(col("sale_date").as("date"), col("trend_type"),
+        col("significance"), col("title"), col("description"),
+        col("affected_items"))
+      .orderBy(col("date"), col("trend_type"))
+
+  val exportTrendsCsvSql: String =
+    s"""WITH ti AS (${graft.analytics.Recommendations.trendInsightsBodySql})
+       |SELECT sale_date AS "date", trend_type, significance, title,
+       |  description, affected_items
+       |FROM ti
+       |ORDER BY "date", trend_type""".stripMargin
+
+  /** x4: the flattened QuickSight `recommendations` dataset — exactly
+    * create_recommendations_df's columns (export-to-quicksight:302-327):
+    * date, priority, category, title, description, the affected_stores /
+    * affected_products lists as CSV strings (:310-315), expected_impact.
+    * (date, category) is unique by construction → total order. */
+  def exportRecommendationsCsv(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Recommendations.recommendations(spark, dir)
+      .select(col("sale_date").as("date"), col("priority"), col("category"),
+        col("title"), col("description"), col("affected_stores"),
+        col("affected_products"), col("expected_impact"))
+      .orderBy(col("date"), col("category"))
+
+  val exportRecommendationsCsvSql: String =
+    s"""WITH recs AS (${graft.analytics.Recommendations.recommendationsBodySql})
+       |SELECT sale_date AS "date", priority, category, title, description,
+       |  affected_stores, affected_products, expected_impact
+       |FROM recs
+       |ORDER BY "date", category""".stripMargin
+
   /** r1/O8: report lines — severity icon lookup, initcap labels, custom
     * priority order critical < warning < info (generate-report:150-167,
     * generate-recommendations:210-211). Deviation is bucketed with integer

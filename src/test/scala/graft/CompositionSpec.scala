@@ -76,6 +76,36 @@ class CompositionSpec extends GraftSpec {
     } finally c.unpersist()
   }
 
+  test("r2: recommendation ranks are dense, priority-ordered; high count consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val r = graft.analytics.Recommendations.recommendations(spark, sfDir).cache()
+    try {
+      assert(r.count() > 0)
+      // rec_rank is 1..n per date and follows priority_rank order
+      val w = Window.partitionBy(col("sale_date")).orderBy(col("rec_rank"))
+      val seq = r.withColumn("prev_rank", lag(col("rec_rank"), 1).over(w))
+        .withColumn("prev_prio", lag(col("priority_rank"), 1).over(w))
+      assert(seq.filter(col("prev_rank").isNull && col("rec_rank") =!= 1).count() === 0)
+      assert(seq.filter(col("rec_rank") =!= col("prev_rank") + 1
+        && col("prev_rank").isNotNull).count() === 0)
+      assert(seq.filter(col("priority_rank") < col("prev_prio")).count() === 0)
+      // high_priority_count matches the actual high rows of its date
+      val highs = r.groupBy(col("sale_date"))
+        .agg(sum(when(col("priority") === "high", 1).otherwise(0)).as("n_high"),
+          max(col("high_priority_count")).as("claimed"),
+          min(col("high_priority_count")).as("claimed_min"))
+      assert(highs.filter(col("n_high") =!= col("claimed")
+        || col("claimed") =!= col("claimed_min")).count() === 0)
+      // the operations rule matches the a11 relation it derives from
+      val opsDates = r.filter(col("category") === "operations")
+        .select(col("sale_date")).distinct()
+      val anomalyDates = graft.analytics.History.anomalies(spark, sfDir)
+        .filter(col("deviation_pct") < -25).select(col("sale_date")).distinct()
+      assert(opsDates.exceptAll(anomalyDates).count() === 0)
+      assert(anomalyDates.exceptAll(opsDates).count() === 0)
+    } finally r.unpersist()
+  }
+
   test("a26: lossy rollup never exceeds exact; bias is the difference") {
     val b = graft.etl.ProductDaily.rollupBias(spark, sfDir)
     assert(b.filter(col("lossy_revenue") > col("exact_revenue")).count() === 0)
