@@ -96,7 +96,11 @@ object SparkEntry {
     "e7_retention" -> ((s, dir) => EventsBatch.retention(s, dir)),
     "r2_recommendations" -> ((s, dir) => graft.analytics.Recommendations.recommendations(s, dir)),
     "x3_export_trends" -> ((s, dir) => Flatten.exportTrendsCsv(s, dir)),
-    "x4_export_recommendations" -> ((s, dir) => Flatten.exportRecommendationsCsv(s, dir))
+    "x4_export_recommendations" -> ((s, dir) => Flatten.exportRecommendationsCsv(s, dir)),
+    // d9/d10: xxhash64 scale twins of d4/d6 — rows-only like d5 (no DuckDB
+    // xxhash64); value-parity with the dictionary variants is spec-asserted.
+    "d9_jaccard_xxhash" -> ((s, dir) => Dedup.ngramJaccardXxhash(s, dir)),
+    "d10_clusters_xxhash" -> ((s, dir) => Dedup.dupClustersXxhash(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

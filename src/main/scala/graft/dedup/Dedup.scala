@@ -122,14 +122,15 @@ object Dedup {
   /** Shared-shingle pair relation: (doc_a, doc_b, n_common) via the
     * inverted-index self-join — the sub-quadratic candidate generator for
     * Jaccard (only pairs that share >= 1 shingle materialize). */
-  private def commonShingles(spark: SparkSession, dir: String): DataFrame = {
-    val ds = docSids(spark, dir)
+  private def commonShinglesFrom(ds: DataFrame): DataFrame =
     ds.select(col("doc_id").as("doc_a"), col("sid"))
       .join(ds.select(col("doc_id").as("doc_b"), col("sid")), Seq("sid"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-  }
+
+  private def commonShingles(spark: SparkSession, dir: String): DataFrame =
+    commonShinglesFrom(docSids(spark, dir))
 
   private val commonShinglesSql: String =
     s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -333,9 +334,12 @@ object Dedup {
     * inverted-index join (pairs sharing >= 1 shingle), never all-pairs.
     * |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes. */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.2): DataFrame = {
-    val sizes = docSids(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    commonShingles(spark, dir)
+                   threshold: Double = 0.2): DataFrame =
+    ngramJaccardFrom(docSids(spark, dir), threshold)
+
+  private def ngramJaccardFrom(ds: DataFrame, threshold: Double): DataFrame = {
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    commonShinglesFrom(ds)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
       .withColumn("jaccard", col("n_common").cast("double") /
@@ -419,13 +423,15 @@ object Dedup {
     * replays the same closure with WITH RECURSIVE (UNION dedup
     * terminates it). */
   def dupClusters(spark: SparkSession, dir: String,
-                  threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
+                  threshold: Double = 0.5): DataFrame =
+    dupClustersFrom(Corpus.docs(spark, dir),
+      ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+
+  private def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = Corpus.docs(spark, dir)
+    var labels = docs
       .select(col("doc_id"), col("doc_id").as("label")).cache()
     var converged = false
     var rounds = 0
@@ -474,6 +480,34 @@ object Dedup {
        |ORDER BY l.doc_id""".stripMargin
 
   // ------------------------------------------------- xxhash scale variant
+
+  /** (doc_id, sid) with RAW 64-bit xxhash64 shingle ids — the 100 TB id
+    * assignment: no vocabulary dictionary, no global sort, no shuffle
+    * beyond the token explode itself. Exact Jaccard and connected
+    * components only need set IDENTITY (not the bounded range the affine
+    * minhash family needs), so the full 64-bit hash applies unmodified
+    * and collisions are ~|shingles|²/2⁶⁴ — negligible at any corpus size
+    * (DedupSimilaritySpec asserts pair/cluster equality with the
+    * dictionary variants on the test corpus). */
+  private def docSidsXx(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+      .cache()
+
+  /** d9: scale twin of d4 — exact 3-shingle Jaccard pairs over xxhash64
+    * ids. Rows-only (xxhash64 has no DuckDB twin); value-equality with d4
+    * is spec-asserted instead. */
+  def ngramJaccardXxhash(spark: SparkSession, dir: String,
+                         threshold: Double = 0.2): DataFrame =
+    ngramJaccardFrom(docSidsXx(spark, dir), threshold)
+
+  /** d10: scale twin of d6 — connected components over the d9 edge set.
+    * With d5 (minhash), d9, and d10, every dictionary-bound dedup
+    * operator has a no-global-sort path. Rows-only like d9. */
+  def dupClustersXxhash(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame =
+    dupClustersFrom(Corpus.docs(spark, dir),
+      ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
 
   /** Bench-only (no DuckDB twin): the 100 TB MinHash variant — token ids
     * from xxhash64 instead of the rank dictionary, dropping the global

@@ -59,6 +59,23 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally clusters.unpersist()
   }
 
+  test("d9/d10: xxhash scale twins agree exactly with the dictionary variants") {
+    // d9 vs d4: identical pair sets AND identical jaccard/intersection
+    // values — raw 64-bit shingle ids preserve set identity, so the exact
+    // algebra is unchanged (only the id assignment differs)
+    def pairKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("size_a"),
+        col("size_b"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    assert(pairKey(Dedup.ngramJaccardXxhash(spark, sfDir)) ===
+      pairKey(Dedup.ngramJaccard(spark, sfDir)))
+    // d10 vs d6: identical (doc -> cluster, size) labeling
+    def clusterKey(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq).toSet
+    assert(clusterKey(Dedup.dupClustersXxhash(spark, sfDir)) ===
+      clusterKey(Dedup.dupClusters(spark, sfDir)))
+  }
+
   test("v1: rank-1 neighbor has the max cosine; self excluded; k respected") {
     val v = Similarity.cosineTopK(spark, sfDir)
     assert(v.filter(col("query_id") === col("neighbor_id")).count() === 0)
