@@ -100,7 +100,9 @@ object SparkEntry {
     // d9/d10: xxhash64 scale twins of d4/d6 — rows-only like d5 (no DuckDB
     // xxhash64); value-parity with the dictionary variants is spec-asserted.
     "d9_jaccard_xxhash" -> ((s, dir) => Dedup.ngramJaccardXxhash(s, dir)),
-    "d10_clusters_xxhash" -> ((s, dir) => Dedup.dupClustersXxhash(s, dir))
+    "d10_clusters_xxhash" -> ((s, dir) => Dedup.dupClustersXxhash(s, dir)),
+    "d11_simhash_xxhash" -> ((s, dir) => Dedup.simhashXxhash(s, dir)),
+    "t8_fingerprint_xxhash" -> ((s, dir) => TextAnalysis.fingerprintXxhash(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -139,8 +139,17 @@ object History {
     * empty once hist_days >= 2, so direction can move at n == 2.
     *
     * Implemented scale-first: each history day is exploded to the ≤7
-    * target days it can serve → equi-join on (store_id, day_idx). */
-  def trendDirection(spark: SparkSession, dir: String): DataFrame = {
+    * target days it can serve → equi-join on (store_id, day_idx).
+    *
+    * The unordered body is CACHED (stores×days rows — dimension-sized):
+    * a12, the trend-insight rubric (x3), and the recommendations rubric
+    * (r2/x4) all re-read this relation; like rollupDec/paymentDec it is
+    * a silver-table stand-in, not a per-query recompute. */
+  def trendDirection(spark: SparkSession, dir: String): DataFrame =
+    trendDirectionBody(spark, dir)
+      .orderBy(col("store_id"), col("sale_date"))
+
+  private def trendDirectionBody(spark: SparkSession, dir: String): DataFrame = {
     val base = sd(spark, dir)
     val hist = base.select(
         col("store_id").as("h_store"), col("day_idx").as("h_idx"),
@@ -178,7 +187,7 @@ object History {
           .when(col("recent_avg") > col("earlier_avg") * 1.05, "increasing")
           .when(col("recent_avg") < col("earlier_avg") * 0.95, "decreasing")
           .otherwise("stable").as("direction"))
-      .orderBy(col("store_id"), col("sale_date"))
+      .cache()
   }
 
   /** Unordered body for downstream CTE composition (Recommendations). */

@@ -20,18 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Kpis {
 
-  /** A9: one-row KPI summary for a date range, 4-method payment pivot. */
+  /** A9: one-row KPI summary for a date range, 4-method payment pivot.
+    * Reads the cached per-(store, day, method) payment silver relation
+    * ([[graft.etl.StoreDaily.paymentDec]]) — decimal partials re-aggregate
+    * exactly, so no per-query orders join and identical values. */
   def kpis(spark: SparkSession, dir: String,
            from: String = Defaults.rangeStart,
            to: String = Defaults.rangeEnd): DataFrame = {
     def pay(m: String) =
-      sum(when(col("payment_method") === m, col("line_total") - col("discount_amount"))
+      sum(when(col("payment_method") === m, col("amt_dec"))
         .otherwise(lit(null))).as(s"pay_${m}_dec")
-    Tables.salesWithPaymentInRange(spark, dir, from, to)
+    graft.etl.StoreDaily.paymentDec(spark, dir)
+      .filter(col("sale_date").between(from, to))
       .agg(
-        sum(col("line_total")).as("sales_dec"),
-        count(lit(1)).as("total_transactions"),
-        sum(col("quantity")).as("total_items"),
+        sum(col("gross_dec")).as("sales_dec"),
+        sum(col("txn")).as("total_transactions"),
+        sum(col("item_count")).as("total_items"),
         pay("cash"), pay("credit"), pay("debit"), pay("gift_card"))
       .select(
         col("sales_dec").cast("double").as("total_sales"),

@@ -509,6 +509,34 @@ object Dedup {
     dupClustersFrom(Corpus.docs(spark, dir),
       ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
 
+  /** d11: scale twin of d3 — SimHash with per-token hashes straight from
+    * xxhash64 (mod the 32-bit prime), skipping the word dictionary. The
+    * bit-weight algebra is identical; signatures differ from d3 only by
+    * the hash family (sketches are implementation-defined), so the spec
+    * asserts structural invariants (byte bands recombine, 32-bit range)
+    * rather than value equality. Rows-only like d5/d9/d10. */
+  def simhashXxhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Corpus.docs(spark, dir)
+      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", pmod(xxhash64(col("word")), lit(P32)))
+    val bits = spark.range(32).select(col("id").cast("long").as("bit"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
+    val weights = tokens.crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("bit"), col("pw"))
+      .agg(sum(col("cnt") *
+        (expr("h div pw") % 2L * 2L - 1L)).as("weight"))
+    weights.groupBy(col("doc_id"))
+      .agg(sum(when(col("weight") > 0, col("pw")).otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        (expr("simhash div 1") % 256L).as("band0"),
+        (expr("simhash div 256") % 256L).as("band1"),
+        (expr("simhash div 65536") % 256L).as("band2"),
+        (expr("simhash div 16777216") % 256L).as("band3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bench-only (no DuckDB twin): the 100 TB MinHash variant — token ids
     * from xxhash64 instead of the rank dictionary, dropping the global
     * vocabulary sort entirely. Same band/bucket algebra as [[minhashLsh]].

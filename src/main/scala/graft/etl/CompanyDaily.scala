@@ -95,11 +95,12 @@ object CompanyDaily {
 
   /** A6: company payment rollup — merge per-store payment maps by key-sum
     * (calc-company-metrics:88-93). Long-form relational: a second groupBy
-    * over the A2 output, no explode needed. */
+    * over the cached A2 silver relation (decimal partials re-aggregate
+    * exactly), no explode and no fact-table scan. */
   def paymentRollup(spark: SparkSession, dir: String): DataFrame =
-    graft.model.Tables.salesWithPayment(spark, dir)
+    StoreDaily.paymentDec(spark, dir)
       .groupBy(col("sale_date"), col("payment_method"))
-      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"))
+      .agg(sum(col("amt_dec")).as("amt_dec"))
       .select(col("sale_date"), col("payment_method"),
         col("amt_dec").cast("double").as("amount"))
       .orderBy(col("sale_date"), col("payment_method"))

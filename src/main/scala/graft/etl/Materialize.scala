@@ -38,10 +38,19 @@ object Materialize {
       .mode("overwrite")
       .parquet(s"$root/product_daily")
 
+    // the payment dimension is join-derived (orders → payment_method);
+    // materializing the per-(store, day, method) silver relation means the
+    // orders join happens once per ingest increment, never per read query
+    StoreDaily.paymentDec(spark, dir).write
+      .partitionBy("sale_date")
+      .mode("overwrite")
+      .parquet(s"$root/payment_daily")
+
     Map(
       "store_daily" -> s"$root/store_daily",
       "company_daily" -> s"$root/company_daily",
-      "product_daily" -> s"$root/product_daily")
+      "product_daily" -> s"$root/product_daily",
+      "payment_daily" -> s"$root/payment_daily")
   }
 
   /** Bucketed variants of the summary tables: 8 buckets on store_id,

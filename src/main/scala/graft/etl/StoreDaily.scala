@@ -77,15 +77,33 @@ object StoreDaily {
        |GROUP BY store_id, sale_date
        |ORDER BY store_id, sale_date""".stripMargin
 
+  /** Exact-decimal per-(store, day, method) payment summary — the silver
+    * payment relation. CACHED like [[rollupDec]]: the orders join (the one
+    * fact-to-fact join in the engine, needed only to derive
+    * payment_method) runs ONCE; a2/a6/a9/x1 then re-aggregate this
+    * dimension-sized relation (≤ stores×days×5 rows). The production twin
+    * is the payment_daily silver table ([[Materialize.writeSummaries]]) —
+    * at 100 TB the join happens once per ingest increment, never per
+    * read query. Decimal partials re-aggregate exactly, so every
+    * downstream sum is unchanged. */
+  def paymentDec(spark: SparkSession, dir: String): DataFrame =
+    Tables.salesWithPayment(spark, dir)
+      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
+      .agg(
+        sum(col("line_total") - col("discount_amount")).as("amt_dec"),
+        sum(col("line_total")).as("gross_dec"),
+        count(lit(1)).as("txn"),
+        sum(col("quantity")).as("item_count"))
+      .cache()
+
   /** A2: payment breakdown — per (store, day, method):
     * sum(line_total - discount_amount)
     * (calculate-metrics/lambda_function.py:128,143,170-173). Kept relational
     * (long form) rather than a map column: map columns don't survive the
-    * oracle compare, and long form re-aggregates without explode at scale. */
+    * oracle compare, and long form re-aggregates without explode at scale.
+    * Reads the cached [[paymentDec]] silver relation. */
   def paymentBreakdown(spark: SparkSession, dir: String): DataFrame =
-    Tables.salesWithPayment(spark, dir)
-      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
-      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"))
+    paymentDec(spark, dir)
       .select(col("store_id"), col("sale_date"), col("payment_method"),
         col("amt_dec").cast("double").as("amount"))
       .orderBy(col("store_id"), col("sale_date"), col("payment_method"))
@@ -112,9 +130,17 @@ object StoreDaily {
 
   /** Exact-decimal top-k-per-(store,day), reused by the lossy product
     * rollup (A7) which by reference semantics aggregates truncated
-    * per-store top-5s, not raw line items. */
+    * per-store top-5s, not raw line items.
+    *
+    * CACHED: this is the engine's product_daily silver relation — the
+    * reference PERSISTS it (calc-product-metrics:117-133) and seven read
+    * paths (a3/a7/a8/j6/a26/d7/r2) re-aggregate it. Output is bounded at
+    * k×stores×days rows regardless of fact-table size. Date-RANGED
+    * consumers use [[topProductsDecRange]], which builds from the pruned
+    * scan and is a different plan — its parquet pushdown is unaffected
+    * by this cache. */
   def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    topProductsFrom(Tables.sales(spark, dir), k)
+    topProductsFrom(Tables.sales(spark, dir), k).cache()
 
   /** Date-bounded variant built on the range-pruned scan ([[Tables.
     * salesInRange]]): the sale_date window-partition filter alone never
@@ -136,9 +162,6 @@ object StoreDaily {
     perSku
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    // deliberately NOT cached: date-filtered consumers (a16/a17) push
-    // their predicates below this window (sale_date is a partition key of
-    // it); a cache would freeze the full relation and defeat the pushdown.
   }
 
   /** The reference's complete store-daily summary DOCUMENT — one row per

@@ -54,11 +54,8 @@ object Flatten {
     * hash-compare portably, their sorted CSV serialization does). Decimal
     * amounts render identically ("12.50") in both engines. */
   def exportStoreSummariesCsv(spark: SparkSession, dir: String): DataFrame = {
-    val perMethod = Tables.salesWithPayment(spark, dir)
-      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
-      .agg(sum(col("line_total") - col("discount_amount")).as("amt_dec"),
-        sum(col("line_total")).as("gross_dec"),
-        count(lit(1)).as("txn"))
+    // the cached payment silver relation IS this export's per-method input
+    val perMethod = StoreDaily.paymentDec(spark, dir)
     def pay(m: String) =
       sum(when(col("payment_method") === m, col("amt_dec"))).cast("double").as(s"payment_$m")
     perMethod

@@ -211,6 +211,25 @@ object TextAnalysis {
        |  CAST(len(wids) AS BIGINT) AS n_words
        |FROM seqs ORDER BY doc_id""".stripMargin
 
+  /** t8: scale twin of t4 — the rolling-hash fingerprint over xxhash64
+    * word ids (mod P) instead of rank-dictionary ids: no vocabulary, no
+    * global sort, no dictionary join at all. The fold algebra is
+    * identical, so the defining property survives: equal token streams ⇒
+    * equal fingerprints (spec-asserted against d1's exact text groups).
+    * Rows-only (no DuckDB xxhash64). */
+  def fingerprintXxhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.docs(spark, dir)
+      .select(col("doc_id"),
+        transform(Corpus.wordsCol,
+          w => pmod(xxhash64(w), lit(Corpus.P))).as("wids"))
+    d.select(
+      col("doc_id"),
+      aggregate(col("wids"), lit(0L),
+        (acc, x) => (acc * lit(131L) + x) % lit(Corpus.P)).as("fingerprint"),
+      size(col("wids")).cast("long").as("n_words")
+    ).orderBy("doc_id")
+  }
+
   /** t7: repetition metrics per document — the Gopher-style repetition
     * filters a quality pipeline applies after t2's length/stopword rules:
     * duplicate-word ratio (1 − distinct/total) and the fraction of word

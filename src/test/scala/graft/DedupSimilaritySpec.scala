@@ -76,6 +76,31 @@ class DedupSimilaritySpec extends GraftSpec {
       clusterKey(Dedup.dupClusters(spark, sfDir)))
   }
 
+  test("d11: xxhash simhash signatures are 32-bit and byte bands recombine") {
+    val s = Dedup.simhashXxhash(spark, sfDir)
+    assert(s.count() > 0)
+    assert(s.filter(col("simhash") < 0 || col("simhash") >= (1L << 32)).count() === 0)
+    val recombined = s.filter(col("simhash") =!=
+      col("band0") + col("band1") * 256 + col("band2") * 65536 +
+        col("band3") * 16777216)
+    assert(recombined.count() === 0)
+  }
+
+  test("t8: xxhash fingerprints — equal texts agree, n_words matches t4") {
+    val fp = graft.text.TextAnalysis.fingerprintXxhash(spark, sfDir)
+    // identical text => identical fingerprint (join via exact-dup groups)
+    val groups = Dedup.exactDedup(spark, sfDir).select(col("doc_id"), col("keep_id"))
+    val byGroup = fp.join(groups, Seq("doc_id"))
+      .groupBy(col("keep_id"))
+      .agg(countDistinct(col("fingerprint")).as("n_fp"))
+    assert(byGroup.filter(col("n_fp") =!= 1).count() === 0)
+    // token-count parity with the dictionary fingerprint
+    val t4 = graft.text.TextAnalysis.fingerprint(spark, sfDir)
+      .select(col("doc_id"), col("n_words").as("n_words_dict"))
+    assert(fp.join(t4, Seq("doc_id"))
+      .filter(col("n_words") =!= col("n_words_dict")).count() === 0)
+  }
+
   test("v1: rank-1 neighbor has the max cosine; self excluded; k respected") {
     val v = Similarity.cosineTopK(spark, sfDir)
     assert(v.filter(col("query_id") === col("neighbor_id")).count() === 0)
