@@ -10,7 +10,8 @@ class MaterializeSpec extends GraftSpec {
     val root = Files.createTempDirectory("medallion")
     root.toFile.deleteOnExit()
     val paths = Materialize.writeSummaries(spark, sfDir, root.toString)
-    assert(paths.size === 3)
+    assert(paths.size === 4)
+    assert(paths.contains("payment_daily"))
 
     val silver = Materialize.storeDaily(spark, root.toString)
     // partition column recovered, full content preserved
