@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline over the
@@ -35,6 +35,32 @@ object TextAnalysis {
     * bounds, mean word length, stopword presence, alpha ratio). Ratios are
     * a single IEEE double division of exact integers (oracle parity, see
     * [[graft.model.Tables]]); the score itself is integer arithmetic. */
+  /** The t2 quality rubric as a single Column over a `text` column —
+    * shared by the batch projection below and the streaming corpus gate
+    * ([[graft.streaming.StreamingCorpus.qualityGate]]): a stateless,
+    * codegen'd per-row expression is streamable unchanged. Integer-exact
+    * comparisons (×10 instead of float ratios) so batch, streaming, and
+    * the DuckDB oracle agree bit-for-bit. */
+  def qualityScoreCol: Column = {
+    val nWords = size(Corpus.wordsCol).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val wordChars = nChars - (nWords - lit(1L))
+    val nStop = size(filter(Corpus.wordsCol, w => w === "the" || w === "a")).cast("long")
+    val nAlpha = (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))).cast("long")
+    when(nWords.between(20L, 90L), lit(25L)).otherwise(lit(0L)) +
+      when(wordChars * lit(10L) > nWords * lit(30L) && wordChars * lit(10L) < nWords * lit(100L),
+        lit(25L)).otherwise(lit(0L)) + // 3 < mean word len < 10, integer-exact
+      when(nStop > lit(0L), lit(25L)).otherwise(lit(0L)) +
+      when(nAlpha * lit(10L) >= nChars * lit(7L), lit(25L)).otherwise(lit(0L)) // >= 70% alpha
+  }
+
+  /** t6's normalization as a Column over `text` (lowercase, strip
+    * non-alphanumerics, collapse whitespace, trim) — the content-identity
+    * key for exact dedup (d1 at scale groups on xxhash64 of exactly this). */
+  def normalizedCol: Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val nWords = size(Corpus.wordsCol).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -45,12 +71,7 @@ object TextAnalysis {
     val meanWordLen = wordChars.cast("double") / nWords.cast("double")
     val stopRatio = nStop.cast("double") / nWords.cast("double")
     val alphaRatio = nAlpha.cast("double") / nChars.cast("double")
-    val score =
-      when(nWords.between(20L, 90L), lit(25L)).otherwise(lit(0L)) +
-        when(wordChars * lit(10L) > nWords * lit(30L) && wordChars * lit(10L) < nWords * lit(100L),
-          lit(25L)).otherwise(lit(0L)) + // 3 < mean word len < 10, integer-exact
-        when(nStop > lit(0L), lit(25L)).otherwise(lit(0L)) +
-        when(nAlpha * lit(10L) >= nChars * lit(7L), lit(25L)).otherwise(lit(0L)) // >= 70% alpha
+    val score = qualityScoreCol
     Corpus.docs(spark, dir).select(
       col("doc_id"), nWords.as("n_words"),
       meanWordLen.as("mean_word_len"),
@@ -159,10 +180,8 @@ object TextAnalysis {
     Corpus.docs(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_before"),
-      length(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " "))).cast("long").as("n_chars_after"),
-      substring(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " ")), 1, 40).as("normalized_prefix")
+      length(normalizedCol).cast("long").as("n_chars_after"),
+      substring(normalizedCol, 1, 40).as("normalized_prefix")
     ).orderBy(col("doc_id"))
 
   val normalizeTextSql: String =

@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.StreamingCorpus
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+
+/** Streaming corpus ingest: watermark-bounded exact dedup + stateless
+  * quality gate over a document file stream, and their agreement with the
+  * batch twins (d1 content identity, t2 rubric). */
+class StreamingCorpusSpec extends GraftSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  private def doc(id: Long, ts: String, text: String) =
+    s"""{"doc_id": $id, "ts": "$ts", "text": ${ujsonStr(text)}}"""
+  private def ujsonStr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+
+  private def runStream(in: Path, transform: org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.DataFrame, sinkName: String): Unit = {
+    val ckpt = Files.createTempDirectory(s"${sinkName}_ckpt")
+    ckpt.toFile.deleteOnExit()
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = transform(stream).writeStream
+      .outputMode("append").format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming dedup keeps first arrival, drops within-watermark duplicate content") {
+    val in = Files.createTempDirectory("stream_docs")
+    in.toFile.deleteOnExit()
+    // batch 1: two distinct docs
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", "The cat sat!"),
+      doc(2, "2024-03-01T10:05:00", "a dog ran")).mkString("\n"))
+    // batch 2: doc 3 normalizes to doc 1's content ("the cat sat") and is
+    // within the 30-min watermark -> dropped; doc 4 is new content
+    Files.writeString(in.resolve("b.json"), Seq(
+      doc(3, "2024-03-01T10:10:00", "the cat sat"),
+      doc(4, "2024-03-01T10:20:00", "totally new text")).mkString("\n"))
+
+    runStream(in, StreamingCorpus.dedupWithinWatermark(_), "dedup_stream")
+    val kept = spark.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 2L, 4L))
+  }
+
+  test("streaming quality gate verdict is bit-identical to the batch t2 rubric") {
+    val in = Files.createTempDirectory("stream_gate")
+    in.toFile.deleteOnExit()
+    val good = ("it was the best of times and the worst of times " * 4).trim // all 4 bands: score 100
+    val short = "too short"                 // fails length+stopword bands: score 50
+    val digits = "2024 9981 777 31337 404 500 12 99 1000 12345 42 7 8 9 10 11 12 13 14 15 16 17 18 19 20" // only length band: score 25
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", good),
+      doc(2, "2024-03-01T10:01:00", short)).mkString("\n"))
+    Files.writeString(in.resolve("b.json"), Seq(
+      doc(3, "2024-03-01T10:02:00", digits)).mkString("\n"))
+
+    runStream(in, StreamingCorpus.qualityGate(_, minScore = 75L), "gate_stream")
+    val streamed = spark.sql("SELECT doc_id, quality_score FROM gate_stream ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // batch twin: same rubric column over a static read of the same files
+    val batch = spark.read.schema(docSchema).json(in.toString)
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .filter(col("quality_score") >= 75L)
+      .select(col("doc_id"), col("quality_score")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Seq(1L)) // only the good doc passes
+  }
+
+  test("composed corpus ingest gates then dedups (rejected docs never enter state)") {
+    val in = Files.createTempDirectory("stream_corpus")
+    in.toFile.deleteOnExit()
+    val good = ("it was the best of times and the worst of times " * 4).trim
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", good),
+      doc(2, "2024-03-01T10:01:00", "junk")).mkString("\n")) // "junk" scores 50 < 75
+    Files.writeString(in.resolve("b.json"), Seq(
+      doc(3, "2024-03-01T10:05:00", good), // duplicate of kept doc 1 -> dropped
+      doc(4, "2024-03-01T10:06:00", "junk")).mkString("\n")) // gated, not deduped
+
+    runStream(in, StreamingCorpus.corpusIngest(_, minScore = 75L), "corpus_stream")
+    val kept = spark.sql("SELECT doc_id FROM corpus_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+}
