@@ -102,7 +102,11 @@ object SparkEntry {
     "d9_jaccard_xxhash" -> ((s, dir) => Dedup.ngramJaccardXxhash(s, dir)),
     "d10_clusters_xxhash" -> ((s, dir) => Dedup.dupClustersXxhash(s, dir)),
     "d11_simhash_xxhash" -> ((s, dir) => Dedup.simhashXxhash(s, dir)),
-    "t8_fingerprint_xxhash" -> ((s, dir) => TextAnalysis.fingerprintXxhash(s, dir))
+    "t8_fingerprint_xxhash" -> ((s, dir) => TextAnalysis.fingerprintXxhash(s, dir)),
+    "t9_pii_scrub" -> ((s, dir) => graft.text.CorpusPrep.piiScrub(s, dir)),
+    "p7_split_assign" -> ((s, dir) => graft.text.CorpusPrep.splitAssign(s, dir)),
+    "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
+    "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +182,10 @@ object SparkEntry {
     "e7_retention" -> EventsBatch.retentionSql,
     "r2_recommendations" -> graft.analytics.Recommendations.recommendationsSql,
     "x3_export_trends" -> Flatten.exportTrendsCsvSql,
-    "x4_export_recommendations" -> Flatten.exportRecommendationsCsvSql
+    "x4_export_recommendations" -> Flatten.exportRecommendationsCsvSql,
+    "t9_pii_scrub" -> graft.text.CorpusPrep.piiScrubSql,
+    "p7_split_assign" -> graft.text.CorpusPrep.splitAssignSql,
+    "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
+    "d12_contamination" -> graft.text.CorpusPrep.contaminationSql
   )
 }

@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators — the steps between "raw scraped
+  * documents" and "training mix" that every large-scale LLM data pipeline
+  * runs after quality/dedup (t2/d1..d11): PII scrubbing, deterministic
+  * train/val/test splitting, source-mix planning, and benchmark
+  * decontamination. All are oracle-checked (pure integer / single-division
+  * arithmetic, see [[graft.model.Tables]] parity conventions).
+  *
+  * SCALE POSTURE (100 TB): t9 and p7 are pure map-side projections (no
+  * shuffle — they run at parquet-scan speed in one WholeStageCodegen span);
+  * m1 is a two-level aggregate whose second level is group-count-sized;
+  * d12 is a semi-join against a BENCHMARK set, which is fixed-size by
+  * nature (eval suites don't grow with the corpus) and broadcasts.
+  */
+object CorpusPrep {
+
+  // Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+  // (DuckDB): no backrefs, no lookaround, ASCII classes only.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlPat = "https?://[^\\s]+"
+  private val PhonePat = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  private val NumberPat = "\\b\\d+\\b"
+
+  /** t9: PII detection + redaction — counts of email/URL/phone/number
+    * matches per document and the redacted text (placeholders substituted
+    * in a fixed pass order so overlapping patterns resolve identically in
+    * both engines). Map-side only. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        UrlPat, "<URL>"),
+      PhonePat, "<PHONE>")
+    Corpus.docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlPat)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(NumberPat)).cast("long").as("n_numbers"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      substring(redacted, 1, 60).as("redacted_prefix")
+    ).orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    def cnt(pat: String) = s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$EmailPat', '<EMAIL>', 'g'), '$UrlPat', '<URL>', 'g'), '$PhonePat', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+       |  ${cnt(EmailPat)} AS n_emails,
+       |  ${cnt(UrlPat)} AS n_urls,
+       |  ${cnt(PhonePat)} AS n_phones,
+       |  ${cnt(NumberPat)} AS n_numbers,
+       |  CAST(length($red) AS BIGINT) AS n_chars_redacted,
+       |  substr($red, 1, 60) AS redacted_prefix
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** p7: deterministic train/val/test split assignment — Knuth
+    * multiplicative hash of doc_id into 1000 buckets, 90/5/5. Deterministic
+    * and engine-portable (pure 64-bit integer arithmetic, unlike
+    * rand(seed), whose sequence is engine- and partitioning-dependent);
+    * a re-run or a retry of a lost partition assigns identically, so the
+    * split is stable under speculative execution — same argument as
+    * [[graft.etl.Skew]]'s hash salting. Reported as per-(split, lang)
+    * counts; the per-doc assignment is the bucket expression itself. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val split = when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test")
+    Corpus.docs(spark, dir)
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+      .orderBy("split", "lang")
+  }
+
+  val splitAssignSql: String =
+    s"""SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+       |            WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** m1: source-mix planner — per (lang, source) domain: corpus share and
+    * the down-sampling rate that equalizes char mass across domains under
+    * a fixed total budget (the "domain mixing" step of corpus assembly;
+    * target = uniform here, the rate algebra is what matters). Two-level
+    * aggregate; level two is |domains|-sized and broadcasts back. Doubles
+    * follow the parity conventions: exact longs into single IEEE
+    * divisions, identical operation order in both engines. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Corpus.docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_group"))
+    val totals = groups.agg(
+      sum("n_chars_group").as("total_chars"), count(lit(1)).as("n_domains"))
+    val target = totals("total_chars").cast("double") / totals("n_domains").cast("double")
+    groups.join(broadcast(totals))
+      .withColumn("target_chars", target)
+      .withColumn("sampling_rate",
+        least(lit(1.0), col("target_chars") / col("n_chars_group").cast("double")))
+      .withColumn("n_sample_docs",
+        floor(col("sampling_rate") * col("n_docs").cast("double")).cast("long"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars_group"),
+        col("target_chars"), col("sampling_rate"), col("n_sample_docs"))
+      .orderBy("lang", "source")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH groups AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_group
+       |  FROM documents GROUP BY lang, source),
+       |totals AS (
+       |  SELECT CAST(SUM(n_chars_group) AS BIGINT) AS total_chars,
+       |         CAST(COUNT(*) AS BIGINT) AS n_domains FROM groups)
+       |SELECT g.lang, g.source, g.n_docs, g.n_chars_group,
+       |  CAST(t.total_chars AS DOUBLE) / CAST(t.n_domains AS DOUBLE) AS target_chars,
+       |  LEAST(1.0, (CAST(t.total_chars AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+       |        / CAST(g.n_chars_group AS DOUBLE)) AS sampling_rate,
+       |  CAST(FLOOR(LEAST(1.0, (CAST(t.total_chars AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+       |        / CAST(g.n_chars_group AS DOUBLE)) * CAST(g.n_docs AS DOUBLE)) AS BIGINT)
+       |    AS n_sample_docs
+       |FROM groups g CROSS JOIN totals t ORDER BY g.lang, g.source""".stripMargin
+
+  /** d12: benchmark decontamination — per candidate document, the fraction
+    * of its distinct 3-shingles that also occur in a held-out benchmark
+    * set (docs with doc_id % 97 == 0 stand in for the eval suite); flagged
+    * at >= 30% overlap (integer-exact comparison). The benchmark shingle
+    * set is fixed-size in production (eval suites don't scale with the
+    * corpus) — broadcast semi-side, so the scan-side never shuffles. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Corpus.docShingles(spark, dir)
+    val bench = ds.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    ds.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        (col("n_common").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination_ratio"),
+        (col("n_common") * lit(10L) >= col("n_shingles") * lit(3L))
+          .as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH ds AS (${Corpus.docShinglesSql}),
+       |bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT c.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM (SELECT * FROM ds WHERE doc_id % 97 <> 0) c
+       |  LEFT JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY c.doc_id)
+       |SELECT doc_id, n_shingles, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_ratio,
+       |  n_common * 10 >= n_shingles * 3 AS is_contaminated
+       |FROM agg ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.text.CorpusPrep
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation: PII scrub (t9), deterministic split (p7),
+  * source-mix planner (m1), benchmark decontamination (d12). Value-level
+  * checks on crafted rows; invariants on the sf0.001 corpus. The DuckDB
+  * hash parity of each is the driver's oracle gate. */
+class CorpusPrepSpec extends GraftSpec {
+
+  test("t9: detects and redacts emails, urls, phones on crafted text") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "write to bob@example.com or visit https://example.com/x now", "en", "web", 0L),
+      (2L, "call 555-123-4567 twice: 555-123-4567", "en", "web", 0L),
+      (3L, "no pii here just 42 numbers 7", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("pii_docs")
+    tmp.toFile.deleteOnExit()
+    crafted.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+
+    val r = CorpusPrep.piiScrub(spark, tmp.toString).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getLong(1) === 1L) // n_emails
+    assert(byId(1L).getLong(2) === 1L) // n_urls
+    assert(byId(1L).getString(6).contains("<EMAIL>"))
+    assert(byId(1L).getString(6).contains("<URL>"))
+    assert(byId(2L).getLong(3) === 2L) // n_phones
+    assert(byId(2L).getString(6).contains("<PHONE>"))
+    assert(byId(3L).getLong(1) === 0L && byId(3L).getLong(3) === 0L)
+    assert(byId(3L).getLong(4) === 2L) // n_numbers: 42, 7
+  }
+
+  test("p7: split is exhaustive, deterministic, and roughly 90/5/5") {
+    val r = CorpusPrep.splitAssign(spark, sfDir).cache()
+    try {
+      val bySplit = r.groupBy("split").agg(sum("n_docs").as("n"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val total = bySplit.values.sum
+      assert(bySplit.keySet === Set("train", "val", "test"))
+      assert(total === spark.read.parquet(s"$sfDir/documents.parquet").count())
+      // multiplicative hash into 1000 buckets: expect train ~90% +- wide slack
+      assert(bySplit("train").toDouble / total > 0.8)
+      // determinism: second run bit-identical
+      val again = CorpusPrep.splitAssign(spark, sfDir).collect()
+      assert(again.sameElements(r.collect()))
+    } finally r.unpersist()
+  }
+
+  test("m1: rates are in (0,1], sample counts bounded, uniform target") {
+    val r = CorpusPrep.sourceMix(spark, sfDir).cache()
+    try {
+      assert(r.filter(col("sampling_rate") <= 0 || col("sampling_rate") > 1).count() === 0)
+      assert(r.filter(col("n_sample_docs") > col("n_docs")).count() === 0)
+      // one shared target across all domains
+      assert(r.select("target_chars").distinct().count() === 1)
+      // a domain under target keeps everything (rate 1.0)
+      val under = r.filter(col("n_chars_group").cast("double") <= col("target_chars"))
+      assert(under.filter(col("sampling_rate") =!= 1.0).count() === 0)
+    } finally r.unpersist()
+  }
+
+  test("d12: benchmark docs excluded; ratio algebra and flag consistent") {
+    val r = CorpusPrep.contamination(spark, sfDir).cache()
+    try {
+      assert(r.filter(col("doc_id") % 97 === 0).count() === 0)
+      assert(r.filter(col("n_common") > col("n_shingles")).count() === 0)
+      val badRatio = r.filter(abs(col("contamination_ratio") -
+        col("n_common").cast("double") / col("n_shingles").cast("double")) > 1e-12)
+      assert(badRatio.count() === 0)
+      val badFlag = r.filter(col("is_contaminated") =!=
+        (col("n_common") * 10 >= col("n_shingles") * 3))
+      assert(badFlag.count() === 0)
+    } finally r.unpersist()
+  }
+}
