@@ -106,7 +106,8 @@ object SparkEntry {
     "t9_pii_scrub" -> ((s, dir) => graft.text.CorpusPrep.piiScrub(s, dir)),
     "p7_split_assign" -> ((s, dir) => graft.text.CorpusPrep.splitAssign(s, dir)),
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
-    "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir))
+    "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
+    "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +187,7 @@ object SparkEntry {
     "t9_pii_scrub" -> graft.text.CorpusPrep.piiScrubSql,
     "p7_split_assign" -> graft.text.CorpusPrep.splitAssignSql,
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
-    "d12_contamination" -> graft.text.CorpusPrep.contaminationSql
+    "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
+    "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql()
   )
 }

@@ -153,6 +153,42 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** p8: sequence-packing planner — assign each document an offset and a
+    * context-window id under concat-and-chunk packing (concatenate docs in
+    * a canonical order, split at `budget`-token boundaries — the layout
+    * step before writing pre-tokenized training shards). Packing runs
+    * WITHIN (lang, shard) groups: a running sum is inherently sequential,
+    * so the shard width (here `doc_id div 64`) is the parallelism knob —
+    * groups are bounded and independent, and at 100 TB you size the shard
+    * to the target training-file size instead of running one global
+    * cumulative sum (which would be a single-partition window — the exact
+    * scale-killer the rank-dictionary note in [[Corpus]] warns about).
+    * Pure integer arithmetic (`div`), exact in both engines. */
+  def packPlan(spark: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(Corpus.wordsCol).cast("long")
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Corpus.docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("doc_id div 64").as("shard"), nTokens.as("n_tokens"))
+      .withColumn("offset_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("window_id", expr(s"offset_start div $budget"))
+      .select("doc_id", "lang", "shard", "n_tokens", "offset_start", "window_id")
+      .orderBy("doc_id")
+  }
+
+  def packPlanSql(budget: Long = 512L): String =
+    s"""SELECT doc_id, lang, shard, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS offset_start,
+       |  (SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $budget AS window_id
+       |FROM (SELECT doc_id, lang, doc_id // 64 AS shard,
+       |        CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val contaminationSql: String =
     s"""WITH ds AS (${Corpus.docShinglesSql}),
        |bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 97 = 0),

@@ -61,6 +61,21 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("p8: offsets are contiguous within (lang, shard); window ids monotone") {
+    val r = CorpusPrep.packPlan(spark, sfDir).cache()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      val withPrev = r.withColumn("prev_end",
+        lag(col("offset_start") + col("n_tokens"), 1, 0L).over(w))
+      // concat-and-chunk: each doc starts exactly where the previous ended
+      assert(withPrev.filter(col("offset_start") =!= col("prev_end")).count() === 0)
+      // window id is the integer floor of offset/budget
+      assert(r.filter(col("window_id") =!= expr("offset_start div 512")).count() === 0)
+      assert(r.count() === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    } finally r.unpersist()
+  }
+
   test("d12: benchmark docs excluded; ratio algebra and flag consistent") {
     val r = CorpusPrep.contamination(spark, sfDir).cache()
     try {
