@@ -107,7 +107,8 @@ object SparkEntry {
     "p7_split_assign" -> ((s, dir) => graft.text.CorpusPrep.splitAssign(s, dir)),
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
-    "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir))
+    "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
+    "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +189,7 @@ object SparkEntry {
     "p7_split_assign" -> graft.text.CorpusPrep.splitAssignSql,
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
-    "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql()
+    "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),
+    "v5_quantize" -> Similarity.quantizeSql
   )
 }

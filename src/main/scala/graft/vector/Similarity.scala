@@ -276,4 +276,65 @@ object Similarity {
        |  cosine >= $threshold AS is_near_dup
        |FROM ranked WHERE rank = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** v5: per-dimension int8 (0..255) min-max quantization — the embedding
+    * STORAGE scale path (a 64-dim float corpus shrinks 4×; at 100 TB of
+    * embeddings that is the difference between fitting executor memory for
+    * ANN and not). Two phases:
+    *   1. stats: a dimension-sized aggregate (min/max per position) —
+    *      64 rows, collected into literal arrays (the a20
+    *      broadcast-config pattern: driver round-trip of a dimension-sized
+    *      relation, never the fact table);
+    *   2. quantize: pure map-side `transform` over the embedding against
+    *      the literal stats — zero shuffles over the corpus, one
+    *      WholeStageCodegen span at parquet-scan speed.
+    * Float parity: `(x - min) * 255.0 / (max - min)` is evaluated in that
+    * exact operation order in both engines (single IEEE ops on exact
+    * doubles-of-floats); constant dimensions quantize to 0. Output arrays
+    * go out CSV-joined (the repo's array-parity convention). */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("dmin"),
+        max(col("x").cast("double")).as("dmax"))
+      .orderBy("pos")
+      .collect()
+    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val qe = transform(col("embedding"), (x, i) => {
+      val dmin = element_at(mins, i + lit(1))
+      val dmax = element_at(maxs, i + lit(1))
+      when(dmax === dmin, lit(0L)).otherwise(
+        least(lit(255L),
+          floor((x.cast("double") - dmin) * lit(255.0) / (dmax - dmin))))
+    })
+    e.select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"), qe.as("qe"))
+      .select(col("vec_id"), col("label"), col("n_dims"),
+        concat_ws(",", transform(col("qe"), _.cast("string"))).as("q_csv"),
+        aggregate(col("qe"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeSql: String =
+    s"""WITH ex AS (
+       |  SELECT unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |perdim AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM ex GROUP BY pos),
+       |dims AS (SELECT list(dmin ORDER BY pos) AS mins,
+       |                list(dmax ORDER BY pos) AS maxs FROM perdim),
+       |q AS (
+       |  SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
+       |    [CASE WHEN d.maxs[i] = d.mins[i] THEN 0
+       |          ELSE LEAST(255, CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - d.mins[i])
+       |                 * 255.0 / (d.maxs[i] - d.mins[i])) AS BIGINT)) END
+       |     for i in range(1, len(embedding) + 1)] AS qe
+       |  FROM embeddings CROSS JOIN dims d)
+       |SELECT vec_id, label, n_dims,
+       |  array_to_string(qe, ',') AS q_csv,
+       |  CAST(list_reduce(list_prepend(0, qe), (acc, v) -> acc + v) AS BIGINT) AS q_sum
+       |FROM q ORDER BY vec_id""".stripMargin
 }

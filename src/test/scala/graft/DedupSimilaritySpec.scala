@@ -147,4 +147,36 @@ class DedupSimilaritySpec extends GraftSpec {
       .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
     assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
   }
+
+  test("v5: quantized codes in [0,255]; dequantization error within one step") {
+    val v5 = Similarity.quantize(spark, sfDir).cache()
+    try {
+      val e = graft.model.Tables.embeddings(spark, sfDir)
+      assert(v5.count() === e.count())
+      // codes parse back to longs in range, one per dimension
+      val codes = v5.select(col("vec_id"),
+        posexplode(split(col("q_csv"), ",").cast("array<long>")).as(Seq("pos", "q")))
+      assert(codes.filter(col("q") < 0 || col("q") > 255).count() === 0)
+      assert(codes.groupBy("vec_id").count()
+        .join(v5.select("vec_id", "n_dims"), "vec_id")
+        .filter(col("count") =!= col("n_dims")).count() === 0)
+      // q_sum is the sum of the codes
+      val sums = codes.groupBy("vec_id").agg(sum("q").as("s"))
+        .join(v5, "vec_id").filter(col("s") =!= col("q_sum"))
+      assert(sums.count() === 0)
+      // dequantized values stay within one quantization step of the source:
+      // |x - (min + (q + 0.5) * step)| <= step for every element
+      val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x").cast("double")).as("dmin"),
+          max(col("x").cast("double")).as("dmax"))
+      val perElem = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .join(stats, "pos")
+        .join(codes, Seq("vec_id", "pos"))
+      val step = (col("dmax") - col("dmin")) / lit(255.0)
+      val recon = col("dmin") + (col("q").cast("double") + lit(0.5)) * step
+      val bad = perElem.filter(col("dmax") =!= col("dmin") &&
+        abs(col("x").cast("double") - recon) > step)
+      assert(bad.count() === 0)
+    } finally v5.unpersist()
+  }
 }
