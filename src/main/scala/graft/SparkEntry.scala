@@ -108,7 +108,8 @@ object SparkEntry {
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
     "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
-    "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir))
+    "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
+    "v6_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,6 +191,7 @@ object SparkEntry {
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
     "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),
-    "v5_quantize" -> Similarity.quantizeSql
+    "v5_quantize" -> Similarity.quantizeSql,
+    "v6_ann_recall" -> Similarity.annRecallSql()
   )
 }

@@ -101,8 +101,10 @@ object Spine {
     * regexp_extract, including the reject flag for malformed names. */
   def filenameParse(spark: SparkSession, dir: String): DataFrame = {
     val pat = "^store_(\\d{4})_(\\d{4})-(\\d{2})-(\\d{2})\\.json$"
-    Tables.sales(spark, dir)
-      .select(col("store_id"), col("sale_date")).distinct()
+    // distinct (store, day) is exactly the grain of the rollupDec silver
+    // relation — read the cache instead of re-distincting the fact table
+    graft.etl.StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"))
       .select(concat(lit("store_"), col("store_id"), lit("_"),
         col("sale_date"), lit(".json")).as("filename"))
       .select(

@@ -277,6 +277,52 @@ object Similarity {
        |FROM ranked WHERE rank = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** v6: ANN recall evaluation — per query, recall@k of the LSH (v2) and
+    * IVF (v4) approximate indexes against the brute-force ground truth
+    * (v1), the vector twin of d7's LSH confusion eval. This is the harness
+    * a production pipeline runs before trusting an index config: the same
+    * query keys, hits counted by (query, neighbor) identity. All three
+    * relations are query-set-sized — the eval itself is join work over
+    * tens of rows regardless of corpus size. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    def eval(method: String, pairs: DataFrame): DataFrame =
+      truth.join(pairs.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(method).as("method"), col("query_id"),
+          col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+    eval("ivf", ivfAnn(spark, dir, k).select("query_id", "neighbor_id"))
+      .union(eval("lsh", annLsh(spark, dir, k).select("query_id", "neighbor_id")))
+      .orderBy("method", "query_id")
+  }
+
+  def annRecallSql(k: Int = 5): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)})),
+       |lshp AS (SELECT query_id, neighbor_id FROM (${annLshSql(k)})),
+       |ivfp AS (SELECT query_id, neighbor_id FROM (${ivfAnnSql(k)})),
+       |ev AS (
+       |  SELECT 'ivf' AS method, t.query_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM truth t LEFT JOIN ivfp i
+       |    ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+       |  GROUP BY t.query_id
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, t.query_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM truth t LEFT JOIN lshp l
+       |    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT method, query_id, n_truth, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM ev ORDER BY method, query_id""".stripMargin
+
   /** v5: per-dimension int8 (0..255) min-max quantization — the embedding
     * STORAGE scale path (a 64-dim float corpus shrinks 4×; at 100 TB of
     * embeddings that is the difference between fitting executor memory for

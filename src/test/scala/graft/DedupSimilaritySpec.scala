@@ -148,6 +148,26 @@ class DedupSimilaritySpec extends GraftSpec {
     assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
   }
 
+  test("v6: recall in [0,1]; ivf recall consistent with v4-in-v1 membership") {
+    val r = Similarity.annRecall(spark, sfDir).cache()
+    try {
+      assert(r.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+      assert(r.select("method").distinct().count() === 2)
+      // n_hits can never exceed n_truth
+      assert(r.filter(col("n_hits") > col("n_truth")).count() === 0)
+      // recomputed hits for ivf match the reported counts
+      val truth = Similarity.cosineTopK(spark, sfDir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfAnn(spark, sfDir).select("query_id", "neighbor_id")
+      val expected = truth.join(ivf.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id").agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
+      val mismatch = r.filter(col("method") === "ivf").join(expected, "query_id")
+        .filter(col("n_hits") =!= col("h"))
+      assert(mismatch.count() === 0)
+    } finally r.unpersist()
+  }
+
   test("v5: quantized codes in [0,255]; dequantization error within one step") {
     val v5 = Similarity.quantize(spark, sfDir).cache()
     try {
