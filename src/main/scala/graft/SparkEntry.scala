@@ -109,7 +109,8 @@ object SparkEntry {
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
     "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
     "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
-    "v6_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir))
+    "v6_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "c2_corpus_build" -> ((s, dir) => graft.text.CorpusFilter.corpusBuild(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,6 +193,7 @@ object SparkEntry {
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
     "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),
     "v5_quantize" -> Similarity.quantizeSql,
-    "v6_ann_recall" -> Similarity.annRecallSql()
+    "v6_ann_recall" -> Similarity.annRecallSql(),
+    "c2_corpus_build" -> graft.text.CorpusFilter.corpusBuildSql()
   )
 }

@@ -59,4 +59,93 @@ object CorpusFilter {
        |JOIN exact e USING (doc_id)
        |JOIN clusters c USING (doc_id)
        |ORDER BY q.doc_id""".stripMargin
+
+  /** c2: the full corpus ASSEMBLY line as one relation — quality gate
+    * (t2), exact dedup (d1), benchmark decontamination (d12), then for
+    * every kept document the train/val/test split (p7) and the
+    * concat-and-chunk packing offsets (p8). This is the end-to-end
+    * "documents in, training shards out" job; the per-operator keys
+    * double as its audit trail. Same scale shape as c1 (equi-joins on
+    * doc_id, one exchange) plus p8's bounded (split, lang, shard)
+    * packing windows. Non-kept docs carry '' / -1 sentinels (never
+    * nulls — deterministic hash compare). */
+  def corpusBuild(spark: SparkSession, dir: String,
+                  minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val exact = Dedup.exactDedup(spark, dir)
+      .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
+    val contam = CorpusPrep.contamination(spark, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val base = Corpus.docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Corpus.wordsCol).cast("long").as("n_tokens"))
+      .join(quality, Seq("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(false)))
+      .withColumn("is_benchmark", col("doc_id") % 97 === 0)
+      .withColumn("kept",
+        col("quality_score") >= minQuality && !col("is_exact_dup") &&
+          !col("is_contaminated") && !col("is_benchmark"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = base.filter(col("kept"))
+      .withColumn("split",
+        when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test"))
+      .withColumn("shard", expr("doc_id div 64"))
+      .withColumn("offset_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("split"), col("offset_start"),
+        expr(s"offset_start div $budget").as("window_id"))
+    base.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("is_exact_dup"), col("is_contaminated"), col("is_benchmark"),
+        col("kept"),
+        coalesce(col("split"), lit("")).as("split"),
+        coalesce(col("offset_start"), lit(-1L)).as("offset_start"),
+        coalesce(col("window_id"), lit(-1L)).as("window_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusBuildSql(minQuality: Long = 50L, budget: Long = 512L): String =
+    s"""WITH quality AS (
+       |  SELECT doc_id, quality_score FROM (${TextAnalysis.qualityScoreSql})),
+       |exact AS (
+       |  SELECT doc_id, is_duplicate AS is_exact_dup FROM (${Dedup.exactDedupSql})),
+       |contam AS (
+       |  SELECT doc_id, is_contaminated FROM (${CorpusPrep.contaminationSql})),
+       |base AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT) AS n_tokens,
+       |    q.quality_score, e.is_exact_dup,
+       |    COALESCE(c.is_contaminated, false) AS is_contaminated,
+       |    d.doc_id % 97 = 0 AS is_benchmark,
+       |    (q.quality_score >= $minQuality AND NOT e.is_exact_dup
+       |      AND NOT COALESCE(c.is_contaminated, false)
+       |      AND NOT (d.doc_id % 97 = 0)) AS kept
+       |  FROM documents d
+       |  JOIN quality q USING (doc_id)
+       |  JOIN exact e USING (doc_id)
+       |  LEFT JOIN contam c USING (doc_id)),
+       |keptd AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    doc_id // 64 AS shard
+       |  FROM base WHERE kept),
+       |packed AS (
+       |  SELECT doc_id, split,
+       |    SUM(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS offset_start
+       |  FROM keptd)
+       |SELECT b.doc_id, b.quality_score, b.n_tokens, b.is_exact_dup,
+       |  b.is_contaminated, b.is_benchmark, b.kept,
+       |  COALESCE(p.split, '') AS split,
+       |  COALESCE(p.offset_start, -1) AS offset_start,
+       |  COALESCE(p.offset_start // $budget, -1) AS window_id
+       |FROM base b LEFT JOIN packed p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 }

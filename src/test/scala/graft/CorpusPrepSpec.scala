@@ -76,6 +76,29 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("c2: verdict composition consistent; packing covers exactly the kept docs") {
+    val r = graft.text.CorpusFilter.corpusBuild(spark, sfDir).cache()
+    try {
+      // kept implies every gate passed
+      assert(r.filter(col("kept") && (col("quality_score") < 50 ||
+        col("is_exact_dup") || col("is_contaminated") || col("is_benchmark")))
+        .count() === 0)
+      // kept docs have a split and an offset; dropped docs carry sentinels
+      assert(r.filter(col("kept") &&
+        (col("split") === "" || col("offset_start") < 0)).count() === 0)
+      assert(r.filter(!col("kept") &&
+        (col("split") =!= "" || col("offset_start") =!= -1L ||
+          col("window_id") =!= -1L)).count() === 0)
+      // verdicts agree with the standalone operators
+      val d1 = graft.dedup.Dedup.exactDedup(spark, sfDir)
+        .select(col("doc_id"), col("is_duplicate"))
+      assert(r.join(d1, "doc_id")
+        .filter(col("is_exact_dup") =!= col("is_duplicate")).count() === 0)
+      assert(r.count() ===
+        spark.read.parquet(s"$sfDir/documents.parquet").count())
+    } finally r.unpersist()
+  }
+
   test("d12: benchmark docs excluded; ratio algebra and flag consistent") {
     val r = CorpusPrep.contamination(spark, sfDir).cache()
     try {
