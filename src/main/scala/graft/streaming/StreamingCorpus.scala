@@ -54,11 +54,47 @@ object StreamingCorpus {
       .withColumn("quality_score", TextAnalysis.qualityScoreCol)
       .filter(col("quality_score") >= minScore)
 
+  /** Benchmark shingle set for the streaming decontamination gate,
+    * computed ONCE at query build from the static benchmark corpus
+    * (docs with doc_id % 97 == 0, the same held-out stand-in as batch
+    * d12). Eval suites are fixed-size, so this is a bounded driver
+    * round-trip — the same broadcast-config pattern as a20/v5. */
+  def benchmarkShingles(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Array[String] =
+    graft.text.Corpus.docShingles(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+      .collect().map(_.getString(0)).sorted
+
+  /** Streaming decontamination gate: drop documents whose 3-shingle
+    * overlap with the benchmark set reaches 30% (batch d12's flag rule,
+    * integer-exact), evaluated entirely map-side via `array_intersect`
+    * against the static benchmark array — no state, no shuffle, no
+    * stream-static join. Docs too short to shingle pass (nothing to
+    * leak). */
+  def decontaminationGate(docs: DataFrame, bench: Array[String]): DataFrame = {
+    val benchArr = array(bench.map(lit): _*)
+    docs
+      .withColumn("ws", graft.text.Corpus.wordsCol)
+      .withColumn("shingles", array_distinct(graft.text.Corpus.shinglesOf(col("ws"))))
+      .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(col("shingles"), benchArr)).cast("long"))
+      .filter(col("n_shingles") <= 0 ||
+        col("n_common") * lit(10L) < col("n_shingles") * lit(3L))
+      .drop("ws", "shingles", "n_shingles", "n_common")
+  }
+
   /** The composed streaming corpus-ingest pipeline: quality gate, then
-    * watermark-bounded exact dedup — the streaming twin of batch c1's
-    * (quality + exact-dup) verdicts, as one incremental flow. Gate first:
-    * rejected docs never enter dedup state. */
+    * (optionally) the decontamination gate, then watermark-bounded exact
+    * dedup — the streaming twin of batch c2's (quality + contamination +
+    * exact-dup) verdicts, as one incremental flow. Gates first: rejected
+    * docs never enter dedup state. */
   def corpusIngest(docs: DataFrame, minScore: Long = 50L,
-                   delay: String = "30 minutes"): DataFrame =
-    dedupWithinWatermark(qualityGate(docs, minScore), delay)
+                   delay: String = "30 minutes",
+                   bench: Array[String] = Array.empty): DataFrame = {
+    val gated = qualityGate(docs, minScore)
+    val clean = if (bench.isEmpty) gated else decontaminationGate(gated, bench)
+    dedupWithinWatermark(clean, delay)
+  }
 }

@@ -60,9 +60,16 @@ object Corpus {
     * CollapseProject keeps the alias because it is non-cheap and used
     * multiple times, so the split runs once per row. */
   def shinglesOf(ws: Column): Column =
-    transform(sequence(lit(0), size(ws) - lit(3)),
-      i => concat_ws(" ",
-        element_at(ws, i + lit(1)), element_at(ws, i + lit(2)), element_at(ws, i + lit(3))))
+    // Guard docs with < 3 words: sequence(0, size-3) would run DESCENDING
+    // (e.g. [0,-1] for 1 word) and element_at(ws, 0) throws — the same
+    // short-doc crash ADVICE r2 flagged on t7's bigrams. The DuckDB twin's
+    // range(1, len-1) is empty for short docs, so both engines now agree:
+    // no shingles. (The synthetic corpus has no short docs; real ones do.)
+    when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - lit(3)),
+        i => concat_ws(" ",
+          element_at(ws, i + lit(1)), element_at(ws, i + lit(2)), element_at(ws, i + lit(3)))))
+      .otherwise(array().cast("array<string>"))
 
   val shinglesSqlExpr: String = {
     val ws = wordsSqlExpr

@@ -97,4 +97,29 @@ class StreamingCorpusSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(1L))
   }
+
+  test("streaming decontamination gate drops benchmark-overlapping docs, map-side") {
+    val in = Files.createTempDirectory("stream_decon")
+    in.toFile.deleteOnExit()
+    val leaked = "alpha beta gamma delta epsilon zeta"     // shares all shingles w/ benchmark
+    val clean = "one two three four five six seven eight"  // disjoint shingles
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", leaked),
+      doc(2, "2024-03-01T10:01:00", clean),
+      doc(3, "2024-03-01T10:02:00", "tiny")).mkString("\n")) // too short to shingle -> passes
+
+    // benchmark set = the leaked text's shingles (stand-in for the eval suite)
+    val bench = Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
+      "delta epsilon zeta").toArray
+    runStream(in, StreamingCorpus.decontaminationGate(_, bench), "decon_stream")
+    val kept = spark.sql("SELECT doc_id FROM decon_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L, 3L))
+
+    // benchmarkShingles agrees with the batch d12 benchmark definition
+    val fromCorpus = StreamingCorpus.benchmarkShingles(spark, sfDir)
+    val expected = graft.text.Corpus.docShingles(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0).select("shingle").distinct().count()
+    assert(fromCorpus.length.toLong === expected)
+  }
 }
