@@ -89,7 +89,7 @@ object CorpusFilter {
       .withColumn("kept",
         col("quality_score") >= minQuality && !col("is_exact_dup") &&
           !col("is_contaminated") && !col("is_benchmark"))
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val bucket = CorpusPrep.splitBucket(col("doc_id"))
     val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = base.filter(col("kept"))
@@ -131,8 +131,8 @@ object CorpusFilter {
        |  LEFT JOIN contam c USING (doc_id)),
        |keptd AS (
        |  SELECT doc_id, lang, n_tokens,
-       |    CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
-       |         WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+       |    CASE WHEN ${CorpusPrep.splitBucketSql} < 900 THEN 'train'
+       |         WHEN ${CorpusPrep.splitBucketSql} < 950 THEN 'val'
        |         ELSE 'test' END AS split,
        |    doc_id // 64 AS shard
        |  FROM base WHERE kept),

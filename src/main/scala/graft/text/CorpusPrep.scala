@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators — the steps between "raw scraped
@@ -68,8 +68,18 @@ object CorpusPrep {
     * split is stable under speculative execution — same argument as
     * [[graft.etl.Skew]]'s hash salting. Reported as per-(split, lang)
     * counts; the per-doc assignment is the bucket expression itself. */
+  /** Split bucket in [0, 1000): Knuth multiplicative hash, overflow-safe —
+    * doc_id is reduced mod a ~1e9 prime BEFORE the multiply so the product
+    * stays below 2^63 for any 64-bit doc_id (1e9 × 2.65e9 ≈ 2.6e18).
+    * Without the reduction, ids past ~3.5e9 (reachable in a 100 TB corpus)
+    * would wrap in Spark but ERROR in DuckDB — silent engine divergence. */
+  def splitBucket(docId: Column): Column =
+    pmod(pmod(docId, lit(1000000007L)) * lit(2654435761L), lit(1000L))
+
+  val splitBucketSql: String = "((doc_id % 1000000007) * 2654435761) % 1000"
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test")
     Corpus.docs(spark, dir)
       .select(split.as("split"), col("lang"), col("n_chars"))
@@ -79,8 +89,8 @@ object CorpusPrep {
   }
 
   val splitAssignSql: String =
-    s"""SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
-       |            WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+    s"""SELECT CASE WHEN $splitBucketSql < 900 THEN 'train'
+       |            WHEN $splitBucketSql < 950 THEN 'val'
        |            ELSE 'test' END AS split,
        |  lang,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
