@@ -148,4 +148,29 @@ object CorpusFilter {
        |  COALESCE(p.offset_start // $budget, -1) AS window_id
        |FROM base b LEFT JOIN packed p USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
+
+  /** The corpus-build SINK: write the kept documents as Hive-partitioned
+    * training shards (`split=/lang=` directories), each file sorted by
+    * (shard, window_id, offset) so a trainer reads context windows
+    * sequentially. `repartition(split, lang)` puts one partition-dir's
+    * data in one task (no small-file explosion across 32 writers);
+    * at 100 TB you'd widen the key with p8's shard column — already in
+    * the data — to bound task size. Dynamic partition overwrite keeps
+    * re-runs idempotent per partition (same contract as
+    * [[graft.ingest.Ingest.writeLake]]). */
+  def writeShards(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val docs = Corpus.docs(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_part"), col("text"))
+    corpusBuild(spark, dir).filter(col("kept"))
+      .withColumn("shard", expr("doc_id div 64"))
+      .join(docs, Seq("doc_id"))
+      .select(col("split"), col("lang_part"), col("doc_id"), col("shard"),
+        col("window_id"), col("offset_start"), col("n_tokens"), col("text"))
+      .repartition(col("split"), col("lang_part"))
+      .sortWithinPartitions(col("shard"), col("window_id"), col("offset_start"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("split", "lang_part")
+      .parquet(outDir)
+  }
 }

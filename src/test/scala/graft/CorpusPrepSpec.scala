@@ -99,6 +99,24 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("writeShards: hive-partitioned by split/lang, kept docs only, idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("shards_out")
+    out.toFile.deleteOnExit()
+    graft.text.CorpusFilter.writeShards(spark, sfDir, out.toString)
+    graft.text.CorpusFilter.writeShards(spark, sfDir, out.toString) // overwrite, not append
+    val shards = spark.read.parquet(out.toString)
+    val kept = graft.text.CorpusFilter.corpusBuild(spark, sfDir)
+      .filter(col("kept"))
+    assert(shards.count() === kept.count())
+    // partition dirs exist for each split present
+    val splits = shards.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.nonEmpty)
+    // every shard row is a kept doc with its text
+    assert(shards.filter(col("text").isNull).count() === 0)
+    assert(shards.join(kept.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+  }
+
   test("d12: benchmark docs excluded; ratio algebra and flag consistent") {
     val r = CorpusPrep.contamination(spark, sfDir).cache()
     try {
