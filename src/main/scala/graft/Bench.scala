@@ -25,6 +25,7 @@ object Bench {
       graft.etl.StoreDaily.paymentDec(spark, sfDir).count()
       graft.etl.StoreDaily.topProductsDec(spark, sfDir).count()
       graft.analytics.History.trendDirection(spark, sfDir).count()
+      graft.analytics.History.anomalies(spark, sfDir).count()
       graft.dedup.Dedup.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

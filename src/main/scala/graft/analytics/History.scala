@@ -92,6 +92,10 @@ object History {
           .otherwise("info"))
       .select(col("store_id"), col("sale_date"), col("today_sales"),
         col("hist_avg_sales"), col("deviation_pct"), col("severity"))
+      // cached like trendDirection: the reference PERSISTS anomaly rows
+      // (write-metrics insights), and a22/r1/r2/x4 all re-read them —
+      // dimension-sized (|stores|×|days| upper bound)
+      .cache()
       .orderBy(col("store_id"), col("sale_date"))
 
   private[graft] val anomaliesBodySql: String =
