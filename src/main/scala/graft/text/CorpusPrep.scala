@@ -139,6 +139,47 @@ object CorpusPrep {
        |    AS n_sample_docs
        |FROM groups g CROSS JOIN totals t ORDER BY g.lang, g.source""".stripMargin
 
+  /** t10: corpus vocabulary statistics — the dashboard row a corpus
+    * pipeline tracks per snapshot: total token count, vocabulary size,
+    * hapax legomena (frequency-1 types, the long-tail health signal),
+    * type-token ratio, and the modal token. One hash aggregate over the
+    * exploded tokens, then a vocabulary-sized re-aggregate — fully
+    * map-side-combinable at any corpus size. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Corpus.docs(spark, dir)
+      .select(explode(Corpus.wordsCol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("word").asc).limit(1)
+      .select(col("word").as("top_word"), col("n").as("top_word_count"))
+    counts.agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(top)
+      .select(col("n_tokens"), col("vocab_size"), col("n_hapax"),
+        (col("vocab_size").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        col("top_word"), col("top_word_count"))
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH counts AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
+       |  GROUP BY word),
+       |top AS (
+       |  SELECT word AS top_word, n AS top_word_count FROM counts
+       |  ORDER BY n DESC, word ASC LIMIT 1),
+       |agg AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM counts)
+       |SELECT a.n_tokens, a.vocab_size, a.n_hapax,
+       |  CAST(a.vocab_size AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS type_token_ratio,
+       |  t.top_word, t.top_word_count
+       |FROM agg a CROSS JOIN top t""".stripMargin
+
   /** d12: benchmark decontamination — per candidate document, the fraction
     * of its distinct 3-shingles that also occur in a held-out benchmark
     * set (docs with doc_id % 97 == 0 stand in for the eval suite); flagged

@@ -99,6 +99,22 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("t10: stats algebra consistent with direct token counts") {
+    val r = CorpusPrep.corpusStats(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+    assert(row.getLong(0) === tokens.count())                       // n_tokens
+    assert(row.getLong(1) === tokens.distinct().count())            // vocab_size
+    assert(row.getLong(2) <= row.getLong(1))                        // hapax <= vocab
+    assert(row.getDouble(3) > 0 && row.getDouble(3) <= 1.0)         // ttr
+    val top = tokens.groupBy("word").count()
+      .orderBy(col("count").desc, col("word").asc).head
+    assert(row.getString(4) === top.getString(0) &&
+      row.getLong(5) === top.getLong(1))
+  }
+
   test("writeShards: hive-partitioned by split/lang, kept docs only, idempotent") {
     val out = java.nio.file.Files.createTempDirectory("shards_out")
     out.toFile.deleteOnExit()
