@@ -323,6 +323,103 @@ object Similarity {
        |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
        |FROM ev ORDER BY method, query_id""".stripMargin
 
+  /** v7: quantized-retrieval recall — run brute-force cosine top-k over
+    * the DEQUANTIZED int8 vectors (v5's codes reconstructed at bucket
+    * midpoints) and score recall against the float ground truth (v1).
+    * This closes the v5 storage-path argument: it measures exactly what
+    * a 4×-smaller index costs in retrieval quality. Reconstruction is
+    * fused into one `transform` (scan-speed, zero extra shuffles); the
+    * search and eval shapes are v1's broadcast loop and v6's
+    * query-set-sized joins. */
+  def quantizedRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("dmin"),
+        max(col("x").cast("double")).as("dmax"))
+      .orderBy("pos")
+      .collect()
+    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val recon = transform(col("embedding"), (x, i) => {
+      val dmin = element_at(mins, i + lit(1))
+      val dmax = element_at(maxs, i + lit(1))
+      val q = when(dmax === dmin, lit(0L)).otherwise(
+        least(lit(255L),
+          floor((x.cast("double") - dmin) * lit(255.0) / (dmax - dmin))))
+      dmin + (q.cast("double") + lit(0.5)) * ((dmax - dmin) / lit(255.0))
+    })
+    // dotColHof, not the native VectorDot: recon is array<double> and the
+    // codegen'd expression is typed array<float>; the HOF fold is the
+    // same strict left-to-right order on any numeric element type.
+    val r = e.select(col("vec_id"), recon.as("remb"))
+      .withColumn("rnorm2", dotColHof(col("remb"), col("remb")))
+    val q = r.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("remb").as("q_emb"),
+      col("rnorm2").as("q_norm2"))
+    val pairs = broadcast(q).crossJoin(
+        r.select(col("vec_id").as("neighbor_id"), col("remb").as("n_emb"),
+          col("rnorm2").as("n_norm2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q",
+        cosine(dotColHof(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q").desc, col("neighbor_id").asc)
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def quantizedRecallSql(k: Int = 5): String = {
+    val qCode = "CASE WHEN d.maxs[i] = d.mins[i] THEN 0 " +
+      "ELSE LEAST(255, CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - d.mins[i]) " +
+      "* 255.0 / (d.maxs[i] - d.mins[i])) AS BIGINT)) END"
+    s"""WITH ex AS (
+       |  SELECT unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |perdim AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM ex GROUP BY pos),
+       |dims AS (SELECT list(dmin ORDER BY pos) AS mins,
+       |                list(dmax ORDER BY pos) AS maxs FROM perdim),
+       |r AS (
+       |  SELECT vec_id,
+       |    [d.mins[i] + (CAST($qCode AS DOUBLE) + 0.5)
+       |       * ((d.maxs[i] - d.mins[i]) / 255.0)
+       |     for i in range(1, len(embedding) + 1)] AS remb
+       |  FROM embeddings CROSS JOIN dims d),
+       |rn AS (SELECT vec_id, remb, ${dotSql("remb", "remb")} AS rnorm2 FROM r),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.remb", "n.remb")} / sqrt(q.rnorm2 * n.rnorm2) AS cosine_q
+       |  FROM rn q JOIN rn n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 10),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+       |    FROM pairs) WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)}))
+       |SELECT t.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   /** v5: per-dimension int8 (0..255) min-max quantization — the embedding
     * STORAGE scale path (a 64-dim float corpus shrinks 4×; at 100 TB of
     * embeddings that is the difference between fitting executor memory for

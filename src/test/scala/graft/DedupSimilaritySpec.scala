@@ -168,6 +168,17 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("v7: int8 retrieval preserves most of float recall@5") {
+    val r = Similarity.quantizedRecall(spark, sfDir).cache()
+    try {
+      assert(r.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+      assert(r.filter(col("n_hits") > col("n_truth")).count() === 0)
+      // 8-bit min-max codes are a mild distortion: mean recall@5 stays high
+      val mean = r.agg(avg(col("recall"))).head.getDouble(0)
+      assert(mean >= 0.8, s"quantized mean recall@5 too low: $mean")
+    } finally r.unpersist()
+  }
+
   test("v5: quantized codes in [0,255]; dequantization error within one step") {
     val v5 = Similarity.quantize(spark, sfDir).cache()
     try {
