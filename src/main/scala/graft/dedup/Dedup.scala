@@ -347,6 +347,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("size_a"), col("size_b"), col("jaccard"))
+      // cached like docSids: the >= threshold pair relation is TINY
+      // (near-dup pairs) but its inverted-index join is the expensive
+      // part, and three consumers recompute it at 0.5 (d6 edges, d7
+      // true pairs, c1 via d6) — another written-once silver at scale
+      .cache()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -422,10 +427,20 @@ object Dedup {
     * carries only a convergence COUNT, never data. Oracle: DuckDB
     * replays the same closure with WITH RECURSIVE (UNION dedup
     * terminates it). */
+  /** Memoized per (dir, threshold): unlike the declarative relations
+    * (where Spark's CacheManager dedupes by plan), the CC loop below runs
+    * driver-side convergence ACTIONS at build time — a plain `.cache()`
+    * on the output cannot stop a second call from re-running the rounds.
+    * One JVM = one session in every harness entry point (Verify/Bench/
+    * tests), so keying by dir is sound. */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap[(String, Double), DataFrame]()
+
   def dupClusters(spark: SparkSession, dir: String,
                   threshold: Double = 0.5): DataFrame =
-    dupClustersFrom(Corpus.docs(spark, dir),
-      ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+    clusterMemo.getOrElseUpdate((dir, threshold),
+      dupClustersFrom(Corpus.docs(spark, dir),
+        ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
   private def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -454,6 +469,9 @@ object Dedup {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      // doc-count-sized label relation, read by both the d6 key and c1
+      // — cache so the iterative CC build runs once per session
+      .cache()
       .orderBy(col("doc_id"))
   }
 
@@ -564,5 +582,7 @@ object Dedup {
   def warm(spark: SparkSession, dir: String): Unit = {
     docSids(spark, dir).count()
     docSidsXx(spark, dir).count()
+    ngramJaccard(spark, dir, 0.5).count() // d6/d7/c1's shared edge relation
+    dupClusters(spark, dir).count()       // the CC labels d6 and c1 both read
   }
 }
