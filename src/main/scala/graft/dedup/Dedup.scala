@@ -522,10 +522,14 @@ object Dedup {
   /** d10: scale twin of d6 — connected components over the d9 edge set.
     * With d5 (minhash), d9, and d10, every dictionary-bound dedup
     * operator has a no-global-sort path. Rows-only like d9. */
+  private val clusterMemoXx =
+    scala.collection.concurrent.TrieMap[(String, Double), DataFrame]()
+
   def dupClustersXxhash(spark: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame =
-    dupClustersFrom(Corpus.docs(spark, dir),
-      ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+    clusterMemoXx.getOrElseUpdate((dir, threshold), // same build-time-actions argument as [[dupClusters]]
+      dupClustersFrom(Corpus.docs(spark, dir),
+        ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
   /** d11: scale twin of d3 — SimHash with per-token hashes straight from
     * xxhash64 (mod the 32-bit prime), skipping the word dictionary. The
