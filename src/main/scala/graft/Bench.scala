@@ -61,9 +61,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // totals and failure counts FIRST: the driver tail-truncates long
-    // lines, and the headline numbers must survive the cut
+    // The driver keeps the TAIL of stdout: emit the full per-query line
+    // first, then a compact headline line (no per-query map) LAST so the
+    // total / failure counts always survive truncation.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs}""")
     spark.stop()
   }
 }

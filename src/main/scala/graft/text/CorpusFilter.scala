@@ -138,14 +138,14 @@ object CorpusFilter {
        |  FROM base WHERE kept),
        |packed AS (
        |  SELECT doc_id, split,
-       |    SUM(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS offset_start
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS offset_start
        |  FROM keptd)
        |SELECT b.doc_id, b.quality_score, b.n_tokens, b.is_exact_dup,
        |  b.is_contaminated, b.is_benchmark, b.kept,
        |  COALESCE(p.split, '') AS split,
-       |  COALESCE(p.offset_start, -1) AS offset_start,
-       |  COALESCE(p.offset_start // $budget, -1) AS window_id
+       |  CAST(COALESCE(p.offset_start, -1) AS BIGINT) AS offset_start,
+       |  CAST(COALESCE(p.offset_start // $budget, -1) AS BIGINT) AS window_id
        |FROM base b LEFT JOIN packed p USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 

@@ -229,12 +229,15 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  // DuckDB SUM(BIGINT) yields HUGEINT — CAST every window sum back to
+  // BIGINT or the dtype diverges from Spark's LONG (same lesson as
+  // pivotWideSql in graft.analytics.Trends; enforced by OracleSqlLintSpec).
   def packPlanSql(budget: Long = 512L): String =
     s"""SELECT doc_id, lang, shard, n_tokens,
-       |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS offset_start,
-       |  (SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $budget AS window_id
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS offset_start,
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $budget AS BIGINT) AS window_id
        |FROM (SELECT doc_id, lang, doc_id // 64 AS shard,
        |        CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT) AS n_tokens
        |      FROM documents)
