@@ -41,7 +41,9 @@ case class HistoryState(entries: List[(Int, BigDecimal)])
   *    (write-metrics:104; SURVEY.md §2.7 "late file for an old date").
   *    A re-DELIVERED day is tolerated: state entries are keyed by
   *    day_idx, so a duplicate summary overwrites its prior entry rather
-  *    than double-counting it in later windows.
+  *    than double-counting it in later windows — and a day already in
+  *    state is NOT re-analyzed (no duplicate AnomalyEvent in the
+  *    append-mode sink; the corrected total still feeds later windows).
   *
   * Scale posture: state is ≤ 7 (day, decimal) pairs per store — bounded
   * by the window width, not the stream length; stores hash-partition the
@@ -65,7 +67,14 @@ object StatefulAnomalies {
           rows.toSeq.sortBy(_.day_idx).foreach { r =>
             val hist = entries.filter(e =>
               e._1 >= r.day_idx - HistDays && e._1 <= r.day_idx - 1)
-            if (hist.size >= MinHistDays) {
+            // a day already in state was already analyzed — a re-delivery
+            // must overwrite the state entry (below) but never emit a
+            // second AnomalyEvent into the append sink (write-metrics:104
+            // overwrite semantics; eviction keeps this check sufficient:
+            // a day old enough to have left state has also lost its
+            // window, so it cannot re-qualify either way)
+            val alreadyAnalyzed = entries.exists(_._1 == r.day_idx)
+            if (!alreadyAnalyzed && hist.size >= MinHistDays) {
               val histAvg = hist.map(_._2).sum.toDouble / hist.size
               if (histAvg > 0) {
                 val today = r.gross.toDouble

@@ -127,6 +127,35 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("re-delivered day with >=3 history days does not emit a duplicate anomaly") {
+    import spark.implicits._
+    import graft.streaming.{StatefulAnomalies, DailySummary}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def s(d: Int, g: Int) = DailySummary("0001", d, f"2024-01-${d + 1}%02d", BigDecimal(g))
+    val input = MemoryStream[DailySummary]
+    val q = StatefulAnomalies.detect(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anoms_redeliver").start()
+    try {
+      // days 0-4: day 3 and day 4 both qualify (3+ history days) and emit
+      input.addData(s(0, 100), s(1, 100), s(2, 100), s(3, 100), s(4, 100))
+      q.processAllAvailable()
+      // day 4 re-delivered with a corrected total: it already has 4
+      // history days in state, so WITHOUT the already-analyzed guard the
+      // analysis branch re-fires and appends a second 2024-01-05 event
+      input.addData(s(4, 400), s(5, 100)); q.processAllAvailable()
+      val got = spark.sql(
+          """SELECT sale_date, today_sales, hist_avg_sales FROM anoms_redeliver
+            |ORDER BY sale_date""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val want = Seq(
+        ("2024-01-04", 100.0, 100.0),  // original day-3 analysis
+        ("2024-01-05", 100.0, 100.0),  // day-4 analyzed ONCE, at first delivery
+        ("2024-01-06", 100.0, 175.0))  // day 5 sees the corrected 400 for day 4
+      assert(got.toSeq === want,
+        "re-delivered analyzed day must overwrite state without re-emitting")
+    } finally q.stop()
+  }
+
   test("resize stub preserves schema contract and aspect ratio bounds") {
     val media = Multimodal.mediaFromDocs(spark, sfDir)
     val resized = Multimodal.resizeStub(media, maxDim = 64)
