@@ -61,10 +61,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // The driver keeps the TAIL of stdout: emit the full per-query line
-    // first, then a compact headline line (no per-query map) LAST so the
-    // total / failure counts always survive truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}""")
+    // Two lines, distinct metrics so a parse-every-line consumer can't
+    // double-count totals: the full per-query map first (total_detail),
+    // then the compact headline line LAST — BENCH_r04.json confirmed the
+    // driver keeps the tail of stdout, so the last line always survives.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs}""")
     spark.stop()
   }

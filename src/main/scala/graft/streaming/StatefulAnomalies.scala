@@ -89,10 +89,13 @@ object StatefulAnomalies {
             // keyed by day_idx: a re-delivered (store, day) summary
             // OVERWRITES its previous entry instead of double-counting —
             // the reference's put_item overwrite semantics
-            // (write-metrics:104). Then keep only entries a future day
-            // (> r.day_idx) can still see.
-            entries = ((r.day_idx, r.gross) :: entries.filter(_._1 != r.day_idx))
-              .filter(_._1 > r.day_idx - HistDays)
+            // (write-metrics:104). Evict relative to the NEWEST day in
+            // state (not r.day_idx): a re-delivered old day must not
+            // resurrect entries the newest day can no longer see, keeping
+            // the ≤ HistDays bound strict.
+            entries = (r.day_idx, r.gross) :: entries.filter(_._1 != r.day_idx)
+            val newest = entries.iterator.map(_._1).max
+            entries = entries.filter(_._1 > newest - HistDays)
           }
           state.update(HistoryState(entries))
           out.result().iterator

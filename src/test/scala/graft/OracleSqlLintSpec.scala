@@ -64,8 +64,12 @@ class OracleSqlLintSpec extends AnyFunSuite {
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
+    var inStr = false
     while (i < s.length) {
-      s.charAt(i) match {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
         case _ =>
@@ -74,6 +78,41 @@ class OracleSqlLintSpec extends AnyFunSuite {
     }
     -1
   }
+
+  /** The current select-list item after the SUM's close paren: text up to
+    * the next top-level comma, a depth-0 close paren (end of enclosing
+    * subquery), or a clause keyword — so an unaliased SUM can never
+    * borrow an `AS <word>` from an unrelated later column. */
+  private val ClauseKw =
+    "(?i)^(FROM|WHERE|GROUP|ORDER|HAVING|QUALIFY|WINDOW|LIMIT|UNION)\\b".r
+  private def itemTail(rest: String): String = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) return rest.substring(0, i) else depth -= 1
+        case ',' if depth == 0 => return rest.substring(0, i)
+        case _ =>
+          if (depth == 0 && (i == 0 || !rest.charAt(i - 1).isLetterOrDigit) &&
+              ClauseKw.findFirstIn(rest.substring(i)).isDefined)
+            return rest.substring(0, i)
+      }
+      i += 1
+    }
+    rest
+  }
+
+  /** SQL type keywords are never column aliases: `CAST(x AS BIGINT)`
+    * inside the same item must not satisfy the alias lookup. */
+  private val TypeWords = Set(
+    "BIGINT", "INTEGER", "INT", "HUGEINT", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "REAL", "DECIMAL", "NUMERIC",
+    "VARCHAR", "TEXT", "DATE", "TIMESTAMP", "BOOLEAN")
 
   private val SumPat = "(?i)\\bSUM\\s*\\(".r
   private val CastPat = "(?i)\\bCAST\\s*\\(".r
@@ -97,7 +136,9 @@ class OracleSqlLintSpec extends AnyFunSuite {
       val decimalArg = DecimalArg.findFirstIn(arg).isDefined
       if (enclosed || decimalArg) None
       else {
-        val alias = AliasPat.findFirstMatchIn(rest).map(_.group(1)).getOrElse("<no-alias>")
+        val alias = AliasPat.findAllMatchIn(itemTail(rest)).map(_.group(1))
+          .find(a => !TypeWords.contains(a.toUpperCase))
+          .getOrElse("<no-alias>")
         val from = math.max(0, m.start - 10)
         val snippet = sql.substring(from, math.min(sql.length, close + 30))
           .replaceAll("\\s+", " ")

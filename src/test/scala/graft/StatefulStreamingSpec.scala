@@ -150,7 +150,9 @@ class StatefulStreamingSpec extends GraftSpec {
       val want = Seq(
         ("2024-01-04", 100.0, 100.0),  // original day-3 analysis
         ("2024-01-05", 100.0, 100.0),  // day-4 analyzed ONCE, at first delivery
-        ("2024-01-06", 100.0, 175.0))  // day 5 sees the corrected 400 for day 4
+        // day 5's trailing-7-day window [-2,4] holds days 0-4: four 100s
+        // plus the corrected 400 for day 4 → (4*100 + 400) / 5 = 160
+        ("2024-01-06", 100.0, 160.0))
       assert(got.toSeq === want,
         "re-delivered analyzed day must overwrite state without re-emitting")
     } finally q.stop()
