@@ -26,6 +26,7 @@ object Bench {
       graft.etl.StoreDaily.topProductsDec(spark, sfDir).count()
       graft.analytics.History.trendDirection(spark, sfDir).count()
       graft.analytics.History.anomalies(spark, sfDir).count()
+      graft.text.Corpus.docsTok(spark, sfDir).count() // tokenize-once silver
       graft.dedup.Dedup.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -112,7 +112,14 @@ object SparkEntry {
     "v6_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "c2_corpus_build" -> ((s, dir) => graft.text.CorpusFilter.corpusBuild(s, dir)),
     "t10_corpus_stats" -> ((s, dir) => graft.text.CorpusPrep.corpusStats(s, dir)),
-    "v7_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir))
+    "v7_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
+    // m2: multimodal decode-stub features + frame-sample explode — binary
+    // decode has no DuckDB analogue; rows-only like s6 (spec-covered in
+    // StatefulStreamingSpec/MultimodalSpec shapes).
+    "m2_multimodal" -> ((s, dir) => graft.multimodal.Multimodal.multimodalFeatures(s, dir)),
+    // d13: xxhash twin of d7 — rows-only like d5/d9/d10; count-algebra
+    // parity with d7 is spec-asserted (DedupSimilaritySpec).
+    "d13_lsh_eval_xxhash" -> ((s, dir) => Dedup.lshEvalXxhash(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

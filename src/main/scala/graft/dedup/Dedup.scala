@@ -32,10 +32,10 @@ object Dedup {
     * on xxhash64(text) and resolve the (vanishingly rare) collisions with
     * a second exact pass. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val groups = Corpus.docs(spark, dir)
+    val groups = Corpus.docsTok(spark, dir)
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
-    Corpus.docs(spark, dir)
+    Corpus.docsTok(spark, dir)
       .join(groups, Seq("text"))
       .select(col("doc_id"), col("keep_id"), col("group_size"),
         (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
@@ -95,10 +95,13 @@ object Dedup {
     * 16× hash-function crossJoin multiplies the shuffle by 16 and was the
     * bench bottleneck; a custom Catalyst Expression isn't needed — 16
     * codegen'd min aggregates are exactly as fast.) */
-  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame =
+    signaturesWideFrom(docSids(spark, dir))
+
+  private def signaturesWideFrom(ds: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(j =>
       min((col("sid") * aj(j) + bj(j)) % lit(Corpus.P)).as(s"mh$j"))
-    docSids(spark, dir).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    ds.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band, bandkey) long form — a 4× explode of the tiny wide
@@ -144,7 +147,16 @@ object Dedup {
     * (equal minhashes / 16), and the exact shingle Jaccard for reference.
     * Self-join happens on (band, bandhash) buckets, NOT all pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signaturesWide(spark, dir).cache() // bands + both estimate sides
+    val ds = docSids(spark, dir)
+    minhashLshFrom(ds, ds)
+  }
+
+  /** The d2 pipeline over explicit id relations: `sketchSids` feeds the
+    * minhash family (ids must be < P), `identSids` the exact-set side
+    * (any id width). d2 passes the dictionary relation for both; d13
+    * passes the xxhash pair (mod-P sketch ids, raw 64-bit identity). */
+  private def minhashLshFrom(sketchSids: DataFrame, identSids: DataFrame): DataFrame = {
+    val sigs = signaturesWideFrom(sketchSids).cache() // bands + both estimate sides
     val bands = bandKeys(sigs)
     val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
@@ -162,14 +174,14 @@ object Dedup {
     val est = cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_common_bands"),
         nEq.as("n_eq_minhash"))
-    val sizes = docSids(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = identSids.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Exact intersections CANDIDATE-RESTRICTED (join the shingle relation
     // to the candidate pairs, not to itself): the full inverted-index
     // self-join is |pairs sharing a shingle| — fine on real corpora, but
     // it must never be on d2's critical path when LSH already cut the
     // candidate set. (d4 keeps the full relation: exact all-pair Jaccard
     // IS its semantic.)
-    val ds = docSids(spark, dir)
+    val ds = identSids
     val inter = cands.select(col("doc_a"), col("doc_b"))
       .join(ds.select(col("doc_id").as("doc_a"), col("sid")), Seq("doc_a"))
       .join(ds.select(col("doc_id").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
@@ -235,8 +247,8 @@ object Dedup {
     * scale (near-dups within Hamming distance d share >= 1 of 4 bytes for
     * d <= 3 by pigeonhole). Pure map-side + one (doc_id,bit) aggregation. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Corpus.docs(spark, dir)
-      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+    val tokens = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
       .join(broadcast(Corpus.wordDict(spark, dir)), Seq("word"))
       .groupBy(col("doc_id"), col("wid"))
       .agg(count(lit(1)).as("cnt"))
@@ -375,11 +387,15 @@ object Dedup {
     * production dedup pipeline runs per corpus before trusting a sketch
     * config. */
   def lshEval(spark: SparkSession, dir: String,
-              threshold: Double = 0.5): DataFrame = {
-    val cands = minhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
-    val truePairs = ngramJaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
+              threshold: Double = 0.5): DataFrame =
+    lshEvalFrom(
+      minhashLsh(spark, dir)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard")),
+      ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")),
+      threshold)
+
+  private def lshEvalFrom(cands: DataFrame, truePairs: DataFrame,
+                          threshold: Double): DataFrame = {
     val missedByBanding = truePairs
       .join(cands.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
     cands.agg(
@@ -439,15 +455,24 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String,
                   threshold: Double = 0.5): DataFrame =
     clusterMemo.getOrElseUpdate((dir, threshold),
-      dupClustersFrom(Corpus.docs(spark, dir),
+      dupClustersFrom(Corpus.docsTok(spark, dir),
         ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
   private def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
+    // LINEAGE TRUNCATION, not just caching: each round's plan must start
+    // from the previous round's MATERIALIZED result, or the final label
+    // relation carries the whole 20-round join lineage — and every later
+    // action on it (d6, d10, c1, each bench iteration) re-optimizes that
+    // deep tree on the DRIVER, seconds per query at any data size. The
+    // classic iterative-graph fix (GraphX checkpoints the same way):
+    // eager localCheckpoint pins each round's rows in executor storage
+    // and replaces its plan with a shallow scan. At 100 TB the same move
+    // writes rounds to durable storage every few iterations.
     var labels = docs
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -456,22 +481,24 @@ object Dedup {
           Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("n_label")).as("min_n_label"))
+      // carry the convergence bit in the round's own output (label
+      // shrank iff some neighbor label was smaller) — the check is then
+      // a filter over the checkpointed rows, not another join
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+          least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"),
+          (col("min_n_label") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      // doc-count-sized label relation, read by both the d6 key and c1
-      // — cache so the iterative CC build runs once per session
-      .cache()
+      // doc-count-sized label relation, read by both the d6 key and c1 —
+      // checkpointed for the same shallow-plan reason as the rounds
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -528,7 +555,7 @@ object Dedup {
   def dupClustersXxhash(spark: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame =
     clusterMemoXx.getOrElseUpdate((dir, threshold), // same build-time-actions argument as [[dupClusters]]
-      dupClustersFrom(Corpus.docs(spark, dir),
+      dupClustersFrom(Corpus.docsTok(spark, dir),
         ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
   /** d11: scale twin of d3 — SimHash with per-token hashes straight from
@@ -538,8 +565,8 @@ object Dedup {
     * asserts structural invariants (byte bands recombine, 32-bit range)
     * rather than value equality. Rows-only like d5/d9/d10. */
   def simhashXxhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Corpus.docs(spark, dir)
-      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+    val tokens = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", pmod(xxhash64(col("word")), lit(P32)))
@@ -577,6 +604,26 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d13: scale twin of d7 — the LSH confusion eval over the
+    * no-dictionary id path: sketch ids are xxhash64 mod P (d5's family,
+    * bounded for the affine minhashes), identity ids are raw 64-bit
+    * xxhash64 (d9's family, exact set identity). Rows-only (xxhash64 has
+    * no DuckDB twin); DedupSimilaritySpec asserts the count algebra
+    * instead: tp + fn_estimate + fn_banding = |d9 true pairs|, and that
+    * total equals d7's, because d9 ≡ d4 pair-for-pair. With this, every
+    * dictionary-bound dedup operator — including the eval harness — has a
+    * no-global-sort path. */
+  def lshEvalXxhash(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val sketchSids = Corpus.docShingles(spark, dir)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
+    lshEvalFrom(
+      minhashLshFrom(sketchSids, docSidsXx(spark, dir))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard")),
+      ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b")),
+      threshold)
   }
 
   /** Materialize the tokenize-once silver relations shared by the dedup

@@ -165,4 +165,42 @@ object Ingest {
     * dataset-partition like the reference's one-file-per-dataset layout. */
   def exportNdjson(df: DataFrame, outDir: String, parts: Int = 1): Unit =
     df.coalesce(parts).write.mode("overwrite").json(outDir)
+
+  /** S7 sidecar: the BI-tool manifest JSON the reference writes next to
+    * each exported dataset (export-to-quicksight/lambda_function.py:
+    * 364-388): `fileLocations[0].URIs` lists every data file;
+    * `globalUploadSettings.format` declares NDJSON. Uses the Hadoop
+    * FileSystem API so the same code addresses local paths in tests and
+    * object stores in production; the listing is one metadata call over
+    * the handful of part files, never a data read. Returns the manifest
+    * path. */
+  def writeManifest(spark: SparkSession, outDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(_.toString).sorted
+    val uris = files.map(f => "\"" + f + "\"").mkString(", ")
+    val body =
+      s"""{
+         |  "fileLocations": [
+         |    {"URIs": [$uris]}
+         |  ],
+         |  "globalUploadSettings": {
+         |    "format": "JSON"
+         |  }
+         |}""".stripMargin
+    val manifest = new Path(dir, "manifest.json")
+    val out = fs.create(manifest, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    manifest.toString
+  }
+
+  /** The reference's full per-dataset export step: NDJSON data files plus
+    * the manifest sidecar a BI consumer points at. */
+  def exportNdjsonWithManifest(df: DataFrame, outDir: String, parts: Int = 1): String = {
+    exportNdjson(df, outDir, parts)
+    writeManifest(df.sparkSession, outDir)
+  }
 }

@@ -105,6 +105,23 @@ object Multimodal {
     }
   }
 
+  /** m2: the driver-visible multimodal relation — decode-stub features
+    * per media row joined to the frame-sample explode, ordered for a
+    * deterministic dump. Rows-only at the correctness gate: binary
+    * decode has no DuckDB analogue (same contract as s6/d5). The join is
+    * a same-key equi-join both sides of which derive from one scan of
+    * `documents`; at scale the feature side is the narrow one and
+    * broadcasts or co-partitions on media_id. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocs(spark, dir)
+    val feats = extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+        element_at(col("features"), 1).as("f0"))
+    frameSample(media)
+      .join(feats, Seq("media_id"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Frame sampling for video rows: every `step`-th frame index becomes a
     * row (the UDTF/Generator shape — built-in explode over a sequence, no
     * custom Generator needed). Non-video rows pass through with frame 0. */

@@ -32,6 +32,18 @@ object Corpus {
   def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
+  /** Tokenize-once silver: the documents table with the split `words`
+    * array attached, CACHED. The whole text family consumes tokens or
+    * text — t1/t2/t3/t5/t6/t8, the shingle relations, exact dedup, and
+    * the c1/c2 compositions — and without sharing, each operator
+    * re-reads parquet and re-splits every document. At 100 TB this is
+    * the tokenized bronze table written once at ingest and read by every
+    * corpus job (the same materialize-once move as Dedup's shingle
+    * silver). Spark's CacheManager dedupes by logical plan, so every
+    * caller shares one entry; Bench warms it with the other silvers. */
+  def docsTok(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("words", wordsCol).cache()
+
   /** Whitespace tokens, in document order. Documents are single-space
     * separated by construction (TESTDATA.md); the regex keeps this robust
     * to incidental runs of whitespace without changing token content. */
@@ -43,8 +55,8 @@ object Corpus {
     * Vocabulary-sized (tiny) — computed once, broadcast into every join;
     * the single-partition window is deliberate and safe at this size. */
   def wordDict(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(explode(wordsCol).as("word")).distinct()
+    docsTok(spark, dir)
+      .select(explode(col("words")).as("word")).distinct()
       .withColumn("wid", row_number().over(Window.orderBy("word")).cast("long"))
 
   val wordDictSql: String =
@@ -80,9 +92,8 @@ object Corpus {
   /** (doc_id, shingle) with per-document distinct shingles (set semantics —
     * what Jaccard/MinHash operate on). */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), wordsCol.as("ws"))
-      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("ws")))).as("shingle"))
+    docsTok(spark, dir) // `words` is a plain attribute — see shinglesOf
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("words")))).as("shingle"))
 
   val docShinglesSql: String =
     s"SELECT doc_id, unnest(list_distinct($shinglesSqlExpr)) AS shingle FROM documents"

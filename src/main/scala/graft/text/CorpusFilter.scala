@@ -17,20 +17,32 @@ import org.apache.spark.sql.functions._
   * audit trail (why was this document dropped?). */
 object CorpusFilter {
 
+  /** The exact-dup verdict as a window over the text partition: d1's
+    * min-id-keeper rule in one shuffle instead of groupBy + self-join —
+    * same values, used by the fused c1/c2 compositions. */
+  private def isExactDupCol = {
+    import org.apache.spark.sql.expressions.Window
+    col("doc_id") =!= min(col("doc_id")).over(Window.partitionBy("text"))
+  }
+
   def corpusFilter(spark: SparkSession, dir: String,
                    minQuality: Long = 50L): DataFrame = {
-    val quality = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val lang = TextAnalysis.langId(spark, dir)
-      .select(col("doc_id"), col("lang_pred"))
-    val exact = Dedup.exactDedup(spark, dir)
-      .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
+    // FUSED single-pass form of the audit-trail composition: the quality
+    // rubric (t2) and language argmax (t3) are per-row expressions, so
+    // they compute inline on the tokenize-once silver — no joins, no
+    // re-scans; the exact-dup verdict (d1) is one min-over-text window;
+    // only the near-dup cluster verdict (d6) joins a precomputed
+    // relation (the memoized CC labels — doc-count-sized). Values are
+    // identical to the per-operator relations; the unchanged oracle SQL
+    // (which still composes the t2/t3/d1/d6 CTEs) is the proof.
     val clusters = Dedup.dupClusters(spark, dir)
       .select(col("doc_id"),
         (col("cluster_id") =!= col("doc_id")).as("is_near_dup_loser"))
-    quality
-      .join(lang, Seq("doc_id"))
-      .join(exact, Seq("doc_id"))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
+        TextAnalysis.langPredCol.as("lang_pred"),
+        isExactDupCol.as("is_exact_dup"))
       .join(clusters, Seq("doc_id"))
       .withColumn("kept",
         col("quality_score") >= minQuality &&
@@ -72,17 +84,16 @@ object CorpusFilter {
   def corpusBuild(spark: SparkSession, dir: String,
                   minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val exact = Dedup.exactDedup(spark, dir)
-      .select(col("doc_id"), col("is_duplicate").as("is_exact_dup"))
+    // Fused like [[corpusFilter]]: quality inline, exact-dup as a window;
+    // only the decontamination verdict (d12, a shingle-level aggregate)
+    // remains a join.
     val contam = CorpusPrep.contamination(spark, dir)
       .select(col("doc_id"), col("is_contaminated"))
-    val base = Corpus.docs(spark, dir)
+    val base = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(Corpus.wordsCol).cast("long").as("n_tokens"))
-      .join(quality, Seq("doc_id"))
-      .join(exact, Seq("doc_id"))
+        size(col("words")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
+        isExactDupCol.as("is_exact_dup"))
       .join(contam, Seq("doc_id"), "left")
       .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(false)))
       .withColumn("is_benchmark", col("doc_id") % 97 === 0)
@@ -159,7 +170,7 @@ object CorpusFilter {
     * re-runs idempotent per partition (same contract as
     * [[graft.ingest.Ingest.writeLake]]). */
   def writeShards(spark: SparkSession, dir: String, outDir: String): Unit = {
-    val docs = Corpus.docs(spark, dir)
+    val docs = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("lang").as("lang_part"), col("text"))
     corpusBuild(spark, dir).filter(col("kept"))
       .withColumn("shard", expr("doc_id div 64"))

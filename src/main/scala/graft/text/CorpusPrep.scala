@@ -35,7 +35,7 @@ object CorpusPrep {
         regexp_replace(col("text"), EmailPat, "<EMAIL>"),
         UrlPat, "<URL>"),
       PhonePat, "<PHONE>")
-    Corpus.docs(spark, dir).select(
+    Corpus.docsTok(spark, dir).select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(UrlPat)).cast("long").as("n_urls"),
@@ -81,7 +81,7 @@ object CorpusPrep {
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test")
-    Corpus.docs(spark, dir)
+    Corpus.docsTok(spark, dir)
       .select(split.as("split"), col("lang"), col("n_chars"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
@@ -105,7 +105,7 @@ object CorpusPrep {
     * follow the parity conventions: exact longs into single IEEE
     * divisions, identical operation order in both engines. */
   def sourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val groups = Corpus.docs(spark, dir)
+    val groups = Corpus.docsTok(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_group"))
     val totals = groups.agg(
@@ -146,8 +146,8 @@ object CorpusPrep {
     * exploded tokens, then a vocabulary-sized re-aggregate — fully
     * map-side-combinable at any corpus size. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Corpus.docs(spark, dir)
-      .select(explode(Corpus.wordsCol).as("word"))
+    val counts = Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     val top = counts.orderBy(col("n").desc, col("word").asc).limit(1)
       .select(col("word").as("top_word"), col("n").as("top_word_count"))
@@ -217,10 +217,10 @@ object CorpusPrep {
     * Pure integer arithmetic (`div`), exact in both engines. */
   def packPlan(spark: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nTokens = size(Corpus.wordsCol).cast("long")
+    val nTokens = size(col("words")).cast("long")
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Corpus.docs(spark, dir)
+    Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("lang"),
         expr("doc_id div 64").as("shard"), nTokens.as("n_tokens"))
       .withColumn("offset_start", sum("n_tokens").over(w) - col("n_tokens"))

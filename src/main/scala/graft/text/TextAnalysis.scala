@@ -16,9 +16,9 @@ object TextAnalysis {
     * regex token count (letter runs | digit runs | single punctuation, the
     * shape of a GPT-2-style pre-tokenizer), plus char length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Corpus.docs(spark, dir).select(
+    Corpus.docsTok(spark, dir).select(
       col("doc_id"),
-      size(Corpus.wordsCol).cast("long").as("n_words"),
+      size(col("words")).cast("long").as("n_words"),
       regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
         .as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_measured")
@@ -41,11 +41,16 @@ object TextAnalysis {
     * codegen'd per-row expression is streamable unchanged. Integer-exact
     * comparisons (×10 instead of float ratios) so batch, streaming, and
     * the DuckDB oracle agree bit-for-bit. */
-  def qualityScoreCol: Column = {
-    val nWords = size(Corpus.wordsCol).cast("long")
+  def qualityScoreCol: Column = qualityScoreColOf(Corpus.wordsCol)
+
+  /** The same rubric over an already-bound words-array column (the
+    * tokenize-once silver's `words` attribute) — the batch path, where
+    * re-splitting `text` would waste the shared tokenization. */
+  def qualityScoreColOf(ws: Column): Column = {
+    val nWords = size(ws).cast("long")
     val nChars = length(col("text")).cast("long")
     val wordChars = nChars - (nWords - lit(1L))
-    val nStop = size(filter(Corpus.wordsCol, w => w === "the" || w === "a")).cast("long")
+    val nStop = size(filter(ws, w => w === "the" || w === "a")).cast("long")
     val nAlpha = (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))).cast("long")
     when(nWords.between(20L, 90L), lit(25L)).otherwise(lit(0L)) +
       when(wordChars * lit(10L) > nWords * lit(30L) && wordChars * lit(10L) < nWords * lit(100L),
@@ -62,17 +67,18 @@ object TextAnalysis {
       "[^a-z0-9 ]", ""), " +", " "))
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = size(Corpus.wordsCol).cast("long")
+    val ws = col("words")
+    val nWords = size(ws).cast("long")
     val nChars = length(col("text")).cast("long")
     // chars in words = total - separating spaces
     val wordChars = nChars - (nWords - lit(1L))
-    val nStop = size(filter(Corpus.wordsCol, w => w === "the" || w === "a")).cast("long")
+    val nStop = size(filter(ws, w => w === "the" || w === "a")).cast("long")
     val nAlpha = (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))).cast("long")
     val meanWordLen = wordChars.cast("double") / nWords.cast("double")
     val stopRatio = nStop.cast("double") / nWords.cast("double")
     val alphaRatio = nAlpha.cast("double") / nChars.cast("double")
-    val score = qualityScoreCol
-    Corpus.docs(spark, dir).select(
+    val score = qualityScoreColOf(ws)
+    Corpus.docsTok(spark, dir).select(
       col("doc_id"), nWords.as("n_words"),
       meanWordLen.as("mean_word_len"),
       stopRatio.as("stopword_ratio"),
@@ -104,23 +110,27 @@ object TextAnalysis {
     * classic textcat-style profile approach; on this synthetic corpus the
     * interesting part is the *shape* (pure map-side scoring, no shuffle),
     * and the deterministic rule is what the oracle checks. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
-    val sEn = cnt("the ") * 3 + cnt("th") + cnt("he")
-    val sFr = cnt("le ") * 3 + cnt("ou") + cnt("es")
-    val sEs = cnt("el ") * 3 + cnt("os") + cnt("ar")
-    val sDe = cnt("der ") * 3 + cnt("ch") + cnt("ei")
-    val sZh = cnt("de ") * 3 + cnt("sh") + cnt("ng")
-    val pred = when(sEn >= sFr && sEn >= sEs && sEn >= sDe && sEn >= sZh, "en")
-      .when(sFr >= sEs && sFr >= sDe && sFr >= sZh, "fr")
-      .when(sEs >= sDe && sEs >= sZh, "es")
-      .when(sDe >= sZh, "de")
+  private def cntPat(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
+  private def scoreEn = cntPat("the ") * 3 + cntPat("th") + cntPat("he")
+  private def scoreFr = cntPat("le ") * 3 + cntPat("ou") + cntPat("es")
+  private def scoreEs = cntPat("el ") * 3 + cntPat("os") + cntPat("ar")
+  private def scoreDe = cntPat("der ") * 3 + cntPat("ch") + cntPat("ei")
+  private def scoreZh = cntPat("de ") * 3 + cntPat("sh") + cntPat("ng")
+
+  /** t3's argmax rule as a Column over `text` — shared by [[langId]] and
+    * the fused c1/c2 corpus compositions. */
+  def langPredCol: Column =
+    when(scoreEn >= scoreFr && scoreEn >= scoreEs && scoreEn >= scoreDe && scoreEn >= scoreZh, "en")
+      .when(scoreFr >= scoreEs && scoreFr >= scoreDe && scoreFr >= scoreZh, "fr")
+      .when(scoreEs >= scoreDe && scoreEs >= scoreZh, "es")
+      .when(scoreDe >= scoreZh, "de")
       .otherwise("zh")
-    Corpus.docs(spark, dir).select(
-      col("doc_id"), col("lang").as("lang_labeled"), pred.as("lang_pred"),
-      sEn.as("score_en"), sZh.as("score_zh")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docsTok(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_labeled"), langPredCol.as("lang_pred"),
+      scoreEn.as("score_en"), scoreZh.as("score_zh")
     ).orderBy("doc_id")
-  }
 
   val langIdSql: String = {
     def cnt(pat: String) = s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
@@ -145,8 +155,8 @@ object TextAnalysis {
     * semantics, none of the cross-engine float-log drift (log() differs
     * in the last ulp between libm implementations — Tables doc). */
   def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val tokens = Corpus.docs(spark, dir)
-      .select(col("doc_id"), explode(Corpus.wordsCol).as("word"))
+    val tokens = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
     val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -177,7 +187,7 @@ object TextAnalysis {
     * Explicit character classes only (Java regex vs RE2 agree on them;
     * \\p{...} classes don't port). */
   def normalizeText(spark: SparkSession, dir: String): DataFrame =
-    Corpus.docs(spark, dir).select(
+    Corpus.docsTok(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_before"),
       length(normalizedCol).cast("long").as("n_chars_after"),
@@ -201,8 +211,8 @@ object TextAnalysis {
     * without comparing full text). Word ids come from the rank dictionary
     * (broadcast join; see [[Corpus]] for the 100 TB swap to xxhash64). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.docs(spark, dir)
-      .select(col("doc_id"), posexplode(Corpus.wordsCol).as(Seq("pos", "word")))
+    val d = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
       .join(broadcast(Corpus.wordDict(spark, dir)), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("wid")))),
@@ -237,9 +247,9 @@ object TextAnalysis {
     * equal fingerprints (spec-asserted against d1's exact text groups).
     * Rows-only (no DuckDB xxhash64). */
   def fingerprintXxhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.docs(spark, dir)
+    val d = Corpus.docsTok(spark, dir)
       .select(col("doc_id"),
-        transform(Corpus.wordsCol,
+        transform(col("words"),
           w => pmod(xxhash64(w), lit(Corpus.P))).as("wids"))
     d.select(
       col("doc_id"),
@@ -263,13 +273,16 @@ object TextAnalysis {
     * index element 0 and throw), the doc-id merge is a LEFT join, counts
     * zero-fill, and top_bigram_frac is null (0/0). */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionOf(Corpus.docs(spark, dir))
+    repetitionOf(Corpus.docsTok(spark, dir))
 
   /** [[repetition]] over an arbitrary (doc_id, text) relation — the
     * operator itself, separated so specs can drive edge-case corpora
-    * (1-token and duplicate-day documents) not present in the testdata. */
+    * (1-token and duplicate-day documents) not present in the testdata.
+    * A relation that already carries the tokenized `words` column (the
+    * docsTok silver) is used as-is; otherwise text is split here. */
   def repetitionOf(docsDf: DataFrame): DataFrame = {
-    val ws = docsDf.select(col("doc_id"), Corpus.wordsCol.as("ws"))
+    val wsCol = if (docsDf.columns.contains("words")) col("words") else Corpus.wordsCol
+    val ws = docsDf.select(col("doc_id"), wsCol.as("ws"))
     val bigramsOf = transform(sequence(lit(0), size(col("ws")) - lit(2)),
       i => concat_ws(" ", element_at(col("ws"), i + lit(1)), element_at(col("ws"), i + lit(2))))
     val bg = ws.filter(size(col("ws")) >= 2)

@@ -76,6 +76,21 @@ class DedupSimilaritySpec extends GraftSpec {
       clusterKey(Dedup.dupClusters(spark, sfDir)))
   }
 
+  test("d13: xxhash LSH eval count algebra matches d7's true-pair total") {
+    // tp + fn_estimate + fn_banding partitions the >= 0.5 true-pair set:
+    // tp/fn_estimate split the candidates by estimate, fn_banding is what
+    // banding never surfaced. d9 ≡ d4 pair-for-pair (asserted above), so
+    // both evals must account for the SAME total — even though the tp/fp
+    // split itself may differ (the minhash families differ by design).
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val dict = row(Dedup.lshEval(spark, sfDir))
+    val xx = row(Dedup.lshEvalXxhash(spark, sfDir))
+    val truePairs = Dedup.ngramJaccard(spark, sfDir, 0.5).count()
+    assert(dict.getLong(0) + dict.getLong(2) + dict.getLong(3) === truePairs)
+    assert(xx.getLong(0) + xx.getLong(2) + xx.getLong(3) === truePairs)
+    assert(xx.getLong(4) > 0, "xxhash banding must surface candidates")
+  }
+
   test("d11: xxhash simhash signatures are 32-bit and byte bands recombine") {
     val s = Dedup.simhashXxhash(spark, sfDir)
     assert(s.count() > 0)

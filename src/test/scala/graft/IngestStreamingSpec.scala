@@ -131,4 +131,60 @@ class IngestStreamingSpec extends GraftSpec {
     assert(back.count() === 20)
     assert(back.columns.toSet.contains("store_id"))
   }
+
+  test("ndjson export writes the BI manifest sidecar next to the dataset") {
+    val out = tmp("ndjson_manifest")
+    val df = graft.etl.StoreDaily.rollup(spark, sfDir).limit(20)
+    val manifestPath = Ingest.exportNdjsonWithManifest(df, out.toString, parts = 2)
+    assert(manifestPath.endsWith("manifest.json"))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(manifestPath).getPath)), "UTF-8")
+    // the reference's exact manifest shape (export-to-quicksight:364-388)
+    val parsed = ujsonLite(body)
+    val uris = parsed("fileLocations")(0)("URIs").v
+      .asInstanceOf[scala.collection.Seq[Any]].map(_.toString)
+    assert(uris.nonEmpty, "manifest must list the exported data files")
+    assert(uris.forall(_.contains("part-")))
+    uris.foreach { u =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(u).getPath)), s"listed file missing: $u")
+    }
+    assert(parsed("globalUploadSettings")("format").toString === "JSON")
+    // every data line in the listed files is readable NDJSON (glob skips
+    // the sidecar itself — consumers address data via the manifest's URIs)
+    assert(spark.read.option("pathGlobFilter", "part-*")
+      .json(out.toString).count() === 20)
+  }
+
+  /** Minimal JSON reader for the manifest assertion (no extra deps):
+    * delegates to Spark's own JSON parser over a one-line dataset. */
+  private def ujsonLite(body: String): JsonNav = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.read.json(
+      spark.createDataset(Seq(body.replaceAll("\n", " ")))(
+        org.apache.spark.sql.Encoders.STRING))
+    JsonNav(df.head())
+  }
+  private case class JsonNav(v: Any) {
+    def apply(field: String): JsonNav = v match {
+      case r: org.apache.spark.sql.Row => JsonNav(r.getAs[Any](field))
+      case other => fail(s"not a struct at $field: $other")
+    }
+    def apply(i: Int): JsonNav = v match {
+      case s: scala.collection.Seq[_] => JsonNav(s(i))
+      case other => fail(s"not an array: $other")
+    }
+    override def toString: String = String.valueOf(v)
+  }
+
+  test("m2: multimodal features x frames relation is nonempty and consistent") {
+    val rel = graft.multimodal.Multimodal.multimodalFeatures(spark, sfDir)
+    val media = Multimodal.mediaFromDocs(spark, sfDir)
+    assert(rel.count() >= media.count(), "every media row yields >= 1 frame row")
+    // per-media feature values are constant across that media's frame rows
+    val inconsistent = rel.groupBy("media_id")
+      .agg(countDistinct(col("checksum")).as("n_ck"), countDistinct(col("f0")).as("n_f0"))
+      .filter(col("n_ck") =!= 1 || col("n_f0") =!= 1)
+    assert(inconsistent.count() === 0)
+  }
 }
