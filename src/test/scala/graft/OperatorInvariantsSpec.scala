@@ -30,6 +30,25 @@ class OperatorInvariantsSpec extends GraftSpec {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("a20 precondition: dimension store set equals the range-active store set") {
+    // pivotWide's Spark side takes its column list from the supplier
+    // dimension (the reference's fixed store set); the DuckDB oracle's
+    // dynamic PIVOT derives columns from the fact data. They only agree
+    // while every dimension store trades in the queried range — assert
+    // that here so a future data change fails fast with a clear message.
+    val fromDim = graft.model.Tables.supplier(spark, sfDir)
+      .select(format_string("%04d", col("s_suppkey")).as("store_id"))
+      .collect().map(_.getString(0)).toSet
+    val fromFact = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .filter(col("sale_date").between(
+        graft.etl.Defaults.rangeStart, graft.etl.Defaults.rangeEnd))
+      .select(col("store_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fromDim === fromFact,
+      "supplier dimension and range-active fact stores diverged — " +
+        "pivotWide's column list no longer matches the oracle's dynamic PIVOT")
+  }
+
   test("a1: net_sales = total_sales - total_discount; avg = net/count") {
     val bad = StoreDaily.rollup(spark, sfDir)
       .filter(abs(col("net_sales") - (col("total_sales") - col("total_discount"))) > 1e-9 ||
