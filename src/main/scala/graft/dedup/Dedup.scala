@@ -195,6 +195,10 @@ object Dedup {
         (col("n_eq_minhash").cast("double") / 16.0).as("est_jaccard"),
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double")).as("jaccard"))
+      // candidate-pair-sized shared silver: the d2 key and the d7 eval
+      // both read this relation (d13 likewise for the xxhash instance);
+      // CacheManager keys by plan, so each id family gets one entry
+      .cache()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -635,5 +639,6 @@ object Dedup {
     docSidsXx(spark, dir).count()
     ngramJaccard(spark, dir, 0.5).count() // d6/d7/c1's shared edge relation
     dupClusters(spark, dir).count()       // the CC labels d6 and c1 both read
+    minhashLsh(spark, dir).count()        // d2/d7's shared candidate relation
   }
 }
