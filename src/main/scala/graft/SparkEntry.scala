@@ -119,7 +119,8 @@ object SparkEntry {
     "m2_multimodal" -> ((s, dir) => graft.multimodal.Multimodal.multimodalFeatures(s, dir)),
     // d13: xxhash twin of d7 — rows-only like d5/d9/d10; count-algebra
     // parity with d7 is spec-asserted (DedupSimilaritySpec).
-    "d13_lsh_eval_xxhash" -> ((s, dir) => Dedup.lshEvalXxhash(s, dir))
+    "d13_lsh_eval_xxhash" -> ((s, dir) => Dedup.lshEvalXxhash(s, dir)),
+    "e8_asof_attribution" -> ((s, dir) => EventsBatch.asOfAttribution(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,6 +206,7 @@ object SparkEntry {
     "v6_ann_recall" -> Similarity.annRecallSql(),
     "c2_corpus_build" -> graft.text.CorpusFilter.corpusBuildSql(),
     "t10_corpus_stats" -> graft.text.CorpusPrep.corpusStatsSql,
-    "v7_quantized_recall" -> Similarity.quantizedRecallSql()
+    "v7_quantized_recall" -> Similarity.quantizedRecallSql(),
+    "e8_asof_attribution" -> EventsBatch.asOfAttributionSql
   )
 }

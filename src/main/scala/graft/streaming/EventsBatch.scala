@@ -289,4 +289,53 @@ object EventsBatch {
       |  CAST(cells.active_users AS DOUBLE) / CAST(sizes.cohort_size AS DOUBLE) AS retention
       |FROM cells JOIN sizes USING (cohort_week)
       |ORDER BY 1, 2""".stripMargin
+
+  /** e8: AS-OF JOIN — for every purchase, the latest view by the same
+    * user at or before it (last-touch attribution + conversion latency).
+    * Spark lacks a native as-of join; the scalable composition is the
+    * union-and-running-window form: tag both sides, sort each user's
+    * events by time within one hash partition, and carry the most recent
+    * view timestamp forward with a running MAX — ONE shuffle on user_id,
+    * no per-row probe, no range self-join blowup (this is how a temporal
+    * join lowers onto a shuffle engine; pandas merge_asof / Flink
+    * temporal joins do the same per key). Views sort before purchases at
+    * equal timestamps (kind 0 < 1), matching ASOF's `v.ts <= p.ts`
+    * inclusive bound. The oracle is DuckDB's native ASOF LEFT JOIN.
+    * Timestamps compare as integer microseconds (engine-exact, like e6);
+    * never-seen-a-view carries -1 sentinels (never nulls). */
+  def asOfAttribution(spark: SparkSession, dir: String): DataFrame =
+    asOfAttributionOf(Tables.events(spark, dir))
+
+  /** Core of e8 over any (event_id, user_id, ts, event_type) relation —
+    * factored out so specs can pin the as-of semantics on hand fixtures. */
+  def asOfAttributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      .withColumn("last_view_us", max(when(col("kind") === 0, col("us"))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("us").as("purchase_us"),
+        coalesce(col("last_view_us"), lit(-1L)).as("view_us"),
+        coalesce(col("us") - col("last_view_us"), lit(-1L)).as("latency_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asOfAttributionSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  COALESCE(epoch_us(v.ts), -1) AS view_us,
+      |  COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS latency_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -106,6 +106,42 @@ class CompositionSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("e8: as-of join picks the latest view at-or-before each purchase") {
+    import spark.implicits._
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000) // micros → ms fixture
+    val events = Seq(
+      // u1: view@10, view@20, purchase@20 (inclusive tie → 20), purchase@30 (→ 20)
+      ("v1", "u1", ts(10000000L), "view"),
+      ("v2", "u1", ts(20000000L), "view"),
+      ("p1", "u1", ts(20000000L), "purchase"),
+      ("p2", "u1", ts(30000000L), "purchase"),
+      // u2: purchase with NO prior view (view comes after) → -1 sentinels
+      ("p3", "u2", ts(40000000L), "purchase"),
+      ("v3", "u2", ts(50000000L), "view"),
+      // clicks are ignored entirely
+      ("c1", "u1", ts(25000000L), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventsBatch.asOfAttributionOf(events)
+      .orderBy("event_id").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("p1", "p2", "p3"))
+    val byId = r.map(x => x.getString(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(byId("p1") === ((20000000L, 0L)), "equal-ts view matches (inclusive bound)")
+    assert(byId("p2") === ((20000000L, 10000000L)), "latest prior view wins")
+    assert(byId("p3") === ((-1L, -1L)), "no prior view → -1 sentinels")
+  }
+
+  test("e8: every purchase attributed once; latency non-negative on sf data") {
+    val a = EventsBatch.asOfAttribution(spark, sfDir).cache()
+    try {
+      val purchases = graft.model.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase").count()
+      assert(a.count() === purchases)
+      assert(a.select(countDistinct(col("event_id"))).head.getLong(0) === purchases)
+      assert(a.filter(col("view_us") =!= -1L && col("latency_us") < 0).count() === 0)
+      assert(a.filter(col("view_us") === -1L && col("latency_us") =!= -1L).count() === 0)
+    } finally a.unpersist()
+  }
+
   test("a26: lossy rollup never exceeds exact; bias is the difference") {
     val b = graft.etl.ProductDaily.rollupBias(spark, sfDir)
     assert(b.filter(col("lossy_revenue") > col("exact_revenue")).count() === 0)
