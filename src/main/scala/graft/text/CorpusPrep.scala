@@ -139,6 +139,55 @@ object CorpusPrep {
        |    AS n_sample_docs
        |FROM groups g CROSS JOIN totals t ORDER BY g.lang, g.source""".stripMargin
 
+  /** p9: source-mix APPLIER — materialize m1's plan as a per-document
+    * keep/drop verdict. The planner alone is half the operator: what runs
+    * at scale is this map-side pass. Each doc draws a deterministic
+    * bucket in [0, 1e6) from a second Knuth multiplicative hash
+    * (different prime+multiplier than p7's split bucket, so sampling is
+    * independent of split assignment) and is kept iff
+    * bucket < floor(rate·1e6). Hash-Bernoulli instead of rand(seed) for
+    * the same reason as p7: a retried or speculatively re-run partition
+    * keeps exactly the same docs. The plan side is |domains|-sized and
+    * broadcasts; the doc side never shuffles — at 100 TB this is one
+    * codegen'd scan. Rate doubles are m1's (hash-verified identical in
+    * both engines), and bucket/threshold compare as BIGINTs. */
+  def sampleBucket(docId: Column): Column =
+    pmod(pmod(docId, lit(998244353L)) * lit(2654435769L), lit(1000000L))
+
+  val sampleBucketSql: String = "((doc_id % 998244353) * 2654435769) % 1000000"
+
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val plan = sourceMix(spark, dir)
+      .select(col("lang"), col("source"),
+        floor(col("sampling_rate") * lit(1000000.0)).as("keep_below"))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(broadcast(plan), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        sampleBucket(col("doc_id")).as("sample_bucket"),
+        (sampleBucket(col("doc_id")) < col("keep_below")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val mixApplySql: String =
+    s"""WITH groups AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_group
+       |  FROM documents GROUP BY lang, source),
+       |totals AS (
+       |  SELECT CAST(SUM(n_chars_group) AS BIGINT) AS total_chars,
+       |         CAST(COUNT(*) AS BIGINT) AS n_domains FROM groups),
+       |plan AS (
+       |  SELECT g.lang, g.source,
+       |    CAST(FLOOR(LEAST(1.0, (CAST(t.total_chars AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+       |          / CAST(g.n_chars_group AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_below
+       |  FROM groups g CROSS JOIN totals t)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |  CAST($sampleBucketSql AS BIGINT) AS sample_bucket,
+       |  CAST($sampleBucketSql AS BIGINT) < p.keep_below AS kept
+       |FROM documents d JOIN plan p USING (lang, source)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** t10: corpus vocabulary statistics — the dashboard row a corpus
     * pipeline tracks per snapshot: total token count, vocabulary size,
     * hapax legomena (frequency-1 types, the long-tail health signal),

@@ -61,6 +61,33 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("p9: applier verdict covers every doc; rate-1 domains keep all; deterministic") {
+    val v = CorpusPrep.mixApply(spark, sfDir).cache()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(v.count() === docs.count(), "one verdict row per document")
+      assert(v.select(countDistinct(col("doc_id"))).head.getLong(0) === docs.count())
+      assert(v.filter(col("sample_bucket") < 0 || col("sample_bucket") >= 1000000L)
+        .count() === 0)
+      // every doc in a rate-1.0 domain is kept
+      val full = CorpusPrep.sourceMix(spark, sfDir)
+        .filter(col("sampling_rate") === 1.0).select("lang", "source")
+      assert(v.join(full, Seq("lang", "source")).filter(!col("kept")).count() === 0)
+      // corpus-level kept count tracks the plan's expectation (per-domain
+      // counts are 5-12 docs at sf0.001 — binomial noise swamps any
+      // per-domain bound; the sum is where hash-uniformity is testable)
+      val kept = v.filter(col("kept")).count().toDouble
+      val expected = CorpusPrep.sourceMix(spark, sfDir)
+        .select(sum(col("sampling_rate") * col("n_docs").cast("double")))
+        .head.getDouble(0)
+      assert(math.abs(kept - expected) / expected < 0.1,
+        s"kept $kept vs planned $expected")
+      // sampling bucket is independent of p7's split bucket family
+      val again = CorpusPrep.mixApply(spark, sfDir).collect()
+      assert(again.sameElements(v.collect()))
+    } finally v.unpersist()
+  }
+
   test("p8: offsets are contiguous within (lang, shard); window ids monotone") {
     val r = CorpusPrep.packPlan(spark, sfDir).cache()
     try {
