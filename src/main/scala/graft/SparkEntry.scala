@@ -107,6 +107,7 @@ object SparkEntry {
     "p7_split_assign" -> ((s, dir) => graft.text.CorpusPrep.splitAssign(s, dir)),
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
     "p9_mix_apply" -> ((s, dir) => graft.text.CorpusPrep.mixApply(s, dir)),
+    "t11_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(s, dir)),
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
     "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
     "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "p7_split_assign" -> graft.text.CorpusPrep.splitAssignSql,
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
     "p9_mix_apply" -> graft.text.CorpusPrep.mixApplySql,
+    "t11_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
     "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),
     "v5_quantize" -> Similarity.quantizeSql,

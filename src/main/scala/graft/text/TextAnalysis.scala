@@ -333,4 +333,56 @@ object TextAnalysis {
        |FROM w LEFT JOIN bga USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin
   }
+
+  /** t11: token-length histogram — docs and token mass per power-of-2
+    * length bucket, the dashboard behind curriculum bucketing (order
+    * short→long) and packing-efficiency planning (how much of the corpus
+    * is shorter than the context window → p8's padding waste). Bucket
+    * edges are fixed integer thresholds (a CASE chain, not log2: float
+    * log at a bucket boundary is an engine-divergence risk; integer
+    * compares are exact in both engines). One map-side projection + an
+    * 8-row hash aggregate — map-side-combinable at any corpus size. */
+  private val LengthEdges = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("words")).cast("long")
+    // fold ascending: the LAST-folded (largest) edge becomes the OUTERMOST
+    // test, so a 2000-token doc hits 1024, not the first small edge
+    val bucket = LengthEdges.foldLeft(lit(0L)) { (acc, edge) =>
+      when(n >= edge, lit(edge)).otherwise(acc)
+    }
+    val perDoc = Corpus.docsTok(spark, dir)
+      .select(bucket.as("bucket_lo"), n.as("n_tokens"), col("n_chars"))
+    val totals = perDoc.agg(sum("n_tokens").as("corpus_tokens"))
+    perDoc.groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum("n_chars").as("n_chars_total"))
+      .crossJoin(broadcast(totals)) // 1-row corpus total, broadcast-config sized
+      .withColumn("token_share",
+        col("n_tokens_total").cast("double") / col("corpus_tokens").cast("double"))
+      .drop("corpus_tokens")
+      .orderBy("bucket_lo")
+  }
+
+  val lengthHistogramSql: String = {
+    val n = s"len(${Corpus.wordsSqlExpr})"
+    val bucket = LengthEdges.foldLeft("0") { (acc, edge) =>
+      s"CASE WHEN $n >= $edge THEN $edge ELSE $acc END"
+    }
+    s"""WITH per_doc AS (
+       |  SELECT CAST($bucket AS BIGINT) AS bucket_lo,
+       |    CAST($n AS BIGINT) AS n_tokens, n_chars
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM per_doc)
+       |SELECT bucket_lo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(t.corpus_tokens AS DOUBLE) AS token_share
+       |FROM per_doc CROSS JOIN totals t
+       |GROUP BY bucket_lo, t.corpus_tokens
+       |ORDER BY bucket_lo""".stripMargin
+  }
 }

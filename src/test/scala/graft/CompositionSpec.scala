@@ -106,6 +106,27 @@ class CompositionSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("t11: histogram partitions the corpus; shares sum to one") {
+    val h = TextAnalysis.lengthHistogram(spark, sfDir).collect()
+    val edges = Set(0L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+    assert(h.map(_.getLong(0)).forall(edges.contains))
+    assert(h.map(_.getLong(0)).distinct.length === h.length)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(h.map(_.getLong(1)).sum === docs.count())
+    val tokens = docs.select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(h.map(_.getLong(2)).sum === tokens)
+    assert(math.abs(h.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    // every bucket's token mass is within [lo*n_docs, hi*n_docs)
+    val hi = Map(0L -> 16L, 16L -> 32L, 32L -> 64L, 64L -> 128L,
+      128L -> 256L, 256L -> 512L, 512L -> 1024L, 1024L -> Long.MaxValue)
+    h.foreach { r =>
+      val (lo, n, tok) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(tok >= lo * n, s"bucket $lo mass below bound")
+      if (hi(lo) != Long.MaxValue) assert(tok < hi(lo) * n, s"bucket $lo mass above bound")
+    }
+  }
+
   test("e8: as-of join picks the latest view at-or-before each purchase") {
     import spark.implicits._
     val ts = (us: Long) => new java.sql.Timestamp(us / 1000) // micros → ms fixture
