@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates: the 100 TB posture claims in the scaladoc
+  * ("map-side only", "one shuffle", "broadcast, never shuffled") asserted
+  * against the ACTUAL physical plans, so a refactor that silently adds an
+  * exchange fails here instead of surfacing as a cluster bill. Counts are
+  * upper bounds on `Exchange hashpartitioning` occurrences — range
+  * exchanges from the deterministic output ORDER BY are excluded on
+  * purpose (they are harness-determinism cost, dropped in production
+  * writes; hash exchanges are the data-movement that scales with input).
+  */
+class PlanShapeSpec extends GraftSpec {
+
+  private def hashExchanges(key: String): Int = {
+    val df = SparkEntry.queries(key)(spark, sfDir)
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+  }
+
+  /** key -> max allowed hash exchanges, with the claim each bound encodes. */
+  private val bounds: Seq[(String, Int, String)] = Seq(
+    // pure map-side projections: parquet-scan speed, zero data movement
+    ("t1_token_stats", 0, "narrow map"),
+    ("t2_quality_score", 0, "narrow map"),
+    ("t3_lang_id", 0, "narrow map"),
+    ("t6_normalize", 0, "narrow map"),
+    ("t9_pii_scrub", 0, "narrow map"),
+    ("t8_fingerprint_xxhash", 0, "pure map, zero joins"),
+    ("p7_split_assign", 1, "map + one small aggregate"),
+    ("p9_mix_apply", 2, "both exchanges inside the domain-sized plan build; doc side streams"),
+    ("t11_length_histogram", 2, "one 8-row aggregate + 1-row total"),
+    // single-shuffle window/agg families
+    ("e8_asof_attribution", 1, "as-of lowered to ONE shuffle on user_id"),
+    ("e4_sessionize", 1, "one shuffle on user_id, windows ride it"),
+    ("a1_store_daily", 1, "one hash agg on (store, day)"),
+    // broadcast-side joins: the corpus side must not shuffle to meet the dim
+    ("d12_contamination", 2, "benchmark-sized build + one per-doc agg; corpus side streams")
+  )
+
+  /** The corpus/doc side must meet its small side via broadcast — a plan
+    * that degrades to a shuffled sort-merge join moves the full corpus. */
+  Seq("p9_mix_apply", "d12_contamination").foreach { key =>
+    test(s"$key: small side arrives by broadcast join") {
+      val plan = SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$key no longer broadcast-joins its small side")
+    }
+  }
+
+  bounds.foreach { case (key, max, claim) =>
+    test(s"$key: <= $max hash exchange(s) — $claim") {
+      val n = hashExchanges(key)
+      assert(n <= max,
+        s"$key now has $n hash exchanges (claim: $claim) — a shuffle crept in")
+    }
+  }
+}
