@@ -158,6 +158,37 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution matches the batch e8 relation bit-for-bit") {
+    import spark.implicits._
+    import graft.streaming.{StatefulAttribution, TouchEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      .as[TouchEvent].collect().sortBy(r => (r.us, r.kind))
+    // split mid-stream on global time: per-user order is preserved, and
+    // attributions spanning the boundary must still see their last view
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[TouchEvent]
+    val q = StatefulAttribution.attribute(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT event_id, user_id, purchase_us, view_us, latency_us FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      val want = graft.streaming.EventsBatch.asOfAttribution(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streaming attribution must equal the batch as-of relation exactly")
+    } finally q.stop()
+  }
+
   test("resize stub preserves schema contract and aspect ratio bounds") {
     val media = Multimodal.mediaFromDocs(spark, sfDir)
     val resized = Multimodal.resizeStub(media, maxDim = 64)
