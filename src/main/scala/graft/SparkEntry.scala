@@ -108,6 +108,8 @@ object SparkEntry {
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
     "p9_mix_apply" -> ((s, dir) => graft.text.CorpusPrep.mixApply(s, dir)),
     "t11_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(s, dir)),
+    "m3_epoch_plan" -> ((s, dir) => graft.text.CorpusPrep.epochPlan(s, dir)),
+    "d14_split_leakage" -> ((s, dir) => graft.text.CorpusPrep.splitLeakage(s, dir)),
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
     "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
     "v5_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
@@ -204,6 +206,8 @@ object SparkEntry {
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
     "p9_mix_apply" -> graft.text.CorpusPrep.mixApplySql,
     "t11_length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "m3_epoch_plan" -> graft.text.CorpusPrep.epochPlanSql,
+    "d14_split_leakage" -> graft.text.CorpusPrep.splitLeakageSql(),
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
     "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),
     "v5_quantize" -> Similarity.quantizeSql,

@@ -76,7 +76,22 @@ object CorpusPrep {
   def splitBucket(docId: Column): Column =
     pmod(pmod(docId, lit(1000000007L)) * lit(2654435761L), lit(1000L))
 
-  val splitBucketSql: String = "((doc_id % 1000000007) * 2654435761) % 1000"
+  /** The 90/5/5 split label as a pure expression of the doc id — no join
+    * needed to know any document's split (d14 leans on this). */
+  def splitOf(docId: Column): Column = {
+    val bucket = splitBucket(docId)
+    when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test")
+  }
+
+  def splitBucketSqlOf(idCol: String): String =
+    s"(($idCol % 1000000007) * 2654435761) % 1000"
+
+  def splitSqlOf(idCol: String): String =
+    s"""CASE WHEN ${splitBucketSqlOf(idCol)} < 900 THEN 'train'
+       |     WHEN ${splitBucketSqlOf(idCol)} < 950 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  val splitBucketSql: String = splitBucketSqlOf("doc_id")
 
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     val bucket = splitBucket(col("doc_id"))
@@ -187,6 +202,80 @@ object CorpusPrep {
        |  CAST($sampleBucketSql AS BIGINT) < p.keep_below AS kept
        |FROM documents d JOIN plan p USING (lang, source)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** m3: epoch planner — the UP-sampling half of mixing that m1's capped
+    * rate (LEAST 1.0) deliberately leaves out: a domain under target is
+    * repeated `full_epochs` whole times plus a `sample_frac` partial pass
+    * (the standard repeat-and-sample mixing move). rate_raw shares m1's
+    * exact-integer-division parity; epochs are FLOOR arithmetic on that
+    * double, identical in both engines. Same two-level aggregate shape as
+    * m1 — domain-sized, broadcasts. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Corpus.docsTok(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_group"))
+    val totals = groups.agg(
+      sum("n_chars_group").as("total_chars"), count(lit(1)).as("n_domains"))
+    val target = totals("total_chars").cast("double") / totals("n_domains").cast("double")
+    groups.crossJoin(broadcast(totals))
+      .withColumn("rate_raw", target / col("n_chars_group").cast("double"))
+      .withColumn("full_epochs", floor(col("rate_raw")))
+      .withColumn("sample_frac", col("rate_raw") - col("full_epochs"))
+      .withColumn("n_epochs",
+        (col("full_epochs") + when(col("sample_frac") > 0.0, 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars_group"),
+        col("rate_raw"), col("full_epochs"), col("sample_frac"), col("n_epochs"))
+      .orderBy("lang", "source")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH groups AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_group
+       |  FROM documents GROUP BY lang, source),
+       |totals AS (
+       |  SELECT CAST(SUM(n_chars_group) AS BIGINT) AS total_chars,
+       |         CAST(COUNT(*) AS BIGINT) AS n_domains FROM groups),
+       |rated AS (
+       |  SELECT g.lang, g.source, g.n_docs, g.n_chars_group,
+       |    (CAST(t.total_chars AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+       |      / CAST(g.n_chars_group AS DOUBLE) AS rate_raw
+       |  FROM groups g CROSS JOIN totals t)
+       |SELECT lang, source, n_docs, n_chars_group, rate_raw,
+       |  CAST(FLOOR(rate_raw) AS BIGINT) AS full_epochs,
+       |  rate_raw - FLOOR(rate_raw) AS sample_frac,
+       |  CAST(FLOOR(rate_raw) + CASE WHEN rate_raw - FLOOR(rate_raw) > 0.0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+       |FROM rated ORDER BY lang, source""".stripMargin
+
+  /** d14: train/val/test LEAKAGE audit — near-duplicate pairs (d4's exact
+    * Jaccard at the 0.5 dup threshold) whose two docs land in DIFFERENT
+    * splits. Exact-dup leakage is prevented by construction (identical
+    * text can still differ in doc_id and split — this is the check that
+    * catches it via near-dup; jaccard 1.0 rows are exact dups), but
+    * near-dup leakage silently inflates eval scores — the audit every
+    * pipeline should run between splitting and training. Because p7's
+    * split is a pure expression of doc_id, this is a FILTER over the
+    * cached 0.5 pair silver (shared with d6/d7) — no join with an
+    * assignment table, no new shuffle. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    graft.dedup.Dedup.ngramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        splitOf(col("doc_a")).as("split_a"),
+        splitOf(col("doc_b")).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+
+  def splitLeakageSql(threshold: Double = 0.5): String =
+    s"""SELECT doc_a, doc_b, jaccard, split_a, split_b FROM (
+       |  SELECT doc_a, doc_b, jaccard,
+       |    ${splitSqlOf("doc_a")} AS split_a,
+       |    ${splitSqlOf("doc_b")} AS split_b
+       |  FROM (${graft.dedup.Dedup.ngramJaccardSql(threshold)}))
+       |WHERE split_a <> split_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** t10: corpus vocabulary statistics — the dashboard row a corpus
     * pipeline tracks per snapshot: total token count, vocabulary size,

@@ -88,6 +88,43 @@ class CorpusPrepSpec extends GraftSpec {
     } finally v.unpersist()
   }
 
+  test("m3: epoch algebra consistent with m1's capped rate") {
+    val m3 = CorpusPrep.epochPlan(spark, sfDir).cache()
+    try {
+      assert(m3.filter(col("rate_raw") <= 0).count() === 0)
+      assert(m3.filter(col("n_epochs") < 1).count() === 0)
+      // full_epochs + sample_frac reassembles rate_raw exactly
+      assert(m3.filter(abs(col("full_epochs") + col("sample_frac") - col("rate_raw"))
+        > 0.0).count() === 0)
+      // m1's capped rate is LEAST(1, rate_raw): join and check
+      val m1 = CorpusPrep.sourceMix(spark, sfDir)
+        .select(col("lang"), col("source"), col("sampling_rate"))
+      val j = m3.join(m1, Seq("lang", "source"))
+      assert(j.count() === m3.count())
+      assert(j.filter(col("sampling_rate") =!= least(lit(1.0), col("rate_raw")))
+        .count() === 0)
+      // over-target domains run exactly one partial pass
+      assert(j.filter(col("rate_raw") < 1.0 && col("n_epochs") =!= 1L).count() === 0)
+    } finally m3.unpersist()
+  }
+
+  test("d14: leakage rows are exactly the cross-split near-dup pairs") {
+    val leak = CorpusPrep.splitLeakage(spark, sfDir).cache()
+    try {
+      assert(leak.filter(col("split_a") === col("split_b")).count() === 0)
+      assert(leak.filter(col("jaccard") < 0.5).count() === 0)
+      // exact reconstruction from the d4 pair relation + the pure split expr
+      val want = graft.dedup.Dedup.ngramJaccard(spark, sfDir, 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          CorpusPrep.splitOf(col("doc_a")).as("sa"),
+          CorpusPrep.splitOf(col("doc_b")).as("sb"))
+        .filter(col("sa") =!= col("sb"))
+      assert(leak.count() === want.count())
+      assert(leak.select("doc_a", "doc_b")
+        .exceptAll(want.select("doc_a", "doc_b")).count() === 0)
+    } finally leak.unpersist()
+  }
+
   test("p8: offsets are contiguous within (lang, shard); window ids monotone") {
     val r = CorpusPrep.packPlan(spark, sfDir).cache()
     try {
