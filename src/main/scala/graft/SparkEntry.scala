@@ -109,6 +109,7 @@ object SparkEntry {
     "p9_mix_apply" -> ((s, dir) => graft.text.CorpusPrep.mixApply(s, dir)),
     "t11_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(s, dir)),
     "m3_epoch_plan" -> ((s, dir) => graft.text.CorpusPrep.epochPlan(s, dir)),
+    "p10_shuffle_order" -> ((s, dir) => graft.text.CorpusPrep.shuffleOrder(s, dir)),
     "d14_split_leakage" -> ((s, dir) => graft.text.CorpusPrep.splitLeakage(s, dir)),
     "d12_contamination" -> ((s, dir) => graft.text.CorpusPrep.contamination(s, dir)),
     "p8_pack_plan" -> ((s, dir) => graft.text.CorpusPrep.packPlan(s, dir)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "p9_mix_apply" -> graft.text.CorpusPrep.mixApplySql,
     "t11_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "m3_epoch_plan" -> graft.text.CorpusPrep.epochPlanSql,
+    "p10_shuffle_order" -> graft.text.CorpusPrep.shuffleOrderSql(),
     "d14_split_leakage" -> graft.text.CorpusPrep.splitLeakageSql(),
     "d12_contamination" -> graft.text.CorpusPrep.contaminationSql,
     "p8_pack_plan" -> graft.text.CorpusPrep.packPlanSql(),

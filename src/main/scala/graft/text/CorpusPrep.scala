@@ -203,6 +203,40 @@ object CorpusPrep {
        |FROM documents d JOIN plan p USING (lang, source)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** p10: deterministic corpus SHUFFLE ORDER — the reproducible "shuffle
+    * the corpus before sharding" step every training run needs: a third
+    * independent Knuth-style hash decorrelates training order from
+    * doc_id (ingest order ≈ crawl order ≈ topic order — training on it
+    * unshuffled is a curriculum nobody asked for), then shard = key mod
+    * nShards and position = rank within shard. Hash-deterministic like
+    * p7/p9: a re-run, retry, or speculative task produces the identical
+    * order — rand() cannot. The rank is a window per shard: shard count
+    * is the parallelism knob (p8's argument — pick nShards so one shard
+    * sorts inside one executor; tens of thousands at 100 TB). */
+  def shuffleOrder(spark: SparkSession, dir: String,
+                   nShards: Int = 32): DataFrame = {
+    val key = pmod(pmod(col("doc_id"), lit(999999937L)) * lit(2862933555L),
+      lit(999999937L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shuffle_key"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  def shuffleOrderSql(nShards: Int = 32): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    ((doc_id % 999999937) * 2862933555) % 999999937 AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, shuffle_key % $nShards AS shard, shuffle_key,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % $nShards
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+       |FROM keyed ORDER BY shard, pos""".stripMargin
+
   /** m3: epoch planner — the UP-sampling half of mixing that m1's capped
     * rate (LEAST 1.0) deliberately leaves out: a domain under target is
     * repeated `full_epochs` whole times plus a `sample_frac` partial pass

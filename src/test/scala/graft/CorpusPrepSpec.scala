@@ -88,6 +88,31 @@ class CorpusPrepSpec extends GraftSpec {
     } finally v.unpersist()
   }
 
+  test("p10: shuffle order is a dense per-shard rank, decorrelated from doc_id") {
+    val o = CorpusPrep.shuffleOrder(spark, sfDir).cache()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(o.count() === docs.count(), "a position for every document")
+      assert(o.filter(col("shard") < 0 || col("shard") >= 32).count() === 0)
+      // positions are 1..n within each shard, no gaps or ties
+      val perShard = o.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+          countDistinct("pos").as("nd"))
+      assert(perShard.filter(col("mx") =!= col("n") || col("mn") =!= 1L ||
+        col("nd") =!= col("n")).count() === 0)
+      // order within a shard is NOT doc_id order (the point of shuffling):
+      // some adjacent pair must be out of doc_id order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("pos"))
+      val inversions = o.withColumn("prev_doc", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev_doc").isNotNull && col("prev_doc") > col("doc_id"))
+      assert(inversions.count() > 0, "shuffle left the corpus in doc_id order")
+      // deterministic: a second run is bit-identical
+      assert(CorpusPrep.shuffleOrder(spark, sfDir).collect()
+        .sameElements(o.collect()))
+    } finally o.unpersist()
+  }
+
   test("m3: epoch algebra consistent with m1's capped rate") {
     val m3 = CorpusPrep.epochPlan(spark, sfDir).cache()
     try {
