@@ -108,6 +108,7 @@ object SparkEntry {
     "m1_source_mix" -> ((s, dir) => graft.text.CorpusPrep.sourceMix(s, dir)),
     "p9_mix_apply" -> ((s, dir) => graft.text.CorpusPrep.mixApply(s, dir)),
     "t11_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(s, dir)),
+    "t12_chunking" -> ((s, dir) => TextAnalysis.chunk(s, dir)),
     "m3_epoch_plan" -> ((s, dir) => graft.text.CorpusPrep.epochPlan(s, dir)),
     "p10_shuffle_order" -> ((s, dir) => graft.text.CorpusPrep.shuffleOrder(s, dir)),
     "d14_split_leakage" -> ((s, dir) => graft.text.CorpusPrep.splitLeakage(s, dir)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "m1_source_mix" -> graft.text.CorpusPrep.sourceMixSql,
     "p9_mix_apply" -> graft.text.CorpusPrep.mixApplySql,
     "t11_length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "t12_chunking" -> TextAnalysis.chunkSql(),
     "m3_epoch_plan" -> graft.text.CorpusPrep.epochPlanSql,
     "p10_shuffle_order" -> graft.text.CorpusPrep.shuffleOrderSql(),
     "d14_split_leakage" -> graft.text.CorpusPrep.splitLeakageSql(),

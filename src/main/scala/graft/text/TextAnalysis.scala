@@ -334,6 +334,48 @@ object TextAnalysis {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** t12: token-window CHUNKING — split each document into overlapping
+    * windows of `window` tokens every `stride` tokens (window 64, stride
+    * 48 → 16-token overlap), the unit both RAG indexing and
+    * fixed-context pretraining consume (p8 packs whole docs; t12 is the
+    * sub-document path for docs longer than the context). Pure per-row
+    * explode — a Generator, no shuffle, no state: at 100 TB this runs at
+    * scan speed and the output is written straight to the chunk lake.
+    * Chunk starts come from an integer sequence (0, stride, 2·stride, …
+    * < n_tokens), so every token is covered and the final short window
+    * is kept — same clipping rule in both engines (Spark `slice` clips
+    * at the end; the oracle LEASTs the end bound). */
+  def chunk(spark: SparkSession, dir: String,
+            window: Int = 64, stride: Int = 48): DataFrame = {
+    val n = size(col("words"))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0), n - 1, lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("words"), col("start_tok") + 1, lit(window)).as("w"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("w")).cast("long").as("n_tokens_chunk"),
+        concat_ws(" ", col("w")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkSql(window: Int = 64, stride: Int = 48): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Corpus.wordsSqlExpr} AS ws FROM documents),
+       |starts AS (
+       |  SELECT doc_id, ws, unnest(range(0, len(ws), $stride)) AS start_tok
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CAST(start_tok // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(ws, start_tok + 1, LEAST(start_tok + $window, len(ws)))) AS BIGINT)
+       |    AS n_tokens_chunk,
+       |  array_to_string(list_slice(ws, start_tok + 1, LEAST(start_tok + $window, len(ws))), ' ')
+       |    AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** t11: token-length histogram — docs and token mass per power-of-2
     * length bucket, the dashboard behind curriculum bucketing (order
     * short→long) and packing-efficiency planning (how much of the corpus

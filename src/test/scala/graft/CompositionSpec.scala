@@ -106,6 +106,33 @@ class CompositionSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("t12: chunks tile every document — dense indices, exact tail coverage") {
+    val c = TextAnalysis.chunk(spark, sfDir).cache()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n"))
+      // dense chunk indices starting at 0; start = idx * stride
+      val per = c.groupBy("doc_id").agg(count(lit(1)).as("k"),
+        max("chunk_idx").as("mx"), min("chunk_idx").as("mn"),
+        max(col("start_tok") + col("n_tokens_chunk")).as("covered"))
+        .join(docs, "doc_id")
+      assert(per.filter(col("mn") =!= 0L || col("mx") =!= col("k") - 1).count() === 0)
+      assert(per.count() === docs.count(), "every doc chunked")
+      // the last chunk always ends exactly at the document's last token
+      assert(per.filter(col("covered") =!= col("n")).count() === 0)
+      assert(c.filter(col("start_tok") =!= col("chunk_idx") * 48).count() === 0)
+      assert(c.filter(col("n_tokens_chunk") > 64 || col("n_tokens_chunk") < 1).count() === 0)
+      // a non-final chunk is cut at min(window, n - start)
+      val nonLast = c.join(per.select(col("doc_id"), col("mx"), col("n")), "doc_id")
+        .filter(col("chunk_idx") < col("mx"))
+      assert(nonLast.filter(col("n_tokens_chunk") =!=
+        least(lit(64L), col("n") - col("start_tok"))).count() === 0)
+      // chunk_text really carries n_tokens_chunk tokens
+      assert(c.filter(size(split(col("chunk_text"), " ")).cast("long")
+        =!= col("n_tokens_chunk")).count() === 0)
+    } finally c.unpersist()
+  }
+
   test("t11: histogram partitions the corpus; shares sum to one") {
     val h = TextAnalysis.lengthHistogram(spark, sfDir).collect()
     val edges = Set(0L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
