@@ -13,11 +13,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanShapeSpec extends GraftSpec {
 
-  private def hashExchanges(key: String): Int = {
-    val df = SparkEntry.queries(key)(spark, sfDir)
-    "Exchange hashpartitioning".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+  /** Count hash-shuffle nodes by TREE traversal, not string matching:
+    * `plan.toString` prints an InMemoryRelation's cached BUILD plan
+    * (including its internal exchange) — amortized write-once cost, not
+    * this query's data movement — and prints it twice once materialized,
+    * which made the count depend on which suite ran first. In the tree,
+    * a cached build plan is correctly not a child of the scan node. */
+  private def countHash(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    p match {
+      case a: AdaptiveSparkPlanExec => countHash(a.executedPlan)
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        1 + s.children.map(countHash).sum
+      case other => other.children.map(countHash).sum
+    }
   }
+
+  private def hashExchanges(key: String): Int =
+    countHash(SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan)
 
   /** key -> max allowed hash exchanges, with the claim each bound encodes. */
   private val bounds: Seq[(String, Int, String)] = Seq(
