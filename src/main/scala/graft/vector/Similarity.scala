@@ -480,4 +480,74 @@ object Similarity {
        |  array_to_string(qe, ',') AS q_csv,
        |  CAST(list_reduce(list_prepend(0, qe), (acc, v) -> acc + v) AS BIGINT) AS q_sum
        |FROM q ORDER BY vec_id""".stripMargin
+
+  /** h1: HYBRID retrieval — lexical candidate generation, vector rerank:
+    * stage 1 finds docs sharing >= `minCommon` distinct words with each
+    * query doc via the inverted word index (the same never-all-pairs
+    * candidate shape as d4's shingle join — at 100 TB the posting-list
+    * join IS the lexical index); stage 2 scores ONLY those candidates by
+    * embedding cosine (vec_id = doc_id, see TESTDATA) and keeps the
+    * top-k. The point vs v1: cosine work is proportional to the
+    * candidate set, not the corpus — the pruning every production
+    * retrieval stack (BM25 -> rerank) relies on. Dot products are the
+    * strict-fold parity path; ties break on doc_id. */
+  def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 3,
+                   minCommon: Int = 3, k: Int = 5): DataFrame = {
+    val words = graft.text.Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+    val cands = words.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .join(words, "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_common_words"))
+      .filter(col("n_common_words") >= minCommon)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm2", dotCol(col("embedding"), col("embedding")))
+    val qe = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("norm2").as("q_norm2"))
+    val ne = e.select(col("vec_id").as("doc_id"),
+      col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    cands.join(broadcast(qe), "query_id").join(ne, "doc_id")
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("n_emb")) / sqrt(col("q_norm2") * col("n_norm2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_common_words"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def hybridSearchSql(nQueries: Int = 3, minCommon: Int = 3,
+                      k: Int = 5): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+       |  FROM documents),
+       |cands AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common_words
+       |  FROM w q JOIN w d ON q.word = d.word
+       |  WHERE q.doc_id < $nQueries AND d.doc_id <> q.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.doc_id, c.n_common_words,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM cands c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.doc_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, n_common_words, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

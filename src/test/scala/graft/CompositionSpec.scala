@@ -106,6 +106,35 @@ class CompositionSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("h1: hybrid results are lexical candidates reranked by cosine") {
+    import graft.vector.Similarity
+    val h = Similarity.hybridSearch(spark, sfDir).cache()
+    try {
+      assert(h.count() > 0)
+      assert(h.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() === 0)
+      assert(h.filter(col("n_common_words") < 3).count() === 0)
+      assert(h.filter(col("query_id") === col("doc_id")).count() === 0)
+      // ranks are dense from 1 and ordered by cosine descending per query
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      val seq = h.withColumn("prev_rank", lag(col("rank"), 1).over(w))
+        .withColumn("prev_cos", lag(col("cosine"), 1).over(w))
+      assert(seq.filter(col("prev_rank").isNull && col("rank") =!= 1).count() === 0)
+      assert(seq.filter(col("prev_rank").isNotNull &&
+        col("rank") =!= col("prev_rank") + 1).count() === 0)
+      assert(seq.filter(col("prev_cos").isNotNull &&
+        col("cosine") > col("prev_cos")).count() === 0)
+      // word-overlap counts are real: recompute one pair exactly
+      val r = h.orderBy("query_id", "rank").head
+      val words = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("ws"))
+      val pair = words.filter(col("doc_id") === r.getLong(0)).select(col("ws").as("qa"))
+        .crossJoin(words.filter(col("doc_id") === r.getLong(2)).select(col("ws").as("qb")))
+        .select(size(array_intersect(col("qa"), col("qb"))).cast("long")).head.getLong(0)
+      assert(pair === r.getLong(3), "n_common_words must equal the true overlap")
+    } finally h.unpersist()
+  }
+
   test("t12: chunks tile every document — dense indices, exact tail coverage") {
     val c = TextAnalysis.chunk(spark, sfDir).cache()
     try {
