@@ -52,7 +52,15 @@ class PlanShapeSpec extends GraftSpec {
     ("e4_sessionize", 1, "one shuffle on user_id, windows ride it"),
     ("a1_store_daily", 1, "one hash agg on (store, day)"),
     // broadcast-side joins: the corpus side must not shuffle to meet the dim
-    ("d12_contamination", 2, "benchmark-sized build + one per-doc agg; corpus side streams")
+    ("d12_contamination", 2, "benchmark-sized build + one per-doc agg; corpus side streams"),
+    // map-side after a driver-collected dimension-sized stats pass
+    ("v5_quantize", 0, "stats are broadcast literals; quantize is pure map"),
+    ("t12_chunking", 0, "pure per-row explode at scan speed"),
+    // bounded-group windows: exactly the one partition shuffle
+    ("p8_pack_plan", 1, "windows over bounded (lang, shard) groups"),
+    ("p10_shuffle_order", 1, "rank within shard rides one shuffle"),
+    ("d1_exact_dedup", 1, "one hash agg on text"),
+    ("e6_funnel", 3, "three agg/join rounds on user_id, as documented")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
