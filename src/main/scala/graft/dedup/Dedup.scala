@@ -630,6 +630,63 @@ object Dedup {
       threshold)
   }
 
+  // ---------------------------------------------------------------- d15
+
+  /** d15: BOILERPLATE coverage — the C4-style "frequent-span" pass that
+    * exact and near-dup passes miss: spans (3-shingles) repeated across
+    * MANY documents (navigation chrome, license headers, templated
+    * openers) are corpus plumbing, not content. A document mostly made of
+    * such spans is boilerplate even when no single other document is its
+    * near-duplicate (d2/d4 score pairs; d15 scores each doc against the
+    * corpus-wide span frequency).
+    *
+    * Definition: a shingle is boilerplate when its document frequency
+    * ≥ `minDf`; per doc, coverage = boilerplate shingles / distinct
+    * shingles, flagged at ≥ 10% (integer-exact `n·10 ≥ total`, the t2
+    * convention — no float threshold compare). Docs with < 3 tokens have
+    * no shingles and no row (same rule as the rest of the shingle family).
+    *
+    * Scale shape (100 TB): the document-frequency aggregate is map-side
+    * combinable on the shingle key; the frequent set is THRESHOLDED
+    * (df ≥ minDf keeps a vanishing fraction of the shingle space) and
+    * joins back against the shared [[docSids]] silver — broadcast while
+    * it fits, hash join on sid beyond that (the join key is already the
+    * dictionary id, never the string); the per-doc rollup is one exchange
+    * on doc_id. The d9-family xxhash twin needs no separate key: replace
+    * sid with raw xxhash64 ids and the algebra is unchanged. */
+  def boilerplate(spark: SparkSession, dir: String, minDf: Int = 5): DataFrame = {
+    val ds = docSids(spark, dir)
+    val boiler = ds.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sid"), lit(1L).as("is_boiler"))
+    ds.join(broadcast(boiler), Seq("sid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_boiler").cast("long").as("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_frac"),
+        (col("n_boiler") * lit(10L) >= col("n_shingles")).as("is_boilerplate"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateSql(minDf: Int = 5): String =
+    s"""WITH ds AS ($docSidsSql),
+       |freq AS (SELECT sid, COUNT(*) AS df FROM ds GROUP BY sid),
+       |b AS (SELECT sid, CAST(1 AS BIGINT) AS is_boiler
+       |      FROM freq WHERE df >= $minDf)
+       |SELECT ds.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(COALESCE(b.is_boiler, 0)) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(COALESCE(b.is_boiler, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS boiler_frac,
+       |  CAST(SUM(COALESCE(b.is_boiler, 0)) AS BIGINT) * 10 >= COUNT(*)
+       |    AS is_boilerplate
+       |FROM ds LEFT JOIN b USING (sid)
+       |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

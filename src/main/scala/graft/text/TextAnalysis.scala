@@ -427,4 +427,62 @@ object TextAnalysis {
        |GROUP BY bucket_lo, t.corpus_tokens
        |ORDER BY bucket_lo""".stripMargin
   }
+
+  /** t13: unigram language-model SURPRISAL scoring — the "LM quality"
+    * signal a CCNet-style pipeline ranks documents by: train a unigram LM
+    * on the corpus, score each document by its mean per-token surprisal.
+    * Documents full of common tokens score low (fluent/common text);
+    * documents dominated by rare tokens score high (noise, code dumps,
+    * OCR garbage) — the tails of the score are what a curation pass
+    * inspects or drops.
+    *
+    * ENGINE-PORTABLE SURPRISAL: true surprisal is −log2 p(w) = log2
+    * (total/count), but transcendental libm functions are NOT
+    * bit-reproducible across engines (Java `Math.log` vs DuckDB's C
+    * libm may differ in the last ulp, and a `floor` at a boundary then
+    * diverges). Instead each word's surprisal is quantized to whole bits
+    * in PURE INTEGER arithmetic: `bits(w) = floor(log2(total DIV count))`
+    * = `length(binary-string(total DIV count)) − 1` — exact in both
+    * engines (for integers x ≥ 1, floor(log2(floor(q))) = floor(log2 q)).
+    * The per-doc mean is then ONE double division of two exact integers.
+    *
+    * Scale shape (100 TB): the vocabulary count is a map-side-combinable
+    * hash aggregate; the fitted LM (word → bits) is vocabulary-sized and
+    * BROADCAST into the scoring join (a production pipeline caps the
+    * vocab — OOV tokens get the max-bits bucket); the per-doc aggregate
+    * is the only corpus-sized exchange, keyed on doc_id. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
+    val lm = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+    toks.join(broadcast(lm), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("sum_bits").cast("long").as("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val lmSurprisalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents),
+       |v AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt_total FROM v),
+       |lm AS (
+       |  SELECT word,
+       |    CAST(length(format('{:b}', cnt_total // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM v CROSS JOIN tot)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(l.bits) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(l.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+       |FROM toks t JOIN lm l USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }

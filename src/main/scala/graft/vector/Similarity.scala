@@ -481,6 +481,179 @@ object Similarity {
        |  CAST(list_reduce(list_prepend(0, qe), (acc, v) -> acc + v) AS BIGINT) AS q_sum
        |FROM q ORDER BY vec_id""".stripMargin
 
+  /** PQ codebooks: for each of `nSub` subspaces, the sub-vectors of the
+    * `nCodes` smallest vec_ids (data-sampled, deterministic — the same
+    * argument as v4's centroids: trained k-means codebooks add iterations,
+    * not semantics, and their FP update order isn't oracle-reproducible).
+    * Codebook size = nSub × nCodes × subDim doubles — broadcast-config
+    * sized at any corpus scale (the a20/v5 collect pattern). */
+  private def pqCodebook(spark: SparkSession, dir: String,
+                         nSub: Int, nCodes: Int): Array[Array[Array[Double]]] = {
+    val full = Tables.embeddings(spark, dir)
+      .orderBy(col("vec_id").asc).limit(nCodes)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val subDim = full.head.length / nSub
+    Array.tabulate(nSub, nCodes)((s, c) => full(c).slice(s * subDim, (s + 1) * subDim))
+  }
+
+  /** v8: PRODUCT QUANTIZATION encode — the ANN compression step beyond
+    * v5's scalar int8: the 64-dim vector becomes `nSub` sub-space code
+    * ids (4 bytes/vector at nSub=4 — a 64× storage cut), each code the
+    * argmin-L2 codebook entry for that sub-vector. This is the IVF-PQ
+    * index-build pattern (coarse cells from v4, fine codes from v8).
+    *
+    * Scale shape (100 TB): the codebook is a literal (see [[pqCodebook]]),
+    * so encoding is a PURE MAP-SIDE pass — zero corpus shuffles, one
+    * WholeStageCodegen span at parquet-scan speed (the v5 shape; the
+    * orderBy is the output-determinism convention, not part of the
+    * operator). Float parity: each sub-distance is a strict left-to-right
+    * fold of (x−c)·(x−c) terms in double; argmin ties break to the
+    * lowest code in both engines (first-index `array_position` here,
+    * `ORDER BY d2, code` in the oracle — equal doubles are bitwise equal
+    * because both engines run the identical operation sequence). */
+  def pqCodes(spark: SparkSession, dir: String,
+              nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    val cb = pqCodebook(spark, dir, nSub, nCodes)
+    val subDim = cb(0)(0).length
+    val e = Tables.embeddings(spark, dir)
+    // bind sub-vectors as plain attributes (HOF-lambda re-eval rule)
+    val sub = e.select(col("vec_id") +: col("label") +:
+      (0 until nSub).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim).as(s"sub_$s")): _*)
+    def d2(s: Int, c: Int): Column =
+      aggregate(
+        zip_with(col(s"sub_$s"), array(cb(s)(c).map(lit): _*),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v)
+    val withD2 = sub.select(col("vec_id") +: col("label") +:
+      (0 until nSub).map(s =>
+        array((0 until nCodes).map(c => d2(s, c)): _*).as(s"d2_$s")): _*)
+    withD2.select(
+      col("vec_id") +: col("label") +:
+        ((0 until nSub).map(s =>
+          (array_position(col(s"d2_$s"), array_min(col(s"d2_$s"))) - 1)
+            .cast("long").as(s"code_$s")) :+
+          (0 until nSub).map(s => array_min(col(s"d2_$s")))
+            .reduceLeft(_ + _).as("recon_d2")): _*)
+      .orderBy("vec_id")
+  }
+
+  /** Shared oracle CTEs for the PQ family: codebook, per-(vec, sub, code)
+    * strict-fold L2 distances, argmin selection. */
+  private def pqSelSql(nSub: Int, nCodes: Int, subDim: Int): String = {
+    val diff = s"(CAST(e.embedding[t.s*$subDim + i] AS DOUBLE) " +
+      s"- CAST(cb.cemb[t.s*$subDim + i] AS DOUBLE))"
+    s"""cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cemb
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nCodes)),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, t.s, cb.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$diff * $diff for i in range(1, $subDim + 1)]),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e CROSS JOIN range($nSub) t(s) CROSS JOIN cb),
+       |sel AS (
+       |  SELECT vec_id, label, s, code, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2 ASC, code ASC) AS rnk
+       |    FROM dist) WHERE rnk = 1)""".stripMargin
+  }
+
+  def pqCodesSql(nSub: Int = 4, nCodes: Int = 8, subDim: Int = 16): String = {
+    val codeCols = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(",\n  ")
+    val recon = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN d2 END)").mkString(" + ")
+    s"""WITH ${pqSelSql(nSub, nCodes, subDim)}
+       |SELECT vec_id, label,
+       |  $codeCols,
+       |  $recon AS recon_d2
+       |FROM sel GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+  }
+
+  /** v9: PQ-retrieval recall — brute-force cosine top-k over the vectors
+    * RECONSTRUCTED from their PQ codes (each sub-vector replaced by its
+    * codebook entry) scored against the float ground truth (v1): what the
+    * 64× compression costs in retrieval quality, closing the v8 argument
+    * the way v7 closes v5's. Reconstruction is a literal codebook lookup
+    * (map-side); search and eval reuse v1's broadcast loop and v6's
+    * query-set-sized join shapes. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5,
+               nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    val cb = pqCodebook(spark, dir, nSub, nCodes)
+    val cbLit = (0 until nSub).map(s =>
+      array(cb(s).map(c => array(c.map(lit): _*)): _*))
+    val codes = pqCodes(spark, dir, nSub, nCodes)
+    val r = codes.select(col("vec_id"),
+        flatten(array((0 until nSub).map(s =>
+          element_at(cbLit(s), col(s"code_$s").cast("int") + 1)): _*)).as("remb"))
+      .withColumn("rnorm2", dotColHof(col("remb"), col("remb")))
+    val q = r.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("remb").as("q_emb"),
+      col("rnorm2").as("q_norm2"))
+    val pairs = broadcast(q).crossJoin(
+        r.select(col("vec_id").as("neighbor_id"), col("remb").as("n_emb"),
+          col("rnorm2").as("n_norm2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q",
+        cosine(dotColHof(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q").desc, col("neighbor_id").asc)
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def pqRecallSql(k: Int = 5, nSub: Int = 4, nCodes: Int = 8,
+                  subDim: Int = 16): String = {
+    val codeCols = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
+    val joins = (0 until nSub).map(s =>
+      s"JOIN cbsub b$s ON b$s.s = $s AND b$s.code = v.code_$s").mkString("\n  ")
+    val concat = (0 until nSub).map(s => s"b$s.sv").mkString(" || ")
+    s"""WITH ${pqSelSql(nSub, nCodes, subDim)},
+       |codes AS (
+       |  SELECT vec_id, $codeCols FROM sel GROUP BY vec_id),
+       |cbsub AS (
+       |  SELECT cb.code, t.s, list_slice(cb.cemb, t.s*$subDim + 1, t.s*$subDim + $subDim) AS sv
+       |  FROM cb CROSS JOIN range($nSub) t(s)),
+       |r AS (
+       |  SELECT v.vec_id, $concat AS remb
+       |  FROM codes v
+       |  $joins),
+       |rn AS (SELECT vec_id, remb, ${dotSql("remb", "remb")} AS rnorm2 FROM r),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.remb", "n.remb")} / sqrt(q.rnorm2 * n.rnorm2) AS cosine_q
+       |  FROM rn q JOIN rn n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 10),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+       |    FROM pairs) WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)}))
+       |SELECT t.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   /** h1: HYBRID retrieval — lexical candidate generation, vector rerank:
     * stage 1 finds docs sharing >= `minCommon` distinct words with each
     * query doc via the inverted word index (the same never-all-pairs

@@ -45,6 +45,46 @@ class CompositionSpec extends GraftSpec {
     assert(aa.getLong(4) === 2L && aa.getLong(5) === 2L && aa.getDouble(6) === 1.0)
   }
 
+  test("t13: surprisal matches an exact single-process recomputation") {
+    // The portable integer floor-log2 is the load-bearing trick — recompute
+    // the whole score in plain Scala (Long.numberOfLeadingZeros, no SQL, no
+    // floats until the final division) and require exact agreement.
+    val texts = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val counts = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    def bits(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / counts(w))
+    val got = TextAnalysis.lmSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === texts.size)
+    got.foreach { case (id, nTok, sumBits, bpt) =>
+      val ws = texts(id)
+      val expSum = ws.map(bits).sum
+      assert(nTok === ws.size.toLong, s"doc $id n_tokens")
+      assert(sumBits === expSum, s"doc $id sum_bits")
+      assert(bpt === expSum.toDouble / ws.size.toDouble, s"doc $id bits_per_token")
+    }
+  }
+
+  test("t13: common-word docs score below rare-word docs") {
+    // Construct the two extremes from the fitted vocabulary itself: the
+    // corpus's most and least frequent words must bound every doc's score.
+    val t = TextAnalysis.lmSurprisal(spark, sfDir).cache()
+    try {
+      val toks = graft.text.Corpus.docsTok(spark, sfDir)
+        .select(explode(col("words")).as("w")).groupBy("w").count()
+      val (minCnt, maxCnt) = toks.agg(min("count"), max("count"))
+        .head match { case r => (r.getLong(0), r.getLong(1)) }
+      val totalToks = toks.agg(sum("count")).head.getLong(0)
+      def bitsOf(c: Long) = 63L - java.lang.Long.numberOfLeadingZeros(totalToks / c)
+      val lo = bitsOf(maxCnt).toDouble
+      val hi = bitsOf(minCnt).toDouble
+      assert(t.filter(col("bits_per_token") < lo || col("bits_per_token") > hi)
+        .count() === 0, s"bits_per_token outside [$lo, $hi]")
+    } finally t.unpersist()
+  }
+
   test("e7: retention matrix — offset 0 is complete, cells never exceed cohort") {
     val m = EventsBatch.retention(spark, sfDir).cache()
     try {

@@ -225,4 +225,58 @@ class DedupSimilaritySpec extends GraftSpec {
       assert(bad.count() === 0)
     } finally v5.unpersist()
   }
+
+  test("d15: boilerplate coverage — bounds, flag algebra, threshold extremes") {
+    val b = Dedup.boilerplate(spark, sfDir).cache()
+    try {
+      assert(b.count() > 0)
+      assert(b.filter(col("n_boiler") > col("n_shingles")).count() === 0)
+      assert(b.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() === 0)
+      // the flag is exactly the integer-exact 10% rule
+      assert(b.filter(col("is_boilerplate") =!=
+        (col("n_boiler") * lit(10L) >= col("n_shingles"))).count() === 0)
+      // minDf = 1: every shingle is "frequent" -> full coverage everywhere
+      val all = Dedup.boilerplate(spark, sfDir, minDf = 1)
+      assert(all.filter(col("n_boiler") =!= col("n_shingles")).count() === 0)
+      assert(all.filter(!col("is_boilerplate")).count() === 0)
+      // minDf beyond any df: nothing is frequent -> zero coverage everywhere
+      val none = Dedup.boilerplate(spark, sfDir, minDf = Int.MaxValue)
+      assert(none.filter(col("n_boiler") =!= 0).count() === 0)
+      assert(none.filter(col("is_boilerplate")).count() === 0)
+    } finally b.unpersist()
+  }
+
+  test("v8: PQ codes in range; codebook vectors reconstruct exactly") {
+    val v8 = Similarity.pqCodes(spark, sfDir).cache()
+    try {
+      val e = graft.model.Tables.embeddings(spark, sfDir)
+      assert(v8.count() === e.count())
+      (0 until 4).foreach { s =>
+        assert(v8.filter(col(s"code_$s") < 0 || col(s"code_$s") > 7).count() === 0,
+          s"sub $s code out of range")
+      }
+      assert(v8.filter(col("recon_d2") < 0).count() === 0)
+      // the 8 codebook donors (smallest vec_ids) are their own nearest code
+      // in every subspace: distance 0, code = their codebook row
+      val donors = e.select(col("vec_id")).orderBy("vec_id").limit(8)
+        .collect().map(_.getLong(0)).zipWithIndex.toMap
+      v8.filter(col("vec_id").isin(donors.keys.toSeq: _*))
+        .collect().foreach { r =>
+          val expect = donors(r.getLong(0)).toLong
+          assert(r.getDouble(6) === 0.0, s"donor ${r.getLong(0)} recon_d2")
+          (0 until 4).foreach(s =>
+            assert(r.getLong(2 + s) === expect, s"donor ${r.getLong(0)} code_$s"))
+        }
+    } finally v8.unpersist()
+  }
+
+  test("v9: PQ recall well-formed and consistent with v8 reconstruction") {
+    val r = Similarity.pqRecall(spark, sfDir).cache()
+    try {
+      assert(r.count() === 10) // one row per query
+      assert(r.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+      assert(r.filter(col("n_hits") > col("n_truth")).count() === 0)
+      assert(r.filter(col("n_truth") =!= 5).count() === 0)
+    } finally r.unpersist()
+  }
 }

@@ -60,7 +60,14 @@ class PlanShapeSpec extends GraftSpec {
     ("p8_pack_plan", 1, "windows over bounded (lang, shard) groups"),
     ("p10_shuffle_order", 1, "rank within shard rides one shuffle"),
     ("d1_exact_dedup", 1, "one hash agg on text"),
-    ("e6_funnel", 3, "three agg/join rounds on user_id, as documented")
+    ("e6_funnel", 3, "three agg/join rounds on user_id, as documented"),
+    // LM fit = vocab-sized aggregates (two passes: counts + total); the
+    // corpus-sized movement is the single doc_id scoring aggregate
+    ("t13_lm_surprisal", 3, "vocab fit (2 vocab-sized aggs) + one doc_id exchange"),
+    ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
+    // PQ encode: codebook is a collected literal, encoding is map-side
+    ("v8_pq_codes", 0, "codebook is a broadcast literal; encode is pure map"),
+    ("v9_pq_recall", 5, "per-query top-k windows + query-set-sized eval joins")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
