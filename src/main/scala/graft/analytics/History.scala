@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.etl.{Defaults, StoreDaily, ProductDaily}
+import graft.model.Silver
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -82,6 +83,9 @@ object History {
     * detect-anomalies:339-362). J1 (today-vs-history join) is the window
     * itself. Deviation emitted as a raw IEEE quotient (Tables doc). */
   def anomalies(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize("anomalies", dir) { anomaliesBuild(spark, dir) }
+
+  private def anomaliesBuild(spark: SparkSession, dir: String): DataFrame =
     storeHistory(spark, dir)
       .filter(col("hist_days") >= 3 && col("hist_avg_sales") > 0)
       .withColumn("deviation_pct",
@@ -153,7 +157,12 @@ object History {
     trendDirectionBody(spark, dir)
       .orderBy(col("store_id"), col("sale_date"))
 
-  private def trendDirectionBody(spark: SparkSession, dir: String): DataFrame = {
+  private def trendDirectionBody(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize("trendDirectionBody", dir) {
+      trendDirectionBodyBuild(spark, dir)
+    }
+
+  private def trendDirectionBodyBuild(spark: SparkSession, dir: String): DataFrame = {
     val base = sd(spark, dir)
     val hist = base.select(
         col("store_id").as("h_store"), col("day_idx").as("h_idx"),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.etl.StoreDaily
+import graft.model.Silver
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,7 +107,10 @@ object Recommendations {
     *  - strategy: decreasing-trend stores outnumber increasing AND at
     *    least 3 decline — low (longer-term signal).
     */
-  def recommendations(spark: SparkSession, dir: String): DataFrame = {
+  def recommendations(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize("recommendations", dir) { recommendationsBuild(spark, dir) }
+
+  private def recommendationsBuild(spark: SparkSession, dir: String): DataFrame = {
     val an = History.anomalies(spark, dir)
     def anomalyRec(cond: Column, extreme: Column, extremeIsHigh: Column,
                    category: String, title: String, descPrefix: String,

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.model.Silver
 import graft.text.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,10 +75,12 @@ object Dedup {
     * an executor-memory cache. Spark's CacheManager dedupes by logical
     * plan, so d2/d4 share one entry and re-calls are no-ops. */
   private def docSids(spark: SparkSession, dir: String): DataFrame =
-    Corpus.docShingles(spark, dir)
-      .join(broadcast(Corpus.shingleDict(spark, dir)), Seq("shingle"))
-      .select(col("doc_id"), col("sid"))
-      .cache()
+    Silver.memoize("docSids", dir) {
+      Corpus.docShingles(spark, dir)
+        .join(broadcast(Corpus.shingleDict(spark, dir)), Seq("shingle"))
+        .select(col("doc_id"), col("sid"))
+        .cache()
+    }
 
   private val docSidsSql: String =
     s"""SELECT ds.doc_id, d.sid
@@ -146,10 +149,11 @@ object Dedup {
     * the LSH evidence (bands in common), the signature-estimated Jaccard
     * (equal minhashes / 16), and the exact shingle Jaccard for reference.
     * Self-join happens on (band, bandhash) buckets, NOT all pairs. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ds = docSids(spark, dir)
-    minhashLshFrom(ds, ds)
-  }
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize("minhashLsh", dir) {
+      val ds = docSids(spark, dir)
+      minhashLshFrom(ds, ds)
+    }
 
   /** The d2 pipeline over explicit id relations: `sketchSids` feeds the
     * minhash family (ids must be < P), `identSids` the exact-set side
@@ -351,7 +355,9 @@ object Dedup {
     * |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes. */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.2): DataFrame =
-    ngramJaccardFrom(docSids(spark, dir), threshold)
+    Silver.memoize(s"ngramJaccard:$threshold", dir) {
+      ngramJaccardFrom(docSids(spark, dir), threshold)
+    }
 
   private def ngramJaccardFrom(ds: DataFrame, threshold: Double): DataFrame = {
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -539,9 +545,11 @@ object Dedup {
     * (DedupSimilaritySpec asserts pair/cluster equality with the
     * dictionary variants on the test corpus). */
   private def docSidsXx(spark: SparkSession, dir: String): DataFrame =
-    Corpus.docShingles(spark, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
-      .cache()
+    Silver.memoize("docSidsXx", dir) {
+      Corpus.docShingles(spark, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+        .cache()
+    }
 
   /** d9: scale twin of d4 — exact 3-shingle Jaccard pairs over xxhash64
     * ids. Rows-only (xxhash64 has no DuckDB twin); value-equality with d4

@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.model.Tables
+import graft.model.{Silver, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -29,14 +29,16 @@ object StoreDaily {
     * dedupes by plan, so all ~15 downstream operators share one entry;
     * |stores|×|days| rows — dimension-sized at any fact-table scale). */
   def rollupDec(spark: SparkSession, dir: String): DataFrame =
-    Tables.sales(spark, dir)
-      .groupBy(col("store_id"), col("sale_date"))
-      .agg(
-        sum(col("line_total")).as("gross_dec"),
-        sum(col("discount_amount")).as("disc_dec"),
-        count(lit(1)).as("transaction_count"),
-        sum(col("quantity")).as("item_count"))
-      .cache()
+    Silver.memoize("rollupDec", dir) {
+      Tables.sales(spark, dir)
+        .groupBy(col("store_id"), col("sale_date"))
+        .agg(
+          sum(col("line_total")).as("gross_dec"),
+          sum(col("discount_amount")).as("disc_dec"),
+          count(lit(1)).as("transaction_count"),
+          sum(col("quantity")).as("item_count"))
+        .cache()
+    }
 
   val rollupDecSql: String =
     s"""SELECT store_id, sale_date,
@@ -87,14 +89,16 @@ object StoreDaily {
     * read query. Decimal partials re-aggregate exactly, so every
     * downstream sum is unchanged. */
   def paymentDec(spark: SparkSession, dir: String): DataFrame =
-    Tables.salesWithPayment(spark, dir)
-      .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
-      .agg(
-        sum(col("line_total") - col("discount_amount")).as("amt_dec"),
-        sum(col("line_total")).as("gross_dec"),
-        count(lit(1)).as("txn"),
-        sum(col("quantity")).as("item_count"))
-      .cache()
+    Silver.memoize("paymentDec", dir) {
+      Tables.salesWithPayment(spark, dir)
+        .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
+        .agg(
+          sum(col("line_total") - col("discount_amount")).as("amt_dec"),
+          sum(col("line_total")).as("gross_dec"),
+          count(lit(1)).as("txn"),
+          sum(col("quantity")).as("item_count"))
+        .cache()
+    }
 
   /** A2: payment breakdown — per (store, day, method):
     * sum(line_total - discount_amount)
@@ -135,21 +139,25 @@ object StoreDaily {
     * CACHED: this is the engine's product_daily silver relation — the
     * reference PERSISTS it (calc-product-metrics:117-133) and seven read
     * paths (a3/a7/a8/j6/a26/d7/r2) re-aggregate it. Output is bounded at
-    * k×stores×days rows regardless of fact-table size. Date-RANGED
-    * consumers use [[topProductsDecRange]], which builds from the pruned
-    * scan and is a different plan — its parquet pushdown is unaffected
-    * by this cache. */
+    * k×stores×days rows regardless of fact-table size. */
   def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    topProductsFrom(Tables.sales(spark, dir), k).cache()
+    Silver.memoize(s"topProductsDec:$k", dir) {
+      topProductsFrom(Tables.sales(spark, dir), k).cache()
+    }
 
-  /** Date-bounded variant built on the range-pruned scan ([[Tables.
-    * salesInRange]]): the sale_date window-partition filter alone never
-    * reaches parquet (derived string column); this pushes the equivalent
-    * l_shipdate range into the reader. Same values as filtering
-    * [[topProductsDec]] afterwards — oracle twins unchanged. */
+  /** Date-bounded variant: a range FILTER over the shared
+    * [[topProductsDec]] silver — the same read path [[graft.analytics
+    * .Trends]]' sdRange takes over rollupDec. In production the
+    * product_daily silver is PERSISTED partitioned by sale_date, so this
+    * filter is partition pruning on a k×stores×days-bounded table; the
+    * earlier build-from-pruned-fact-scan formulation recomputed the
+    * rollup per query and only helped when the queried range was a small
+    * slice of an UNSUMMARIZED lake (not the medallion architecture this
+    * engine materializes). Values are identical either way. */
   def topProductsDecRange(spark: SparkSession, dir: String, k: Int,
                           from: String, to: String): DataFrame =
-    topProductsFrom(Tables.salesInRange(spark, dir, from, to), k)
+    topProductsDec(spark, dir, k)
+      .filter(col("sale_date").between(from, to))
 
   private def topProductsFrom(sales: DataFrame, k: Int): DataFrame = {
     val perSku = sales

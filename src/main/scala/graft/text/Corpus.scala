@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.model.Tables
+import graft.model.{Silver, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +42,9 @@ object Corpus {
     * silver). Spark's CacheManager dedupes by logical plan, so every
     * caller shares one entry; Bench warms it with the other silvers. */
   def docsTok(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).withColumn("words", wordsCol).cache()
+    Silver.memoize("docsTok", dir) {
+      docs(spark, dir).withColumn("words", wordsCol).cache()
+    }
 
   /** Whitespace tokens, in document order. Documents are single-space
     * separated by construction (TESTDATA.md); the regex keeps this robust
