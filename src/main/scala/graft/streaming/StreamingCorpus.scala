@@ -85,6 +85,47 @@ object StreamingCorpus {
       .drop("ws", "shingles", "n_shingles", "n_common")
   }
 
+  /** Batch-fitted unigram LM for the streaming surprisal gate: word →
+    * whole-bit surprisal, t13's exact integer algebra
+    * ([[TextAnalysis.lmSurprisal]]), collected once at query build. The
+    * fitted vocabulary is dimension-sized BY DESIGN (a production LM
+    * filter caps its vocab; rare words fall to the OOV bucket), so this
+    * is the same bounded driver round-trip as [[benchmarkShingles]] —
+    * fit offline on the batch corpus, score online at the ingest edge. */
+  def lmVocabBits(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Array[(String, Long)] = {
+    val toks = graft.text.Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+  }
+
+  /** Streaming LM-surprisal gate: drop documents whose mean per-token
+    * surprisal exceeds `maxBits` (noise, OCR garbage, wrong-language
+    * text score high against the fitted LM). Entirely map-side: the LM
+    * is a MAP LITERAL, the per-doc score a sequential integer fold over
+    * the token array — no state, no shuffle, no stream-static join, and
+    * the integer algebra is t13's exactly, so batch and streaming scores
+    * agree bit-for-bit (spec-asserted). Unknown words cost `oovBits`
+    * (the rarest-word bucket — unseen evidence is maximal surprise). */
+  def surprisalGate(docs: DataFrame, vocab: Array[(String, Long)],
+                    maxBits: Double = 12.0, oovBits: Long = 16L): DataFrame = {
+    val lm = map(vocab.flatMap { case (w, b) => Seq(lit(w), lit(b)) }: _*)
+    docs
+      .withColumn("ws", graft.text.Corpus.wordsCol)
+      .withColumn("sum_bits",
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + coalesce(element_at(lm, w), lit(oovBits))))
+      .withColumn("bits_per_token",
+        col("sum_bits").cast("double") / size(col("ws")).cast("double"))
+      .filter(col("bits_per_token") <= maxBits)
+      .drop("ws", "sum_bits")
+  }
+
   /** The composed streaming corpus-ingest pipeline: quality gate, then
     * (optionally) the decontamination gate, then watermark-bounded exact
     * dedup — the streaming twin of batch c2's (quality + contamination +

@@ -654,6 +654,109 @@ object Similarity {
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
+  /** v10: PQ ASYMMETRIC-DISTANCE search (ADC) — the production PQ query
+    * path: the float query is compared against CODES, never against
+    * reconstructed vectors. Per query, a lookup table LUT[s][c] =
+    * dot(query-sub s, codebook[s][c]) is built once (nSub × nCodes
+    * entries — query-set × 32 rows here); a candidate's approximate dot
+    * product is then FOUR TABLE LOOKUPS summed in fixed order, and its
+    * reconstruction norm is a query-independent code-norm table. No
+    * per-pair O(dim) arithmetic and no reconstruction — at 100 TB the
+    * scoring pass is a broadcast join of the tiny LUT against the 4-byte
+    * code table at scan speed (cheaper than v9's reconstruct-then-fold by
+    * a factor of subDim per pair).
+    *
+    * Float parity: LUT dots are the strict fold; the code-norm table is
+    * folded in the same order on both sides (Scala foldLeft here, DuckDB
+    * list_reduce there — identical op sequence on identical doubles);
+    * the 4-term sums are left-associated in both engines; sqrt is IEEE
+    * correctly-rounded everywhere. Asymmetric = better ranking than
+    * v9's symmetric reconstruction (the query keeps full precision). */
+  def pqAdc(spark: SparkSession, dir: String, k: Int = 5,
+            nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    val cb = pqCodebook(spark, dir, nSub, nCodes)
+    val subDim = cb(0)(0).length
+    // query-independent code norms, folded in oracle order
+    val cnorm = Array.tabulate(nSub, nCodes)((s, c) =>
+      cb(s)(c).foldLeft(0.0)((acc, x) => acc + x * x))
+    val e = Tables.embeddings(spark, dir)
+    val qBase = withNorm(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id") +: col("norm2").as("q_norm2") +:
+        (0 until nSub).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
+    def lutEntry(s: Int, c: Int): Column =
+      aggregate(
+        zip_with(col(s"q_$s"), array(cb(s)(c).map(lit): _*),
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, v) => acc + v)
+    val q = qBase.select(col("query_id") +: col("q_norm2") +:
+      (0 until nSub).map(s =>
+        array((0 until nCodes).map(c => lutEntry(s, c)): _*).as(s"lut_$s")): _*)
+    val codes = pqCodes(spark, dir, nSub, nCodes)
+      .select(col("vec_id").as("neighbor_id") +:
+        (0 until nSub).map(s => col(s"code_$s")): _*)
+    val adcDot = (0 until nSub)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val reconNorm2 = (0 until nSub)
+      .map(s => element_at(array(cnorm(s).map(lit): _*), col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val pairs = broadcast(q).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_adc", adcDot / sqrt(col("q_norm2") * reconNorm2))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_adc").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def pqAdcSql(k: Int = 5, nSub: Int = 4, nCodes: Int = 8,
+               subDim: Int = 16): String = {
+    val codeCols = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
+    val lutJoins = (0 until nSub).map(s =>
+      s"JOIN lut l$s ON l$s.query_id = q.query_id AND l$s.s = $s AND l$s.code = c.code_$s")
+      .mkString("\n  ")
+    val normJoins = (0 until nSub).map(s =>
+      s"JOIN cnorm n$s ON n$s.s = $s AND n$s.code = c.code_$s").mkString("\n  ")
+    val adcDot = (0 until nSub).map(s => s"l$s.d").mkString(" + ")
+    val reconNorm = (0 until nSub).map(s => s"n$s.nrm").mkString(" + ")
+    s"""WITH ${pqSelSql(nSub, nCodes, subDim)},
+       |codes AS (
+       |  SELECT vec_id, $codeCols FROM sel GROUP BY vec_id),
+       |cbsub AS (
+       |  SELECT cb.code, t.s, list_slice(cb.cemb, t.s*$subDim + 1, t.s*$subDim + $subDim) AS sv
+       |  FROM cb CROSS JOIN range($nSub) t(s)),
+       |cnorm AS (SELECT code, s, ${dotSql("sv", "sv")} AS nrm FROM cbsub),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS q_norm2
+       |  FROM embeddings WHERE vec_id < 10),
+       |qsub AS (
+       |  SELECT query_id, q_norm2, t.s,
+       |    list_slice(embedding, t.s*$subDim + 1, t.s*$subDim + $subDim) AS qv
+       |  FROM q CROSS JOIN range($nSub) t(s)),
+       |lut AS (
+       |  SELECT qs.query_id, qs.s, cs.code, ${dotSql("qs.qv", "cs.sv")} AS d
+       |  FROM qsub qs JOIN cbsub cs ON cs.s = qs.s),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ($adcDot) / sqrt(q.q_norm2 * ($reconNorm)) AS cosine_adc
+       |  FROM codes c CROSS JOIN q
+       |  $lutJoins
+       |  $normJoins
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_adc DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cosine_adc
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** h1: HYBRID retrieval — lexical candidate generation, vector rerank:
     * stage 1 finds docs sharing >= `minCommon` distinct words with each
     * query doc via the inverted word index (the same never-all-pairs

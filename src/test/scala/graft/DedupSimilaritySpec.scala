@@ -279,4 +279,36 @@ class DedupSimilaritySpec extends GraftSpec {
       assert(r.filter(col("n_truth") =!= 5).count() === 0)
     } finally r.unpersist()
   }
+
+  test("v10: ADC is exact on codebook donors; ranks contiguous per query") {
+    val v10 = Similarity.pqAdc(spark, sfDir).cache()
+    try {
+      // 10 queries × top-5, dense ranks
+      assert(v10.count() === 50)
+      assert(v10.groupBy("query_id").agg(sum("rank").as("s"))
+        .filter(col("s") =!= 15).count() === 0)
+      // donors (vec_id < 8) reconstruct exactly, so their ADC cosine must
+      // equal the true float cosine (up to sub-sum association: ADC adds
+      // four sub-fold partials, the flat fold adds 64 terms in sequence)
+      val e = graft.model.Tables.embeddings(spark, sfDir)
+        .withColumn("norm2", Similarity.dotColHof(col("embedding"), col("embedding")))
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("norm2").as("qn"))
+      val n = e.filter(col("vec_id") < 8).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("norm2").as("nn"))
+      val exact = q.join(n, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_exact",
+          Similarity.dotColHof(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .select("query_id", "neighbor_id", "cos_exact")
+      // donors rarely make the top-5 on a random corpus — rank ALL
+      // candidates (k = corpus size) to reach the donor rows
+      val full = Similarity.pqAdc(spark, sfDir, k = 1000)
+      val joined = full.filter(col("neighbor_id") < 8)
+        .join(exact, Seq("query_id", "neighbor_id"))
+      assert(joined.count() > 0)
+      assert(joined.filter(
+        abs(col("cosine_adc") - col("cos_exact")) > 1e-9).count() === 0,
+        "ADC cosine diverges from exact cosine on an exactly-reconstructed donor")
+    } finally v10.unpersist()
+  }
 }

@@ -67,7 +67,10 @@ class PlanShapeSpec extends GraftSpec {
     ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
     // PQ encode: codebook is a collected literal, encoding is map-side
     ("v8_pq_codes", 0, "codebook is a broadcast literal; encode is pure map"),
-    ("v9_pq_recall", 5, "per-query top-k windows + query-set-sized eval joins")
+    ("v9_pq_recall", 5, "per-query top-k windows + query-set-sized eval joins"),
+    // ADC scoring: LUT broadcast against the map-side code table; only
+    // the per-query top-k window moves candidate rows
+    ("v10_pq_adc", 1, "broadcast LUT x code table; one top-k window exchange")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

@@ -122,4 +122,42 @@ class StreamingCorpusSpec extends GraftSpec {
       .filter(col("doc_id") % 97 === 0).select("shingle").distinct().count()
     assert(fromCorpus.length.toLong === expected)
   }
+
+  test("streaming surprisal gate scores bit-identically to batch t13") {
+    val in = Files.createTempDirectory("stream_lm")
+    in.toFile.deleteOnExit()
+    // stream the REAL corpus documents so the parity claim is over the
+    // exact population t13 scores (vocab fitted on the same corpus: no
+    // OOV, so the map-literal fold must reproduce the batch join+agg)
+    val docsJson = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => doc(r.getLong(0), "2024-03-01T10:00:00", r.getString(1)))
+    Files.writeString(in.resolve("a.json"), docsJson.take(100).mkString("\n"))
+    Files.writeString(in.resolve("b.json"), docsJson.drop(100).mkString("\n"))
+
+    val vocab = StreamingCorpus.lmVocabBits(spark, sfDir)
+    runStream(in, StreamingCorpus.surprisalGate(_, vocab, maxBits = 1e9), "lm_stream")
+    val streamed = spark.sql("SELECT doc_id, bits_per_token FROM lm_stream ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = TextAnalysis.lmSurprisal(spark, sfDir)
+      .select("doc_id", "bits_per_token").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === batch,
+      "streaming LM score must equal the batch t13 relation exactly")
+  }
+
+  test("surprisal gate drops OOV garbage, keeps common-word text") {
+    val in = Files.createTempDirectory("stream_lm_gate")
+    in.toFile.deleteOnExit()
+    val vocab = StreamingCorpus.lmVocabBits(spark, sfDir)
+    val commonWord = vocab.minBy(_._2)._1 // most frequent -> fewest bits
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", s"$commonWord $commonWord $commonWord"),
+      doc(2, "2024-03-01T10:01:00", "zzyzx qwfp xyzzy plugh")).mkString("\n"))
+    runStream(in, StreamingCorpus.surprisalGate(_, vocab, maxBits = 12.0),
+      "lm_gate_stream")
+    val kept = spark.sql("SELECT doc_id FROM lm_gate_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L), "OOV-only doc must be gated (16 bits/token > 12)")
+  }
 }
