@@ -191,8 +191,11 @@ object Similarity {
     *     the big side is touched via a hash join on the cell id.
     * At 100 TB the assignment pass is the IVF build (persist it
     * partitioned by cell); probing reads only the probed cells' partitions. */
-  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
-             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+  /** The IVF coarse quantizer: every vector ranked against every centroid
+    * (cosine, broadcast centroid table), crank 1 = its cell. Shared by v4
+    * and the composed IVF-PQ index (v11). */
+  private def ivfRanked(spark: SparkSession, dir: String,
+                        nCentroids: Int): DataFrame = {
     val e = withNorm(spark, dir)
     val cents = e.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
@@ -204,7 +207,12 @@ object Similarity {
         cosine(dotCol(col("embedding"), col("c_emb")), col("norm2"), col("c_norm2")))
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val ranked = aff.withColumn("crank", row_number().over(wv))
+    aff.withColumn("crank", row_number().over(wv))
+  }
+
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
+             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val ranked = ivfRanked(spark, dir, nCentroids)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"),
         col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
@@ -754,6 +762,129 @@ object Similarity {
        |  FROM pairs)
        |SELECT query_id, rank, neighbor_id, cosine_adc
        |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** v11: IVF-PQ — the composed production ANN index (the FAISS
+    * IVFx,PQy shape): the IVF coarse quantizer (v4) prunes the candidate
+    * set to the query's `nProbe` nearest cells, and PQ ADC (v10) scores
+    * the survivors with 4 table lookups each. The two compressions are
+    * orthogonal: IVF cuts WHICH vectors are touched (~cells/nProbe), PQ
+    * cuts the COST PER VECTOR (subDim-fold) — at 100 TB the index is the
+    * cell-partitioned code table (4 bytes/vector), probing reads only
+    * the probed cells' partitions, and the float corpus is never scanned
+    * at query time. (Production refinement not modeled: PQ on residuals
+    * x − centroid, which tightens cells before coding; same algebra,
+    * centroid-shifted.) Every stage reuses a parity-proven parent: the
+    * cell assignment is v4's, the LUT/code-norm algebra v10's. */
+  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 5,
+               nCentroids: Int = 8, nProbe: Int = 2,
+               nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    val cb = pqCodebook(spark, dir, nSub, nCodes)
+    val subDim = cb(0)(0).length
+    val cnorm = Array.tabulate(nSub, nCodes)((s, c) =>
+      cb(s)(c).foldLeft(0.0)((acc, x) => acc + x * x))
+    val ranked = ivfRanked(spark, dir, nCentroids)
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"))
+    val codes = pqCodes(spark, dir, nSub, nCodes)
+      .select(col("vec_id").as("neighbor_id") +:
+        (0 until nSub).map(s => col(s"code_$s")): _*)
+    val cellCodes = assigned.join(codes, Seq("neighbor_id"))
+    val qlut = withNorm(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id") +: col("norm2").as("q_norm2") +:
+        (0 until nSub).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
+    def lutEntry(s: Int, c: Int): Column =
+      aggregate(
+        zip_with(col(s"q_$s"), array(cb(s)(c).map(lit): _*),
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, v) => acc + v)
+    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
+      .join(qlut.select(col("query_id") +: col("q_norm2") +:
+        (0 until nSub).map(s =>
+          array((0 until nCodes).map(c => lutEntry(s, c)): _*).as(s"lut_$s")): _*),
+        Seq("query_id"))
+    val adcDot = (0 until nSub)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val reconNorm2 = (0 until nSub)
+      .map(s => element_at(array(cnorm(s).map(lit): _*), col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val pairs = broadcast(probes).join(cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_adc", adcDot / sqrt(col("q_norm2") * reconNorm2))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_adc").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell"), col("cosine_adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfPqAnnSql(k: Int = 5, nCentroids: Int = 8, nProbe: Int = 2,
+                  nSub: Int = 4, nCodes: Int = 8, subDim: Int = 16): String = {
+    val codeCols = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
+    val lutJoins = (0 until nSub).map(s =>
+      s"JOIN lut l$s ON l$s.query_id = p.query_id AND l$s.s = $s AND l$s.code = cc.code_$s")
+      .mkString("\n  ")
+    val normJoins = (0 until nSub).map(s =>
+      s"JOIN cnorm n$s ON n$s.s = $s AND n$s.code = cc.code_$s").mkString("\n  ")
+    val adcDot = (0 until nSub).map(s => s"l$s.d").mkString(" + ")
+    val reconNorm = (0 until nSub).map(s => s"n$s.nrm").mkString(" + ")
+    s"""WITH ${pqSelSql(nSub, nCodes, subDim)},
+       |codes AS (
+       |  SELECT vec_id, $codeCols FROM sel GROUP BY vec_id),
+       |cbsub AS (
+       |  SELECT cb.code, t.s, list_slice(cb.cemb, t.s*$subDim + 1, t.s*$subDim + $subDim) AS sv
+       |  FROM cb CROSS JOIN range($nSub) t(s)),
+       |cnorm AS (SELECT code, s, ${dotSql("sv", "sv")} AS nrm FROM cbsub),
+       |e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, e.norm2, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff),
+       |cellcodes AS (
+       |  SELECT r.vec_id AS neighbor_id, r.centroid_id AS cell,
+       |    c.code_0, c.code_1, c.code_2, c.code_3
+       |  FROM ranked r JOIN codes c ON c.vec_id = r.vec_id
+       |  WHERE r.crank = 1),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, norm2 AS q_norm2, t.s,
+       |    list_slice(embedding, t.s*$subDim + 1, t.s*$subDim + $subDim) AS qv
+       |  FROM e CROSS JOIN range($nSub) t(s)
+       |  WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT qs.query_id, qs.s, cs.code, ${dotSql("qs.qv", "cs.sv")} AS d
+       |  FROM qsub qs JOIN cbsub cs ON cs.s = qs.s),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell, norm2 AS q_norm2
+       |  FROM ranked WHERE vec_id < 10 AND crank <= $nProbe),
+       |pairs AS (
+       |  SELECT p.query_id, cc.cell, cc.neighbor_id,
+       |    ($adcDot) / sqrt(p.q_norm2 * ($reconNorm)) AS cosine_adc
+       |  FROM probes p JOIN cellcodes cc USING (cell)
+       |  $lutJoins
+       |  $normJoins
+       |  WHERE p.query_id <> cc.neighbor_id),
+       |rankedp AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_adc DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cell, cosine_adc
+       |FROM rankedp WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
 

@@ -311,4 +311,25 @@ class DedupSimilaritySpec extends GraftSpec {
         "ADC cosine diverges from exact cosine on an exactly-reconstructed donor")
     } finally v10.unpersist()
   }
+
+  test("v11: IVF-PQ candidates are v4's cells, scores are v10's ADC values") {
+    val v11 = Similarity.ivfPqAnn(spark, sfDir).cache()
+    try {
+      assert(v11.count() === 50)
+      // candidate generation is the IVF parent's: every scored pair must
+      // appear in v4's (unbounded) probed-cell candidate set
+      val ivfAll = Similarity.ivfAnn(spark, sfDir, k = 1000)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+      assert(v11.join(ivfAll, Seq("query_id", "neighbor_id"), "left")
+        .filter(col("in_ivf").isNull).count() === 0,
+        "v11 scored a pair outside the probed IVF cells")
+      // scoring is the PQ parent's: ADC values agree bitwise with v10
+      val adcAll = Similarity.pqAdc(spark, sfDir, k = 1000)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine_adc").as("adc_v10"))
+      assert(v11.join(adcAll, Seq("query_id", "neighbor_id"))
+        .filter(col("cosine_adc") =!= col("adc_v10")).count() === 0,
+        "v11 ADC score diverges from v10 on a shared pair")
+    } finally v11.unpersist()
+  }
 }

@@ -70,7 +70,11 @@ class PlanShapeSpec extends GraftSpec {
     ("v9_pq_recall", 5, "per-query top-k windows + query-set-sized eval joins"),
     // ADC scoring: LUT broadcast against the map-side code table; only
     // the per-query top-k window moves candidate rows
-    ("v10_pq_adc", 1, "broadcast LUT x code table; one top-k window exchange")
+    ("v10_pq_adc", 1, "broadcast LUT x code table; one top-k window exchange"),
+    // IVF-PQ: the cell-assignment window, the assignment<->code join, and
+    // the per-query top-k — the index BUILD cost; probing itself is a
+    // broadcast join against the cell-partitioned code table
+    ("v11_ivf_pq", 3, "assignment window + code join + top-k; probes broadcast")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
