@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorDot
+import graft.functions.{VectorD2, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vector_d2"),
+      new ExpressionInfo(classOf[VectorD2].getName, "vector_d2"),
+      (children: Seq[Expression]) => VectorD2(children.head, children(1))))
   }
 }

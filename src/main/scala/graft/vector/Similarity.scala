@@ -529,11 +529,12 @@ object Similarity {
     val sub = e.select(col("vec_id") +: col("label") +:
       (0 until nSub).map(s =>
         slice(col("embedding"), s * subDim + 1, subDim).as(s"sub_$s")): _*)
+    // native codegen'd fold (one fused loop per sub-distance); codebook
+    // entries are exact float round-trips, so the literal array<float>
+    // carries the identical values the double fold would see
     def d2(s: Int, c: Int): Column =
-      aggregate(
-        zip_with(col(s"sub_$s"), array(cb(s)(c).map(lit): _*),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorD2.vectorD2(col(s"sub_$s"),
+        array(cb(s)(c).map(v => lit(v.toFloat)): _*))
     val withD2 = sub.select(col("vec_id") +: col("label") +:
       (0 until nSub).map(s =>
         array((0 until nCodes).map(c => d2(s, c)): _*).as(s"d2_$s")): _*)
@@ -693,10 +694,7 @@ object Similarity {
         (0 until nSub).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
     def lutEntry(s: Int, c: Int): Column =
-      aggregate(
-        zip_with(col(s"q_$s"), array(cb(s)(c).map(lit): _*),
-          (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, v) => acc + v)
+      dotCol(col(s"q_$s"), array(cb(s)(c).map(v => lit(v.toFloat)): _*))
     val q = qBase.select(col("query_id") +: col("q_norm2") +:
       (0 until nSub).map(s =>
         array((0 until nCodes).map(c => lutEntry(s, c)): _*).as(s"lut_$s")): _*)
@@ -796,10 +794,7 @@ object Similarity {
         (0 until nSub).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
     def lutEntry(s: Int, c: Int): Column =
-      aggregate(
-        zip_with(col(s"q_$s"), array(cb(s)(c).map(lit): _*),
-          (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, v) => acc + v)
+      dotCol(col(s"q_$s"), array(cb(s)(c).map(v => lit(v.toFloat)): _*))
     val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
       .join(qlut.select(col("query_id") +: col("q_norm2") +:
