@@ -695,6 +695,59 @@ object Dedup {
        |FROM ds LEFT JOIN b USING (sid)
        |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+
+  /** d16: the DEDUP VERDICT — the actionable output the cluster relation
+    * exists for: one keeper per near-dup cluster, everything else marked
+    * drop. Keeper selection is QUALITY-AWARE (the Gopher/CCNet pipelines'
+    * rule: among near-duplicates keep the best-scoring copy, not the
+    * first-crawled one): max t2 quality score, ties to the smallest
+    * doc_id (d1's first-upload-wins). Composes two silvers — the
+    * memoized d6 cluster labels and the tokenize-once quality projection
+    * — plus one window over clusters (bounded groups: a cluster is a set
+    * of near-identical docs, its size does not grow with corpus size)
+    * and one broadcast-able keeper join. The c1/c2 gates consume the
+    * cluster RELATION; a lake compaction job consumes THIS verdict. */
+  def dedupVerdict(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(spark, dir, threshold)
+    val quality = Corpus.docsTok(spark, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"))
+    val scored = clusters.join(quality, Seq("doc_id"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val keepers = scored.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    scored.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keeper_id"),
+        when(col("doc_id") === col("keeper_id"), "keep").otherwise("drop")
+          .as("action"))
+      .orderBy("doc_id")
+  }
+
+  def dedupVerdictSql(threshold: Double = 0.5): String =
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id, cluster_size FROM (${dupClustersSql(threshold)})),
+       |quality AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${graft.text.TextAnalysis.qualityScoreSql})),
+       |scored AS (
+       |  SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score
+       |  FROM clusters c JOIN quality q USING (doc_id)),
+       |keepers AS (
+       |  SELECT cluster_id, doc_id AS keeper_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster_id, s.cluster_size, s.quality_score,
+       |  k.keeper_id,
+       |  CASE WHEN s.doc_id = k.keeper_id THEN 'keep' ELSE 'drop' END AS action
+       |FROM scored s JOIN keepers k USING (cluster_id)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

@@ -237,6 +237,53 @@ object CorpusPrep {
        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
        |FROM keyed ORDER BY shard, pos""".stripMargin
 
+  /** p11: CURRICULUM ordering — the quality-staged training order
+    * (easy/clean text first, noisier text later): documents are bucketed
+    * by their t2 quality score (the 0/25/50/75/100 rubric levels ARE the
+    * curriculum stages, highest first), and within a (bucket, shard) the
+    * order is p10's deterministic shuffle — curriculum BETWEEN stages,
+    * decorrelated order WITHIN a stage (ordering a stage by quality
+    * would re-introduce ingest correlations; the shuffle key is the
+    * anti-correlation device). The training reader consumes tuples in
+    * (stage, shard, pos) order. Same bounded-group window shape as
+    * p8/p10 — shard width is the parallelism knob, no global sort of the
+    * corpus — and every input is a shared silver (tokenize-once quality
+    * projection, the p10 hash). Retry/speculation-stable like its
+    * parents: pure hash arithmetic, no rand(). */
+  def curriculum(spark: SparkSession, dir: String,
+                 nShards: Int = 32): DataFrame = {
+    val key = pmod(pmod(col("doc_id"), lit(999999937L)) * lit(2862933555L),
+      lit(999999937L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage"), col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
+        key.as("shuffle_key"))
+      .withColumn("stage", -col("quality_score")) // highest quality = stage -100 sorts first
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("stage"),
+        col("shard"), col("shuffle_key"), col("pos"))
+      .orderBy("stage", "shard", "pos")
+  }
+
+  def curriculumSql(nShards: Int = 32): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${TextAnalysis.qualityScoreSql})),
+       |keyed AS (
+       |  SELECT doc_id, quality_score,
+       |    -quality_score AS stage,
+       |    ((doc_id % 999999937) * 2862933555) % 999999937 AS shuffle_key
+       |  FROM q)
+       |SELECT doc_id, quality_score, stage,
+       |  shuffle_key % $nShards AS shard, shuffle_key,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY stage, shuffle_key % $nShards
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+       |FROM keyed ORDER BY stage, shard, pos""".stripMargin
+
   /** m3: epoch planner — the UP-sampling half of mixing that m1's capped
     * rate (LEAST 1.0) deliberately leaves out: a domain under target is
     * repeated `full_epochs` whole times plus a `sample_frac` partial pass

@@ -113,6 +113,34 @@ class CorpusPrepSpec extends GraftSpec {
     } finally o.unpersist()
   }
 
+  test("p11: curriculum stages order by quality; within-stage order is p10's shuffle") {
+    val c = CorpusPrep.curriculum(spark, sfDir).cache()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(c.count() === docs.count(), "a curriculum slot for every document")
+      // stage is exactly the negated rubric score (so ascending stage =
+      // descending quality), and positions are dense within (stage, shard)
+      assert(c.filter(col("stage") =!= -col("quality_score")).count() === 0)
+      val per = c.groupBy("stage", "shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+          countDistinct("pos").as("nd"))
+      assert(per.filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+        .count() === 0)
+      // within a (stage, shard), consecutive positions follow the p10
+      // shuffle key — never doc_id order by construction
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stage"), col("shard")).orderBy(col("pos"))
+      val bad = c.withColumn("prev_key", lag(col("shuffle_key"), 1).over(w))
+        .filter(col("prev_key").isNotNull && col("prev_key") > col("shuffle_key"))
+      assert(bad.count() === 0, "within-stage order must follow the shuffle key")
+      // the shuffle key matches p10's for every doc (shared hash family)
+      val p10 = CorpusPrep.shuffleOrder(spark, sfDir)
+        .select(col("doc_id"), col("shuffle_key").as("k10"))
+      assert(c.join(p10, Seq("doc_id"))
+        .filter(col("shuffle_key") =!= col("k10")).count() === 0)
+    } finally c.unpersist()
+  }
+
   test("m3: epoch algebra consistent with m1's capped rate") {
     val m3 = CorpusPrep.epochPlan(spark, sfDir).cache()
     try {

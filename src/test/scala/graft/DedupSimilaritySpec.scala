@@ -312,6 +312,32 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally v10.unpersist()
   }
 
+  test("d16: one quality-maximal keeper per cluster; singletons all keep") {
+    val v = Dedup.dedupVerdict(spark, sfDir).cache()
+    try {
+      val clusters = Dedup.dupClusters(spark, sfDir)
+      assert(v.count() === clusters.count(), "a verdict for every document")
+      // exactly one keep per cluster, and it IS the keeper_id row
+      val perCluster = v.groupBy("cluster_id")
+        .agg(sum(when(col("action") === "keep", 1).otherwise(0)).as("n_keep"))
+      assert(perCluster.filter(col("n_keep") =!= 1).count() === 0)
+      assert(v.filter(col("action") === "keep" &&
+        col("doc_id") =!= col("keeper_id")).count() === 0)
+      // no dropped doc outscores its cluster's keeper; equal scores only
+      // lose to a smaller doc_id (the d1 tie-break)
+      val keeperQ = v.filter(col("action") === "keep")
+        .select(col("cluster_id"), col("quality_score").as("kq"),
+          col("doc_id").as("kid"))
+      val bad = v.filter(col("action") === "drop").join(keeperQ, Seq("cluster_id"))
+        .filter(col("quality_score") > col("kq") ||
+          (col("quality_score") === col("kq") && col("doc_id") < col("kid")))
+      assert(bad.count() === 0, "a dropped doc outranks its keeper")
+      // singleton clusters keep their only member
+      assert(v.filter(col("cluster_size") === 1 && col("action") =!= "keep")
+        .count() === 0)
+    } finally v.unpersist()
+  }
+
   test("v11: IVF-PQ candidates are v4's cells, scores are v10's ADC values") {
     val v11 = Similarity.ivfPqAnn(spark, sfDir).cache()
     try {
