@@ -41,4 +41,29 @@ object Sketches {
         approx_count_distinct(col("sku"), rsd = 0.02).as("approx_skus"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("store_id"))
+
+  /** sk3: approximate top sellers per store via the custom Misra-Gries
+    * aggregate ([[graft.functions.TopKByCount]]) — the bounded-state
+    * answer to "top products per store" when the per-group key space is
+    * too wide for an exact partial aggregate to hold: the shuffle carries
+    * a `summarySize`-entry summary per (partition, store), never the full
+    * sku distribution. Every estimate is an under-count and `max_err`
+    * bounds the loss (est ≤ true ≤ est + max_err); with `summarySize` ≥
+    * distinct skus the result is exact — both spec-asserted against the
+    * exact a3-style ranking. Rows-only like sk1/sk2 (summary contents
+    * are algorithm-defined, not SQL-expressible). */
+  def storeTopSellers(spark: SparkSession, dir: String,
+                      topK: Int = 5, summarySize: Int = 32): DataFrame =
+    Tables.sales(spark, dir)
+      .groupBy(col("store_id"))
+      // the summary keys are strings (its tie-break is key order): bind
+      // the cast explicitly so the key space semantic is visible here
+      .agg(graft.functions.TopKByCount
+        .topKByCount(col("sku").cast("string"), summarySize).as("mg"))
+      .select(col("store_id"), col("mg.max_err").as("max_err"),
+        posexplode(slice(col("mg.items"), 1, topK)).as(Seq("idx", "item")))
+      .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
+        col("item.sku").as("sku"), col("item.est_count").as("est_count"),
+        col("max_err"))
+      .orderBy("store_id", "rank")
 }

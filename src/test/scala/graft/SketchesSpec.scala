@@ -32,4 +32,44 @@ class SketchesSpec extends GraftSpec {
         greatest(col("exact_skus") * 0.05, lit(3.0)))
     assert(bad.count() === 0)
   }
+
+  test("sk3: Misra-Gries is exact when the summary covers the key space") {
+    // summarySize >> distinct skus: no decrements ever fire, so the
+    // summary IS the exact count map and the top-5 must equal the exact
+    // ranking under the same (count desc, sku asc) tie-break
+    val mg = Sketches.storeTopSellers(spark, sfDir, topK = 5, summarySize = 100000)
+    assert(mg.filter(col("max_err") =!= 0L).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("store_id"))
+      .orderBy(col("n").desc, col("sku").asc)
+    val exact = Tables.sales(spark, sfDir)
+      // the summary keys on strings — rank the exact twin over the same
+      // key space so ties break identically
+      .select(col("store_id"), col("sku").cast("string").as("sku"))
+      .groupBy("store_id", "sku").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("store_id"), col("rank").cast("long").as("rank"),
+        col("sku"), col("n").as("exact_count"))
+    val j = mg.join(exact, Seq("store_id", "rank"), "full")
+    assert(j.filter(mg("sku").isNull || exact("sku").isNull).count() === 0,
+      "row sets differ")
+    assert(j.filter(mg("sku") =!= exact("sku") ||
+      col("est_count") =!= col("exact_count")).count() === 0,
+      "exact-regime summary diverges from the true ranking")
+  }
+
+  test("sk3: under-count + error bound hold under a tight summary") {
+    val mg = Sketches.storeTopSellers(spark, sfDir, topK = 5, summarySize = 8)
+    val exact = Tables.sales(spark, sfDir)
+      .select(col("store_id"), col("sku").cast("string").as("sku"))
+      .groupBy("store_id", "sku").agg(count(lit(1)).as("exact_count"))
+    val j = mg.join(exact, Seq("store_id", "sku"), "left")
+    // every reported key exists in the data with est <= true <= est+err
+    assert(j.filter(col("exact_count").isNull).count() === 0)
+    assert(j.filter(col("est_count") > col("exact_count")).count() === 0,
+      "Misra-Gries must never over-count")
+    assert(j.filter(col("exact_count") > col("est_count") + col("max_err"))
+      .count() === 0, "true count exceeds the certified error bound")
+    assert(mg.filter(col("max_err") < 0).count() === 0)
+  }
 }
