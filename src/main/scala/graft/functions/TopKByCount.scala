@@ -60,42 +60,12 @@ case class TopKByCount(
 
   override def update(b: MG, input: InternalRow): MG = {
     val v = child.eval(input)
-    if (v != null) {
-      val key = v.toString
-      b.counts.get(key) match {
-        case Some(c) => b.counts.update(key, c + 1)
-        case None =>
-          if (b.counts.size < summarySize) b.counts.update(key, 1L)
-          else {
-            // classic MG decrement step: one unit off every tracked key
-            // (and one off the arriving key, which is simply not added)
-            val dead = mutable.ArrayBuffer.empty[String]
-            b.counts.mapValuesInPlace((_, c) => c - 1)
-            b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
-            dead.foreach(b.counts.remove)
-            b.decs += 1
-          }
-      }
-    }
+    if (v != null) TopKByCount.updateOne(b, v.toString, summarySize)
     b
   }
 
   override def merge(b: MG, other: MG): MG = {
-    other.counts.foreach { case (k, c) =>
-      b.counts.update(k, b.counts.getOrElse(k, 0L) + c)
-    }
-    b.decs += other.decs
-    if (b.counts.size > summarySize) {
-      // mergeable-summaries truncation: subtract the (size+1)-th largest
-      // count from everything, drop the non-positive remainder
-      val cut = b.counts.values.toArray.sorted(Ordering[Long].reverse)
-        .apply(summarySize)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b.counts.mapValuesInPlace((_, c) => c - cut)
-      b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(b.counts.remove)
-      b.decs += cut
-    }
+    TopKByCount.mergeInto(b, other, summarySize)
     b
   }
 
@@ -142,6 +112,43 @@ object TopKByCount {
   /** Mutable Misra-Gries state: bounded (key → count) map + the total
     * decrement, which is the one-sided error bound. */
   final class MG(val counts: mutable.HashMap[String, Long], var decs: Long)
+
+  /** One Misra-Gries arrival. Shared by the batch aggregate and the
+    * streaming state twin ([[graft.streaming.StatefulTopSellers]]) so the
+    * two paths run the IDENTICAL algebra by construction. */
+  def updateOne(b: MG, key: String, summarySize: Int): Unit =
+    b.counts.get(key) match {
+      case Some(c) => b.counts.update(key, c + 1)
+      case None =>
+        if (b.counts.size < summarySize) b.counts.update(key, 1L)
+        else {
+          // classic MG decrement step: one unit off every tracked key
+          // (and one off the arriving key, which is simply not added)
+          val dead = mutable.ArrayBuffer.empty[String]
+          b.counts.mapValuesInPlace((_, c) => c - 1)
+          b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
+          dead.foreach(b.counts.remove)
+          b.decs += 1
+        }
+    }
+
+  /** Mergeable-summaries combine: add counts, then subtract the
+    * (size+1)-th largest and drop the non-positive remainder. */
+  def mergeInto(b: MG, other: MG, summarySize: Int): Unit = {
+    other.counts.foreach { case (k, c) =>
+      b.counts.update(k, b.counts.getOrElse(k, 0L) + c)
+    }
+    b.decs += other.decs
+    if (b.counts.size > summarySize) {
+      val cut = b.counts.values.toArray.sorted(Ordering[Long].reverse)
+        .apply(summarySize)
+      val dead = mutable.ArrayBuffer.empty[String]
+      b.counts.mapValuesInPlace((_, c) => c - cut)
+      b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(b.counts.remove)
+      b.decs += cut
+    }
+  }
 
   /** Column-API entry point. */
   def topKByCount(c: Column, summarySize: Int): Column =

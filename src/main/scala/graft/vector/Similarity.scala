@@ -177,6 +177,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** v12: label-free scale twin of v3 — embedding-cosine near-dup with
+    * candidates from the SIGN-BIT LSH BUCKETS (v2's hash) instead of the
+    * ground-truth label cell. v3's cell is a luxury a raw corpus doesn't
+    * have; the LSH bucket is what an unlabeled 100 TB embedding lake can
+    * actually partition by: the pairwise pass is bucket-local (a hash
+    * join on the 8-bit bucket key, ~256× candidate cut), never
+    * corpus-quadratic. Same output shape and rank-1 semantics as v3, so
+    * the two keys are directly comparable; recall loss vs the label cell
+    * is the LSH trade, measured the same way v6 measures v2's. */
+  def lshNearDup(spark: SparkSession, dir: String,
+                 threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id"), col("label"),
+      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cosine"),
+        (col("cosine") >= threshold).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  def lshNearDupSql(threshold: Double = 0.4): String =
+    s"""WITH e AS (
+       |  SELECT *, ${bucketSql("embedding")} AS bucket FROM ($withNormSql)),
+       |pairs AS (
+       |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
+       |    ${dotSql("a.embedding", "b.embedding")}
+       |      / sqrt(a.norm2 * b.norm2) AS cosine
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT vec_id, bucket, neighbor_id, cosine,
+       |  cosine >= $threshold AS is_near_dup
+       |FROM ranked WHERE rank = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** v4: IVF ANN — the inverted-file index pattern (coarse quantizer +
     * cell-local probe), completing the ANN pair next to v2's LSH variant:
     *  1. coarse centroids = the embeddings of the `nCentroids` smallest

@@ -338,6 +338,28 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally v.unpersist()
   }
 
+  test("v12: LSH near-dup neighbor shares the bucket; cosine is exact") {
+    val v12 = Similarity.lshNearDup(spark, sfDir).cache()
+    try {
+      assert(v12.count() > 0)
+      // every vector appears at most once (rank-1 semantics)
+      assert(v12.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+      // the neighbor's recomputed bucket equals the vector's bucket, and
+      // the reported cosine matches a direct recomputation bitwise
+      val e = graft.model.Tables.embeddings(spark, sfDir)
+        .withColumn("norm2", Similarity.dotColHof(col("embedding"), col("embedding")))
+      val withA = v12.join(e.select(col("vec_id"), col("embedding").as("ae"),
+        col("norm2").as("an")), Seq("vec_id"))
+      val withB = withA.join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("be"), col("norm2").as("bn")), Seq("neighbor_id"))
+      val recomputed = withB.withColumn("cos2",
+        Similarity.dotColHof(col("ae"), col("be")) / sqrt(col("an") * col("bn")))
+      assert(recomputed.filter(col("cosine") =!= col("cos2")).count() === 0)
+      assert(recomputed.filter(col("is_near_dup") =!=
+        (col("cosine") >= 0.4)).count() === 0)
+    } finally v12.unpersist()
+  }
+
   test("v11: IVF-PQ candidates are v4's cells, scores are v10's ADC values") {
     val v11 = Similarity.ivfPqAnn(spark, sfDir).cache()
     try {

@@ -158,6 +158,40 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming top-sellers equals batch sk3 in the exact regime") {
+    import spark.implicits._
+    import graft.streaming.{SaleLine, StatefulTopSellers}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real sales lines, replayed in two micro-batches; summary >= key
+    // space so both engines are exact and must agree exactly
+    val lines = graft.model.Tables.sales(spark, sfDir)
+      .select(col("store_id"), col("sku").cast("string").as("sku"))
+      .as[SaleLine].collect()
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    val input = MemoryStream[SaleLine]
+    val q = StatefulTopSellers.topSellers(input.toDS(), summarySize = 100000)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("top_sellers").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // the final emission per store is the row set with the max n_seen
+      val got = spark.sql(
+          """SELECT store_id, rank, sku, est_count FROM top_sellers t
+            |WHERE n_seen = (SELECT MAX(n_seen) FROM top_sellers
+            |                WHERE store_id = t.store_id)""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).sortBy(r => (r._1, r._2))
+      val want = graft.analytics.Sketches
+        .storeTopSellers(spark, sfDir, topK = 5, summarySize = 100000)
+        .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getString(2),
+          r.getLong(3))).sortBy(r => (r._1, r._2))
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "exact-regime streaming summary must equal the batch aggregate")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch e8 relation bit-for-bit") {
     import spark.implicits._
     import graft.streaming.{StatefulAttribution, TouchEvent}
