@@ -254,7 +254,10 @@ object Dedup {
     * Emitted with the 4 byte-bands used for Hamming-neighbor bucketing at
     * scale (near-dups within Hamming distance d share >= 1 of 4 bytes for
     * d <= 3 by pigeonhole). Pure map-side + one (doc_id,bit) aggregation. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize("simhash", dir) { simhashBuild(spark, dir) }
+
+  private def simhashBuild(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("word"))
       .join(broadcast(Corpus.wordDict(spark, dir)), Seq("word"))
