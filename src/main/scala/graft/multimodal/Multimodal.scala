@@ -135,4 +135,43 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_idx"),
         col("width"), col("height"))
   }
+
+  /** m4: CROSS-VIDEO FRAME DEDUP — d1's exact-dedup semantics applied to
+    * sampled frames: identical frame content appearing in many videos
+    * (intros, title cards, black frames) is training redundancy a video
+    * pipeline drops before captioning/embedding. Frame content identity
+    * comes from a per-frame decode-stub hash (a real pipeline hashes the
+    * decoded frame tensor — same seam as [[decodeStub]]); the dedup
+    * algebra is d1's: min-(media_id, frame_idx) keeper per content group,
+    * everything else marked duplicate. One hash aggregate on the frame
+    * hash — bytes never leave executors, the shuffle carries 8-byte
+    * hashes. Rows-only like m2 (the frame hash has no DuckDB analogue). */
+  def frameDedup(spark: SparkSession, dir: String, step: Int = 10): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocs(spark, dir)
+    val frames = media.filter(_.kind == "video").flatMap { r =>
+      // per-frame content stub: rolling hash over the frame's byte window
+      // (a real codec hashes the decoded tensor); deterministic and
+      // content-derived, so equal payload windows ⇒ equal hashes
+      Range(0, r.n_frames, step).map { f =>
+        val start = math.min(f * 7 % math.max(1, r.bytes.length), r.bytes.length)
+        val end = math.min(start + 64, r.bytes.length)
+        var h = 1125899906842597L
+        var i = start
+        while (i < end) { h = h * 31 + (r.bytes(i) & 0xff); i += 1 }
+        (r.media_id, f, h)
+      }
+    }.toDF("media_id", "frame_idx", "frame_hash")
+    val groups = frames.groupBy(col("frame_hash"))
+      .agg(min(struct(col("media_id"), col("frame_idx"))).as("keeper"),
+        count(lit(1)).as("group_size"))
+    frames.join(groups, Seq("frame_hash"))
+      .select(col("media_id"), col("frame_idx"), col("frame_hash"),
+        col("group_size"),
+        col("keeper.media_id").as("keeper_media_id"),
+        col("keeper.frame_idx").as("keeper_frame_idx"),
+        (col("media_id") =!= col("keeper.media_id") ||
+          col("frame_idx") =!= col("keeper.frame_idx")).as("is_duplicate"))
+      .orderBy("media_id", "frame_idx")
+  }
 }

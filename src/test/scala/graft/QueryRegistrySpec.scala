@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry lint over `SparkEntry`: the oracle gate only checks keys it
+  * can see, so a key registered in `queries` but accidentally missing
+  * from `oracleSql` silently degrades to the weaker rows-only check —
+  * the one failure mode the driver's correctness table cannot flag
+  * (it reports `no_oracle` as if it were by design). Every rows-only
+  * key must therefore be DECLARED here with the reason no DuckDB twin
+  * can exist; anything else missing an oracle fails this spec at commit
+  * time, the same pattern as the HUGEINT lint. */
+class QueryRegistrySpec extends AnyFunSuite {
+
+  /** Keys with no oracle BY DESIGN, each with the reason. */
+  private val rowsOnly: Map[String, String] = Map(
+    "s6_file_inventory" -> "Spark _metadata hidden column has no DuckDB analogue",
+    "sk1_daily_approx" -> "HLL++/GK sketch values are implementation-defined",
+    "sk2_store_sku_approx" -> "HLL++ sketch values are implementation-defined",
+    "sk3_store_top_sellers" -> "Misra-Gries summary contents are algorithm-defined",
+    "d5_minhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d2)",
+    "d9_jaccard_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d4)",
+    "d10_clusters_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d6)",
+    "d11_simhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d3)",
+    "d13_lsh_eval_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d7)",
+    "t8_fingerprint_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of t4)",
+    "m2_multimodal" -> "binary decode-stub features have no DuckDB analogue",
+    "m4_frame_dedup" -> "frame-content hashes come from the binary decode stub")
+
+  test("every query key has an oracle or a declared rows-only reason") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val undeclared = (q -- o -- rowsOnly.keySet).toSeq.sorted
+    assert(undeclared.isEmpty,
+      s"keys with neither oracle nor declared rows-only reason: " +
+        undeclared.mkString(", "))
+  }
+
+  test("no orphan oracle SQL (oracle for an unregistered key)") {
+    val orphans = (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)
+      .toSeq.sorted
+    assert(orphans.isEmpty, s"oracleSql without queries entry: " +
+      orphans.mkString(", "))
+  }
+
+  test("declared rows-only keys are actually rows-only (and registered)") {
+    val wrong = rowsOnly.keySet.filter(SparkEntry.oracleSql.contains).toSeq.sorted
+    assert(wrong.isEmpty,
+      s"declared rows-only but an oracle exists (remove from the list): " +
+        wrong.mkString(", "))
+    val gone = rowsOnly.keySet.filterNot(SparkEntry.queries.contains).toSeq.sorted
+    assert(gone.isEmpty, s"declared rows-only but not registered: " +
+      gone.mkString(", "))
+  }
+}

@@ -232,6 +232,34 @@ class StatefulStreamingSpec extends GraftSpec {
     assert(bad.count() === 0)
   }
 
+  test("m4: frame dedup has d1's keeper algebra over frame hashes") {
+    val fd = Multimodal.frameDedup(spark, sfDir).cache()
+    try {
+      assert(fd.count() > 0)
+      // keeper is never itself a duplicate; group members share the hash
+      assert(fd.filter(col("media_id") === col("keeper_media_id") &&
+        col("frame_idx") === col("keeper_frame_idx") &&
+        col("is_duplicate")).count() === 0)
+      // group_size matches the actual hash group cardinality
+      val sizes = fd.groupBy("frame_hash").count()
+      assert(fd.join(sizes, "frame_hash")
+        .filter(col("group_size") =!= col("count")).count() === 0)
+      // keeper is the group's minimal (media_id, frame_idx)
+      val bad = fd.groupBy("frame_hash")
+        .agg(min(struct(col("media_id"), col("frame_idx"))).as("mn"),
+          first(col("keeper_media_id")).as("km"),
+          first(col("keeper_frame_idx")).as("kf"))
+        .filter(col("mn.media_id") =!= col("km") ||
+          col("mn.frame_idx") =!= col("kf"))
+      assert(bad.count() === 0)
+      // every frame row of the sample appears exactly once
+      val expected = Multimodal.frameSample(
+        Multimodal.mediaFromDocs(spark, sfDir))
+        .filter(col("kind") === "video").count()
+      assert(fd.count() === expected)
+    } finally fd.unpersist()
+  }
+
   test("typed Dataset[SalesRecord] edge compiles the schema and round-trips values") {
     val in = Files.createTempDirectory("typed_in"); in.toFile.deleteOnExit()
     val rec =
