@@ -338,4 +338,57 @@ object EventsBatch {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
+
+  /** e9: INTERVAL JOIN — every (view, purchase) pair of the same user
+    * with the view inside the purchase's trailing 30-minute window. The
+    * complement of e8's as-of (latest view only): attribution models
+    * that weight ALL touches in a window (position-based, time-decay)
+    * consume exactly this relation. Lowered as an equi-join on user_id
+    * carrying the range predicate — one exchange pair, never a
+    * range-only cross product.
+    *
+    * [[intervalJoinOf]] is written on the TIMESTAMP columns so the SAME
+    * function runs under Structured Streaming as a watermarked
+    * stream-stream interval join (the range on event-time columns is
+    * what lets the engine bound join state to the interval + watermark
+    * horizon) — batch/streaming parity is one code path, spec-asserted. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    intervalJoinOf(views, purchases)
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  /** The join itself over (view_id, v_user, view_ts) × (purchase_id,
+    * p_user, purchase_ts) — batch or watermarked streams alike. */
+  def intervalJoinOf(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("view_id"), col("v_user").as("user_id"),
+        expr("unix_micros(purchase_ts)").as("purchase_us"),
+        expr("unix_micros(view_ts)").as("view_us"),
+        (expr("unix_micros(purchase_ts)") - expr("unix_micros(view_ts)"))
+          .as("gap_us"))
+
+  val intervalJoinSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, v.view_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(v.ts) AS view_us,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      |ORDER BY p.purchase_id, v.view_id""".stripMargin
 }

@@ -74,7 +74,14 @@ class PlanShapeSpec extends GraftSpec {
     // IVF-PQ: the cell-assignment window, the assignment<->code join, and
     // the per-query top-k — the index BUILD cost; probing itself is a
     // broadcast join against the cell-partitioned code table
-    ("v11_ivf_pq", 3, "assignment window + code join + top-k; probes broadcast")
+    ("v11_ivf_pq", 3, "assignment window + code join + top-k; probes broadcast"),
+    ("v12_lsh_near_dup", 3, "bucket-local pairwise: bucket join + rank window"),
+    ("v13_residual_pq", 1, "assignment window only; residual codebook is a literal"),
+    ("sk3_store_top_sellers", 1, "one store_id agg; MG partials map-side combined"),
+    ("m4_frame_dedup", 2, "one frame_hash agg + keeper join; 8-byte shuffle keys"),
+    ("d16_dedup_verdict", 2, "bounded-cluster window + keeper join over memoized labels"),
+    ("p11_curriculum", 1, "bounded (stage, shard) windows ride one exchange"),
+    ("e9_interval_join", 2, "equi-join on user_id carries the range; one exchange pair")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

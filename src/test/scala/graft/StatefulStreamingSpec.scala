@@ -192,6 +192,47 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (e9's code path) matches batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val vRows = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val pRows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // the SAME intervalJoinOf the batch key runs, now over watermarked
+    // streams: the event-time range bound is what lets the engine hold
+    // only interval+watermark-horizon state per side
+    val views = vIn.toDF().toDF("view_id", "v_user", "view_ts")
+      .withWatermark("view_ts", "2 hours")
+    val purchases = pIn.toDF().toDF("purchase_id", "p_user", "purchase_ts")
+      .withWatermark("purchase_ts", "2 hours")
+    val q = graft.streaming.EventsBatch.intervalJoinOf(views, purchases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_join").start()
+    try {
+      val (v1, v2) = vRows.splitAt(vRows.length / 2)
+      val (p1, p2) = pRows.splitAt(pRows.length / 2)
+      vIn.addData(v1.toSeq); pIn.addData(p1.toSeq); q.processAllAvailable()
+      vIn.addData(v2.toSeq); pIn.addData(p2.toSeq); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT purchase_id, view_id, user_id, gap_us FROM interval_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2))
+      val want = graft.streaming.EventsBatch.intervalJoin(spark, sfDir)
+        .select("purchase_id", "view_id", "user_id", "gap_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "stream-stream interval join must equal the batch relation")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch e8 relation bit-for-bit") {
     import spark.implicits._
     import graft.streaming.{StatefulAttribution, TouchEvent}
