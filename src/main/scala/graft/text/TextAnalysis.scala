@@ -485,4 +485,68 @@ object TextAnalysis {
        |  CAST(SUM(l.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
        |FROM toks t JOIN lm l USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** t14: BIGRAM surprisal — the conditional upgrade of t13: each token
+    * is charged bits for p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c*(w_{i-1})
+    * instead of its marginal probability (the CCNet-style LM filter's
+    * actual shape; a doc of common words in an IMPROBABLE order — shuffled
+    * text, word salad — scores high here while t13 cannot see it).
+    * c*(prev) counts prev AS A BIGRAM PREFIX (= Σ_w c(prev, w)), so the
+    * conditional is a true probability and the same portable integer
+    * floor-log2 applies: bits = floor(log2(c*(prev) DIV c(prev, cur))).
+    * The first token of a document has no predecessor and is skipped
+    * (documents here are one line; a production pipeline charges BOS
+    * from the unigram table). Single-token docs emit no row — the same
+    * rule as the bigram branch of t7.
+    *
+    * Scale shape: the fitted bigram table is the capped-vocab² LM a
+    * production filter ships (still broadcast-sized after pruning); the
+    * corpus-side work is one explode + broadcast join + doc_id
+    * aggregate — t13's shape with a 2-token key. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bigramsOf = transform(sequence(lit(0), size(col("words")) - lit(2)),
+      i => struct(element_at(col("words"), i + lit(1)).as("prev"),
+        element_at(col("words"), i + lit(2)).as("cur")))
+    val bg = Corpus.docsTok(spark, dir)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val counts = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
+    val prevTotals = counts.groupBy("prev").agg(sum(col("c_big")).as("c_prev"))
+    val lm = counts.join(broadcast(prevTotals), Seq("prev"))
+      .select(col("prev"), col("cur"),
+        (length(bin(expr("c_prev DIV c_big"))) - lit(1)).cast("long").as("bits"))
+    bg.join(broadcast(lm), Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("sum_bits").cast("long").as("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest([{'prev': $ws[i], 'cur': $ws[i+1]}
+       |    for i in range(1, len($ws))], recursive := true)
+       |  FROM documents),
+       |counts AS (
+       |  SELECT prev, cur, COUNT(*) AS c_big FROM bg GROUP BY prev, cur),
+       |prevtot AS (
+       |  SELECT prev, CAST(SUM(c_big) AS BIGINT) AS c_prev
+       |  FROM counts GROUP BY prev),
+       |lm AS (
+       |  SELECT c.prev, c.cur,
+       |    CAST(length(format('{:b}', p.c_prev // c.c_big)) - 1 AS BIGINT) AS bits
+       |  FROM counts c JOIN prevtot p USING (prev))
+       |SELECT b.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(l.bits) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(l.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_bigram
+       |FROM bg b JOIN lm l USING (prev, cur)
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
 }

@@ -85,6 +85,28 @@ class CompositionSpec extends GraftSpec {
     } finally t.unpersist()
   }
 
+  test("t14: bigram surprisal matches an exact single-process recomputation") {
+    val texts = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val bigrams = texts.values.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prevTotals = bigrams.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    def bits(b: (String, String)): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(prevTotals(b._1) / bigrams(b))
+    val got = TextAnalysis.bigramSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === texts.count(_._2.size >= 2))
+    got.foreach { case (id, nBg, sumBits, bpb) =>
+      val bs = texts(id).zip(texts(id).drop(1))
+      val expSum = bs.map(bits).sum
+      assert(nBg === bs.size.toLong, s"doc $id n_bigrams")
+      assert(sumBits === expSum, s"doc $id sum_bits")
+      assert(bpb === expSum.toDouble / bs.size.toDouble, s"doc $id bits_per_bigram")
+    }
+  }
+
   test("e7: retention matrix — offset 0 is complete, cells never exceed cohort") {
     val m = EventsBatch.retention(spark, sfDir).cache()
     try {
