@@ -83,7 +83,7 @@ object History {
     * detect-anomalies:339-362). J1 (today-vs-history join) is the window
     * itself. Deviation emitted as a raw IEEE quotient (Tables doc). */
   def anomalies(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("anomalies", dir) { anomaliesBuild(spark, dir) }
+    Silver.memoize(spark, "anomalies", dir) { anomaliesBuild(spark, dir) }
 
   private def anomaliesBuild(spark: SparkSession, dir: String): DataFrame =
     storeHistory(spark, dir)
@@ -158,7 +158,7 @@ object History {
       .orderBy(col("store_id"), col("sale_date"))
 
   private def trendDirectionBody(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("trendDirectionBody", dir) {
+    Silver.memoize(spark, "trendDirectionBody", dir) {
       trendDirectionBodyBuild(spark, dir)
     }
 

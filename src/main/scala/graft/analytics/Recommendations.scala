@@ -108,7 +108,7 @@ object Recommendations {
     *    least 3 decline — low (longer-term signal).
     */
   def recommendations(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("recommendations", dir) { recommendationsBuild(spark, dir) }
+    Silver.memoize(spark, "recommendations", dir) { recommendationsBuild(spark, dir) }
 
   private def recommendationsBuild(spark: SparkSession, dir: String): DataFrame = {
     val an = History.anomalies(spark, dir)

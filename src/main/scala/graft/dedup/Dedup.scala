@@ -75,7 +75,7 @@ object Dedup {
     * an executor-memory cache. Spark's CacheManager dedupes by logical
     * plan, so d2/d4 share one entry and re-calls are no-ops. */
   private def docSids(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("docSids", dir) {
+    Silver.memoize(spark, "docSids", dir) {
       Corpus.docShingles(spark, dir)
         .join(broadcast(Corpus.shingleDict(spark, dir)), Seq("shingle"))
         .select(col("doc_id"), col("sid"))
@@ -150,7 +150,7 @@ object Dedup {
     * (equal minhashes / 16), and the exact shingle Jaccard for reference.
     * Self-join happens on (band, bandhash) buckets, NOT all pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("minhashLsh", dir) {
+    Silver.memoize(spark, "minhashLsh", dir) {
       val ds = docSids(spark, dir)
       minhashLshFrom(ds, ds)
     }
@@ -255,7 +255,7 @@ object Dedup {
     * scale (near-dups within Hamming distance d share >= 1 of 4 bytes for
     * d <= 3 by pigeonhole). Pure map-side + one (doc_id,bit) aggregation. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("simhash", dir) { simhashBuild(spark, dir) }
+    Silver.memoize(spark, "simhash", dir) { simhashBuild(spark, dir) }
 
   private def simhashBuild(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Corpus.docsTok(spark, dir)
@@ -358,7 +358,7 @@ object Dedup {
     * |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes. */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.2): DataFrame =
-    Silver.memoize(s"ngramJaccard:$threshold", dir) {
+    Silver.memoize(spark, s"ngramJaccard:$threshold", dir) {
       ngramJaccardFrom(docSids(spark, dir), threshold)
     }
 
@@ -548,7 +548,7 @@ object Dedup {
     * (DedupSimilaritySpec asserts pair/cluster equality with the
     * dictionary variants on the test corpus). */
   private def docSidsXx(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("docSidsXx", dir) {
+    Silver.memoize(spark, "docSidsXx", dir) {
       Corpus.docShingles(spark, dir)
         .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
         .cache()

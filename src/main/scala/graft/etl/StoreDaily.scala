@@ -29,7 +29,7 @@ object StoreDaily {
     * dedupes by plan, so all ~15 downstream operators share one entry;
     * |stores|×|days| rows — dimension-sized at any fact-table scale). */
   def rollupDec(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("rollupDec", dir) {
+    Silver.memoize(spark, "rollupDec", dir) {
       Tables.sales(spark, dir)
         .groupBy(col("store_id"), col("sale_date"))
         .agg(
@@ -89,7 +89,7 @@ object StoreDaily {
     * read query. Decimal partials re-aggregate exactly, so every
     * downstream sum is unchanged. */
   def paymentDec(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("paymentDec", dir) {
+    Silver.memoize(spark, "paymentDec", dir) {
       Tables.salesWithPayment(spark, dir)
         .groupBy(col("store_id"), col("sale_date"), col("payment_method"))
         .agg(
@@ -141,7 +141,7 @@ object StoreDaily {
     * paths (a3/a7/a8/j6/a26/d7/r2) re-aggregate it. Output is bounded at
     * k×stores×days rows regardless of fact-table size. */
   def topProductsDec(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    Silver.memoize(s"topProductsDec:$k", dir) {
+    Silver.memoize(spark, s"topProductsDec:$k", dir) {
       topProductsFrom(Tables.sales(spark, dir), k).cache()
     }
 

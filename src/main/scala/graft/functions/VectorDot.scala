@@ -38,17 +38,24 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // mismatched lengths yield NULL, exactly like the reference fold:
+  // zip_with pads the shorter side with nulls and the sum propagates them
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      i += 1
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,12 +64,16 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

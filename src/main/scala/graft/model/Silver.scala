@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-level HANDLE memoization for the shared silver relations.
   *
@@ -19,17 +19,22 @@ import org.apache.spark.sql.DataFrame
   * once in the catalog — a consumer reads `silver.trend_direction`, it
   * does not re-derive the lineage per query. Memoizing the DataFrame
   * handle per (name, dir, params) is that registration for this
-  * library's in-session silvers. One JVM = one session in every harness
-  * entry point (Verify/Bench/tests — the [[graft.dedup.Dedup]] cluster
-  * memo set the precedent), so keying by directory is sound.
+  * library's in-session silvers. A DataFrame is bound to the session
+  * that built it, so the key includes the session's UUID — a second
+  * session in the same JVM (the extension-wiring pattern some specs
+  * use) builds and caches its own handles instead of receiving frames
+  * bound to a session it doesn't own (and that may already be stopped).
   */
 object Silver {
   private val memo =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
-  /** Return the memoized handle for `name` under `dir`, building (and
-    * typically `.cache()`-ing) it on first call. `name` must encode any
-    * non-dir parameters (e.g. `"topProductsDec:5"`). */
-  def memoize(name: String, dir: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((name, dir), build)
+  /** Return the memoized handle for `name` under `dir` in `spark`,
+    * building (and typically `.cache()`-ing) it on first call. `name`
+    * must encode any non-dir parameters (e.g. `"topProductsDec:5"`).
+    * Keyed by session IDENTITY — the handful of sessions a JVM holds
+    * makes the strong reference harmless. */
+  def memoize(spark: SparkSession, name: String, dir: String)
+             (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, name, dir), build)
 }

@@ -93,16 +93,9 @@ object StreamingCorpus {
     * is the same bounded driver round-trip as [[benchmarkShingles]] —
     * fit offline on the batch corpus, score online at the ingest edge. */
   def lmVocabBits(spark: org.apache.spark.sql.SparkSession,
-                  dir: String): Array[(String, Long)] = {
-    val toks = graft.text.Corpus.docsTok(spark, dir)
-      .select(explode(col("words")).as("word"))
-    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
-    vocab.crossJoin(broadcast(total))
-      .select(col("word"),
-        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+                  dir: String): Array[(String, Long)] =
+    TextAnalysis.lmBits(spark, dir) // t13's fit relation, one definition
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-  }
 
   /** Streaming LM-surprisal gate: drop documents whose mean per-token
     * surprisal exceeds `maxBits` (noise, OCR garbage, wrong-language

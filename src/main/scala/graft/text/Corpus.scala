@@ -42,7 +42,7 @@ object Corpus {
     * silver). Spark's CacheManager dedupes by logical plan, so every
     * caller shares one entry; Bench warms it with the other silvers. */
   def docsTok(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize("docsTok", dir) {
+    Silver.memoize(spark, "docsTok", dir) {
       docs(spark, dir).withColumn("words", wordsCol).cache()
     }
 

@@ -451,14 +451,24 @@ object TextAnalysis {
     * BROADCAST into the scoring join (a production pipeline caps the
     * vocab — OOV tokens get the max-bits bucket); the per-doc aggregate
     * is the only corpus-sized exchange, keyed on doc_id. */
+  /** The fitted unigram LM: (word, bits) — ONE definition of the
+    * fit algebra, shared by the batch score below and the streaming
+    * gate's collect ([[graft.streaming.StreamingCorpus.lmVocabBits]]),
+    * so batch/stream parity is by construction, not by copy. */
+  private[graft] def lmBits(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+  }
+
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("word"))
-    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
-    val lm = vocab.crossJoin(broadcast(total))
-      .select(col("word"),
-        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+    val lm = lmBits(spark, dir)
     toks.join(broadcast(lm), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))

@@ -189,7 +189,7 @@ object Similarity {
   def lshNearDup(spark: SparkSession, dir: String,
                  threshold: Double = 0.4): DataFrame = {
     val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id"), col("label"),
+    val a = e.select(col("bucket"), col("vec_id"),
       col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
     val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
@@ -734,7 +734,6 @@ object Similarity {
     // query-independent code norms, folded in oracle order
     val cnorm = Array.tabulate(nSub, nCodes)((s, c) =>
       cb(s)(c).foldLeft(0.0)((acc, x) => acc + x * x))
-    val e = Tables.embeddings(spark, dir)
     val qBase = withNorm(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id") +: col("norm2").as("q_norm2") +:
         (0 until nSub).map(s =>
@@ -899,7 +898,7 @@ object Similarity {
        |  FROM aff),
        |cellcodes AS (
        |  SELECT r.vec_id AS neighbor_id, r.centroid_id AS cell,
-       |    c.code_0, c.code_1, c.code_2, c.code_3
+       |    ${(0 until nSub).map(s => s"c.code_$s").mkString(", ")}
        |  FROM ranked r JOIN codes c ON c.vec_id = r.vec_id
        |  WHERE r.crank = 1),
        |qsub AS (
@@ -982,21 +981,11 @@ object Similarity {
     val rcb = Array.tabulate(nSub, nCodes)((s, c) =>
       donorResid(c).slice(s * subDim, (s + 1) * subDim))
 
-    // distributed side: assignment (v4's ranked relation carries the
-    // centroid embedding), residual as exact double subtraction, then
-    // the v8 argmin algebra over the residual sub-vectors
-    val e = withNorm(spark, dir)
-    val centsDf = e.orderBy(col("vec_id").asc).limit(nCentroids)
-      .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
-        col("norm2").as("c_norm2"))
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("cent_vid"))) - 1)
-    val aff = e.crossJoin(broadcast(centsDf))
-      .withColumn("ccos",
-        cosine(dotCol(col("embedding"), col("c_emb")), col("norm2"), col("c_norm2")))
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = aff.withColumn("crank", row_number().over(wv))
+    // distributed side: v4/v11's SHARED coarse quantizer (one copy of
+    // the assignment algebra — its tie-break and fold must stay in
+    // bitwise lockstep with this function's driver-side cellOf), then
+    // residual as exact double subtraction + the v8 argmin algebra
+    val assigned = ivfRanked(spark, dir, nCentroids)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("centroid_id").as("cell"),
         zip_with(col("embedding"), col("c_emb"),

@@ -53,6 +53,20 @@ class VectorDotSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("mismatched-length arrays yield null from both natives, like the HOF fold") {
+    import graft.functions.VectorD2
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT)) AS a, " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+    val r = df.select(
+      Similarity.dotCol(col("a"), col("b")).as("dot"),
+      VectorD2.vectorD2(col("a"), col("b")).as("d2"),
+      Similarity.dotColHof(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0), "vector_dot must be null on length mismatch")
+    assert(r.isNullAt(1), "vector_d2 must be null on length mismatch")
+    assert(r.isNullAt(2), "(the HOF reference is null too)")
+  }
+
   test("native vector_d2 is bit-identical to the diff-square fold; zero on self") {
     import graft.functions.VectorD2
     val e = Tables.embeddings(spark, sfDir).limit(200)
