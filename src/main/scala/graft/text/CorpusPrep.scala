@@ -448,6 +448,76 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** p12: pack-window MATERIALIZATION — p8 plans the offsets, this
+    * produces the training rows: each (lang, shard, window) context
+    * window as its packed token text, with documents SPLIT across window
+    * boundaries exactly as concat-and-chunk dictates (a doc starting at
+    * offset 500 in a 512 budget contributes its first 12 tokens to one
+    * window and the rest to the next). Per doc: explode to the windows
+    * it covers (bounded by ⌈n_tokens/budget⌉, almost always 1–2), slice
+    * the covered token range, then one aggregate per (lang, shard,
+    * window) stitches contributions in offset order. The output IS the
+    * fixed-context pretraining input; every window except each shard's
+    * last is exactly `budget` tokens (spec-asserted).
+    *
+    * Scale shape: the explode is bounded linear expansion; the stitch is
+    * one hash aggregate keyed by (lang, shard, window) — groups are
+    * budget-bounded, never corpus-sized; the join with the token silver
+    * rides doc_id. */
+  def packWindows(spark: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
+    val plan = packPlan(spark, dir, budget)
+    val words = Corpus.docsTok(spark, dir).select(col("doc_id"), col("words"))
+    val contrib = plan.join(words, Seq("doc_id"))
+      .withColumn("window_id",
+        explode(sequence(expr(s"offset_start div $budget"),
+          expr(s"(offset_start + n_tokens - 1) div $budget"))))
+      .withColumn("local_start",
+        greatest(lit(0L), col("window_id") * budget - col("offset_start")))
+      .withColumn("local_end",
+        least(col("n_tokens"), (col("window_id") + 1) * budget - col("offset_start")))
+      .withColumn("chunk",
+        slice(col("words"), (col("local_start") + 1).cast("int"),
+          (col("local_end") - col("local_start")).cast("int")))
+    contrib.groupBy(col("lang"), col("shard"), col("window_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("local_end") - col("local_start")).as("n_tokens_window"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("offset_start"), col("chunk")))),
+          s => s.getField("chunk")))).as("packed_text"))
+      .select(col("lang"), col("shard"), col("window_id"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens_window").cast("long").as("n_tokens_window"),
+        col("packed_text"),
+        (col("n_tokens_window") === budget).as("is_full"))
+      .orderBy("lang", "shard", "window_id")
+  }
+
+  def packWindowsSql(budget: Long = 512L): String =
+    s"""WITH plan AS (${packPlanSql(budget)}),
+       |toks AS (SELECT doc_id, ${Corpus.wordsSqlExpr} AS ws FROM documents),
+       |contrib AS (
+       |  SELECT p.lang, p.shard, p.offset_start,
+       |    unnest(range(p.offset_start // $budget,
+       |                 (p.offset_start + p.n_tokens - 1) // $budget + 1)) AS window_id,
+       |    p.n_tokens, t.ws
+       |  FROM plan p JOIN toks t USING (doc_id)),
+       |sliced AS (
+       |  SELECT lang, shard, window_id, offset_start,
+       |    GREATEST(0, window_id * $budget - offset_start) AS local_start,
+       |    LEAST(n_tokens, (window_id + 1) * $budget - offset_start) AS local_end,
+       |    ws
+       |  FROM contrib)
+       |SELECT lang, shard, window_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(local_end - local_start) AS BIGINT) AS n_tokens_window,
+       |  string_agg(array_to_string(list_slice(ws, local_start + 1, local_end), ' '),
+       |             ' ' ORDER BY offset_start) AS packed_text,
+       |  CAST(SUM(local_end - local_start) AS BIGINT) = $budget AS is_full
+       |FROM sliced
+       |GROUP BY lang, shard, window_id
+       |ORDER BY lang, shard, window_id""".stripMargin
+
   // DuckDB SUM(BIGINT) yields HUGEINT — CAST every window sum back to
   // BIGINT or the dtype diverges from Spark's LONG (same lesson as
   // pivotWideSql in graft.analytics.Trends; enforced by OracleSqlLintSpec).

@@ -141,6 +141,39 @@ class CorpusPrepSpec extends GraftSpec {
     } finally c.unpersist()
   }
 
+  test("p12: windows conserve tokens, fill to budget, and reconstruct the stream") {
+    val pw = CorpusPrep.packWindows(spark, sfDir).cache()
+    try {
+      val docs = graft.text.Corpus.docsTok(spark, sfDir)
+        .select(col("doc_id"), col("lang"), expr("doc_id div 64").as("shard"),
+          col("words"))
+      // conservation: every corpus token lands in exactly one window
+      val total = docs.agg(sum(size(col("words")))).head.getLong(0)
+      assert(pw.agg(sum("n_tokens_window")).head.getLong(0) === total)
+      // the packed text really contains n_tokens_window tokens
+      assert(pw.filter(size(split(col("packed_text"), " ")) =!=
+        col("n_tokens_window")).count() === 0)
+      // every window except each (lang, shard)'s last is exactly full
+      val lastW = pw.groupBy("lang", "shard").agg(max("window_id").as("last_w"))
+      assert(pw.join(lastW, Seq("lang", "shard"))
+        .filter(col("window_id") =!= col("last_w") && !col("is_full"))
+        .count() === 0, "a non-final window is underfull")
+      // reconstruction: windows in order == the doc stream in doc_id order
+      // (collect_list order is not shuffle-stable: sort inside the agg)
+      val fromWindows = pw.groupBy("lang", "shard")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("window_id"), col("packed_text")))),
+          s => s.getField("packed_text"))).as("got"))
+      val fromDocs = docs.groupBy("lang", "shard")
+        .agg(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("words")))),
+          s => s.getField("words")))).as("want"))
+      assert(fromWindows.join(fromDocs, Seq("lang", "shard"))
+        .filter(col("got") =!= col("want")).count() === 0,
+        "window concatenation must reproduce the concatenated doc stream")
+    } finally pw.unpersist()
+  }
+
   test("m3: epoch algebra consistent with m1's capped rate") {
     val m3 = CorpusPrep.epochPlan(spark, sfDir).cache()
     try {

@@ -81,7 +81,8 @@ class PlanShapeSpec extends GraftSpec {
     ("m4_frame_dedup", 2, "one frame_hash agg + keeper join; 8-byte shuffle keys"),
     ("d16_dedup_verdict", 2, "bounded-cluster window + keeper join over memoized labels"),
     ("p11_curriculum", 1, "bounded (stage, shard) windows ride one exchange"),
-    ("e9_interval_join", 2, "equi-join on user_id carries the range; one exchange pair")
+    ("e9_interval_join", 2, "equi-join on user_id carries the range; one exchange pair"),
+    ("p12_pack_windows", 2, "plan rides the pack window; one (lang,shard,window) stitch")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
