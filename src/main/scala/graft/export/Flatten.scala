@@ -199,4 +199,47 @@ object Flatten {
        |FROM a
        |ORDER BY priority_rank, store_id, sale_date""".stripMargin
   }
+
+  /** x5: the CORPUS CURATION REPORT — the BI dataset a data-curation
+    * team reviews per ingest batch: one row per document carrying its
+    * language verdict (t3), quality score (t2), LM surprisal (t13), and
+    * dedup verdict (d16). Each input is an already-green oracle relation;
+    * the report is three equi-joins on doc_id (co-partitioned single
+    * key — at scale these are the same silver lake partitioning, and the
+    * narrow sides broadcast). This is the corpus-pillar sibling of the
+    * x1/x3/x4 sales exports, shipped the same way (NDJSON + manifest via
+    * [[graft.ingest.Ingest.exportNdjson]]). */
+  def exportCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val lang = graft.text.TextAnalysis.langId(spark, dir)
+      .select("doc_id", "lang_labeled", "lang_pred")
+    val qual = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "quality_score")
+    val lm = graft.text.TextAnalysis.lmSurprisal(spark, dir)
+      .select("doc_id", "bits_per_token")
+    val ded = graft.dedup.Dedup.dedupVerdict(spark, dir)
+      .select("doc_id", "cluster_size", "action")
+    lang.join(qual, "doc_id").join(lm, "doc_id").join(ded, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val exportCorpusReportSql: String =
+    s"""WITH lang AS (
+       |  SELECT doc_id, lang_labeled, lang_pred
+       |  FROM (${graft.text.TextAnalysis.langIdSql})),
+       |qual AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${graft.text.TextAnalysis.qualityScoreSql})),
+       |lm AS (
+       |  SELECT doc_id, bits_per_token
+       |  FROM (${graft.text.TextAnalysis.lmSurprisalSql})),
+       |ded AS (
+       |  SELECT doc_id, cluster_size, action
+       |  FROM (${graft.dedup.Dedup.dedupVerdictSql()}))
+       |SELECT l.doc_id, l.lang_labeled, l.lang_pred, q.quality_score,
+       |  m.bits_per_token, d.cluster_size, d.action
+       |FROM lang l
+       |JOIN qual q USING (doc_id)
+       |JOIN lm m USING (doc_id)
+       |JOIN ded d USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
 }

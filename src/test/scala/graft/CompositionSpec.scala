@@ -107,6 +107,23 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("x5: corpus report covers every doc once; columns agree with parents") {
+    val r = graft.export.Flatten.exportCorpusReport(spark, sfDir).cache()
+    try {
+      val docs = graft.text.Corpus.docs(spark, sfDir)
+      assert(r.count() === docs.count())
+      assert(r.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+      val q = TextAnalysis.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score").as("q_parent"))
+      assert(r.join(q, "doc_id")
+        .filter(col("quality_score") =!= col("q_parent")).count() === 0)
+      val d = Dedup.dedupVerdict(spark, sfDir)
+        .select(col("doc_id"), col("action").as("a_parent"))
+      assert(r.join(d, "doc_id")
+        .filter(col("action") =!= col("a_parent")).count() === 0)
+    } finally r.unpersist()
+  }
+
   test("e7: retention matrix — offset 0 is complete, cells never exceed cohort") {
     val m = EventsBatch.retention(spark, sfDir).cache()
     try {
