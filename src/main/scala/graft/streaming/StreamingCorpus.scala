@@ -88,14 +88,22 @@ object StreamingCorpus {
   /** Batch-fitted unigram LM for the streaming surprisal gate: word →
     * whole-bit surprisal, t13's exact integer algebra
     * ([[TextAnalysis.lmSurprisal]]), collected once at query build. The
-    * fitted vocabulary is dimension-sized BY DESIGN (a production LM
-    * filter caps its vocab; rare words fall to the OOV bucket), so this
-    * is the same bounded driver round-trip as [[benchmarkShingles]] —
-    * fit offline on the batch corpus, score online at the ingest edge. */
+    * fit relation is CAPPED at [[TextAnalysis.lmVocabCap]] rows by the
+    * shared fit definition (rare words fall to the OOV bucket), so this
+    * collect is cap-bounded no matter how large the corpus grows — the
+    * same bounded driver round-trip as [[benchmarkShingles]]: fit
+    * offline on the batch corpus, score online at the ingest edge. */
   def lmVocabBits(spark: org.apache.spark.sql.SparkSession,
                   dir: String): Array[(String, Long)] =
     TextAnalysis.lmBits(spark, dir) // t13's fit relation, one definition
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+
+  /** The data-derived OOV charge matching batch t13's rule —
+    * floor(log2(corpus_tokens)), the bits of a count-1 word. Pass this
+    * as [[surprisalGate]]'s `oovBits` for bit-parity with the batch
+    * relation; a deployment may also pin a config constant. */
+  def lmOovBits(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    TextAnalysis.lmTotals(spark, dir).collect()(0).getLong(1)
 
   /** Streaming LM-surprisal gate: drop documents whose mean per-token
     * surprisal exceeds `maxBits` (noise, OCR garbage, wrong-language
@@ -104,7 +112,9 @@ object StreamingCorpus {
     * the token array — no state, no shuffle, no stream-static join, and
     * the integer algebra is t13's exactly, so batch and streaming scores
     * agree bit-for-bit (spec-asserted). Unknown words cost `oovBits`
-    * (the rarest-word bucket — unseen evidence is maximal surprise). */
+    * (the rarest-word bucket — unseen evidence is maximal surprise);
+    * pass [[lmOovBits]] for exact batch parity with the capped t13 fit,
+    * or a pinned config constant for a fit-free deployment. */
   def surprisalGate(docs: DataFrame, vocab: Array[(String, Long)],
                     maxBits: Double = 12.0, oovBits: Long = 16L): DataFrame = {
     val lm = map(vocab.flatMap { case (w, b) => Seq(lit(w), lit(b)) }: _*)

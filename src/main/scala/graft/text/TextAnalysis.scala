@@ -447,31 +447,62 @@ object TextAnalysis {
     * The per-doc mean is then ONE double division of two exact integers.
     *
     * Scale shape (100 TB): the vocabulary count is a map-side-combinable
-    * hash aggregate; the fitted LM (word → bits) is vocabulary-sized and
-    * BROADCAST into the scoring join (a production pipeline caps the
-    * vocab — OOV tokens get the max-bits bucket); the per-doc aggregate
-    * is the only corpus-sized exchange, keyed on doc_id. */
-  /** The fitted unigram LM: (word, bits) — ONE definition of the
-    * fit algebra, shared by the batch score below and the streaming
-    * gate's collect ([[graft.streaming.StreamingCorpus.lmVocabBits]]),
-    * so batch/stream parity is by construction, not by copy. */
-  private[graft] def lmBits(spark: SparkSession, dir: String): DataFrame = {
+    * hash aggregate; the fitted LM is CAPPED at the top-[[lmVocabCap]]
+    * words by count before it is broadcast into the scoring join, so the
+    * broadcast is cap-sized — NOT vocabulary-sized — no matter how large
+    * the corpus grows; every token outside the kept set is charged the
+    * max-bits OOV bucket (below); the per-doc aggregate is the only
+    * corpus-sized exchange, keyed on doc_id. */
+  /** Vocabulary caps for the fitted LMs: t13 keeps the top `lmVocabCap`
+    * words by count (ties broken by word), t14 the top `lmBigramCap`
+    * (prev, cur) pairs; everything outside the kept set is charged the
+    * OOV bucket `floor(log2(corpus_tokens))` — the bits of a count-1
+    * token: unseen evidence is maximal surprise. Probabilities stay
+    * full-corpus (the cap prunes the broadcast table, not the counts),
+    * so in-vocab scores are UNCHANGED by the cap and a cap ≥ the
+    * vocabulary size reproduces the uncapped relation bit-for-bit.
+    * Defaults are sized to exercise the OOV path on the test fixtures
+    * (31-word vocab, ~916 bigrams); a production fit sets a few million. */
+  val lmVocabCap = 24
+  val lmBigramCap = 512
+
+  /** The 1-row fit totals: (cnt_total, oov_bits). A global count — no
+    * hash exchange, no vocabulary-sized intermediate. */
+  private[graft] def lmTotals(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .agg(count(lit(1)).as("cnt_total"))
+      .select(col("cnt_total"),
+        (length(bin(col("cnt_total"))) - lit(1)).cast("long").as("oov_bits"))
+
+  /** The fitted unigram LM: (word, bits), capped at `vocabCap` rows —
+    * ONE definition of the fit algebra, shared by the batch score below
+    * and the streaming gate's collect
+    * ([[graft.streaming.StreamingCorpus.lmVocabBits]]), so batch/stream
+    * parity is by construction, not by copy. The top-K select is a
+    * TakeOrderedAndProject (per-partition top-K, K-bounded merge), not
+    * a global sort. */
+  private[graft] def lmBits(spark: SparkSession, dir: String,
+                            vocabCap: Int = lmVocabCap): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
       .select(explode(col("words")).as("word"))
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("cnt_total"))
-    vocab.crossJoin(broadcast(total))
+    val kept = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
+    kept.crossJoin(broadcast(lmTotals(spark, dir)))
       .select(col("word"),
         (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
   }
 
-  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  def lmSurprisal(spark: SparkSession, dir: String,
+                  vocabCap: Int = lmVocabCap): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("word"))
-    val lm = lmBits(spark, dir)
-    toks.join(broadcast(lm), Seq("word"))
+    val lm = lmBits(spark, dir, vocabCap)
+    toks.join(broadcast(lm), Seq("word"), "left")
+      .crossJoin(broadcast(lmTotals(spark, dir)))
+      .withColumn("tok_bits", coalesce(col("bits"), col("oov_bits")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tok_bits")).as("sum_bits"))
       .select(col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("sum_bits").cast("long").as("sum_bits"),
@@ -484,16 +515,20 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents),
        |v AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
-       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt_total FROM v),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt_total,
+       |               CAST(length(format('{:b}', COUNT(*))) - 1 AS BIGINT) AS oov_bits
+       |        FROM toks),
+       |kept AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word ASC LIMIT $lmVocabCap),
        |lm AS (
        |  SELECT word,
        |    CAST(length(format('{:b}', cnt_total // cnt)) - 1 AS BIGINT) AS bits
-       |  FROM v CROSS JOIN tot)
+       |  FROM kept CROSS JOIN tot)
        |SELECT t.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(l.bits) AS BIGINT) AS sum_bits,
-       |  CAST(SUM(l.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
-       |FROM toks t JOIN lm l USING (word)
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS bits_per_token
+       |FROM toks t LEFT JOIN lm l USING (word) CROSS JOIN tot
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** t14: BIGRAM surprisal — the conditional upgrade of t13: each token
@@ -509,11 +544,16 @@ object TextAnalysis {
     * from the unigram table). Single-token docs emit no row — the same
     * rule as the bigram branch of t7.
     *
-    * Scale shape: the fitted bigram table is the capped-vocab² LM a
-    * production filter ships (still broadcast-sized after pruning); the
-    * corpus-side work is one explode + broadcast join + doc_id
+    * Scale shape: the fitted bigram table is capped at the top-
+    * [[lmBigramCap]] (prev, cur) pairs by count BEFORE broadcast —
+    * bigram cardinality grows superlinearly with corpus size, so an
+    * uncapped broadcast is a guaranteed OOM at 100 TB; pairs outside the
+    * kept set are charged the max-bits OOV bucket from the 1-row totals.
+    * Prefix totals c*(prev) stay FULL-corpus (true conditionals); the
+    * corpus-side work is one explode + broadcast left join + doc_id
     * aggregate — t13's shape with a 2-token key. */
-  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  def bigramSurprisal(spark: SparkSession, dir: String,
+                      bigramCap: Int = lmBigramCap): DataFrame = {
     val bigramsOf = transform(sequence(lit(0), size(col("words")) - lit(2)),
       i => struct(element_at(col("words"), i + lit(1)).as("prev"),
         element_at(col("words"), i + lit(2)).as("cur")))
@@ -523,12 +563,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
     val counts = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
     val prevTotals = counts.groupBy("prev").agg(sum(col("c_big")).as("c_prev"))
-    val lm = counts.join(broadcast(prevTotals), Seq("prev"))
+    val kept = counts
+      .orderBy(col("c_big").desc, col("prev").asc, col("cur").asc)
+      .limit(bigramCap)
+    val lm = kept.join(broadcast(prevTotals), Seq("prev"))
       .select(col("prev"), col("cur"),
         (length(bin(expr("c_prev DIV c_big"))) - lit(1)).cast("long").as("bits"))
-    bg.join(broadcast(lm), Seq("prev", "cur"))
+    val totals = bg.agg(count(lit(1)).as("bg_total"))
+      .select((length(bin(col("bg_total"))) - lit(1)).cast("long").as("oov_bits"))
+    bg.join(broadcast(lm), Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("bg_bits", coalesce(col("bits"), col("oov_bits")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_bits")).as("sum_bits"))
       .select(col("doc_id"),
         col("n_bigrams").cast("long").as("n_bigrams"),
         col("sum_bits").cast("long").as("sum_bits"),
@@ -548,15 +595,22 @@ object TextAnalysis {
        |prevtot AS (
        |  SELECT prev, CAST(SUM(c_big) AS BIGINT) AS c_prev
        |  FROM counts GROUP BY prev),
+       |tot AS (
+       |  SELECT CAST(length(format('{:b}', COUNT(*))) - 1 AS BIGINT) AS oov_bits
+       |  FROM bg),
+       |kept AS (
+       |  SELECT prev, cur, c_big FROM counts
+       |  ORDER BY c_big DESC, prev ASC, cur ASC LIMIT $lmBigramCap),
        |lm AS (
-       |  SELECT c.prev, c.cur,
-       |    CAST(length(format('{:b}', p.c_prev // c.c_big)) - 1 AS BIGINT) AS bits
-       |  FROM counts c JOIN prevtot p USING (prev))
+       |  SELECT k.prev, k.cur,
+       |    CAST(length(format('{:b}', p.c_prev // k.c_big)) - 1 AS BIGINT) AS bits
+       |  FROM kept k JOIN prevtot p USING (prev))
        |SELECT b.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |  CAST(SUM(l.bits) AS BIGINT) AS sum_bits,
-       |  CAST(SUM(l.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_bigram
-       |FROM bg b JOIN lm l USING (prev, cur)
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS bits_per_bigram
+       |FROM bg b LEFT JOIN lm l USING (prev, cur) CROSS JOIN tot
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
 }

@@ -46,15 +46,23 @@ class CompositionSpec extends GraftSpec {
   }
 
   test("t13: surprisal matches an exact single-process recomputation") {
-    // The portable integer floor-log2 is the load-bearing trick — recompute
-    // the whole score in plain Scala (Long.numberOfLeadingZeros, no SQL, no
-    // floats until the final division) and require exact agreement.
+    // The portable integer floor-log2 AND the top-K vocabulary cap with
+    // the OOV max-bits charge are the load-bearing tricks — recompute the
+    // whole capped score in plain Scala (Long.numberOfLeadingZeros, no
+    // SQL, no floats until the final division) and require exact
+    // agreement.
     val texts = graft.text.Corpus.docs(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
     val counts = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val total = counts.values.sum
-    def bits(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / counts(w))
+    val kept = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.lmVocabCap).toMap
+    assert(kept.size < counts.size, "fixture must exercise the OOV path")
+    val oov = 63L - java.lang.Long.numberOfLeadingZeros(total)
+    def bits(w: String): Long = kept.get(w)
+      .map(c => 63L - java.lang.Long.numberOfLeadingZeros(total / c))
+      .getOrElse(oov)
     val got = TextAnalysis.lmSurprisal(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.length === texts.size)
@@ -67,19 +75,35 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("t13: fit relation is cap-bounded; huge cap reproduces full vocab") {
+    // The 100 TB claim: the broadcast fit is AT MOST cap rows. And the
+    // cap only prunes — with a cap >= vocabulary size nothing is OOV,
+    // so the fit is exactly the full-vocab relation.
+    val fit = TextAnalysis.lmBits(spark, sfDir).collect()
+    assert(fit.length <= TextAnalysis.lmVocabCap, "fit exceeds the cap")
+    val vocabSize = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(explode(col("words")).as("w")).distinct().count()
+    val full = TextAnalysis.lmBits(spark, sfDir, vocabCap = Int.MaxValue).collect()
+    assert(full.length === vocabSize, "uncapped fit must cover the vocabulary")
+    val fitMap = fit.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullMap = full.map(r => r.getString(0) -> r.getLong(1)).toMap
+    fitMap.foreach { case (w, b) =>
+      assert(fullMap(w) === b, s"cap changed in-vocab bits for '$w'")
+    }
+  }
+
   test("t13: common-word docs score below rare-word docs") {
     // Construct the two extremes from the fitted vocabulary itself: the
-    // corpus's most and least frequent words must bound every doc's score.
+    // most frequent word and the OOV bucket bound every doc's score.
     val t = TextAnalysis.lmSurprisal(spark, sfDir).cache()
     try {
       val toks = graft.text.Corpus.docsTok(spark, sfDir)
         .select(explode(col("words")).as("w")).groupBy("w").count()
-      val (minCnt, maxCnt) = toks.agg(min("count"), max("count"))
-        .head match { case r => (r.getLong(0), r.getLong(1)) }
+      val maxCnt = toks.agg(max("count")).head.getLong(0)
       val totalToks = toks.agg(sum("count")).head.getLong(0)
       def bitsOf(c: Long) = 63L - java.lang.Long.numberOfLeadingZeros(totalToks / c)
       val lo = bitsOf(maxCnt).toDouble
-      val hi = bitsOf(minCnt).toDouble
+      val hi = bitsOf(1L).toDouble // the OOV charge: bits of a count-1 word
       assert(t.filter(col("bits_per_token") < lo || col("bits_per_token") > hi)
         .count() === 0, s"bits_per_token outside [$lo, $hi]")
     } finally t.unpersist()
@@ -93,8 +117,14 @@ class CompositionSpec extends GraftSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val prevTotals = bigrams.groupBy(_._1._1).view
       .mapValues(_.values.sum).toMap
+    val totalBg = bigrams.values.sum
+    val kept = bigrams.toSeq.sortBy { case ((p, c), n) => (-n, p, c) }
+      .take(TextAnalysis.lmBigramCap).map(_._1).toSet
+    assert(kept.size < bigrams.size, "fixture must exercise the bigram OOV path")
+    val oov = 63L - java.lang.Long.numberOfLeadingZeros(totalBg)
     def bits(b: (String, String)): Long =
-      63L - java.lang.Long.numberOfLeadingZeros(prevTotals(b._1) / bigrams(b))
+      if (kept(b)) 63L - java.lang.Long.numberOfLeadingZeros(prevTotals(b._1) / bigrams(b))
+      else oov
     val got = TextAnalysis.bigramSurprisal(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.length === texts.count(_._2.size >= 2))

@@ -61,9 +61,12 @@ class PlanShapeSpec extends GraftSpec {
     ("p10_shuffle_order", 1, "rank within shard rides one shuffle"),
     ("d1_exact_dedup", 1, "one hash agg on text"),
     ("e6_funnel", 3, "three agg/join rounds on user_id, as documented"),
-    // LM fit = vocab-sized aggregates (two passes: counts + total); the
-    // corpus-sized movement is the single doc_id scoring aggregate
-    ("t13_lm_surprisal", 3, "vocab fit (2 vocab-sized aggs) + one doc_id exchange"),
+    // LM fit = one vocab-sized count agg capped by TakeOrdered (no sort
+    // exchange); the 1-row totals are a global agg (SinglePartition, not
+    // hash); the corpus-sized movement is the doc_id scoring aggregate
+    ("t13_lm_surprisal", 2, "capped vocab fit agg + one doc_id exchange"),
+    ("t14_bigram_surprisal", 4,
+      "pair-count agg (x2 subtrees: cap + prefix totals) + prev agg + doc_id agg"),
     ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
     // PQ encode: codebook is a collected literal, encoding is map-side
     ("v8_pq_codes", 0, "codebook is a broadcast literal; encode is pure map"),

@@ -127,8 +127,9 @@ class StreamingCorpusSpec extends GraftSpec {
     val in = Files.createTempDirectory("stream_lm")
     in.toFile.deleteOnExit()
     // stream the REAL corpus documents so the parity claim is over the
-    // exact population t13 scores (vocab fitted on the same corpus: no
-    // OOV, so the map-literal fold must reproduce the batch join+agg)
+    // exact population t13 scores — INCLUDING the capped-vocab OOV rule:
+    // words outside the top-K fit must be charged the same derived
+    // max-bits bucket by the map-literal fold as by the batch join+agg
     val docsJson = graft.text.Corpus.docs(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => doc(r.getLong(0), "2024-03-01T10:00:00", r.getString(1)))
@@ -136,7 +137,10 @@ class StreamingCorpusSpec extends GraftSpec {
     Files.writeString(in.resolve("b.json"), docsJson.drop(100).mkString("\n"))
 
     val vocab = StreamingCorpus.lmVocabBits(spark, sfDir)
-    runStream(in, StreamingCorpus.surprisalGate(_, vocab, maxBits = 1e9), "lm_stream")
+    val oov = StreamingCorpus.lmOovBits(spark, sfDir)
+    runStream(in,
+      StreamingCorpus.surprisalGate(_, vocab, maxBits = 1e9, oovBits = oov),
+      "lm_stream")
     val streamed = spark.sql("SELECT doc_id, bits_per_token FROM lm_stream ORDER BY doc_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val batch = TextAnalysis.lmSurprisal(spark, sfDir)
@@ -150,14 +154,18 @@ class StreamingCorpusSpec extends GraftSpec {
     val in = Files.createTempDirectory("stream_lm_gate")
     in.toFile.deleteOnExit()
     val vocab = StreamingCorpus.lmVocabBits(spark, sfDir)
+    val oov = StreamingCorpus.lmOovBits(spark, sfDir)
+    assert(oov > 12L, "fixture OOV charge must exceed the gate threshold")
     val commonWord = vocab.minBy(_._2)._1 // most frequent -> fewest bits
     Files.writeString(in.resolve("a.json"), Seq(
       doc(1, "2024-03-01T10:00:00", s"$commonWord $commonWord $commonWord"),
       doc(2, "2024-03-01T10:01:00", "zzyzx qwfp xyzzy plugh")).mkString("\n"))
-    runStream(in, StreamingCorpus.surprisalGate(_, vocab, maxBits = 12.0),
+    runStream(in,
+      StreamingCorpus.surprisalGate(_, vocab, maxBits = 12.0, oovBits = oov),
       "lm_gate_stream")
     val kept = spark.sql("SELECT doc_id FROM lm_gate_stream ORDER BY doc_id")
       .collect().map(_.getLong(0)).toSeq
-    assert(kept === Seq(1L), "OOV-only doc must be gated (16 bits/token > 12)")
+    assert(kept === Seq(1L),
+      s"OOV-only doc must be gated ($oov bits/token > 12)")
   }
 }
