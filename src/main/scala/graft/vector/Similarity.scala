@@ -1060,20 +1060,53 @@ object Similarity {
        |FROM sel GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
   }
 
+  /** h1's document-frequency cap, as an integer percent of the corpus:
+    * a term enters the inverted index only if df*100 <= pct*n_docs.
+    * 78 binds on the test fixtures (word dfs cluster at 75-80% of docs)
+    * so the stopword-exclusion path is oracle-exercised; a production
+    * deployment tunes this like a BM25 stopword threshold. */
+  val defaultMaxDfPct = 78
+
   /** h1: HYBRID retrieval — lexical candidate generation, vector rerank:
-    * stage 1 finds docs sharing >= `minCommon` distinct words with each
-    * query doc via the inverted word index (the same never-all-pairs
-    * candidate shape as d4's shingle join — at 100 TB the posting-list
-    * join IS the lexical index); stage 2 scores ONLY those candidates by
-    * embedding cosine (vec_id = doc_id, see TESTDATA) and keeps the
-    * top-k. The point vs v1: cosine work is proportional to the
-    * candidate set, not the corpus — the pruning every production
-    * retrieval stack (BM25 -> rerank) relies on. Dot products are the
+    * stage 1 finds docs sharing >= `minCommon` distinct INDEXED words
+    * with each query doc via the inverted word index (the same
+    * never-all-pairs candidate shape as d4's shingle join — at 100 TB
+    * the posting-list join IS the lexical index); stage 2 scores ONLY
+    * those candidates by embedding cosine (vec_id = doc_id, see
+    * TESTDATA) and keeps the top-k. The point vs v1: cosine work is
+    * proportional to the candidate set, not the corpus — the pruning
+    * every production retrieval stack (BM25 -> rerank) relies on.
+    *
+    * DF CAP — the candidate bound: a term is indexed only if its
+    * document frequency satisfies `df * 100 <= maxDfPct * n_docs`
+    * (integer arithmetic, engine-portable). Without it, stopwords have
+    * corpus-sized posting lists and the candidate set degenerates
+    * toward per-query-full-corpus — the degeneracy a BM25-style
+    * candidate stage exists to prevent. With it, each query's candidate
+    * set is bounded by the sum of its kept terms' capped posting lists,
+    * independent of how skewed the word distribution is. Dropped terms
+    * do not count toward `n_common_words` on either side (a query's
+    * stopwords carry no lexical evidence). The df is computed as a
+    * window count over the word key — NOT a separate agg joined back,
+    * and NOT a broadcast of the kept vocabulary (the low-df tail is
+    * itself corpus-sized at scale): the word-partitioning it introduces
+    * is exactly the partitioning the posting-list join needs, so the
+    * filter rides the index's own exchange. Dot products are the
     * strict-fold parity path; ties break on doc_id. */
   def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 3,
-                   minCommon: Int = 3, k: Int = 5): DataFrame = {
-    val words = graft.text.Corpus.docsTok(spark, dir)
+                   minCommon: Int = 3, k: Int = 5,
+                   maxDfPct: Int = defaultMaxDfPct): DataFrame = {
+    val allWords = graft.text.Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+    // one row per (doc, distinct word) -> the per-word window count IS
+    // the document frequency
+    val nDocs = graft.text.Corpus.docsTok(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val words = allWords
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
+      .select("doc_id", "word")
     val cands = words.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("word"))
       .join(words, "word")
@@ -1101,11 +1134,17 @@ object Similarity {
   }
 
   def hybridSearchSql(nQueries: Int = 3, minCommon: Int = 3,
-                      k: Int = 5): String =
-    s"""WITH w AS (
+                      k: Int = 5, maxDfPct: Int = defaultMaxDfPct): String =
+    s"""WITH wall AS (
        |  SELECT doc_id,
        |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
        |  FROM documents),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, word, COUNT(*) OVER (PARTITION BY word) AS df
+       |    FROM wall) CROSS JOIN nd
+       |  WHERE df * 100 <= $maxDfPct * n_docs),
        |cands AS (
        |  SELECT q.doc_id AS query_id, d.doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_common_words

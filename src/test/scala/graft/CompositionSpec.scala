@@ -233,15 +233,38 @@ class CompositionSpec extends GraftSpec {
         col("rank") =!= col("prev_rank") + 1).count() === 0)
       assert(seq.filter(col("prev_cos").isNotNull &&
         col("cosine") > col("prev_cos")).count() === 0)
-      // word-overlap counts are real: recompute one pair exactly
-      val r = h.orderBy("query_id", "rank").head
-      val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      // word-overlap counts are real UNDER THE DF CAP: recompute every
+      // returned pair's overlap over the kept (df-capped) terms only —
+      // stopwords above the cap must carry no lexical evidence
+      val docsW = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("ws"))
-      val pair = words.filter(col("doc_id") === r.getLong(0)).select(col("ws").as("qa"))
-        .crossJoin(words.filter(col("doc_id") === r.getLong(2)).select(col("ws").as("qb")))
-        .select(size(array_intersect(col("qa"), col("qb"))).cast("long")).head.getLong(0)
-      assert(pair === r.getLong(3), "n_common_words must equal the true overlap")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val nDocs = docsW.size
+      val dfMap = docsW.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val kept = dfMap.collect {
+        case (w, df) if df * 100 <= Similarity.defaultMaxDfPct * nDocs => w
+      }.toSet
+      assert(kept.nonEmpty && kept.size < dfMap.size,
+        "fixture must have both kept and capped terms")
+      h.collect().foreach { r =>
+        val expected = (docsW(r.getLong(0)) & docsW(r.getLong(2)) & kept).size.toLong
+        assert(r.getLong(3) === expected,
+          s"pair (${r.getLong(0)}, ${r.getLong(2)}): n_common_words must be " +
+            "the overlap over df-kept terms only")
+      }
     } finally h.unpersist()
+  }
+
+  test("h1: df cap bounds the candidate stage on a stopword-heavy corpus") {
+    // With the cap forced to 0% every term is a stopword -> the lexical
+    // stage generates NO candidates at all (the all-pairs degeneracy is
+    // structurally impossible, not just unlikely); the default cap must
+    // still leave the fixture result non-empty so the key stays
+    // oracle-exercised.
+    import graft.vector.Similarity
+    assert(Similarity.hybridSearch(spark, sfDir, maxDfPct = 0).count() === 0)
+    assert(Similarity.hybridSearch(spark, sfDir).count() > 0,
+      "default cap must keep the fixture result non-empty")
   }
 
   test("t12: chunks tile every document — dense indices, exact tail coverage") {

@@ -67,6 +67,11 @@ class PlanShapeSpec extends GraftSpec {
     ("t13_lm_surprisal", 2, "capped vocab fit agg + one doc_id exchange"),
     ("t14_bigram_surprisal", 4,
       "pair-count agg (x2 subtrees: cap + prefix totals) + prev agg + doc_id agg"),
+    // h1: the df-cap window rides the word partitioning the posting-list
+    // join needs (x2 subtrees: query + index side), then the per-pair
+    // candidate agg and the per-query top-k window; embeddings broadcast
+    ("h1_hybrid_search", 4,
+      "df-capped word index (x2 subtrees) + candidate agg + top-k window"),
     ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
     // PQ encode: codebook is a collected literal, encoding is map-side
     ("v8_pq_codes", 0, "codebook is a broadcast literal; encode is pure map"),
