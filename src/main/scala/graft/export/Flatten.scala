@@ -200,6 +200,46 @@ object Flatten {
        |ORDER BY priority_rank, store_id, sale_date""".stripMargin
   }
 
+  /** x6: the ANOMALIES BI export — the fifth QuickSight dataset
+    * (export-to-quicksight/lambda_function.py:250-271): the flattened
+    * per-anomaly shape `date, store_id, severity, title, description,
+    * metric_value, deviation_percent`, date kept a YYYY-MM-DD string for
+    * QuickSight date filtering (same convention as x1/x3/x4). Title and
+    * description are the deterministic severity-rubric text (r1's
+    * formatting family) standing in for the reference's LLM-drafted
+    * fields — the flattened columns and numeric passthroughs are the
+    * dataset contract. Dimension-sized (|stores|x|days| bound), built
+    * from the memoized a11 silver: zero extra corpus passes. */
+  def exportAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val devBucket = floor(abs(col("deviation_pct"))).cast("long")
+    History.anomalies(spark, dir)
+      .withColumn("title", concat(
+        initcap(col("severity")), lit(": store "), col("store_id"),
+        lit(" sales deviation")))
+      .withColumn("description", concat(
+        lit("Store "), col("store_id"), lit(" sales on "), col("sale_date"),
+        lit(" deviated ~"), devBucket,
+        lit("% from its trailing 7-day average")))
+      .select(col("sale_date").as("date"), col("store_id"), col("severity"),
+        col("title"), col("description"),
+        col("today_sales").as("metric_value"),
+        col("deviation_pct").as("deviation_percent"))
+      .orderBy(col("date"), col("store_id"))
+  }
+
+  val exportAnomaliesSql: String =
+    s"""WITH a AS (${History.anomaliesBodySql})
+       |SELECT sale_date AS date, store_id, severity,
+       |  upper(substr(severity, 1, 1)) || substr(severity, 2)
+       |    || ': store ' || store_id || ' sales deviation' AS title,
+       |  'Store ' || store_id || ' sales on ' || sale_date || ' deviated ~'
+       |    || CAST(CAST(floor(abs(deviation_pct)) AS BIGINT) AS VARCHAR)
+       |    || '% from its trailing 7-day average' AS description,
+       |  today_sales AS metric_value,
+       |  deviation_pct AS deviation_percent
+       |FROM a
+       |ORDER BY date, store_id""".stripMargin
+
   /** x5: the CORPUS CURATION REPORT — the BI dataset a data-curation
     * team reviews per ingest batch: one row per document carrying its
     * language verdict (t3), quality score (t2), LM surprisal (t13), and

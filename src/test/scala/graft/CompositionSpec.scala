@@ -137,6 +137,30 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("x6: anomalies export is a11 row-for-row with consistent formatting") {
+    val x = graft.export.Flatten.exportAnomalies(spark, sfDir).cache()
+    try {
+      val a = graft.analytics.History.anomalies(spark, sfDir)
+      assert(x.count() === a.count(), "one export row per anomaly")
+      // title leads with the Initcap severity; description embeds the
+      // floored absolute deviation bucket of the same row
+      assert(x.filter(!col("title").startsWith(initcap(col("severity"))))
+        .count() === 0)
+      assert(x.filter(!col("description").contains(
+        concat(lit("~"), floor(abs(col("deviation_percent"))).cast("long"),
+          lit("%")))).count() === 0)
+      // numeric passthroughs agree with the a11 silver (x derives from a:
+      // project a to fresh names to avoid self-join attribute ambiguity)
+      val a2 = a.select(col("sale_date").as("a_date"),
+        col("store_id").as("a_store"), col("today_sales").as("a_sales"),
+        col("deviation_pct").as("a_dev"))
+      val j = x.join(a2,
+        col("date") === col("a_date") && col("store_id") === col("a_store"))
+      assert(j.filter(col("metric_value") =!= col("a_sales") ||
+        col("deviation_percent") =!= col("a_dev")).count() === 0)
+    } finally x.unpersist()
+  }
+
   test("x5: corpus report covers every doc once; columns agree with parents") {
     val r = graft.export.Flatten.exportCorpusReport(spark, sfDir).cache()
     try {
