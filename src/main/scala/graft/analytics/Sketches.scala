@@ -66,4 +66,37 @@ object Sketches {
         col("item.sku").as("sku"), col("item.est_count").as("est_count"),
         col("max_err"))
       .orderBy("store_id", "rank")
+
+  /** sk4: sk3 in its EXACT regime — `summarySize` ≥ the per-store
+    * distinct-sku count, where Misra-Gries provably performs zero
+    * decrements (max_err = 0) and every est_count is the true count.
+    * That makes the custom `TypedImperativeAggregate` fully
+    * SQL-expressible, so the SAME code path sk3 runs approximately gets
+    * a hash-checked oracle row (count-rank with the summary's own
+    * (est desc, string-key asc) tie order) instead of rows-only. The
+    * plan is unchanged — one store_id exchange carrying bounded
+    * partials; only the bound is sized past the key space. */
+  def storeTopSellersExact(spark: SparkSession, dir: String,
+                           topK: Int = 5): DataFrame =
+    storeTopSellers(spark, dir, topK, summarySize = exactSummarySize)
+
+  /** Past any per-store distinct-sku count in the test data (sf0.01:
+    * max 558; sf0.1: ~5.6k). A production caller sizes this from sk2's
+    * per-group distinct estimate. */
+  val exactSummarySize = 8192
+
+  def storeTopSellersExactSql(topK: Int = 5): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |counts AS (
+       |  SELECT store_id, CAST(sku AS VARCHAR) AS sku,
+       |    CAST(COUNT(*) AS BIGINT) AS est_count
+       |  FROM s GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT store_id, sku, est_count,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY est_count DESC, sku ASC) AS BIGINT) AS rank
+       |  FROM counts)
+       |SELECT store_id, rank, sku, est_count, CAST(0 AS BIGINT) AS max_err
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY store_id, rank""".stripMargin
 }

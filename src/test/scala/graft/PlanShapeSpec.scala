@@ -86,6 +86,7 @@ class PlanShapeSpec extends GraftSpec {
     ("v12_lsh_near_dup", 3, "bucket-local pairwise: bucket join + rank window"),
     ("v13_residual_pq", 1, "assignment window only; residual codebook is a literal"),
     ("sk3_store_top_sellers", 1, "one store_id agg; MG partials map-side combined"),
+    ("sk4_top_sellers_exact", 1, "sk3's plan with the summary sized past the key space"),
     ("m4_frame_dedup", 2, "one frame_hash agg + keeper join; 8-byte shuffle keys"),
     ("d16_dedup_verdict", 2, "bounded-cluster window + keeper join over memoized labels"),
     ("p11_curriculum", 1, "bounded (stage, shard) windows ride one exchange"),
