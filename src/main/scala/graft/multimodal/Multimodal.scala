@@ -19,18 +19,27 @@ case class MediaFeatures(
     kind: String,
     n_bytes: Long,
     checksum: Long,
+    decoded_format: String, // "png" | "jpeg" | "raw"
+    decoded_w: Int, // 0 when the payload is not a parseable image
+    decoded_h: Int,
+    channels: Int,
     features: Array[Float])
 
 /** Multimodal-column operators: decode / feature-extract / frame-sample
   * over opaque binary media columns.
   *
-  * The DECODE STEP IS A STUB: real image/audio codecs aren't in this
-  * container, so [[decodeStub]] produces a deterministic fake feature
-  * vector from the payload bytes. Everything around it — the binary
-  * column schema, the Dataset[MediaRecord] encoder, the per-partition
-  * batched iteration (the Scala analogue of `mapInPandas`: one iterator
-  * per partition, amortizing model/codec init across the partition's
-  * rows), the frame-sampling explode — is real Spark plumbing and tested.
+  * The decode step is REAL for image metadata: image rows carry valid
+  * PNG payloads and [[extractFeatures]] parses their actual bytes
+  * (PNG IHDR / JPEG SOF via [[ImageCodec]] — pure JVM, deterministic)
+  * into decoded dimensions and channel counts — the routing metadata a
+  * real media pipeline extracts first. Pixel-level model EMBEDDING
+  * remains a stub ([[decodeStub]]: no model weights in this container);
+  * it produces a deterministic feature vector from the payload bytes.
+  * Everything around both — the binary column schema, the
+  * Dataset[MediaRecord] encoder, the per-partition batched iteration
+  * (the Scala analogue of `mapInPandas`: one iterator per partition,
+  * amortizing model/codec init across the partition's rows), the
+  * frame-sampling explode — is real Spark plumbing and tested.
   *
   * Scale posture: media bytes never leave executors; feature extraction is
   * a narrow map (no shuffle); frame sampling is a Generator-style explode
@@ -38,9 +47,13 @@ case class MediaFeatures(
   */
 object Multimodal {
 
-  /** Deterministic media table derived from `documents` (payload = UTF-8
-    * bytes, kind round-robins image/audio/video, dims from n_chars) — a
-    * stand-in for a real (id, bytes, metadata) media lake. */
+  /** Deterministic media table derived from `documents` (kind
+    * round-robins image/audio/video, dims from n_chars) — a stand-in
+    * for a real (id, bytes, metadata) media lake. IMAGE rows carry a
+    * real PNG payload ([[ImageCodec.pngBytes]]) whose encoded
+    * dimensions equal the row's metadata dims, so the decode path
+    * exercises genuine format parsing; audio/video rows keep UTF-8
+    * payloads for their (stubbed) codecs. */
   def mediaFromDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.model.Tables.documents(spark, dir)
@@ -53,6 +66,12 @@ object Multimodal {
         (col("n_chars") % 480 + 1).cast("int").as("height"),
         (col("n_chars") % 120 + 1).cast("int").as("n_frames"))
       .as[MediaRecord]
+      .map { r =>
+        if (r.kind == "image")
+          r.copy(bytes =
+            ImageCodec.pngBytes(r.width, r.height, (r.media_id % 251).toByte))
+        else r
+      }
   }
 
   /** STUB decode / embed: a rolling-hash "feature vector" of the payload.
@@ -76,12 +95,18 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init goes here (codec/model session) — stubbed.
+      // per-partition init goes here (model session) — embedding stubbed;
+      // header decode below is real byte parsing per row.
       rows.map { r =>
         var checksum = 0L
         var i = 0
         while (i < r.bytes.length) { checksum = checksum * 31 + (r.bytes(i) & 0xff); i += 1 }
+        val hdr = ImageCodec.parseImageHeader(r.bytes)
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
+          hdr.map(_.format).getOrElse("raw"),
+          hdr.map(_.width).getOrElse(0),
+          hdr.map(_.height).getOrElse(0),
+          hdr.map(_.channels).getOrElse(0),
           decodeStub(r.bytes))
       }
     }
@@ -116,7 +141,8 @@ object Multimodal {
     val media = mediaFromDocs(spark, dir)
     val feats = extractFeatures(media).toDF()
       .select(col("media_id"), col("n_bytes"), col("checksum"),
-        element_at(col("features"), 1).as("f0"))
+        col("decoded_format"), col("decoded_w"), col("decoded_h"),
+        col("channels"), element_at(col("features"), 1).as("f0"))
     frameSample(media)
       .join(feats, Seq("media_id"))
       .orderBy("media_id", "frame_idx")

@@ -1,0 +1,82 @@
+package graft
+
+import graft.multimodal.{ImageCodec, ImageHeader, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The image decode path is REAL byte parsing — prove it against a real
+  * codec: javax.imageio encodes reference images in-memory and the
+  * header parsers must recover the known dimensions/channels; our own
+  * PNG encoder must round-trip through javax.imageio's decoder. */
+class MultimodalSpec extends GraftSpec {
+
+  private def imageIoBytes(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    // deterministic non-trivial pixels so encoders emit real scan data
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("parsePng recovers dimensions/channels from an ImageIO-encoded PNG") {
+    val b = imageIoBytes(17, 23, java.awt.image.BufferedImage.TYPE_INT_RGB, "png")
+    assert(ImageCodec.parsePng(b) ===
+      Some(ImageHeader("png", 17, 23, 8, 3)))
+    assert(ImageCodec.parseImageHeader(b).map(_.format) === Some("png"))
+  }
+
+  test("parseJpeg recovers dimensions/channels from an ImageIO-encoded JPEG") {
+    val b = imageIoBytes(31, 13, java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "jpg")
+    val hdr = ImageCodec.parseJpeg(b)
+    assert(hdr.isDefined, "JPEG SOF scan found no frame header")
+    assert(hdr.get === ImageHeader("jpeg", 31, 13, 8, 3))
+  }
+
+  test("pngBytes encodes a PNG a real decoder accepts, at the declared dims") {
+    val b = ImageCodec.pngBytes(9, 7, fill = 42)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "javax.imageio rejected our PNG")
+    assert(img.getWidth === 9 && img.getHeight === 7)
+    // every pixel carries the fill value (raw raster sample — getRGB
+    // would apply Java's linear-gray -> sRGB conversion)
+    assert(img.getRaster.getSample(4, 3, 0) === 42)
+    // and our own parser agrees with what we encoded
+    assert(ImageCodec.parsePng(b) === Some(ImageHeader("png", 9, 7, 8, 1)))
+  }
+
+  test("non-image payloads parse to None, never a bogus header") {
+    assert(ImageCodec.parseImageHeader("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.parseImageHeader(Array[Byte]()).isEmpty)
+    // truncated PNG signature
+    assert(ImageCodec.parseImageHeader(Array[Byte](0x89.toByte, 'P', 'N')).isEmpty)
+  }
+
+  test("m2 feature rows: image payloads decode to their metadata dims") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocs(spark, sfDir)).toDF().cache()
+    try {
+      val img = feats.filter(col("kind") === "image")
+      assert(img.count() > 0)
+      // the real header parse must agree with the fixture's metadata on
+      // EVERY image row (the PNG was encoded at exactly those dims)
+      val media = Multimodal.mediaFromDocs(spark, sfDir).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+      val joined = img.join(media, "media_id")
+      assert(joined.filter(col("decoded_format") =!= "png" ||
+        col("decoded_w") =!= col("width") ||
+        col("decoded_h") =!= col("height") ||
+        col("channels") =!= 1).count() === 0,
+        "decoded header disagrees with encoded dims")
+      // non-image payloads must not pretend to decode
+      assert(feats.filter(col("kind") =!= "image")
+        .filter(col("decoded_format") =!= "raw" || col("decoded_w") =!= 0)
+        .count() === 0)
+    } finally feats.unpersist()
+  }
+}
