@@ -28,6 +28,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Query-set size for the ANN/recall/ADC family: queries are the
+    * first `nQueries` vec_ids. Parameterized everywhere (no literal
+    * query-set predicates); the harness keys use this default. */
+  val defaultNQueries = 10
+
   /** Strict sequential dot product of two float vectors, in double —
     * the native codegen'd [[graft.functions.VectorDot]] expression (one
     * fused loop per row inside WholeStageCodegen). Bit-identical to
@@ -64,12 +69,13 @@ object Similarity {
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot / sqrt(n2a * n2b)
 
-  /** v1: brute-force cosine top-k — query vectors (vec_id < 10) broadcast
+  /** v1: brute-force cosine top-k — query vectors (vec_id < $nQueries) broadcast
     * against every candidate; row_number window per query. The exhaustive
     * baseline every ANN variant is measured against. */
-  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5,
+                 nQueries: Int = defaultNQueries): DataFrame = {
     val e = withNorm(spark, dir)
-    val q = e.filter(col("vec_id") < 10).select(
+    val q = e.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("norm2").as("q_norm2"))
     val pairs = broadcast(q).crossJoin(
@@ -86,13 +92,13 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def cosineTopKSql(k: Int = 5): String =
+  def cosineTopKSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
     s"""WITH e AS ($withNormSql),
        |pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    ${dotSql("q.embedding", "n.embedding")}
        |      / sqrt(q.norm2 * n.norm2) AS cosine
-       |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |  FROM e q JOIN e n ON q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -117,9 +123,10 @@ object Similarity {
   /** v2: LSH-bucketed ANN — same queries/k as v1 but candidates restricted
     * to the query's bucket (the scale path: a hash join on bucket instead
     * of a full cross product; recall traded for a ~256× candidate cut). */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5,
+             nQueries: Int = defaultNQueries): DataFrame = {
     val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-    val q = e.filter(col("vec_id") < 10).select(
+    val q = e.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("bucket"),
       col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
@@ -137,7 +144,7 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def annLshSql(k: Int = 5): String =
+  def annLshSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
     s"""WITH e AS (
        |  SELECT *, ${bucketSql("embedding")} AS bucket FROM ($withNormSql)),
        |pairs AS (
@@ -145,7 +152,7 @@ object Similarity {
        |    ${dotSql("q.embedding", "n.embedding")}
        |      / sqrt(q.norm2 * n.norm2) AS cosine
        |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
-       |  WHERE q.vec_id < 10),
+       |  WHERE q.vec_id < $nQueries),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -257,12 +264,13 @@ object Similarity {
   }
 
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
+             nQueries: Int = defaultNQueries,
              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     val ranked = ivfRanked(spark, dir, nCentroids)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"),
         col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"),
         col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
     val pairs = broadcast(probes).join(assigned, Seq("cell"))
@@ -278,7 +286,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def ivfAnnSql(k: Int = 5, nCentroids: Int = 8, nProbe: Int = 2): String =
+  def ivfAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                nCentroids: Int = 8, nProbe: Int = 2): String =
     s"""WITH e AS ($withNormSql),
        |cents AS (
        |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
@@ -300,7 +309,7 @@ object Similarity {
        |probes AS (
        |  SELECT vec_id AS query_id, centroid_id AS cell,
        |    embedding AS q_emb, norm2 AS q_norm2
-       |  FROM ranked WHERE vec_id < 10 AND crank <= $nProbe),
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $nProbe),
        |pairs AS (
        |  SELECT p.query_id, a.cell, a.neighbor_id,
        |    ${dotSql("p.q_emb", "a.n_emb")}
@@ -338,7 +347,8 @@ object Similarity {
     * query keys, hits counted by (query, neighbor) identity. All three
     * relations are query-set-sized — the eval itself is join work over
     * tens of rows regardless of corpus size. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = defaultNQueries): DataFrame = {
     val truth = cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
     def eval(method: String, pairs: DataFrame): DataFrame =
       truth.join(pairs.withColumn("hit", lit(1L)),
@@ -354,7 +364,7 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
-  def annRecallSql(k: Int = 5): String =
+  def annRecallSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)})),
        |lshp AS (SELECT query_id, neighbor_id FROM (${annLshSql(k)})),
@@ -385,7 +395,8 @@ object Similarity {
     * fused into one `transform` (scan-speed, zero extra shuffles); the
     * search and eval shapes are v1's broadcast loop and v6's
     * query-set-sized joins. */
-  def quantizedRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def quantizedRecall(spark: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = defaultNQueries): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos")
@@ -408,7 +419,7 @@ object Similarity {
     // same strict left-to-right order on any numeric element type.
     val r = e.select(col("vec_id"), recon.as("remb"))
       .withColumn("rnorm2", dotColHof(col("remb"), col("remb")))
-    val q = r.filter(col("vec_id") < 10).select(
+    val q = r.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("remb").as("q_emb"),
       col("rnorm2").as("q_norm2"))
     val pairs = broadcast(q).crossJoin(
@@ -433,7 +444,7 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  def quantizedRecallSql(k: Int = 5): String = {
+  def quantizedRecallSql(k: Int = 5, nQueries: Int = defaultNQueries): String = {
     val qCode = "CASE WHEN d.maxs[i] = d.mins[i] THEN 0 " +
       "ELSE LEAST(255, CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - d.mins[i]) " +
       "* 255.0 / (d.maxs[i] - d.mins[i])) AS BIGINT)) END"
@@ -456,7 +467,7 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    ${dotSql("q.remb", "n.remb")} / sqrt(q.rnorm2 * n.rnorm2) AS cosine_q
        |  FROM rn q JOIN rn n ON q.vec_id <> n.vec_id
-       |  WHERE q.vec_id < 10),
+       |  WHERE q.vec_id < $nQueries),
        |approx AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -635,6 +646,7 @@ object Similarity {
     * (map-side); search and eval reuse v1's broadcast loop and v6's
     * query-set-sized join shapes. */
   def pqRecall(spark: SparkSession, dir: String, k: Int = 5,
+               nQueries: Int = defaultNQueries,
                nSub: Int = 4, nCodes: Int = 8): DataFrame = {
     val cb = pqCodebook(spark, dir, nSub, nCodes)
     val cbLit = (0 until nSub).map(s =>
@@ -644,7 +656,7 @@ object Similarity {
         flatten(array((0 until nSub).map(s =>
           element_at(cbLit(s), col(s"code_$s").cast("int") + 1)): _*)).as("remb"))
       .withColumn("rnorm2", dotColHof(col("remb"), col("remb")))
-    val q = r.filter(col("vec_id") < 10).select(
+    val q = r.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("remb").as("q_emb"),
       col("rnorm2").as("q_norm2"))
     val pairs = broadcast(q).crossJoin(
@@ -669,7 +681,8 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  def pqRecallSql(k: Int = 5, nSub: Int = 4, nCodes: Int = 8,
+  def pqRecallSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                  nSub: Int = 4, nCodes: Int = 8,
                   subDim: Int = 16): String = {
     val codeCols = (0 until nSub)
       .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
@@ -691,7 +704,7 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    ${dotSql("q.remb", "n.remb")} / sqrt(q.rnorm2 * n.rnorm2) AS cosine_q
        |  FROM rn q JOIN rn n ON q.vec_id <> n.vec_id
-       |  WHERE q.vec_id < 10),
+       |  WHERE q.vec_id < $nQueries),
        |approx AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -728,13 +741,14 @@ object Similarity {
     * correctly-rounded everywhere. Asymmetric = better ranking than
     * v9's symmetric reconstruction (the query keeps full precision). */
   def pqAdc(spark: SparkSession, dir: String, k: Int = 5,
+            nQueries: Int = defaultNQueries,
             nSub: Int = 4, nCodes: Int = 8): DataFrame = {
     val cb = pqCodebook(spark, dir, nSub, nCodes)
     val subDim = cb(0)(0).length
     // query-independent code norms, folded in oracle order
     val cnorm = Array.tabulate(nSub, nCodes)((s, c) =>
       cb(s)(c).foldLeft(0.0)((acc, x) => acc + x * x))
-    val qBase = withNorm(spark, dir).filter(col("vec_id") < 10)
+    val qBase = withNorm(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id") +: col("norm2").as("q_norm2") +:
         (0 until nSub).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
@@ -763,7 +777,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def pqAdcSql(k: Int = 5, nSub: Int = 4, nCodes: Int = 8,
+  def pqAdcSql(k: Int = 5, nQueries: Int = defaultNQueries,
+               nSub: Int = 4, nCodes: Int = 8,
                subDim: Int = 16): String = {
     val codeCols = (0 until nSub)
       .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
@@ -784,7 +799,7 @@ object Similarity {
        |q AS (
        |  SELECT vec_id AS query_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS q_norm2
-       |  FROM embeddings WHERE vec_id < 10),
+       |  FROM embeddings WHERE vec_id < $nQueries),
        |qsub AS (
        |  SELECT query_id, q_norm2, t.s,
        |    list_slice(embedding, t.s*$subDim + 1, t.s*$subDim + $subDim) AS qv
@@ -821,6 +836,7 @@ object Similarity {
     * Every stage reuses a parity-proven parent: the
     * cell assignment is v4's, the LUT/code-norm algebra v10's. */
   def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 5,
+               nQueries: Int = defaultNQueries,
                nCentroids: Int = 8, nProbe: Int = 2,
                nSub: Int = 4, nCodes: Int = 8): DataFrame = {
     val cb = pqCodebook(spark, dir, nSub, nCodes)
@@ -834,13 +850,13 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id") +:
         (0 until nSub).map(s => col(s"code_$s")): _*)
     val cellCodes = assigned.join(codes, Seq("neighbor_id"))
-    val qlut = withNorm(spark, dir).filter(col("vec_id") < 10)
+    val qlut = withNorm(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id") +: col("norm2").as("q_norm2") +:
         (0 until nSub).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim).as(s"q_$s")): _*)
     def lutEntry(s: Int, c: Int): Column =
       dotCol(col(s"q_$s"), array(cb(s)(c).map(v => lit(v.toFloat)): _*))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crank") <= nProbe)
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
       .join(qlut.select(col("query_id") +: col("q_norm2") +:
         (0 until nSub).map(s =>
@@ -864,7 +880,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def ivfPqAnnSql(k: Int = 5, nCentroids: Int = 8, nProbe: Int = 2,
+  def ivfPqAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                  nCentroids: Int = 8, nProbe: Int = 2,
                   nSub: Int = 4, nCodes: Int = 8, subDim: Int = 16): String = {
     val codeCols = (0 until nSub)
       .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s").mkString(", ")
@@ -905,13 +922,13 @@ object Similarity {
        |  SELECT vec_id AS query_id, norm2 AS q_norm2, t.s,
        |    list_slice(embedding, t.s*$subDim + 1, t.s*$subDim + $subDim) AS qv
        |  FROM e CROSS JOIN range($nSub) t(s)
-       |  WHERE vec_id < 10),
+       |  WHERE vec_id < $nQueries),
        |lut AS (
        |  SELECT qs.query_id, qs.s, cs.code, ${dotSql("qs.qv", "cs.sv")} AS d
        |  FROM qsub qs JOIN cbsub cs ON cs.s = qs.s),
        |probes AS (
        |  SELECT vec_id AS query_id, centroid_id AS cell, norm2 AS q_norm2
-       |  FROM ranked WHERE vec_id < 10 AND crank <= $nProbe),
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $nProbe),
        |pairs AS (
        |  SELECT p.query_id, cc.cell, cc.neighbor_id,
        |    ($adcDot) / sqrt(p.q_norm2 * ($reconNorm)) AS cosine_adc
