@@ -1,0 +1,114 @@
+package graft.vector
+
+import graft.model.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** DETERMINISTIC Lloyd refinement for the PQ / IVF codebooks — the
+  * trained-path upgrade over the first-N-rows donor codebooks the
+  * oracle keys ship (donors stay the oracle path: training adds
+  * iterations, not semantics).
+  *
+  * Why this is reproducible when textbook distributed k-means is not:
+  * floating-point sums depend on combine order, and Spark's partial
+  * aggregation order is nondeterministic across runs/cluster layouts.
+  * Here every centroid update is computed in DECIMAL(38,18) — decimal
+  * addition is exact, hence associative and commutative, so the shuffle
+  * combine order cannot change the sum — and the final mean is one
+  * BigDecimal division at fixed scale/rounding on the driver. Assignment
+  * uses the same strict-fold distance expressions as the encoders
+  * (VectorD2 / the cosine fold), ties to the lowest code id, so the
+  * whole fit is a pure function of the data. Init is the donor codebook,
+  * making Lloyd's monotone-distortion guarantee hold RELATIVE TO THE
+  * DONOR: trained reconstruction error can only improve (spec-asserted).
+  *
+  * Scale shape (100 TB): one corpus pass per iteration — assignment is
+  * map-side against literal codebooks, the update is a map-combinable
+  * hash aggregate on (subspace, code, dim) whose result is
+  * codebook-sized; nothing corpus-sized ever reaches the driver. */
+object Lloyd {
+
+  /** Refine the PQ sub-codebooks: `iters` rounds of (argmin-L2 assign,
+    * decimal-exact mean update) per subspace, from the donor init.
+    * Empty codes keep their previous centroid (deterministic rule). */
+  def pqTrain(spark: SparkSession, dir: String, nSub: Int = 4,
+              nCodes: Int = 8, iters: Int = 4): Array[Array[Array[Double]]] = {
+    var cb = Similarity.pqCodebook(spark, dir, nSub, nCodes)
+    val subDim = cb(0)(0).length
+    val sub = Tables.embeddings(spark, dir)
+      .select((0 until nSub).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim).as(s"sub_$s")): _*)
+    var it = 0
+    while (it < iters) {
+      val assignedCols = (0 until nSub).map { s =>
+        val d2s = array((0 until nCodes).map(c =>
+          graft.functions.VectorD2.vectorD2(col(s"sub_$s"),
+            array(cb(s)(c).map(v => lit(v.toFloat)): _*))): _*)
+        struct(lit(s).as("s"),
+          (array_position(d2s, array_min(d2s)) - 1).cast("int").as("code"),
+          col(s"sub_$s").as("sv"))
+      }
+      val sums = sub.select(explode(array(assignedCols: _*)).as("t"))
+        .select(col("t.s").as("s"), col("t.code").as("code"),
+          posexplode(col("t.sv")).as(Seq("pos", "x")))
+        .groupBy("s", "code", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(nSub, nCodes)((s, c) => cb(s)(c).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          exactMean(r.getDecimal(3), r.getLong(4))
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** Refine the IVF coarse centroids (spherical k-means: max-cosine
+    * assignment like [[Similarity.ivfRanked]], decimal-exact mean
+    * update), from the donor init. Returns nCentroids x dim doubles. */
+  def ivfTrain(spark: SparkSession, dir: String, nCentroids: Int = 8,
+               iters: Int = 4): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = Tables.embeddings(spark, dir)
+      .orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("embedding"))
+      .withColumn("norm2",
+        Similarity.dotColHof(col("embedding"), col("embedding")))
+    var it = 0
+    while (it < iters) {
+      val cos = cents.map { c =>
+        val cn = c.foldLeft(0.0)((acc, v) => acc + v * v)
+        val dot = Similarity.dotColHof(col("embedding"),
+          array(c.map(v => lit(v.toFloat)): _*))
+        dot / sqrt(col("norm2") * lit(cn))
+      }
+      val cosArr = array(cos: _*)
+      val sums = e
+        .withColumn("code",
+          (array_position(cosArr, array_max(cosArr)) - 1).cast("int"))
+        .select(col("code"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("code", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = exactMean(r.getDecimal(2), r.getLong(3))
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Exact-sum / count at fixed scale+rounding: the only division in the
+    * fit, pinned so the mean is a pure function of (sum, n). */
+  private def exactMean(sx: java.math.BigDecimal, n: Long): Double =
+    sx.divide(java.math.BigDecimal.valueOf(n), 30,
+      java.math.RoundingMode.HALF_EVEN).doubleValue
+}

@@ -248,13 +248,24 @@ object Similarity {
     * (cosine, broadcast centroid table), crank 1 = its cell. Shared by v4
     * and the composed IVF-PQ index (v11). */
   private def ivfRanked(spark: SparkSession, dir: String,
-                        nCentroids: Int): DataFrame = {
+                        nCentroids: Int,
+                        trainedIters: Int = 0): DataFrame = {
     val e = withNorm(spark, dir)
-    val cents = e.orderBy(col("vec_id").asc).limit(nCentroids)
-      .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
-        col("norm2").as("c_norm2"))
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("cent_vid"))) - 1)
+    val cents =
+      if (trainedIters > 0) {
+        // Lloyd-trained centroids arrive as literals (codebook-sized);
+        // norm2 is computed by the same HOF fold the donor path uses
+        import spark.implicits._
+        Lloyd.ivfTrain(spark, dir, nCentroids, trainedIters).zipWithIndex
+          .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+          .toDF("centroid_id", "c_emb")
+          .withColumn("c_norm2", dotColHof(col("c_emb"), col("c_emb")))
+      } else e.orderBy(col("vec_id").asc).limit(nCentroids)
+        .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
+          col("norm2").as("c_norm2"))
+        .withColumn("centroid_id",
+          row_number().over(Window.orderBy(col("cent_vid"))) - 1)
+        .drop("cent_vid")
     val aff = e.crossJoin(broadcast(cents))
       .withColumn("ccos",
         cosine(dotCol(col("embedding"), col("c_emb")), col("norm2"), col("c_norm2")))
@@ -265,8 +276,9 @@ object Similarity {
 
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
              nQueries: Int = defaultNQueries,
-             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val ranked = ivfRanked(spark, dir, nCentroids)
+             nCentroids: Int = 8, nProbe: Int = 2,
+             trainedIters: Int = 0): DataFrame = {
+    val ranked = ivfRanked(spark, dir, nCentroids, trainedIters)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"),
         col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
@@ -552,8 +564,8 @@ object Similarity {
     * not semantics, and their FP update order isn't oracle-reproducible).
     * Codebook size = nSub × nCodes × subDim doubles — broadcast-config
     * sized at any corpus scale (the a20/v5 collect pattern). */
-  private def pqCodebook(spark: SparkSession, dir: String,
-                         nSub: Int, nCodes: Int): Array[Array[Array[Double]]] = {
+  private[vector] def pqCodebook(spark: SparkSession, dir: String,
+                                 nSub: Int, nCodes: Int): Array[Array[Array[Double]]] = {
     val full = Tables.embeddings(spark, dir)
       .orderBy(col("vec_id").asc).limit(nCodes)
       .select(col("embedding")).collect()
@@ -578,8 +590,22 @@ object Similarity {
     * `ORDER BY d2, code` in the oracle — equal doubles are bitwise equal
     * because both engines run the identical operation sequence). */
   def pqCodes(spark: SparkSession, dir: String,
-              nSub: Int = 4, nCodes: Int = 8): DataFrame = {
-    val cb = pqCodebook(spark, dir, nSub, nCodes)
+              nSub: Int = 4, nCodes: Int = 8): DataFrame =
+    pqEncode(spark, dir, pqCodebook(spark, dir, nSub, nCodes), nSub, nCodes)
+
+  /** v8 with a Lloyd-trained codebook ([[Lloyd.pqTrain]]) — same encode
+    * plan, lower reconstruction error; NOT the oracle path (donor
+    * codebooks stay oracle-reproducible). */
+  def pqCodesTrained(spark: SparkSession, dir: String, nSub: Int = 4,
+                     nCodes: Int = 8, iters: Int = 4): DataFrame =
+    pqEncode(spark, dir, Lloyd.pqTrain(spark, dir, nSub, nCodes, iters),
+      nSub, nCodes)
+
+  /** The shared PQ encoder: argmin-L2 codes against a literal codebook —
+    * pure map-side regardless of where the codebook came from. */
+  private def pqEncode(spark: SparkSession, dir: String,
+                       cb: Array[Array[Array[Double]]],
+                       nSub: Int, nCodes: Int): DataFrame = {
     val subDim = cb(0)(0).length
     val e = Tables.embeddings(spark, dir)
     // bind sub-vectors as plain attributes (HOF-lambda re-eval rule)
@@ -647,11 +673,14 @@ object Similarity {
     * query-set-sized join shapes. */
   def pqRecall(spark: SparkSession, dir: String, k: Int = 5,
                nQueries: Int = defaultNQueries,
-               nSub: Int = 4, nCodes: Int = 8): DataFrame = {
-    val cb = pqCodebook(spark, dir, nSub, nCodes)
+               nSub: Int = 4, nCodes: Int = 8,
+               trainedIters: Int = 0): DataFrame = {
+    val cb =
+      if (trainedIters > 0) Lloyd.pqTrain(spark, dir, nSub, nCodes, trainedIters)
+      else pqCodebook(spark, dir, nSub, nCodes)
     val cbLit = (0 until nSub).map(s =>
       array(cb(s).map(c => array(c.map(lit): _*)): _*))
-    val codes = pqCodes(spark, dir, nSub, nCodes)
+    val codes = pqEncode(spark, dir, cb, nSub, nCodes)
     val r = codes.select(col("vec_id"),
         flatten(array((0 until nSub).map(s =>
           element_at(cbLit(s), col(s"code_$s").cast("int") + 1)): _*)).as("remb"))
