@@ -62,11 +62,60 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // Two lines, distinct metrics so a parse-every-line consumer can't
+    // Three lines, distinct metrics so a parse-every-line consumer can't
     // double-count totals: the full per-query map first (total_detail),
-    // then the compact headline line LAST — BENCH_r04.json confirmed the
-    // driver keeps the tail of stdout, so the last line always survives.
+    // the scale-slope audit second, then the compact headline line LAST —
+    // BENCH_r04.json confirmed the driver keeps the tail of stdout, so
+    // the last line always survives.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}""")
+
+    // SCALE-SLOPE audit: re-run every key at the next-smaller SF and
+    // compare the time ratio against the data ratio — sub-linear or
+    // linear keys have slope <= ratio; a key whose slope exceeds
+    // 2 x ratio hides a superlinear constant that sf-local timings can't
+    // see (an uncapped candidate join would surface here long before a
+    // cluster bill does). Keys faster than 0.25 s at the large SF are
+    // below local-mode scheduling noise and are reported but never
+    // flagged. Disable with SPARK_GRAFT_SLOPE_DIR="" or point it at a
+    // different small SF.
+    val slopeDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_DIR",
+      if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + "sf0.01" else "")
+    if (slopeDir.nonEmpty && slopeDir != sfDir &&
+        new java.io.File(slopeDir).isDirectory) {
+      def sfOf(p: String): Double =
+        new java.io.File(p).getName.stripPrefix("sf").toDoubleOption.getOrElse(Double.NaN)
+      val ratio = sfOf(sfDir) / sfOf(slopeDir)
+      try { // mirror the big-SF warmup so silver builds stay out of timings
+        graft.etl.StoreDaily.rollupDec(spark, slopeDir).count()
+        graft.etl.StoreDaily.paymentDec(spark, slopeDir).count()
+        graft.etl.StoreDaily.topProductsDec(spark, slopeDir).count()
+        graft.analytics.History.trendDirection(spark, slopeDir).count()
+        graft.analytics.History.anomalies(spark, slopeDir).count()
+        graft.text.Corpus.docsTok(spark, slopeDir).count()
+        graft.dedup.Dedup.warm(spark, slopeDir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] slope warmup failed: ${e.getMessage}")
+      }
+      val small = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, slopeDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => name -> -1.0 }
+      }.toMap
+      val big = results.toMap
+      val slopes = results.collect {
+        case (k, tL) if tL >= 0 && small.getOrElse(k, -1.0) > 0 =>
+          k -> r3(tL / small(k))
+      }
+      val flagged = slopes.filter { case (k, s) =>
+        big(k) >= 0.25 && s > 2 * ratio }
+      val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"slopes":$slopesJson}""")
+    }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs}""")
     spark.stop()
   }
