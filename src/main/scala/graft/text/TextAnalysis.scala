@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline over the
@@ -613,4 +614,107 @@ object TextAnalysis {
        |FROM bg b LEFT JOIN lm l USING (prev, cur) CROSS JOIN tot
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
+
+  /** t15: BM25 lexical ranking in PURE INTEGER arithmetic — the scoring
+    * upgrade of h1's candidate stage (h1 counts shared terms; BM25
+    * weights them by rarity and saturating term frequency — the actual
+    * first-stage ranker of a production retrieval stack).
+    *
+    * ENGINE-PORTABLE QUANTIZATION (the t13 discipline, extended):
+    *  - idf: log2(n_docs/df) at milli precision WITHOUT libm — for
+    *    q = (n_docs*1024) DIV df, take b = floor(log2 q) via
+    *    binary-string length, then linearly interpolate the mantissa:
+    *    idf_milli = (b-10)*1000 + (q - 2^b)*1000 DIV 2^b. (2^b is exact
+    *    in double for b < 53, so pow+cast is exact in both engines.)
+    *  - tf saturation: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+    *    k1 = 1.2, b = 0.75 becomes 22000*tf DIV (10*tf + 3 + rel_dl)
+    *    where rel_dl = (9*dl*n_docs) DIV t_total — every operand an
+    *    exact integer, so the score is a SUM of exact integers: no
+    *    float-accumulation order dependence anywhere.
+    *
+    * Scale shape: h1's exactly — the df window rides the posting-list
+    * join's word partitioning, terms above the df cap never enter the
+    * index (the candidate bound), one (query, doc) aggregate, one
+    * per-query top-k window. */
+  def bm25(spark: SparkSession, dir: String, nQueries: Int = 3,
+           k: Int = 5, maxDfPct: Int = 78): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+    val totals = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("words")).cast("long")).as("t_total"))
+    val tfs = toks
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("word"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val index = tfs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(totals))
+      .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
+      .withColumn("q", expr("(n_docs * 1024) DIV df"))
+      .withColumn("b", (length(bin(col("q"))) - lit(1)).cast("long"))
+      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("idf_milli",
+        (col("b") - lit(10L)) * lit(1000L)
+          + expr("(q - p) * 1000 DIV p"))
+      .withColumn("rel_dl", expr("(9 * dl * n_docs) DIV t_total"))
+      .withColumn("tf_milli", expr("(22000 * tf) DIV (10 * tf + 3 + rel_dl)"))
+      .select(col("doc_id"), col("word"),
+        (col("idf_milli") * col("tf_milli")).as("contrib"))
+    val qterms = index.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qterms.join(index, "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25Sql(nQueries: Int = 3, k: Int = 5, maxDfPct: Int = 78): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Corpus.wordsSqlExpr} AS ws FROM documents),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(ws)) AS BIGINT) AS t_total
+       |  FROM toks),
+       |tfs AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, word,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, ws, unnest(ws) AS word FROM toks)
+       |  GROUP BY doc_id, len(ws), word),
+       |idx AS (
+       |  SELECT doc_id, word, idf_milli * tf_milli AS contrib FROM (
+       |    SELECT doc_id, word,
+       |      (b - 10) * 1000 + (q - p) * 1000 // p AS idf_milli,
+       |      (22000 * tf) // (10 * tf + 3 + rel_dl) AS tf_milli
+       |    FROM (
+       |      SELECT doc_id, word, tf,
+       |        length(format('{:b}', q)) - 1 AS b,
+       |        CAST(power(2, length(format('{:b}', q)) - 1) AS BIGINT) AS p,
+       |        q, rel_dl
+       |      FROM (
+       |        SELECT doc_id, word, tf,
+       |          (n_docs * 1024) // df AS q,
+       |          (9 * dl * n_docs) // t_total AS rel_dl
+       |        FROM (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df
+       |              FROM tfs) CROSS JOIN tot
+       |        WHERE df * 100 <= $maxDfPct * n_docs)))),
+       |scored AS (
+       |  SELECT qt.doc_id AS query_id, i.doc_id,
+       |    CAST(SUM(i.contrib) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM (SELECT doc_id, word FROM idx WHERE doc_id < $nQueries) qt
+       |  JOIN idx i USING (word)
+       |  WHERE i.doc_id <> qt.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

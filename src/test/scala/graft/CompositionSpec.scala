@@ -137,6 +137,51 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("t15: integer BM25 matches an exact single-process recomputation") {
+    // the full quantized pipeline — df cap, interpolated-log2 idf_milli,
+    // saturating tf_milli, integer contributions — recomputed in plain
+    // Scala longs and required to agree exactly, top-k and all
+    val texts = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val n = texts.size.toLong
+    val t = texts.values.map(_.size.toLong).sum
+    val df = texts.values.map(_.distinct).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val kept = df.filter { case (_, d) => d * 100 <= 78 * n }.keySet
+    assert(kept.nonEmpty && kept.size < df.size, "df cap must bind")
+    def idfMilli(d: Long): Long = {
+      val q = n * 1024 / d
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      val p = 1L << b
+      (b - 10) * 1000 + (q - p) * 1000 / p
+    }
+    def tfMilli(tf: Long, dl: Long): Long =
+      22000 * tf / (10 * tf + 3 + 9 * dl * n / t)
+    def contrib(doc: Seq[String], word: String): Long = {
+      val tf = doc.count(_ == word).toLong
+      idfMilli(df(word)) * tfMilli(tf, doc.size.toLong)
+    }
+    val got = TextAnalysis.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    (0L until 3L).foreach { qid =>
+      val qTerms = texts(qid).distinct.filter(kept)
+      val scored = texts.keys.filter(_ != qid).map { d =>
+        val shared = qTerms.filter(texts(d).contains)
+        (d, shared.map(w => contrib(texts(d), w)).sum, shared.size.toLong)
+      }.filter(_._3 > 0).toSeq
+      val top = scored.sortBy { case (d, s, _) => (-s, d) }.take(5)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.length === top.length, s"query $qid row count")
+      mine.zip(top).zipWithIndex.foreach { case (((_, rk, d, s, nt), (ed, es, ent)), i) =>
+        assert(rk === i + 1L)
+        assert(d === ed, s"query $qid rank $rk doc")
+        assert(s === es, s"query $qid rank $rk score")
+        assert(nt === ent, s"query $qid rank $rk n_terms")
+      }
+    }
+  }
+
   test("x6: anomalies export is a11 row-for-row with consistent formatting") {
     val x = graft.export.Flatten.exportAnomalies(spark, sfDir).cache()
     try {

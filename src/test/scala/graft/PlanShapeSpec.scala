@@ -72,6 +72,8 @@ class PlanShapeSpec extends GraftSpec {
     // candidate agg and the per-query top-k window; embeddings broadcast
     ("h1_hybrid_search", 4,
       "df-capped word index (x2 subtrees) + candidate agg + top-k window"),
+    ("t15_bm25", 6,
+      "tf agg + df window per index subtree (x2) + score agg + top-k window"),
     ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
     // PQ encode: codebook is a collected literal, encoding is map-side
     ("v8_pq_codes", 0, "codebook is a broadcast literal; encode is pure map"),
