@@ -407,8 +407,14 @@ object Similarity {
     * fused into one `transform` (scan-speed, zero extra shuffles); the
     * search and eval shapes are v1's broadcast loop and v6's
     * query-set-sized joins. */
-  def quantizedRecall(spark: SparkSession, dir: String, k: Int = 5,
-                      nQueries: Int = defaultNQueries): DataFrame = {
+  /** Mid-point dequantized int8 reconstruction of the corpus (v5's
+    * codes): (vec_id, remb array<double>, rnorm2). Stats are literal
+    * arrays (dimension-sized collect); reconstruction is one fused
+    * `transform` at scan speed. dotColHof, not the native VectorDot:
+    * remb is array<double> and the codegen'd expression is typed
+    * array<float>; the HOF fold is the same strict left-to-right order
+    * on any numeric element type. Shared by v7 and v14. */
+  private def reconQuantized(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos")
@@ -426,11 +432,13 @@ object Similarity {
           floor((x.cast("double") - dmin) * lit(255.0) / (dmax - dmin))))
       dmin + (q.cast("double") + lit(0.5)) * ((dmax - dmin) / lit(255.0))
     })
-    // dotColHof, not the native VectorDot: recon is array<double> and the
-    // codegen'd expression is typed array<float>; the HOF fold is the
-    // same strict left-to-right order on any numeric element type.
-    val r = e.select(col("vec_id"), recon.as("remb"))
+    e.select(col("vec_id"), recon.as("remb"))
       .withColumn("rnorm2", dotColHof(col("remb"), col("remb")))
+  }
+
+  def quantizedRecall(spark: SparkSession, dir: String, k: Int = 5,
+                      nQueries: Int = defaultNQueries): DataFrame = {
+    val r = reconQuantized(spark, dir)
     val q = r.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("query_id"), col("remb").as("q_emb"),
       col("rnorm2").as("q_norm2"))
@@ -495,6 +503,102 @@ object Similarity {
        |FROM truth t LEFT JOIN approx a
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
+  /** v14: TWO-STAGE retrieval — int8 prefilter, exact float rerank: the
+    * production pattern v7 measures but doesn't run. Stage 1 scans ONLY
+    * the 4x-compressed representation (v5's codes, midpoint-dequantized
+    * map-side) and keeps the top `nCand` per query; stage 2 re-scores
+    * just those candidates against the full-precision floats and keeps
+    * the top k. At 100 TB the float corpus is touched `nCand`-rows-per-
+    * query-at-a-time via an equi-join on vec_id — the full-precision
+    * scan never happens, which is the entire point of storing int8.
+    * Both stages are deterministic strict-fold arithmetic, so the whole
+    * composition is oracle-checkable (unlike most ANN, nothing here is
+    * implementation-defined). Output carries both scores: cosine_q
+    * (stage-1, the decision evidence) and cosine (stage-2, the answer). */
+  def twoStageRetrieval(spark: SparkSession, dir: String, k: Int = 5,
+                        nCand: Int = 20,
+                        nQueries: Int = defaultNQueries): DataFrame = {
+    val r = reconQuantized(spark, dir)
+    val q = r.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("remb").as("q_emb"),
+      col("rnorm2").as("q_norm2"))
+    val pairs = broadcast(q).crossJoin(
+        r.select(col("vec_id").as("neighbor_id"), col("remb").as("n_emb"),
+          col("rnorm2").as("n_norm2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q",
+        cosine(dotColHof(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q").desc, col("neighbor_id").asc)
+    val cand = pairs.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_q"))
+    val e = withNorm(spark, dir)
+    val qe = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("fq_emb"),
+      col("norm2").as("fq_norm2"))
+    val ne = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("fn_emb"), col("norm2").as("fn_norm2"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(broadcast(qe), "query_id").join(ne, "neighbor_id")
+      .withColumn("cosine",
+        cosine(dotCol(col("fq_emb"), col("fn_emb")),
+          col("fq_norm2"), col("fn_norm2")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"), col("cosine_q"))
+      .orderBy("query_id", "rank")
+  }
+
+  def twoStageRetrievalSql(k: Int = 5, nCand: Int = 20,
+                           nQueries: Int = defaultNQueries): String = {
+    val qCode = "CASE WHEN d.maxs[i] = d.mins[i] THEN 0 " +
+      "ELSE LEAST(255, CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - d.mins[i]) " +
+      "* 255.0 / (d.maxs[i] - d.mins[i])) AS BIGINT)) END"
+    s"""WITH ex AS (
+       |  SELECT unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |perdim AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM ex GROUP BY pos),
+       |dims AS (SELECT list(dmin ORDER BY pos) AS mins,
+       |                list(dmax ORDER BY pos) AS maxs FROM perdim),
+       |r AS (
+       |  SELECT vec_id,
+       |    [d.mins[i] + (CAST($qCode AS DOUBLE) + 0.5)
+       |       * ((d.maxs[i] - d.mins[i]) / 255.0)
+       |     for i in range(1, len(embedding) + 1)] AS remb
+       |  FROM embeddings CROSS JOIN dims d),
+       |rn AS (SELECT vec_id, remb, ${dotSql("remb", "remb")} AS rnorm2 FROM r),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.remb", "n.remb")} / sqrt(q.rnorm2 * n.rnorm2) AS cosine_q
+       |  FROM rn q JOIN rn n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cosine_q FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_q DESC, neighbor_id ASC) AS crank
+       |    FROM pairs) WHERE crank <= $nCand),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS norm2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cosine_q,
+       |    ${dotSql("q.embedding", "n.embedding")} / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine, cosine_q
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** v5: per-dimension int8 (0..255) min-max quantization — the embedding

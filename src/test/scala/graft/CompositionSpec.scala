@@ -182,6 +182,25 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("v14: with a corpus-wide candidate budget, two-stage IS exact search") {
+    // the limit-case identity that proves stage 2 is a true exact rerank:
+    // when the prefilter keeps everything, the composition must reproduce
+    // v1's brute-force top-k bit-for-bit
+    import graft.vector.Similarity
+    val n = graft.model.Tables.embeddings(spark, sfDir).count().toInt
+    val full = Similarity.twoStageRetrieval(spark, sfDir, nCand = n)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val truth = Similarity.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    assert(full.sortBy(t => (t._1, t._2)).toSeq === truth.sortBy(t => (t._1, t._2)).toSeq,
+      "uncapped two-stage must equal brute-force exactly")
+    // and the default budget returns well-formed per-query top-k
+    val ts = Similarity.twoStageRetrieval(spark, sfDir)
+    assert(ts.count() === 50)
+    assert(ts.filter(col("cosine") < -1 || col("cosine") > 1).count() === 0)
+  }
+
   test("x6: anomalies export is a11 row-for-row with consistent formatting") {
     val x = graft.export.Flatten.exportAnomalies(spark, sfDir).cache()
     try {

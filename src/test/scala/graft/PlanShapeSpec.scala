@@ -72,6 +72,10 @@ class PlanShapeSpec extends GraftSpec {
     // candidate agg and the per-query top-k window; embeddings broadcast
     ("h1_hybrid_search", 4,
       "df-capped word index (x2 subtrees) + candidate agg + top-k window"),
+    // v14: prefilter is broadcast-q x recon map + top-nCand window; the
+    // rerank joins candidates to floats on vec_id (the one hash join)
+    ("v14_two_stage", 1,
+      "top-nCand window; rerank equi-join rides it, floats broadcast/AQE"),
     ("t15_bm25", 6,
       "tf agg + df window per index subtree (x2) + score agg + top-k window"),
     ("d15_boilerplate", 2, "shingle-df agg + one doc_id rollup; frequent set broadcasts"),
