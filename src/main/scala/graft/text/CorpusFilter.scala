@@ -184,4 +184,43 @@ object CorpusFilter {
       .partitionBy("split", "lang_part")
       .parquet(outDir)
   }
+
+  /** x7: the TRAINING-SHARD MANIFEST — what a trainer's data loader
+    * reads before touching any shard: one row per (split, lang, shard)
+    * with document/window/token counts and the doc-id range, composed
+    * from c2's build relation (same kept rule, same packing windows).
+    * This is the ops contract of [[writeShards]]'s directory layout as
+    * an oracle-checked relation: a loader can size its prefetch and
+    * validate shard completeness from this table alone. Shard-count-
+    * bounded output; one aggregate over the kept docs. */
+  def shardManifest(spark: SparkSession, dir: String,
+                    minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
+    val langs = Corpus.docsTok(spark, dir).select(col("doc_id"), col("lang"))
+    corpusBuild(spark, dir, minQuality, budget).filter(col("kept"))
+      .join(langs, Seq("doc_id"))
+      .withColumn("shard", expr("doc_id div 64"))
+      .groupBy("split", "lang", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("window_id")).as("n_windows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("split", "lang", "shard")
+  }
+
+  def shardManifestSql(minQuality: Long = 50L, budget: Long = 512L): String =
+    s"""WITH c2 AS (${corpusBuildSql(minQuality, budget)}),
+       |k AS (
+       |  SELECT c.doc_id, c.n_tokens, c.split, c.window_id, d.lang,
+       |    c.doc_id // 64 AS shard
+       |  FROM c2 c JOIN documents d USING (doc_id)
+       |  WHERE c.kept)
+       |SELECT split, lang, shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT window_id) AS BIGINT) AS n_windows,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc
+       |FROM k GROUP BY split, lang, shard
+       |ORDER BY split, lang, shard""".stripMargin
 }

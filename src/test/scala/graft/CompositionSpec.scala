@@ -201,6 +201,22 @@ class CompositionSpec extends GraftSpec {
     assert(ts.filter(col("cosine") < -1 || col("cosine") > 1).count() === 0)
   }
 
+  test("x7: shard manifest accounts for every kept doc and token exactly") {
+    import graft.text.CorpusFilter
+    val m = CorpusFilter.shardManifest(spark, sfDir).cache()
+    try {
+      val kept = CorpusFilter.corpusBuild(spark, sfDir).filter(col("kept"))
+        .agg(count(lit(1)).as("d"), sum("n_tokens").as("t")).head
+      val tot = m.agg(sum("n_docs"), sum("n_tokens")).head
+      assert(tot.getLong(0) === kept.getLong(0), "manifest doc count")
+      assert(tot.getLong(1) === kept.getLong(1), "manifest token count")
+      // ranges and window counts are internally coherent per shard
+      assert(m.filter(col("first_doc") > col("last_doc")).count() === 0)
+      assert(m.filter(col("n_windows") < 1 ||
+        col("n_windows") > col("n_tokens") / 512 + 1).count() === 0)
+    } finally m.unpersist()
+  }
+
   test("x6: anomalies export is a11 row-for-row with consistent formatting") {
     val x = graft.export.Flatten.exportAnomalies(spark, sfDir).cache()
     try {
