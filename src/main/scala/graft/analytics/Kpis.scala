@@ -122,4 +122,48 @@ object Kpis {
   val availableDatesSql: String =
     s"""SELECT DISTINCT sale_date FROM (${Tables.salesSql})
        |ORDER BY sale_date DESC""".stripMargin
+
+  /** a29: RUNNING + MONTH-TO-DATE totals per store — the cumulative
+    * views every BI layer puts next to the daily rollup (the reference's
+    * dashboards recompute period sums per request; a lakehouse
+    * materializes them as window columns over the same silver).
+    *
+    * Exactness: the running sums fold the DECIMAL silver (rollupDec),
+    * so they are order-independent-exact like every other re-aggregation
+    * of it; the double cast happens once at the edge. Scale: windows
+    * partition by store (MTD: store × month) — dimension-bounded frames
+    * riding ONE store_id exchange, embarrassingly parallel across
+    * stores; no global running sum anywhere (the p8 discipline). */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col("store_id")).orderBy(col("sale_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mtd = Window
+      .partitionBy(col("store_id"), substring(col("sale_date"), 1, 7))
+      .orderBy(col("sale_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.etl.StoreDaily.rollupDec(spark, dir)
+      .withColumn("net_dec", col("gross_dec") - col("disc_dec"))
+      .select(col("store_id"), col("sale_date"),
+        col("net_dec").cast("double").as("day_sales"),
+        sum(col("net_dec")).over(cum).cast("double").as("running_sales"),
+        sum(col("net_dec")).over(mtd).cast("double").as("mtd_sales"),
+        sum(col("transaction_count")).over(cum).as("running_transactions"))
+      .orderBy(col("store_id"), col("sale_date"))
+  }
+
+  val runningTotalsSql: String =
+    s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql})
+       |SELECT store_id, sale_date,
+       |  CAST(gross_dec - disc_dec AS DOUBLE) AS day_sales,
+       |  CAST(SUM(gross_dec - disc_dec) OVER cum AS DOUBLE) AS running_sales,
+       |  CAST(SUM(gross_dec - disc_dec) OVER mtd AS DOUBLE) AS mtd_sales,
+       |  CAST(SUM(transaction_count) OVER cum AS BIGINT) AS running_transactions
+       |FROM r
+       |WINDOW
+       |  cum AS (PARTITION BY store_id ORDER BY sale_date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  mtd AS (PARTITION BY store_id, substr(sale_date, 1, 7) ORDER BY sale_date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY store_id, sale_date""".stripMargin
 }

@@ -71,6 +71,64 @@ object EventsBatch {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** e10: hourly VOLUME anomalies — a11's deviation rubric applied to
+    * the event stream: each (event_type, hour) count against the average
+    * of its trailing `histHours` OBSERVED hours (the a10 convention:
+    * reported periods, not calendar-filled ones — a silent hour is
+    * itself an anomaly a completeness check owns, j3's concern). The
+    * baseline is integer-exact (sum/count of longs, one double division
+    * at the edge), so the whole relation hash-compares despite the float
+    * deviation column. Severity thresholds are a11's.
+    *
+    * Scale: one (event_type) window over the hour sequence — frames are
+    * histHours-bounded, types are a small dimension; the hourly rollup
+    * itself is e2's map-combinable aggregate. */
+  def hourlyAnomalies(spark: SparkSession, dir: String,
+                      histHours: Int = 24, minHist: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(-histHours, -1)
+    hourlyWindow(spark, dir)
+      .withColumn("hist_hours", count(col("n_events")).over(w))
+      .withColumn("hist_total", sum(col("n_events")).over(w))
+      .filter(col("hist_hours") >= minHist)
+      .withColumn("hist_avg",
+        col("hist_total").cast("double") / col("hist_hours").cast("double"))
+      .withColumn("deviation_pct",
+        (col("n_events").cast("double") - col("hist_avg")) / col("hist_avg") * 100)
+      .withColumn("severity",
+        when(abs(col("deviation_pct")) > 50, "critical")
+          .when(abs(col("deviation_pct")) > 25, "warning")
+          .otherwise("info"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("hist_hours"), col("hist_avg"), col("deviation_pct"),
+        col("severity"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  def hourlyAnomaliesSql(histHours: Int = 24, minHist: Int = 3): String =
+    s"""WITH h AS ($hourlyWindowSql),
+       |t AS (
+       |  SELECT window_start, event_type, n_events,
+       |    COUNT(n_events) OVER w AS hist_hours,
+       |    SUM(n_events) OVER w AS hist_total
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+       |    ROWS BETWEEN $histHours PRECEDING AND 1 PRECEDING)),
+       |d AS (
+       |  SELECT window_start, event_type, n_events,
+       |    CAST(hist_hours AS BIGINT) AS hist_hours,
+       |    CAST(hist_total AS DOUBLE) / CAST(hist_hours AS DOUBLE) AS hist_avg
+       |  FROM t WHERE hist_hours >= $minHist)
+       |SELECT window_start, event_type, n_events, hist_hours, hist_avg,
+       |  (CAST(n_events AS DOUBLE) - hist_avg) / hist_avg * 100 AS deviation_pct,
+       |  CASE
+       |    WHEN ABS((CAST(n_events AS DOUBLE) - hist_avg) / hist_avg * 100) > 50
+       |      THEN 'critical'
+       |    WHEN ABS((CAST(n_events AS DOUBLE) - hist_avg) / hist_avg * 100) > 25
+       |      THEN 'warning'
+       |    ELSE 'info' END AS severity
+       |FROM d ORDER BY window_start, event_type""".stripMargin
+
   /** e3: semi-structured props parse — `from_json` on the JSON props
     * column (the reference's LLM-output JSON parse shape,
     * detect-anomalies:280-301: strip → parse → extract typed fields) +

@@ -217,6 +217,41 @@ class CompositionSpec extends GraftSpec {
     } finally m.unpersist()
   }
 
+  test("a29: running totals end at each store's grand total; MTD resets") {
+    val rt = graft.analytics.Kpis.runningTotals(spark, sfDir).cache()
+    try {
+      // final running_sales per store == the store's total day_sales
+      val last = rt.groupBy("store_id")
+        .agg(max("running_sales").as("final_run"), sum("day_sales").as("tot"))
+      assert(last.filter(abs(col("final_run") - col("tot")) > 1e-6).count() === 0)
+      // MTD never exceeds the running total and restarts <= day_sales on
+      // the first day of each month
+      assert(rt.filter(col("mtd_sales") > col("running_sales") + lit(1e-9))
+        .count() === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("store_id"), substring(col("sale_date"), 1, 7))
+        .orderBy("sale_date")
+      val first = rt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(first.filter(col("mtd_sales") =!= col("day_sales")).count() === 0,
+        "MTD must reset to the day's sales at each month start")
+    } finally rt.unpersist()
+  }
+
+  test("e10: hourly anomaly severities agree with the deviation rubric") {
+    val a = graft.streaming.EventsBatch.hourlyAnomalies(spark, sfDir).cache()
+    try {
+      assert(a.count() > 0)
+      assert(a.filter(col("hist_hours") < 3 || col("hist_hours") > 24)
+        .count() === 0)
+      val wrong = a.filter(
+        (abs(col("deviation_pct")) > 50 && col("severity") =!= "critical") ||
+        (abs(col("deviation_pct")) > 25 && abs(col("deviation_pct")) <= 50 &&
+          col("severity") =!= "warning") ||
+        (abs(col("deviation_pct")) <= 25 && col("severity") =!= "info"))
+      assert(wrong.count() === 0, "severity must follow a11's thresholds")
+    } finally a.unpersist()
+  }
+
   test("x6: anomalies export is a11 row-for-row with consistent formatting") {
     val x = graft.export.Flatten.exportAnomalies(spark, sfDir).cache()
     try {

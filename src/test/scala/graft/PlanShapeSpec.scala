@@ -97,7 +97,10 @@ class PlanShapeSpec extends GraftSpec {
     ("d16_dedup_verdict", 2, "bounded-cluster window + keeper join over memoized labels"),
     ("p11_curriculum", 1, "bounded (stage, shard) windows ride one exchange"),
     ("e9_interval_join", 2, "equi-join on user_id carries the range; one exchange pair"),
-    ("p12_pack_windows", 2, "plan rides the pack window; one (lang,shard,window) stitch")
+    ("p12_pack_windows", 2, "plan rides the pack window; one (lang,shard,window) stitch"),
+    ("a29_running_totals", 1,
+      "cum + MTD windows both ride one store exchange over the cached silver"),
+    ("e10_hourly_anomalies", 2, "e2's hourly agg + one event_type window")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
