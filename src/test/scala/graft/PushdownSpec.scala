@@ -1,0 +1,63 @@
+package graft
+
+/** Scan-level regression gates — the other half of PlanShapeSpec's 100 TB
+  * posture: exchanges bound data MOVEMENT, these bound data READ. A
+  * predicate that stops reaching the parquet scan (PushedFilters) or a
+  * projection that silently widens to the full table (ReadSchema) is
+  * invisible at sf0.01 and a full-corpus re-read at scale, so both are
+  * asserted against the actual FileSourceScanExec metadata here. */
+class PushdownSpec extends GraftSpec {
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  private def scans(key: String): Seq[FileSourceScanExec] = {
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan)
+  }
+
+  private def scanOf(key: String, table: String): Seq[FileSourceScanExec] =
+    scans(key).filter(_.metadata.getOrElse("Location", "").contains(table))
+
+  private def pushed(s: FileSourceScanExec): String =
+    s.metadata.getOrElse("PushedFilters", "")
+
+  test("P4: date-range keys push l_shipdate bounds into the lineitem scan") {
+    // the salesInRange contract: the derived sale_date string can't push,
+    // so the REDUNDANT raw timestamp range must reach row-group pruning
+    Seq("a19_completeness", "j3_missing_stores").foreach { key =>
+      val li = scanOf(key, "lineitem")
+      assert(li.nonEmpty, s"$key: no visible lineitem scan")
+      assert(li.exists { s =>
+        pushed(s).contains("GreaterThanOrEqual(l_shipdate") &&
+          pushed(s).contains("LessThan(l_shipdate")
+      }, s"$key: l_shipdate range no longer pushed: ${li.map(pushed)}")
+    }
+  }
+
+  test("query-set predicates reach the embeddings scan (vector family)") {
+    Seq("v1_cosine_topk", "v4_ivf_ann", "v14_two_stage").foreach { key =>
+      val e = scanOf(key, "embeddings")
+      assert(e.nonEmpty, s"$key: no visible embeddings scan")
+      assert(e.exists(s => pushed(s).contains("LessThan(vec_id")),
+        s"$key: query-set filter no longer pushed: ${e.map(pushed)}")
+    }
+  }
+
+  test("column pruning: projection-heavy scans stay narrow") {
+    // keys chosen because they ALWAYS read the raw files (no memoized
+    // silver can swallow the scan in a shared test JVM):
+    // lineitem has 16 columns; the ranged anti-join needs at most 9
+    val j3 = scanOf("j3_missing_stores", "lineitem")
+    assert(j3.nonEmpty && j3.forall(_.requiredSchema.fields.length <= 9),
+      s"j3 lineitem scan widened: ${j3.map(_.requiredSchema.fieldNames.mkString(","))}")
+    // events has 5+ columns; the daily rollup needs 3
+    val e1 = scanOf("e1_events_daily", "events")
+    assert(e1.nonEmpty && e1.forall(_.requiredSchema.fields.length <= 3),
+      s"e1 events scan widened: ${e1.map(_.requiredSchema.fieldNames.mkString(","))}")
+  }
+}
