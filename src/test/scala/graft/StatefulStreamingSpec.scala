@@ -319,4 +319,42 @@ class StatefulStreamingSpec extends GraftSpec {
     val net = ds.map(x => (x.line_total - x.discount_amount).toDouble).head()
     assert(net === 7.0)
   }
+
+  test("streaming hourly anomalies match the batch e10 relation bit-for-bit") {
+    import spark.implicits._
+    import graft.streaming.{StatefulHourlyAnomalies, HourlyCount}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("window_start")
+    val rows = graft.streaming.EventsBatch.hourlyWindow(spark, sfDir)
+      .withColumn("hour_idx", row_number().over(w))
+      .select("event_type", "hour_idx", "window_start", "n_events")
+      .collect()
+      .map(r => HourlyCount(r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.window_start)
+    // split mid-stream: baselines spanning the micro-batch boundary must
+    // still see their trailing 24 observed hours from carried state
+    val mid = rows(rows.length / 2).window_start
+    val (b1, b2) = rows.partition(_.window_start < mid)
+    val input = MemoryStream[HourlyCount]
+    val q = StatefulHourlyAnomalies.detect(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hourly_anoms").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getString(6))
+      val got = spark.sql(
+          """SELECT window_start, event_type, n_events, hist_hours,
+            |  hist_avg, deviation_pct, severity FROM hourly_anoms""".stripMargin)
+        .collect().map(key).sortBy(t => (t._1, t._2))
+      val want = graft.streaming.EventsBatch.hourlyAnomalies(spark, sfDir)
+        .collect().map(key).sortBy(t => (t._1, t._2))
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streaming hourly anomalies must equal the batch e10 relation exactly")
+    } finally q.stop()
+  }
 }
