@@ -392,6 +392,70 @@ object Dedup {
        |WHERE CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) >= $threshold
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  /** d17: CONTAINMENT dedup — the asymmetric relation Jaccard cannot
+    * see: a short document embedded (near-)verbatim in a longer one
+    * (quotes, re-posts with commentary, boilerplate-wrapped copies) has
+    * high containment |S(a)∩S(b)| / |S(a)| while its Jaccard stays low
+    * because the union is dominated by the longer side — so a
+    * Jaccard-thresholded pipeline (d4/d6) ships the duplicate. One row
+    * per ORDERED pair (contained, container) passing the threshold; the
+    * verdict filter is integer-exact (n_common·100 ≥ pct·size, the d15
+    * discipline) with the float ratios emitted for reporting only.
+    * Candidates come from the SAME shingle inverted index as d4 — the
+    * orientation step is a projection of the cached pair silver, so at
+    * scale this adds zero joins beyond what d4 already paid. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       minPct: Int = 80): DataFrame = {
+    val ds = docSids(spark, dir)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = commonShinglesFrom(ds)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+    val oriented = pairs.select(
+        col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
+        col("size_a").as("size_contained"), col("size_b").as("size_container"),
+        col("n_common"))
+      .unionByName(pairs.select(
+        col("doc_b").as("contained_doc"), col("doc_a").as("container_doc"),
+        col("size_b").as("size_contained"), col("size_a").as("size_container"),
+        col("n_common")))
+    oriented
+      .filter(col("n_common") * lit(100L) >=
+        lit(minPct.toLong) * col("size_contained"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("size_contained").cast("double"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("size_contained") + col("size_container") - col("n_common"))
+          .cast("double"))
+      .select(col("contained_doc"), col("container_doc"), col("n_common"),
+        col("size_contained"), col("size_container"),
+        col("containment"), col("jaccard"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  def containmentPairsSql(minPct: Int = 80): String =
+    s"""WITH common AS ($commonShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id),
+       |p AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_common, za.sz AS size_a, zb.sz AS size_b
+       |  FROM common c
+       |  JOIN sizes za ON za.doc_id = c.doc_a
+       |  JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |oriented AS (
+       |  SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       |    size_a AS size_contained, size_b AS size_container, n_common
+       |  FROM p
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, size_b, size_a, n_common FROM p)
+       |SELECT contained_doc, container_doc, n_common,
+       |  size_contained, size_container,
+       |  CAST(n_common AS DOUBLE) / CAST(size_contained AS DOUBLE) AS containment,
+       |  CAST(n_common AS DOUBLE)
+       |    / CAST(size_contained + size_container - n_common AS DOUBLE) AS jaccard
+       |FROM oriented
+       |WHERE n_common * 100 >= $minPct * size_contained
+       |ORDER BY contained_doc, container_doc""".stripMargin
+
   /** d7: LSH quality evaluation — confusion counts of the MinHash
     * pipeline against exact Jaccard at threshold 0.5: true/false
     * positives among candidates (by estimated Jaccard), candidate pairs

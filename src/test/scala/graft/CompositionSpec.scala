@@ -217,6 +217,29 @@ class CompositionSpec extends GraftSpec {
     } finally m.unpersist()
   }
 
+  test("d17: containment is the asymmetric ratio, bounded by its algebra") {
+    val c = graft.dedup.Dedup.containmentPairs(spark, sfDir).cache()
+    try {
+      assert(c.count() > 0)
+      // containment = n_common/size_contained in [0.8, 1]; jaccard can
+      // never exceed containment (union >= contained size); the integer
+      // filter and the float column must agree
+      assert(c.filter(col("containment") < 0.8 - 1e-12 ||
+        col("containment") > 1.0).count() === 0)
+      assert(c.filter(col("jaccard") > col("containment")).count() === 0)
+      assert(c.filter(col("n_common") > col("size_contained")).count() === 0)
+      // exact duplicates are contained both ways: every (a CONTAINED-IN b)
+      // with containment 1.0 and equal sizes has its mirror row
+      val full = c.filter(col("containment") === 1.0 &&
+        col("size_contained") === col("size_container"))
+        .select("contained_doc", "container_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      full.foreach { case (a, b) =>
+        assert(full.contains((b, a)), s"missing mirror orientation ($b, $a)")
+      }
+    } finally c.unpersist()
+  }
+
   test("a29: running totals end at each store's grand total; MTD resets") {
     val rt = graft.analytics.Kpis.runningTotals(spark, sfDir).cache()
     try {
