@@ -19,8 +19,10 @@ case class MediaFeatures(
     kind: String,
     n_bytes: Long,
     checksum: Long,
-    decoded_format: String, // "png" | "jpeg" | "raw"
-    decoded_w: Int, // 0 when the payload is not a parseable image
+    decoded_format: String, // "png" | "jpeg" | "wav" | "raw"
+    // format-primary dimensions: image (width, height); audio
+    // (sample_rate, n_samples); 0 when the payload parses as neither
+    decoded_w: Int,
     decoded_h: Int,
     channels: Int,
     features: Array[Float])
@@ -28,11 +30,13 @@ case class MediaFeatures(
 /** Multimodal-column operators: decode / feature-extract / frame-sample
   * over opaque binary media columns.
   *
-  * The decode step is REAL for image metadata: image rows carry valid
-  * PNG payloads and [[extractFeatures]] parses their actual bytes
-  * (PNG IHDR / JPEG SOF via [[ImageCodec]] — pure JVM, deterministic)
-  * into decoded dimensions and channel counts — the routing metadata a
-  * real media pipeline extracts first. Pixel-level model EMBEDDING
+  * The decode step is REAL for image AND audio metadata: image rows
+  * carry valid PNG payloads, audio rows valid PCM WAV payloads, and
+  * [[extractFeatures]] parses their actual bytes (PNG IHDR / JPEG SOF
+  * via [[ImageCodec]]; RIFF/WAVE chunks via [[AudioCodec]] — pure JVM,
+  * deterministic) into decoded dimensions/rates and channel counts —
+  * the routing metadata a real media pipeline extracts first.
+  * Waveform/pixel-level model EMBEDDING
   * remains a stub ([[decodeStub]]: no model weights in this container);
   * it produces a deterministic feature vector from the payload bytes.
   * Everything around both — the binary column schema, the
@@ -51,9 +55,10 @@ object Multimodal {
     * round-robins image/audio/video, dims from n_chars) — a stand-in
     * for a real (id, bytes, metadata) media lake. IMAGE rows carry a
     * real PNG payload ([[ImageCodec.pngBytes]]) whose encoded
-    * dimensions equal the row's metadata dims, so the decode path
-    * exercises genuine format parsing; audio/video rows keep UTF-8
-    * payloads for their (stubbed) codecs. */
+    * dimensions equal the row's metadata dims, AUDIO rows a real PCM
+    * WAV ([[AudioCodec.wavBytes]]) at a metadata-derived sample rate —
+    * so the decode path exercises genuine format parsing for both;
+    * video rows keep UTF-8 payloads for their (stubbed) codec. */
   def mediaFromDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.model.Tables.documents(spark, dir)
@@ -67,10 +72,14 @@ object Multimodal {
         (col("n_chars") % 120 + 1).cast("int").as("n_frames"))
       .as[MediaRecord]
       .map { r =>
-        if (r.kind == "image")
-          r.copy(bytes =
+        r.kind match {
+          case "image" => r.copy(bytes =
             ImageCodec.pngBytes(r.width, r.height, (r.media_id % 251).toByte))
-        else r
+          case "audio" => r.copy(bytes = AudioCodec.wavBytes(
+            8000 + (r.media_id % 8).toInt * 1000,
+            math.max(1, r.width * r.height), r.media_id))
+          case _ => r // video: payload stays opaque (decode is the stub seam)
+        }
       }
   }
 
@@ -101,13 +110,15 @@ object Multimodal {
         var checksum = 0L
         var i = 0
         while (i < r.bytes.length) { checksum = checksum * 31 + (r.bytes(i) & 0xff); i += 1 }
-        val hdr = ImageCodec.parseImageHeader(r.bytes)
+        val (fmt, dw, dh, ch) = ImageCodec.parseImageHeader(r.bytes) match {
+          case Some(h) => (h.format, h.width, h.height, h.channels)
+          case None => AudioCodec.parseWav(r.bytes) match {
+            case Some(w) => ("wav", w.sampleRate, w.nSamples.toInt, w.channels)
+            case None => ("raw", 0, 0, 0)
+          }
+        }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
-          hdr.map(_.format).getOrElse("raw"),
-          hdr.map(_.width).getOrElse(0),
-          hdr.map(_.height).getOrElse(0),
-          hdr.map(_.channels).getOrElse(0),
-          decodeStub(r.bytes))
+          fmt, dw, dh, ch, decodeStub(r.bytes))
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{ImageCodec, ImageHeader, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, ImageHeader, Multimodal, WavHeader}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -73,10 +73,41 @@ class MultimodalSpec extends GraftSpec {
         col("decoded_h") =!= col("height") ||
         col("channels") =!= 1).count() === 0,
         "decoded header disagrees with encoded dims")
-      // non-image payloads must not pretend to decode
-      assert(feats.filter(col("kind") =!= "image")
+      // audio rows decode as mono WAV at the metadata-derived rate
+      val wav = feats.filter(col("kind") === "audio")
+      assert(wav.count() > 0)
+      assert(wav.filter(col("decoded_format") =!= "wav" ||
+        col("channels") =!= 1 ||
+        col("decoded_w") < 8000 || col("decoded_w") > 15000 ||
+        col("decoded_h") < 1).count() === 0,
+        "audio rows must parse as mono PCM WAV at the fixture rate")
+      // video payloads must not pretend to decode
+      assert(feats.filter(col("kind") === "video")
         .filter(col("decoded_format") =!= "raw" || col("decoded_w") =!= 0)
         .count() === 0)
     } finally feats.unpersist()
+  }
+
+  test("parseWav recovers rate/channels/frames; javax.sound accepts ours") {
+    val b = AudioCodec.wavBytes(sampleRate = 11025, nSamples = 321, seed = 5)
+    assert(AudioCodec.parseWav(b) === Some(WavHeader(11025, 1, 8, 321L)))
+    // a real decoder agrees with what we encoded
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(in.getFormat.getSampleRate === 11025f)
+    assert(in.getFormat.getChannels === 1)
+    assert(in.getFrameLength === 321L)
+    // and our parser reads a javax.sound-encoded WAV (the reverse trip)
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val raw = new Array[Byte](400) // 100 frames * 4 bytes
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val parsed = AudioCodec.parseWav(bos.toByteArray)
+    assert(parsed === Some(WavHeader(22050, 2, 16, 100L)))
+    // garbage rejects cleanly
+    assert(AudioCodec.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
   }
 }
