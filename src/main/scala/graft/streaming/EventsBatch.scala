@@ -110,7 +110,7 @@ object EventsBatch {
        |t AS (
        |  SELECT window_start, event_type, n_events,
        |    COUNT(n_events) OVER w AS hist_hours,
-       |    SUM(n_events) OVER w AS hist_total
+       |    CAST(SUM(n_events) OVER w AS BIGINT) AS hist_total
        |  FROM h
        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
        |    ROWS BETWEEN $histHours PRECEDING AND 1 PRECEDING)),
