@@ -406,11 +406,17 @@ object Dedup {
     * scale this adds zero joins beyond what d4 already paid. */
   def containmentPairs(spark: SparkSession, dir: String,
                        minPct: Int = 80): DataFrame = {
-    val ds = docSids(spark, dir)
-    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = commonShinglesFrom(ds)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+    // memoized: the orientation union below consumes the pair relation
+    // TWICE — without the silver the inverted-index join would run twice
+    // (it is the whole cost of this operator)
+    val pairs = Silver.memoize(spark, "containmentBase", dir) {
+      val ds = docSids(spark, dir)
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      commonShinglesFrom(ds)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+        .cache()
+    }
     val oriented = pairs.select(
         col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
         col("size_a").as("size_contained"), col("size_b").as("size_container"),
