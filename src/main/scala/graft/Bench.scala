@@ -85,6 +85,13 @@ object Bench {
       def sfOf(p: String): Double =
         new java.io.File(p).getName.stripPrefix("sf").toDoubleOption.getOrElse(Double.NaN)
       val ratio = sfOf(sfDir) / sfOf(slopeDir)
+      if (ratio.isNaN || ratio.isInfinite || ratio <= 0) {
+        // a non-sf-named dir would emit NaN (invalid JSON) and silently
+        // disable flagging — refuse the section instead, loudly
+        System.err.println(
+          s"[bench] slope section skipped: cannot derive data ratio from " +
+            s"'$sfDir' vs '$slopeDir' (need sf<number> basenames)")
+      } else {
       try { // mirror the big-SF warmup so silver builds stay out of timings
         graft.etl.StoreDaily.rollupDec(spark, slopeDir).count()
         graft.etl.StoreDaily.paymentDec(spark, slopeDir).count()
@@ -114,6 +121,7 @@ object Bench {
       val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")
       println(s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"slopes":$slopesJson}""")
+      }
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs}""")

@@ -35,18 +35,23 @@ object AudioCodec {
   def parseWav(b: Array[Byte]): Option[WavHeader] = {
     if (b.length < 44) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var i = 12
+    // the cursor is a Long and the chunk length stays unsigned: a
+    // malformed length advances past the buffer (loop exits) instead of
+    // wrapping negative through toInt (infinite loop / negative index
+    // on a corrupt or adversarial file)
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
     var dataLen: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
-      val len = u32le(b, i + 4)
-      if (tag(b, i, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
-        fmt = Some((u16le(b, i + 8), u16le(b, i + 10),
-          u32le(b, i + 12).toInt, u16le(b, i + 22)))
-      else if (tag(b, i, "data"))
-        dataLen = Some(math.min(len, (b.length - i - 8).toLong))
+      val ii = i.toInt
+      val len = u32le(b, ii + 4)
+      if (tag(b, ii, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((u16le(b, ii + 8), u16le(b, ii + 10),
+          u32le(b, ii + 12).toInt, u16le(b, ii + 22)))
+      else if (tag(b, ii, "data"))
+        dataLen = Some(math.min(len, (b.length - i - 8)))
       // chunks are word-aligned: odd lengths carry a pad byte
-      i += 8 + len.toInt + (len.toInt & 1)
+      i += 8L + len + (len & 1L)
     }
     for {
       (audioFmt, ch, rate, bits) <- fmt

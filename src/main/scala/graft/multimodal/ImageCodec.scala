@@ -78,6 +78,9 @@ object ImageCodec {
       if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
       else {
+        // the fill-byte skip moved i: re-check the 2-byte length fits
+        // (a truncated file must reject, not index past the array)
+        if (i + 3 >= b.length) return None
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         if (isSof(m)) {

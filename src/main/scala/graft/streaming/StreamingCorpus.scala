@@ -103,7 +103,7 @@ object StreamingCorpus {
     * as [[surprisalGate]]'s `oovBits` for bit-parity with the batch
     * relation; a deployment may also pin a config constant. */
   def lmOovBits(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    TextAnalysis.lmTotals(spark, dir).collect()(0).getLong(1)
+    TextAnalysis.lmTotals(spark, dir)._2
 
   /** Streaming LM-surprisal gate: drop documents whose mean per-token
     * surprisal exceeds `maxBits` (noise, OCR garbage, wrong-language

@@ -83,13 +83,28 @@ object CorpusFilter {
     * nulls — deterministic hash compare). */
   def corpusBuild(spark: SparkSession, dir: String,
                   minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Fused like [[corpusFilter]]: quality inline, exact-dup as a window;
-    // only the decontamination verdict (d12, a shingle-level aggregate)
-    // remains a join.
+    val base = corpusBase(spark, dir, minQuality)
+    val packed = packedKeptFrom(base, budget)
+      .select("doc_id", "split", "offset_start", "window_id")
+    base.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("is_exact_dup"), col("is_contaminated"), col("is_benchmark"),
+        col("kept"),
+        coalesce(col("split"), lit("")).as("split"),
+        coalesce(col("offset_start"), lit(-1L)).as("offset_start"),
+        coalesce(col("window_id"), lit(-1L)).as("window_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c2's verdict base: per-doc quality/dup/contamination/benchmark
+    * flags and the kept decision. Fused like [[corpusFilter]]: quality
+    * inline, exact-dup as a window; only the decontamination verdict
+    * (d12, a shingle-level aggregate) remains a join. */
+  private def corpusBase(spark: SparkSession, dir: String,
+                         minQuality: Long): DataFrame = {
     val contam = CorpusPrep.contamination(spark, dir)
       .select(col("doc_id"), col("is_contaminated"))
-    val base = Corpus.docsTok(spark, dir)
+    Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(col("words")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
@@ -100,25 +115,33 @@ object CorpusFilter {
       .withColumn("kept",
         col("quality_score") >= minQuality && !col("is_exact_dup") &&
           !col("is_contaminated") && !col("is_benchmark"))
+  }
+
+  /** The kept-and-packed relation — THE single definition of the shard
+    * layout (split rule, shard = doc_id div 64, running pack offsets,
+    * window ids), consumed by [[corpusBuild]] (projected), by
+    * [[writeShards]] (the directory layout), and by [[shardManifest]]
+    * (the loader contract) so the three can never drift. */
+  private def packedKeptFrom(base: org.apache.spark.sql.DataFrame,
+                             budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bucket = CorpusPrep.splitBucket(col("doc_id"))
     val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = base.filter(col("kept"))
+    base.filter(col("kept"))
       .withColumn("split",
         when(bucket < 900L, "train").when(bucket < 950L, "val").otherwise("test"))
       .withColumn("shard", expr("doc_id div 64"))
       .withColumn("offset_start", sum("n_tokens").over(w) - col("n_tokens"))
-      .select(col("doc_id"), col("split"), col("offset_start"),
-        expr(s"offset_start div $budget").as("window_id"))
-    base.join(packed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
-        col("is_exact_dup"), col("is_contaminated"), col("is_benchmark"),
-        col("kept"),
-        coalesce(col("split"), lit("")).as("split"),
-        coalesce(col("offset_start"), lit(-1L)).as("offset_start"),
-        coalesce(col("window_id"), lit(-1L)).as("window_id"))
-      .orderBy(col("doc_id"))
+      .withColumn("window_id", expr(s"offset_start div $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"),
+        col("shard"), col("offset_start"), col("window_id"))
   }
+
+  private[text] def corpusBuildKept(spark: SparkSession, dir: String,
+                                    minQuality: Long = 50L,
+                                    budget: Long = 512L): org.apache.spark.sql.DataFrame =
+    packedKeptFrom(corpusBase(spark, dir, minQuality), budget)
 
   def corpusBuildSql(minQuality: Long = 50L, budget: Long = 512L): String =
     s"""WITH quality AS (
@@ -171,9 +194,9 @@ object CorpusFilter {
     * [[graft.ingest.Ingest.writeLake]]). */
   def writeShards(spark: SparkSession, dir: String, outDir: String): Unit = {
     val docs = Corpus.docsTok(spark, dir)
-      .select(col("doc_id"), col("lang").as("lang_part"), col("text"))
-    corpusBuild(spark, dir).filter(col("kept"))
-      .withColumn("shard", expr("doc_id div 64"))
+      .select(col("doc_id"), col("text"))
+    corpusBuildKept(spark, dir)
+      .withColumn("lang_part", col("lang"))
       .join(docs, Seq("doc_id"))
       .select(col("split"), col("lang_part"), col("doc_id"), col("shard"),
         col("window_id"), col("offset_start"), col("n_tokens"), col("text"))
@@ -195,10 +218,7 @@ object CorpusFilter {
     * bounded output; one aggregate over the kept docs. */
   def shardManifest(spark: SparkSession, dir: String,
                     minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
-    val langs = Corpus.docsTok(spark, dir).select(col("doc_id"), col("lang"))
-    corpusBuild(spark, dir, minQuality, budget).filter(col("kept"))
-      .join(langs, Seq("doc_id"))
-      .withColumn("shard", expr("doc_id div 64"))
+    corpusBuildKept(spark, dir, minQuality, budget)
       .groupBy("split", "lang", "shard")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("window_id")).as("n_windows"),

@@ -467,14 +467,17 @@ object TextAnalysis {
   val lmVocabCap = 24
   val lmBigramCap = 512
 
-  /** The 1-row fit totals: (cnt_total, oov_bits). A global count — no
-    * hash exchange, no vocabulary-sized intermediate. */
-  private[graft] def lmTotals(spark: SparkSession, dir: String): DataFrame =
-    Corpus.docsTok(spark, dir)
-      .select(explode(col("words")).as("word"))
-      .agg(count(lit(1)).as("cnt_total"))
-      .select(col("cnt_total"),
-        (length(bin(col("cnt_total"))) - lit(1)).cast("long").as("oov_bits"))
+  /** The fit totals (cnt_total, oov_bits), computed as ONE 1-row
+    * aggregate over the cached tokenize-once silver — sum of the word
+    * array sizes, no explode — and collected (the v5/a20
+    * broadcast-config pattern: a driver round-trip of one row). Both
+    * values then enter the plans as LITERALS, so neither the fit nor
+    * the scoring pass re-derives the corpus total. */
+  private[graft] def lmTotals(spark: SparkSession, dir: String): (Long, Long) = {
+    val total = Corpus.docsTok(spark, dir)
+      .agg(sum(size(col("words")).cast("long"))).head.getLong(0)
+    (total, 63L - java.lang.Long.numberOfLeadingZeros(total))
+  }
 
   /** The fitted unigram LM: (word, bits), capped at `vocabCap` rows —
     * ONE definition of the fit algebra, shared by the batch score below
@@ -483,25 +486,28 @@ object TextAnalysis {
     * parity is by construction, not by copy. The top-K select is a
     * TakeOrderedAndProject (per-partition top-K, K-bounded merge), not
     * a global sort. */
-  private[graft] def lmBits(spark: SparkSession, dir: String,
-                            vocabCap: Int = lmVocabCap): DataFrame = {
+  private def lmBitsWith(spark: SparkSession, dir: String, vocabCap: Int,
+                         cntTotal: Long): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
       .select(explode(col("words")).as("word"))
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
     val kept = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
-    kept.crossJoin(broadcast(lmTotals(spark, dir)))
-      .select(col("word"),
-        (length(bin(expr("cnt_total DIV cnt"))) - lit(1)).cast("long").as("bits"))
+    kept.select(col("word"),
+      (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long").as("bits"))
   }
+
+  private[graft] def lmBits(spark: SparkSession, dir: String,
+                            vocabCap: Int = lmVocabCap): DataFrame =
+    lmBitsWith(spark, dir, vocabCap, lmTotals(spark, dir)._1)
 
   def lmSurprisal(spark: SparkSession, dir: String,
                   vocabCap: Int = lmVocabCap): DataFrame = {
+    val (cntTotal, oovBits) = lmTotals(spark, dir)
     val toks = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("word"))
-    val lm = lmBits(spark, dir, vocabCap)
+    val lm = lmBitsWith(spark, dir, vocabCap, cntTotal)
     toks.join(broadcast(lm), Seq("word"), "left")
-      .crossJoin(broadcast(lmTotals(spark, dir)))
-      .withColumn("tok_bits", coalesce(col("bits"), col("oov_bits")))
+      .withColumn("tok_bits", coalesce(col("bits"), lit(oovBits)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("tok_bits")).as("sum_bits"))
       .select(col("doc_id"),
@@ -570,11 +576,14 @@ object TextAnalysis {
     val lm = kept.join(broadcast(prevTotals), Seq("prev"))
       .select(col("prev"), col("cur"),
         (length(bin(expr("c_prev DIV c_big"))) - lit(1)).cast("long").as("bits"))
-    val totals = bg.agg(count(lit(1)).as("bg_total"))
-      .select((length(bin(col("bg_total"))) - lit(1)).cast("long").as("oov_bits"))
+    // OOV charge from a 1-row aggregate over the cached silver (sum of
+    // per-doc bigram counts, no explode), entering the plan as a literal
+    val bgTotal = Corpus.docsTok(spark, dir)
+      .filter(size(col("words")) >= 2)
+      .agg(sum((size(col("words")) - lit(1)).cast("long"))).head.getLong(0)
+    val oovBits = 63L - java.lang.Long.numberOfLeadingZeros(bgTotal)
     bg.join(broadcast(lm), Seq("prev", "cur"), "left")
-      .crossJoin(broadcast(totals))
-      .withColumn("bg_bits", coalesce(col("bits"), col("oov_bits")))
+      .withColumn("bg_bits", coalesce(col("bits"), lit(oovBits)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_bits")).as("sum_bits"))
       .select(col("doc_id"),

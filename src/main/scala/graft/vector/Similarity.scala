@@ -361,7 +361,8 @@ object Similarity {
     * tens of rows regardless of corpus size. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 5,
                 nQueries: Int = defaultNQueries): DataFrame = {
-    val truth = cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val truth = cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
     def eval(method: String, pairs: DataFrame): DataFrame =
       truth.join(pairs.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
@@ -371,16 +372,17 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"),
           col("n_truth"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
-    eval("ivf", ivfAnn(spark, dir, k).select("query_id", "neighbor_id"))
-      .union(eval("lsh", annLsh(spark, dir, k).select("query_id", "neighbor_id")))
+    eval("ivf", ivfAnn(spark, dir, k, nQueries).select("query_id", "neighbor_id"))
+      .union(eval("lsh",
+        annLsh(spark, dir, k, nQueries).select("query_id", "neighbor_id")))
       .orderBy("method", "query_id")
   }
 
   def annRecallSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
     s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)})),
-       |lshp AS (SELECT query_id, neighbor_id FROM (${annLshSql(k)})),
-       |ivfp AS (SELECT query_id, neighbor_id FROM (${ivfAnnSql(k)})),
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)})),
+       |lshp AS (SELECT query_id, neighbor_id FROM (${annLshSql(k, nQueries)})),
+       |ivfp AS (SELECT query_id, neighbor_id FROM (${ivfAnnSql(k, nQueries)})),
        |ev AS (
        |  SELECT 'ivf' AS method, t.query_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_truth,
@@ -453,7 +455,8 @@ object Similarity {
     val approx = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
       .join(approx.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -494,7 +497,7 @@ object Similarity {
        |      ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
        |    FROM pairs) WHERE rank <= $k),
        |truth AS (
-       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)}))
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)}))
        |SELECT t.query_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_truth,
        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
@@ -803,7 +806,8 @@ object Similarity {
     val approx = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    cosineTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
       .join(approx.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -844,7 +848,7 @@ object Similarity {
        |      ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
        |    FROM pairs) WHERE rank <= $k),
        |truth AS (
-       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k)}))
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)}))
        |SELECT t.query_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_truth,
        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,

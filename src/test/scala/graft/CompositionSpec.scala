@@ -182,6 +182,30 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("recall family threads nQueries into BOTH sides (truth and approx)") {
+    // regression: a half-threaded nQueries computed approx for queries
+    // 0..n-1 but truth for 0..9, yielding phantom zero-recall rows
+    import graft.vector.Similarity
+    val qr = Similarity.quantizedRecall(spark, sfDir, nQueries = 3)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(qr === Set(0L, 1L, 2L), s"quantizedRecall query set: $qr")
+    val pr = Similarity.pqRecall(spark, sfDir, nQueries = 3)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(pr === Set(0L, 1L, 2L), s"pqRecall query set: $pr")
+    val ar = Similarity.annRecall(spark, sfDir, nQueries = 3)
+    assert(ar.select("query_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    // and shrinking the query set must not manufacture zero-recall rows:
+    // each query's recall matches the default-run value for that query
+    val dflt = Similarity.pqRecall(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    Similarity.pqRecall(spark, sfDir, nQueries = 3)
+      .collect().foreach { r =>
+        assert(r.getDouble(3) === dflt(r.getLong(0)),
+          s"query ${r.getLong(0)} recall changed with the query-set size")
+      }
+  }
+
   test("v14: with a corpus-wide candidate budget, two-stage IS exact search") {
     // the limit-case identity that proves stage 2 is a true exact rerank:
     // when the prefilter keeps everything, the composition must reproduce

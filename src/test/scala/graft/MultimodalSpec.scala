@@ -110,4 +110,22 @@ class MultimodalSpec extends GraftSpec {
     // garbage rejects cleanly
     assert(AudioCodec.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
   }
+
+  test("malformed containers reject in finite time, never hang or throw") {
+    // a chunk length of 0xFFFFFFF8 once truncated to Int is -8: the
+    // cursor would advance by zero (infinite loop) — must return None
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      new Array[Byte](24)
+    assert(AudioCodec.parseWav(evilWav).isEmpty)
+    // SOI followed by trailing fill bytes: the fill-byte skip moves the
+    // cursor past the bound the outer loop checked — must reject, not
+    // read past the array
+    assert(ImageCodec.parseJpeg(Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte)).isEmpty)
+    // truncated right after a valid marker id, before its length bytes
+    assert(ImageCodec.parseJpeg(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00)
+      .map(_.toByte)).isEmpty)
+  }
 }

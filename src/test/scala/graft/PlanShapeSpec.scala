@@ -62,8 +62,8 @@ class PlanShapeSpec extends GraftSpec {
     ("d1_exact_dedup", 1, "one hash agg on text"),
     ("e6_funnel", 3, "three agg/join rounds on user_id, as documented"),
     // LM fit = one vocab-sized count agg capped by TakeOrdered (no sort
-    // exchange); the 1-row totals are a global agg (SinglePartition, not
-    // hash); the corpus-sized movement is the doc_id scoring aggregate
+    // exchange); the totals enter as collected literals (1-row driver
+    // round-trip); the corpus-sized movement is the doc_id scoring agg
     ("t13_lm_surprisal", 2, "capped vocab fit agg + one doc_id exchange"),
     ("t14_bigram_surprisal", 4,
       "pair-count agg (x2 subtrees: cap + prefix totals) + prev agg + doc_id agg"),
