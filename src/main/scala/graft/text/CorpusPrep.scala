@@ -546,4 +546,33 @@ object CorpusPrep {
        |  CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_ratio,
        |  n_common * 10 >= n_shingles * 3 AS is_contaminated
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** p13: deterministic uniform corpus SAMPLE — the subsampling every
+    * ablation/debug/eval workflow needs, as a pure per-row predicate on
+    * a FOURTH independent multiplicative hash (p7's split, p9's mix
+    * draw and p10's shuffle key each use their own constants, so the
+    * sample is uncorrelated with all of them). `rand(seed)` is
+    * partitioning- and retry-dependent; this hash selects the IDENTICAL
+    * sample on any re-run, any cluster layout, any engine — and the
+    * sample is consistent ACROSS scale factors (a doc keeps its verdict
+    * as the corpus grows, so sampled pipelines are comparable
+    * run-over-run). Map-side filter at scan speed; `perMille` is the
+    * kept fraction in [0, 1000]. */
+  def uniformSampleBucket(docId: Column): Column =
+    pmod(pmod(docId, lit(999999893L)) * lit(2246822519L), lit(1000L))
+
+  def sampleDocs(spark: SparkSession, dir: String,
+                 perMille: Int = 100): DataFrame =
+    Corpus.docsTok(spark, dir)
+      .filter(uniformSampleBucket(col("doc_id")) < perMille)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        uniformSampleBucket(col("doc_id")).as("sample_bucket"))
+      .orderBy("doc_id")
+
+  def sampleDocsSql(perMille: Int = 100): String =
+    s"""SELECT doc_id, lang, source, n_chars,
+       |  ((doc_id % 999999893) * 2246822519) % 1000 AS sample_bucket
+       |FROM documents
+       |WHERE ((doc_id % 999999893) * 2246822519) % 1000 < $perMille
+       |ORDER BY doc_id""".stripMargin
 }

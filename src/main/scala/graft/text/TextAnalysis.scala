@@ -624,6 +624,41 @@ object TextAnalysis {
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
 
+  /** t17: the LANGUAGE-ID CONFUSION MATRIX — the d7/v6 eval-harness
+    * pattern applied to t3: per (labeled, predicted) language pair, the
+    * document count and the share of the label's documents it
+    * represents (the per-label recall sits on the diagonal). This is
+    * the quality gate before trusting a lang-id filter to route a
+    * multilingual corpus — mispredicted languages silently skew the
+    * source mix (m1) and the curriculum (p11). Two tiny hash
+    * aggregates over the per-doc verdicts; output is |langs|² rows. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = langId(spark, dir).select("lang_labeled", "lang_pred")
+    val cells = verdicts.groupBy("lang_labeled", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = verdicts.groupBy("lang_labeled")
+      .agg(count(lit(1)).as("label_total"))
+    cells.join(totals, Seq("lang_labeled"))
+      .select(col("lang_labeled"), col("lang_pred"), col("n_docs"),
+        col("label_total"),
+        (col("n_docs").cast("double") / col("label_total").cast("double"))
+          .as("label_share"))
+      .orderBy("lang_labeled", "lang_pred")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH v AS (SELECT lang_labeled, lang_pred FROM ($langIdSql)),
+       |cells AS (
+       |  SELECT lang_labeled, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM v GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT lang_labeled, CAST(COUNT(*) AS BIGINT) AS label_total
+       |  FROM v GROUP BY 1)
+       |SELECT c.lang_labeled, c.lang_pred, c.n_docs, t.label_total,
+       |  CAST(c.n_docs AS DOUBLE) / CAST(t.label_total AS DOUBLE) AS label_share
+       |FROM cells c JOIN totals t USING (lang_labeled)
+       |ORDER BY c.lang_labeled, c.lang_pred""".stripMargin
+
   /** t15: BM25 lexical ranking in PURE INTEGER arithmetic — the scoring
     * upgrade of h1's candidate stage (h1 counts shared terms; BM25
     * weights them by rarity and saturating term frequency — the actual

@@ -241,6 +241,35 @@ class CompositionSpec extends GraftSpec {
     } finally m.unpersist()
   }
 
+  test("p13: sample is deterministic, nested by rate, independent of split") {
+    import graft.text.CorpusPrep
+    def ids(pm: Int) = CorpusPrep.sampleDocs(spark, sfDir, pm)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s100 = ids(100)
+    assert(s100.nonEmpty && ids(100) === s100, "re-run must select identically")
+    assert(ids(50).subsetOf(s100), "halving the rate must nest the sample")
+    assert(ids(1000).size === graft.model.Tables.documents(spark, sfDir).count())
+    // uncorrelated with p7's split: the sample covers all three splits
+    val splits = CorpusPrep.sampleDocs(spark, sfDir, 200)
+      .select(CorpusPrep.splitOf(col("doc_id"))).distinct().count()
+    assert(splits === 3, "sample must straddle train/val/test")
+  }
+
+  test("t17: confusion matrix totals per label; diagonal is the recall") {
+    val m = TextAnalysis.langConfusion(spark, sfDir).cache()
+    try {
+      // per-label cells sum to the label total; shares sum to one
+      val bad = m.groupBy("lang_labeled")
+        .agg(sum("n_docs").as("s"), max("label_total").as("t"),
+          sum("label_share").as("sh"))
+        .filter(col("s") =!= col("t") || abs(col("sh") - 1.0) > 1e-9)
+      assert(bad.count() === 0)
+      // every labeled doc is in exactly one cell
+      val total = m.agg(sum("n_docs")).head.getLong(0)
+      assert(total === graft.model.Tables.documents(spark, sfDir).count())
+    } finally m.unpersist()
+  }
+
   test("d17: containment is the asymmetric ratio, bounded by its algebra") {
     val c = graft.dedup.Dedup.containmentPairs(spark, sfDir).cache()
     try {

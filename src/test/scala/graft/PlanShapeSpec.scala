@@ -98,6 +98,9 @@ class PlanShapeSpec extends GraftSpec {
     ("p11_curriculum", 1, "bounded (stage, shard) windows ride one exchange"),
     ("e9_interval_join", 2, "equi-join on user_id carries the range; one exchange pair"),
     ("p12_pack_windows", 2, "plan rides the pack window; one (lang,shard,window) stitch"),
+    ("p13_sample", 0, "pure map-side hash predicate at scan speed"),
+    ("t17_lang_confusion", 2,
+      "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
       "cum + MTD windows both ride one store exchange over the cached silver"),
     ("e10_hourly_anomalies", 2, "e2's hourly agg + one event_type window")
