@@ -129,6 +129,15 @@ object StreamingCorpus {
       .drop("ws", "sum_bits")
   }
 
+  /** Streaming uniform-sample gate: p13's deterministic hash predicate
+    * run at the ingest edge — a stateless, codegen'd per-row filter, so
+    * the streamed sample is IDENTICAL to the batch p13 sample of the
+    * same documents (asserted in spec): ablation pipelines fed by this
+    * gate and batch pipelines fed by p13 see the same corpus slice. */
+  def sampleGate(docs: DataFrame, perMille: Int = 100): DataFrame =
+    docs.filter(
+      graft.text.CorpusPrep.uniformSampleBucket(col("doc_id")) < perMille)
+
   /** The composed streaming corpus-ingest pipeline: quality gate, then
     * (optionally) the decontamination gate, then watermark-bounded exact
     * dedup — the streaming twin of batch c2's (quality + contamination +

@@ -168,4 +168,21 @@ class StreamingCorpusSpec extends GraftSpec {
     assert(kept === Seq(1L),
       s"OOV-only doc must be gated ($oov bits/token > 12)")
   }
+
+  test("streaming sample gate selects exactly the batch p13 sample") {
+    val in = Files.createTempDirectory("stream_sample")
+    in.toFile.deleteOnExit()
+    val docsJson = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => doc(r.getLong(0), "2024-03-01T10:00:00", r.getString(1)))
+    Files.writeString(in.resolve("a.json"), docsJson.take(250).mkString("\n"))
+    Files.writeString(in.resolve("b.json"), docsJson.drop(250).mkString("\n"))
+    runStream(in, StreamingCorpus.sampleGate(_, perMille = 100), "sample_stream")
+    val streamed = spark.sql("SELECT doc_id FROM sample_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.text.CorpusPrep.sampleDocs(spark, sfDir, perMille = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "the streamed sample must be the identical corpus slice as batch p13")
+  }
 }
