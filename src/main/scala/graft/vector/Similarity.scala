@@ -1214,6 +1214,51 @@ object Similarity {
        |FROM sel GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
   }
 
+  /** v15: MAX-INNER-PRODUCT top-k (MIPS) — the similarity
+    * recommendation / retrieval systems with UNNORMALIZED learned
+    * embeddings actually rank by: score = q·x, where the vector norm
+    * carries signal (popularity, confidence) that cosine deliberately
+    * erases — v1 and v15 return genuinely different neighbor sets.
+    * Same broadcast-loop shape as v1, strict-fold dots, ties to the
+    * lowest neighbor id.
+    *
+    * ANN note (spec-anchored, not a separate key): MIPS reduces to
+    * cosine by the norm augmentation x → [x, √(M²−|x|²)], q → [q, 0]
+    * (Shrivastava & Li, NIPS 2014) — cos of the augmented pair is
+    * q·x / (|q|·M), monotone in q·x — so every cosine ANN structure in
+    * this file (v2 LSH, v4 IVF, v8-v11 PQ) serves MIPS after one
+    * map-side transform; the rank identity is asserted in
+    * CompositionSpec. */
+  def mipsTopK(spark: SparkSession, dir: String, k: Int = 5,
+               nQueries: Int = defaultNQueries): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotCol(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  def mipsTopKSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")} AS dot
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY dot DESC, neighbor_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** h1's document-frequency cap, as an integer percent of the corpus:
     * a term enters the inverted index only if df*100 <= pct*n_docs.
     * 78 binds on the test fixtures (word dfs cluster at 75-80% of docs)

@@ -206,6 +206,39 @@ class CompositionSpec extends GraftSpec {
       }
   }
 
+  test("v15: norm augmentation reduces MIPS to cosine (rank identity)") {
+    // Shrivastava-Li: with x' = [x, sqrt(M^2 - |x|^2)] and q' = [q, 0],
+    // cos(q', x') = q.x / (|q| M) — monotone in the inner product — so
+    // cosine ranking of augmented vectors must reproduce v15's MIPS
+    // ranking exactly (same tie-break: equal dots stay equal cosines).
+    // (The fixture's embeddings have near-uniform norms, so MIPS and
+    // cosine neighbor SETS happen to coincide here — the semantics
+    // differ whenever norms spread; the reduction identity below is
+    // the substantive claim.)
+    import graft.vector.Similarity
+    val embs = graft.model.Tables.embeddings(spark, sfDir).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val m2 = embs.map { case (_, x) => dot(x, x) }.max
+    val aug = embs.map { case (id, x) =>
+      id -> (x :+ math.sqrt(math.max(0.0, m2 - dot(x, x)))) }.toMap
+    val mips = Similarity.mipsTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mips.nonEmpty)
+    mips.groupBy(_._1).foreach { case (qid, rows) =>
+      val qAug = embs.toMap.apply(qid) :+ 0.0
+      val cosRank = embs.collect { case (id, _) if id != qid =>
+        val xA = aug(id)
+        (id, dot(qAug, xA) / math.sqrt(dot(qAug, qAug) * dot(xA, xA)))
+      }.sortBy { case (id, c) => (-c, id) }.take(rows.length).map(_._1)
+      val mipsRank = rows.sortBy(_._2).map(_._3)
+      assert(mipsRank.toSeq === cosRank.toSeq,
+        s"query $qid: augmented-cosine order must equal MIPS order")
+    }
+  }
+
   test("v14: with a corpus-wide candidate budget, two-stage IS exact search") {
     // the limit-case identity that proves stage 2 is a true exact rerank:
     // when the prefilter keeps everything, the composition must reproduce
