@@ -330,6 +330,84 @@ object CorpusPrep {
        |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
        |FROM rated ORDER BY lang, source""".stripMargin
 
+  /** m5: TEMPERATURE-scaled source mixing — the `mass^α` sampling rule
+    * multilingual corpus assembly uses (mC4 / XLM-R style: a domain's
+    * mix share ∝ its char mass raised to α = 1/T; this is α = 0.5, i.e.
+    * temperature T = 2). α = 1 keeps the natural distribution, α = 0 is
+    * m1's uniform target — temperature interpolates: tail domains are
+    * boosted without letting head domains drown them. The weight is
+    * isqrt(n_chars_group) = mass^0.5 in EXACT integer arithmetic: an
+    * IEEE-sqrt candidate corrected by one integer CASE, so both engines
+    * agree to the last bit where pow() parity would be a gamble.
+    *
+    * Shares m1's two-level shape (domain-sized agg, 1-row totals
+    * broadcast back — nothing here scales with the corpus, only with
+    * |domains|); doubles follow the Tables parity conventions: exact
+    * longs into single IEEE divisions, identical operation order both
+    * engines. `rate` is uncapped like m3's rate_raw — >1 means the
+    * domain up-samples (m3's repeat-and-sample executes it), <1
+    * down-samples (p9's hash-Bernoulli executes it). */
+  private def isqrtCol(x: Column): Column = {
+    val cand = floor(sqrt(x.cast("double"))).cast("long")
+    when((cand + 1) * (cand + 1) <= x, cand + 1)
+      .when(cand * cand <= x, cand)
+      .otherwise(cand - 1)
+  }
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Corpus.docsTok(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_group"))
+      .withColumn("weight", isqrtCol(col("n_chars_group")))
+    val totals = groups.agg(
+      sum("n_chars_group").as("total_chars"), sum("weight").as("total_weight"))
+    val rate = col("target_chars").cast("double") / col("n_chars_group").cast("double")
+    groups.join(broadcast(totals))
+      .withColumn("mix_share",
+        col("weight").cast("double") / col("total_weight").cast("double"))
+      .withColumn("target_chars",
+        floor(col("mix_share") * col("total_chars").cast("double")).cast("long"))
+      .withColumn("rate", rate)
+      .withColumn("direction",
+        when(rate > 1.0, "up").when(rate < 1.0, "down").otherwise("keep"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars_group"),
+        col("weight"), col("mix_share"), col("target_chars"), col("rate"),
+        col("direction"))
+      .orderBy("lang", "source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH groups AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_group
+       |  FROM documents GROUP BY lang, source),
+       |cand AS (
+       |  SELECT *, CAST(FLOOR(SQRT(CAST(n_chars_group AS DOUBLE))) AS BIGINT) AS c
+       |  FROM groups),
+       |weighted AS (
+       |  SELECT lang, source, n_docs, n_chars_group,
+       |    CASE WHEN (c+1)*(c+1) <= n_chars_group THEN c+1
+       |         WHEN c*c <= n_chars_group THEN c
+       |         ELSE c-1 END AS weight
+       |  FROM cand),
+       |totals AS (
+       |  SELECT CAST(SUM(n_chars_group) AS BIGINT) AS total_chars,
+       |         CAST(SUM(weight) AS BIGINT) AS total_weight FROM weighted),
+       |planned AS (
+       |  SELECT w.lang, w.source, w.n_docs, w.n_chars_group, w.weight,
+       |    CAST(w.weight AS DOUBLE) / CAST(t.total_weight AS DOUBLE) AS mix_share,
+       |    CAST(FLOOR((CAST(w.weight AS DOUBLE) / CAST(t.total_weight AS DOUBLE))
+       |         * CAST(t.total_chars AS DOUBLE)) AS BIGINT) AS target_chars
+       |  FROM weighted w CROSS JOIN totals t)
+       |SELECT lang, source, n_docs, n_chars_group, weight, mix_share, target_chars,
+       |  CAST(target_chars AS DOUBLE) / CAST(n_chars_group AS DOUBLE) AS rate,
+       |  CASE WHEN CAST(target_chars AS DOUBLE) / CAST(n_chars_group AS DOUBLE) > 1.0
+       |         THEN 'up'
+       |       WHEN CAST(target_chars AS DOUBLE) / CAST(n_chars_group AS DOUBLE) < 1.0
+       |         THEN 'down'
+       |       ELSE 'keep' END AS direction
+       |FROM planned ORDER BY lang, source""".stripMargin
+
   /** d14: train/val/test LEAKAGE audit — near-duplicate pairs (d4's exact
     * Jaccard at the 0.5 dup threshold) whose two docs land in DIFFERENT
     * splits. Exact-dup leakage is prevented by construction (identical

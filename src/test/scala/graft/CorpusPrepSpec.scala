@@ -61,6 +61,56 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("m5: isqrt weights exact; temperature flattens toward uniform; mass conserved") {
+    val r = CorpusPrep.temperatureMix(spark, sfDir).cache()
+    try {
+      val rows = r.collect()
+      assert(rows.nonEmpty)
+      // weight IS the integer square root: w^2 <= mass < (w+1)^2, exactly
+      rows.foreach { row =>
+        val mass = row.getAs[Long]("n_chars_group")
+        val w = row.getAs[Long]("weight")
+        assert(w * w <= mass && mass < (w + 1) * (w + 1),
+          s"isqrt($mass) != $w")
+      }
+      // temperature flattening: rate ∝ 1/sqrt(mass) — bigger domains
+      // down-sample harder. 5% multiplicative slack because isqrt makes
+      // w/mass jump up by ~1/w where mass crosses a perfect square;
+      // weight monotonicity below is the exact claim.
+      val byMass = rows.sortBy(_.getAs[Long]("n_chars_group"))
+      byMass.sliding(2).foreach {
+        case Array(small, big) =>
+          assert(small.getAs[Long]("weight") <= big.getAs[Long]("weight"))
+          assert(small.getAs[Double]("rate") >= big.getAs[Double]("rate") * 0.95,
+            s"rate must not increase with mass: " +
+              s"${small.getAs[String]("source")} vs ${big.getAs[String]("source")}")
+        case _ =>
+      }
+      // interpolation bound on the extreme pair: the share ratio sits
+      // between uniform (1) and natural (mass ratio) — the defining
+      // temperature property
+      val (lo, hi) = (byMass.head, byMass.last)
+      val shareRatio = hi.getAs[Double]("mix_share") / lo.getAs[Double]("mix_share")
+      val massRatio = hi.getAs[Long]("n_chars_group").toDouble /
+        lo.getAs[Long]("n_chars_group").toDouble
+      assert(shareRatio >= 1.0 - 1e-9 && shareRatio <= massRatio * 1.05,
+        s"share ratio $shareRatio outside [1, mass ratio $massRatio]")
+      // shares sum to 1 (floor-free), targets conserve mass up to floor loss
+      val shareSum = rows.map(_.getAs[Double]("mix_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9)
+      val totalChars = rows.map(_.getAs[Long]("n_chars_group")).sum
+      val targetSum = rows.map(_.getAs[Long]("target_chars")).sum
+      assert(targetSum <= totalChars && targetSum > totalChars - rows.length,
+        s"sum(target)=$targetSum vs total=$totalChars, n=${rows.length}")
+      // direction column is consistent with the rate it summarizes
+      rows.foreach { row =>
+        val expect = if (row.getAs[Double]("rate") > 1.0) "up"
+          else if (row.getAs[Double]("rate") < 1.0) "down" else "keep"
+        assert(row.getAs[String]("direction") === expect)
+      }
+    } finally r.unpersist()
+  }
+
   test("p9: applier verdict covers every doc; rate-1 domains keep all; deterministic") {
     val v = CorpusPrep.mixApply(spark, sfDir).cache()
     try {

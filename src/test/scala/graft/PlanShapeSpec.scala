@@ -100,6 +100,7 @@ class PlanShapeSpec extends GraftSpec {
     ("p12_pack_windows", 2, "plan rides the pack window; one (lang,shard,window) stitch"),
     ("p13_sample", 0, "pure map-side hash predicate at scan speed"),
     ("v15_mips", 1, "v1's broadcast loop ranked by raw dot; one top-k window"),
+    ("m5_temperature_mix", 2, "domain agg used twice (groups + totals); broadcast back"),
     ("t17_lang_confusion", 2,
       "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
