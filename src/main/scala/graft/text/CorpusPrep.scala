@@ -501,6 +501,92 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** d18: longest CONTAMINATED SPAN — d12 answers "is this doc
+    * contaminated?" (shingle-overlap fraction); this answers "how BADLY?"
+    * with the metric decontamination reports actually publish: the
+    * longest contiguous run of benchmark 3-shingles per document,
+    * converted to tokens (a run of r overlapping 3-shingles covers
+    * r + 2 tokens). The 13-token flag is the GPT-3-style n-gram
+    * threshold: a 13-token verbatim benchmark substring is memorization
+    * risk, scattered single-shingle hits are not. Positions make runs:
+    * matched positions minus their per-doc rank collapse each contiguous
+    * stretch to one group key — two bounded aggregates, no self-join.
+    *
+    * Scale shape: the positional explode is linear; the benchmark side is
+    * eval-suite-sized and broadcasts (d12's argument); runs/aggregates
+    * all ride ONE doc_id exchange (grp refines doc_id, so the window's
+    * partitioning satisfies both groupBys), plus the zero-fill join. */
+  def contaminationSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Corpus.docsTok(spark, dir)
+    val shing = tok
+      .select(col("doc_id"), posexplode(Corpus.shinglesOf(col("words"))))
+      .select(col("doc_id"), (col("pos") + lit(1L)).as("pos"),
+        col("col").as("shingle"))
+    val bench = Corpus.docShingles(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val matched = shing.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("shingle"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_runs"),
+        sum("run").as("n_matched"), max("run").as("longest_run"))
+    val span = when(col("longest_run").isNull, lit(0L))
+      .otherwise(col("longest_run") + lit(2L))
+    tok.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        span.as("longest_span_tokens"),
+        (span >= lit(13L)).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSpanSql: String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH docs AS (
+       |  SELECT doc_id, $ws AS ws FROM documents),
+       |positioned AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos FROM docs),
+       |shing AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(ws, pos) || ' ' || list_extract(ws, pos + 1)
+       |      || ' ' || list_extract(ws, pos + 2) AS shingle
+       |  FROM positioned),
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0),
+       |matched AS (
+       |  SELECT s.doc_id, s.pos FROM shing s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id % 97 <> 0),
+       |runs AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+       |  FROM (SELECT doc_id,
+       |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM matched)
+       |  GROUP BY doc_id, grp),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(SUM(run) AS BIGINT) AS n_matched,
+       |    CAST(MAX(run) AS BIGINT) AS longest_run
+       |  FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_matched, 0) AS n_matched,
+       |  COALESCE(p.n_runs, 0) AS n_runs,
+       |  COALESCE(p.longest_run, 0) AS longest_run,
+       |  CASE WHEN p.longest_run IS NULL THEN 0
+       |       ELSE p.longest_run + 2 END AS longest_span_tokens,
+       |  (CASE WHEN p.longest_run IS NULL THEN 0
+       |        ELSE p.longest_run + 2 END) >= 13 AS flagged
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** p8: sequence-packing planner — assign each document an offset and a
     * context-window id under concat-and-chunk packing (concatenate docs in
     * a canonical order, split at `budget`-token boundaries — the layout

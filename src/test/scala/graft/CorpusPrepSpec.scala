@@ -61,6 +61,38 @@ class CorpusPrepSpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("d18: run algebra sound and consistent with d12's membership verdict") {
+    val span = CorpusPrep.contaminationSpan(spark, sfDir).cache()
+    try {
+      val rows = span.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nm, nr, lr, st) = (r.getAs[Long]("n_matched"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("longest_run"), r.getAs[Long]("longest_span_tokens"))
+        // runs partition the matches: each run holds >= 1 match, the
+        // longest holds at least the average and at most all of them
+        assert(nr <= nm && lr <= nm)
+        if (nr > 0) assert(lr * nr >= nm, s"doc ${r.getLong(0)}: max run $lr * $nr runs < $nm")
+        assert(st === (if (lr > 0) lr + 2 else 0L))
+        assert(r.getAs[Boolean]("flagged") === (st >= 13))
+      }
+      // d12 agreement: a doc has a contaminated span iff d12 found any
+      // common shingle (d18 counts positional hits, d12 distinct ones —
+      // existence must coincide, and positional >= distinct)
+      val d12 = CorpusPrep.contamination(spark, sfDir)
+        .select(col("doc_id"), col("n_common"))
+      val joined = span.join(d12, Seq("doc_id")).collect()
+      assert(joined.length === rows.length)
+      joined.foreach { r =>
+        val (nm, nc) = (r.getAs[Long]("n_matched"), r.getAs[Long]("n_common"))
+        assert((nm > 0) === (nc > 0), s"doc ${r.getLong(0)}: span/membership disagree")
+        assert(nm >= nc)
+      }
+      // the fixture benchmark (every 97th doc) must actually light up
+      assert(rows.exists(_.getAs[Long]("longest_run") > 0))
+    } finally span.unpersist()
+  }
+
   test("m5: isqrt weights exact; temperature flattens toward uniform; mass conserved") {
     val r = CorpusPrep.temperatureMix(spark, sfDir).cache()
     try {

@@ -101,6 +101,8 @@ class PlanShapeSpec extends GraftSpec {
     ("p13_sample", 0, "pure map-side hash predicate at scan speed"),
     ("v15_mips", 1, "v1's broadcast loop ranked by raw dot; one top-k window"),
     ("m5_temperature_mix", 2, "domain agg used twice (groups + totals); broadcast back"),
+    ("d18_contamination_span", 3,
+      "benchmark broadcast; window + both aggs ride one doc_id exchange + zero-fill join"),
     ("t17_lang_confusion", 2,
       "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
