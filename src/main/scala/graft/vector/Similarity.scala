@@ -1259,6 +1259,54 @@ object Similarity {
        |      FROM pairs)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** v16: FILTERED vector search — the metadata-constrained top-k modern
+    * vector stores treat as first-class: nearest neighbors restricted to
+    * a predicate, here the query's OWN label class (same-language /
+    * same-tenant retrieval). The filter turns v1's broadcast cross-join
+    * into an equi-join ON label: candidates are label-co-located, so at
+    * scale this is the PRE-filter strategy — each query only ever meets
+    * its label's partition of the corpus — where post-filtering an
+    * unfiltered ANN result silently under-fills k whenever the label is
+    * selective (the classic filtered-ANN failure). Exact by
+    * construction; dot fold order and tie-break are v1's. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 5,
+                   nQueries: Int = defaultNQueries): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("label"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("n_emb"), col("norm2").as("n_norm2")),
+        Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def filteredTopKSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
+    s"""WITH e AS ($withNormSql),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.label, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM e q JOIN e n ON q.label = n.label AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, label, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** h1's document-frequency cap, as an integer percent of the corpus:
     * a term enters the inverted index only if df*100 <= pct*n_docs.
     * 78 binds on the test fixtures (word dfs cluster at 75-80% of docs)

@@ -239,6 +239,35 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("v16: pre-filter search = exact search on the restricted corpus, k always filled") {
+    import graft.vector.Similarity
+    val embs = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val res = Similarity.filteredTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(res.nonEmpty)
+    val byId = embs.map(e => e._1 -> e).toMap
+    res.groupBy(_._1).foreach { case (qid, rows) =>
+      val (_, qLabel, qEmb) = byId(qid)
+      // every returned neighbor wears the query's label
+      assert(rows.forall(_._2 == qLabel))
+      // k is filled (the under-fill post-filtering suffers cannot happen
+      // when the class holds >= k candidates)
+      val classSize = embs.count(e => e._2 == qLabel && e._1 != qid)
+      assert(rows.length === math.min(5, classSize))
+      // order identical to an in-process exact search over the class
+      val expect = embs.collect { case (id, l, x) if l == qLabel && id != qid =>
+        (id, dot(qEmb, x) / math.sqrt(dot(qEmb, qEmb) * dot(x, x)))
+      }.sortBy { case (id, c) => (-c, id) }.take(rows.length).map(_._1)
+      assert(rows.sortBy(_._3).map(_._4).toSeq === expect.toSeq,
+        s"query $qid: filtered top-k must equal exact search within label $qLabel")
+    }
+  }
+
   test("v14: with a corpus-wide candidate budget, two-stage IS exact search") {
     // the limit-case identity that proves stage 2 is a true exact rerank:
     // when the prefilter keeps everything, the composition must reproduce

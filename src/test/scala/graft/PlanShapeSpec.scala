@@ -103,6 +103,7 @@ class PlanShapeSpec extends GraftSpec {
     ("m5_temperature_mix", 2, "domain agg used twice (groups + totals); broadcast back"),
     ("d18_contamination_span", 3,
       "benchmark broadcast; window + both aggs ride one doc_id exchange + zero-fill join"),
+    ("v16_filtered_ann", 1, "label equi-join rides the query broadcast; one top-k window"),
     ("t17_lang_confusion", 2,
       "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
