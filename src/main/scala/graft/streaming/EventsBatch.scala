@@ -449,4 +449,57 @@ object EventsBatch {
       |FROM p JOIN v ON p.user_id = v.user_id
       |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
       |ORDER BY p.purchase_id, v.view_id""".stripMargin
+
+  /** e11: funnel CONVERSION-LATENCY distribution — how long converting
+    * users take per e6 stage transition (view→click, click→purchase):
+    * count, min/max, total, and EXACT nearest-rank p50/p90 (the value at
+    * rank ⌈q·n⌉ of the ascending order — an actual data point, so
+    * integer-exact and engine-portable where interpolated quantile
+    * definitions diverge). Ties on equal latencies are harmless: any
+    * tie-order puts the same VALUE at the picked rank.
+    *
+    * Scale posture: the rank window partitions by stage — 2 bounded
+    * partitions, each a per-stage total order over CONVERTING users
+    * (≪ events). That sort is this key's deliberate cost: e11 is the
+    * exact certifier of the sketch path (sk2's mergeable approx
+    * quantiles are what runs at 100 TB), the same exact/approx twin
+    * contract as sk1–sk3. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val base = funnel(spark, dir)
+    val lat = base.filter(col("view_to_click_us").isNotNull)
+      .select(lit("view_to_click").as("stage"), col("view_to_click_us").as("us"))
+      .unionAll(base.filter(col("click_to_purchase_us").isNotNull)
+        .select(lit("click_to_purchase").as("stage"),
+          col("click_to_purchase_us").as("us")))
+    val w = Window.partitionBy("stage").orderBy("us")
+    lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stage")))
+      .groupBy("stage").agg(
+        max("n").as("n_conversions"),
+        min("us").as("min_us"), max("us").as("max_us"),
+        sum("us").as("total_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("us"))).as("p50_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("us"))).as("p90_us"))
+      .orderBy("stage")
+  }
+
+  val funnelLatencySql: String =
+    s"""WITH base AS ($funnelSql),
+       |lat AS (
+       |  SELECT 'view_to_click' AS stage, view_to_click_us AS us
+       |  FROM base WHERE view_to_click_us IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'click_to_purchase' AS stage, click_to_purchase_us AS us
+       |  FROM base WHERE click_to_purchase_us IS NOT NULL),
+       |ranked AS (
+       |  SELECT stage, us,
+       |    ROW_NUMBER() OVER (PARTITION BY stage ORDER BY us) AS rn,
+       |    COUNT(*) OVER (PARTITION BY stage) AS n
+       |  FROM lat)
+       |SELECT stage, CAST(MAX(n) AS BIGINT) AS n_conversions,
+       |  CAST(MIN(us) AS BIGINT) AS min_us, CAST(MAX(us) AS BIGINT) AS max_us,
+       |  CAST(SUM(us) AS BIGINT) AS total_us,
+       |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN us END) AS BIGINT) AS p50_us,
+       |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN us END) AS BIGINT) AS p90_us
+       |FROM ranked GROUP BY stage ORDER BY stage""".stripMargin
 }

@@ -375,6 +375,34 @@ class CompositionSpec extends GraftSpec {
     } finally rt.unpersist()
   }
 
+  test("e11: latency stats reproduce an in-process nearest-rank computation") {
+    import graft.streaming.EventsBatch
+    val base = EventsBatch.funnel(spark, sfDir).collect()
+    def stats(us: Array[Long]): (Long, Long, Long, Long, Long, Long) = {
+      val s = us.sorted
+      val n = s.length.toLong
+      def atRank(r: Long) = s((r - 1).toInt)
+      (n, s.head, s.last, s.sum, atRank((n + 1) / 2), atRank((9 * n + 9) / 10))
+    }
+    val expect = Map(
+      "view_to_click" -> stats(base.flatMap(r =>
+        Option(r.getAs[java.lang.Long]("view_to_click_us")).map(_.toLong))),
+      "click_to_purchase" -> stats(base.flatMap(r =>
+        Option(r.getAs[java.lang.Long]("click_to_purchase_us")).map(_.toLong))))
+    val res = EventsBatch.funnelLatency(spark, sfDir).collect()
+    assert(res.length === 2, "both stage transitions must appear")
+    res.foreach { r =>
+      val (n, mn, mx, tot, p50, p90) = expect(r.getAs[String]("stage"))
+      assert(r.getAs[Long]("n_conversions") === n)
+      assert(r.getAs[Long]("min_us") === mn)
+      assert(r.getAs[Long]("max_us") === mx)
+      assert(r.getAs[Long]("total_us") === tot)
+      assert(r.getAs[Long]("p50_us") === p50)
+      assert(r.getAs[Long]("p90_us") === p90)
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+    }
+  }
+
   test("e10: hourly anomaly severities agree with the deviation rubric") {
     val a = graft.streaming.EventsBatch.hourlyAnomalies(spark, sfDir).cache()
     try {

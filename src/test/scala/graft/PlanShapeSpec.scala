@@ -104,6 +104,8 @@ class PlanShapeSpec extends GraftSpec {
     ("d18_contamination_span", 3,
       "benchmark broadcast; window + both aggs ride one doc_id exchange + zero-fill join"),
     ("v16_filtered_ann", 1, "label equi-join rides the query broadcast; one top-k window"),
+    ("e11_funnel_latency", 6,
+      "e6's three user_id aggs + the 2-partition stage window + final agg"),
     ("t17_lang_confusion", 2,
       "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
