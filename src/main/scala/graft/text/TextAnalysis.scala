@@ -680,6 +680,49 @@ object TextAnalysis {
     * join's word partitioning, terms above the df cap never enter the
     * index (the candidate bound), one (query, doc) aggregate, one
     * per-query top-k window. */
+  /** t16: LEXICAL DIVERSITY per (lang, source) domain — type-token ratio
+    * and hapax share, the Heaps/Zipf-adjacent diagnostics that separate
+    * natural text from boilerplate and template spam: TTR collapses when
+    * a domain repeats itself, hapax share collapses when it is
+    * template-generated — both are standard corpus-quality columns next
+    * to t2's per-doc rubric. Milli-ratios by integer division, exact in
+    * both engines.
+    *
+    * Scale shape: one word-level aggregate (map-side combinable — each
+    * executor collapses its (lang, source, word) repeats before the
+    * shuffle carries one row per distinct word) + one domain-sized
+    * rollup riding the same partitioning prefix. Nothing driver-sized;
+    * the vocabulary never broadcasts. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docsTok(spark, dir)
+      .select(col("lang"), col("source"), explode(col("words")).as("word"))
+      .groupBy("lang", "source", "word")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("lang", "source")
+      .agg(sum("occ").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("occ") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_milli", expr("(n_types * 1000) div n_tokens"))
+      .withColumn("hapax_milli", expr("(n_hapax * 1000) div n_types"))
+      .orderBy("lang", "source")
+
+  val lexicalDiversitySql: String =
+    s"""WITH occ AS (
+       |  SELECT lang, source, word, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM (SELECT lang, source, unnest(${Corpus.wordsSqlExpr}) AS word
+       |        FROM documents)
+       |  GROUP BY lang, source, word),
+       |dom AS (
+       |  SELECT lang, source,
+       |    CAST(SUM(occ) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM occ GROUP BY lang, source)
+       |SELECT lang, source, n_tokens, n_types, n_hapax,
+       |  (n_types * 1000) // n_tokens AS ttr_milli,
+       |  (n_hapax * 1000) // n_types AS hapax_milli
+       |FROM dom ORDER BY lang, source""".stripMargin
+
   def bm25(spark: SparkSession, dir: String, nQueries: Int = 3,
            k: Int = 5, maxDfPct: Int = 78): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)

@@ -317,6 +317,33 @@ class CompositionSpec extends GraftSpec {
     assert(splits === 3, "sample must straddle train/val/test")
   }
 
+  test("t16: diversity matches an exact single-process recomputation") {
+    import graft.text.{Corpus, TextAnalysis}
+    val docs = Corpus.docsTok(spark, sfDir)
+      .select("lang", "source", "words").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getSeq[String](2)))
+    val expect = docs.groupBy(_._1).map { case (key, rows) =>
+      val words = rows.flatMap(_._2)
+      val occ = words.groupBy(identity).map(_._2.size)
+      val (tokens, types, hapax) =
+        (words.size.toLong, occ.size.toLong, occ.count(_ == 1).toLong)
+      key -> (tokens, types, hapax, types * 1000 / tokens, hapax * 1000 / types)
+    }
+    val res = TextAnalysis.lexicalDiversity(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (tokens, types, hapax, ttr, hx) =
+        expect((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_tokens") === tokens)
+      assert(r.getAs[Long]("n_types") === types)
+      assert(r.getAs[Long]("n_hapax") === hapax)
+      assert(r.getAs[Long]("ttr_milli") === ttr)
+      assert(r.getAs[Long]("hapax_milli") === hx)
+      // ordering sanity: hapax <= types <= tokens
+      assert(hapax <= types && types <= tokens)
+    }
+  }
+
   test("t17: confusion matrix totals per label; diagonal is the recall") {
     val m = TextAnalysis.langConfusion(spark, sfDir).cache()
     try {
