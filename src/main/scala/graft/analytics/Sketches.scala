@@ -99,4 +99,20 @@ object Sketches {
        |SELECT store_id, rank, sku, est_count, CAST(0 AS BIGINT) AS max_err
        |FROM ranked WHERE rank <= $topK
        |ORDER BY store_id, rank""".stripMargin
+
+  /** sk5: approximate per-domain VOCABULARY — HLL++ distinct words per
+    * (lang, source). The 100 TB twin of t16: the exact path shuffles one
+    * row per distinct (domain, word); this one carries a 16 KB sketch
+    * per domain regardless of vocabulary size — the difference between a
+    * vocabulary-sized shuffle and a |domains|-sized one when the corpus
+    * stops fitting the former. Rows-only like sk1/sk2 (HLL estimates are
+    * implementation-defined); [[SketchesSpec]] bounds the error against
+    * t16's exact n_types. */
+  def domainVocabApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Corpus.docsTok(spark, dir)
+      .select(col("lang"), col("source"), explode(col("words")).as("word"))
+      .groupBy(col("lang"), col("source"))
+      .agg(approx_count_distinct(col("word"), rsd = 0.01).as("approx_types"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang"), col("source"))
 }

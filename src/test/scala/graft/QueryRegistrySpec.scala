@@ -18,6 +18,7 @@ class QueryRegistrySpec extends AnyFunSuite {
     "sk1_daily_approx" -> "HLL++/GK sketch values are implementation-defined",
     "sk2_store_sku_approx" -> "HLL++ sketch values are implementation-defined",
     "sk3_store_top_sellers" -> "Misra-Gries summary contents are algorithm-defined",
+    "sk5_domain_vocab_approx" -> "HLL++ sketch values are implementation-defined (t16 is the exact anchor)",
     "d5_minhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d2)",
     "d9_jaccard_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d4)",
     "d10_clusters_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d6)",

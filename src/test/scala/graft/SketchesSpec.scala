@@ -33,6 +33,23 @@ class SketchesSpec extends GraftSpec {
     assert(bad.count() === 0)
   }
 
+  test("sk5: approx vocabulary within 5% of t16's exact types per domain") {
+    val approx = Sketches.domainVocabApprox(spark, sfDir)
+    val exact = graft.text.TextAnalysis.lexicalDiversity(spark, sfDir)
+      .select(col("lang"), col("source"),
+        col("n_types").as("exact_types"), col("n_tokens").as("exact_tokens"))
+    val j = approx.join(exact, Seq("lang", "source")).cache()
+    try {
+      assert(j.count() === approx.count(), "domains must line up 1:1")
+      val bad = j.filter(
+        abs(col("approx_types") - col("exact_types")) >
+          greatest(col("exact_types") * 0.05, lit(3.0)))
+      assert(bad.count() === 0, "HLL rsd=0.01 should stay within 5% (or ±3 small-n)")
+      // the token counts share no sketch — they must be exactly equal
+      assert(j.filter(col("n_tokens") =!= col("exact_tokens")).count() === 0)
+    } finally j.unpersist()
+  }
+
   test("sk3: Misra-Gries is exact when the summary covers the key space") {
     // summarySize >> distinct skus: no decrements ever fire, so the
     // summary IS the exact count map and the top-5 must equal the exact
