@@ -282,4 +282,38 @@ object Flatten {
        |JOIN lm m USING (doc_id)
        |JOIN ded d USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** x8: the per-DOMAIN corpus card — x5's sibling one aggregation level
+    * up: one row per (lang, source) joining t16's diversity diagnostics
+    * with m5's temperature-mix plan, the table a curation team reads to
+    * decide which domains to keep, boost, or cut. Both inputs are green
+    * oracle relations keyed by the same (lang, source); the join is
+    * domain-sized (broadcasts at any corpus scale). */
+  def exportDomainCards(spark: SparkSession, dir: String): DataFrame = {
+    val div = graft.text.TextAnalysis.lexicalDiversity(spark, dir)
+      .select("lang", "source", "n_tokens", "n_types",
+        "ttr_milli", "hapax_milli")
+    val mix = graft.text.CorpusPrep.temperatureMix(spark, dir)
+      .select("lang", "source", "n_docs", "n_chars_group",
+        "mix_share", "rate", "direction")
+    div.join(mix, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_chars_group"), col("n_tokens"), col("n_types"),
+        col("ttr_milli"), col("hapax_milli"),
+        col("mix_share"), col("rate"), col("direction"))
+      .orderBy("lang", "source")
+  }
+
+  val exportDomainCardsSql: String =
+    s"""WITH div AS (
+       |  SELECT lang, source, n_tokens, n_types, ttr_milli, hapax_milli
+       |  FROM (${graft.text.TextAnalysis.lexicalDiversitySql})),
+       |mix AS (
+       |  SELECT lang, source, n_docs, n_chars_group, mix_share, rate, direction
+       |  FROM (${graft.text.CorpusPrep.temperatureMixSql}))
+       |SELECT d.lang, d.source, m.n_docs, m.n_chars_group, d.n_tokens,
+       |  d.n_types, d.ttr_milli, d.hapax_milli, m.mix_share, m.rate,
+       |  m.direction
+       |FROM div d JOIN mix m USING (lang, source)
+       |ORDER BY d.lang, d.source""".stripMargin
 }
