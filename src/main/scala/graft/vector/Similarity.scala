@@ -1307,6 +1307,75 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** v17: MIPS-ANN recall — the Shrivastava-Li reduction (the identity
+    * v15's spec proves) made OPERATIONAL: augmenting x → [x, √(M²−|x|²)]
+    * turns max-inner-product into cosine, and for THIS file's
+    * axis-aligned sign-bit LSH the augmented coordinate can never flip a
+    * bucket bit — the 8 hyperplanes read dims 1,5,…,29 and the
+    * augmentation appends dim 33. So the MIPS index IS v2's bucket
+    * table unchanged, and within-bucket augmented-cosine order is
+    * rank-identical to raw-dot order: one bucket hash join + a dot
+    * ordering, no new index structure, no norms touched at query time.
+    * Recall is measured against v15's exact top-k exactly the way v6
+    * certifies v2/v4 against v1. */
+  def mipsAnnRecall(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries): DataFrame = {
+    val truth = mipsTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val q = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("bucket"),
+      col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val approx = broadcast(q).join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotCol(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  def mipsAnnRecallSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${mipsTopKSql(k, nQueries)})),
+       |e AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")} AS dot
+       |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+       |    FROM pairs)
+       |  WHERE rank <= $k),
+       |ev AS (
+       |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM truth t LEFT JOIN approx a
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT query_id, n_truth, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM ev ORDER BY query_id""".stripMargin
+
   /** h1's document-frequency cap, as an integer percent of the corpus:
     * a term enters the inverted index only if df*100 <= pct*n_docs.
     * 78 binds on the test fixtures (word dfs cluster at 75-80% of docs)

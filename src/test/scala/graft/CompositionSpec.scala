@@ -268,6 +268,41 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("v17: MIPS-LSH = in-process bucketed dot ranking; augmentation precondition holds") {
+    import graft.vector.Similarity
+    val embs = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // precondition for "the MIPS index IS v2's bucket table": every
+    // hyperplane dim (1-based 1,5,..,29) is inside the raw vector, so the
+    // appended augmentation coordinate (dim d+1) can never flip a bucket bit
+    assert(embs.head._2.length > 29)
+    def bucket(x: Array[Float]): Long =
+      (0 until 8).map(i => if (x(i * 4) > 0f) 1L << i else 0L).sum
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val res = Similarity.mipsAnnRecall(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    // recompute recall in-process from first principles
+    val truth = Similarity.mipsTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    res.foreach { r =>
+      val qid = r.getLong(0)
+      val (_, qEmb) = embs.find(_._1 == qid).get
+      val approx = embs
+        .filter { case (id, x) => id != qid && bucket(x) == bucket(qEmb) }
+        .map { case (id, x) => (id, dot(qEmb, x)) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1).toSet
+      val hits = truth(qid).count(approx.contains)
+      assert(r.getAs[Long]("n_truth") === truth(qid).size)
+      assert(r.getAs[Long]("n_hits") === hits,
+        s"query $qid: recall hits must match in-process bucketed-dot ranking")
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("v14: with a corpus-wide candidate budget, two-stage IS exact search") {
     // the limit-case identity that proves stage 2 is a true exact rerank:
     // when the prefilter keeps everything, the composition must reproduce

@@ -106,6 +106,8 @@ class PlanShapeSpec extends GraftSpec {
     ("v16_filtered_ann", 1, "label equi-join rides the query broadcast; one top-k window"),
     ("e11_funnel_latency", 6,
       "e6's three user_id aggs + the 2-partition stage window + final agg"),
+    ("v17_mips_ann_recall", 5,
+      "v15 truth window + bucket top-k window + pair-keyed recall join/agg"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
