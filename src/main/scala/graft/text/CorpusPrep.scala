@@ -330,6 +330,59 @@ object CorpusPrep {
        |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
        |FROM rated ORDER BY lang, source""".stripMargin
 
+  /** p14: epoch-plan APPLIER — materialize m3's repeat-and-sample plan
+    * into the per-(doc, epoch) roster a training reader consumes: every
+    * doc appears once in each of its domain's `full_epochs` whole
+    * passes, and in the final partial pass iff its p9 sample bucket
+    * clears the plan's `sample_frac` (same hash, so a retried run packs
+    * the identical roster). p14 is to m3 what p9 is to m1 — and for a
+    * purely down-sampled domain (full_epochs = 0) the two COINCIDE:
+    * m1's capped rate equals m3's sample_frac there, so p14's partial
+    * epoch is exactly p9's kept set (spec-asserted). Bounded linear
+    * expansion (n_epochs per domain), plan side domain-sized and
+    * broadcast, doc side never shuffles — one codegen'd scan at scale. */
+  def epochApply(spark: SparkSession, dir: String): DataFrame = {
+    val plan = epochPlan(spark, dir)
+      .select(col("lang"), col("source"), col("full_epochs"),
+        floor(col("sample_frac") * lit(1000000.0)).cast("long").as("keep_below"))
+    val nTotal = col("full_epochs") +
+      when(col("keep_below") > 0L, 1L).otherwise(0L)
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(plan), Seq("lang", "source"))
+      .withColumn("epoch",
+        explode(when(nTotal >= 1L, sequence(lit(1L), nTotal))
+          .otherwise(array().cast("array<bigint>"))))
+      .filter(col("epoch") <= col("full_epochs") ||
+        sampleBucket(col("doc_id")) < col("keep_below"))
+      .select(col("doc_id"), col("lang"), col("source"), col("epoch"),
+        (col("epoch") > col("full_epochs")).as("is_partial"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  // NOTE the joined/exploded CTE split: DuckDB's binder (1.x) hits an
+  // INTERNAL assertion when an unnest whose range bound comes from a JOIN
+  // is referenced together with join columns in a downstream filter;
+  // unnesting FROM a plain already-joined CTE binds fine.
+  val epochApplySql: String =
+    s"""WITH plan AS (
+       |  SELECT lang, source, full_epochs,
+       |    CAST(FLOOR(sample_frac * 1000000.0) AS BIGINT) AS keep_below
+       |  FROM ($epochPlanSql)),
+       |joined AS (
+       |  SELECT d.doc_id, d.lang, d.source, p.full_epochs, p.keep_below
+       |  FROM documents d JOIN plan p USING (lang, source)),
+       |exploded AS (
+       |  SELECT doc_id, lang, source, full_epochs, keep_below,
+       |    unnest(range(1, full_epochs
+       |      + CASE WHEN keep_below > 0 THEN 1 ELSE 0 END + 1)) AS epoch
+       |  FROM joined)
+       |SELECT doc_id, lang, source, CAST(epoch AS BIGINT) AS epoch,
+       |  epoch > full_epochs AS is_partial
+       |FROM exploded
+       |WHERE epoch <= full_epochs OR $sampleBucketSql < keep_below
+       |ORDER BY doc_id, epoch""".stripMargin
+
   /** m5: TEMPERATURE-scaled source mixing — the `mass^α` sampling rule
     * multilingual corpus assembly uses (mC4 / XLM-R style: a domain's
     * mix share ∝ its char mass raised to α = 1/T; this is α = 0.5, i.e.

@@ -93,6 +93,46 @@ class CorpusPrepSpec extends GraftSpec {
     } finally span.unpersist()
   }
 
+  test("p14: epoch roster matches m3's plan; down-sampled domains coincide with p9") {
+    val roster = CorpusPrep.epochApply(spark, sfDir).cache()
+    try {
+      val plan = CorpusPrep.epochPlan(spark, sfDir)
+        .select("lang", "source", "n_docs", "full_epochs", "sample_frac", "n_epochs")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("full_epochs"),
+            r.getAs[Double]("sample_frac"), r.getAs[Long]("n_epochs")))).toMap
+      // every full epoch carries the whole domain; epoch ids stay in plan range
+      val perEpoch = roster.groupBy("lang", "source", "epoch")
+        .agg(count(lit(1)).as("n"), max("is_partial").as("partial")).collect()
+      assert(perEpoch.nonEmpty)
+      perEpoch.foreach { r =>
+        val (nDocs, full, frac, nEpochs) = plan((r.getString(0), r.getString(1)))
+        val epoch = r.getAs[Long]("epoch")
+        assert(epoch >= 1 && epoch <= nEpochs)
+        if (epoch <= full) {
+          assert(!r.getAs[Boolean]("partial"))
+          assert(r.getAs[Long]("n") === nDocs, "full epochs carry every doc")
+        } else {
+          assert(r.getAs[Boolean]("partial") && frac > 0.0)
+          assert(r.getAs[Long]("n") <= nDocs)
+        }
+      }
+      // for a purely down-sampled domain, the partial epoch IS p9's kept set
+      val downsampled = plan.filter(_._2._2 == 0L).keys.toSet
+      assert(downsampled.nonEmpty, "fixture must contain over-target domains")
+      val p14Kept = roster.collect()
+        .filter(r => downsampled((r.getString(1), r.getString(2))))
+        .map(r => ((r.getString(1), r.getString(2)), r.getLong(0))).toSet
+      val p9Kept = CorpusPrep.mixApply(spark, sfDir).collect()
+        .filter(r => r.getAs[Boolean]("kept") &&
+          downsampled((r.getString(1), r.getString(2))))
+        .map(r => ((r.getString(1), r.getString(2)), r.getLong(0))).toSet
+      assert(p14Kept === p9Kept,
+        "m3's sample_frac and m1's capped rate must keep identical docs")
+    } finally roster.unpersist()
+  }
+
   test("m5: isqrt weights exact; temperature flattens toward uniform; mass conserved") {
     val r = CorpusPrep.temperatureMix(spark, sfDir).cache()
     try {

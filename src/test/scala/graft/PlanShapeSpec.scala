@@ -108,6 +108,8 @@ class PlanShapeSpec extends GraftSpec {
       "e6's three user_id aggs + the 2-partition stage window + final agg"),
     ("v17_mips_ann_recall", 5,
       "v15 truth window + bucket top-k window + pair-keyed recall join/agg"),
+    ("p14_epoch_apply", 2,
+      "both exchanges inside the domain-sized plan build; doc side streams"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
