@@ -85,6 +85,43 @@ object StreamingCorpus {
       .drop("ws", "shingles", "n_shingles", "n_common")
   }
 
+  /** Streaming SPAN gate: drop documents whose longest contiguous run of
+    * benchmark 3-shingles reaches `minSpanTokens` (batch d18's 13-token
+    * memorization flag moved to the ingest edge). d12's ratio gate asks
+    * "how MUCH overlaps"; this asks "how LONG a verbatim stretch" — a doc
+    * can pass the 30% ratio while carrying a 20-token benchmark quote.
+    * Entirely map-side and stateless: shingles stay positional (no
+    * array_distinct — runs need order), membership is one map-literal
+    * probe per shingle, and the longest run is a single sequential
+    * `aggregate` fold over the hit flags (cur/best pair) — per-document
+    * arithmetic, no state, no shuffle, no stream-static join. A run of
+    * r shingles covers r + 2 tokens, exactly batch d18's algebra
+    * (parity spec-asserted). */
+  def spanGate(docs: DataFrame, bench: Array[String],
+               minSpanTokens: Long = 13L): DataFrame = {
+    val benchMap = map(bench.flatMap(b => Seq(lit(b), lit(true))): _*)
+    val hits = transform(
+      graft.text.Corpus.shinglesOf(col("ws")),
+      s => element_at(benchMap, s).isNotNull)
+    val longestRun = aggregate(
+      hits,
+      struct(lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, h) => {
+        val cur = when(h, acc.getField("cur") + lit(1L)).otherwise(lit(0L))
+        struct(cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .withColumn("ws", graft.text.Corpus.wordsCol)
+      .withColumn("longest_run", longestRun)
+      .withColumn("span_tokens",
+        when(col("longest_run") > 0L, col("longest_run") + lit(2L))
+          .otherwise(lit(0L)))
+      .filter(col("span_tokens") < minSpanTokens)
+      .drop("ws", "longest_run", "span_tokens")
+  }
+
   /** Batch-fitted unigram LM for the streaming surprisal gate: word →
     * whole-bit surprisal, t13's exact integer algebra
     * ([[TextAnalysis.lmSurprisal]]), collected once at query build. The

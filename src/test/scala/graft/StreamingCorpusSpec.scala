@@ -123,6 +123,41 @@ class StreamingCorpusSpec extends GraftSpec {
     assert(fromCorpus.length.toLong === expected)
   }
 
+  test("streaming span gate drops long verbatim quotes, keeps scattered overlap") {
+    val in = Files.createTempDirectory("stream_span")
+    in.toFile.deleteOnExit()
+    // quoted: 6 consecutive benchmark shingles = 8-token span (>= 7 gate)
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    // scattered: shares isolated shingles, no run longer than 1 (3 tokens)
+    val scattered = "alpha beta gamma one two three delta epsilon zeta"
+    Files.writeString(in.resolve("a.json"), Seq(
+      doc(1, "2024-03-01T10:00:00", quoted),
+      doc(2, "2024-03-01T10:01:00", scattered),
+      doc(3, "2024-03-01T10:02:00", "tiny")).mkString("\n")) // no shingles -> passes
+    val bench = (0 until 6).map(i =>
+      quoted.split(" ").slice(i, i + 3).mkString(" ")).toArray
+    runStream(in, StreamingCorpus.spanGate(_, bench, minSpanTokens = 7L),
+      "span_stream")
+    val kept = spark.sql("SELECT doc_id FROM span_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L, 3L))
+  }
+
+  test("span gate verdict is bit-identical to batch d18's flag") {
+    // the gate over the static corpus (gates are plain column logic, so
+    // they run batch unchanged) must keep exactly d18's unflagged docs
+    val bench = StreamingCorpus.benchmarkShingles(spark, sfDir)
+    val candidates = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 97 =!= 0)
+    val kept = StreamingCorpus.spanGate(candidates, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val unflagged = graft.text.CorpusPrep.contaminationSpan(spark, sfDir)
+      .filter(!col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === unflagged,
+      "streaming span verdicts must match batch d18 exactly")
+  }
+
   test("streaming surprisal gate scores bit-identically to batch t13") {
     val in = Files.createTempDirectory("stream_lm")
     in.toFile.deleteOnExit()
