@@ -680,6 +680,40 @@ object TextAnalysis {
     * join's word partitioning, terms above the df cap never enter the
     * index (the candidate bound), one (query, doc) aggregate, one
     * per-query top-k window. */
+  /** t19: word-frequency SPECTRUM — the Good-Turing
+    * frequency-of-frequencies table N_c (#distinct words occurring
+    * exactly c times): the direct input to Good-Turing/Katz smoothing
+    * and the standard Zipf-tail diagnostic (a natural corpus has
+    * N_1 > N_2 > …; a template-heavy one collapses the head). Exact
+    * buckets for c ≤ 8 where the smoothing estimates live, then
+    * power-of-two buckets (2^⌊log2 c⌋ via the same binary-string-length
+    * trick as t13 — no libm) so the output stays log-bounded however
+    * large the corpus grows. One map-side-combinable vocabulary
+    * aggregate + a spectrum-sized rollup; nothing broadcasts. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("bucket",
+        when(col("c") <= 8L, col("c"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_words"), sum("c").as("mass"))
+      .orderBy("bucket")
+
+  val freqSpectrumSql: String =
+    s"""WITH occ AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
+       |  GROUP BY word)
+       |SELECT
+       |  CASE WHEN c <= 8 THEN c
+       |       ELSE CAST(1 AS BIGINT) << (length(format('{:b}', c)) - 1)
+       |  END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(c) AS BIGINT) AS mass
+       |FROM occ GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** t16: LEXICAL DIVERSITY per (lang, source) domain — type-token ratio
     * and hapax share, the Heaps/Zipf-adjacent diagnostics that separate
     * natural text from boilerplate and template spam: TTR collapses when

@@ -352,6 +352,28 @@ class CompositionSpec extends GraftSpec {
     assert(splits === 3, "sample must straddle train/val/test")
   }
 
+  test("t19: spectrum matches an exact single-process recomputation; conserves vocab and mass") {
+    import graft.text.{Corpus, TextAnalysis}
+    val words = Corpus.docsTok(spark, sfDir).select("words").collect()
+      .flatMap(_.getSeq[String](0))
+    val occ = words.groupBy(identity).map(_._2.size.toLong)
+    def bucketOf(c: Long): Long =
+      if (c <= 8) c else 1L << (63 - java.lang.Long.numberOfLeadingZeros(c))
+    val expect = occ.groupBy(bucketOf).map { case (b, cs) =>
+      b -> (cs.size.toLong, cs.sum)
+    }
+    val res = TextAnalysis.freqSpectrum(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (nWords, mass) = expect(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_words") === nWords)
+      assert(r.getAs[Long]("mass") === mass)
+    }
+    // conservation: spectrum partitions the vocabulary and the corpus
+    assert(res.map(_.getAs[Long]("n_words")).sum === occ.size.toLong)
+    assert(res.map(_.getAs[Long]("mass")).sum === words.length.toLong)
+  }
+
   test("t16: diversity matches an exact single-process recomputation") {
     import graft.text.{Corpus, TextAnalysis}
     val docs = Corpus.docsTok(spark, sfDir)

@@ -110,6 +110,8 @@ class PlanShapeSpec extends GraftSpec {
       "v15 truth window + bucket top-k window + pair-keyed recall join/agg"),
     ("p14_epoch_apply", 2,
       "both exchanges inside the domain-sized plan build; doc side streams"),
+    ("t19_freq_spectrum", 2,
+      "map-side-combined vocab agg + log-bounded spectrum rollup"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
