@@ -502,4 +502,59 @@ object EventsBatch {
        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN us END) AS BIGINT) AS p50_us,
        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN us END) AS BIGINT) AS p90_us
        |FROM ranked GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** e12: CDC LATEST-STATE compaction — the merge-on-read snapshot every
+    * lakehouse maintenance job materializes from an upsert log: one row
+    * per entity (user) carrying its latest version (max ts, event_id the
+    * deterministic tie-break) plus the bookkeeping a compaction planner
+    * reads — n_versions (rows a rewrite would collapse) and the first-seen
+    * timestamp. The reference's idempotent re-delivery story
+    * (process_upload.py's overwrite-by-day) is the file-level analogue;
+    * this is the row-level one.
+    *
+    * Scale posture: deliberately NOT a row_number window — that shape
+    * sorts every key group at 100 TB. The latest version is
+    * max(struct(ts, event_id, payload…)): an ordinary map-side-combinable
+    * hash aggregate, ONE exchange on the entity key, partial maxes
+    * collapse before the shuffle so it carries one candidate row per
+    * (map partition, key). The struct ordering is total (event_id is
+    * unique), so the snapshot is deterministic on any partition layout,
+    * and AQE's skew split applies cleanly because the agg is algebraic. */
+  def latestState(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        struct(col("ts"), col("event_id"), col("event_type"),
+          col("value").cast(Tables.Money).as("value_dec")).as("v"))
+      .groupBy("user_id")
+      .agg(max(col("v")).as("last"),
+        count(lit(1)).as("n_versions"),
+        min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value_dec").cast("double").as("last_value"),
+        expr("unix_micros(last.ts)").as("last_ts_us"),
+        expr("unix_micros(first_ts)").as("first_ts_us"),
+        col("n_versions"))
+      .orderBy("user_id")
+
+  val latestStateSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+      |    MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      |  FROM events)
+      |SELECT user_id, last_event_id, last_type, last_value, last_ts_us,
+      |  first_ts_us, n_versions FROM (
+      |  SELECT user_id,
+      |    event_id AS last_event_id,
+      |    event_type AS last_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+      |    epoch_us(ts) AS last_ts_us,
+      |    epoch_us(first_ts) AS first_ts_us,
+      |    CAST(n_versions AS BIGINT) AS n_versions
+      |  FROM ranked WHERE rn = 1)
+      |ORDER BY user_id""".stripMargin
 }

@@ -459,6 +459,36 @@ class CompositionSpec extends GraftSpec {
     } finally rt.unpersist()
   }
 
+  test("e12: snapshot matches an exact in-process latest-version fold") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val raw = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000))
+    val expect = raw.groupBy(_._1).map { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._5, r._2))
+      uid -> (last._2, last._3, last._4, last._5,
+        rows.map(_._5).min, rows.length.toLong)
+    }
+    val res = EventsBatch.latestState(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (eid, typ, v, lastUs, firstUs, n) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("last_event_id") === eid)
+      assert(r.getAs[String]("last_type") === typ)
+      assert(r.getAs[Double]("last_value") === v)
+      assert(r.getAs[Long]("last_ts_us") === lastUs)
+      assert(r.getAs[Long]("first_ts_us") === firstUs)
+      assert(r.getAs[Long]("n_versions") === n)
+      assert(firstUs <= lastUs)
+    }
+    // conservation: version counts partition the log
+    assert(res.map(_.getAs[Long]("n_versions")).sum === raw.length.toLong)
+  }
+
   test("e11: latency stats reproduce an in-process nearest-rank computation") {
     import graft.streaming.EventsBatch
     val base = EventsBatch.funnel(spark, sfDir).collect()

@@ -112,6 +112,8 @@ class PlanShapeSpec extends GraftSpec {
       "both exchanges inside the domain-sized plan build; doc side streams"),
     ("t19_freq_spectrum", 2,
       "map-side-combined vocab agg + log-bounded spectrum rollup"),
+    ("e12_latest_state", 1,
+      "max(struct) latest-version compaction: one entity-key hash agg, no window sort"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
