@@ -1,5 +1,6 @@
 package graft
 
+import graft.analytics.Profile
 import graft.dedup.Dedup
 import graft.streaming.EventsBatch
 import graft.text.{CorpusFilter, TextAnalysis}
@@ -457,6 +458,32 @@ class CompositionSpec extends GraftSpec {
       assert(first.filter(col("mtd_sales") =!= col("day_sales")).count() === 0,
         "MTD must reset to the day's sales at each month start")
     } finally rt.unpersist()
+  }
+
+  test("k2: skew profile matches an exact in-process recomputation") {
+    import graft.model.Tables
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+    val cols = Map(
+      "l_orderkey" -> li.map(_.getAs[Long]("l_orderkey")),
+      "l_partkey" -> li.map(_.getAs[Long]("l_partkey")),
+      "l_suppkey" -> li.map(_.getAs[Long]("l_suppkey")))
+    val res = Profile.skewProfile(spark, sfDir).collect()
+    assert(res.length === 3)
+    res.foreach { r =>
+      val vals = cols(r.getAs[String]("key_col"))
+      val counts = vals.groupBy(identity).map(_._2.length.toLong)
+      val (n, k, mx) = (vals.length.toLong, counts.size.toLong, counts.max)
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_keys") === k)
+      assert(r.getAs[Long]("max_count") === mx)
+      assert(r.getAs[Long]("mean_milli") === n * 1000 / k)
+      assert(r.getAs[Long]("skew_ratio_milli") === mx * k * 1000 / n)
+      assert(r.getAs[Long]("salt_hint") === (mx * k + n - 1) / n)
+      // the max key can never be lighter than the mean key
+      assert(r.getAs[Long]("skew_ratio_milli") >= 1000)
+      assert(r.getAs[Long]("salt_hint") >= 1)
+    }
   }
 
   test("e12: snapshot matches an exact in-process latest-version fold") {

@@ -114,6 +114,8 @@ class PlanShapeSpec extends GraftSpec {
       "map-side-combined vocab agg + log-bounded spectrum rollup"),
     ("e12_latest_state", 1,
       "max(struct) latest-version compaction: one entity-key hash agg, no window sort"),
+    ("k2_skew_profile", 2,
+      "stack fan-out is map-side: one (key_col, key_val) count + 3-row rollup"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
