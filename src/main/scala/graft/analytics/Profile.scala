@@ -65,4 +65,87 @@ object Profile {
       |  max_count * n_keys * 1000 // n_rows AS skew_ratio_milli,
       |  (max_count * n_keys + n_rows - 1) // n_rows AS salt_hint
       |FROM rolled ORDER BY key_col""".stripMargin
+
+  /** k3: per-column ANALYZE-style profile of the events table — row
+    * count, null count, exact distinct count, and canonical-string
+    * min/max per column: the statistics a cost-based optimizer feeds on
+    * (join reorder, broadcast thresholds, NDV-based agg estimates) and
+    * the drift check a pipeline runs on every new ingest batch.
+    *
+    * Shape: ONE aggregate computes every column's stats in a single
+    * logical scan (Catalyst plans the multi-distinct via Expand — the
+    * data is replicated per distinct column map-side, but it is still
+    * one pass over the parquet, not six), then a 6-way stack() unpivots
+    * the 1-row result — the stack runs on ONE row, so the unpivot is
+    * free. Min/max are computed on native types (decimal for the money
+    * column, timestamp for ts) and only then rendered to strings, so
+    * ordering is never lexicographic-on-numerics. At 100 TB the exact
+    * distincts swap for the HLL sketch path (sk1/sk5) — same output
+    * contract, fixed-size partials; the exact form here is the
+    * certifier, the same exact/approx twin contract as sk1–sk3. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast(Tables.Money).as("value_dec"), col("props"))
+      .agg(
+        count(lit(1)).as("n"),
+        count("event_id").as("nn_event_id"), countDistinct("event_id").as("nd_event_id"),
+        min("event_id").as("mn_event_id"), max("event_id").as("mx_event_id"),
+        count("ts").as("nn_ts"), countDistinct("ts").as("nd_ts"),
+        min("ts").as("mn_ts"), max("ts").as("mx_ts"),
+        count("user_id").as("nn_user_id"), countDistinct("user_id").as("nd_user_id"),
+        min("user_id").as("mn_user_id"), max("user_id").as("mx_user_id"),
+        count("event_type").as("nn_event_type"), countDistinct("event_type").as("nd_event_type"),
+        min("event_type").as("mn_event_type"), max("event_type").as("mx_event_type"),
+        count("value_dec").as("nn_value"), countDistinct("value_dec").as("nd_value"),
+        min("value_dec").as("mn_value"), max("value_dec").as("mx_value"),
+        count("props").as("nn_props"), countDistinct("props").as("nd_props"),
+        min("props").as("mn_props"), max("props").as("mx_props"))
+      .selectExpr("stack(6, " +
+        "'event_id', n, n - nn_event_id, nd_event_id, CAST(mn_event_id AS STRING), CAST(mx_event_id AS STRING), " +
+        "'ts', n, n - nn_ts, nd_ts, CAST(unix_micros(mn_ts) AS STRING), CAST(unix_micros(mx_ts) AS STRING), " +
+        "'user_id', n, n - nn_user_id, nd_user_id, CAST(mn_user_id AS STRING), CAST(mx_user_id AS STRING), " +
+        "'event_type', n, n - nn_event_type, nd_event_type, mn_event_type, mx_event_type, " +
+        "'value', n, n - nn_value, nd_value, CAST(mn_value AS STRING), CAST(mx_value AS STRING), " +
+        "'props', n, n - nn_props, nd_props, mn_props, mx_props" +
+        ") AS (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)")
+      .orderBy("col_name")
+
+  val columnProfileSql: String =
+    """WITH s AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(event_id) AS BIGINT) AS nn_event_id,
+      |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+      |    CAST(MIN(event_id) AS VARCHAR) AS mn_event_id,
+      |    CAST(MAX(event_id) AS VARCHAR) AS mx_event_id,
+      |    CAST(COUNT(ts) AS BIGINT) AS nn_ts,
+      |    CAST(COUNT(DISTINCT ts) AS BIGINT) AS nd_ts,
+      |    CAST(epoch_us(MIN(ts)) AS VARCHAR) AS mn_ts,
+      |    CAST(epoch_us(MAX(ts)) AS VARCHAR) AS mx_ts,
+      |    CAST(COUNT(user_id) AS BIGINT) AS nn_user_id,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+      |    CAST(MIN(user_id) AS VARCHAR) AS mn_user_id,
+      |    CAST(MAX(user_id) AS VARCHAR) AS mx_user_id,
+      |    CAST(COUNT(event_type) AS BIGINT) AS nn_event_type,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+      |    MIN(event_type) AS mn_event_type,
+      |    MAX(event_type) AS mx_event_type,
+      |    CAST(COUNT(CAST(value AS DECIMAL(18,2))) AS BIGINT) AS nn_value,
+      |    CAST(COUNT(DISTINCT CAST(value AS DECIMAL(18,2))) AS BIGINT) AS nd_value,
+      |    CAST(MIN(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS mn_value,
+      |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS mx_value,
+      |    CAST(COUNT(props) AS BIGINT) AS nn_props,
+      |    CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_props,
+      |    MIN(props) AS mn_props,
+      |    MAX(props) AS mx_props
+      |  FROM events)
+      |SELECT 'event_id' AS col_name, n AS n_rows, n - nn_event_id AS n_null,
+      |  nd_event_id AS n_distinct, mn_event_id AS min_repr, mx_event_id AS max_repr FROM s
+      |UNION ALL SELECT 'ts', n, n - nn_ts, nd_ts, mn_ts, mx_ts FROM s
+      |UNION ALL SELECT 'user_id', n, n - nn_user_id, nd_user_id, mn_user_id, mx_user_id FROM s
+      |UNION ALL SELECT 'event_type', n, n - nn_event_type, nd_event_type, mn_event_type, mx_event_type FROM s
+      |UNION ALL SELECT 'value', n, n - nn_value, nd_value, mn_value, mx_value FROM s
+      |UNION ALL SELECT 'props', n, n - nn_props, nd_props, mn_props, mx_props FROM s
+      |ORDER BY col_name""".stripMargin
 }

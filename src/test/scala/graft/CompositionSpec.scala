@@ -486,6 +486,32 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("k3: column profile matches exact per-column recomputation") {
+    import graft.model.Tables
+    val ev = Tables.events(spark, sfDir).collect()
+    val res = Profile.columnProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(res.size === 6)
+    val n = ev.length.toLong
+    res.values.foreach(r => assert(r.getAs[Long]("n_rows") === n))
+    // spot-exact on three representative columns
+    val uids = ev.map(_.getAs[Long]("user_id"))
+    assert(res("user_id").getAs[Long]("n_distinct") === uids.distinct.length.toLong)
+    assert(res("user_id").getAs[String]("min_repr") === uids.min.toString)
+    assert(res("user_id").getAs[String]("max_repr") === uids.max.toString)
+    val types = ev.map(_.getAs[String]("event_type"))
+    assert(res("event_type").getAs[Long]("n_distinct") === types.distinct.length.toLong)
+    assert(res("event_type").getAs[String]("min_repr") === types.min)
+    assert(res("event_type").getAs[String]("max_repr") === types.max)
+    val vals = ev.map(r => BigDecimal(r.getAs[Double]("value")).setScale(2))
+    assert(res("value").getAs[Long]("n_distinct") === vals.distinct.length.toLong)
+    assert(res("value").getAs[String]("min_repr") === vals.min.toString)
+    // no nulls in the fixture; the profile must agree
+    res.values.foreach(r => assert(r.getAs[Long]("n_null") === 0L))
+    // event_id is the primary key: distinct count must equal rows
+    assert(res("event_id").getAs[Long]("n_distinct") === n)
+  }
+
   test("e12: snapshot matches an exact in-process latest-version fold") {
     import graft.streaming.EventsBatch
     import graft.model.Tables

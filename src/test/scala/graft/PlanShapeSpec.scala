@@ -116,6 +116,8 @@ class PlanShapeSpec extends GraftSpec {
       "max(struct) latest-version compaction: one entity-key hash agg, no window sort"),
     ("k2_skew_profile", 2,
       "stack fan-out is map-side: one (key_col, key_val) count + 3-row rollup"),
+    ("k3_column_profile", 3,
+      "multi-distinct Expand rides one scan; partial+merge aggs and the 1-row gather"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
