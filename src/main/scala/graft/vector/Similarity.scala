@@ -1484,4 +1484,123 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, doc_id, n_common_words, cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** v18: IVF PROBE-SWEEP operating curve — recall@k AND candidate
+    * count at every nProbe level in one pass: the tuning table an index
+    * operator reads to pick nProbe (the quality/cost dial of v4/v11)
+    * instead of guessing. v6 certifies ONE config; this sweeps the dial.
+    *
+    * One corpus pass however many levels: the coarse ranking (ivfRanked)
+    * is computed once; a candidate (query, neighbor) pair's MINIMAL
+    * probe level is just the query→cell rank it joined through, so the
+    * sweep is a broadcast join of the pairs against the tiny levels
+    * relation (probe_rank <= n_probe), not a re-probe per level. Each
+    * neighbor lives in exactly one cell ⇒ pairs are already distinct.
+    * At the full-probe level every cell is scanned, so recall is exactly
+    * 1.0 — the self-certifying end of the curve (spec-pinned). Corpus
+    * side is touched via the same cell hash join as v4; everything
+    * downstream is query-set × levels sized. */
+  def probeSweep(spark: SparkSession, dir: String, k: Int = 5,
+                 nQueries: Int = defaultNQueries,
+                 nCentroids: Int = 8,
+                 probeLevels: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val ranked = ivfRanked(spark, dir, nCentroids)
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cell"),
+        col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    val maxP = probeLevels.max
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= maxP)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"),
+        col("crank").as("probe_rank"),
+        col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val pairs = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+      .select("query_id", "probe_rank", "neighbor_id", "cosine")
+    val levels = probeLevels.map(_.toLong).toDF("n_probe")
+    val expanded = pairs.join(broadcast(levels), col("probe_rank") <= col("n_probe"))
+    val w = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val topk = expanded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val truth = cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val truthCount = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val cand = expanded.groupBy("n_probe")
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    cand.join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(truthCount))
+      .select(col("n_probe"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_candidates"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_truth").cast("double")).as("recall"))
+      .orderBy("n_probe")
+  }
+
+  def probeSweepSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                    nCentroids: Int = 8,
+                    probeLevels: Seq[Int] = Seq(1, 2, 4, 8)): String = {
+    val maxP = probeLevels.max
+    val levelValues = probeLevels.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, e.norm2, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id AS cell,
+       |    embedding AS n_emb, norm2 AS n_norm2
+       |  FROM ranked WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell, crank AS probe_rank,
+       |    embedding AS q_emb, norm2 AS q_norm2
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $maxP),
+       |pairs AS (
+       |  SELECT p.query_id, p.probe_rank, a.neighbor_id,
+       |    ${dotSql("p.q_emb", "a.n_emb")}
+       |      / sqrt(p.q_norm2 * a.n_norm2) AS cosine
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE p.query_id <> a.neighbor_id),
+       |levels AS (
+       |  SELECT CAST(n_probe AS BIGINT) AS n_probe
+       |  FROM (VALUES $levelValues) AS t(n_probe)),
+       |expanded AS (
+       |  SELECT l.n_probe, pr.query_id, pr.neighbor_id, pr.cosine
+       |  FROM pairs pr JOIN levels l ON pr.probe_rank <= l.n_probe),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM expanded)
+       |  WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)})),
+       |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |cand AS (
+       |  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM expanded GROUP BY 1),
+       |hits AS (
+       |  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM topk JOIN truth USING (query_id, neighbor_id)
+       |  GROUP BY 1)
+       |SELECT c.n_probe, tc.n_truth,
+       |  COALESCE(h.n_hits, 0) AS n_hits, c.n_candidates,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tc.n_truth AS DOUBLE) AS recall
+       |FROM cand c CROSS JOIN tc LEFT JOIN hits h ON c.n_probe = h.n_probe
+       |ORDER BY c.n_probe""".stripMargin
+  }
 }

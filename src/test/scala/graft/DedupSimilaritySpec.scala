@@ -183,6 +183,27 @@ class DedupSimilaritySpec extends GraftSpec {
     } finally r.unpersist()
   }
 
+  test("v18: probe sweep is monotone and self-certifying at full probe") {
+    val r = Similarity.probeSweep(spark, sfDir).cache()
+    try {
+      val rows = r.orderBy("n_probe").collect()
+      assert(rows.map(_.getAs[Long]("n_probe")).toSeq === Seq(1L, 2L, 4L, 8L))
+      // recall and candidate count can only grow with the probe budget
+      rows.zip(rows.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall"))
+        assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+      }
+      // full probe scans every cell: exact search, recall exactly 1
+      assert(rows.last.getAs[Double]("recall") === 1.0)
+      rows.foreach(r0 => assert(r0.getAs[Long]("n_hits") <= r0.getAs[Long]("n_truth")))
+      // the nProbe=2 point of the curve must agree with v6's ivf eval
+      val v6hits = Similarity.annRecall(spark, sfDir)
+        .filter(col("method") === "ivf")
+        .agg(sum("n_hits")).head.getLong(0)
+      assert(rows(1).getAs[Long]("n_hits") === v6hits)
+    } finally r.unpersist()
+  }
+
   test("v7: int8 retrieval preserves most of float recall@5") {
     val r = Similarity.quantizedRecall(spark, sfDir).cache()
     try {

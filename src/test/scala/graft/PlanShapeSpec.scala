@@ -118,6 +118,9 @@ class PlanShapeSpec extends GraftSpec {
       "stack fan-out is map-side: one (key_col, key_val) count + 3-row rollup"),
     ("k3_column_profile", 3,
       "multi-distinct Expand rides one scan; partial+merge aggs and the 1-row gather"),
+    ("v18_probe_sweep", 11,
+      "2 corpus-sized assignment windows (v4's build shape); all other exchanges are " +
+        "query-set x levels eval plumbing; sweep + centroid joins broadcast"),
     ("t16_lexical_diversity", 2,
       "map-side-combined word agg + domain rollup riding its prefix"),
     ("t17_lang_confusion", 2,
