@@ -62,6 +62,30 @@ object AudioCodec {
     } yield WavHeader(rate, ch, bits, dl / blockAlign)
   }
 
+  /** The data chunk's sample bytes for 8-bit mono PCM payloads — the
+    * decoded WAVEFORM (one unsigned byte per sample), not just the
+    * header. None when the container parses but isn't the canonical
+    * 8-bit/mono shape (this decoder is honest about what it supports
+    * instead of mis-reading other layouts). Same bounds-hardened chunk
+    * walk as [[parseWav]]. */
+  def pcm8(b: Array[Byte]): Option[Array[Byte]] =
+    parseWav(b) match {
+      case Some(h) if h.bitsPerSample == 8 && h.channels == 1 =>
+        var i = 12L
+        var res: Option[Array[Byte]] = None
+        while (i + 8 <= b.length && res.isEmpty) {
+          val ii = i.toInt
+          val len = u32le(b, ii + 4)
+          if (tag(b, ii, "data")) {
+            val n = math.min(len, b.length - i - 8).toInt
+            res = Some(java.util.Arrays.copyOfRange(b, ii + 8, ii + 8 + n))
+          }
+          i += 8L + len + (len & 1L)
+        }
+        res
+      case _ => None
+    }
+
   /** A canonical 8-bit mono PCM WAV: 44-byte header + `nSamples`
     * deterministic samples seeded by `seed`. */
   def wavBytes(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {

@@ -173,6 +173,48 @@ object Multimodal {
         col("width"), col("height"))
   }
 
+  /** m6: AUDIO WINDOW FEATURES over the REAL decoded waveform — the
+    * segmentation primitives a speech pipeline gates on before paying
+    * for transcription/embedding (VAD, silence trimming, clipping
+    * detection): per fixed window of the PCM stream, energy = Σ(s−128)²
+    * (exact integer — no float RMS, engine-portable), strict
+    * zero-crossing count (sᵢ₋₁·sᵢ < 0 on centered samples), and peak
+    * amplitude. Samples come from [[AudioCodec.pcm8]] — a genuine RIFF
+    * chunk walk to the data chunk, not a stub — so the features derive
+    * from real byte parsing end-to-end (spec recomputes them from a
+    * javax.sound decode of the same payload).
+    *
+    * Scale posture: a narrow flatMap — bytes never leave their
+    * executor, no shuffle; output is bounded by n_samples/window rows
+    * per media row. Rows-only at the correctness gate: DuckDB cannot
+    * parse WAV (same contract as m2/m4); the spec is the exactness
+    * anchor. */
+  def audioWindows(spark: SparkSession, dir: String,
+                   windowSamples: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(windowSamples > 0, "window must be positive")
+    mediaFromDocs(spark, dir).filter(_.kind == "audio").flatMap { r =>
+      AudioCodec.pcm8(r.bytes).toSeq.flatMap { pcm =>
+        pcm.grouped(windowSamples).zipWithIndex.map { case (w, idx) =>
+          var energy = 0L; var crossings = 0L; var peak = 0L
+          var prev = 0
+          var i = 0
+          while (i < w.length) {
+            val s = (w(i) & 0xff) - 128
+            energy += s.toLong * s
+            if (i > 0 && s * prev < 0) crossings += 1
+            if (math.abs(s) > peak) peak = math.abs(s).toLong
+            prev = s
+            i += 1
+          }
+          (r.media_id, idx, w.length, energy, crossings, peak)
+        }
+      }
+    }.toDF("media_id", "window_idx", "n_samples", "energy",
+        "zero_crossings", "peak")
+      .orderBy("media_id", "window_idx")
+  }
+
   /** m4: CROSS-VIDEO FRAME DEDUP — d1's exact-dedup semantics applied to
     * sampled frames: identical frame content appearing in many videos
     * (intros, title cards, black frames) is training redundancy a video

@@ -111,6 +111,42 @@ class MultimodalSpec extends GraftSpec {
     assert(AudioCodec.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("m6: window features match a javax.sound decode of the same bytes") {
+    // pcm8 agrees with a REAL decoder sample-for-sample on a fixture
+    val b = AudioCodec.wavBytes(sampleRate = 11025, nSamples = 2500, seed = 9)
+    val ours = AudioCodec.pcm8(b).get
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val theirs = in.readAllBytes()
+    assert(ours.toSeq === theirs.toSeq, "pcm8 must equal the real decode")
+    // the m6 relation reproduces an exact in-process recomputation over
+    // the javax.sound-decoded samples of every audio payload
+    val media = Multimodal.mediaFromDocs(spark, sfDir)
+      .filter(_.kind == "audio").collect()
+    val win = 1024
+    val expect = media.flatMap { r =>
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.bytes)).readAllBytes()
+      pcm.grouped(win).zipWithIndex.map { case (w, idx) =>
+        val s = w.map(x => (x & 0xff) - 128)
+        val crossings = s.zip(s.tail).count { case (a, c) => a * c < 0 }
+        ((r.media_id, idx), (w.length, s.map(v => v.toLong * v).sum,
+          crossings.toLong, s.map(v => math.abs(v).toLong).max))
+      }
+    }.toMap
+    val res = Multimodal.audioWindows(spark, sfDir, win).collect()
+    assert(res.length === expect.size)
+    assert(res.length > media.length, "multi-window payloads must exist")
+    res.foreach { r =>
+      val (n, energy, zc, peak) =
+        expect((r.getAs[Long]("media_id"), r.getAs[Int]("window_idx")))
+      assert(r.getAs[Int]("n_samples") === n)
+      assert(r.getAs[Long]("energy") === energy)
+      assert(r.getAs[Long]("zero_crossings") === zc)
+      assert(r.getAs[Long]("peak") === peak)
+    }
+  }
+
   test("malformed containers reject in finite time, never hang or throw") {
     // a chunk length of 0xFFFFFFF8 once truncated to Int is -8: the
     // cursor would advance by zero (infinite loop) — must return None

@@ -26,7 +26,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "d13_lsh_eval_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d7)",
     "t8_fingerprint_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of t4)",
     "m2_multimodal" -> "binary decode-stub features have no DuckDB analogue",
-    "m4_frame_dedup" -> "frame-content hashes come from the binary decode stub")
+    "m4_frame_dedup" -> "frame-content hashes come from the binary decode stub",
+    "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet
