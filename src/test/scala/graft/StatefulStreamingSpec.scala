@@ -233,6 +233,44 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-state snapshots match batch e12 bit-for-bit") {
+    import spark.implicits._
+    import graft.streaming.{StatefulLatestState, VersionEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"), col("value"))
+      .as[VersionEvent].collect().sortBy(r => (r.us, r.event_id))
+    // split mid-stream: snapshots must keep folding across the boundary
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[VersionEvent]
+    val q = StatefulLatestState.snapshots(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("snapshots").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // update mode re-emits a user's snapshot each batch it changes in;
+      // n_versions grows strictly on every delivered row, so the final
+      // snapshot per user is its max-n_versions row
+      val got = spark.sql("SELECT * FROM snapshots").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("last_ts_us"), r.getAs[Long]("first_ts_us"),
+          r.getAs[Long]("n_versions")))
+        .groupBy(_._1).map(_._2.maxBy(_._7)).toSeq.sortBy(_._1)
+      val want = graft.streaming.EventsBatch.latestState(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("last_ts_us"), r.getAs[Long]("first_ts_us"),
+          r.getAs[Long]("n_versions"))).toSeq.sortBy(_._1)
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streaming snapshots must equal the batch compaction exactly")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch e8 relation bit-for-bit") {
     import spark.implicits._
     import graft.streaming.{StatefulAttribution, TouchEvent}
