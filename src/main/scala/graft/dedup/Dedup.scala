@@ -821,6 +821,94 @@ object Dedup {
        |FROM scored s JOIN keepers k USING (cluster_id)
        |ORDER BY s.doc_id""".stripMargin
 
+  /** d19: SHARED-SPAN FORENSICS for containment pairs — d17 says "doc a
+    * is ≥ minPct% contained in doc b"; this answers what a curation
+    * reviewer (or memorization audit) asks next: how LONG is the longest
+    * verbatim token stretch of the contained doc appearing in the
+    * container? d18's run-collapse algebra (matched positions minus
+    * their rank collapse contiguous stretches to one group key),
+    * generalized from benchmark-vs-doc to doc-vs-doc: positions walk the
+    * contained doc's 3-shingle stream, a position matches when its
+    * shingle is in the container's distinct shingle set, a run of r
+    * overlapping 3-shingles covers r + 2 tokens, and the 13-token flag
+    * is d18's GPT-3-style memorization threshold.
+    *
+    * Scale shape: the positioned stream only materializes matches for
+    * d17's VERDICT pairs (containment-thresholded — tiny by
+    * construction): the pair relation broadcasts onto the positioned
+    * shingle stream, the container side reuses the distinct
+    * (doc, shingle) set relation, and the run/span aggregates ride one
+    * (contained, container) exchange (grp refines the pair key). Every
+    * verdict pair has n_common ≥ 1, so the span join is total — no
+    * zero-fill needed (spec-asserted). */
+  def sharedSpans(spark: SparkSession, dir: String, minPct: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = containmentPairs(spark, dir, minPct)
+      .select(col("contained_doc"), col("container_doc"))
+    val shingPos = Corpus.docsTok(spark, dir)
+      .select(col("doc_id").as("contained_doc"),
+        posexplode(Corpus.shinglesOf(col("words"))))
+      .select(col("contained_doc"), (col("pos") + lit(1L)).as("pos"),
+        col("col").as("shingle"))
+    val contSet = Corpus.docShingles(spark, dir)
+      .select(col("doc_id").as("container_doc"), col("shingle"))
+    val matched = broadcast(pairs).join(shingPos, Seq("contained_doc"))
+      .join(contSet, Seq("container_doc", "shingle"))
+    val w = Window.partitionBy("contained_doc", "container_doc").orderBy("pos")
+    val runs = matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("contained_doc", "container_doc", "grp")
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy("contained_doc", "container_doc")
+      .agg(count(lit(1)).as("n_runs"), sum("run").as("n_matched"),
+        max("run").as("longest_run"))
+      .select(col("contained_doc"), col("container_doc"),
+        col("n_matched"), col("n_runs"), col("longest_run"),
+        (col("longest_run") + lit(2L)).as("longest_span_tokens"),
+        (col("longest_run") + lit(2L) >= lit(13L)).as("flagged"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  def sharedSpansSql(minPct: Int = 80): String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH p AS (
+       |  SELECT contained_doc, container_doc
+       |  FROM (${containmentPairsSql(minPct)})),
+       |docs AS (
+       |  SELECT doc_id, $ws AS ws FROM documents),
+       |positioned AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos FROM docs),
+       |shing AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(ws, pos) || ' ' || list_extract(ws, pos + 1)
+       |      || ' ' || list_extract(ws, pos + 2) AS shingle
+       |  FROM positioned),
+       |cset AS (
+       |  SELECT DISTINCT doc_id AS container_doc, shingle FROM shing),
+       |matched AS (
+       |  SELECT p.contained_doc, p.container_doc, s.pos
+       |  FROM p
+       |  JOIN shing s ON s.doc_id = p.contained_doc
+       |  JOIN cset c ON c.container_doc = p.container_doc
+       |    AND c.shingle = s.shingle),
+       |runs AS (
+       |  SELECT contained_doc, container_doc, grp,
+       |    CAST(COUNT(*) AS BIGINT) AS run
+       |  FROM (SELECT contained_doc, container_doc, pos,
+       |          pos - ROW_NUMBER() OVER (PARTITION BY contained_doc, container_doc
+       |                                   ORDER BY pos) AS grp
+       |        FROM matched)
+       |  GROUP BY 1, 2, 3)
+       |SELECT contained_doc, container_doc,
+       |  CAST(SUM(run) AS BIGINT) AS n_matched,
+       |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |  CAST(MAX(run) AS BIGINT) AS longest_run,
+       |  CAST(MAX(run) + 2 AS BIGINT) AS longest_span_tokens,
+       |  MAX(run) + 2 >= 13 AS flagged
+       |FROM runs GROUP BY contained_doc, container_doc
+       |ORDER BY contained_doc, container_doc""".stripMargin
+  }
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

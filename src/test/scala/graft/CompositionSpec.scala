@@ -460,6 +460,44 @@ class CompositionSpec extends GraftSpec {
     } finally rt.unpersist()
   }
 
+  test("d19: shared spans match an exact in-process recomputation over d17 pairs") {
+    import graft.text.Corpus
+    val pairs = Dedup.containmentPairs(spark, sfDir)
+      .select("contained_doc", "container_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tok = Corpus.docsTok(spark, sfDir).select("doc_id", "words").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    def shingleStream(id: Long): Seq[String] = {
+      val ws = tok(id)
+      if (ws.length < 3) Seq.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val expect = pairs.map { case (a, b) =>
+      val bSet = shingleStream(b).toSet
+      val hits = shingleStream(a).map(bSet.contains)
+      // collapse to run lengths
+      val runs = hits.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) if acc.nonEmpty && acc.head == 0 => acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      (a, b) -> (runs.sum, runs.length.toLong, runs.max)
+    }.toMap
+    val res = Dedup.sharedSpans(spark, sfDir).collect()
+    // every d17 verdict pair has >= 1 shared shingle: the relation is total
+    assert(res.length === pairs.length)
+    res.foreach { r =>
+      val (nm, nr, lr) = expect((r.getAs[Long]("contained_doc"),
+        r.getAs[Long]("container_doc")))
+      assert(r.getAs[Long]("n_matched") === nm)
+      assert(r.getAs[Long]("n_runs") === nr)
+      assert(r.getAs[Long]("longest_run") === lr)
+      assert(r.getAs[Long]("longest_span_tokens") === lr + 2)
+      assert(r.getAs[Boolean]("flagged") === (lr + 2 >= 13))
+    }
+  }
+
   test("k2: skew profile matches an exact in-process recomputation") {
     import graft.model.Tables
     val li = Tables.lineitem(spark, sfDir)

@@ -118,6 +118,8 @@ class PlanShapeSpec extends GraftSpec {
       "stack fan-out is map-side: one (key_col, key_val) count + 3-row rollup"),
     ("k3_column_profile", 3,
       "multi-distinct Expand rides one scan; partial+merge aggs and the 1-row gather"),
+    ("d19_shared_spans", 1,
+      "pair relation broadcasts onto the positioned stream; runs/spans ride one pair-key exchange"),
     ("v18_probe_sweep", 11,
       "2 corpus-sized assignment windows (v4's build shape); all other exchanges are " +
         "query-set x levels eval plumbing; sweep + centroid joins broadcast"),
