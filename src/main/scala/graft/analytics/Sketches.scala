@@ -115,4 +115,37 @@ object Sketches {
       .agg(approx_count_distinct(col("word"), rsd = 0.01).as("approx_types"),
         count(lit(1)).as("n_tokens"))
       .orderBy(col("lang"), col("source"))
+
+  /** sk6: rolling 7-day distinct users via MERGEABLE HLL sketches — the
+    * sketch-silver pattern that makes trailing windows affordable at
+    * 100 TB: ONE Datasketches HLL per calendar day is materialized once
+    * (`hll_sketch_agg`), and every trailing window is a UNION of ≤ 7
+    * fixed-size sketches (`hll_union_agg`) — the per-day sketch table is
+    * written once and answers any window length, where the exact path
+    * (e15) re-shuffles (user, day) pairs per window span. Same output
+    * contract as e15; the estimate replaces the exact count. The window
+    * union reuses e15's contribution-explode (a day's sketch contributes
+    * to the windows ending d..d+6) so the merge is one hash agg over
+    * |days|×7 sketch rows — never a re-scan of the raw stream.
+    * Rows-only like sk1 (estimates are implementation-defined);
+    * [[SketchesSpec]] bounds the error against e15's exact series. */
+  def rollingApprox(spark: SparkSession, dir: String,
+                    days: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    daily
+      .withColumn("off", explode(sequence(lit(0), lit(days - 1))))
+      .withColumn("window_day", date_add(col("d"), col("off")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("window_day") >= col("lo") && col("window_day") <= col("hi"))
+      .groupBy(col("window_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_active_7d"))
+      .select(date_format(col("window_day"), "yyyy-MM-dd").as("window_day"),
+        col("approx_active_7d"))
+      .orderBy("window_day")
+  }
 }

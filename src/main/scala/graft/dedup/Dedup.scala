@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.model.Silver
+import graft.model.{Silver, Tables}
 import graft.text.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -908,6 +908,62 @@ object Dedup {
        |FROM runs GROUP BY contained_doc, container_doc
        |ORDER BY contained_doc, container_doc""".stripMargin
   }
+
+  /** d20: cross-source duplication matrix — provenance forensics over
+    * the near-dup pair relation: how much of the duplication is WITHIN a
+    * source vs BETWEEN two sources. The between-source cells are what a
+    * corpus curator acts on (two crawls of the same site, a mirror, a
+    * laundered scrape — drop one side wholesale); the diagonal is
+    * ordinary in-source boilerplate that d6's clustering already
+    * handles. Same composition discipline as d14 (split leakage): a
+    * projection + rollup of the CACHED d4 pair silver, so at scale this
+    * adds only the two slim (doc_id, source) joins — the inverted-index
+    * work is already paid. The strong-pair verdict is integer-exact
+    * (n_common·100 ≥ 80·union, the d15/d17 discipline) — no FP
+    * aggregation, so the cell counts hash identically in any engine.
+    * Output is |sources|²-bounded regardless of corpus size. */
+  def crossSourceOverlap(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5,
+                         strongPct: Int = 80): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("n_common"), col("size_a"), col("size_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("n_common") * 100 >=
+            lit(strongPct) * (col("size_a") + col("size_b") - col("n_common")),
+          1L).otherwise(0L)).as("n_strong"))
+      .withColumn("is_within", col("source_a") === col("source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def crossSourceOverlapSql(threshold: Double = 0.5,
+                            strongPct: Int = 80): String =
+    s"""WITH pairs AS (${ngramJaccardSql(threshold)}),
+       |cells AS (
+       |  SELECT
+       |    LEAST(sa.source, sb.source) AS source_a,
+       |    GREATEST(sa.source, sb.source) AS source_b,
+       |    p.n_common, p.size_a, p.size_b
+       |  FROM pairs p
+       |  JOIN documents sa ON sa.doc_id = p.doc_a
+       |  JOIN documents sb ON sb.doc_id = p.doc_b)
+       |SELECT source_a, source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN n_common * 100 >=
+       |      $strongPct * (size_a + size_b - n_common) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_strong,
+       |  source_a = source_b AS is_within
+       |FROM cells GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).

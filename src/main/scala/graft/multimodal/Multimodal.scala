@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A typed media row: opaque binary payload + typed metadata. The shape a
@@ -251,6 +252,66 @@ object Multimodal {
         col("keeper.frame_idx").as("keeper_frame_idx"),
         (col("media_id") =!= col("keeper.media_id") ||
           col("frame_idx") =!= col("keeper.frame_idx")).as("is_duplicate"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Per-frame integer feature vector for [[sceneCuts]] — the
+    * [[decodeStub]] rolling-hash accumulator kept in exact longs (a
+    * real pipeline would use a downsampled luma histogram per decoded
+    * frame; same seam, same shape). Deterministic and content-derived:
+    * equal frame windows ⇒ equal features. */
+  private def frameFeature(bytes: Array[Byte], frame: Int,
+                           dim: Int = 8): Array[Long] = {
+    val start = math.min(frame * 7 % math.max(1, bytes.length), bytes.length)
+    val end = math.min(start + 64, bytes.length)
+    val acc = new Array[Long](dim)
+    var i = start
+    while (i < end) {
+      val d = (i - start) % dim
+      acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
+      i += 1
+    }
+    acc
+  }
+
+  /** m7: SCENE-CUT DETECTION — the keyframe-selection primitive a video
+    * training pipeline runs before captioning/embedding: consecutive
+    * sampled frames are compared by feature distance (Σ|Δ| over the
+    * per-frame integer features, exact — no FP), a cut fires where the
+    * distance exceeds `threshold`, and a running sum of cut flags
+    * assigns scene ids — e4's sessionization algebra applied to frames
+    * (gap-over-threshold starts a new group). The first frame of every
+    * video starts scene 1 by definition.
+    *
+    * Scale shape: the frame flatMap is narrow (bytes never leave
+    * executors; only media_id + 8 longs shuffle); the lag and the
+    * running sum BOTH ride the single media_id exchange — one shuffle
+    * total regardless of corpus size, and per-video frame counts bound
+    * the window state. Rows-only like m2/m4 (the frame features have no
+    * DuckDB analogue); the spec recomputes cuts and scene ids
+    * in-process from the same bytes. */
+  def sceneCuts(spark: SparkSession, dir: String, step: Int = 10,
+                threshold: Long = 2000000L): DataFrame = {
+    import spark.implicits._
+    val frames = mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>
+      Range(0, r.n_frames, step).map { f =>
+        (r.media_id, f, frameFeature(r.bytes, f))
+      }
+    }.toDF("media_id", "frame_idx", "feat")
+    val byVideo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_feat", lag(col("feat"), 1).over(byVideo))
+      .withColumn("diff_energy",
+        when(col("prev_feat").isNull, lit(null).cast("long")).otherwise(
+          aggregate(zip_with(col("feat"), col("prev_feat"),
+            (a, b) => abs(a - b)), lit(0L), (acc, v) => acc + v)))
+      .withColumn("is_cut",
+        col("prev_feat").isNull || col("diff_energy") > threshold)
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+          byVideo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("diff_energy"), col("is_cut"), col("scene_id"))
       .orderBy("media_id", "frame_idx")
   }
 }

@@ -557,4 +557,175 @@ object EventsBatch {
       |    CAST(n_versions AS BIGINT) AS n_versions
       |  FROM ranked WHERE rn = 1)
       |ORDER BY user_id""".stripMargin
+
+  /** e13: growth accounting — the canonical DAU decomposition every
+    * product-analytics stack computes (new / retained / resurrected per
+    * day, churned derived from the day-over-day identity). Reference
+    * analog: the completeness/trend family tracks per-store activity the
+    * same way (backend/analytics-processing/lambda_function.py trend
+    * paths); this is the user-dimension twin over `events`.
+    *
+    * Scale shape: distinct (user, day) → ONE user-key exchange for the
+    * lag window (per-user sort is bounded by #days a user is active, not
+    * corpus size) → day-level rollup. The final day table is
+    * calendar-bounded (~365 rows/year), so its ordering window is
+    * driver-trivial; nothing per-user ever reaches a global sort. Churn
+    * is reported against the immediately preceding calendar day (the
+    * only day for which "active then, silent now" is decided by the
+    * identity n_churned = prev_active − n_retained); a day following a
+    * gap gets NULL, never a guess. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .distinct()
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("event_date"))
+    val classified = active
+      .withColumn("prev_date", lag(col("event_date"), 1).over(perUser))
+      .withColumn("status",
+        when(col("prev_date").isNull, lit("new"))
+          .when(datediff(to_date(col("event_date")), to_date(col("prev_date"))) === 1,
+            lit("retained"))
+          .otherwise(lit("resurrected")))
+    val daily = classified.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val byDay = Window.orderBy(col("event_date")) // calendar-bounded relation
+    daily
+      .withColumn("prev_day", lag(col("event_date"), 1).over(byDay))
+      .withColumn("prev_active", lag(col("n_active"), 1).over(byDay))
+      .withColumn("n_churned",
+        when(datediff(to_date(col("event_date")), to_date(col("prev_day"))) === 1,
+          col("prev_active") - col("n_retained")))
+      .select(col("event_date"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("event_date"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS event_date
+      |  FROM events),
+      |classified AS (
+      |  SELECT event_date,
+      |    CASE
+      |      WHEN prev_date IS NULL THEN 'new'
+      |      WHEN date_diff('day', CAST(prev_date AS DATE),
+      |                     CAST(event_date AS DATE)) = 1 THEN 'retained'
+      |      ELSE 'resurrected' END AS status
+      |  FROM (
+      |    SELECT event_date,
+      |      LAG(event_date) OVER (PARTITION BY user_id ORDER BY event_date)
+      |        AS prev_date
+      |    FROM active)),
+      |daily AS (
+      |  SELECT event_date,
+      |    COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM classified GROUP BY 1)
+      |SELECT event_date,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  n_new, n_retained, n_resurrected,
+      |  CAST(CASE WHEN date_diff('day',
+      |      CAST(LAG(event_date) OVER (ORDER BY event_date) AS DATE),
+      |      CAST(event_date AS DATE)) = 1
+      |    THEN LAG(n_active) OVER (ORDER BY event_date) - n_retained
+      |    END AS BIGINT) AS n_churned
+      |FROM daily
+      |ORDER BY event_date""".stripMargin
+
+  /** e14: event-type transition matrix — per-user next-event bigrams
+    * (the Markov-chain fit behind "what do users do after X"
+    * click-path analytics). LEAD over the per-user ordered stream
+    * (event_id tiebreak makes the order total), then a (from, to)
+    * rollup whose output is |types|² — tiny at any corpus size. The
+    * transition probability divides two exact BIGINTs in DOUBLE
+    * (deterministic IEEE, same in both engines — the e6/retention
+    * convention). ONE user-key exchange; the from-type share window
+    * runs on the |types|²-bounded rollup. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type")) // |types|²-bounded
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") /
+          sum(col("n_trans")).over(byFrom).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+      |  CAST(n_trans AS DOUBLE) /
+      |    CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+      |    AS p_trans
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** e15: rolling 7-day distinct users per day (the trailing-window
+    * active-user series every growth dashboard plots). The scalable
+    * EXACT form is contribution-explode: a user active on day d is
+    * active in the trailing windows ending d..d+6, so each distinct
+    * (user, day) emits ≤ 7 (user, window_day) rows and ONE hash
+    * aggregate counts distincts per window day — no per-day re-scan,
+    * no window-over-collect_set, no 7-way self-join. The 7× row fan-out
+    * happens map-side after the distinct; the shuffle carries (day,
+    * user) pairs. Window days past the observed range are clipped by
+    * the (broadcast 1-row) bounds — trailing windows only ever END on
+    * observed days or the 6 days after; emitting only [lo, hi] matches
+    * the dashboard convention. [[Sketches.rollingApprox]] (sk6) is this
+    * query's sketch-merge scale path: same output contract, HLL unions
+    * instead of exact distinct. */
+  def rollingDistinct(spark: SparkSession, dir: String,
+                      days: Int = 7): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val bounds = active.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    active
+      .withColumn("off", explode(sequence(lit(0), lit(days - 1))))
+      .withColumn("window_day", date_add(col("d"), col("off")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("window_day") >= col("lo") && col("window_day") <= col("hi"))
+      .groupBy(col("window_day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      .select(date_format(col("window_day"), "yyyy-MM-dd").as("window_day"),
+        col("n_active_7d"))
+      .orderBy("window_day")
+  }
+
+  def rollingDistinctSql(days: Int = 7): String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM active),
+       |contrib AS (
+       |  SELECT user_id, d + CAST(off AS INTEGER) AS window_day
+       |  FROM active CROSS JOIN
+       |    (SELECT unnest(range(0, $days)) AS off) o)
+       |SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
+       |FROM contrib CROSS JOIN bounds
+       |WHERE window_day BETWEEN lo AND hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -838,4 +839,61 @@ object TextAnalysis {
        |        ORDER BY score DESC, doc_id ASC) AS rank
        |      FROM scored)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** t18: charset / script profile — per-document character-class census
+    * (letters, upper, digits, whitespace, ASCII-printable punctuation,
+    * non-ASCII) plus the ascii_ratio every corpus filter thresholds on.
+    * This is the script-detection primitive next to t3's lang-id: a
+    * Latin-script doc claiming lang=zh (or a binary-garbage doc with
+    * ascii_ratio ≪ 1) is caught here before tokenization.
+    *
+    * Every count is a length-difference over a regexp_replace with an
+    * explicit character class — classes are spelled with literal ranges
+    * (`[^A-Za-z]`, `[^ -~\t\n\r]`) that parse identically under Java
+    * regex and RE2, never shorthand like \p{Alpha} or \s whose
+    * definitions drift between engines. Pure narrow map at scan speed:
+    * zero exchanges (plan-gated), codegen keeps the whole row pipeline
+    * in one stage. At 100 TB this runs at parquet-read throughput. */
+  def charsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    def kept(cls: String) =
+      length(regexp_replace(col("text"), cls, "")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nLetter = kept("[^A-Za-z]")
+    val nUpper = kept("[^A-Z]")
+    val nDigit = kept("[^0-9]")
+    val nSpace = kept("[^ \t\n\r]")
+    val nAscii = kept("[^ -~\t\n\r]")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nLetter.as("n_letter"),
+      nUpper.as("n_upper"),
+      nDigit.as("n_digit"),
+      nSpace.as("n_space"),
+      (nAscii - nLetter - nDigit - nSpace).as("n_punct"),
+      (nChars - nAscii).as("n_non_ascii"),
+      (nAscii.cast("double") / nChars.cast("double")).as("ascii_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val charsetProfileSql: String = {
+    def kept(cls: String) =
+      s"CAST(length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
+    val nc = "CAST(length(text) AS BIGINT)"
+    val nl = kept("[^A-Za-z]")
+    val nu = kept("[^A-Z]")
+    val nd = kept("[^0-9]")
+    val ns = kept("[^ \\t\\n\\r]")
+    val na = kept("[^ -~\\t\\n\\r]")
+    s"""SELECT doc_id,
+       |  $nc AS n_chars,
+       |  $nl AS n_letter,
+       |  $nu AS n_upper,
+       |  $nd AS n_digit,
+       |  $ns AS n_space,
+       |  $na - $nl - $nd - $ns AS n_punct,
+       |  $nc - $na AS n_non_ascii,
+       |  CAST($na AS DOUBLE) / CAST($nc AS DOUBLE) AS ascii_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1603,4 +1603,108 @@ object Similarity {
        |FROM cand c CROSS JOIN tc LEFT JOIN hits h ON c.n_probe = h.n_probe
        |ORDER BY c.n_probe""".stripMargin
   }
+
+  /** v19: BINARY (1-bit-per-dimension) sign quantization — the most
+    * aggressive point on the v5→v8 compression curve: dimension i
+    * contributes bit (emb[i] > mid_i) with mid_i the per-dimension
+    * min/max midpoint (the same order-independent stats pass v5 uses —
+    * never a mean, whose FP summation order isn't reproducible). Codes
+    * pack into 32-bit words held in BIGINTs (two words for D = 64; the
+    * multi-word layout is the general shape, and it sidesteps the
+    * sign-bit of a single 64-bit pack which DuckDB's shift would
+    * overflow). Distance is Hamming via codegen'd bit_count(xor) — the
+    * d3/d8 machinery — so a 256-byte float vector becomes 8 bytes and
+    * the scan does 2 XOR+popcounts per candidate; this is the index
+    * layout a 100 TB re-ranking pipeline holds in RAM. Word packing
+    * sums disjoint powers of two (< 2^32, no overflow) with identical
+    * term order in both engines. Recall is scored against the float
+    * truth exactly like v6/v7. */
+  private[graft] def signCodesOf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("dmin"),
+        max(col("x").cast("double")).as("dmax"))
+      .orderBy("pos")
+      .collect()
+    val mids = stats.map(r => (r.getDouble(1) + r.getDouble(2)) / 2.0)
+    def word(lo: Int): Column =
+      if (lo >= mids.length) lit(0L)
+      else (lo until math.min(lo + 32, mids.length)).map { i =>
+        when(col("embedding").getItem(i).cast("double") > lit(mids(i)),
+          lit(1L << (i - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+  }
+
+  def signRecall(spark: SparkSession, dir: String, k: Int = 5,
+                 nQueries: Int = defaultNQueries): DataFrame = {
+    val codes = signCodesOf(spark, dir)
+    val q = codes.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val pairs = broadcast(q).crossJoin(
+        codes.select(col("vec_id").as("neighbor_id"),
+          col("w0").as("n0"), col("w1").as("n1")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (expr("bit_count(q0 ^ n0)") + expr("bit_count(q1 ^ n1)")).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def signRecallSql(k: Int = 5, nQueries: Int = defaultNQueries): String = {
+    def wordSql(lo: Int, hi: Int, shiftBase: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"[CASE WHEN CAST(embedding[i] AS DOUBLE) > d.mids[i] " +
+        s"THEN (CAST(1 AS BIGINT) << (i - $shiftBase)) ELSE CAST(0 AS BIGINT) END " +
+        s"for i in range($lo, LEAST($hi, len(embedding) + 1))]), (a, v) -> a + v)"
+    s"""WITH ex AS (
+       |  SELECT unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |perdim AS (
+       |  SELECT pos, (MIN(x) + MAX(x)) / 2.0 AS mid FROM ex GROUP BY pos),
+       |dims AS (SELECT list(mid ORDER BY pos) AS mids FROM perdim),
+       |codes AS (
+       |  SELECT vec_id,
+       |    ${wordSql(1, 33, 1)} AS w0,
+       |    ${wordSql(33, 65, 33)} AS w1
+       |  FROM embeddings CROSS JOIN dims d),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(q.w0, n.w0)) AS BIGINT)
+       |      + CAST(bit_count(xor(q.w1, n.w1)) AS BIGINT) AS hamming
+       |  FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS rank
+       |    FROM pairs) WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)}))
+       |SELECT t.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
 }

@@ -867,4 +867,115 @@ class CompositionSpec extends GraftSpec {
     assert(b.filter(abs(col("underreported") -
       (col("exact_revenue") - col("lossy_revenue"))) > 1e-6).count() === 0)
   }
+
+  test("e13: growth accounting matches an exact in-process decomposition " +
+    "and the churn identity") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val raw = Tables.events(spark, sfDir).select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate))
+      .distinct
+    val byUser = raw.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).sortBy(_.toEpochDay)
+    }
+    val statuses = byUser.toSeq.flatMap { case (_, days) =>
+      days.zipWithIndex.map { case (d, i) =>
+        val st =
+          if (i == 0) "new"
+          else if (d.toEpochDay - days(i - 1).toEpochDay == 1) "retained"
+          else "resurrected"
+        (d.format(fmt), st)
+      }
+    }
+    val expect = statuses.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.length.toLong,
+        rs.count(_._2 == "new").toLong,
+        rs.count(_._2 == "retained").toLong,
+        rs.count(_._2 == "resurrected").toLong)
+    }
+    val res = EventsBatch.growthAccounting(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (act, nw, ret, rsr) = expect(r.getAs[String]("event_date"))
+      assert(r.getAs[Long]("n_active") === act)
+      assert(r.getAs[Long]("n_new") === nw)
+      assert(r.getAs[Long]("n_retained") === ret)
+      assert(r.getAs[Long]("n_resurrected") === rsr)
+      // activity partitions into the three classes
+      assert(act === nw + ret + rsr)
+    }
+    // every user is new exactly once
+    assert(res.map(_.getAs[Long]("n_new")).sum === byUser.size.toLong)
+    // churn identity against the previous adjacent day
+    val byDate = res.sortBy(_.getAs[String]("event_date"))
+    byDate.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val adjacent = java.time.LocalDate.parse(cur.getAs[String]("event_date"))
+          .toEpochDay - java.time.LocalDate.parse(
+            prev.getAs[String]("event_date")).toEpochDay == 1
+        if (adjacent)
+          assert(cur.getAs[Long]("n_churned") ===
+            prev.getAs[Long]("n_active") - cur.getAs[Long]("n_retained"))
+        else assert(cur.isNullAt(cur.fieldIndex("n_churned")))
+      case _ =>
+    }
+    assert(byDate.head.isNullAt(byDate.head.fieldIndex("n_churned")))
+  }
+
+  test("e14: transition matrix matches in-process bigram counts; " +
+    "rows and probabilities conserve") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val raw = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[java.sql.Timestamp]("ts").getNanos,
+          r.getAs[Long]("event_id")),
+        r.getAs[String]("event_type")))
+    val bigrams = raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      seq.zip(seq.drop(1))
+    }
+    val expect = bigrams.groupBy(identity).map { case (p, rs) => p -> rs.length.toLong }
+    val res = EventsBatch.eventTransitions(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val key = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(expect(key) === r.getAs[Long]("n_trans"))
+    }
+    // one transition per consecutive pair: Σ n_trans = Σ_users (n_u − 1)
+    val users = raw.groupBy(_._1)
+    assert(res.map(_.getAs[Long]("n_trans")).sum ===
+      users.map(_._2.length.toLong - 1).sum)
+    // each from-row's probabilities sum to 1 (exact rationals in double)
+    res.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("p_trans")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("e15: rolling series equals an in-process trailing-window " +
+    "recomputation over the full day spine") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val active = Tables.events(spark, sfDir).select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate.toEpochDay))
+      .distinct
+    val (lo, hi) = (active.map(_._2).min, active.map(_._2).max)
+    val expect = (lo to hi).map { w =>
+      java.time.LocalDate.ofEpochDay(w).format(fmt) ->
+        active.filter(a => a._2 >= w - 6 && a._2 <= w).map(_._1).distinct.length.toLong
+    }.toMap
+    val res = EventsBatch.rollingDistinct(spark, sfDir).collect()
+    // every calendar day in [lo, hi] appears exactly once
+    assert(res.length === (hi - lo + 1).toInt)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_active_7d") ===
+        expect(r.getAs[String]("window_day")))
+    }
+  }
 }

@@ -431,4 +431,85 @@ class DedupSimilaritySpec extends GraftSpec {
         "v11 ADC score diverges from v10 on a shared pair")
     } finally v11.unpersist()
   }
+
+  test("d20: source matrix cells recompute exactly from the pair silver; " +
+    "pair counts conserve") {
+    import graft.dedup.Dedup
+    val srcOf = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = Dedup.ngramJaccard(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b").collect()
+    val expect = pairs.map { r =>
+      val (sa, sb) = (srcOf(r.getAs[Long]("doc_a")), srcOf(r.getAs[Long]("doc_b")))
+      val key = if (sa <= sb) (sa, sb) else (sb, sa)
+      val union = r.getAs[Long]("size_a") + r.getAs[Long]("size_b") -
+        r.getAs[Long]("n_common")
+      (key, r.getAs[Long]("n_common") * 100 >= 80 * union)
+    }.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.count(_._2).toLong)
+    }
+    val res = Dedup.crossSourceOverlap(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (np, ns) = expect(key)
+      assert(r.getAs[Long]("n_pairs") === np)
+      assert(r.getAs[Long]("n_strong") === ns)
+      assert(ns <= np)
+      assert(r.getAs[Boolean]("is_within") === (key._1 == key._2))
+      assert(key._1 <= key._2) // canonical orientation
+    }
+    // cells partition the pair relation
+    assert(res.map(_.getAs[Long]("n_pairs")).sum === pairs.length.toLong)
+  }
+
+  test("v19: sign codes pack per-dim midpoint bits exactly; recall matches " +
+    "an in-process Hamming search against the float truth") {
+    import graft.vector.Similarity
+    val embs = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .sortBy(_._1)
+    val dims = embs.head._2.length
+    val mids = (0 until dims).map { i =>
+      val xs = embs.map(_._2(i).toDouble)
+      (xs.min + xs.max) / 2.0
+    }
+    def pack(v: Array[Float], lo: Int): Long =
+      (lo until math.min(lo + 32, dims)).map { i =>
+        if (v(i).toDouble > mids(i)) 1L << (i - lo) else 0L
+      }.sum
+    val expectCodes = embs.map { case (id, v) => id -> (pack(v, 0), pack(v, 32)) }.toMap
+    Similarity.signCodesOf(spark, sfDir).collect().foreach { r =>
+      val (w0, w1) = expectCodes(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("w0") === w0)
+      assert(r.getAs[Long]("w1") === w1)
+    }
+    // in-process recall recomputation (k = 5, 10 queries)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val norms = embs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = embs.toMap
+    val queries = embs.map(_._1).filter(_ < 10)
+    val expect = queries.map { q =>
+      val others = embs.map(_._1).filter(_ != q)
+      val truth = others.sortBy(n => (-dot(byId(q), byId(n)) /
+        math.sqrt(norms(q) * norms(n)), n)).take(5).toSet
+      val approx = others.sortBy { n =>
+        val (q0, q1) = expectCodes(q); val (n0, n1) = expectCodes(n)
+        (java.lang.Long.bitCount(q0 ^ n0) + java.lang.Long.bitCount(q1 ^ n1), n)
+      }.take(5).toSet
+      q -> (truth.size.toLong, truth.intersect(approx).size.toLong)
+    }.toMap
+    val res = Similarity.signRecall(spark, sfDir).collect()
+    assert(res.length === queries.length)
+    res.foreach { r =>
+      val (nt, nh) = expect(r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("n_truth") === nt)
+      assert(r.getAs[Long]("n_hits") === nh)
+      assert(r.getAs[Double]("recall") === nh.toDouble / nt.toDouble)
+    }
+  }
 }

@@ -164,4 +164,48 @@ class MultimodalSpec extends GraftSpec {
     assert(ImageCodec.parseJpeg(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00)
       .map(_.toByte)).isEmpty)
   }
+
+  test("m7: cuts and scene ids recompute exactly from the same bytes; " +
+    "scene ids are contiguous from 1 per video") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocs(spark, sfDir).collect()
+      .filter(_.kind == "video")
+      .map(r => r.media_id -> r).toMap
+    def feat(bytes: Array[Byte], frame: Int): Array[Long] = {
+      val start = math.min(frame * 7 % math.max(1, bytes.length), bytes.length)
+      val end = math.min(start + 64, bytes.length)
+      val acc = new Array[Long](8)
+      var i = start
+      while (i < end) {
+        val d = (i - start) % 8
+        acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
+        i += 1
+      }
+      acc
+    }
+    val res = Multimodal.sceneCuts(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    assert(res.keySet === media.keySet)
+    res.foreach { case (mid, rows) =>
+      val r = media(mid)
+      val idxs = Range(0, r.n_frames, 10).toArray
+      val sorted = rows.sortBy(_.getAs[Long]("frame_idx"))
+      assert(sorted.map(_.getAs[Long]("frame_idx")).toSeq === idxs.map(_.toLong).toSeq)
+      var scene = 0L
+      sorted.zipWithIndex.foreach { case (row, i) =>
+        if (i == 0) {
+          assert(row.isNullAt(row.fieldIndex("diff_energy")))
+          assert(row.getAs[Boolean]("is_cut"))
+        } else {
+          val d = feat(r.bytes, idxs(i)).zip(feat(r.bytes, idxs(i - 1)))
+            .map { case (a, b) => math.abs(a - b) }.sum
+          assert(row.getAs[Long]("diff_energy") === d)
+          assert(row.getAs[Boolean]("is_cut") === (d > 2000000L))
+        }
+        if (row.getAs[Boolean]("is_cut")) scene += 1
+        assert(row.getAs[Long]("scene_id") === scene)
+      }
+      assert(sorted.head.getAs[Long]("scene_id") === 1L)
+    }
+  }
 }

@@ -135,4 +135,32 @@ class OperatorInvariantsSpec extends GraftSpec {
     assert(n2.filter(col("earlier_avg").isNull).count() === 0)
     assert(rows.count() === 3)
   }
+
+  test("t18: charset census matches an exact per-char classification") {
+    import graft.text.TextAnalysis
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val res = TextAnalysis.charsetProfile(spark, sfDir).collect()
+    assert(res.length === docs.size)
+    res.foreach { r =>
+      val t = docs(r.getAs[Long]("doc_id"))
+      val cs = t.toCharArray
+      val nChars = cs.length.toLong
+      val nLetter = cs.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+      val nUpper = cs.count(c => c >= 'A' && c <= 'Z').toLong
+      val nDigit = cs.count(c => c >= '0' && c <= '9').toLong
+      val nSpace = cs.count(c => c == ' ' || c == '\t' || c == '\n' || c == '\r').toLong
+      val nAscii = cs.count(c => (c >= ' ' && c <= '~') || c == '\t' || c == '\n' || c == '\r').toLong
+      assert(r.getAs[Long]("n_chars") === nChars)
+      assert(r.getAs[Long]("n_letter") === nLetter)
+      assert(r.getAs[Long]("n_upper") === nUpper)
+      assert(r.getAs[Long]("n_digit") === nDigit)
+      assert(r.getAs[Long]("n_space") === nSpace)
+      assert(r.getAs[Long]("n_punct") === nAscii - nLetter - nDigit - nSpace)
+      assert(r.getAs[Long]("n_non_ascii") === nChars - nAscii)
+      assert(r.getAs[Double]("ascii_ratio") ===
+        nAscii.toDouble / nChars.toDouble)
+    }
+  }
 }

@@ -43,6 +43,7 @@ class PlanShapeSpec extends GraftSpec {
     ("t3_lang_id", 0, "narrow map"),
     ("t6_normalize", 0, "narrow map"),
     ("t9_pii_scrub", 0, "narrow map"),
+    ("t18_charset_profile", 0, "narrow map: char-class census at scan speed"),
     ("t8_fingerprint_xxhash", 0, "pure map, zero joins"),
     ("p7_split_assign", 1, "map + one small aggregate"),
     ("p9_mix_apply", 2, "both exchanges inside the domain-sized plan build; doc side streams"),
@@ -129,7 +130,23 @@ class PlanShapeSpec extends GraftSpec {
       "two tiny aggs over the map-side verdicts; totals broadcast back"),
     ("a29_running_totals", 1,
       "cum + MTD windows both ride one store exchange over the cached silver"),
-    ("e10_hourly_anomalies", 2, "e2's hourly agg + one event_type window")
+    ("e10_hourly_anomalies", 2, "e2's hourly agg + one event_type window"),
+    ("e13_growth_accounting", 3,
+      "distinct + user lag ride the user exchange; day rollup + calendar-bounded day window"),
+    ("e14_event_transitions", 3,
+      "user-key lead + the |types|^2 rollup + the from-type share window's " +
+        "re-key of that |types|^2-row relation (immaterial at any scale)"),
+    ("e15_rolling_distinct", 3,
+      "one (user,day) distinct + the two-phase distinct agg on window_day; " +
+        "7x contribution fan-out stays map-side"),
+    ("d20_cross_source", 3,
+      "two slim source joins + the |sources|^2 rollup over the cached d4 pair silver"),
+    ("v19_sign_recall", 5,
+      "v7's eval plumbing: hamming + truth top-k windows, hit join, recall agg; " +
+        "codes broadcast"),
+    ("m7_scene_cuts", 1,
+      "frame features are a narrow flatMap; lag + scene running sum both ride " +
+        "the one media_id exchange")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

@@ -27,7 +27,9 @@ class QueryRegistrySpec extends AnyFunSuite {
     "t8_fingerprint_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of t4)",
     "m2_multimodal" -> "binary decode-stub features have no DuckDB analogue",
     "m4_frame_dedup" -> "frame-content hashes come from the binary decode stub",
-    "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do")
+    "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do",
+    "m7_scene_cuts" -> "frame features come from the binary decode seam (like m4)",
+    "sk6_rolling_approx" -> "Datasketches HLL estimates are implementation-defined (e15 is the exact anchor)")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet

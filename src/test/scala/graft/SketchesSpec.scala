@@ -89,4 +89,17 @@ class SketchesSpec extends GraftSpec {
       .count() === 0, "true count exceeds the certified error bound")
     assert(mg.filter(col("max_err") < 0).count() === 0)
   }
+
+  test("sk6: merged-sketch rolling series within 5% of e15's exact series, " +
+    "same day spine") {
+    val approx = Sketches.rollingApprox(spark, sfDir)
+    val exact = graft.streaming.EventsBatch.rollingDistinct(spark, sfDir)
+    val j = approx.join(exact, "window_day")
+    assert(j.count() === exact.count(), "sketch series must cover the exact spine")
+    assert(approx.count() === exact.count())
+    val bad = j.filter(
+      abs(col("approx_active_7d") - col("n_active_7d")) >
+        greatest(col("n_active_7d") * 0.05, lit(3.0)))
+    assert(bad.count() === 0, "HLL union should stay within 5% (or ±3 small-n)")
+  }
 }

@@ -395,4 +395,48 @@ class StatefulStreamingSpec extends GraftSpec {
         "streaming hourly anomalies must equal the batch e10 relation exactly")
     } finally q.stop()
   }
+
+  test("streaming growth classification aggregates to the batch e13 " +
+    "relation exactly, and re-delivery is idempotent") {
+    import spark.implicits._
+    import graft.streaming.{StatefulGrowth, ActivityEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(to_date(date_format(ts, 'yyyy-MM-dd')), " +
+          "to_date('1970-01-01'))").cast("long").as("epoch_day"))
+      .as[ActivityEvent].collect().sortBy(r => (r.epoch_day, r.user_id))
+    // split mid-stream on day order; re-deliver a slice of b1 inside b2
+    // (classification must not double-count an already-seen day)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val redelivered = b2 ++ b1.takeRight(50)
+    val input = MemoryStream[ActivityEvent]
+    val q = StatefulGrowth.classify(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("growth").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(redelivered.toSeq); q.processAllAvailable()
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      val got = spark.sql("SELECT * FROM growth").collect()
+        .map(r => (java.time.LocalDate.ofEpochDay(
+            r.getAs[Long]("epoch_day")).format(fmt),
+          r.getAs[String]("status")))
+        .groupBy(_._1).map { case (d, rs) =>
+          d -> (rs.length.toLong,
+            rs.count(_._2 == "new").toLong,
+            rs.count(_._2 == "retained").toLong,
+            rs.count(_._2 == "resurrected").toLong)
+        }
+      val want = graft.streaming.EventsBatch.growthAccounting(spark, sfDir)
+        .collect()
+        .map(r => r.getAs[String]("event_date") ->
+          (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+            r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected")))
+        .toMap
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streamed per-day growth counts must equal the batch e13 rollup")
+    } finally q.stop()
+  }
 }
