@@ -384,4 +384,120 @@ object Trends {
        |FROM sd
        |GROUP BY store_id
        |ORDER BY CAST(SUM(gross_dec) AS DOUBLE) DESC, store_id ASC""".stripMargin
+
+  /** a30: per-store ORDINARY-LEAST-SQUARES daily-sales trend — the
+    * closed-form regression a BI layer fits per entity (slope $/day,
+    * intercept, R², next-day forecast): the continuous upgrade of
+    * a12/a13's categorical trend verdicts. All five moments (Σx, Σx²,
+    * Σy, Σxy, Σy²) accumulate EXACTLY — x is the day offset from the
+    * store's own first sale day (small integers, so products stay in
+    * range), y the DECIMAL net; only the final closed-form touches
+    * doubles, as one fixed scalar expression sequence both engines
+    * evaluate identically (the Tables parity discipline: exact sums
+    * into single IEEE ops). Degenerate fits return NULL (one-day
+    * stores: no slope; constant sales: no R²) — never a 0/0.
+    *
+    * Scale shape: the per-store min-date window and the moments
+    * rollup both ride ONE store_id exchange over the cached (store,
+    * day) silver — a bounded-group running-moment pass, the same
+    * shape a distributed GLM fit uses for its sufficient statistics
+    * (moments are map-side-combinable; nothing global anywhere). */
+  def salesTrendOls(spark: SparkSession, dir: String): DataFrame = {
+    // y moments accumulate as SCALE-0 integer cents so the decimal→double
+    // edge is the same two steps in both engines (exact-integer cast, then
+    // one power-of-ten division) — a (38,4) decimal cast straight to
+    // double can land one ulp apart across decimal implementations.
+    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val sd = StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"), netCents.as("net_c"))
+    val wMin = Window.partitionBy(col("store_id"))
+    val base = sd.withColumn("x",
+      datediff(to_date(col("sale_date")),
+        to_date(min(col("sale_date")).over(wMin))).cast("long"))
+    val xDec = col("x").cast(org.apache.spark.sql.types.DecimalType(10, 0))
+    val m = base.groupBy(col("store_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      max(col("x")).as("mx"),
+      sum(col("net_c")).as("sy_c"),
+      sum(xDec * col("net_c")).as("sxy_c"),
+      sum(col("net_c") * col("net_c")).as("syy_c"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syD = col("sy_c").cast("double") / lit(100.0)
+    val sxyD = col("sxy_c").cast("double") / lit(100.0)
+    val syyD = col("syy_c").cast("double") / lit(10000.0)
+    m.withColumn("varx", sxxD - sxD * sxD / nD)
+      .withColumn("covxy", sxyD - sxD * syD / nD)
+      .withColumn("vary", syyD - syD * syD / nD)
+      .withColumn("slope",
+        when(col("varx") === 0.0, lit(null).cast("double"))
+          .otherwise(col("covxy") / col("varx")))
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise(syD / nD - col("slope") * (sxD / nD)))
+      .withColumn("r2",
+        when(col("varx") === 0.0 || col("vary") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("covxy") * col("covxy") /
+            (col("varx") * col("vary"))))
+      .withColumn("forecast_next",
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise(col("slope") * (col("mx") + 1).cast("double") +
+            col("intercept")))
+      .select(col("store_id"), col("n").as("n_days"), col("slope"),
+        col("intercept"), col("r2"), col("forecast_next"))
+      .orderBy("store_id")
+  }
+
+  val salesTrendOlsSql: String =
+    s"""WITH sd AS (
+       |  SELECT store_id, sale_date,
+       |    CAST((gross_dec - disc_dec) * 100 AS DECIMAL(18,0)) AS net_c
+       |  FROM (${StoreDaily.rollupDecSql})),
+       |b AS (
+       |  SELECT store_id, net_c,
+       |    date_diff('day',
+       |      MIN(CAST(sale_date AS DATE)) OVER (PARTITION BY store_id),
+       |      CAST(sale_date AS DATE)) AS x
+       |  FROM sd),
+       |m AS (
+       |  SELECT store_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(MAX(x) AS BIGINT) AS mx,
+       |    CAST(SUM(net_c) AS DECIMAL(38,0)) AS sy_c,
+       |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * net_c) AS DECIMAL(38,0)) AS sxy_c,
+       |    CAST(SUM(net_c * net_c) AS DECIMAL(38,0)) AS syy_c
+       |  FROM b GROUP BY 1),
+       |v AS (
+       |  SELECT store_id, n, mx,
+       |    CAST(sx AS DOUBLE) AS sxd,
+       |    CAST(sy_c AS DOUBLE) / 100.0 AS syd,
+       |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+       |      / CAST(n AS DOUBLE) AS varx,
+       |    CAST(sxy_c AS DOUBLE) / 100.0 - CAST(sx AS DOUBLE)
+       |      * (CAST(sy_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS covxy,
+       |    CAST(syy_c AS DOUBLE) / 10000.0 - (CAST(sy_c AS DOUBLE) / 100.0)
+       |      * (CAST(sy_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS vary
+       |  FROM m),
+       |f AS (
+       |  SELECT store_id, n, mx, syd, sxd, varx, vary, covxy,
+       |    CASE WHEN varx = 0 THEN NULL ELSE covxy / varx END AS slope
+       |  FROM v)
+       |SELECT store_id, n AS n_days, slope,
+       |  CASE WHEN slope IS NULL THEN NULL
+       |    ELSE syd / CAST(n AS DOUBLE) - slope * (sxd / CAST(n AS DOUBLE))
+       |    END AS intercept,
+       |  CASE WHEN varx = 0 OR vary = 0 THEN NULL
+       |    ELSE covxy * covxy / (varx * vary) END AS r2,
+       |  CASE WHEN slope IS NULL THEN NULL
+       |    ELSE slope * CAST(mx + 1 AS DOUBLE)
+       |      + (syd / CAST(n AS DOUBLE) - slope * (sxd / CAST(n AS DOUBLE)))
+       |    END AS forecast_next
+       |FROM f ORDER BY store_id""".stripMargin
 }

@@ -728,4 +728,84 @@ object EventsBatch {
        |FROM contrib CROSS JOIN bounds
        |WHERE window_day BETWEEN lo AND hi
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** e16: MAD-robust daily-volume outliers — the median/median-absolute-
+    * deviation rule (|x − med| > k·MAD) that survives exactly the spiky
+    * days that wreck e10's mean-based baseline (one 10× day drags a
+    * trailing mean; it moves a median by one rank). Both medians are
+    * EXACT nearest-rank picks (the e11 idiom: row_number + conditional
+    * max in one aggregate — never percentile_approx, never an
+    * interpolated float), so every column is integer and the whole
+    * relation hash-compares. The flag comparison |x − med| > k·MAD is
+    * pure integer arithmetic.
+    *
+    * Scale shape: the daily rollup is e1's map-combinable agg; all four
+    * rank/median passes ride event_type partitions of the |types|×|days|
+    * rollup — bounded by the calendar, not the stream. At 100 TB the
+    * only corpus-sized work is the first rollup. */
+  def madOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val wp = Window.partitionBy(col("event_type"))
+    val wByCount = wp.orderBy(col("n_events"), col("event_date"))
+    val med = daily
+      .withColumn("rn", row_number().over(wByCount))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_events")))
+        .as("med"))
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("abs_dev", abs(col("n_events") - col("med")))
+    val wByDev = wp.orderBy(col("abs_dev"), col("event_date"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wByDev))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("abs_dev")))
+        .as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("event_date"), col("n_events"),
+        col("med"), col("abs_dev"), col("mad"),
+        (col("abs_dev") > lit(k.toLong) * col("mad")).as("is_outlier"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  def madOutliersSql(k: Int = 3): String =
+    s"""WITH daily AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY n_events, event_date) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily),
+       |med AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rn = (n + 1) // 2 THEN n_events END) AS med
+       |  FROM ranked GROUP BY 1),
+       |dev AS (
+       |  SELECT d.event_type, d.event_date, d.n_events, m.med,
+       |    ABS(d.n_events - m.med) AS abs_dev
+       |  FROM daily d JOIN med m USING (event_type)),
+       |ranked2 AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY abs_dev, event_date) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM dev),
+       |mad AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rn = (n + 1) // 2 THEN abs_dev END) AS mad
+       |  FROM ranked2 GROUP BY 1)
+       |SELECT d.event_type, d.event_date, d.n_events,
+       |  CAST(d.med AS BIGINT) AS med,
+       |  CAST(d.abs_dev AS BIGINT) AS abs_dev,
+       |  CAST(a.mad AS BIGINT) AS mad,
+       |  d.abs_dev > $k * a.mad AS is_outlier
+       |FROM dev d JOIN mad a USING (event_type)
+       |ORDER BY d.event_type, d.event_date""".stripMargin
 }

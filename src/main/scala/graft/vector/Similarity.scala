@@ -1707,4 +1707,68 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
+
+  /** v20: recall@k OPERATING CURVE for the LSH ANN — v6's point
+    * estimate swept across k ∈ {1,3,5,10} in ONE pass: both sides are
+    * ranked once at max-k, and each level's recall is a filter over the
+    * shared (truth_rank, approx_rank) hit relation — the v18 discipline
+    * (a sweep is a join against a levels relation, never a re-search
+    * per level). recall@k = |truth∩approx in both top-k| / k, the
+    * metric an ANN deployment reads before picking its k. Zero-hit
+    * (query, k) cells are preserved via the query×level spine — absent
+    * rows would silently inflate averages. Everything corpus-sized
+    * happens once (the two ranking passes); the sweep is
+    * query-set × levels plumbing. */
+  def recallCurve(spark: SparkSession, dir: String,
+                  ks: Seq[Int] = Seq(1, 3, 5, 10),
+                  nQueries: Int = defaultNQueries): DataFrame = {
+    val maxK = ks.max
+    val truth = cosineTopK(spark, dir, maxK, nQueries)
+      .select(col("query_id"), col("rank").as("rt"), col("neighbor_id"))
+    val approx = annLsh(spark, dir, maxK, nQueries)
+      .select(col("query_id"), col("rank").as("ra"), col("neighbor_id"))
+    val levels = truth.sparkSession.range(0, ks.length)
+      .select(element_at(lit(ks.toArray),
+        (col("id") + 1).cast("int")).cast("long").as("k"))
+    val cells = truth.select(col("query_id")).distinct()
+      .crossJoin(broadcast(levels))
+    val cnt = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .crossJoin(broadcast(levels))
+      .filter(col("rt") <= col("k") && col("ra") <= col("k"))
+      .groupBy(col("query_id"), col("k"))
+      .agg(count(lit(1)).as("hits"))
+    cells.join(cnt, Seq("query_id", "k"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("recall"))
+      .orderBy("query_id", "k")
+  }
+
+  def recallCurveSql(ks: Seq[Int] = Seq(1, 3, 5, 10),
+                     nQueries: Int = defaultNQueries): String = {
+    val maxK = ks.max
+    s"""WITH truth AS (
+       |  SELECT query_id, rank AS rt, neighbor_id
+       |  FROM (${cosineTopKSql(maxK, nQueries)})),
+       |approx AS (
+       |  SELECT query_id, rank AS ra, neighbor_id
+       |  FROM (${annLshSql(maxK, nQueries)})),
+       |levels AS (SELECT unnest([${ks.mkString(", ")}]) AS k),
+       |cells AS (
+       |  SELECT DISTINCT query_id, k FROM truth CROSS JOIN levels),
+       |cnt AS (
+       |  SELECT t.query_id, l.k, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM truth t JOIN approx a
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |  CROSS JOIN levels l
+       |  WHERE t.rt <= l.k AND a.ra <= l.k
+       |  GROUP BY 1, 2)
+       |SELECT c.query_id, CAST(c.k AS BIGINT) AS k,
+       |  COALESCE(n.hits, 0) AS n_hits,
+       |  CAST(COALESCE(n.hits, 0) AS DOUBLE) / CAST(c.k AS DOUBLE) AS recall
+       |FROM cells c LEFT JOIN cnt n
+       |  ON c.query_id = n.query_id AND c.k = n.k
+       |ORDER BY c.query_id, c.k""".stripMargin
+  }
 }

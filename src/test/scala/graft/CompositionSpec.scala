@@ -978,4 +978,86 @@ class CompositionSpec extends GraftSpec {
         expect(r.getAs[String]("window_day")))
     }
   }
+
+  test("a30: OLS fit matches an exact-moment in-process recomputation " +
+    "bit-for-bit; R^2 bounded") {
+    import graft.analytics.Trends
+    import graft.etl.StoreDaily
+    val sd = StoreDaily.rollupDec(spark, sfDir)
+      .select("store_id", "sale_date", "gross_dec", "disc_dec").collect()
+      .map { r =>
+        (r.getAs[String]("store_id"),
+          java.time.LocalDate.parse(r.getAs[String]("sale_date")).toEpochDay,
+          (r.getAs[java.math.BigDecimal]("gross_dec").subtract(
+            r.getAs[java.math.BigDecimal]("disc_dec"))).setScale(2))
+      }
+    val expect = sd.groupBy(_._1).map { case (store, rows) =>
+      val minD = rows.map(_._2).min
+      val xs = rows.map(r => BigDecimal(r._2 - minD))
+      // integer cents, mirroring the operator's scale-0 moment discipline
+      val ys = rows.map(r => BigDecimal(r._3) * 100)
+      val n = rows.length
+      val (sx, sxx, mx) = (xs.sum, xs.map(x => x * x).sum, xs.map(_.toLong).max)
+      val (syC, sxyC, syyC) =
+        (ys.sum, xs.zip(ys).map { case (x, y) => x * y }.sum,
+          ys.map(y => y * y).sum)
+      val (sy, sxy, syy) =
+        (syC.toDouble / 100.0, sxyC.toDouble / 100.0, syyC.toDouble / 10000.0)
+      val nD = n.toDouble
+      val varx = sxx.toDouble - sx.toDouble * sx.toDouble / nD
+      val covxy = sxy - sx.toDouble * sy / nD
+      val vary = syy - sy * sy / nD
+      val slope = if (varx == 0.0) None else Some(covxy / varx)
+      val intercept = slope.map(s => sy / nD - s * (sx.toDouble / nD))
+      val r2 = if (varx == 0.0 || vary == 0.0) None
+        else Some(covxy * covxy / (varx * vary))
+      val forecast = slope.map(s => s * (mx + 1).toDouble + intercept.get)
+      store -> (n.toLong, slope, intercept, r2, forecast)
+    }
+    val res = Trends.salesTrendOls(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (n, slope, intercept, r2, forecast) = expect(r.getAs[String]("store_id"))
+      assert(r.getAs[Long]("n_days") === n)
+      def cmp(col: String, want: Option[Double]): Unit = want match {
+        case Some(v) => assert(r.getAs[Double](col) === v, col)
+        case None => assert(r.isNullAt(r.fieldIndex(col)), col)
+      }
+      cmp("slope", slope); cmp("intercept", intercept)
+      cmp("r2", r2); cmp("forecast_next", forecast)
+      r2.foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-9))
+    }
+  }
+
+  test("e16: medians are exact nearest-rank picks; outliers are exactly " +
+    "the > 3*MAD set") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val daily = Tables.events(spark, sfDir).select("ts", "event_type").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").toLocalDateTime
+        .toLocalDate.format(fmt), r.getAs[String]("event_type")))
+      .groupBy(identity).map { case ((d, t), rs) => (t, d, rs.length.toLong) }
+      .toSeq
+    def nearestRank(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1)
+    }
+    val med = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> nearestRank(rs.map(_._3))
+    }
+    val mad = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> nearestRank(rs.map(r => math.abs(r._3 - med(t))))
+    }
+    val res = EventsBatch.madOutliers(spark, sfDir).collect()
+    assert(res.length === daily.length)
+    res.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val dev = math.abs(r.getAs[Long]("n_events") - med(t))
+      assert(r.getAs[Long]("med") === med(t))
+      assert(r.getAs[Long]("mad") === mad(t))
+      assert(r.getAs[Long]("abs_dev") === dev)
+      assert(r.getAs[Boolean]("is_outlier") === (dev > 3 * mad(t)))
+    }
+  }
 }

@@ -512,4 +512,30 @@ class DedupSimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("recall") === nh.toDouble / nt.toDouble)
     }
   }
+
+  test("v20: curve agrees with v6's point estimate at k=5; hits are " +
+    "monotone in k and bounded by k") {
+    import graft.vector.Similarity
+    val curve = Similarity.recallCurve(spark, sfDir).collect()
+    // 10 queries x 4 levels, no dropped zero-hit cells
+    assert(curve.length === 40)
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("k"))
+      assert(r.getAs[Double]("recall") ===
+        r.getAs[Long]("n_hits").toDouble / r.getAs[Long]("k").toDouble)
+    }
+    curve.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byK = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("n_hits"))
+      byK.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, "hits must be monotone in k")
+        case _ =>
+      }
+    }
+    val at5 = curve.filter(_.getAs[Long]("k") === 5L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    val v6 = Similarity.annRecall(spark, sfDir).collect()
+      .filter(_.getAs[String]("method") == "lsh")
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(at5 === v6, "curve at k=5 must equal v6's lsh point estimate")
+  }
 }

@@ -146,7 +146,16 @@ class PlanShapeSpec extends GraftSpec {
         "codes broadcast"),
     ("m7_scene_cuts", 1,
       "frame features are a narrow flatMap; lag + scene running sum both ride " +
-        "the one media_id exchange")
+        "the one media_id exchange"),
+    ("a30_sales_ols", 1,
+      "min-date window + moments rollup both ride one store exchange over " +
+        "the cached (store, day) silver"),
+    ("e16_mad_outliers", 7,
+      "e1's daily rollup + the two rank/median passes and their joins, all " +
+        "over the |types|x|days| calendar-bounded relation"),
+    ("v20_recall_curve", 8,
+      "one truth + one approx ranking pass (windows), then query-set x " +
+        "levels sweep plumbing (hit join, cnt agg, spine)")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
