@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t20: distributed BYTE-PAIR-ENCODING merge-rule training — the
+  * tokenizer-fitting step of an LLM data pipeline, run the way every
+  * production trainer runs it (HuggingFace tokenizers, SentencePiece
+  * BPE mode): NOT over the corpus, but over the WORD-FREQUENCY
+  * DICTIONARY — one row per distinct word with its corpus count. The
+  * corpus is touched exactly once (the word-count aggregate,
+  * map-side-combinable); every training iteration after that is a job
+  * over the vocabulary-sized dictionary, bounded by Heaps' law, not by
+  * corpus bytes. At 100 TB the dictionary fits comfortably where the
+  * corpus never would — this separation IS the scalable shape.
+  *
+  * Per iteration: (1) adjacent-symbol pair counts, frequency-weighted
+  * — an explode + hash agg over the dictionary; (2) the best pair by
+  * (count DESC, pair ASC — a deterministic total order, so retries and
+  * partitionings agree) via TakeOrdered(1), never a global sort;
+  * (3) the merge applied to every word's symbol sequence as a single
+  * left-to-right fold (`aggregate` HOF: last symbol == left ∧ current
+  * == right → replace last with merged, else append — greedy
+  * non-overlapping, the BPE rule). The fold is codegen-free but
+  * narrow: no shuffle, and each iteration's dictionary is cached so
+  * lineage stays one step deep.
+  *
+  * Rows-only at the correctness gate: iterative merge application
+  * needs a per-merge rewrite loop no single SQL expression expresses
+  * (DuckDB's list_reduce cannot build lists); [[graft.BpeSpec]]
+  * recomputes the whole trainer in-process and asserts the merge
+  * table matches exactly. */
+object Bpe {
+
+  /** Split a word into single-character symbols. */
+  private def charsCol(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** One left-to-right non-overlapping merge pass of (left, right) →
+    * left||right over a symbol array — the BPE apply rule as a fold. */
+  private def mergeCol(symbols: Column, left: String, right: String): Column =
+    aggregate(
+      symbols,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(left) && s === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+          .otherwise(concat(acc, array(s))))
+
+  /** The learned merge table: (merge_rank, left, right, merged,
+    * pair_count) for `nMerges` iterations. */
+  def train(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    var dict = Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(charsCol(col("word")).as("symbols"), col("freq"))
+      .cache()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val pairs = dict
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("symbols"), lit(1), size(col("symbols")) - 1).as("l"),
+            slice(col("symbols"), lit(2), size(col("symbols")) - 1).as("r"))
+          ).as("p"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getAs[String]("left"),
+          best(0).getAs[String]("right"), best(0).getAs[Long]("pair_count"))
+        merges += ((rank.toLong, l, r, l + r, c))
+        val next = dict
+          .select(mergeCol(col("symbols"), l, r).as("symbols"), col("freq"))
+          .cache()
+        next.count() // materialize before unpersisting the parent
+        dict.unpersist()
+        dict = next
+      }
+    }
+    dict.unpersist()
+    merges.result()
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Exactness anchor for the t20 BPE trainer: an in-process reference
+  * implementation of the same training rule (frequency-weighted
+  * adjacent-pair counts over the word dictionary; best pair by
+  * (count DESC, pair ASC); greedy left-to-right non-overlapping
+  * application) must reproduce the distributed merge table exactly. */
+class BpeSpec extends GraftSpec {
+
+  private def referenceTrain(words: Map[String, Long], nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var dict: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, f) => w.toVector.map(_.toString) -> f }
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sum }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      dict.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank.toLong, l, r, l + r, c))
+        dict = dict.toSeq.map { case (syms, f) =>
+          val acc = Vector.newBuilder[String]
+          var last: Option[String] = None
+          syms.foreach { s =>
+            if (last.contains(l) && s == r) { last = Some(l + r) }
+            else { last.foreach(acc += _); last = Some(s) }
+          }
+          last.foreach(acc += _)
+          acc.result() -> f
+        }.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sum }
+      }
+    }
+    out.result()
+  }
+
+  test("t20: distributed merge table equals the in-process reference " +
+    "trainer; best-pair counts are non-increasing") {
+    val words = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(explode(col("words")).as("word"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, rs) => w -> rs.length.toLong }
+    val want = referenceTrain(words, 8)
+    val got = graft.text.Bpe.train(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got === want)
+    // classic BPE property: the chosen pair's count never increases
+    got.map(_._5).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "best-pair counts must be non-increasing")
+      case _ =>
+    }
+    // merged symbol is the concatenation, ranks are 1..n
+    got.foreach { case (_, l, r, m, _) => assert(m === l + r) }
+    assert(got.map(_._1) === (1L to got.length).toSeq)
+  }
+}
