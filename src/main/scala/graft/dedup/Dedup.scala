@@ -541,7 +541,10 @@ object Dedup {
       dupClustersFrom(Corpus.docsTok(spark, dir),
         ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
-  private def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Generic min-label connected components over (doc_id) vertices and
+    * (doc_a, doc_b) edges — shared by d6/d10 (shingle edges) and v21's
+    * semantic clusters (embedding near-dup edges). */
+  private[graft] def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()

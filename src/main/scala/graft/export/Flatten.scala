@@ -316,4 +316,36 @@ object Flatten {
        |  m.direction
        |FROM div d JOIN mix m USING (lang, source)
        |ORDER BY d.lang, d.source""".stripMargin
+
+  /** x9: the GROWTH DASHBOARD export — one NDJSON row per calendar day
+    * joining e13's DAU decomposition with e15's trailing-7-day active
+    * series, plus the stickiness ratio (DAU / trailing-7d-AU — the
+    * DAU/WAU engagement metric) as one exact-integer division in
+    * double. The x1/x3/x6 discipline: a flat, column-stable dataset a
+    * BI tool ingests directly; both parents are green oracle-checked
+    * keys, the join key is the calendar day, and the relation is
+    * |days|-sized — free at any corpus scale. */
+  def exportGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsBatch
+    EventsBatch.growthAccounting(spark, dir)
+      .join(EventsBatch.rollingDistinct(spark, dir)
+          .withColumnRenamed("window_day", "event_date"),
+        Seq("event_date"))
+      .select(col("event_date").as("date"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"),
+        col("n_active_7d"),
+        (col("n_active").cast("double") / col("n_active_7d").cast("double"))
+          .as("stickiness"))
+      .orderBy("date")
+  }
+
+  val exportGrowthSql: String =
+    s"""WITH g AS (${graft.streaming.EventsBatch.growthAccountingSql}),
+       |r AS (${graft.streaming.EventsBatch.rollingDistinctSql()})
+       |SELECT g.event_date AS date, g.n_active, g.n_new, g.n_retained,
+       |  g.n_resurrected, g.n_churned, r.n_active_7d,
+       |  CAST(g.n_active AS DOUBLE) / CAST(r.n_active_7d AS DOUBLE)
+       |    AS stickiness
+       |FROM g JOIN r ON g.event_date = r.window_day
+       |ORDER BY date""".stripMargin
 }

@@ -489,6 +489,53 @@ object CorpusPrep {
        |WHERE split_a <> split_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** p15: LEAKAGE REPAIR — the action d14's audit demands: every doc
+    * sitting on a NON-train side of a cross-split near-dup pair is
+    * QUARANTINED (removed from its held-out split). Quarantine, not
+    * move-to-train: reassigning a leaked val doc to train would turn
+    * its same-split near-dup partners into NEW cross-split pairs (the
+    * repair would cascade); removing it from the eval pool can never
+    * create a pair, so one pass reaches the fixpoint — the rule is
+    * idempotent, and [[CorpusPrepSpec]] asserts no leaked pair
+    * survives among non-quarantined docs. Emits the full repaired
+    * assignment so downstream pack/mix stages consume one relation.
+    * Scale: a projection of the cached d4 pair silver (d14's shape)
+    * plus one distinct + left join against the doc spine. */
+  def leakageRepair(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val leaked = splitLeakage(spark, dir, threshold)
+    val movers = leaked
+      .select(col("doc_a").as("doc_id"), col("split_a").as("split"))
+      .unionByName(leaked
+        .select(col("doc_b").as("doc_id"), col("split_b").as("split")))
+      .filter(col("split") =!= "train")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("orig_split"))
+      .join(movers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("orig_split"),
+        when(col("hit"), "quarantined").otherwise(col("orig_split"))
+          .as("final_split"),
+        coalesce(col("hit"), lit(false)).as("is_quarantined"))
+      .orderBy("doc_id")
+  }
+
+  def leakageRepairSql(threshold: Double = 0.5): String =
+    s"""WITH leaked AS (${splitLeakageSql(threshold)}),
+       |movers AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id, split_a AS split FROM leaked
+       |    UNION ALL SELECT doc_b AS doc_id, split_b AS split FROM leaked)
+       |  WHERE split <> 'train')
+       |SELECT d.doc_id,
+       |  ${splitSqlOf("d.doc_id")} AS orig_split,
+       |  CASE WHEN m.doc_id IS NOT NULL THEN 'quarantined'
+       |    ELSE ${splitSqlOf("d.doc_id")} END AS final_split,
+       |  m.doc_id IS NOT NULL AS is_quarantined
+       |FROM documents d LEFT JOIN movers m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** t10: corpus vocabulary statistics — the dashboard row a corpus
     * pipeline tracks per snapshot: total token count, vocabulary size,
     * hapax legomena (frequency-1 types, the long-tail health signal),

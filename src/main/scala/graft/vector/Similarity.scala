@@ -1771,4 +1771,53 @@ object Similarity {
        |  ON c.query_id = n.query_id AND c.k = n.k
        |ORDER BY c.query_id, c.k""".stripMargin
   }
+
+  /** v21: SEMANTIC dedup clusters — the SemDeDup-style pass a training
+    * pipeline runs AFTER lexical dedup (d1–d6): paraphrases and
+    * re-renderings share no shingles but sit together in embedding
+    * space. Edges are v12's bucket-local nearest-neighbor verdicts (the
+    * label-free LSH path — the candidate generator an unlabeled 100 TB
+    * embedding lake can actually afford), and the clustering is the
+    * SAME distributed min-label components used for d6/d10
+    * ([[graft.dedup.Dedup.dupClustersFrom]]: per-round join+agg with
+    * localCheckpoint lineage truncation — one engine, three edge
+    * relations). One representative per cluster (the min id), the
+    * keep/drop verdict every downstream pack/mix stage consumes. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.4): DataFrame = {
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
+    val edges = lshNearDup(spark, dir, threshold)
+      .filter(col("is_near_dup"))
+      .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    graft.dedup.Dedup.dupClustersFrom(verts, edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_representative"))
+      .orderBy("vec_id")
+  }
+
+  def semanticClustersSql(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE nd AS (
+       |  SELECT vec_id, neighbor_id FROM (${lshNearDupSql(threshold)})
+       |  WHERE is_near_dup),
+       |edges AS (
+       |  SELECT vec_id AS doc_a, neighbor_id AS doc_b FROM nd
+       |  UNION ALL SELECT neighbor_id, vec_id FROM nd),
+       |reach AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b AS dst
+       |  FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |labels AS (
+       |  SELECT emb.vec_id,
+       |    LEAST(emb.vec_id, COALESCE(MIN(r.dst), emb.vec_id)) AS cluster_id
+       |  FROM embeddings emb LEFT JOIN reach r ON r.src = emb.vec_id
+       |  GROUP BY emb.vec_id),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels
+       |  GROUP BY cluster_id)
+       |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       |  l.vec_id = l.cluster_id AS is_representative
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |ORDER BY l.vec_id""".stripMargin
 }

@@ -1060,4 +1060,25 @@ class CompositionSpec extends GraftSpec {
       assert(r.getAs[Boolean]("is_outlier") === (dev > 3 * mad(t)))
     }
   }
+
+  test("x9: growth export joins its two green parents 1:1; stickiness " +
+    "is DAU over trailing-7d AU, in (0, 1]") {
+    import graft.export.Flatten
+    import graft.streaming.EventsBatch
+    val res = Flatten.exportGrowth(spark, sfDir).collect()
+    val e13 = EventsBatch.growthAccounting(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_date") -> r.getAs[Long]("n_active")).toMap
+    val e15 = EventsBatch.rollingDistinct(spark, sfDir).collect()
+      .map(r => r.getAs[String]("window_day") -> r.getAs[Long]("n_active_7d")).toMap
+    assert(res.length === e13.size)
+    res.foreach { r =>
+      val d = r.getAs[String]("date")
+      assert(r.getAs[Long]("n_active") === e13(d))
+      assert(r.getAs[Long]("n_active_7d") === e15(d))
+      val stick = r.getAs[Double]("stickiness")
+      assert(stick === e13(d).toDouble / e15(d).toDouble)
+      // a day's actives are a subset of the window ending that day
+      assert(stick > 0.0 && stick <= 1.0)
+    }
+  }
 }

@@ -418,4 +418,35 @@ class CorpusPrepSpec extends GraftSpec {
       assert(badFlag.count() === 0)
     } finally r.unpersist()
   }
+
+  test("p15: quarantine covers exactly the non-train sides of leaked " +
+    "pairs; no leaked pair survives among remaining docs") {
+    import graft.text.CorpusPrep
+    val leaked = CorpusPrep.splitLeakage(spark, sfDir).collect()
+    val expectQ = leaked.flatMap { r =>
+      Seq(r.getAs[Long]("doc_a") -> r.getAs[String]("split_a"),
+        r.getAs[Long]("doc_b") -> r.getAs[String]("split_b"))
+    }.filter(_._2 != "train").map(_._1).toSet
+    val res = CorpusPrep.leakageRepair(spark, sfDir).collect()
+    val gotQ = res.filter(_.getAs[Boolean]("is_quarantined"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotQ === expectQ)
+    res.foreach { r =>
+      val q = r.getAs[Boolean]("is_quarantined")
+      assert(r.getAs[String]("final_split") ===
+        (if (q) "quarantined" else r.getAs[String]("orig_split")))
+      if (!q) assert(r.getAs[String]("final_split") !== "quarantined")
+    }
+    // fixpoint: re-deriving leaks over the FINAL assignment finds none
+    // among non-quarantined docs (quarantining cannot create pairs)
+    val finalSplit = res.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("final_split")).toMap
+    graft.dedup.Dedup.ngramJaccard(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        val (a, b) = (finalSplit(r.getAs[Long]("doc_a")),
+          finalSplit(r.getAs[Long]("doc_b")))
+        if (a != "quarantined" && b != "quarantined")
+          assert(a === b, "a cross-split near-dup pair survived repair")
+      }
+  }
 }

@@ -538,4 +538,41 @@ class DedupSimilaritySpec extends GraftSpec {
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
     assert(at5 === v6, "curve at k=5 must equal v6's lsh point estimate")
   }
+
+  test("v21: semantic clusters equal an in-process union-find over v12's " +
+    "near-dup edges; sizes partition the space") {
+    import graft.vector.Similarity
+    val verts = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getAs[Long]("vec_id"))
+    val edges = Similarity.lshNearDup(spark, sfDir)
+      .filter(col("is_near_dup")).select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val parent = collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      parent(v) = r; r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = verts.map(v => v -> find(v)).toMap
+    // normalize: label = min member of each component
+    val minOf = want.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    val res = Similarity.semanticClusters(spark, sfDir).collect()
+    assert(res.length === verts.length)
+    val sizes = want.groupBy(v => minOf(v._2)).map { case (l, m) => l -> m.size.toLong }
+    res.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val label = minOf(want(v))
+      assert(r.getAs[Long]("cluster_id") === label)
+      assert(r.getAs[Long]("cluster_size") === sizes(label))
+      assert(r.getAs[Boolean]("is_representative") === (v == label))
+    }
+    // cluster sizes partition the vector space
+    assert(res.map(_.getAs[Long]("cluster_size")).sum ===
+      res.groupBy(_.getAs[Long]("cluster_id")).map { case (_, rs) =>
+        rs.length.toLong * rs.length }.sum)
+  }
 }
