@@ -166,4 +166,74 @@ object Kpis {
        |  mtd AS (PARTITION BY store_id, substr(sale_date, 1, 7) ORDER BY sale_date
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY store_id, sale_date""".stripMargin
+
+  /** a31: MARKET-BASKET AFFINITY — sku co-occurrence with support and
+    * lift over order baskets (l_orderkey groups), the association-rule
+    * primitive behind "frequently bought together". The pair generator
+    * is a self-join on the ORDER key, so the blow-up is bounded by
+    * basket size squared (TPC-H baskets are ≤ 7 lines), never by the
+    * catalog — the same never-all-pairs discipline as the dedup
+    * family. Lift = P(a,b)/(P(a)P(b)) = pair_n·n_orders / (n_a·n_b),
+    * exact integers into one IEEE division each (and n_orders is a
+    * 1-row broadcast). Top 50 pairs by (count, pair) via
+    * TakeOrderedAndProject — per-partition partial top-k + a 50-row
+    * driver merge, no global sort at any scale. */
+  def basketAffinity(spark: SparkSession, dir: String,
+                     topN: Int = 50): DataFrame = {
+    val baskets = Tables.sales(spark, dir)
+      .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
+    val nOrders = baskets.select(col("order_id")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = baskets.groupBy(col("sku")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(col("order_id"), col("sku").as("sku_a"))
+      .join(baskets.select(col("order_id"), col("sku").as("sku_b")),
+        Seq("order_id"))
+      .filter(col("sku_a") < col("sku_b"))
+      .groupBy(col("sku_a"), col("sku_b"))
+      .agg(count(lit(1)).as("pair_n"))
+    pairs
+      .join(itemN.select(col("sku").as("sku_a"), col("n_item").as("n_a")),
+        Seq("sku_a"))
+      .join(itemN.select(col("sku").as("sku_b"), col("n_item").as("n_b")),
+        Seq("sku_b"))
+      .crossJoin(broadcast(nOrders))
+      .orderBy(col("pair_n").desc, col("sku_a").asc, col("sku_b").asc)
+      .limit(topN)
+      .select(col("sku_a"), col("sku_b"), col("pair_n"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        ((col("pair_n") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"),
+        (col("pair_n").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_to_b"))
+      .orderBy(col("pair_n").desc, col("sku_a").asc, col("sku_b").asc)
+  }
+
+  def basketAffinitySql(topN: Int = 50): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS sku
+       |  FROM lineitem),
+       |orders AS (SELECT COUNT(DISTINCT order_id) AS n_orders FROM baskets),
+       |items AS (
+       |  SELECT sku, CAST(COUNT(*) AS BIGINT) AS n_item
+       |  FROM baskets GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.sku AS sku_a, b.sku AS sku_b,
+       |    CAST(COUNT(*) AS BIGINT) AS pair_n
+       |  FROM baskets a JOIN baskets b
+       |    ON a.order_id = b.order_id AND a.sku < b.sku
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT * FROM pairs
+       |  ORDER BY pair_n DESC, sku_a ASC, sku_b ASC LIMIT $topN)
+       |SELECT t.sku_a, t.sku_b, t.pair_n,
+       |  ia.n_item AS n_a, ib.n_item AS n_b,
+       |  CAST(o.n_orders AS BIGINT) AS n_orders,
+       |  CAST(t.pair_n * o.n_orders AS DOUBLE)
+       |    / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift,
+       |  CAST(t.pair_n AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_a_to_b
+       |FROM top t
+       |JOIN items ia ON ia.sku = t.sku_a
+       |JOIN items ib ON ib.sku = t.sku_b
+       |CROSS JOIN orders o
+       |ORDER BY t.pair_n DESC, t.sku_a ASC, t.sku_b ASC""".stripMargin
 }

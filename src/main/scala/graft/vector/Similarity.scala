@@ -1772,6 +1772,58 @@ object Similarity {
        |ORDER BY c.query_id, c.k""".stripMargin
   }
 
+  /** v22: k-NN LABEL CLASSIFICATION — the label-propagation eval a
+    * curation pipeline runs over its embedding index: each query's
+    * predicted label is the majority vote of its exact top-k cosine
+    * neighbors (ties by smallest label — deterministic), scored
+    * against the query's own label. Exercises index + metadata join
+    * end-to-end: the ranking pass is v1's broadcast loop, the vote is
+    * a (query, label) hash agg bounded by k·|queries|, and the argmax
+    * is a window over that tiny relation. At scale the expensive part
+    * is (and stays) the ranking; classification adds only
+    * query-set-sized joins. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5,
+                  nQueries: Int = defaultNQueries): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = cosineTopK(spark, dir, k, nQueries)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"),
+        col("votes").as("n_votes"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("true_label") === col("pred_label")).as("is_correct"))
+      .orderBy("query_id")
+  }
+
+  def knnClassifySql(k: Int = 5, nQueries: Int = defaultNQueries): String =
+    s"""WITH topk AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)})),
+       |votes AS (
+       |  SELECT t.query_id, CAST(e.label AS BIGINT) AS n_label,
+       |    CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, n_label AS pred_label, votes AS n_votes FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, n_label ASC) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT p.query_id, CAST(e.label AS BIGINT) AS true_label,
+       |  p.pred_label, p.n_votes,
+       |  CAST(e.label AS BIGINT) = p.pred_label AS is_correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+       |ORDER BY p.query_id""".stripMargin
+
   /** v21: SEMANTIC dedup clusters — the SemDeDup-style pass a training
     * pipeline runs AFTER lexical dedup (d1–d6): paraphrases and
     * re-renderings share no shingles but sit together in embedding

@@ -1081,4 +1081,60 @@ class CompositionSpec extends GraftSpec {
       assert(stick > 0.0 && stick <= 1.0)
     }
   }
+
+  test("a31: pair counts, lift and confidence recompute exactly from " +
+    "in-process baskets; top-50 is the count-ranked prefix") {
+    import graft.analytics.Kpis
+    import graft.model.Tables
+    val baskets = Tables.sales(spark, sfDir)
+      .select("l_orderkey", "sku").distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("sku")))
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemN = baskets.groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
+    val pairN = baskets.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val skus = rows.map(_._2).sorted
+      for (i <- skus.indices; j <- i + 1 until skus.length)
+        yield (skus(i), skus(j))
+    }.groupBy(identity).map { case (p, rs) => p -> rs.length.toLong }
+    val top = pairN.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+    val res = Kpis.basketAffinity(spark, sfDir).collect()
+    assert(res.length === top.length)
+    res.zip(top).foreach { case (r, ((a, b), n)) =>
+      assert(r.getAs[Long]("sku_a") === a)
+      assert(r.getAs[Long]("sku_b") === b)
+      assert(r.getAs[Long]("pair_n") === n)
+      assert(r.getAs[Long]("n_a") === itemN(a))
+      assert(r.getAs[Long]("n_b") === itemN(b))
+      assert(r.getAs[Long]("n_orders") === nOrders)
+      assert(n <= math.min(itemN(a), itemN(b)))
+      assert(r.getAs[Double]("lift") ===
+        (n * nOrders).toDouble / (itemN(a) * itemN(b)).toDouble)
+      assert(r.getAs[Double]("conf_a_to_b") === n.toDouble / itemN(a).toDouble)
+    }
+  }
+
+  test("v22: predictions are the majority label of the exact top-k, ties " +
+    "to the smallest label") {
+    import graft.vector.Similarity
+    val labels = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val topk = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    val expect = topk.groupBy(_._1).map { case (q, rs) =>
+      val votes = rs.map(r => labels(r._2)).groupBy(identity)
+        .map { case (l, vs) => l -> vs.length.toLong }
+      val (pred, n) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      q -> (pred, n, labels(q))
+    }
+    val res = Similarity.knnClassify(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (pred, n, truth) = expect(r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("pred_label") === pred)
+      assert(r.getAs[Long]("n_votes") === n)
+      assert(r.getAs[Long]("true_label") === truth)
+      assert(r.getAs[Boolean]("is_correct") === (pred == truth))
+    }
+  }
 }
