@@ -148,4 +148,44 @@ object Profile {
       |UNION ALL SELECT 'value', n, n - nn_value, nd_value, mn_value, mx_value FROM s
       |UNION ALL SELECT 'props', n, n - nn_props, nd_props, mn_props, mx_props FROM s
       |ORDER BY col_name""".stripMargin
+
+  /** k4: CLUSTERING-QUALITY AUDIT — per-file min/max ranges of a sort/
+    * cluster column and how many OTHER files each range overlaps: the
+    * data-skipping diagnostic behind every lakehouse OPTIMIZE/Z-ORDER
+    * decision (parquet row-group pruning and Delta/Iceberg file skipping
+    * read exactly these ranges; overlap degree ≈ how many files a point
+    * predicate fails to prune). A perfectly range-clustered table
+    * audits at 0 overlaps per file; a round-robin layout at n−1 —
+    * [[graft.SkewSpec]] writes both layouts of the SAME rows and
+    * asserts exactly those values.
+    *
+    * Scale shape: the stats pass is one map-combinable agg keyed by
+    * `_metadata.file_path` (|files| output rows, no data shuffle
+    * beyond it); the overlap join is |files|² on the STATS relation —
+    * file counts, never rows. Rows-only like s6: `_metadata` has no
+    * DuckDB analogue. */
+  def clusteringAuditOf(df: DataFrame, valueCol: String): DataFrame = {
+    val stats = df
+      .select(col(valueCol).as("v"), col("_metadata.file_path").as("path"))
+      .groupBy(col("path"))
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("file_name",
+        element_at(split(col("path"), "/"), -1))
+    val other = stats.select(col("path").as("o_path"),
+      col("min_v").as("o_min"), col("max_v").as("o_max"))
+    stats.join(other,
+        col("path") =!= col("o_path") &&
+          col("min_v") <= col("o_max") && col("o_min") <= col("max_v"),
+        "left")
+      .groupBy(col("file_name"), col("min_v"), col("max_v"), col("n_rows"))
+      .agg(count(col("o_path")).as("n_overlaps"))
+      .select(col("file_name"), col("min_v"), col("max_v"), col("n_rows"),
+        col("n_overlaps"))
+      .orderBy(col("file_name"))
+  }
+
+  def clusteringAudit(spark: SparkSession, dir: String): DataFrame =
+    clusteringAuditOf(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "l_shipdate")
 }

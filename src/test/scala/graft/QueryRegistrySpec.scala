@@ -30,7 +30,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do",
     "m7_scene_cuts" -> "frame features come from the binary decode seam (like m4)",
     "sk6_rolling_approx" -> "Datasketches HLL estimates are implementation-defined (e15 is the exact anchor)",
-    "t20_bpe_train" -> "iterative merge application needs a per-merge rewrite loop SQL cannot express (BpeSpec recomputes the trainer in-process)")
+    "t20_bpe_train" -> "iterative merge application needs a per-merge rewrite loop SQL cannot express (BpeSpec recomputes the trainer in-process)",
+    "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet

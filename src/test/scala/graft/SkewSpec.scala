@@ -38,4 +38,34 @@ class SkewSpec extends GraftSpec {
       .distinct().count()
     assert(buckets >= 6, s"expected near-uniform salt spread, got $buckets/8 buckets")
   }
+
+  test("k4: range-clustered layout audits at 0 overlaps; round-robin " +
+    "layout at n-1; counts conserve") {
+    import org.apache.spark.sql.functions._
+    val src = graft.model.Tables.sales(spark, sfDir)
+      .select(col("sale_date"), col("sku"))
+    val base = java.nio.file.Files.createTempDirectory("k4audit").toString
+    val nFiles = 4
+    // same rows, two physical layouts
+    src.repartitionByRange(nFiles, col("sale_date"))
+      .write.mode("overwrite").parquet(s"$base/clustered")
+    src.repartition(nFiles).write.mode("overwrite").parquet(s"$base/rr")
+    def audit(path: String) = graft.analytics.Profile.clusteringAuditOf(
+      spark.read.parquet(path), "sale_date").collect()
+    val good = audit(s"$base/clustered")
+    val bad = audit(s"$base/rr")
+    assert(good.length === nFiles && bad.length === nFiles)
+    assert(good.map(_.getAs[Long]("n_rows")).sum === src.count())
+    assert(bad.map(_.getAs[Long]("n_rows")).sum === src.count())
+    // range partitioning can place one boundary date's rows in two files;
+    // overlap stays far below round-robin's full n-1
+    assert(good.map(_.getAs[Long]("n_overlaps")).max <= 1L,
+      "range-clustered files must be (nearly) disjoint")
+    // round-robin: every file spans the full date range -> all overlap
+    bad.foreach(r => assert(r.getAs[Long]("n_overlaps") === (nFiles - 1).toLong))
+    // the audit orders the shared span correctly
+    bad.foreach { r =>
+      assert(r.getAs[String]("min_v") <= r.getAs[String]("max_v"))
+    }
+  }
 }
