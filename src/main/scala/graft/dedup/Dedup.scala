@@ -968,6 +968,115 @@ object Dedup {
        |FROM cells GROUP BY source_a, source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** d21: LSH PARAMETER SWEEP — the bands×rows operating curve every
+    * MinHash-LSH deployment tunes before committing a threshold: from
+    * the SAME 16 minhashes (one signature pass — the v18/v20 sweep
+    * discipline: never a re-sketch per configuration), band the
+    * signature three ways (8 bands × 2 rows, 4×4, 2×8) and score each
+    * config's candidate set against the exact-Jaccard truth pairs.
+    * More rows per band ⇒ fewer, higher-precision candidates (the
+    * s-curve steepens); the output is the 3-row
+    * (candidates, precision, recall) table that picks the operating
+    * point. Band keys combine a band's minhashes with 31^i weights
+    * (mh < P ≈ 1e6, so the largest product ≈ 2.7e16 stays far inside
+    * BIGINT in both engines — no overflow, exact parity). Candidate
+    * generation stays bucket-local per config; the eval joins are
+    * candidate-pair-sized. */
+  def lshSweep(spark: SparkSession, dir: String,
+               threshold: Double = 0.5): DataFrame = {
+    val sigs = Silver.memoize(spark, "sigsWide", dir) {
+      signaturesWide(spark, dir).cache()
+    }
+    val truth = ngramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    val perConfig = Seq(2, 4, 8).map { r =>
+      val nBands = NumHashes / r
+      val arr = array((0 until nBands).map { b =>
+        struct(lit(b.toLong).as("band"),
+          (0 until r).map(i => col(s"mh${r * b + i}") * w31(i))
+            .reduce(_ + _).as("bandkey"))
+      }: _*)
+      val bk = sigs.select(col("doc_id"), explode(arr).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bandkey").as("bandkey"))
+      val cands = bk.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
+        .join(bk.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
+          Seq("band", "bandkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val counts = cands.agg(count(lit(1)).as("n_candidates"))
+      val hits = cands.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      counts.crossJoin(hits)
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit(nBands.toLong).as("n_bands"),
+          col("n_candidates"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(broadcast(truthN))
+      .select(col("rows_per_band"), col("n_bands"), col("n_candidates"),
+        col("n_truth"), col("n_hits"),
+        when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hits").cast("double") /
+            col("n_candidates").cast("double")).as("precision"),
+        when(col("n_truth") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hits").cast("double") /
+            col("n_truth").cast("double")).as("recall"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  def lshSweepSql(threshold: Double = 0.5): String = {
+    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    def wCase(r: Int): String =
+      "CASE j % " + r + " " + (0 until r)
+        .map(i => s"WHEN $i THEN ${w31(i)}").mkString(" ") + " END"
+    def cfg(r: Int): String = {
+      val nb = NumHashes / r
+      s"""bk$r AS (
+         |  SELECT doc_id, j // $r AS band,
+         |    CAST(SUM(mh * ${wCase(r)}) AS BIGINT) AS bandkey
+         |  FROM sigs16 GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk$r a JOIN bk$r b
+         |    ON a.band = b.band AND a.bandkey = b.bandkey
+         |    AND a.doc_id < b.doc_id),
+         |r$r AS (
+         |  SELECT CAST($r AS BIGINT) AS rows_per_band,
+         |    CAST($nb AS BIGINT) AS n_bands,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS n_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM c$r JOIN truth USING (doc_a, doc_b)) AS n_hits)""".stripMargin
+    }
+    s"""WITH params16 AS (
+       |  SELECT j, 37 + 101*j AS a, 17 + 61*j AS b FROM range(16) t(j)),
+       |sigs16 AS (
+       |  SELECT ds.doc_id, p.j, MIN((p.a * ds.sid + p.b) % ${Corpus.P}) AS mh
+       |  FROM ($docSidsSql) ds CROSS JOIN params16 p
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),
+       |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |${cfg(2)},
+       |${cfg(4)},
+       |${cfg(8)}
+       |SELECT u.rows_per_band, u.n_bands, u.n_candidates, tn.n_truth,
+       |  u.n_hits,
+       |  CASE WHEN u.n_candidates = 0 THEN NULL
+       |    ELSE CAST(u.n_hits AS DOUBLE) / CAST(u.n_candidates AS DOUBLE)
+       |    END AS precision,
+       |  CASE WHEN tn.n_truth = 0 THEN NULL
+       |    ELSE CAST(u.n_hits AS DOUBLE) / CAST(tn.n_truth AS DOUBLE)
+       |    END AS recall
+       |FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4
+       |      UNION ALL SELECT * FROM r8) u
+       |CROSS JOIN tn
+       |ORDER BY u.rows_per_band""".stripMargin
+  }
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

@@ -575,4 +575,52 @@ class DedupSimilaritySpec extends GraftSpec {
       res.groupBy(_.getAs[Long]("cluster_id")).map { case (_, rs) =>
         rs.length.toLong * rs.length }.sum)
   }
+
+  test("d21: sweep rows recompute exactly from in-process minhashes " +
+    "per band config; counts and rates agree") {
+    import graft.dedup.Dedup
+    val P = graft.text.Corpus.P
+    val dict = graft.text.Corpus.shingleDict(spark, sfDir).collect()
+      .map(r => r.getAs[String]("shingle") -> r.getAs[Long]("sid")).toMap
+    val docSids = graft.text.Corpus.docShingles(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), dict(r.getAs[String]("shingle"))))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct }
+    val sigs = docSids.map { case (d, sids) =>
+      d -> (0 until 16).map(j =>
+        sids.map(s => (s * (37L + 101L * j) + (17L + 61L * j)) % P).min).toArray
+    }
+    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    val truth = Dedup.ngramJaccard(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def candsFor(r: Int): Set[(Long, Long)] = {
+      val byBucket = sigs.toSeq.flatMap { case (d, mh) =>
+        (0 until 16 / r).map { b =>
+          ((b, (0 until r).map(i => mh(r * b + i) * w31(i)).sum), d)
+        }
+      }.groupBy(_._1)
+      byBucket.values.flatMap { ds =>
+        val ids = ds.map(_._2).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val res = Dedup.lshSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("rows_per_band") -> r).toMap
+    assert(res.keySet === Set(2L, 4L, 8L))
+    Seq(2, 4, 8).foreach { r =>
+      val cands = candsFor(r)
+      val row = res(r.toLong)
+      assert(row.getAs[Long]("n_bands") === (16 / r).toLong)
+      assert(row.getAs[Long]("n_candidates") === cands.size.toLong)
+      assert(row.getAs[Long]("n_truth") === truth.size.toLong)
+      val hits = cands.intersect(truth).size.toLong
+      assert(row.getAs[Long]("n_hits") === hits)
+      assert(row.getAs[Double]("precision") ===
+        hits.toDouble / cands.size.toDouble)
+      assert(row.getAs[Double]("recall") ===
+        hits.toDouble / truth.size.toDouble)
+    }
+  }
 }
