@@ -188,4 +188,105 @@ object Profile {
   def clusteringAudit(spark: SparkSession, dir: String): DataFrame =
     clusteringAuditOf(
       spark.read.parquet(s"$dir/lineitem.parquet"), "l_shipdate")
+
+  /** k5: PEARSON CORRELATION MATRIX over the fact table's numeric
+    * columns (quantity, discount basis points, price cents) from ONE
+    * scan — the feature-correlation pass a feature-engineering or
+    * drift-monitoring pipeline runs, and the statistical upgrade of
+    * k3's per-column profile. All sufficient statistics accumulate
+    * EXACTLY (integers lifted to cents/basis points; wide products as
+    * scale-0 decimals so Σ(price²) at any row count stays exact where
+    * a BIGINT would wrap); the correlation is the a30 divide-early
+    * double form — exact moments into one fixed IEEE sequence both
+    * engines evaluate identically. Zero-variance columns yield NULL,
+    * never 0/0. ONE map-side-combinable aggregate, one 1-row result
+    * reshaped to |pairs| rows — corpus-sized work is the single scan.
+    * (On this synthetic data the three columns are drawn independently
+    * and the matrix correctly reads ≈ 0 across the board — the null
+    * result is the calibration check.) */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    // doubles go through DECIMAL before scaling (the a2/Tables parity
+    // convention): double*100 then truncate would split one ulp apart
+    // from DuckDB's rounding cast
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      (col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))
+        * 100).cast("long").as("d"),
+      (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        * 100).cast(dec18).as("p"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+      sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(col("p") * col("p")).as("spp"),
+      sum(col("q") * col("d")).as("sqd"),
+      sum(col("q").cast(dec18) * col("p")).as("sqp"),
+      sum(col("d").cast(dec18) * col("p")).as("sdp"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def corrStruct(name: String, sx: String, sy: String, sxy: String,
+                   sxx: String, syy: String) = {
+      val varx = d(sxx) - d(sx) * d(sx) / nD
+      val vary = d(syy) - d(sy) * d(sy) / nD
+      val covxy = d(sxy) - d(sx) * d(sy) / nD
+      struct(lit(name).as("pair"),
+        when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+          .otherwise(covxy / sqrt(varx * vary)).as("corr"))
+    }
+    // reshape the ONE aggregate row to |pairs| rows with an explode —
+    // a union of selects would re-plan (and re-scan) the agg per pair
+    m.select(col("n"), explode(array(
+        corrStruct("discount_price", "sd", "sp", "sdp", "sdd", "spp"),
+        corrStruct("quantity_discount", "sq", "sd", "sqd", "sqq", "sdd"),
+        corrStruct("quantity_price", "sq", "sp", "sqp", "sqq", "spp")))
+        .as("c"))
+      .select(col("c.pair").as("pair"), col("n"), col("c.corr").as("corr"))
+      .orderBy("pair")
+  }
+
+  val corrMatrixSql: String = {
+    val moments =
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sq,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(p) AS DECIMAL(38,0)) AS sp,
+        |    CAST(SUM(q * q) AS BIGINT) AS sqq,
+        |    CAST(SUM(d * d) AS BIGINT) AS sdd,
+        |    CAST(SUM(p * p) AS DECIMAL(38,0)) AS spp,
+        |    CAST(SUM(q * d) AS BIGINT) AS sqd,
+        |    CAST(SUM(CAST(q AS DECIMAL(18,0)) * p) AS DECIMAL(38,0)) AS sqp,
+        |    CAST(SUM(CAST(d AS DECIMAL(18,0)) * p) AS DECIMAL(38,0)) AS sdp
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |          CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d,
+        |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |            AS DECIMAL(18,0)) AS p
+        |        FROM lineitem)""".stripMargin
+    def row(name: String, sx: String, sy: String, sxy: String,
+            sxx: String, syy: String) =
+      s"""SELECT '$name' AS pair, n,
+         |  CASE WHEN (CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE)
+         |        * CAST($sx AS DOUBLE) / CAST(n AS DOUBLE)) = 0
+         |    OR (CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE)
+         |        * CAST($sy AS DOUBLE) / CAST(n AS DOUBLE)) = 0
+         |  THEN NULL
+         |  ELSE (CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE)
+         |        * CAST($sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / sqrt((CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE)
+         |        * CAST($sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE)
+         |        * CAST($sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         |  END AS corr
+         |FROM m""".stripMargin
+    s"""WITH m AS ($moments)
+       |SELECT * FROM (
+       |${row("quantity_discount", "sq", "sd", "sqd", "sqq", "sdd")}
+       |UNION ALL
+       |${row("quantity_price", "sq", "sp", "sqp", "sqq", "spp")}
+       |UNION ALL
+       |${row("discount_price", "sd", "sp", "sdp", "sdd", "spp")})
+       |ORDER BY pair""".stripMargin
+  }
 }

@@ -772,6 +772,83 @@ object EventsBatch {
       .orderBy(col("event_type"), col("event_date"))
   }
 
+  /** e17: BURST / BOT-PATTERN DETECTION — per user, run-length
+    * statistics over sub-second inter-event gaps: rapid-fire runs are
+    * the canonical automation signal a trust-and-safety pipeline gates
+    * on before events enter analytics. A "burst pair" is a consecutive
+    * event pair < 1 s apart (integer microseconds — the e6/e8
+    * comparison domain); maximal runs of burst pairs are collapsed with
+    * the rn − rn₂ grouping trick (d19's run-collapse algebra applied to
+    * the time dimension), so a run of g consecutive burst pairs is
+    * g + 1 rapid events. Flag rule: a run of ≥ 5 burst pairs OR more
+    * than half of all gaps sub-second (integer-exact comparison
+    * 2·n_burst_pairs > n_gaps). Everything rides ONE user_id exchange —
+    * the lag, both run windows, and the final per-user rollup; output
+    * is user-dimension-sized. */
+  def burstDetection(spark: SparkSession, dir: String,
+                     gapUs: Long = 1000000L, runFlag: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("gap_us").isNotNull)
+    val bursts = gaps.filter(col("gap_us") < gapUs)
+      .withColumn("rn2", row_number().over(byUser))
+      .withColumn("grp", col("rn") - col("rn2"))
+    val runs = bursts.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("n_burst_pairs"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_us")).as("min_gap_us"))
+      .join(runs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("n_burst_pairs"), lit(0L)).as("n_burst_pairs"),
+        (coalesce(col("longest_run"), lit(0L)) >= runFlag.toLong ||
+          coalesce(col("n_burst_pairs"), lit(0L)) * 2 > col("n_gaps"))
+          .as("is_suspect"))
+      .orderBy("user_id")
+  }
+
+  def burstDetectionSql(gapUs: Long = 1000000L, runFlag: Int = 5): String =
+    s"""WITH gaps AS (
+       |  SELECT user_id,
+       |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       |    ROW_NUMBER() OVER w AS rn
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+       |bursts AS (
+       |  SELECT user_id, rn,
+       |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+       |  FROM g WHERE gap_us < $gapUs),
+       |runs AS (
+       |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+       |  FROM bursts GROUP BY 1, 2),
+       |per_user_runs AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       |    CAST(SUM(run_len) AS BIGINT) AS n_burst_pairs
+       |  FROM runs GROUP BY 1),
+       |per_user AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+       |  FROM g GROUP BY 1)
+       |SELECT p.user_id, p.n_gaps, p.min_gap_us,
+       |  COALESCE(r.n_runs, 0) AS n_runs,
+       |  COALESCE(r.longest_run, 0) AS longest_run,
+       |  COALESCE(r.n_burst_pairs, 0) AS n_burst_pairs,
+       |  COALESCE(r.longest_run, 0) >= $runFlag
+       |    OR COALESCE(r.n_burst_pairs, 0) * 2 > p.n_gaps AS is_suspect
+       |FROM per_user p LEFT JOIN per_user_runs r USING (user_id)
+       |ORDER BY p.user_id""".stripMargin
+
   def madOutliersSql(k: Int = 3): String =
     s"""WITH daily AS (
        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,

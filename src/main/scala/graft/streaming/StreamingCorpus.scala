@@ -175,6 +175,21 @@ object StreamingCorpus {
     docs.filter(
       graft.text.CorpusPrep.uniformSampleBucket(col("doc_id")) < perMille)
 
+  /** Streaming CHARSET gate: t18's ascii_ratio threshold at the ingest
+    * edge — binary garbage, wrong-script content and mojibake are
+    * dropped before tokenization spends anything on them (the cheapest
+    * reject in the whole gate stack, so it runs FIRST in a production
+    * layering). Stateless codegen'd per-row filter; the ratio is the
+    * SAME expression as the batch t18 column, so the streamed verdict
+    * equals the batch profile's (asserted in spec). */
+  def charsetGate(docs: DataFrame, minAsciiPerMille: Int = 900): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nAscii =
+      length(regexp_replace(col("text"), "[^ -~\t\n\r]", "")).cast("long")
+    // integer-exact threshold: ascii/chars >= minAsciiPerMille/1000
+    docs.filter(nAscii * 1000 >= lit(minAsciiPerMille.toLong) * nChars)
+  }
+
   /** The composed streaming corpus-ingest pipeline: quality gate, then
     * (optionally) the decontamination gate, then watermark-bounded exact
     * dedup — the streaming twin of batch c2's (quality + contamination +

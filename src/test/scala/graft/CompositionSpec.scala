@@ -1137,4 +1137,87 @@ class CompositionSpec extends GraftSpec {
       assert(r.getAs[Boolean]("is_correct") === (pred == truth))
     }
   }
+
+  test("e17: burst runs recompute exactly from per-user gap sequences; " +
+    "flags follow the documented rule") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val raw = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000,
+        r.getAs[Long]("event_id")))
+    val expect = raw.groupBy(_._1).map { case (u, rows) =>
+      val us = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = us.zip(us.drop(1)).map { case (a, b) => b - a }
+      val runs = {
+        val flags = gaps.map(_ < 1000000L)
+        val out = collection.mutable.ArrayBuffer[Long]()
+        var cur = 0L
+        flags.foreach { f =>
+          if (f) cur += 1
+          else { if (cur > 0) out += cur; cur = 0 }
+        }
+        if (cur > 0) out += cur
+        out.toSeq
+      }
+      u -> (gaps.length.toLong, gaps.min, runs.length.toLong,
+        if (runs.isEmpty) 0L else runs.max, runs.sum)
+    }
+    val res = EventsBatch.burstDetection(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val (nGaps, minGap, nRuns, longest, pairs) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_gaps") === nGaps)
+      assert(r.getAs[Long]("min_gap_us") === minGap)
+      assert(r.getAs[Long]("n_runs") === nRuns)
+      assert(r.getAs[Long]("longest_run") === longest)
+      assert(r.getAs[Long]("n_burst_pairs") === pairs)
+      assert(r.getAs[Boolean]("is_suspect") ===
+        (longest >= 5L || pairs * 2 > nGaps))
+    }
+  }
+
+  test("k5: correlations match exact-moment in-process recomputation " +
+    "bit-for-bit; all within [-1, 1]; price tracks quantity") {
+    import graft.analytics.Profile
+    import graft.model.Tables
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map { r =>
+        (r.getAs[Double]("l_quantity").toLong,
+          (BigDecimal(r.getAs[Double]("l_discount"))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong,
+          (BigDecimal(r.getAs[Double]("l_extendedprice"))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt)
+      }
+    val n = rows.length.toDouble
+    def corr(xs: Array[BigInt], ys: Array[BigInt]): Double = {
+      def s(v: Iterator[BigInt]) = v.sum
+      val (sx, sy) = (s(xs.iterator), s(ys.iterator))
+      val sxx = s(xs.iterator.map(x => x * x))
+      val syy = s(ys.iterator.map(y => y * y))
+      val sxy = s(xs.zip(ys).iterator.map { case (x, y) => x * y })
+      val varx = sxx.toDouble - sx.toDouble * sx.toDouble / n
+      val vary = syy.toDouble - sy.toDouble * sy.toDouble / n
+      val covxy = sxy.toDouble - sx.toDouble * sy.toDouble / n
+      covxy / math.sqrt(varx * vary)
+    }
+    val q = rows.map(r => BigInt(r._1))
+    val dd = rows.map(r => BigInt(r._2))
+    val p = rows.map(_._3)
+    val expect = Map(
+      "quantity_discount" -> corr(q, dd),
+      "quantity_price" -> corr(q, p),
+      "discount_price" -> corr(dd, p))
+    val res = Profile.corrMatrix(spark, sfDir).collect()
+    assert(res.length === 3)
+    res.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(r.getAs[Long]("n") === rows.length.toLong)
+      assert(c === expect(r.getAs[String]("pair")))
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
 }

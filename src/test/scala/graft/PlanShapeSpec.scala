@@ -155,7 +155,13 @@ class PlanShapeSpec extends GraftSpec {
         "over the |types|x|days| calendar-bounded relation"),
     ("v20_recall_curve", 8,
       "one truth + one approx ranking pass (windows), then query-set x " +
-        "levels sweep plumbing (hit join, cnt agg, spine)")
+        "levels sweep plumbing (hit join, cnt agg, spine)"),
+    ("e17_burst_detection", 2,
+      "lag, both run windows, (user,grp) + per-user rollups and the final " +
+        "join all ride the user_id partitioning"),
+    ("k5_corr_matrix", 1,
+      "one map-combinable moment aggregate + the 1-row gather; the pair " +
+        "reshape is an explode of the single result row")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

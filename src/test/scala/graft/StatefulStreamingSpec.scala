@@ -439,4 +439,39 @@ class StatefulStreamingSpec extends GraftSpec {
         "streamed per-day growth counts must equal the batch e13 rollup")
     } finally q.stop()
   }
+
+  test("streaming burst snapshots converge to the batch e17 relation " +
+    "bit-for-bit across a mid-stream split") {
+    import spark.implicits._
+    import graft.streaming.{StatefulBursts, PulseEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .as[PulseEvent].collect().sortBy(r => (r.us, r.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[PulseEvent]
+    val q = StatefulBursts.detect(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bursts").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // update mode re-emits; the final snapshot per user is max-n_gaps
+      val got = spark.sql("SELECT * FROM bursts").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("min_gap_us"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("longest_run"), r.getAs[Long]("n_burst_pairs"),
+          r.getAs[Boolean]("is_suspect")))
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      val want = graft.streaming.EventsBatch.burstDetection(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("min_gap_us"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("longest_run"), r.getAs[Long]("n_burst_pairs"),
+          r.getAs[Boolean]("is_suspect"))).toSeq.sortBy(_._1)
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streaming burst stats must equal the batch e17 relation exactly")
+    } finally q.stop()
+  }
 }

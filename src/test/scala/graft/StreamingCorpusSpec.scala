@@ -220,4 +220,29 @@ class StreamingCorpusSpec extends GraftSpec {
     assert(batch.nonEmpty && streamed === batch,
       "the streamed sample must be the identical corpus slice as batch p13")
   }
+
+  test("streaming charset gate keeps exactly the docs batch t18 rates at " +
+    "or above the ascii threshold; garbage is dropped") {
+    val in = Files.createTempDirectory("stream_charset")
+    in.toFile.deleteOnExit()
+    val docsJson = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => doc(r.getLong(0), "2024-03-01T10:00:00", r.getString(1)))
+    // append one mojibake doc that must be gated (ascii_ratio ~ 0)
+    val garbage = doc(999999L, "2024-03-01T10:00:01",
+      "äöüßéèêëìí")
+    Files.writeString(in.resolve("a.json"),
+      (docsJson :+ garbage).mkString("\n"))
+    runStream(in, StreamingCorpus.charsetGate(_, minAsciiPerMille = 900),
+      "charset_stream")
+    val streamed = spark.sql("SELECT doc_id FROM charset_stream")
+      .collect().map(_.getLong(0)).toSet
+    assert(!streamed.contains(999999L), "mojibake doc must be gated")
+    val batch = graft.text.TextAnalysis.charsetProfile(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("n_chars") * 900 <=
+        1000 * (r.getAs[Long]("n_chars") - r.getAs[Long]("n_non_ascii")))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "streamed charset verdicts must equal the batch t18 profile's")
+  }
 }
