@@ -180,8 +180,11 @@ object Kpis {
     * driver merge, no global sort at any scale. */
   def basketAffinity(spark: SparkSession, dir: String,
                      topN: Int = 50): DataFrame = {
+    // cached: the distinct basket relation feeds four consumers below
+    // (order count, item counts, both sides of the pair join)
     val baskets = Tables.sales(spark, dir)
       .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
+      .cache()
     val nOrders = baskets.select(col("order_id")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemN = baskets.groupBy(col("sku")).agg(count(lit(1)).as("n_item"))

@@ -52,10 +52,14 @@ object Bpe {
     * pair_count) for `nMerges` iterations. */
   def train(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import spark.implicits._
+    // the dictionary is vocabulary-sized: coalesce to a few partitions so
+    // the 8 iteration jobs schedule a handful of real tasks instead of
+    // 32 near-empty ones (pure overhead at this relation size)
     var dict = Corpus.docsTok(spark, dir)
       .select(explode(col("words")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(charsCol(col("word")).as("symbols"), col("freq"))
+      .coalesce(4)
       .cache()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (rank <- 1 to nMerges) {
