@@ -561,7 +561,13 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    // run to CONVERGENCE, not to a silent round cap: one-hop min-label
+    // propagation needs up-to-diameter rounds, and nearest-neighbor
+    // edge relations (v21) form long chains where a fixed small cap
+    // would emit split clusters with no error. The bound below is a
+    // runaway backstop that FAILS LOUDLY instead of mis-clustering.
+    val maxRounds = 1024
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("n_label")),
           Seq("doc_b"))
@@ -579,6 +585,9 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    require(converged,
+      s"component labeling did not converge in $maxRounds rounds — " +
+        "refusing to emit partially-propagated clusters")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
@@ -990,14 +999,18 @@ object Dedup {
     val truth = ngramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
     val truthN = truth.agg(count(lit(1)).as("n_truth"))
-    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
-      887503681L, 27512614111L)
+    // INJECTIVE band keys: the band's minhashes joined as a delimited
+    // string, so bucket equality IS elementwise signature equality —
+    // a weighted integer sum (d2's bucketing shortcut) admits cross-
+    // signature collisions that would inflate this curve's candidate
+    // counts at corpus scale. A production system hashes this
+    // concatenation; the string form is the oracle-portable exact one.
     val perConfig = Seq(2, 4, 8).map { r =>
       val nBands = NumHashes / r
       val arr = array((0 until nBands).map { b =>
         struct(lit(b.toLong).as("band"),
-          (0 until r).map(i => col(s"mh${r * b + i}") * w31(i))
-            .reduce(_ + _).as("bandkey"))
+          concat_ws("|",
+            (0 until r).map(i => col(s"mh${r * b + i}")): _*).as("bandkey"))
       }: _*)
       val bk = sigs.select(col("doc_id"), explode(arr).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
@@ -1028,16 +1041,11 @@ object Dedup {
   }
 
   def lshSweepSql(threshold: Double = 0.5): String = {
-    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
-      887503681L, 27512614111L)
-    def wCase(r: Int): String =
-      "CASE j % " + r + " " + (0 until r)
-        .map(i => s"WHEN $i THEN ${w31(i)}").mkString(" ") + " END"
     def cfg(r: Int): String = {
       val nb = NumHashes / r
       s"""bk$r AS (
          |  SELECT doc_id, j // $r AS band,
-         |    CAST(SUM(mh * ${wCase(r)}) AS BIGINT) AS bandkey
+         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS bandkey
          |  FROM sigs16 GROUP BY 1, 2),
          |c$r AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -62,7 +62,8 @@ object Bpe {
       .coalesce(4)
       .cache()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (rank <- 1 to nMerges) {
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
       val pairs = dict
         .select(col("freq"),
           explode(arrays_zip(
@@ -84,7 +85,7 @@ object Bpe {
         next.count() // materialize before unpersisting the parent
         dict.unpersist()
         dict = next
-      }
+      } else exhausted = true // no pairs left: stop submitting empty jobs
     }
     dict.unpersist()
     merges.result()

@@ -589,15 +589,14 @@ class DedupSimilaritySpec extends GraftSpec {
       d -> (0 until 16).map(j =>
         sids.map(s => (s * (37L + 101L * j) + (17L + 61L * j)) % P).min).toArray
     }
-    val w31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
-      887503681L, 27512614111L)
     val truth = Dedup.ngramJaccard(spark, sfDir, 0.5)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     def candsFor(r: Int): Set[(Long, Long)] = {
+      // true banding: a bucket is the band's full minhash VECTOR
       val byBucket = sigs.toSeq.flatMap { case (d, mh) =>
         (0 until 16 / r).map { b =>
-          ((b, (0 until r).map(i => mh(r * b + i) * w31(i)).sum), d)
+          ((b, (0 until r).map(i => mh(r * b + i)).toSeq), d)
         }
       }.groupBy(_._1)
       byBucket.values.flatMap { ds =>
