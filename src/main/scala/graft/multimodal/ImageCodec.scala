@@ -123,7 +123,15 @@ object ImageCodec {
     * `fill`: signature + IHDR + one zlib-deflated IDAT (each scanline
     * prefixed with filter byte 0) + IEND, all CRCs real. Deterministic
     * for fixed inputs (Deflater with a pinned level, no timestamps). */
-  def pngBytes(width: Int, height: Int, fill: Byte): Array[Byte] = {
+  def pngBytes(width: Int, height: Int, fill: Byte): Array[Byte] =
+    pngBytesOf(width, height, (_, _) => fill)
+
+  /** [[pngBytes]] generalized to a per-pixel function — the fixture
+    * generator uses a content pattern so pixel-level operators (m8's
+    * aHash) see non-degenerate images. Same container: 8-bit
+    * grayscale, filter 0 scanlines, one IDAT, real CRCs. */
+  def pngBytesOf(width: Int, height: Int,
+                 f: (Int, Int) => Byte): Array[Byte] = {
     require(width > 0 && height > 0, "png dims must be positive")
     val ihdr = new Array[Byte](13)
     ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
@@ -137,7 +145,11 @@ object ImageCodec {
     var y = 0
     while (y < height) {
       // raw(y * (width + 1)) = 0: filter type None
-      java.util.Arrays.fill(raw, y * (width + 1) + 1, (y + 1) * (width + 1), fill)
+      var x = 0
+      while (x < width) {
+        raw(y * (width + 1) + 1 + x) = f(x, y)
+        x += 1
+      }
       y += 1
     }
     val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
@@ -153,5 +165,79 @@ object ImageCodec {
     out.write(chunk("IDAT", zOut.toByteArray))
     out.write(chunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** REAL pixel decode for 8-bit grayscale non-interlaced PNGs: walks
+    * the chunk stream collecting IDAT payloads, inflates the zlib
+    * stream (java.util.zip — pure JVM), and reverses all five scanline
+    * filters of the PNG spec §6 (None/Sub/Up/Average/Paeth, bpp = 1).
+    * Returns (width, height, row-major pixels). None for anything that
+    * isn't a well-formed 8-bit grayscale PNG — a pixel pipeline
+    * quarantines those, it never guesses. Deterministic byte
+    * arithmetic end-to-end (inflate is bit-exact by definition);
+    * [[graft.MultimodalSpec]] pins the output to a javax.imageio
+    * decode of the same bytes, filtered fixtures included. */
+  def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val header = parsePng(b).getOrElse(return None)
+    if (header.bitDepth != 8 || header.channels != 1) return None
+    if ((b(25) & 0xff) != 0 || (b(28) & 0xff) != 0) return None // gray, no interlace
+    val (w, h) = (header.width, header.height)
+    // chunk walk: concatenate IDAT payloads until IEND
+    val z = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done) {
+      if (i + 8 > b.length) return None
+      val len = u32(b, i)
+      if (len > Int.MaxValue || i + 12 + len > b.length) return None
+      val tpe = new String(b, i + 4, 4, "US-ASCII")
+      if (tpe == "IDAT") z.write(b, i + 8, len.toInt)
+      if (tpe == "IEND") done = true
+      i += 12 + len.toInt
+    }
+    val raw = new Array[Byte]((w + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    if (off != raw.length) return None
+    // reverse scanline filters (PNG spec §6.2-6.6; bpp = 1)
+    val px = new Array[Byte](w * h)
+    def paeth(a: Int, bb: Int, c: Int): Int = {
+      val p = a + bb - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - bb), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+    }
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < w) {
+        val cur = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        px(y * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
   }
 }

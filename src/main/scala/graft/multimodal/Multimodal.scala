@@ -74,8 +74,8 @@ object Multimodal {
       .as[MediaRecord]
       .map { r =>
         r.kind match {
-          case "image" => r.copy(bytes =
-            ImageCodec.pngBytes(r.width, r.height, (r.media_id % 251).toByte))
+          case "image" => r.copy(bytes = ImageCodec.pngBytesOf(
+            r.width, r.height, patternOf((r.media_id % 251).toInt)))
           case "audio" => r.copy(bytes = AudioCodec.wavBytes(
             8000 + (r.media_id % 8).toInt * 1000,
             math.max(1, r.width * r.height), r.media_id))
@@ -83,6 +83,12 @@ object Multimodal {
         }
       }
   }
+
+  /** Deterministic per-image pixel pattern (gradient + seed, wrapped
+    * mod 251): content-derived, non-degenerate block statistics so
+    * pixel-level operators (m8) have real structure to hash. */
+  def patternOf(seed: Int): (Int, Int) => Byte =
+    (x, y) => ((x * 7 + y * 13 + seed) % 251).toByte
 
   /** STUB decode / embed: a rolling-hash "feature vector" of the payload.
     * Swap for a real codec + model (e.g. an ONNX session initialized once
@@ -313,5 +319,94 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("diff_energy"), col("is_cut"), col("scene_id"))
       .orderBy("media_id", "frame_idx")
+  }
+
+  /** 8×8 AVERAGE HASH of a grayscale pixel buffer — the classic
+    * perceptual fingerprint (block mean above/below the global mean,
+    * 64 bits), computed in EXACT integer arithmetic: bit(bx,by) =
+    * blockSum·totalPixels > totalSum·blockPixels — no float means, so
+    * the hash is identical on any JVM/partitioning. Packed as two
+    * 32-bit words in BIGINTs (the v19 layout — sidesteps the sign
+    * bit). Block boundaries use the standard ⌊b·dim/8⌋ partition. */
+  def aHash(w: Int, h: Int, px: Array[Byte]): (Long, Long) = {
+    var totalSum = 0L
+    var i = 0
+    while (i < px.length) { totalSum += px(i) & 0xff; i += 1 }
+    val totalN = w.toLong * h
+    var w0 = 0L
+    var w1 = 0L
+    var bit = 0
+    var by = 0
+    while (by < 8) {
+      val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+      var bx = 0
+      while (bx < 8) {
+        val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        // empty blocks (dim < 8) contribute a 0 bit deterministically
+        if (n > 0 && s * totalN > totalSum * n) {
+          if (bit < 32) w0 |= 1L << bit else w1 |= 1L << (bit - 32)
+        }
+        bit += 1
+        bx += 1
+      }
+      by += 1
+    }
+    (w0, w1)
+  }
+
+  /** m8: IMAGE PERCEPTUAL-HASH NEAR-DUP — d8's byte-band Hamming
+    * discipline applied to 64-bit aHashes of REALLY-DECODED pixels
+    * ([[ImageCodec.pngPixels]]: chunk walk → inflate → unfilter, pure
+    * JVM): near-identical images (re-encodes, slight edits) collapse
+    * to candidate pairs without any all-pairs pass. Candidates must
+    * share at least one of the 16 hash bytes — pigeonhole-complete for
+    * maxHamming < 16 — then the exact popcount filter keeps pairs at
+    * or under the threshold. Bytes never leave executors; the shuffle
+    * carries (media_id, 16 one-byte band keys). Rows-only like m2/m4
+    * (pixel decode has no DuckDB analogue); the spec pins hashes to a
+    * javax.imageio decode of the same bytes. */
+  def imageNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(maxHamming < 16, "byte-band blocking is complete only below 16")
+    val hashes = mediaFromDocs(spark, dir).filter(_.kind == "image")
+      .flatMap { r =>
+        ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
+          val (h0, h1) = aHash(w, h, px)
+          (r.media_id, h0, h1)
+        }
+      }.toDF("media_id", "h0", "h1").cache()
+    val bandCols = (0 until 16).map { i =>
+      val word = if (i < 8) col("h0") else col("h1")
+      struct(lit(i).as("band"),
+        shiftrightunsigned(word, 8 * (i % 8)).bitwiseAND(lit(0xffL))
+          .as("byteval"))
+    }
+    val bands = hashes.select(col("media_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("media_id"), col("b.band").as("band"),
+        col("b.byteval").as("byteval"))
+    val cands = bands.select(col("media_id").as("media_a"), col("band"), col("byteval"))
+      .join(bands.select(col("media_id").as("media_b"), col("band"), col("byteval")),
+        Seq("band", "byteval"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b")).distinct()
+    cands
+      .join(hashes.select(col("media_id").as("media_a"),
+        col("h0").as("a0"), col("h1").as("a1")), Seq("media_a"))
+      .join(hashes.select(col("media_id").as("media_b"),
+        col("h0").as("b0"), col("h1").as("b1")), Seq("media_b"))
+      .withColumn("hamming",
+        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)")).cast("long"))
+      .filter(col("hamming") <= maxHamming.toLong)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy("media_a", "media_b")
   }
 }

@@ -1824,6 +1824,53 @@ object Similarity {
        |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
        |ORDER BY p.query_id""".stripMargin
 
+  /** v23: the COMPRESSION OPERATING TABLE — every quantization level
+    * this library implements (float32 reference, v5's int8, v19's
+    * 1-bit sign, v8's 4-byte product codes) scored on the same
+    * queries against the same float truth, with bytes-per-vector
+    * alongside recall: the one relation a capacity-planning decision
+    * actually reads (64 GB of floats vs 1 GB of PQ codes vs 2 GB of
+    * sign bits — at what recall?). Pure composition of three green
+    * recall keys plus the trivially-perfect float row; each member
+    * was verified independently, this table just lines them up. */
+  def compressionCurve(spark: SparkSession, dir: String, k: Int = 5,
+                       nQueries: Int = defaultNQueries): DataFrame = {
+    def tag(m: String, bytes: Long, df: DataFrame) =
+      df.select(lit(m).as("method"), lit(bytes).as("bytes_per_vec"),
+        col("query_id"), col("n_truth"), col("n_hits"), col("recall"))
+    val float = cosineTopK(spark, dir, k, nQueries)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .select(lit("float32").as("method"), lit(256L).as("bytes_per_vec"),
+        col("query_id"), col("n_truth"), col("n_truth").as("n_hits"),
+        lit(1.0).as("recall"))
+    float
+      .unionByName(tag("int8", 64L, quantizedRecall(spark, dir, k, nQueries)))
+      .unionByName(tag("sign1bit", 8L, signRecall(spark, dir, k, nQueries)))
+      .unionByName(tag("pq4x8", 4L, pqRecall(spark, dir, k, nQueries)))
+      .orderBy(col("bytes_per_vec").desc, col("query_id").asc)
+  }
+
+  def compressionCurveSql(k: Int = 5,
+                          nQueries: Int = defaultNQueries): String =
+    s"""WITH fl AS (
+       |  SELECT 'float32' AS method, CAST(256 AS BIGINT) AS bytes_per_vec,
+       |    query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(1.0 AS DOUBLE) AS recall
+       |  FROM (${cosineTopKSql(k, nQueries)}) GROUP BY query_id),
+       |i8 AS (
+       |  SELECT 'int8' AS method, CAST(64 AS BIGINT) AS bytes_per_vec, *
+       |  FROM (${quantizedRecallSql(k, nQueries)})),
+       |sb AS (
+       |  SELECT 'sign1bit' AS method, CAST(8 AS BIGINT) AS bytes_per_vec, *
+       |  FROM (${signRecallSql(k, nQueries)})),
+       |pq AS (
+       |  SELECT 'pq4x8' AS method, CAST(4 AS BIGINT) AS bytes_per_vec, *
+       |  FROM (${pqRecallSql(k, nQueries)}))
+       |SELECT * FROM (
+       |  SELECT * FROM fl UNION ALL SELECT * FROM i8
+       |  UNION ALL SELECT * FROM sb UNION ALL SELECT * FROM pq)
+       |ORDER BY bytes_per_vec DESC, query_id ASC""".stripMargin
+
   /** v21: SEMANTIC dedup clusters — the SemDeDup-style pass a training
     * pipeline runs AFTER lexical dedup (d1–d6): paraphrases and
     * re-renderings share no shingles but sit together in embedding

@@ -576,6 +576,38 @@ class DedupSimilaritySpec extends GraftSpec {
         rs.length.toLong * rs.length }.sum)
   }
 
+  test("v23: each method's rows equal its member recall relation; the " +
+    "float reference is perfect") {
+    import graft.vector.Similarity
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    val members = Map(
+      "int8" -> asMap(Similarity.quantizedRecall(spark, sfDir)),
+      "sign1bit" -> asMap(Similarity.signRecall(spark, sfDir)),
+      "pq4x8" -> asMap(Similarity.pqRecall(spark, sfDir)))
+    val curve = Similarity.compressionCurve(spark, sfDir).collect()
+    assert(curve.length === 40) // 4 methods x 10 queries
+    curve.foreach { r =>
+      val m = r.getAs[String]("method")
+      val q = r.getAs[Long]("query_id")
+      if (m == "float32") {
+        assert(r.getAs[Long]("bytes_per_vec") === 256L)
+        assert(r.getAs[Long]("n_hits") === r.getAs[Long]("n_truth"))
+        assert(r.getAs[Double]("recall") === 1.0)
+      } else {
+        val (nt, nh, rec) = members(m)(q)
+        assert(r.getAs[Long]("n_truth") === nt)
+        assert(r.getAs[Long]("n_hits") === nh)
+        assert(r.getAs[Double]("recall") === rec)
+      }
+    }
+    // byte sizes strictly decrease down the menu
+    assert(curve.map(_.getAs[Long]("bytes_per_vec")).distinct.toSeq ===
+      Seq(256L, 64L, 8L, 4L))
+  }
+
   test("d21: sweep rows recompute exactly from in-process minhashes " +
     "per band config; counts and rates agree") {
     import graft.dedup.Dedup

@@ -165,6 +165,121 @@ class MultimodalSpec extends GraftSpec {
       .map(_.toByte)).isEmpty)
   }
 
+  test("pngPixels equals a javax.imageio decode, for every filter type") {
+    import graft.multimodal.ImageCodec
+    def viaImageIO(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        px(y * w + x) = (img.getRaster.getSample(x, y, 0) & 0xff).toByte
+      (w, h, px)
+    }
+    // our own filter-0 encode, patterned
+    val b0 = ImageCodec.pngBytesOf(37, 23, graft.multimodal.Multimodal.patternOf(7))
+    assert(ImageCodec.pngPixels(b0).map { case (w, h, p) => (w, h, p.toSeq) } ===
+      Some(viaImageIO(b0)).map { case (w, h, p) => (w, h, p.toSeq) })
+    // hand-built PNGs exercising filters 1-4 (Sub/Up/Average/Paeth):
+    // reuse the encoder's container but rewrite the raw scanlines
+    def encodeFiltered(w: Int, h: Int, pix: (Int, Int) => Int,
+                       filter: Int): Array[Byte] = {
+      val raw = new Array[Byte]((w + 1) * h)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (y <- 0 until h) {
+        raw(y * (w + 1)) = filter.toByte
+        for (x <- 0 until w) {
+          val cur = pix(x, y)
+          val left = if (x > 0) pix(x - 1, y) else 0
+          val up = if (y > 0) pix(x, y - 1) else 0
+          val ul = if (x > 0 && y > 0) pix(x - 1, y - 1) else 0
+          val enc = filter match {
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(y * (w + 1) + 1 + x) = (enc & 0xff).toByte
+        }
+      }
+      // container: IHDR/IDAT/IEND with real CRCs via a throwaway encode,
+      // splicing our deflated scanlines into a fresh IDAT
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zOut = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val plain = ImageCodec.pngBytesOf(w, h, (_, _) => 0)
+      // locate IDAT in the plain container and rebuild around it
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(plain, 0, 33) // signature + IHDR chunk
+      val data = zOut.toByteArray
+      val lenB = Array((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte)
+      out.write(lenB)
+      val tb = "IDAT".getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+      out.write(plain, plain.length - 12, 12) // IEND chunk
+      out.toByteArray
+    }
+    val pix = (x: Int, y: Int) => (x * 11 + y * 5 + (x * y) % 17) % 251
+    for (filter <- 1 to 4) {
+      val bytes = encodeFiltered(19, 13, pix, filter)
+      val got = ImageCodec.pngPixels(bytes)
+      assert(got.isDefined, s"filter $filter must decode")
+      val (w, h, p) = got.get
+      val (wI, hI, pI) = viaImageIO(bytes)
+      assert((w, h) === (wI, hI))
+      assert(p.toSeq === pI.toSeq, s"filter $filter pixel mismatch vs ImageIO")
+    }
+  }
+
+  test("m8: hashes recompute from ImageIO pixels; pairs are exactly the " +
+    "<= 10 Hamming set") {
+    import graft.multimodal.{ImageCodec, Multimodal}
+    val media = Multimodal.mediaFromDocs(spark, sfDir).collect()
+      .filter(_.kind == "image")
+    val hashes = media.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        px(y * w + x) = (img.getRaster.getSample(x, y, 0) & 0xff).toByte
+      r.media_id -> Multimodal.aHash(w, h, px)
+    }.toMap
+    // operator hashes (via our own decoder) must equal the ImageIO-anchored ones
+    media.foreach { r =>
+      val (w, h, px) = ImageCodec.pngPixels(r.bytes).get
+      assert(Multimodal.aHash(w, h, px) === hashes(r.media_id),
+        s"decoder disagreement for media ${r.media_id}")
+    }
+    val ids = hashes.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.length).iterator
+      (a0, a1) = hashes(ids(i))
+      (b0, b1) = hashes(ids(j))
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= 10
+    } yield (ids(i), ids(j)) -> d.toLong).toMap
+    val res = Multimodal.imageNearDup(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      val key = (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))
+      assert(expect(key) === r.getAs[Long]("hamming"))
+    }
+  }
+
   test("m7: cuts and scene ids recompute exactly from the same bytes; " +
     "scene ids are contiguous from 1 per video") {
     import graft.multimodal.Multimodal
