@@ -453,6 +453,67 @@ object Trends {
       .orderBy("store_id")
   }
 
+  /** a32: PARETO / revenue-concentration analysis — stores ranked by
+    * total net revenue with exact cumulative shares, flagging the head
+    * set that covers 80% of revenue (the "how concentrated is the
+    * business" BI staple; for a corpus the same algebra answers "how
+    * few domains dominate the token mass"). Shares are integer-exact:
+    * the 80% test is cum_cents·5 ≥ total_cents·4 — no float
+    * thresholds; the emitted share columns are single divisions of
+    * exact cents. The ranking window is |stores|-dimension-sized over
+    * the cached (store, day) silver's rollup — the fact table is
+    * touched only by the silver build. */
+  def paretoStores(spark: SparkSession, dir: String): DataFrame = {
+    val byStore = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("store_id"))
+      .agg(((sum(col("gross_dec")) - sum(col("disc_dec"))) * 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("net_c"))
+    val total = byStore.agg(sum(col("net_c"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("total_c"))
+    val w = Window.orderBy(col("net_c").desc, col("store_id").asc)
+    byStore
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_c",
+        sum(col("net_c")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("store_id"),
+        (col("net_c").cast("double") / lit(100.0)).as("net_revenue"),
+        (col("net_c").cast("double") / col("total_c").cast("double"))
+          .as("revenue_share"),
+        (col("cum_c").cast("double") / col("total_c").cast("double"))
+          .as("cum_share"),
+        (col("cum_c") * 5 >= col("total_c") * 4).as("cum_reached_80"))
+      .orderBy(col("rank"))
+  }
+
+  val paretoStoresSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |by_store AS (
+       |  SELECT store_id,
+       |    CAST((SUM(gross_dec) - SUM(disc_dec)) * 100 AS DECIMAL(18,0))
+       |      AS net_c
+       |  FROM sd GROUP BY 1),
+       |total AS (
+       |  SELECT CAST(SUM(net_c) AS DECIMAL(38,0)) AS total_c FROM by_store),
+       |ranked AS (
+       |  SELECT store_id, net_c,
+       |    ROW_NUMBER() OVER w AS rank,
+       |    CAST(SUM(net_c) OVER (ORDER BY net_c DESC, store_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS DECIMAL(38,0)) AS cum_c
+       |  FROM by_store
+       |  WINDOW w AS (ORDER BY net_c DESC, store_id ASC))
+       |SELECT CAST(r.rank AS BIGINT) AS rank, r.store_id,
+       |  CAST(r.net_c AS DOUBLE) / 100.0 AS net_revenue,
+       |  CAST(r.net_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
+       |    AS revenue_share,
+       |  CAST(r.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE) AS cum_share,
+       |  r.cum_c * 5 >= t.total_c * 4 AS cum_reached_80
+       |FROM ranked r CROSS JOIN total t
+       |ORDER BY rank""".stripMargin
+
   val salesTrendOlsSql: String =
     s"""WITH sd AS (
        |  SELECT store_id, sale_date,

@@ -849,6 +849,60 @@ object EventsBatch {
        |FROM per_user p LEFT JOIN per_user_runs r USING (user_id)
        |ORDER BY p.user_id""".stripMargin
 
+  /** e18: LATENESS AUDIT — the distribution of event-time lateness
+    * against the arrival-order high-water mark: THE input to choosing a
+    * streaming watermark delay (`withWatermark("ts", ?)`): each
+    * histogram bucket answers "how many events would a delay of 2^b µs
+    * have dropped". Lateness = running max(event time) over arrival
+    * order (event_id — the append-log sequence) minus the event's own
+    * time; on-time events (new high-water marks) land in bucket −1,
+    * late ones in power-of-two µs buckets (t19's log-bound: output
+    * rows stay ≤ ~64 at any stream length). The running max rides ONE
+    * total-order window — an audit over an append log's inherent
+    * arrival sequence; at scale you run it per source partition (the
+    * unit Spark tracks watermarks over) and union the histograms —
+    * same algebra, partition-keyed. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame =
+    latenessAuditOf(Tables.events(spark, dir)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us")))
+
+  /** [[latenessAudit]] over an explicit (event_id, us) relation — the
+    * spec drives this with an out-of-order fixture (the synthetic
+    * events table arrives perfectly ordered, putting all mass in the
+    * on-time bucket; real logs do not). */
+  def latenessAuditOf(events: DataFrame): DataFrame = {
+    val byArrival = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("late_us", max(col("us")).over(byArrival) - col("us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0L, lit(-1L))
+          .otherwise((length(bin(col("late_us"))) - lit(1)).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("late_us")).as("min_late_us"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("bucket"))
+  }
+
+  val latenessAuditSql: String =
+    """WITH base AS (
+      |  SELECT event_id, epoch_us(ts) AS us FROM events),
+      |lat AS (
+      |  SELECT
+      |    MAX(us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+      |      AS late_us
+      |  FROM base)
+      |SELECT
+      |  CASE WHEN late_us = 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE CAST(length(format('{:b}', late_us)) - 1 AS BIGINT)
+      |  END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MIN(late_us) AS BIGINT) AS min_late_us,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def madOutliersSql(k: Int = 3): String =
     s"""WITH daily AS (
        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,

@@ -92,4 +92,32 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
       .orderBy("merge_rank")
   }
+
+  /** t21: BPE ENCODE — the learned merge table applied to the corpus:
+    * per document, every word's character sequence is rewritten by the
+    * `nMerges` rules IN RANK ORDER (the BPE apply semantics), and the
+    * resulting token count is emitted next to the whitespace count —
+    * the fertility / compression statistic a tokenizer change is
+    * judged by. The merge table is tiny (k rows, collected once) and
+    * UNROLLS into k nested fold expressions over each word: the encode
+    * is a pure NARROW MAP at parquet-scan speed — train once (t20),
+    * encode 100 TB with zero shuffles, the exact production split.
+    * Rows-only like t20 (the per-merge rewrite loop has no SQL form);
+    * [[graft.BpeSpec]] replays an in-process encoder over the same
+    * merge table and the counts match exactly. */
+  def encode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val merges = train(spark, dir, nMerges).collect()
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    def encodedWord(w: Column): Column =
+      merges.foldLeft(charsCol(w)) { case (acc, (l, r)) => mergeCol(acc, l, r) }
+    Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
+        aggregate(col("words"), lit(0L),
+          (acc, w) => acc + size(encodedWord(w)).cast("long"))
+          .as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy("doc_id")
+  }
 }

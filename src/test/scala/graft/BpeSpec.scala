@@ -61,4 +61,44 @@ class BpeSpec extends GraftSpec {
     got.foreach { case (_, l, r, m, _) => assert(m === l + r) }
     assert(got.map(_._1) === (1L to got.length).toSeq)
   }
+
+  test("t21: encoded token counts equal an in-process replay of the " +
+    "merge table; merges only ever shrink words") {
+    import org.apache.spark.sql.functions.col
+    val merges = graft.text.Bpe.train(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val acc = Vector.newBuilder[String]
+      var last: Option[String] = None
+      syms.foreach { s =>
+        if (last.contains(l) && s == r) { last = Some(l + r) }
+        else { last.foreach(acc += _); last = Some(s) }
+      }
+      last.foreach(acc += _)
+      acc.result()
+    }
+    def encodeWord(w: String): Vector[String] =
+      merges.foldLeft(w.toVector.map(_.toString)) { case (s, (l, r)) =>
+        applyMerge(s, l, r)
+      }
+    val docs = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(col("doc_id"), col("words")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("words"))
+    val res = graft.text.Bpe.encode(spark, sfDir).collect()
+    assert(res.length === docs.length)
+    val byId = docs.toMap
+    res.foreach { r =>
+      val words = byId(r.getAs[Long]("doc_id"))
+      val nBpe = words.map(w => encodeWord(w).length.toLong).sum
+      assert(r.getAs[Long]("n_words") === words.length.toLong)
+      assert(r.getAs[Long]("n_bpe_tokens") === nBpe)
+      assert(r.getAs[Double]("tokens_per_word") ===
+        nBpe.toDouble / words.length.toDouble)
+      // merging never grows a word; at most chars-per-word tokens
+      assert(nBpe <= words.map(_.length.toLong).sum)
+      assert(nBpe >= words.length.toLong)
+    }
+  }
 }

@@ -1220,4 +1220,86 @@ class CompositionSpec extends GraftSpec {
       assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
     }
   }
+
+  test("a32: cumulative shares recompute exactly; flag flips once at " +
+    "the 80% crossing") {
+    import graft.analytics.Trends
+    import graft.etl.StoreDaily
+    val net = StoreDaily.rollupDec(spark, sfDir)
+      .select("store_id", "gross_dec", "disc_dec").collect()
+      .map(r => r.getAs[String]("store_id") ->
+        (BigDecimal(r.getAs[java.math.BigDecimal]("gross_dec")) -
+          BigDecimal(r.getAs[java.math.BigDecimal]("disc_dec"))))
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> (rs.map(_._2).sum * 100).toBigInt
+      }
+    val total = net.values.sum
+    val ranked = net.toSeq.sortBy { case (s, c) => (-c, s) }
+    val cums = ranked.scanLeft(BigInt(0))(_ + _._2).drop(1)
+    val res = Trends.paretoStores(spark, sfDir).collect()
+    assert(res.length === ranked.length)
+    res.zip(ranked.zip(cums)).foreach { case (r, ((store, c), cum)) =>
+      assert(r.getAs[String]("store_id") === store)
+      assert(r.getAs[Double]("net_revenue") === c.toDouble / 100.0)
+      assert(r.getAs[Double]("revenue_share") === c.toDouble / total.toDouble)
+      assert(r.getAs[Double]("cum_share") === cum.toDouble / total.toDouble)
+      assert(r.getAs[Boolean]("cum_reached_80") === (cum * 5 >= total * 4))
+    }
+    // the flag is monotone: false* then true*
+    val flags = res.map(_.getAs[Boolean]("cum_reached_80"))
+    assert(flags.dropWhile(!_).forall(identity))
+    assert(flags.last)
+  }
+
+  test("e18: lateness buckets recompute from an in-process arrival " +
+    "running max; bucket mass covers the stream") {
+    import graft.streaming.EventsBatch
+    import graft.model.Tables
+    val rows = Tables.events(spark, sfDir).select("event_id", "ts").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000))
+      .sortBy(_._1)
+    var hwm = Long.MinValue
+    val lates = rows.map { case (_, us) =>
+      hwm = math.max(hwm, us)
+      hwm - us
+    }
+    val expect = lates.map { l =>
+      if (l == 0L) -1L else 63L - java.lang.Long.numberOfLeadingZeros(l)
+    }.groupBy(identity).map { case (b, ls) => b -> ls.length.toLong }
+    val res = EventsBatch.latenessAudit(spark, sfDir).collect()
+    assert(res.length === expect.size)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_events") === expect(r.getAs[Long]("bucket")))
+      assert(r.getAs[Long]("min_late_us") <= r.getAs[Long]("max_late_us"))
+    }
+    assert(res.map(_.getAs[Long]("n_events")).sum === rows.length.toLong)
+
+    // the synthetic log arrives in order (all on-time); drive the late
+    // paths with a deterministic out-of-order fixture
+    import spark.implicits._
+    val fixture = (1L to 200L).map { id =>
+      // every 7th event arrives well behind the high-water mark (delays
+      // span ~1 ms .. ~500 s, far past the 1 s inter-event step)
+      val base = id * 1000000L
+      val us =
+        if (id % 7 == 0) base - ((1L << (id % 20).toInt) * 1000L + 3) else base
+      (id, us)
+    }
+    val fdf = fixture.toDF("event_id", "us")
+    var fh = Long.MinValue
+    val flates = fixture.sortBy(_._1).map { case (_, us) =>
+      fh = math.max(fh, us); fh - us
+    }
+    val fexpect = flates.map { l =>
+      if (l == 0L) -1L else 63L - java.lang.Long.numberOfLeadingZeros(l)
+    }.groupBy(identity).map { case (b, ls) => b -> ls.length.toLong }
+    val fres = EventsBatch.latenessAuditOf(fdf).collect()
+    assert(fres.length === fexpect.size)
+    assert(fres.length > 3, "fixture must exercise multiple late buckets")
+    fres.foreach { r =>
+      assert(r.getAs[Long]("n_events") === fexpect(r.getAs[Long]("bucket")))
+    }
+  }
 }
