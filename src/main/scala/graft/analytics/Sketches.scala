@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregates — the operators you reach for at
@@ -115,6 +115,79 @@ object Sketches {
       .agg(approx_count_distinct(col("word"), rsd = 0.01).as("approx_types"),
         count(lit(1)).as("n_tokens"))
       .orderBy(col("lang"), col("source"))
+
+  /** sk7: COUNT-MIN SKETCH, built relationally — the bounded-memory
+    * frequency structure with the OPPOSITE bias of sk3's Misra-Gries
+    * (CM only ever over-counts; MG only ever under-counts — a pipeline
+    * that needs certified brackets runs both). The d×w counter matrix
+    * is just d hash-bucketed aggregates — (depth, bucket) keys, fully
+    * map-side-combinable, w·d counters total regardless of key
+    * cardinality — and a point estimate is the MIN over its d
+    * counters. Because the hash family is the minhash-style affine
+    * family ((a_j·sku + b_j) mod P mod w — exact 64-bit integer
+    * arithmetic), the WHOLE sketch is reproducible in the DuckDB
+    * oracle: unlike sk1/sk5's opaque HLL registers this sketch is
+    * oracle-checked end-to-end, and the spec asserts the one-sided
+    * guarantee est ≥ true on every key. Output is |skus|-sized
+    * (estimate vs truth per key — the calibration relation); the
+    * sketch itself is the w·d=192-cell intermediate. */
+  def cmsEstimates(spark: SparkSession, dir: String,
+                   depth: Int = 3, width: Int = 64): DataFrame = {
+    val P = 1000003L
+    def bucket(j: Int, k: Column): Column =
+      ((k * lit(37L + 101L * j) + lit(17L + 61L * j)) % P) % width
+    val skus = Tables.sales(spark, dir).select(col("sku"))
+    val cms = skus
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
+          when(col("j") === j, bucket(j, col("sku"))).otherwise(acc)
+        })
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val truth = skus.groupBy(col("sku")).agg(count(lit(1)).as("true_n"))
+    val probes = truth.select(col("sku"))
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
+          when(col("j") === j, bucket(j, col("sku"))).otherwise(acc)
+        })
+    probes.join(cms, Seq("j", "bucket"))
+      .groupBy(col("sku")).agg(min(col("cell_n")).as("est_n"))
+      .join(truth, Seq("sku"))
+      .select(col("sku"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overcount"))
+      .orderBy(col("sku"))
+  }
+
+  def cmsEstimatesSql(depth: Int = 3, width: Int = 64): String = {
+    val P = 1000003L
+    def bucket(j: Int, k: String) =
+      s"((($k * ${37L + 101L * j} + ${17L + 61L * j}) % $P) % $width)"
+    def bucketCase(k: String) =
+      (0 until depth).map(j => s"WHEN $j THEN ${bucket(j, k)}")
+        .mkString("CASE j ", " ", " END")
+    s"""WITH skus AS (SELECT l_partkey AS sku FROM lineitem),
+       |ex AS (
+       |  SELECT sku, j, ${bucketCase("sku")} AS bucket
+       |  FROM skus CROSS JOIN (SELECT unnest(range($depth)) AS j) d),
+       |cms AS (
+       |  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n
+       |  FROM ex GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT sku, CAST(COUNT(*) AS BIGINT) AS true_n
+       |  FROM skus GROUP BY 1),
+       |probes AS (
+       |  SELECT t.sku, j, ${bucketCase("t.sku")} AS bucket
+       |  FROM truth t CROSS JOIN (SELECT unnest(range($depth)) AS j) d),
+       |est AS (
+       |  SELECT p.sku, CAST(MIN(c.cell_n) AS BIGINT) AS est_n
+       |  FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+       |  GROUP BY 1)
+       |SELECT t.sku, t.true_n, e.est_n, e.est_n - t.true_n AS overcount
+       |FROM truth t JOIN est e USING (sku)
+       |ORDER BY t.sku""".stripMargin
+  }
 
   /** sk6: rolling 7-day distinct users via MERGEABLE HLL sketches — the
     * sketch-silver pattern that makes trailing windows affordable at

@@ -102,4 +102,36 @@ class SketchesSpec extends GraftSpec {
         greatest(col("n_active_7d") * 0.05, lit(3.0)))
     assert(bad.count() === 0, "HLL union should stay within 5% (or ±3 small-n)")
   }
+
+  test("sk7: CMS estimates recompute exactly in-process; one-sided " +
+    "(never an undercount); exact when width clears the key space") {
+    val P = 1000003L
+    val (depth, width) = (3, 64)
+    def bucket(j: Int, k: Long): Long =
+      ((k * (37L + 101L * j) + (17L + 61L * j)) % P) % width
+    val skus = Tables.sales(spark, sfDir).select("sku").collect()
+      .map(_.getAs[Long]("sku"))
+    val truth = skus.groupBy(identity).map { case (k, rs) => k -> rs.length.toLong }
+    val cells = skus.flatMap(k => (0 until depth).map(j => (j, bucket(j, k))))
+      .groupBy(identity).map { case (c, rs) => c -> rs.length.toLong }
+    val expect = truth.keys.map { k =>
+      k -> (0 until depth).map(j => cells((j, bucket(j, k)))).min
+    }.toMap
+    val res = Sketches.cmsEstimates(spark, sfDir).collect()
+    assert(res.length === truth.size)
+    res.foreach { r =>
+      val k = r.getAs[Long]("sku")
+      assert(r.getAs[Long]("true_n") === truth(k))
+      assert(r.getAs[Long]("est_n") === expect(k))
+      assert(r.getAs[Long]("overcount") === expect(k) - truth(k))
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"),
+        "CMS must never under-count")
+    }
+    // exact regime: width larger than the key space -> only same-key
+    // collisions remain possible per row, but the affine family is
+    // injective on this small domain, so estimates equal truth
+    val wide = Sketches.cmsEstimates(spark, sfDir, depth, 65536).collect()
+    assert(wide.forall(r => r.getAs[Long]("overcount") === 0L),
+      "with width >> keys the sketch must be exact")
+  }
 }
