@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.etl.Defaults
+import graft.etl.{Defaults, StoreDaily}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -166,6 +166,42 @@ object Kpis {
        |  mtd AS (PARTITION BY store_id, substr(sale_date, 1, 7) ORDER BY sale_date
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY store_id, sale_date""".stripMargin
+
+  /** a33: ROLLUP / grouping-sets aggregation — the (store × month)
+    * revenue cube with subtotal rows at every level (per store-month,
+    * per store, grand total), the multidimensional shape BI tools
+    * drill through. Spark's `rollup` plans ONE pass with an Expand
+    * (each input row fans to its grouping sets map-side, partials
+    * combine per set) — never one job per level. Subtotal keys render
+    * as 'ALL' (the natural keys are never null here, so COALESCE is
+    * unambiguous and engine-portable — no grouping_id() dialect
+    * dependence). Money stays DECIMAL until the final double cast. */
+  def rollupCube(spark: SparkSession, dir: String): DataFrame =
+    StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), substring(col("sale_date"), 1, 7).as("month"),
+        col("gross_dec"), col("transaction_count"))
+      .rollup(col("store_id"), col("month"))
+      .agg(sum(col("gross_dec")).as("gross"),
+        sum(col("transaction_count")).as("n_tx"),
+        count(lit(1)).as("n_cells"))
+      .select(
+        coalesce(col("store_id"), lit("ALL")).as("store_level"),
+        coalesce(col("month"), lit("ALL")).as("month_level"),
+        col("gross").cast("double").as("total_sales"),
+        col("n_tx"), col("n_cells"))
+      .orderBy("store_level", "month_level")
+
+  val rollupCubeSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql})
+       |SELECT
+       |  COALESCE(store_id, 'ALL') AS store_level,
+       |  COALESCE(substr(sale_date, 1, 7), 'ALL') AS month_level,
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(transaction_count) AS BIGINT) AS n_tx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells
+       |FROM sd
+       |GROUP BY ROLLUP(store_id, substr(sale_date, 1, 7))
+       |ORDER BY store_level, month_level""".stripMargin
 
   /** a31: MARKET-BASKET AFFINITY — sku co-occurrence with support and
     * lift over order baskets (l_orderkey groups), the association-rule

@@ -1302,4 +1302,34 @@ class CompositionSpec extends GraftSpec {
       assert(r.getAs[Long]("n_events") === fexpect(r.getAs[Long]("bucket")))
     }
   }
+
+  test("a33: rollup subtotals conserve at every level; row counts " +
+    "partition into cells + store subtotals + the grand total") {
+    import graft.analytics.Kpis
+    val res = Kpis.rollupCube(spark, sfDir).collect()
+    val cells = res.filter(r => r.getAs[String]("store_level") != "ALL" &&
+      r.getAs[String]("month_level") != "ALL")
+    val storeSub = res.filter(r => r.getAs[String]("store_level") != "ALL" &&
+      r.getAs[String]("month_level") == "ALL")
+      .map(r => r.getAs[String]("store_level") ->
+        (r.getAs[Double]("total_sales"), r.getAs[Long]("n_tx"),
+          r.getAs[Long]("n_cells"))).toMap
+    val grand = res.filter(r => r.getAs[String]("store_level") == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head.getAs[String]("month_level") === "ALL")
+    assert(res.length === cells.length + storeSub.size + 1)
+    // integer conservation (exact): tx and cell counts roll up exactly
+    cells.groupBy(_.getAs[String]("store_level")).foreach { case (s, rs) =>
+      val (_, nTx, nCells) = storeSub(s)
+      assert(rs.map(_.getAs[Long]("n_tx")).sum === nTx)
+      assert(rs.map(_.getAs[Long]("n_cells")).sum === nCells)
+    }
+    assert(storeSub.values.map(_._2).sum === grand.head.getAs[Long]("n_tx"))
+    // money conserves to the cent (doubles are exact-decimal casts)
+    def cents(d: Double) = math.round(d * 100)
+    cells.groupBy(_.getAs[String]("store_level")).foreach { case (s, rs) =>
+      assert(rs.map(r => cents(r.getAs[Double]("total_sales"))).sum ===
+        cents(storeSub(s)._1))
+    }
+  }
 }
