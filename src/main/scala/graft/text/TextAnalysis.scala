@@ -840,6 +840,97 @@ object TextAnalysis {
        |      FROM scored)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** t22: SPELL-CORRECTION / fuzzy entity resolution via the SymSpell
+    * DELETION-NEIGHBORHOOD join — the scalable form of edit-distance
+    * matching: both sides expand to their 1-deletion keys map-side
+    * (word length + 1 keys per string), candidates are pairs sharing a
+    * key (covers every insert/delete/substitute at distance ≤ 1, plus
+    * some distance-2 noise), and the built-in `levenshtein` (codegen'd
+    * in Spark, native in DuckDB — identical unit-cost semantics)
+    * verifies exactly. NEVER an all-pairs scan, never a UDF: candidate
+    * counts are bounded by key-bucket sizes, the fuzzy-join analogue
+    * of d4's inverted index. The dirty side is a deterministic
+    * synthetic-typo column (docs with doc_id ≡ 0 mod 3 drop one
+    * character of their first word at a doc_id-derived position), so
+    * both engines derive identical inputs; correction picks the
+    * (distance ASC, count DESC, word ASC) best vocabulary word. */
+  def spellCorrect(spark: SparkSession, dir: String): DataFrame = {
+    def deletions(c: Column): Column =
+      array_distinct(transform(sequence(lit(0), length(c)), i =>
+        when(i === 0, c).otherwise(
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(1000000))))))
+    val w1 = element_at(col("words"), 1)
+    val pos = (col("doc_id") % length(w1)) + 1
+    val dirty = when(col("doc_id") % 3 === 0 && length(w1) > 2,
+      concat(w1.substr(lit(1), pos - 1), w1.substr(pos + 1, lit(1000000))))
+      .otherwise(w1)
+    val entities = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), dirty.as("entity"))
+    val vocab = Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val eKeys = entities.select(col("entity")).distinct()
+      .select(col("entity"), explode(deletions(col("entity"))).as("k"))
+    val vKeys = vocab
+      .select(col("word"), col("n"), explode(deletions(col("word"))).as("k"))
+    val cands = eKeys.join(vKeys, Seq("k"))
+      .select(col("entity"), col("word"), col("n")).distinct()
+      .withColumn("distance", levenshtein(col("entity"), col("word")))
+      .filter(col("distance") <= 1)
+    val byEntity = Window.partitionBy(col("entity"))
+      .orderBy(col("distance").asc, col("n").desc, col("word").asc)
+    val best = cands.withColumn("rn", row_number().over(byEntity))
+      .filter(col("rn") === 1)
+      .select(col("entity"), col("word").as("corrected"),
+        col("distance"), col("n").as("corrected_count"))
+    entities.join(best, Seq("entity"), "left")
+      .select(col("doc_id"), col("entity"),
+        coalesce(col("corrected"), col("entity")).as("corrected"),
+        coalesce(col("distance").cast("long"), lit(-1L)).as("distance"),
+        col("corrected").isNotNull.as("matched"))
+      .orderBy("doc_id")
+  }
+
+  val spellCorrectSql: String = {
+    def delSql(c: String) =
+      s"list_distinct(list_prepend($c, [substr($c, 1, i-1) || " +
+        s"substr($c, i+1, 1000000) for i in range(1, len($c)+1)]))"
+    s"""WITH docs1 AS (
+       |  SELECT doc_id, ${Corpus.wordsSqlExpr}[1] AS w1 FROM documents),
+       |ents AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 AND len(w1) > 2 THEN
+       |      substr(w1, 1, CAST(doc_id % len(w1) AS INTEGER))
+       |        || substr(w1, CAST(doc_id % len(w1) AS INTEGER) + 2, 1000000)
+       |    ELSE w1 END AS entity
+       |  FROM docs1),
+       |vocab AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
+       |  GROUP BY 1),
+       |ekeys AS (
+       |  SELECT DISTINCT entity, unnest(${delSql("entity")}) AS k
+       |  FROM (SELECT DISTINCT entity FROM ents)),
+       |vkeys AS (
+       |  SELECT word, n, unnest(${delSql("word")}) AS k FROM vocab),
+       |cands AS (
+       |  SELECT entity, word, n, levenshtein(entity, word) AS distance
+       |  FROM (SELECT DISTINCT e.entity, v.word, v.n
+       |        FROM ekeys e JOIN vkeys v ON e.k = v.k)
+       |  WHERE levenshtein(entity, word) <= 1),
+       |best AS (
+       |  SELECT entity, word AS corrected, distance, n AS corrected_count
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity
+       |          ORDER BY distance ASC, n DESC, word ASC) AS rn
+       |        FROM cands) WHERE rn = 1)
+       |SELECT e.doc_id, e.entity,
+       |  COALESCE(b.corrected, e.entity) AS corrected,
+       |  CAST(COALESCE(b.distance, -1) AS BIGINT) AS distance,
+       |  b.corrected IS NOT NULL AS matched
+       |FROM ents e LEFT JOIN best b USING (entity)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   /** t18: charset / script profile — per-document character-class census
     * (letters, upper, digits, whitespace, ASCII-printable punctuation,
     * non-ASCII) plus the ascii_ratio every corpus filter thresholds on.

@@ -1303,6 +1303,68 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("t22: corrections match an in-process SymSpell replay; clean " +
+    "entities resolve to themselves at distance 0") {
+    import graft.text.TextAnalysis
+    val docs = graft.text.Corpus.docsTok(spark, sfDir)
+      .select("doc_id", "words").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("words"))
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, rs) => w -> rs.length.toLong }
+    def dirtyOf(id: Long, w: String): String =
+      if (id % 3 == 0 && w.length > 2) {
+        val p = (id % w.length).toInt
+        w.substring(0, p) + w.substring(p + 1)
+      } else w
+    def dels(s: String): Set[String] =
+      (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+        .toSet + s
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocabKeys = vocab.keys.flatMap(w => dels(w).map(_ -> w))
+      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+    def bestOf(entity: String): Option[(String, Int)] = {
+      val cands = dels(entity).flatMap(k => vocabKeys.getOrElse(k, Set.empty))
+        .map(w => (w, lev(entity, w))).filter(_._2 <= 1)
+      if (cands.isEmpty) None
+      else Some {
+        val b = cands.minBy { case (w, d) => (d, -vocab(w), w) }
+        (b._1, b._2)
+      }
+    }
+    val res = TextAnalysis.spellCorrect(spark, sfDir).collect()
+    assert(res.length === docs.length)
+    res.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val entity = dirtyOf(id, docs.toMap.apply(id).head)
+      assert(r.getAs[String]("entity") === entity)
+      bestOf(entity) match {
+        case Some((w, d)) =>
+          assert(r.getAs[String]("corrected") === w)
+          assert(r.getAs[Long]("distance") === d.toLong)
+          assert(r.getAs[Boolean]("matched"))
+        case None =>
+          assert(r.getAs[String]("corrected") === entity)
+          assert(r.getAs[Long]("distance") === -1L)
+          assert(!r.getAs[Boolean]("matched"))
+      }
+      // a clean entity is a vocabulary word: identity at distance 0
+      if (entity == docs.toMap.apply(id).head) {
+        assert(r.getAs[Long]("distance") === 0L)
+        assert(r.getAs[String]("corrected") === entity)
+      }
+    }
+    // synthetic typos exist and get corrected at distance 1
+    assert(res.exists(_.getAs[Long]("distance") === 1L))
+  }
+
   test("a33: rollup subtotals conserve at every level; row counts " +
     "partition into cells + store subtotals + the grand total") {
     import graft.analytics.Kpis

@@ -161,7 +161,19 @@ class PlanShapeSpec extends GraftSpec {
         "join all ride the user_id partitioning"),
     ("k5_corr_matrix", 1,
       "one map-combinable moment aggregate + the 1-row gather; the pair " +
-        "reshape is an explode of the single result row")
+        "reshape is an explode of the single result row"),
+    ("a31_basket_affinity", 6,
+      "basket distinct + order-key pair join/agg + item-count joins over " +
+        "the cached basket silver; top-50 is TakeOrdered, no sort exchange"),
+    ("a33_rollup_cube", 1,
+      "one Expand pass over the cached (store, day) silver: all grouping " +
+        "sets combine in a single hash agg"),
+    ("e18_lateness_audit", 2,
+      "the arrival window's single-partition gather + the log-bounded " +
+        "bucket rollup"),
+    ("sk7_cms_estimates", 5,
+      "cms cell agg + truth agg + probe/cell join + per-key min + the " +
+        "truth join — all over (depth x width)-bounded or key-sized relations")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
