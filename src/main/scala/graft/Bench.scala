@@ -124,7 +124,15 @@ object Bench {
       }
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs}""")
+    // The headline line must stay SHORT: the driver keeps a bounded tail of
+    // stdout, and a long errors blob here can push this line's opening brace
+    // out of the window (BENCH_r06 became unparseable exactly this way).
+    // Full error text lives on the total_detail line above; the headline
+    // carries only the first 3 keys with 60-char messages.
+    val errsBrief = errors.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errsBrief}""")
     spark.stop()
   }
 }

@@ -53,17 +53,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read it as epoch-nanos long and convert (exact integer
-    * division to micros; DuckDB reads ns natively and both render the
-    * same second-resolution strings). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, ntz) in others, so the loader adapts
+    * to whatever physical type it finds and always yields TimestampType:
+    *  - NANOS reads as epoch-nanos LongType under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set by every session
+    *    builder here) → exact integer division to micros;
+    *  - MICROS without UTC adjustment reads as TIMESTAMP_NTZ → cast, which
+    *    is value-preserving because every session pins
+    *    spark.sql.session.timeZone=UTC (DuckDB's oracle reads render the
+    *    same instants). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "at session build (Verify/Bench/test fixtures do; a read-time conf.set here would " +
-        "be a global side effect on the shared session)")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType     => raw
+      case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => sys.error(s"events.ts: unexpected parquet type $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
