@@ -275,4 +275,53 @@ object Kpis {
        |JOIN items ib ON ib.sku = t.sku_b
        |CROSS JOIN orders o
        |ORDER BY t.pair_n DESC, t.sku_a ASC, t.sku_b ASC""".stripMargin
+
+  /** a34: EXACT per-store percentiles of daily net sales — the certified
+    * twin of sk1's `percentile_approx`, defined POSITIONALLY so both
+    * engines agree bit-for-bit: p_q is the value at row ceil(q·n) of the
+    * (net, date)-ordered per-store series — no interpolation, no
+    * engine-specific quantile semantics (Spark's `percentile` and
+    * DuckDB's `quantile_cont` interpolate differently; a rank lookup
+    * cannot disagree). The date tiebreak makes equal-value days a total
+    * order, so the picked row is unique.
+    *
+    * Scale shape: ONE store-partitioned window (rows per group bounded
+    * by the calendar, the a29 argument) and the rank-hit pick rides the
+    * same exchange as a conditional agg — no global sort, no second
+    * pass. At 100 TB with unbounded groups this swaps for sk1's
+    * fixed-size KLL/GK sketch; a34 is the exactness anchor that bounds
+    * that sketch's error, the same certifier contract as sk3/sk4. */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStore = Window.partitionBy(col("store_id"))
+    val ordered = byStore.orderBy(col("net_dec"), col("sale_date"))
+    graft.etl.StoreDaily.rollupDec(spark, dir)
+      .withColumn("net_dec", col("gross_dec") - col("disc_dec"))
+      .select(col("store_id"), col("sale_date"), col("net_dec"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byStore))
+      .groupBy(col("store_id"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("net_dec")))
+          .cast("double").as("p50_sales"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("net_dec")))
+          .cast("double").as("p90_sales"),
+        max(col("net_dec")).cast("double").as("max_sales"))
+      .orderBy(col("store_id"))
+  }
+
+  val exactPercentilesSql: String =
+    s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql}),
+       |ranked AS (
+       |  SELECT store_id, gross_dec - disc_dec AS net_dec,
+       |    ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY gross_dec - disc_dec, sale_date) AS rn,
+       |    COUNT(*) OVER (PARTITION BY store_id) AS n
+       |  FROM r)
+       |SELECT store_id,
+       |  CAST(MAX(n) AS BIGINT) AS n_days,
+       |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN net_dec END) AS DOUBLE) AS p50_sales,
+       |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN net_dec END) AS DOUBLE) AS p90_sales,
+       |  CAST(MAX(net_dec) AS DOUBLE) AS max_sales
+       |FROM ranked GROUP BY store_id ORDER BY store_id""".stripMargin
 }

@@ -289,4 +289,131 @@ object Profile {
        |${row("discount_price", "sd", "sp", "sdp", "sdd", "spp")})
        |ORDER BY pair""".stripMargin
   }
+
+  // ---- k6: Z-order clustering audit --------------------------------------
+
+  /** 16-bit Morton interleave of two 8-bit bucket columns as pure integer
+    * arithmetic — bit i of `x` lands at z-bit 2i, bit i of `y` at 2i+1.
+    * Generated as a 16-term sum so BOTH engines evaluate it exactly on
+    * BIGINTs (`idiv` is `div` in Spark, `//` in DuckDB — the only dialect
+    * difference). */
+  private def mortonExpr(x: String, y: String, idiv: String): String =
+    (0 until 8).flatMap { i =>
+      Seq(s"(($x $idiv ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($y $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** k6: Z-ORDER LAYOUT AUDIT — the quantified before/after of a lakehouse
+    * OPTIMIZE ZORDER decision, computed WITHOUT writing any file: rows
+    * are assigned to 32 synthetic files under three layouts — `zorder`
+    * (Morton code of the two bucketed dims, fixed-width z ranges),
+    * `linear_x` (range-clustered on dim x alone — the single-column sort
+    * baseline), and `roundrobin` (ingest order, the unclustered
+    * baseline) — and each layout is scored by the per-file min/max spans
+    * that parquet row-group pruning / file skipping would actually see
+    * (k4 measures the real files; k6 predicts the candidate layouts).
+    * `scan_frac_milli` is the expected fraction (milli) of files a
+    * uniform point predicate on that dim fails to prune: Z-ordering
+    * buys ~sqrt-sized spans on BOTH dims where the linear sort buys a
+    * perfect dim-x span and a useless dim-y one.
+    *
+    * Scale shape: file assignment is FIXED-WIDTH on the z / x value —
+    * a pure map, no global sort, no window (an ntile layout would need a
+    * single-partition window; fixed-width buckets are what a range
+    * partitioner converges to on uniform keys anyway). One map-side
+    * 3× stack fan-out, one (layout, file) agg — 96 groups — and a
+    * 6-row rollup. All-integer. */
+  def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val z = mortonExpr("bx", "by", "div")
+    val perFile = Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey % 256 AS bx", "l_suppkey % 256 AS by",
+        "l_orderkey")
+      .selectExpr("bx", "by",
+        s"stack(3, 'zorder', $z div 2048, " +
+          "'linear_x', bx div 8, " +
+          "'roundrobin', l_orderkey % 32) AS (layout, file_id)")
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min("bx").as("mn_x"), max("bx").as("mx_x"),
+        min("by").as("mn_y"), max("by").as("mx_y"))
+    perFile
+      .selectExpr("layout",
+        "stack(2, 'x', mx_x - mn_x + 1, 'y', mx_y - mn_y + 1) AS (dim, span)")
+      .groupBy(col("layout"), col("dim"))
+      .agg(count(lit(1)).as("n_files"),
+        expr("sum(span) * 1000 div count(1)").as("avg_span_milli"),
+        expr("sum(span) * 1000 div (count(1) * 256)").as("scan_frac_milli"))
+      .orderBy("layout", "dim")
+  }
+
+  val zorderAuditSql: String = {
+    val z = mortonExpr("bx", "by", "//")
+    s"""WITH base AS (
+       |  SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS by, l_orderkey
+       |  FROM lineitem),
+       |assigned AS (
+       |  SELECT 'zorder' AS layout, $z // 2048 AS file_id, bx, by FROM base
+       |  UNION ALL
+       |  SELECT 'linear_x', bx // 8, bx, by FROM base
+       |  UNION ALL
+       |  SELECT 'roundrobin', l_orderkey % 32, bx, by FROM base),
+       |per_file AS (
+       |  SELECT layout, file_id,
+       |    MIN(bx) AS mn_x, MAX(bx) AS mx_x,
+       |    MIN(by) AS mn_y, MAX(by) AS mx_y
+       |  FROM assigned GROUP BY 1, 2),
+       |spans AS (
+       |  SELECT layout, 'x' AS dim, mx_x - mn_x + 1 AS span FROM per_file
+       |  UNION ALL
+       |  SELECT layout, 'y', mx_y - mn_y + 1 FROM per_file)
+       |SELECT layout, dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(span) * 1000 // COUNT(*) AS BIGINT) AS avg_span_milli,
+       |  CAST(SUM(span) * 1000 // (COUNT(*) * 256) AS BIGINT) AS scan_frac_milli
+       |FROM spans GROUP BY layout, dim ORDER BY layout, dim""".stripMargin
+  }
+
+  // ---- j8: skew-salted shuffle join --------------------------------------
+
+  /** Number of salt replicas for [[saltedJoin]] — what k2's `salt_hint`
+    * recommends for a heavy key; fixed here so the oracle is stable. */
+  val saltBuckets = 8
+
+  /** j8: SKEW-SALTED SHUFFLE JOIN — the manual remedy k2's skew profile
+    * exists to parameterize, executed end-to-end: the build side (part)
+    * is replicated once per salt bucket and the probe side (lineitem)
+    * deterministically picks bucket `l_orderkey % saltBuckets`, so a hot
+    * p_partkey's probe rows spread over `saltBuckets` reducers instead
+    * of stalling one (the pre-AQE fix for the straggler stage AQE's
+    * skew-join split discovers at runtime; with deterministic salt the
+    * result is retry-stable, the p9/p10 rule). The join is pinned to a
+    * SHUFFLE_HASH — a broadcast would make salting a no-op and hide the
+    * demonstration, and at the scale this remedy matters the build side
+    * no longer broadcasts. Result is EXACTLY the plain join's per-brand
+    * revenue — salting is a physical rewrite, not a semantic one — so
+    * the oracle is the unsalted SQL; [[PlanShapeSpec]] pins the
+    * shuffled-join shape (no broadcast) and the exchange budget. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice").cast(Tables.Money)
+          .as("price_dec"),
+        (col("l_orderkey") % saltBuckets).as("salt"))
+    val build = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+      .hint("shuffle_hash")
+    probe.join(build,
+        probe("l_partkey") === build("p_partkey") &&
+          probe("salt") === build("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("price_dec")).cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 }

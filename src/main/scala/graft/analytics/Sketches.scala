@@ -221,4 +221,112 @@ object Sketches {
         col("approx_active_7d"))
       .orderBy("window_day")
   }
+
+  // ---- sk8: Bloom-filter join pruning ------------------------------------
+
+  /** Engine-portable Bloom hash family: h_i(x) = ((x mod P)·A_i + B_i)
+    * mod P mod m with P = 2^31−1 (Mersenne prime) and A_i < 2^30, so
+    * every intermediate fits a signed 64-bit integer EXACTLY in both
+    * Spark and DuckDB — the same all-integer trick as the xxhash-twin
+    * keys, except this family is expressible in ANSI SQL, which is what
+    * buys sk8 a hash-checked oracle where sk1/sk2's HLL gets rows-only. */
+  private val bloomP = 2147483647L
+  private val bloomHashes: Seq[(Long, Long)] =
+    Seq((766439049L, 97L), (246822519L, 1013L), (536870909L, 4093L))
+  /** 2^16 bits / 1024 longs: ~8 KB — the broadcastable-literal regime. */
+  private val bloomBits = 65536L
+
+  private def bloomPos(key: Column, a: Long, b: Long): Column =
+    ((key % bloomP) * lit(a) + lit(b)) % bloomP % bloomBits
+
+  private def bloomPosSql(key: String, a: Long, b: Long): String =
+    s"(($key % $bloomP) * $a + $b) % $bloomP % $bloomBits"
+
+  /** sk8: BLOOM-FILTER JOIN PRUNING — the runtime-filter pattern Spark's
+    * own InjectRuntimeFilter rule applies at scale, built as a first-class
+    * relational operator with a measured false-positive ledger. Build
+    * side: the urgent-order keys (orders.o_orderpriority = '1-URGENT').
+    * Probe side: every lineitem row. The build keys fold into a fixed
+    * 2^16-bit / 1024-long bitmask via one map-combinable bit_or aggregate
+    * — the partial state is ≤ 8 KB regardless of build rows, and the
+    * collected mask becomes a LITERAL array in the probe plan, so the
+    * probe is a pure map-side scan: ZERO probe-sized shuffle, which is
+    * the entire point — at 100 TB the probe never pays the join exchange
+    * for rows the filter can discard (the exact-match join here exists
+    * only to measure the false-positive cost; production keeps it for
+    * the survivors alone). Output: per returnflag, probe rows, Bloom
+    * passes, true matches, false positives — Bloom's one-sided-error
+    * contract (zero false negatives) is spec-asserted and visible in the
+    * ledger (n_bloom_pass ≥ n_true_match, never a missed match). */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    // fold the key set into 1024 bitmask words; the collect is bounded by
+    // the filter SIZE (1024 rows), never the build cardinality
+    val words = build
+      .select(explode(array(bloomHashes.map { case (a, b) =>
+        bloomPos(col("k"), a, b) }: _*)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maskLit = array((0 until (bloomBits / 64).toInt)
+      .map(w => lit(words.getOrElse(w.toLong, 0L))): _*)
+    // bit b of a word is pmod(word >> b, 2): with two's complement and an
+    // arithmetic shift, pmod(x, 2) == x & 1 for every long, including
+    // words whose sign bit is set — no unsigned-shift builtin needed
+    val bitTests = bloomHashes.indices.map(i =>
+      s"pmod(shiftright(element_at(bloom_mask, int(bp$i div 64) + 1), " +
+        s"int(bp$i % 64)), 2) = 1")
+    val probe = bloomHashes.zipWithIndex
+      .foldLeft(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"))) {
+        case (df, ((a, b), i)) =>
+          df.withColumn(s"bp$i", bloomPos(col("l_orderkey"), a, b))
+      }
+      .withColumn("bloom_mask", maskLit)
+      .withColumn("bloom_pass", expr(bitTests.mkString(" AND ")))
+      .drop("bloom_mask")
+    val isMatch = broadcast(build)
+    probe.join(isMatch, probe("l_orderkey") === isMatch("k"), "left")
+      .withColumn("is_match", col("k").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"),
+        sum(when(col("bloom_pass") && !col("is_match"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomPruneSql: String = {
+    val posCases = bloomHashes.zipWithIndex.map { case ((a, b), i) =>
+      s"${bloomPosSql("l_orderkey", a, b)} AS p$i" }.mkString(",\n|    ")
+    val buildPos = bloomHashes.map { case (a, b) =>
+      s"SELECT ${bloomPosSql("k", a, b)} AS pos FROM build" }
+      .mkString("\n|  UNION\n|  ")
+    s"""WITH build AS (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |bits AS (
+       |  $buildPos),
+       |probe AS (
+       |  SELECT l_orderkey, l_returnflag,
+       |    $posCases
+       |  FROM lineitem),
+       |flags AS (
+       |  SELECT l_returnflag,
+       |    (p0 IN (SELECT pos FROM bits)
+       |      AND p1 IN (SELECT pos FROM bits)
+       |      AND p2 IN (SELECT pos FROM bits)) AS bloom_pass,
+       |    l_orderkey IN (SELECT k FROM build) AS is_match
+       |  FROM probe)
+       |SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+       |  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       |  CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       |  CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM flags GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
 }

@@ -1919,4 +1919,59 @@ object Similarity {
        |  l.vec_id = l.cluster_id AS is_representative
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.vec_id""".stripMargin
+
+  /** v24: HARD-NEGATIVE MINING for contrastive training — for each query
+    * vector, the top-k most-cosine-similar candidates whose label DIFFERS
+    * from the query's: the "confusable but wrong" examples a
+    * contrastive/embedding trainer pairs with each anchor (the mining
+    * pass behind every triplet-loss / InfoNCE data loader; the positives
+    * are same-label, the hard negatives are exactly this relation).
+    * Same exhaustive v1 shape — broadcast query set against the corpus,
+    * one row_number window per query — plus the label-mismatch predicate,
+    * which is applied BEFORE ranking so the top-k is over negatives only
+    * (a post-filter of v1's top-k would under-fill k). At 100 TB the
+    * exhaustive scan swaps for any of the ANN candidate generators
+    * (v2/v4/v11) feeding the same label-exclusion rerank; this is the
+    * recall-1.0 certifier for those, like v1 is for v6. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("label").as("query_label"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val cand = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("n_emb"),
+      col("norm2").as("n_norm2"))
+    val pairs = broadcast(q).crossJoin(cand)
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label").cast("long").as("query_label"),
+        col("rank"), col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def hardNegativesSql(k: Int = 5, nQueries: Int = defaultNQueries): String =
+    s"""WITH e AS ($withNormSql),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id,
+       |    CAST(q.label AS BIGINT) AS query_label,
+       |    n.vec_id AS neighbor_id,
+       |    CAST(n.label AS BIGINT) AS neighbor_label,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM e q JOIN e n
+       |    ON q.vec_id < $nQueries AND q.label <> n.label),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 }

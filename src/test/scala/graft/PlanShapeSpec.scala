@@ -173,7 +173,21 @@ class PlanShapeSpec extends GraftSpec {
         "bucket rollup"),
     ("sk7_cms_estimates", 5,
       "cms cell agg + truth agg + probe/cell join + per-key min + the " +
-        "truth join — all over (depth x width)-bounded or key-sized relations")
+        "truth join — all over (depth x width)-bounded or key-sized relations"),
+    ("sk8_bloom_prune", 2,
+      "bitmask probes are literal-array map work; the build distinct and " +
+        "the returnflag ledger rollup are the only exchanges"),
+    ("k6_zorder_audit", 2,
+      "fixed-width file assignment is pure map (no sort, no window): one " +
+        "(layout,file) agg + the 6-row span rollup"),
+    ("j8_salted_join", 3,
+      "both salted sides key-exchange into the shuffled hash join + the " +
+        "brand rollup — the documented skew-spread shape"),
+    ("a34_exact_percentiles", 1,
+      "rank + count windows and the store rollup all ride one store " +
+        "exchange over the cached (store, day) silver"),
+    ("v24_hard_negatives", 1,
+      "broadcast query set against the corpus; one per-query top-k window")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

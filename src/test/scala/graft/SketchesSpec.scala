@@ -134,4 +134,25 @@ class SketchesSpec extends GraftSpec {
     assert(wide.forall(r => r.getAs[Long]("overcount") === 0L),
       "with width >> keys the sketch must be exact")
   }
+
+  test("sk8: Bloom prune has ZERO false negatives and an exact ledger") {
+    val res = Sketches.bloomPrune(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      // one-sided error: every true match must pass the filter
+      assert(r.getAs[Long]("n_bloom_pass") >= r.getAs[Long]("n_true_match"),
+        "a Bloom filter must never reject a member")
+      assert(r.getAs[Long]("n_false_pos") ===
+        r.getAs[Long]("n_bloom_pass") - r.getAs[Long]("n_true_match"))
+      assert(r.getAs[Long]("n_probe") >= r.getAs[Long]("n_bloom_pass"))
+    }
+    // the ledger's true-match total must equal an independent semi-join
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct()
+    val exact = Tables.lineitem(spark, sfDir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(res.map(_.getAs[Long]("n_true_match")).sum === exact)
+  }
 }

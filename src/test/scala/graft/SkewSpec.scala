@@ -68,4 +68,52 @@ class SkewSpec extends GraftSpec {
       assert(r.getAs[String]("min_v") <= r.getAs[String]("max_v"))
     }
   }
+
+  test("k6: Morton layout bounds BOTH dims structurally; linear only one; " +
+    "round-robin neither") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Profile.zorderAudit(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("dim")) ->
+        r.getAs[Long]("avg_span_milli")).toMap
+    assert(rows.size === 6)
+    // STRUCTURAL Morton bounds (hold for any data): a 2048-wide z block
+    // fixes all but 6 x-bits (even positions 0..10) and 5 y-bits (odd
+    // positions 1..9), so per-file spans cannot exceed 64 / 32.
+    assert(rows(("zorder", "x")) <= 64000L)
+    assert(rows(("zorder", "y")) <= 32000L)
+    // the single-dim sort: perfect on x (8-wide files), unbounded on y
+    // (>=: at sf0.001 the y DOMAIN is narrower than a Morton block's
+    // 32-value y capacity, so both layouts bottom out at the domain span)
+    assert(rows(("linear_x", "x")) <= 8000L)
+    assert(rows(("linear_x", "y")) >= rows(("zorder", "y")),
+      "a linear sort must not beat z-order on the unsorted dim")
+    // ingest order clusters neither dim: never better than z-order, and
+    // strictly worse on x (the x domain always exceeds a z block's 64)
+    assert(rows(("roundrobin", "x")) > rows(("zorder", "x")))
+    assert(rows(("roundrobin", "y")) >= rows(("zorder", "y")))
+  }
+
+  test("j8: the salted join is a shuffled join (broadcast would make " +
+    "salting a no-op) and matches the unsalted result") {
+    import org.apache.spark.sql.functions._
+    val salted = graft.analytics.Profile.saltedJoin(spark, sfDir)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "the shuffle_hash hint must hold — salting demonstrates the " +
+        "skew remedy only on a shuffled join")
+    assert(!plan.contains("BroadcastHashJoin"))
+    // salting is a physical rewrite: per-brand results must be identical
+    val plain = graft.model.Tables.lineitem(spark, sfDir)
+      .join(graft.model.Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(graft.model.Tables.Money))
+          .cast("double").as("revenue"))
+    val diff = salted.join(plain.withColumnRenamed("n_lines", "pn")
+        .withColumnRenamed("revenue", "pr"), "p_brand")
+      .filter(col("n_lines") =!= col("pn") || col("revenue") =!= col("pr"))
+    assert(diff.count() === 0)
+    assert(salted.count() === plain.count())
+  }
 }
