@@ -1,24 +1,61 @@
 package graft
 
-import graft.functions.{VectorD2, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-/** Session extensions: registers the engine's native functions for SQL use
-  * (`SELECT vector_dot(a.embedding, b.embedding) ...`). Enable with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)` — the DataFrame API
-  * ([[VectorDot.vectorDot]]) works without registration. */
+import graft.functions.{TopKByCount, VectorD2, VectorDot}
+
+/** The library's pure-SQL surface: registers graft's native Catalyst
+  * expressions as SQL functions through the sanctioned
+  * `SparkSessionExtensions` seam, so a SQL-only consumer (spark.sql,
+  * Thrift server, SQL files in a scheduler) reaches the same codegen'd
+  * kernels the DataFrame API uses:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT vector_dot(q.embedding, n.embedding) FROM ...")
+  *   spark.sql("SELECT store_id, topk_by_count(sku, 32) FROM sales GROUP BY 1")
+  * }}}
+  *
+  * Function injection is the ONLY extension point this library needs:
+  * every whole-operator semantic lowers to stock logical operators
+  * (SURVEY §4 — "custom Rule/SparkStrategy needed: none"), so the
+  * plan-level escape hatches stay deliberately unused; what cannot be
+  * expressed with built-ins is exactly the three expressions below.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
-    e.injectFunction((
-      new FunctionIdentifier("vector_d2"),
-      new ExpressionInfo(classOf[VectorD2].getName, "vector_d2"),
-      (children: Seq[Expression]) => VectorD2(children.head, children(1))))
+
+  private def info(name: String, clazz: String): ExpressionInfo =
+    new ExpressionInfo(clazz, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vector_dot"),
+      info("vector_dot", classOf[VectorDot].getName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_dot(array<float>, array<float>)")
+        VectorDot(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("vector_d2"),
+      info("vector_d2", classOf[VectorD2].getName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_d2(array<float>, array<float>)")
+        VectorD2(args.head, args(1))
+      }))
+    // aggregate: the analyzer wraps a bare AggregateFunction returned from
+    // a registry builder in its AggregateExpression
+    ext.injectFunction((FunctionIdentifier("topk_by_count"),
+      info("topk_by_count", classOf[TopKByCount].getName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "topk_by_count(key, summarySize)")
+        val size = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_count: summarySize must be an INT literal, got $other")
+        }
+        TopKByCount(args.head, size)
+      }))
   }
 }
