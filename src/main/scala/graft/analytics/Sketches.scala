@@ -329,4 +329,34 @@ object Sketches {
        |  CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
        |FROM flags GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
+
+  /** sk9: SKETCH SET ALGEBRA — weekday vs weekend audience overlap from
+    * mergeable HLL sketches alone: the union is `hll_union_agg` over the
+    * two group sketches and the intersection is inclusion–exclusion
+    * (|A| + |B| − |A∪B|). At 100 TB this answers every segment-overlap
+    * question from per-segment sketch silvers (sk6's pattern) WITHOUT
+    * re-scanning events or shuffling user ids — the shuffle carries two
+    * fixed-size sketches, and new segments compose by union instead of
+    * recomputation. Intersection error compounds (both operands' rsd
+    * plus cancellation), which is why the output carries all four
+    * estimates: the consumer sees the operands behind the derived
+    * number. Rows-only like sk1/sk6 (estimates are
+    * implementation-defined); [[SketchesSpec]] bounds all four against
+    * the exact distinct counts. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val typed = Tables.events(spark, dir)
+      .select(when(dayofweek(col("ts")).isin(1, 7), "weekend")
+        .otherwise("weekday").as("day_type"), col("user_id"))
+      .groupBy(col("day_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    typed.agg(
+        max(when(col("day_type") === "weekday",
+          hll_sketch_estimate(col("sketch")))).as("n_weekday"),
+        max(when(col("day_type") === "weekend",
+          hll_sketch_estimate(col("sketch")))).as("n_weekend"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_union"))
+      .select(col("n_weekday"), col("n_weekend"), col("n_union"),
+        (col("n_weekday") + col("n_weekend") - col("n_union"))
+          .as("n_overlap_est"))
+  }
 }

@@ -243,4 +243,80 @@ object CorpusFilter {
        |  MAX(doc_id) AS last_doc
        |FROM k GROUP BY split, lang, shard
        |ORDER BY split, lang, shard""".stripMargin
+
+  /** p16: SHARD-REBALANCE PLANNER — given x7's manifest, the minimal
+    * token-movement plan that equalizes shard sizes within each split:
+    * the re-shard job a 100 TB corpus runs when organic growth has
+    * skewed its shards (straggler tasks, uneven prefetch) without
+    * rewriting the balanced majority. Tokens are modeled as one global
+    * sequence in shard order; shard i currently owns the interval
+    * [cum_{i-1}, cum_i) and SHOULD own [total·i/n, total·(i+1)/n) (exact
+    * integer bounds that sum to total by construction — no rounding
+    * drift); every (current, desired) interval OVERLAP that crosses
+    * shards is a move row. This is the optimal one-dimensional plan:
+    * each token moves at most once, contiguity is preserved, and rows
+    * where from = to (flagged stay) are the untouched majority.
+    *
+    * Scale shape: two |shards|-bounded window passes (cumsum + index,
+    * riding one split exchange) and an interval self-join on the
+    * |shards|-sized relation — the plan is metadata-sized however big
+    * the corpus; executing it is writeShards' job. */
+  def shardRebalance(spark: SparkSession, dir: String,
+                     minQuality: Long = 50L, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perShard = shardManifest(spark, dir, minQuality, budget)
+      .groupBy(col("split"), col("shard"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+    val w = Window.partitionBy(col("split")).orderBy(col("shard"))
+    val cur = perShard
+      .withColumn("cur_end", sum(col("n_tokens")).over(w))
+      .withColumn("cur_start", col("cur_end") - col("n_tokens"))
+      .withColumn("idx", row_number().over(w) - 1)
+      .withColumn("n_shards",
+        count(lit(1)).over(Window.partitionBy(col("split"))))
+      .withColumn("total",
+        sum(col("n_tokens")).over(Window.partitionBy(col("split"))))
+    val des = cur.select(col("split"), col("shard").as("to_shard"),
+      expr("total * idx div n_shards").as("des_start"),
+      expr("total * (idx + 1) div n_shards").as("des_end"))
+    cur.select(col("split"), col("shard").as("from_shard"),
+        col("cur_start"), col("cur_end"))
+      .join(des, Seq("split"))
+      .filter(col("cur_start") < col("des_end") &&
+        col("des_start") < col("cur_end"))
+      .select(col("split"), col("from_shard"), col("to_shard"),
+        (least(col("cur_end"), col("des_end")) -
+          greatest(col("cur_start"), col("des_start"))).as("n_tokens"),
+        (col("from_shard") =!= col("to_shard")).as("is_move"))
+      .orderBy(col("split"), col("from_shard"), col("to_shard"))
+  }
+
+  def shardRebalanceSql(minQuality: Long = 50L, budget: Long = 512L): String =
+    s"""WITH m AS (${shardManifestSql(minQuality, budget)}),
+       |per_shard AS (
+       |  SELECT split, shard, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM m GROUP BY split, shard),
+       |cur AS (
+       |  SELECT split, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur_end,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cur_start,
+       |    ROW_NUMBER() OVER (PARTITION BY split ORDER BY shard) - 1 AS idx,
+       |    COUNT(*) OVER (PARTITION BY split) AS n_shards,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS total
+       |  FROM per_shard),
+       |des AS (
+       |  SELECT split, shard AS to_shard,
+       |    total * idx // n_shards AS des_start,
+       |    total * (idx + 1) // n_shards AS des_end
+       |  FROM cur)
+       |SELECT c.split, c.shard AS from_shard, d.to_shard,
+       |  CAST(LEAST(c.cur_end, d.des_end)
+       |    - GREATEST(c.cur_start, d.des_start) AS BIGINT) AS n_tokens,
+       |  c.shard <> d.to_shard AS is_move
+       |FROM cur c JOIN des d
+       |  ON c.split = d.split
+       |  AND c.cur_start < d.des_end AND d.des_start < c.cur_end
+       |ORDER BY c.split, from_shard, to_shard""".stripMargin
 }

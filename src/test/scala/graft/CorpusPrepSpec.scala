@@ -449,4 +449,33 @@ class CorpusPrepSpec extends GraftSpec {
           assert(a === b, "a cross-split near-dup pair survived repair")
       }
   }
+
+  test("p16: rebalance plan conserves tokens and equalizes shards to ±1") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.text.CorpusFilter.shardRebalance(spark, sfDir).cache()
+    try {
+      val cur = graft.text.CorpusFilter.shardManifest(spark, sfDir)
+        .groupBy("split", "shard").agg(sum("n_tokens").as("cur_tokens"))
+        .withColumnRenamed("split", "cur_split")
+      // conservation out of every donor: plan rows (moves + stay) must
+      // exactly re-partition each shard's current tokens
+      val out = plan.groupBy(col("split"), col("from_shard"))
+        .agg(sum("n_tokens").as("planned"))
+        .join(cur, col("split") === col("cur_split") &&
+          col("from_shard") === col("shard"))
+        .filter(col("planned") =!= col("cur_tokens"))
+      assert(out.count() === 0, "a donor's plan rows must sum to its size")
+      // equalization into every acceptor: desired sizes differ by <= 1
+      val in_ = plan.groupBy("split", "to_shard")
+        .agg(sum("n_tokens").as("target")).cache()
+      try {
+        val spread = in_.groupBy("split")
+          .agg((max("target") - min("target")).as("spread"))
+        assert(spread.filter(col("spread") > 1).count() === 0,
+          "desired shard sizes must be equal to within one token")
+      } finally in_.unpersist()
+      // a move never exceeds its donor, and every size is positive
+      assert(plan.filter(col("n_tokens") <= 0).count() === 0)
+    } finally plan.unpersist()
+  }
 }

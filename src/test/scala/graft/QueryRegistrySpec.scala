@@ -33,7 +33,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "t20_bpe_train" -> "iterative merge application needs a per-merge rewrite loop SQL cannot express (BpeSpec recomputes the trainer in-process)",
     "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)",
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
-    "t21_bpe_encode" -> "applies t20's merge loop per word — no SQL form (BpeSpec replays the encoder in-process)")
+    "t21_bpe_encode" -> "applies t20's merge loop per word — no SQL form (BpeSpec replays the encoder in-process)",
+    "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet

@@ -155,4 +155,27 @@ class SketchesSpec extends GraftSpec {
       .count()
     assert(res.map(_.getAs[Long]("n_true_match")).sum === exact)
   }
+
+  test("sk9: sketch set algebra brackets the exact segment overlap") {
+    val r = Sketches.audienceOverlap(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val typed = Tables.events(spark, sfDir)
+      .select(when(dayofweek(col("ts")).isin(1, 7), "weekend")
+        .otherwise("weekday").as("day_type"), col("user_id"))
+    val exactWd = typed.filter(col("day_type") === "weekday")
+      .select("user_id").distinct().count()
+    val exactWe = typed.filter(col("day_type") === "weekend")
+      .select("user_id").distinct().count()
+    val exactUnion = typed.select("user_id").distinct().count()
+    val exactOverlap = exactWd + exactWe - exactUnion
+    def within(est: Long, exact: Long, tol: Double, slack: Double) =
+      math.abs(est - exact).toDouble <= math.max(exact * tol, slack)
+    assert(within(row.getAs[Long]("n_weekday"), exactWd, 0.05, 3))
+    assert(within(row.getAs[Long]("n_weekend"), exactWe, 0.05, 3))
+    assert(within(row.getAs[Long]("n_union"), exactUnion, 0.05, 3))
+    // intersection inherits BOTH operands' error — wider tolerance
+    assert(within(row.getAs[Long]("n_overlap_est"), exactOverlap, 0.15,
+      0.1 * exactUnion))
+  }
 }
