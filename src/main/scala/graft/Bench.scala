@@ -27,6 +27,8 @@ object Bench {
       graft.analytics.History.trendDirection(spark, sfDir).count()
       graft.analytics.History.anomalies(spark, sfDir).count()
       graft.text.Corpus.docsTok(spark, sfDir).count() // tokenize-once silver
+      // materializes the corpusBase + corpusBuildKept shard-layout silvers
+      graft.text.CorpusFilter.shardManifest(spark, sfDir).count()
       graft.dedup.Dedup.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
@@ -99,6 +101,7 @@ object Bench {
         graft.analytics.History.trendDirection(spark, slopeDir).count()
         graft.analytics.History.anomalies(spark, slopeDir).count()
         graft.text.Corpus.docsTok(spark, slopeDir).count()
+        graft.text.CorpusFilter.shardManifest(spark, slopeDir).count()
         graft.dedup.Dedup.warm(spark, slopeDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] slope warmup failed: ${e.getMessage}")

@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the one algebraic identity Catalyst can't know for a foreign
+    // expression: vector_d2(x, x) == 0.0 (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.SelfDistanceElimination)
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       info("vector_dot", classOf[VectorDot].getName),
       (args: Seq[Expression]) => {

@@ -236,11 +236,49 @@ object Sketches {
   /** 2^16 bits / 1024 longs: ~8 KB — the broadcastable-literal regime. */
   private val bloomBits = 65536L
 
+  /** pmod so SIGNED keys (xxhash64 content hashes) land in [0, m) too;
+    * for the non-negative TPC-H keys this is bit-identical to plain `%`,
+    * which is what the sk8 oracle SQL writes. */
   private def bloomPos(key: Column, a: Long, b: Long): Column =
-    ((key % bloomP) * lit(a) + lit(b)) % bloomP % bloomBits
+    (pmod(key, lit(bloomP)) * lit(a) + lit(b)) % bloomP % bloomBits
 
   private def bloomPosSql(key: String, a: Long, b: Long): String =
     s"(($key % $bloomP) * $a + $b) % $bloomP % $bloomBits"
+
+  /** Fold the LongType `h` column of `keys` into the fixed 1024-long
+    * bitmask — one map-combinable bit_or aggregate; the collect is
+    * bounded by the mask SIZE (1024 rows), never the key cardinality. */
+  def bloomMaskOf(keys: DataFrame): Array[Long] = {
+    val words = keys
+      .select(explode(array(bloomHashes.map { case (a, b) =>
+        bloomPos(col("h"), a, b) }: _*)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Array.tabulate((bloomBits / 64).toInt)(w => words.getOrElse(w.toLong, 0L))
+  }
+
+  /** Append `bloom_pass` testing `key` against `mask` — a LITERAL-array
+    * probe, pure map-side: zero exchanges, stream-safe (no stream-static
+    * join), the shape that lets a 100 TB probe side skip the join
+    * exchange for prunable rows. Bit b of a word is pmod(word >> b, 2):
+    * with two's complement and an arithmetic shift that equals
+    * (word >> b) & 1 for every long including sign-bit words. */
+  def withBloomPass(df: DataFrame, key: Column,
+                    mask: Array[Long]): DataFrame = {
+    val bitTests = bloomHashes.indices.map(i =>
+      s"pmod(shiftright(element_at(graft_bloom_mask, int(graft_bp$i div 64) + 1), " +
+        s"int(graft_bp$i % 64)), 2) = 1")
+    bloomHashes.zipWithIndex
+      .foldLeft(df) { case (d, ((a, b), i)) =>
+        d.withColumn(s"graft_bp$i", bloomPos(key, a, b))
+      }
+      .withColumn("graft_bloom_mask",
+        array(mask.toIndexedSeq.map(lit): _*))
+      .withColumn("bloom_pass", expr(bitTests.mkString(" AND ")))
+      .drop(("graft_bloom_mask" +: bloomHashes.indices.map(i => s"graft_bp$i")): _*)
+  }
 
   /** sk8: BLOOM-FILTER JOIN PRUNING — the runtime-filter pattern Spark's
     * own InjectRuntimeFilter rule applies at scale, built as a first-class
@@ -262,32 +300,10 @@ object Sketches {
     val build = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k")).distinct()
-    // fold the key set into 1024 bitmask words; the collect is bounded by
-    // the filter SIZE (1024 rows), never the build cardinality
-    val words = build
-      .select(explode(array(bloomHashes.map { case (a, b) =>
-        bloomPos(col("k"), a, b) }: _*)).as("pos"))
-      .select(expr("pos div 64").as("word"),
-        expr("shiftleft(1L, int(pos % 64))").as("bit"))
-      .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val maskLit = array((0 until (bloomBits / 64).toInt)
-      .map(w => lit(words.getOrElse(w.toLong, 0L))): _*)
-    // bit b of a word is pmod(word >> b, 2): with two's complement and an
-    // arithmetic shift, pmod(x, 2) == x & 1 for every long, including
-    // words whose sign bit is set — no unsigned-shift builtin needed
-    val bitTests = bloomHashes.indices.map(i =>
-      s"pmod(shiftright(element_at(bloom_mask, int(bp$i div 64) + 1), " +
-        s"int(bp$i % 64)), 2) = 1")
-    val probe = bloomHashes.zipWithIndex
-      .foldLeft(Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_returnflag"))) {
-        case (df, ((a, b), i)) =>
-          df.withColumn(s"bp$i", bloomPos(col("l_orderkey"), a, b))
-      }
-      .withColumn("bloom_mask", maskLit)
-      .withColumn("bloom_pass", expr(bitTests.mkString(" AND ")))
-      .drop("bloom_mask")
+    val mask = bloomMaskOf(build.select(col("k").as("h")))
+    val probe = withBloomPass(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_returnflag")),
+      col("l_orderkey"), mask)
     val isMatch = broadcast(build)
     probe.join(isMatch, probe("l_orderkey") === isMatch("k"), "left")
       .withColumn("is_match", col("k").isNotNull)

@@ -190,6 +190,39 @@ object StreamingCorpus {
     docs.filter(nAscii * 1000 >= lit(minAsciiPerMille.toLong) * nChars)
   }
 
+  /** Historical-corpus Bloom mask, built ONCE at query build from the
+    * static lake: every existing document's content hash folds into the
+    * fixed 2^16-bit mask ([[graft.analytics.Sketches.bloomMaskOf]]) — an
+    * 8 KB driver round-trip REGARDLESS of corpus size, where collecting
+    * the hashes themselves (the exact-set analogue of
+    * [[benchmarkShingles]]) grows with the lake and dies at 100 TB. */
+  def historicalBloomMask(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Array[Long] =
+    graft.analytics.Sketches.bloomMaskOf(
+      graft.model.Tables.documents(spark, dir).select(contentHashCol.as("h")))
+
+  /** Streaming HISTORICAL-dedup gate: drop arrivals whose content hash
+    * hits the historical corpus's Bloom mask. [[dedupWithinWatermark]]
+    * bounds dedup state to the watermark horizon, which is exactly its
+    * scale contract — but it therefore re-admits content the lake
+    * already holds from BEFORE the horizon; this gate covers that tier
+    * with bounded memory. One-sided by construction: a hash in the lake
+    * always hits (no historical dup ever re-enters), while a false
+    * positive wrongly drops a novel doc at the mask's fp rate —
+    * acceptable for corpus building (losing ~0.1% of novel docs is
+    * noise; re-training on duplicated text is not), and the docs the
+    * mask passes still face the in-horizon exact dedup downstream.
+    * Entirely map-side: the mask is a literal, no state, no shuffle, no
+    * stream-static join; the verdict equals the batch
+    * [[graft.analytics.Sketches.withBloomPass]] on the same rows
+    * (parity spec-asserted). */
+  def bloomDedupGate(docs: DataFrame, mask: Array[Long]): DataFrame =
+    graft.analytics.Sketches.withBloomPass(
+        docs.withColumn("content_hash", contentHashCol),
+        col("content_hash"), mask)
+      .filter(!col("bloom_pass"))
+      .drop("bloom_pass", "content_hash")
+
   /** The composed streaming corpus-ingest pipeline: quality gate, then
     * (optionally) the decontamination gate, then watermark-bounded exact
     * dedup — the streaming twin of batch c2's (quality + contamination +

@@ -101,21 +101,23 @@ object CorpusFilter {
     * inline, exact-dup as a window; only the decontamination verdict
     * (d12, a shingle-level aggregate) remains a join. */
   private def corpusBase(spark: SparkSession, dir: String,
-                         minQuality: Long): DataFrame = {
-    val contam = CorpusPrep.contamination(spark, dir)
-      .select(col("doc_id"), col("is_contaminated"))
-    Corpus.docsTok(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(col("words")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
-        isExactDupCol.as("is_exact_dup"))
-      .join(contam, Seq("doc_id"), "left")
-      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(false)))
-      .withColumn("is_benchmark", col("doc_id") % 97 === 0)
-      .withColumn("kept",
-        col("quality_score") >= minQuality && !col("is_exact_dup") &&
-          !col("is_contaminated") && !col("is_benchmark"))
-  }
+                         minQuality: Long): DataFrame =
+    graft.model.Silver.memoize(spark, s"corpusBase:$minQuality", dir) {
+      val contam = CorpusPrep.contamination(spark, dir)
+        .select(col("doc_id"), col("is_contaminated"))
+      Corpus.docsTok(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(col("words")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScoreColOf(col("words")).as("quality_score"),
+          isExactDupCol.as("is_exact_dup"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(false)))
+        .withColumn("is_benchmark", col("doc_id") % 97 === 0)
+        .withColumn("kept",
+          col("quality_score") >= minQuality && !col("is_exact_dup") &&
+            !col("is_contaminated") && !col("is_benchmark"))
+        .cache()
+    }
 
   /** The kept-and-packed relation — THE single definition of the shard
     * layout (split rule, shard = doc_id div 64, running pack offsets,
@@ -141,7 +143,14 @@ object CorpusFilter {
   private[text] def corpusBuildKept(spark: SparkSession, dir: String,
                                     minQuality: Long = 50L,
                                     budget: Long = 512L): org.apache.spark.sql.DataFrame =
-    packedKeptFrom(corpusBase(spark, dir, minQuality), budget)
+    // the shard-layout silver: x7/x9/p16/writeShards all consume it, so
+    // the handle (and its cache entry) is registered once per params —
+    // the same planning-cost class the rollupDec/trendDirection
+    // memoization closed in round 5
+    graft.model.Silver.memoize(spark,
+        s"corpusBuildKept:$minQuality:$budget", dir) {
+      packedKeptFrom(corpusBase(spark, dir, minQuality), budget).cache()
+    }
 
   def corpusBuildSql(minQuality: Long = 50L, budget: Long = 512L): String =
     s"""WITH quality AS (

@@ -66,6 +66,31 @@ class ExtensionsSpec extends GraftSpec {
       "exact-regime MG counts must total the true row count")
   }
 
+  test("SelfDistanceElimination folds vector_d2(x, x) and keeps null/value " +
+    "semantics") {
+    extSpark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("emb_opt")
+    val self = extSpark.sql(
+      "SELECT vector_d2(embedding, embedding) AS d2 FROM emb_opt")
+    // the rewrite removed the kernel from the optimized plan entirely
+    assert(!self.queryExecution.optimizedPlan.toString.contains("vector_d2"),
+      "self-distance should fold away in the optimizer")
+    assert(self.collect().forall(r => r.getDouble(0) == 0.0))
+    // null contract preserved through the fold
+    val n = extSpark.sql(
+      "SELECT vector_d2(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>)) AS d2")
+    assert(n.collect().head.isNullAt(0))
+    // distinct operands must NOT fold — and still match the reference fold
+    val distinct = extSpark.sql(
+      """SELECT vector_d2(embedding, reverse(embedding)) AS d2,
+        |  aggregate(zip_with(embedding, reverse(embedding),
+        |    (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+        |    0.0D, (acc, v) -> acc + v) AS ref
+        |FROM emb_opt""".stripMargin)
+    assert(distinct.queryExecution.optimizedPlan.toString.contains("vector_d2"))
+    distinct.collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("the un-extended shared session does NOT see the functions") {
     val err = intercept[Exception] {
       spark.sql("SELECT vector_dot(array(1.0F), array(1.0F))").collect()

@@ -245,4 +245,40 @@ class StreamingCorpusSpec extends GraftSpec {
     assert(batch.nonEmpty && streamed === batch,
       "streamed charset verdicts must equal the batch t18 profile's")
   }
+
+  test("streaming Bloom gate drops every historical doc (one-sided) and " +
+    "matches the batch mask verdict on novel docs") {
+    import graft.analytics.Sketches
+    val in = Files.createTempDirectory("stream_bloom")
+    in.toFile.deleteOnExit()
+    val mask = StreamingCorpus.historicalBloomMask(spark, sfDir)
+    // replay 20 docs ALREADY in the lake + 20 novel docs
+    val historical = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val novel = (0 until 20)
+      .map(i => (100000L + i, s"genuinely novel arrival number $i with unique content"))
+    Files.writeString(in.resolve("a.json"),
+      (historical ++ novel).map { case (id, t) =>
+        doc(id, "2024-03-01T10:00:00", t) }.mkString("\n"))
+    runStream(in, StreamingCorpus.bloomDedupGate(_, mask), "bloom_stream")
+    val streamed = spark.sql("SELECT doc_id FROM bloom_stream")
+      .collect().map(_.getLong(0)).toSet
+    // one-sided: no historical doc may pass the gate
+    historical.foreach { case (id, _) =>
+      assert(!streamed.contains(id), s"historical doc $id re-entered")
+    }
+    // batch parity: survivors = exactly the rows the batch-side mask
+    // probe passes (novel docs minus deterministic false positives)
+    val batchPass = Sketches.withBloomPass(
+        spark.read.schema(docSchema).json(in.toString)
+          .withColumn("content_hash", StreamingCorpus.contentHashCol),
+        col("content_hash"), mask)
+      .filter(!col("bloom_pass"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batchPass,
+      "streamed Bloom verdicts must equal the batch mask probe")
+    // the gate is useful, not degenerate: most novel docs survive
+    assert(streamed.size >= 15, s"fp rate degenerate: ${streamed.size}/20 novel kept")
+  }
 }
