@@ -416,4 +416,56 @@ object Profile {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---- k7: partition-size planner ----------------------------------------
+
+  /** k7: PARTITION-SIZE PLANNER — per (lang, source) lake partition of
+    * the documents table: estimated bytes (n_chars as the proxy the real
+    * writer refines with sampled encoding ratios), the file count that
+    * hits a `targetBytes` file size, the expected post-plan file size,
+    * and the verdict — `split` (partition exceeds one target file),
+    * `coalesce` (a small-file victim: under a quarter target, the
+    * classic small-files problem), or `ok`. This is the advisory pass
+    * behind every OPTIMIZE/compaction job at 100 TB: k4 audits what
+    * files ARE, k6 predicts candidate layouts, k7 sizes what the writer
+    * SHOULD emit — all three metadata-priced. Also carries the
+    * within-partition doc-size skew (max/mean milli) because one
+    * outlier mega-doc breaks an even file split the same way a hot key
+    * breaks a join (k2's argument at the file layer).
+    *
+    * One map-combinable aggregate over documents; |partitions|-sized
+    * output, integer arithmetic throughout. */
+  def partitionPlanner(spark: SparkSession, dir: String,
+                       targetBytes: Long = 65536L): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("est_bytes"),
+        max(col("n_chars")).as("max_doc"))
+      .select(col("lang"), col("source"), col("n_docs"), col("est_bytes"),
+        expr(s"(est_bytes + $targetBytes - 1) div $targetBytes")
+          .as("target_files"),
+        expr(s"est_bytes div ((est_bytes + $targetBytes - 1) div $targetBytes)")
+          .as("planned_file_bytes"),
+        expr("max_doc * n_docs * 1000 div est_bytes").as("doc_skew_milli"),
+        when(col("est_bytes") > targetBytes, "split")
+          .when(col("est_bytes") * 4 < targetBytes, "coalesce")
+          .otherwise("ok").as("advice"))
+      .orderBy(col("lang"), col("source"))
+
+  def partitionPlannerSql(targetBytes: Long = 65536L): String =
+    s"""WITH p AS (
+       |  SELECT lang, source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS est_bytes,
+       |    CAST(MAX(n_chars) AS BIGINT) AS max_doc
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, source, n_docs, est_bytes,
+       |  (est_bytes + $targetBytes - 1) // $targetBytes AS target_files,
+       |  est_bytes // ((est_bytes + $targetBytes - 1) // $targetBytes) AS planned_file_bytes,
+       |  max_doc * n_docs * 1000 // est_bytes AS doc_skew_milli,
+       |  CASE WHEN est_bytes > $targetBytes THEN 'split'
+       |    WHEN est_bytes * 4 < $targetBytes THEN 'coalesce'
+       |    ELSE 'ok' END AS advice
+       |FROM p ORDER BY lang, source""".stripMargin
 }

@@ -939,4 +939,86 @@ object EventsBatch {
        |  d.abs_dev > $k * a.mad AS is_outlier
        |FROM dev d JOIN mad a USING (event_type)
        |ORDER BY d.event_type, d.event_date""".stripMargin
+
+  /** e19: DISTRIBUTION-DRIFT MONITOR — per event type, the total-
+    * variation distance between the value distribution of the stream's
+    * first calendar half and its second half: the "did this feature's
+    * distribution move" check every training pipeline runs before
+    * trusting a new data window (the PSI/KL monitors in common use need
+    * a log — engine libm divergence — so this uses TV distance, which
+    * is INTEGER-EXACT: ½·Σ|p−q| over fixed $50 value buckets, in milli
+    * floor-division units both engines compute identically; TV also
+    * bounds every downstream probability shift, which is the guarantee
+    * a drift gate actually wants). The split date derives from the
+    * observed [min, max] day range — no wall clock, retry-stable.
+    *
+    * Shape: one (type, half, bucket) count — the only data-sized
+    * exchange — then |types|×2×10-bounded rollups. Integer milli
+    * proportions floor per bucket; the flag threshold is in the same
+    * units. At scale the bucket counts are the per-window histogram
+    * silver a monitoring job materializes incrementally. */
+  def driftMonitor(spark: SparkSession, dir: String,
+                   thresholdMilli: Long = 50L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        least(lit(9L),
+          expr("cast(cast(value AS decimal(18,2)) * 100 AS bigint) div 5000"))
+          .as("bucket"))
+    val bounds = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("d"), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), "a").otherwise("b"))
+      .groupBy(col("event_type"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type"), col("half"))
+      .agg(sum(col("n")).as("win_n"))
+    val props = counts.join(totals, Seq("event_type", "half"))
+      .select(col("event_type"), col("bucket"),
+        when(col("half") === "a", expr("n * 1000 div win_n"))
+          .otherwise(lit(0L)).as("p_a"),
+        when(col("half") === "b", expr("n * 1000 div win_n"))
+          .otherwise(lit(0L)).as("p_b"),
+        when(col("half") === "a", col("n")).otherwise(lit(0L)).as("n_a"),
+        when(col("half") === "b", col("n")).otherwise(lit(0L)).as("n_b"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("p_a")).as("p_a"), sum(col("p_b")).as("p_b"),
+        sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+    props.groupBy(col("event_type"))
+      .agg(sum(col("n_a")).as("n_first_half"),
+        sum(col("n_b")).as("n_second_half"),
+        expr("sum(abs(p_a - p_b)) div 2").as("tv_milli"))
+      .withColumn("is_drifted", col("tv_milli") >= thresholdMilli)
+      .orderBy(col("event_type"))
+  }
+
+  def driftMonitorSql(thresholdMilli: Long = 50L): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    LEAST(9, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000) AS bucket
+       |  FROM events),
+       |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+       |counts AS (
+       |  SELECT event_type,
+       |    CASE WHEN date_diff('day', b.lo, e.d) * 2
+       |      <= date_diff('day', b.lo, b.hi) THEN 'a' ELSE 'b' END AS half,
+       |    bucket, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ev e CROSS JOIN bounds b GROUP BY 1, 2, 3),
+       |totals AS (
+       |  SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS win_n
+       |  FROM counts GROUP BY 1, 2),
+       |props AS (
+       |  SELECT c.event_type, c.bucket,
+       |    CAST(SUM(CASE WHEN c.half = 'a' THEN c.n * 1000 // t.win_n ELSE 0 END) AS BIGINT) AS p_a,
+       |    CAST(SUM(CASE WHEN c.half = 'b' THEN c.n * 1000 // t.win_n ELSE 0 END) AS BIGINT) AS p_b,
+       |    CAST(SUM(CASE WHEN c.half = 'a' THEN c.n ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN c.half = 'b' THEN c.n ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM counts c JOIN totals t USING (event_type, half)
+       |  GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(SUM(n_a) AS BIGINT) AS n_first_half,
+       |  CAST(SUM(n_b) AS BIGINT) AS n_second_half,
+       |  CAST(SUM(ABS(p_a - p_b)) // 2 AS BIGINT) AS tv_milli,
+       |  CAST(SUM(ABS(p_a - p_b)) // 2 AS BIGINT) >= $thresholdMilli AS is_drifted
+       |FROM props GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -187,7 +187,13 @@ class PlanShapeSpec extends GraftSpec {
       "rank + count windows and the store rollup all ride one store " +
         "exchange over the cached (store, day) silver"),
     ("v24_hard_negatives", 1,
-      "broadcast query set against the corpus; one per-query top-k window")
+      "broadcast query set against the corpus; one per-query top-k window"),
+    ("e19_drift_monitor", 5,
+      "one (type, half, bucket) count is the data-sized exchange; totals/" +
+        "props/TV rollups are |types|x2x10-bounded"),
+    ("k7_partition_planner", 1,
+      "one map-combinable documents aggregate; advice is a projection " +
+        "over the |partitions|-sized result")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
