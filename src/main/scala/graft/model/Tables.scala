@@ -64,7 +64,17 @@ object Tables {
     *    spark.sql.session.timeZone=UTC (DuckDB's oracle reads render the
     *    same instants). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        // keep the actionable message a consumer without the conf would
+        // otherwise lose (Spark's raw "Illegal Parquet type" names no fix)
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet is TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+              "(Verify/Bench/test fixtures do)", e)
+      }
     raw.schema("ts").dataType match {
       case LongType          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType     => raw

@@ -80,6 +80,14 @@ class ExtensionsSpec extends GraftSpec {
     val n = extSpark.sql(
       "SELECT vector_d2(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>)) AS d2")
     assert(n.collect().head.isNullAt(0))
+    // non-finite elements must still poison the result (Inf-Inf = NaN in
+    // the kernel; the fold must not turn that into 0.0)
+    val nf = extSpark.sql(
+      """SELECT vector_d2(a, a) AS d2 FROM VALUES
+        |  (array(CAST('Infinity' AS FLOAT), CAST(1.0 AS FLOAT))),
+        |  (array(CAST('NaN' AS FLOAT))) AS t(a)""".stripMargin)
+    assert(nf.collect().forall(r => r.getDouble(0).isNaN),
+      "folded self-distance must stay NaN on non-finite input")
     // distinct operands must NOT fold — and still match the reference fold
     val distinct = extSpark.sql(
       """SELECT vector_d2(embedding, reverse(embedding)) AS d2,
