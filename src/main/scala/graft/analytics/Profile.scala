@@ -453,6 +453,59 @@ object Profile {
           .otherwise("ok").as("advice"))
       .orderBy(col("lang"), col("source"))
 
+  /** k8: JOIN-CARDINALITY PREDICTOR — the exact output size of an
+    * equi-join computed WITHOUT running the join: |A ⋈ B| on key k is
+    * Σ_k cnt_A(k)·cnt_B(k), so joining the two per-key COUNT relations
+    * (distinct-key-sized, not row-sized) and summing the products
+    * predicts the row-sized join's output exactly. This is the number a
+    * cost-based optimizer estimates from NDV sketches (k3's n_distinct
+    * feeds precisely this formula under uniformity); computing it exact
+    * on the key-count silvers is how an engineer validates a plan's
+    * estimate — or sizes shuffle/disk for a 100 TB join — before paying
+    * for it. Carries both sides' row/key counts and the max per-key
+    * product (the skew term that decides j8's salting). Two
+    * map-combinable count aggs + a key-sized equi-join per audited join
+    * — never the data-sized join itself. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, left: DataFrame, lk: String,
+                right: DataFrame, rk: String): DataFrame = {
+      val a = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val b = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, Seq("k"))
+        .agg(count(lit(1)).as("n_shared_keys"),
+          sum(col("ca") * col("cb")).as("predicted_rows"),
+          max(col("ca") * col("cb")).as("max_key_product"))
+        .select(lit(name).as("join_name"), col("n_shared_keys"),
+          col("predicted_rows"), col("max_key_product"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    profile("lineitem_orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(profile("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(profile("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val joinCardinalitySql: String = {
+    def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+         |  CAST(SUM(ca * cb) AS BIGINT) AS predicted_rows,
+         |  CAST(MAX(ca * cb) AS BIGINT) AS max_key_product
+         |FROM (SELECT $lk AS k, CAST(COUNT(*) AS BIGINT) AS ca
+         |      FROM $lt GROUP BY 1) a
+         |JOIN (SELECT $rk AS k, CAST(COUNT(*) AS BIGINT) AS cb
+         |      FROM $rt GROUP BY 1) b USING (k)""".stripMargin
+    s"""${one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")}
+       |UNION ALL
+       |${one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+       |ORDER BY join_name""".stripMargin
+  }
+
   def partitionPlannerSql(targetBytes: Long = 65536L): String =
     s"""WITH p AS (
        |  SELECT lang, source,

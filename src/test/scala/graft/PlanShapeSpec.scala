@@ -193,7 +193,10 @@ class PlanShapeSpec extends GraftSpec {
         "props/TV rollups are |types|x2x10-bounded"),
     ("k7_partition_planner", 1,
       "one map-combinable documents aggregate; advice is a projection " +
-        "over the |partitions|-sized result")
+        "over the |partitions|-sized result"),
+    ("k8_join_cardinality", 9,
+      "per audited join: two key-count aggs + the key-sized equi-join — " +
+        "never the data-sized join itself (3 joins x 3)")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

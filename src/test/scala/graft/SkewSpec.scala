@@ -116,4 +116,23 @@ class SkewSpec extends GraftSpec {
     assert(diff.count() === 0)
     assert(salted.count() === plain.count())
   }
+
+  test("k8: predicted join cardinalities equal the actual join row counts") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val pred = graft.analytics.Profile.joinCardinality(spark, sfDir)
+      .collect().map(r =>
+        r.getAs[String]("join_name") -> r.getAs[Long]("predicted_rows")).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val actual = Map(
+      "lineitem_orders" -> li.join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey")).count(),
+      "lineitem_part" -> li.join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey")).count(),
+      "lineitem_supplier" -> li.join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey")).count())
+    actual.foreach { case (name, n) =>
+      assert(pred(name) === n, s"$name: prediction must be exact")
+    }
+  }
 }
