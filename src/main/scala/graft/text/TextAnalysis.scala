@@ -987,4 +987,46 @@ object TextAnalysis {
        |  CAST($na AS DOUBLE) / CAST($nc AS DOUBLE) AS ascii_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** t23: SHINGLE-NOVELTY CURVE — per document in doc_id (ingest) order,
+    * how many of its distinct 3-shingles appear for the FIRST time in the
+    * corpus: the saturation diagnostic a data team tracks as a corpus
+    * grows — when marginal novelty flattens toward the duplication floor,
+    * more data from the same sources buys little (the scaling-law
+    * counterpart of d15's boilerplate coverage: d15 asks "how much is
+    * BOILERPLATE everywhere", this asks "how much of EACH new arrival is
+    * new at all"). First occurrence = min(doc_id) per shingle — ingest
+    * order, deterministic, no wall clock.
+    *
+    * Scale shape: one shingle-keyed count agg + a join that RIDES the
+    * same shingle partitioning (d4's inverted-index shape), then one
+    * doc-keyed rollup — shingle-df bounded, never all-pairs. Docs too
+    * short to shingle simply do not appear (nothing to measure). At
+    * 100 TB the first-occurrence relation is the incremental silver an
+    * ingest pipeline maintains per batch — arrivals join against it,
+    * never against each other. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Corpus.docShingles(spark, dir)
+    val first = ds.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    ds.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000 div n_shingles").as("novelty_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyCurveSql: String =
+    s"""WITH ds AS (${Corpus.docShinglesSql}),
+       |first AS (
+       |  SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS novelty_milli
+       |FROM ds d JOIN first f USING (shingle)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }

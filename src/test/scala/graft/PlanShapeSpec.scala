@@ -196,7 +196,10 @@ class PlanShapeSpec extends GraftSpec {
         "over the |partitions|-sized result"),
     ("k8_join_cardinality", 9,
       "per audited join: two key-count aggs + the key-sized equi-join — " +
-        "never the data-sized join itself (3 joins x 3)")
+        "never the data-sized join itself (3 joins x 3)"),
+    ("t23_novelty_curve", 3,
+      "first-occurrence agg + join riding the shingle partitioning + " +
+        "one doc rollup — d4's inverted-index shape, never all-pairs")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
