@@ -351,6 +351,39 @@ object Dedup {
        |WHERE bit_count(xor(sh_a, sh_b)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d22: HAMMING-DISTANCE PROFILE of the SimHash candidate space — how
+    * many band-candidate pairs sit at each Hamming distance, with the
+    * running admission count: the operating curve that CALIBRATES d8's
+    * `maxHamming` threshold the way d21's bands×rows sweep calibrates
+    * d2's LSH config (cum_pairs at distance d = exactly how many pairs a
+    * threshold of d admits — pick the knee before the count explodes).
+    * Runs over the UNFILTERED candidate relation (every pair the byte-
+    * band blocking can see, the pigeonhole-complete set for d ≤ 8 and
+    * the observable sample beyond), so the curve's low-d prefix is
+    * exact, not sampled. One |pairs|-sized distance rollup; the running
+    * sum is a window over ≤ 65 rows — bounded whatever the corpus. */
+  def hammingProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("hamming"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    simhashPairs(spark, dir, maxHamming = 64)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .select(col("hamming"), col("n_pairs"), col("cum_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  val hammingProfileSql: String =
+    s"""WITH pairs AS (${simhashPairsSql(maxHamming = 64)}),
+       |counts AS (
+       |  SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1)
+       |SELECT hamming, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY hamming
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_pairs
+       |FROM counts ORDER BY hamming""".stripMargin
+
   // ---------------------------------------------------------------- d4
 
   /** d4: exact n-gram (3-shingle) Jaccard near-dup pairs above 0.2 —
