@@ -1920,6 +1920,57 @@ object Similarity {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.vec_id""".stripMargin
 
+  /** v25: COSINE-HISTOGRAM calibration curve — the distribution of
+    * pairwise cosine over the LSH-bucket candidate space, in 20 fixed
+    * 0.1-wide bins with running admission counts from the TOP bin down:
+    * the operating curve that calibrates v3/v12's near-dup threshold
+    * the way d22's Hamming profile calibrates d8's (cum_pairs at bin b =
+    * how many candidate pairs a threshold at that bin's floor admits).
+    * Bin edges are fixed, not data-derived, so curves from different
+    * corpus snapshots compare directly; the cosine is the strict-fold
+    * double both engines compute bit-identically, and floor() on
+    * identical doubles bins identically — fully oracle-checked. Shape:
+    * the v12 bucket join (never all-pairs) + a 20-row rollup; the
+    * running sum is a window over ≤ 20 rows. */
+  def cosineHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id"),
+      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") < col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
+      .withColumn("bin", least(lit(19L),
+        greatest(lit(0L), floor((col("cosine") + 1) * 10).cast("long"))))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_from_top", sum(col("n_pairs")).over(w))
+      .select(col("bin"),
+        (col("bin").cast("double") / 10 - 1).as("bin_floor"),
+        col("n_pairs"), col("cum_from_top"))
+      .orderBy(col("bin"))
+  }
+
+  val cosineHistogramSql: String =
+    s"""WITH e AS (
+       |  SELECT *, ${bucketSql("embedding")} AS bucket FROM ($withNormSql)),
+       |pairs AS (
+       |  SELECT LEAST(19, GREATEST(0, CAST(FLOOR(
+       |      (${dotSql("a.embedding", "b.embedding")}
+       |        / sqrt(a.norm2 * b.norm2) + 1) * 10) AS BIGINT))) AS bin
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |counts AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1)
+       |SELECT bin, CAST(bin AS DOUBLE) / 10 - 1 AS bin_floor, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_from_top
+       |FROM counts ORDER BY bin""".stripMargin
+
   /** v24: HARD-NEGATIVE MINING for contrastive training — for each query
     * vector, the top-k most-cosine-similar candidates whose label DIFFERS
     * from the query's: the "confusable but wrong" examples a
