@@ -57,6 +57,9 @@ object Ingest {
   /** `store_XXXX_YYYY-MM-DD.json` (process_upload.py:28). */
   val filenamePattern = "^store_(\\d{4})_(\\d{4})-(\\d{2})-(\\d{2})\\.json$"
 
+  /** `store_XXXX_YYYY-MM-DD.csv` — the CSV twin of [[filenamePattern]]. */
+  val filenamePatternCsv = "^store_(\\d{4})_(\\d{4})-(\\d{2})-(\\d{2})\\.csv$"
+
   private val corrupt = "_corrupt_record"
 
   /** S1+S2: read a directory of JSON-array upload files; each row tagged
@@ -70,13 +73,30 @@ object Ingest {
       .json(s"$inDir/*.json")
       .withColumn("_filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
 
+  /** S1b: the CSV upload source — same record schema, header row,
+    * PERMISSIVE parse with malformed lines captured in the SAME
+    * `_corrupt_record` column the JSON path uses, so the entire
+    * downstream validation/quarantine/normalize/lake pipeline (S2–S5) is
+    * FORMAT-AGNOSTIC: one rule set, one quarantine contract, N physical
+    * formats — the schema-on-read posture that lets a lake accept a new
+    * partner feed by adding a reader, not a pipeline. Pass
+    * [[filenamePatternCsv]] to [[withErrors]]/[[normalize]]. */
+  def readUploadsCsv(spark: SparkSession, inDir: String): DataFrame =
+    spark.read
+      .schema(uploadSchema.add(corrupt, StringType))
+      .option("header", value = true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(s"$inDir/*.csv")
+      .withColumn("_filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
   /** S3: constraint predicates = the JSON-Schema keywords as columns.
     * Returns the input with an `_errors` column (empty string = valid). */
-  def withErrors(df: DataFrame): DataFrame = {
+  def withErrors(df: DataFrame, pattern: String = filenamePattern): DataFrame = {
     def failed(cond: org.apache.spark.sql.Column, tag: String) =
       when(cond, tag).otherwise(lit(null))
     df.withColumn("_errors", concat_ws(";",
-      failed(!col("_filename").rlike(filenamePattern), "invalid_filename"),
+      failed(!col("_filename").rlike(pattern), "invalid_filename"),
       failed(col(corrupt).isNotNull, "malformed_json"),
       failed(col(corrupt).isNull &&
         (col("transaction_id").isNull || length(col("transaction_id")) < 1),
@@ -96,7 +116,8 @@ object Ingest {
   /** S4: typed/normalized valid rows + lake partition columns parsed from
     * the filename (str→timestamp, double→Decimal(10,2), int32 —
     * process_upload.py:183-192). */
-  def normalize(validated: DataFrame): DataFrame =
+  def normalize(validated: DataFrame,
+                pattern: String = filenamePattern): DataFrame =
     validated
       .filter(col("_errors") === "")
       .select(
@@ -108,10 +129,10 @@ object Ingest {
         col("line_total").cast(DecimalType(10, 2)).as("line_total"),
         col("discount_amount").cast(DecimalType(10, 2)).as("discount_amount"),
         col("payment_method"), col("customer_id"),
-        regexp_extract(col("_filename"), filenamePattern, 1).as("store_id"),
-        regexp_extract(col("_filename"), filenamePattern, 2).as("year"),
-        regexp_extract(col("_filename"), filenamePattern, 3).as("month"),
-        regexp_extract(col("_filename"), filenamePattern, 4).as("day"))
+        regexp_extract(col("_filename"), pattern, 1).as("store_id"),
+        regexp_extract(col("_filename"), pattern, 2).as("year"),
+        regexp_extract(col("_filename"), pattern, 3).as("month"),
+        regexp_extract(col("_filename"), pattern, 4).as("day"))
 
   /** Typed view of [[normalize]]'s output (drops the lake partition parts;
     * `store_id` retained). Encoder-checked at compile time. */

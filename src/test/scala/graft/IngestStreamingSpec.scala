@@ -56,6 +56,35 @@ class IngestStreamingSpec extends GraftSpec {
     assert(rejDf.filter(col("errors").contains("invalid_filename")).count() === 1)
   }
 
+  test("ingest: CSV source runs the SAME validation core — routing parity " +
+    "with the JSON path on equivalent content") {
+    val in = tmp("uploads_csv")
+    val header = "transaction_id,transaction_timestamp,item_sku,item_name," +
+      "quantity,unit_price,line_total,discount_amount,payment_method,customer_id"
+    def row(qty: String, pay: String) =
+      s"TXN-0001-20240102-0001,2024-01-02T09:15:00,SMURF-FIG-001," +
+        s"Papa Smurf Figurine,$qty,12.99,25.98,0.0,$pay,CUST-00042"
+    // good, quantity 0 (constraint reject), malformed (type-parse reject)
+    writeUpload(in, "store_0001_2024-01-02.csv", Seq(header,
+      row("2", "credit"), row("0", "credit"),
+      "this,is,not,,a,,valid,,csv-row-for-the-schema,NaNsense,extra").mkString("\n"))
+    writeUpload(in, "bad_name.csv", Seq(header, row("2", "credit")).mkString("\n"))
+
+    val validated = Ingest.withErrors(
+      Ingest.readUploadsCsv(spark, in.toString), Ingest.filenamePatternCsv)
+    val valid = Ingest.normalize(validated, Ingest.filenamePatternCsv)
+    val bad = Ingest.rejects(validated)
+    assert(valid.count() === 1)
+    assert(valid.select("store_id", "year", "month", "day").collect().head
+      .toSeq === Seq("0001", "2024", "01", "02"))
+    // money decimal-typed exactly like the JSON path
+    assert(valid.schema("line_total").dataType.typeName.startsWith("decimal"))
+    val tags = bad.collect().map(_.getAs[String]("errors")).toSeq
+    assert(tags.count(_.contains("quantity_lt_1")) === 1)
+    assert(tags.count(_.contains("invalid_filename")) === 1)
+    assert(bad.count() === 3, s"expected 3 rejects, got: $tags")
+  }
+
   test("ingest: malformed JSON file routes to quarantine, not the lake") {
     val in = tmp("uploads2")
     val lake = tmp("lake2")
