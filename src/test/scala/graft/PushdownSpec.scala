@@ -59,5 +59,16 @@ class PushdownSpec extends GraftSpec {
     val e1 = scanOf("e1_events_daily", "events")
     assert(e1.nonEmpty && e1.forall(_.requiredSchema.fields.length <= 3),
       s"e1 events scan widened: ${e1.map(_.requiredSchema.fieldNames.mkString(","))}")
+    // documents has 5 columns; the partition planner needs 3 (lang,
+    // source, n_chars) — text must NOT be read for a byte-size plan
+    val k7 = scanOf("k7_partition_planner", "documents")
+    assert(k7.nonEmpty && k7.forall(_.requiredSchema.fields.length <= 3),
+      s"k7 documents scan widened: ${k7.map(_.requiredSchema.fieldNames.mkString(","))}")
+    assert(k7.forall(!_.requiredSchema.fieldNames.contains("text")),
+      "k7 must never read the text column")
+    // lineitem: the cardinality predictor needs only its 3 join keys
+    val k8 = scanOf("k8_join_cardinality", "lineitem")
+    assert(k8.nonEmpty && k8.forall(_.requiredSchema.fields.length <= 3),
+      s"k8 lineitem scans widened: ${k8.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
 }
