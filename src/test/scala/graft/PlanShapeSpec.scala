@@ -117,8 +117,9 @@ class PlanShapeSpec extends GraftSpec {
       "max(struct) latest-version compaction: one entity-key hash agg, no window sort"),
     ("k2_skew_profile", 2,
       "stack fan-out is map-side: one (key_col, key_val) count + 3-row rollup"),
-    ("k3_column_profile", 3,
-      "multi-distinct Expand rides one scan; partial+merge aggs and the 1-row gather"),
+    ("k3_column_profile", 6,
+      "one narrow distinct exchange per column branch (6 pruned scans = " +
+        "the table's bytes once; no 6x-row-width Expand shuffle)"),
     ("d19_shared_spans", 1,
       "pair relation broadcasts onto the positioned stream; runs/spans ride one pair-key exchange"),
     ("v18_probe_sweep", 11,
