@@ -346,6 +346,94 @@ object Sketches {
        |FROM flags GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** sk10: JOIN-SIZE ESTIMATION FROM SKETCHES — the approximate twin of
+    * k8 ([[Profile.joinCardinality]]), the estimate a cost-based
+    * optimizer actually has at planning time: the CMS/AMS inner product.
+    * Each side's join key folds into a d×w Count-Min sketch (sk7's
+    * relational construction, same engine-portable affine family), and
+    * the join-size estimate is min over depth rows of Σ_bucket
+    * cmsA[j][b]·cmsB[j][b] — colliding keys only ADD phantom products,
+    * so the estimate is ONE-SIDED (est ≥ exact, spec-asserted via the
+    * k8 join), and taking the min over d independent rows tightens it.
+    * Sketch size is d×w counters per side REGARDLESS of key cardinality
+    * — at 100 TB both sides sketch in one map-combinable pass each and
+    * the "join" that produces the estimate touches d×w cells, which is
+    * the entire point versus k8's exact key-sized pass. Output joins
+    * the exact k8 relation so the calibration error is visible per
+    * audited join. */
+  def cmsJoinSize(spark: SparkSession, dir: String,
+                  depth: Int = 3, width: Int = 256): DataFrame = {
+    val P = 1000003L
+    def bucket(j: Int, k: Column): Column =
+      ((k * lit(37L + 101L * j) + lit(17L + 61L * j)) % P) % width
+    def cells(keys: DataFrame, out: String): DataFrame =
+      keys
+        .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+        .withColumn("bucket",
+          (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
+            when(col("j") === j, bucket(j, col("k"))).otherwise(acc)
+          })
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as(out))
+    def one(name: String, left: DataFrame, lk: String,
+            right: DataFrame, rk: String): DataFrame = {
+      val a = cells(left.select(col(lk).as("k")), "na")
+      val b = cells(right.select(col(rk).as("k")), "nb")
+      a.join(b, Seq("j", "bucket"))
+        .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("est_j"))
+        .agg(min(col("est_j")).as("est_rows"))
+        .select(lit(name).as("join_name"), col("est_rows"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val est = one("lineitem_orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(one("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(one("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+    est.join(Profile.joinCardinality(spark, dir)
+        .select(col("join_name"), col("predicted_rows").as("exact_rows")),
+        Seq("join_name"))
+      .select(col("join_name"), col("est_rows"), col("exact_rows"),
+        (col("est_rows") - col("exact_rows")).as("overcount"))
+      .orderBy(col("join_name"))
+  }
+
+  def cmsJoinSizeSql(depth: Int = 3, width: Int = 256): String = {
+    val P = 1000003L
+    def bucket(j: Int, k: String) =
+      s"((($k * ${37L + 101L * j} + ${17L + 61L * j}) % $P) % $width)"
+    def bucketCase(k: String) =
+      (0 until depth).map(j => s"WHEN $j THEN ${bucket(j, k)}")
+        .mkString("CASE j ", " ", " END")
+    def cellsSql(table: String, key: String) =
+      s"""SELECT j, ${bucketCase(key)} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM $table CROSS JOIN (SELECT unnest(range($depth)) AS j) d
+         |  GROUP BY 1, 2""".stripMargin
+    def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name,
+         |  CAST(MIN(est_j) AS BIGINT) AS est_rows
+         |FROM (
+         |  SELECT a.j, CAST(SUM(a.n * b.n) AS BIGINT) AS est_j
+         |  FROM (${cellsSql(lt, lk)}) a
+         |  JOIN (${cellsSql(rt, rk)}) b
+         |    ON a.j = b.j AND a.bucket = b.bucket
+         |  GROUP BY a.j)""".stripMargin
+    val est = Seq(
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH est AS (
+       |$est),
+       |exact AS (${Profile.joinCardinalitySql})
+       |SELECT e.join_name, e.est_rows,
+       |  x.predicted_rows AS exact_rows,
+       |  e.est_rows - x.predicted_rows AS overcount
+       |FROM est e JOIN exact x USING (join_name)
+       |ORDER BY e.join_name""".stripMargin
+  }
+
   /** sk9: SKETCH SET ALGEBRA — weekday vs weekend audience overlap from
     * mergeable HLL sketches alone: the union is `hll_union_agg` over the
     * two group sketches and the intersection is inclusion–exclusion

@@ -156,6 +156,21 @@ class SketchesSpec extends GraftSpec {
     assert(res.map(_.getAs[Long]("n_true_match")).sum === exact)
   }
 
+  test("sk10: CMS join-size estimate is one-sided and within the " +
+    "L1-bound of the exact size") {
+    val r = Sketches.cmsJoinSize(spark, sfDir).collect()
+    assert(r.length === 3)
+    r.foreach { x =>
+      // colliding keys only add phantom products: never an under-estimate
+      assert(x.getAs[Long]("overcount") >= 0L,
+        s"${x.getAs[String]("join_name")}: CMS inner product under-counted")
+      // and the error stays in the ||a||1*||b||1/w regime, not degenerate
+      assert(x.getAs[Long]("est_rows") <=
+        50L * math.max(1L, x.getAs[Long]("exact_rows")),
+        s"${x.getAs[String]("join_name")}: estimate degenerate")
+    }
+  }
+
   test("sk9: sketch set algebra brackets the exact segment overlap") {
     val r = Sketches.audienceOverlap(spark, sfDir).collect()
     assert(r.length === 1)
