@@ -504,6 +504,85 @@ object Profile {
        |ORDER BY join_name""".stripMargin
   }
 
+  /** k9: REFERENTIAL-INTEGRITY AUDIT over the warehouse's FK edges —
+    * the data-quality gate a lake runs after every ingest batch (the
+    * constraint a warehouse would DECLARE but a parquet lake can only
+    * CHECK): per edge, child rows, NULL foreign keys (legal but worth
+    * counting — they silently vanish from inner joins), orphan keys
+    * (child key absent from the parent) and the rows they strand, and
+    * an ok/violations verdict. Orphans are computed on the KEY-SIZED
+    * per-key count relation (k8's silver), never a row-sized
+    * anti-join: child keys aggregate map-side-combinably, the
+    * anti-join against the parent's key projection moves distinct keys
+    * only, and the small dimension parents broadcast. Six edges cover
+    * the full lineitem→orders→customer→nation→region and
+    * lineitem→{part,supplier} star. */
+  /** One FK edge of [[fkIntegrity]] — public so specs can audit
+    * constructed relations with injected orphans/nulls. */
+  def fkEdge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+    val counts = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("ca"))
+    val nonNull = counts.filter(col("k").isNotNull)
+    val orphans = nonNull.join(
+        parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_keys"),
+        coalesce(sum(col("ca")), lit(0L)).as("orphan_rows"))
+    val base = counts.agg(
+      sum(col("ca")).as("child_rows"),
+      coalesce(sum(when(col("k").isNull, col("ca"))), lit(0L)).as("null_fk_rows"))
+    base.crossJoin(orphans)
+      .select(lit(name).as("edge_name"), col("child_rows"),
+        col("null_fk_rows"), col("orphan_keys"), col("orphan_rows"),
+        when(col("orphan_rows") === 0, "ok").otherwise("violations")
+          .as("verdict"))
+  }
+
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      fkEdge("customer_nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      fkEdge("lineitem_orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      fkEdge("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      fkEdge("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      fkEdge("nation_region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      fkEdge("orders_customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("edge_name"))
+  }
+
+  val fkIntegritySql: String = {
+    def one(name: String, ct: String, ck: String, pt: String, pk: String) =
+      s"""SELECT '$name' AS edge_name,
+         |  CAST(SUM(ca) AS BIGINT) AS child_rows,
+         |  CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN ca END), 0) AS BIGINT)
+         |    AS null_fk_rows,
+         |  CAST(COALESCE(SUM(CASE WHEN orphan THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS orphan_keys,
+         |  CAST(COALESCE(SUM(CASE WHEN orphan THEN ca END), 0) AS BIGINT)
+         |    AS orphan_rows,
+         |  CASE WHEN CAST(COALESCE(SUM(CASE WHEN orphan THEN ca END), 0) AS BIGINT) = 0
+         |    THEN 'ok' ELSE 'violations' END AS verdict
+         |FROM (
+         |  SELECT k, ca,
+         |    k IS NOT NULL AND k NOT IN (SELECT $pk FROM $pt) AS orphan
+         |  FROM (SELECT $ck AS k, CAST(COUNT(*) AS BIGINT) AS ca
+         |        FROM $ct GROUP BY 1))""".stripMargin
+    Seq(
+      one("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge_name")
+  }
+
   def partitionPlannerSql(targetBytes: Long = 65536L): String =
     s"""WITH p AS (
        |  SELECT lang, source,

@@ -992,6 +992,145 @@ object EventsBatch {
       .orderBy(col("event_type"))
   }
 
+  /** e20: SESSION-QUALITY DISTRIBUTION per day — e4's sessions rolled to
+    * the product-health dashboard row: sessions/users/events per
+    * session-start date, bounce share (single-event sessions, milli),
+    * and EXACT nearest-rank p50/p90 of session length (events) and
+    * session duration (seconds) — a34's positional idiom (value at row
+    * ceil(q·n) of the ordered series, a real data point both engines
+    * agree on bit-for-bit where interpolating quantile builtins
+    * diverge). The per-day rank windows are bounded-group (one
+    * calendar day of sessions), the same accepted posture as
+    * a34/e11; the session build itself rides e4's ONE user_id
+    * exchange. Durations are integer floor-division seconds. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) div 1000000") - expr("unix_micros(prev_ts) div 1000000") > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_id"), col("session_events"),
+        expr("(end_us - start_us) div 1000000").as("duration_sec"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("d"))
+    val byDay = Window.partitionBy(col("d"))
+    val evRank = byDay.orderBy(col("session_events"), col("user_id"), col("session_id"))
+    val duRank = byDay.orderBy(col("duration_sec"), col("user_id"), col("session_id"))
+    sessions
+      .withColumn("n", count(lit(1)).over(byDay))
+      .withColumn("rn_ev", row_number().over(evRank))
+      .withColumn("rn_du", row_number().over(duRank))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("session_events")).as("n_events"),
+        sum(when(col("session_events") === 1, 1L).otherwise(0L)).as("bounces"),
+        max(when(col("rn_ev") === expr("(n + 1) div 2"), col("session_events")))
+          .as("p50_events"),
+        max(when(col("rn_ev") === expr("(9 * n + 9) div 10"), col("session_events")))
+          .as("p90_events"),
+        max(when(col("rn_du") === expr("(n + 1) div 2"), col("duration_sec")))
+          .as("p50_duration_sec"),
+        max(when(col("rn_du") === expr("(9 * n + 9) div 10"), col("duration_sec")))
+          .as("p90_duration_sec"),
+        max(col("session_events")).as("max_events"))
+      .select(col("d"), col("n_sessions"), col("n_users"), col("n_events"),
+        expr("bounces * 1000 div n_sessions").as("bounce_milli"),
+        col("p50_events"), col("p90_events"),
+        col("p50_duration_sec"), col("p90_duration_sec"), col("max_events"))
+      .orderBy(col("d"))
+  }
+
+  val sessionStatsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |    CAST(COUNT(*) AS BIGINT) AS session_events,
+      |    (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+      |    strftime(make_timestamp(MIN(us)), '%Y-%m-%d') AS d
+      |  FROM sessioned GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(COUNT(*) OVER (PARTITION BY d) AS BIGINT) AS n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d
+      |      ORDER BY session_events, user_id, session_id) AS BIGINT) AS rn_ev,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d
+      |      ORDER BY duration_sec, user_id, session_id) AS BIGINT) AS rn_du
+      |  FROM per_session)
+      |SELECT d,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(session_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN session_events = 1 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS bounce_milli,
+      |  MAX(CASE WHEN rn_ev = (n + 1) // 2 THEN session_events END) AS p50_events,
+      |  MAX(CASE WHEN rn_ev = (9 * n + 9) // 10 THEN session_events END) AS p90_events,
+      |  MAX(CASE WHEN rn_du = (n + 1) // 2 THEN duration_sec END) AS p50_duration_sec,
+      |  MAX(CASE WHEN rn_du = (9 * n + 9) // 10 THEN duration_sec END) AS p90_duration_sec,
+      |  MAX(session_events) AS max_events
+      |FROM ranked GROUP BY d ORDER BY d""".stripMargin
+
+  /** e21: POWER-USER CURVE — the engagement histogram every DAU report
+    * hides: #users by #distinct active days, each bucket's share of the
+    * user base (milli) and the cumulative "at least this engaged" count
+    * (running sum from the most-active bucket down). Two map-side-
+    * combinable hash aggs — (user, day) distinct then per-user day
+    * count — and a histogram rollup; the running sum rides a window
+    * over the ≤|calendar days| histogram rows, never the data. The
+    * L28-style curve that separates a habit product from a drive-by
+    * one. */
+  def powerUserCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_days"))
+    val hist = perUser.groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val total = Window.partitionBy(lit(1))
+    val fromTop = Window.partitionBy(lit(1)).orderBy(col("active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("total_users", sum(col("n_users")).over(total))
+      .select(col("active_days"), col("n_users"),
+        expr("n_users * 1000 div total_users").as("share_milli"),
+        sum(col("n_users")).over(fromTop).as("users_at_least"))
+      .orderBy(col("active_days"))
+  }
+
+  val powerUserCurveSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+      |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |  GROUP BY user_id),
+      |hist AS (
+      |  SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM per_user GROUP BY active_days)
+      |SELECT active_days, n_users,
+      |  n_users * 1000 // CAST(SUM(n_users) OVER () AS BIGINT) AS share_milli,
+      |  CAST(SUM(n_users) OVER (ORDER BY active_days DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_at_least
+      |FROM hist ORDER BY active_days""".stripMargin
+
   def driftMonitorSql(thresholdMilli: Long = 50L): String =
     s"""WITH ev AS (
        |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -1394,4 +1394,137 @@ class CompositionSpec extends GraftSpec {
         cents(storeSub(s)._1))
     }
   }
+
+  test("v26: cell audit conserves the corpus; scan fraction bounded below " +
+    "by the uniform ideal") {
+    import graft.vector.Similarity
+    import graft.model.Tables
+    val nCells = 8
+    val rows = Similarity.cellBalance(spark, sfDir, nCells).collect()
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === corpus)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_milli") >= 0 &&
+        r.getAs[Long]("share_milli") <= 1000)
+      assert(r.getAs[Long]("dev_from_uniform_milli") >= -1000)
+    }
+    // expected scan fraction minimized by the uniform layout: >= 1/nCells
+    val scan = rows.head.getAs[Long]("expected_scan_milli")
+    assert(rows.forall(_.getAs[Long]("expected_scan_milli") == scan))
+    assert(scan >= 1000L / nCells - 1 && scan <= 1000L)
+    // exact recomputation of the scalar from the per-cell counts
+    val ns = rows.map(_.getAs[Long]("n_vectors"))
+    assert(scan === ns.map(n => n * n).sum * 1000 / (corpus * corpus))
+  }
+
+  test("v27: full-dimension row certifies recall exactly 1000; milli " +
+    "shares reproduce from hit counts") {
+    import graft.vector.Similarity
+    val rows = Similarity.dimTruncationRecall(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("dim"))
+    assert(rows.map(_.getAs[Long]("dim")).toSeq === Seq(8L, 16L, 32L, 64L))
+    val full = rows.last
+    assert(full.getAs[Long]("recall_milli") === 1000L,
+      "the d=max row scores the truth against itself and must be exact")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_milli") >= 0 &&
+        r.getAs[Long]("recall_milli") <= 1000)
+      // k=5 x nQueries=10: the milli share is exactly hits*1000 div 50
+      assert(r.getAs[Long]("recall_milli") === r.getAs[Long]("n_hits") * 1000 / 50)
+    }
+  }
+
+  test("e20: daily session stats reproduce an exact in-process recomputation") {
+    import graft.model.Tables
+    // rebuild the sessions single-process from the raw events, then the
+    // nearest-rank quantiles, and compare every output cell
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var sid = 0L
+      var prev = Long.MinValue
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)] // (sid, us)
+      sorted.foreach { case (_, _, us) =>
+        if (prev == Long.MinValue || us / 1000000 - prev / 1000000 > 1800) sid += 1
+        buf += ((user, sid, us))
+        prev = us
+      }
+      buf.groupBy(t => (t._1, t._2)).map { case ((u, s), es) =>
+        val uss = es.map(_._3)
+        (u, s, es.size.toLong, (uss.max - uss.min) / 1000000,
+          java.time.Instant.ofEpochSecond(uss.min / 1000000)
+            .toString.substring(0, 10))
+      }
+    }
+    def nearestRank(xs: Seq[Long], num: Int, den: Int): Long = {
+      val n = xs.size
+      xs.sorted.apply(((num.toLong * n + num) / den - 1).toInt)
+    }
+    val expected = sessions.groupBy(_._5).map { case (d, ss) =>
+      val evCounts = ss.sortBy(s => (s._3, s._1, s._2)).map(_._3)
+      val durs = ss.sortBy(s => (s._4, s._1, s._2)).map(_._4)
+      d -> (ss.size.toLong, ss.map(_._1).distinct.size.toLong, ss.map(_._3).sum,
+        ss.count(_._3 == 1).toLong * 1000 / ss.size,
+        nearestRank(evCounts, 1, 2), nearestRank(evCounts, 9, 10),
+        nearestRank(durs, 1, 2), nearestRank(durs, 9, 10))
+    }
+    val got = EventsBatch.sessionStats(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nS, nU, nE, bounce, p50e, p90e, p50d, p90d) =
+        expected(r.getAs[String]("d"))
+      assert(r.getAs[Long]("n_sessions") === nS)
+      assert(r.getAs[Long]("n_users") === nU)
+      assert(r.getAs[Long]("n_events") === nE)
+      assert(r.getAs[Long]("bounce_milli") === bounce)
+      assert(r.getAs[Long]("p50_events") === p50e)
+      assert(r.getAs[Long]("p90_events") === p90e)
+      assert(r.getAs[Long]("p50_duration_sec") === p50d)
+      assert(r.getAs[Long]("p90_duration_sec") === p90d)
+      assert(p50e <= p90e && p50d <= p90d)
+    }
+  }
+
+  test("e21: power-user curve conserves users; cumulative column is the " +
+    "suffix sum and starts at the full user base") {
+    import graft.model.Tables
+    val rows = EventsBatch.powerUserCurve(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("active_days"))
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === totalUsers)
+    // users_at_least(d) = sum of n_users over buckets >= d
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val suffix = rows.drop(i).map(_.getAs[Long]("n_users")).sum
+      assert(r.getAs[Long]("users_at_least") === suffix)
+      assert(r.getAs[Long]("share_milli") ===
+        r.getAs[Long]("n_users") * 1000 / totalUsers)
+    }
+    assert(rows.head.getAs[Long]("users_at_least") === totalUsers)
+  }
+
+  test("k9: TPC-H testdata is referentially intact; injected orphans and " +
+    "null FKs are counted exactly") {
+    import spark.implicits._
+    val audit = Profile.fkIntegrity(spark, sfDir).collect()
+    assert(audit.length === 6)
+    audit.foreach(r => assert(r.getAs[String]("verdict") === "ok",
+      s"${r.getAs[String]("edge_name")} unexpectedly has orphans"))
+    // fixture: 2 orphan keys (one with 2 rows), 3 null-FK rows
+    val child = Seq(
+      (1L, "a"), (1L, "b"), (2L, "c"), (99L, "d"), (98L, "e"), (98L, "f"))
+      .toDF("fk", "payload")
+      .unionByName(Seq(("x"), ("y"), ("z")).toDF("payload")
+        .withColumn("fk", lit(null).cast("long"))
+        .select(col("fk"), col("payload")))
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.fkEdge("t", child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("child_rows") === 9L)
+    assert(r.getAs[Long]("null_fk_rows") === 3L)
+    assert(r.getAs[Long]("orphan_keys") === 2L)
+    assert(r.getAs[Long]("orphan_rows") === 3L)
+    assert(r.getAs[String]("verdict") === "violations")
+  }
 }

@@ -200,7 +200,22 @@ class PlanShapeSpec extends GraftSpec {
         "never the data-sized join itself (3 joins x 3)"),
     ("t23_novelty_curve", 3,
       "first-occurrence agg + join riding the shingle partitioning + " +
-        "one doc rollup — d4's inverted-index shape, never all-pairs")
+        "one doc rollup — d4's inverted-index shape, never all-pairs"),
+    ("e20_session_stats", 2,
+      "session build rides e4's one user exchange; both per-day rank " +
+        "windows AND the day rollup ride one day exchange"),
+    ("e21_power_user_curve", 3,
+      "(user,day) distinct + per-user day count + histogram rollup; the " +
+        "share/cumulative windows touch <=|calendar days| rows"),
+    ("v26_cell_balance", 2,
+      "v4's assignment window + the |cells|-sized rollup; centroids broadcast"),
+    ("v27_matryoshka_recall", 5,
+      "per-level rank windows (x2 subtrees: approx + truth) + the " +
+        "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("k9_fk_integrity", 18,
+      "3 per edge x 6: the child key-count agg (the only data-sized " +
+        "move) + key-sized distinct/anti-join plumbing — never a " +
+        "row-sized anti-join")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
