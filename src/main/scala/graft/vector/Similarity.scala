@@ -2025,4 +2025,146 @@ object Similarity {
        |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, cosine
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** v26: IVF CELL-BALANCE AUDIT — k2's skew diagnostic applied to the
+    * vector index: per cell, the assigned-vector count, its share of
+    * the corpus (milli), the deviation from the uniform ideal (milli,
+    * signed), and the corpus-wide expected scan fraction at nProbe=1
+    * for a corpus-distributed query — Σ share_c² (probability the
+    * query lands in cell c × the cost of scanning its n_c rows). An
+    * imbalanced IVF quietly degrades to brute force on hot cells (the
+    * vector-index version of a hot join key); this is the number to
+    * check BEFORE shipping v4/v11's index layout, and the case for
+    * re-training centroids (Lloyd) when it drifts. The assignment is
+    * v4's own window (same donor centroids, so the audit describes
+    * exactly the shipped index); everything after is a |cells|-sized
+    * rollup. Integer arithmetic throughout. */
+  def cellBalance(spark: SparkSession, dir: String,
+                  nCentroids: Int = 8): DataFrame = {
+    val cells = ivfRanked(spark, dir, nCentroids)
+      .filter(col("crank") === 1)
+      .groupBy(col("centroid_id").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = Window.partitionBy(lit(1))
+    cells
+      .withColumn("total_vectors", sum(col("n_vectors")).over(total))
+      .withColumn("sq_sum", sum(col("n_vectors") * col("n_vectors")).over(total))
+      .select(col("cell"), col("n_vectors"),
+        expr("n_vectors * 1000 div total_vectors").as("share_milli"),
+        expr(s"n_vectors * $nCentroids * 1000 div total_vectors - 1000")
+          .as("dev_from_uniform_milli"),
+        expr("sq_sum * 1000 div (total_vectors * total_vectors)")
+          .as("expected_scan_milli"))
+      .orderBy(col("cell"))
+  }
+
+  def cellBalanceSql(nCentroids: Int = 8): String =
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff),
+       |cells AS (
+       |  SELECT centroid_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM ranked WHERE crank = 1 GROUP BY 1)
+       |SELECT cell, n_vectors,
+       |  n_vectors * 1000 // CAST(SUM(n_vectors) OVER () AS BIGINT) AS share_milli,
+       |  n_vectors * $nCentroids * 1000
+       |    // CAST(SUM(n_vectors) OVER () AS BIGINT) - 1000 AS dev_from_uniform_milli,
+       |  CAST(SUM(n_vectors * n_vectors) OVER () * 1000
+       |    // (SUM(n_vectors) OVER () * SUM(n_vectors) OVER ()) AS BIGINT)
+       |    AS expected_scan_milli
+       |FROM cells ORDER BY cell""".stripMargin
+
+  /** v27: DIMENSION-TRUNCATION RECALL — the Matryoshka operating curve:
+    * recall@k when ranking on only the FIRST d dimensions of each
+    * embedding (d ∈ 8/16/32/64), scored against the full-dimension
+    * exact top-k. This is the capacity menu along the DIMENSION axis
+    * the way v23 is along the bytes-per-value axis: an MRL-style index
+    * keeps the d-prefix hot (d/64ths of the scan bytes) and reranks
+    * survivors on the full vector, and this table says what each
+    * prefix costs in retrieval quality. One broadcast-query pass per
+    * level over the corpus (the levels relation is a 4-row literal);
+    * truncated dots are strict left-to-right folds over the prefix in
+    * BOTH engines, so the table is oracle-checked. The d=64 row is
+    * self-certifying (recall exactly 1000 milli — asserted in spec,
+    * v18's discipline). */
+  def dimTruncationRecall(spark: SparkSession, dir: String, k: Int = 5,
+                          nQueries: Int = defaultNQueries,
+                          dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val fullDim = dims.max
+    val levels = broadcast(dims.toDF("dim"))
+    val e = Tables.embeddings(spark, dir)
+    val eLvl = e.crossJoin(levels)
+      .withColumn("t_emb", slice(col("embedding"), lit(1), col("dim")))
+      .withColumn("t_norm2", dotCol(col("t_emb"), col("t_emb")))
+    val q = eLvl.filter(col("vec_id") < nQueries).select(
+      col("dim"), col("vec_id").as("query_id"),
+      col("t_emb").as("q_emb"), col("t_norm2").as("q_norm2"))
+    val cand = eLvl.select(col("dim"), col("vec_id").as("neighbor_id"),
+      col("t_emb").as("n_emb"), col("t_norm2").as("n_norm2"))
+    val pairs = broadcast(q).join(cand, Seq("dim"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")), col("q_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+    val truth = ranked.filter(col("dim") === fullDim)
+      .select(col("query_id"), col("neighbor_id"))
+    ranked.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("dim").cast("long").as("dim"), col("n_hits"),
+        expr(s"n_hits * 1000 div (${k.toLong} * $nQueries)").as("recall_milli"))
+      .orderBy(col("dim"))
+  }
+
+  def dimTruncationRecallSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                             dims: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    val fullDim = dims.max
+    def tdot(x: String, y: String, d: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+        s"for i in range(1, $d + 1)]), (acc, v) -> acc + v)"
+    s"""WITH levels AS (SELECT unnest([${dims.mkString(", ")}]) AS dim),
+       |e AS (
+       |  SELECT l.dim, v.vec_id, v.embedding,
+       |    ${tdot("v.embedding", "v.embedding", "l.dim")} AS t_norm2
+       |  FROM embeddings v CROSS JOIN levels l),
+       |pairs AS (
+       |  SELECT q.dim, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${tdot("q.embedding", "n.embedding", "q.dim")}
+       |      / sqrt(q.t_norm2 * n.t_norm2) AS cosine
+       |  FROM e q JOIN e n ON q.dim = n.dim
+       |    AND q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT dim, query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY dim, query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs),
+       |topk AS (SELECT * FROM ranked WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM topk WHERE dim = $fullDim)
+       |SELECT CAST(a.dim AS BIGINT) AS dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(*) AS BIGINT) * 1000 // (${k} * $nQueries) AS recall_milli
+       |FROM topk a
+       |WHERE EXISTS (SELECT 1 FROM truth t
+       |  WHERE t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+       |GROUP BY a.dim ORDER BY dim""".stripMargin
+  }
 }
