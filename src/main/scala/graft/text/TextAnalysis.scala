@@ -1029,4 +1029,170 @@ object TextAnalysis {
        |    // COUNT(*) AS BIGINT) AS novelty_milli
        |FROM ds d JOIN first f USING (shingle)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** t24: GOOD-TURING ADJUSTED COUNTS over the corpus 3-gram spectrum —
+    * the smoothing table a Katz-backoff n-gram LM is built from: for
+    * observed count r = 1..7, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (milli precision, exact integer floor)
+    * that substitutes for the raw r, the implied discount (r* over r),
+    * and the unseen-mass pool P0 = N_1/N (the same milli value on every
+    * row, the v26 idiom). The basis is token 3-shingles (multiset,
+    * not d4's per-doc distinct sets) because that is where the
+    * estimator lives — n-gram counts have the Zipf tail GT corrects,
+    * where this corpus's word unigrams bottom out at c=26 and leave
+    * the table empty. r stops at 7 because N_8 is the last EXACT
+    * t19-style bucket. Shape: one map-side-combinable shingle agg,
+    * an 8-row exact-spectrum rollup, then arithmetic over ≤8 rows.
+    * All-integer, oracle-checked; a spec re-derives the identity
+    * r*·N_r ≈ (r+1)·N_{r+1} from the output. */
+  /** Corpus-wide token-3-shingle frequency spectrum with per-bucket
+    * type count and token mass — the ≤64-row silver t24 (and any
+    * other spectrum consumer) derives from, so the corpus-sized
+    * shingle aggregate runs ONCE per session, not once per derived
+    * statistic. Buckets are EXACT for c ≤ 15 and power-of-two from
+    * 16 up — NOT t19's exact-to-8 rule, because there floor-log2
+    * folds c = 9..15 into "bucket 8" on top of the exact c = 8 rows
+    * (harmless for t19/t25, whose consumers only need floor-log2
+    * resolution, but it would corrupt N_8 in the GT estimator). */
+  def shingleSpectrum(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "shingleSpectrum", dir) {
+      Corpus.docsTok(spark, dir)
+        .select(explode(Corpus.shinglesOf(col("words"))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .withColumn("bucket",
+          when(col("c") <= 15L, col("c"))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_words"), sum("c").as("mass"))
+        .cache()
+    }
+
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = shingleSpectrum(spark, dir)
+    val spec = spectrum.filter(col("bucket") <= 8L)
+      .select(col("bucket").as("r"), col("n_words").as("n_r"))
+    val nxt = spec.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
+    val p0 = spectrum.agg(
+        coalesce(sum(when(col("bucket") === 1L, col("n_words"))), lit(0L))
+          .as("n_1"),
+        sum(col("mass")).as("n_total"))
+      .select(expr("n_1 * 1000 div n_total").as("unseen_mass_milli"))
+    spec.join(nxt, Seq("r"))
+      .filter(col("r") <= 7L)
+      .crossJoin(broadcast(p0))
+      .select(col("r"), col("n_r"), col("n_r_next"),
+        expr("(r + 1) * n_r_next * 1000 div n_r").as("r_star_milli"),
+        expr("(r + 1) * n_r_next * 1000 div (n_r * r)").as("discount_milli"),
+        col("unseen_mass_milli"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringSql: String =
+    s"""WITH occ AS (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(${Corpus.shinglesSqlExpr}) AS sh FROM documents)
+       |  GROUP BY sh),
+       |spectrum AS (
+       |  SELECT
+       |    CASE WHEN c <= 15 THEN c
+       |         ELSE CAST(1 AS BIGINT) << (length(format('{:b}', c)) - 1)
+       |    END AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(c) AS BIGINT) AS mass
+       |  FROM occ GROUP BY 1),
+       |spec AS (
+       |  SELECT bucket AS r, n_words AS n_r FROM spectrum WHERE bucket <= 8),
+       |p0 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN bucket = 1 THEN n_words END), 0)
+       |      * 1000 // CAST(SUM(mass) AS BIGINT) AS BIGINT) AS unseen_mass_milli
+       |  FROM spectrum)
+       |SELECT s.r, s.n_r, n.n_r AS n_r_next,
+       |  (s.r + 1) * n.n_r * 1000 // s.n_r AS r_star_milli,
+       |  (s.r + 1) * n.n_r * 1000 // (s.n_r * s.r) AS discount_milli,
+       |  p0.unseen_mass_milli
+       |FROM spec s JOIN spec n ON n.r = s.r + 1
+       |CROSS JOIN p0
+       |WHERE s.r <= 7
+       |ORDER BY s.r""".stripMargin
+
+  /** t25: ZIPF RANK-FREQUENCY SLOPE per language — the corpus-health
+    * fit (natural text's type-frequency curve is near-linear in
+    * log-log; template/boilerplate corpora flatten, spam steepens)
+    * computed WITHOUT a vocabulary-sized rank window: on a log-log
+    * plot the rank of the last type with frequency ≥ f is the suffix
+    * sum of t19's spectrum, so the fit points come from the
+    * LOG-BOUNDED spectrum (≤ 64 rows per lang), never from ranking
+    * the vocabulary. Types are token 3-shingles (t24's basis, and
+    * for the same reason: this corpus's 31-word unigram vocabulary
+    * has no tail to fit). x = floor-log2(f) via
+    * binary-string length (t13's engine-portable log), y =
+    * floor-log2(rank(f)); slope/intercept by a30's closed form —
+    * exact integer moments, doubles only in the final two divisions,
+    * identical op order both engines. One map-combinable (lang, word)
+    * agg + a per-lang spectrum rollup + arithmetic over log-bounded
+    * rows. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val spec = Corpus.docsTok(spark, dir)
+      .select(col("lang"), explode(Corpus.shinglesOf(col("words"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .withColumn("bucket",
+        when(col("c") <= 8L, col("c"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_words"))
+    val wSuffix = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = spec
+      .withColumn("rank_at", sum(col("n_words")).over(wSuffix))
+      .select(col("lang"),
+        expr("length(bin(bucket)) - 1").cast("long").as("x"),
+        expr("length(bin(rank_at)) - 1").cast("long").as("y"))
+    points.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        expr("CAST(n_points * sxy - sx * sy AS DOUBLE)") /
+          expr("CAST(nullif(n_points * sxx - sx * sx, 0) AS DOUBLE)"))
+      .withColumn("intercept",
+        (expr("CAST(sy AS DOUBLE)") - col("slope") * expr("CAST(sx AS DOUBLE)")) /
+          expr("CAST(n_points AS DOUBLE)"))
+      .select(col("lang"), col("n_points"), col("slope"), col("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH occ AS (
+       |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT lang, unnest(${Corpus.shinglesSqlExpr}) AS word
+       |        FROM documents)
+       |  GROUP BY lang, word),
+       |spec AS (
+       |  SELECT lang,
+       |    CASE WHEN c <= 8 THEN c
+       |         ELSE CAST(1 AS BIGINT) << (length(format('{:b}', c)) - 1)
+       |    END AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words
+       |  FROM occ GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT lang,
+       |    CAST(length(format('{:b}', bucket)) - 1 AS BIGINT) AS x,
+       |    CAST(length(format('{:b}', CAST(SUM(n_words) OVER (
+       |      PARTITION BY lang ORDER BY bucket DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT))) - 1 AS BIGINT) AS y
+       |  FROM spec),
+       |mom AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY lang)
+       |SELECT lang, n_points,
+       |  CAST(n_points * sxy - sx * sy AS DOUBLE)
+       |    / CAST(nullif(n_points * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+       |  (CAST(sy AS DOUBLE) - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+       |    / CAST(nullif(n_points * sxx - sx * sx, 0) AS DOUBLE))
+       |    * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE) AS intercept
+       |FROM mom ORDER BY lang""".stripMargin
 }

@@ -1434,6 +1434,71 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("t24: Good-Turing table reproduces from an in-process shingle count; " +
+    "GT identities hold") {
+    import graft.text.{Corpus, TextAnalysis}
+    // in-process shingle multiset counts from the same tokenization
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Corpus.docsTok(spark, sfDir).select(col("words")).collect().foreach { r =>
+      val ws = r.getSeq[String](0)
+      if (ws.length >= 3)
+        ws.sliding(3).foreach(s =>
+          counts.updateWith(s.mkString(" "))(c => Some(c.getOrElse(0L) + 1)))
+    }
+    val nR = counts.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val total = counts.values.sum
+    val p0 = nR.getOrElse(1L, 0L) * 1000 / total
+    val rows = TextAnalysis.goodTuring(spark, sfDir).collect()
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      assert(r.getAs[Long]("n_r") === nR(rr))
+      assert(r.getAs[Long]("n_r_next") === nR(rr + 1))
+      assert(r.getAs[Long]("r_star_milli") ===
+        (rr + 1) * nR(rr + 1) * 1000 / nR(rr))
+      assert(r.getAs[Long]("discount_milli") ===
+        (rr + 1) * nR(rr + 1) * 1000 / (nR(rr) * rr))
+      assert(r.getAs[Long]("unseen_mass_milli") === p0)
+    }
+    // every r with both N_r and N_{r+1} observed in 1..7 appears
+    val expected = (1L to 7L).filter(r => nR.contains(r) && nR.contains(r + 1))
+    assert(rows.map(_.getAs[Long]("r")).toSeq.sorted === expected)
+  }
+
+  test("t25: Zipf fit reproduces from an in-process spectrum suffix-sum OLS") {
+    import graft.text.{Corpus, TextAnalysis}
+    val byLang = scala.collection.mutable.Map.empty[(String, String), Long]
+    Corpus.docsTok(spark, sfDir).select(col("lang"), col("words")).collect()
+      .foreach { r =>
+        val lang = r.getString(0); val ws = r.getSeq[String](1)
+        if (ws.length >= 3)
+          ws.sliding(3).foreach(s =>
+            byLang.updateWith((lang, s.mkString(" ")))(c => Some(c.getOrElse(0L) + 1)))
+      }
+    def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = byLang.groupBy(_._1._1).map { case (lang, m) =>
+      val spec = m.values.groupBy(c => if (c <= 8) c else 1L << flog2(c))
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val pts = spec.keys.toSeq.sorted.map { b =>
+        val rank = spec.filter(_._1 >= b).values.sum
+        (flog2(b), flog2(rank))
+      }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      lang -> (n, slope, (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    }
+    val got = TextAnalysis.zipfSlope(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, slope, icept) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_points") === n)
+      assert(r.getAs[Double]("slope") === slope)
+      assert(r.getAs[Double]("intercept") === icept)
+    }
+  }
+
   test("e20: daily session stats reproduce an exact in-process recomputation") {
     import graft.model.Tables
     // rebuild the sessions single-process from the raw events, then the

@@ -207,6 +207,13 @@ class PlanShapeSpec extends GraftSpec {
     ("e21_power_user_curve", 3,
       "(user,day) distinct + per-user day count + histogram rollup; the " +
         "share/cumulative windows touch <=|calendar days| rows"),
+    ("t24_good_turing", 0,
+      "all corpus-sized movement lives in the cached shingleSpectrum " +
+        "silver (built once per session); the query itself is <=64-row " +
+        "arithmetic"),
+    ("t25_zipf_slope", 3,
+      "one (lang, shingle) agg + per-lang spectrum rollup; fit points " +
+        "and moments are log-bounded"),
     ("v26_cell_balance", 2,
       "v4's assignment window + the |cells|-sized rollup; centroids broadcast"),
     ("v27_matryoshka_recall", 5,
