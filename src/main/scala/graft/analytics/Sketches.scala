@@ -239,24 +239,26 @@ object Sketches {
   /** pmod so SIGNED keys (xxhash64 content hashes) land in [0, m) too;
     * for the non-negative TPC-H keys this is bit-identical to plain `%`,
     * which is what the sk8 oracle SQL writes. */
-  private def bloomPos(key: Column, a: Long, b: Long): Column =
-    (pmod(key, lit(bloomP)) * lit(a) + lit(b)) % bloomP % bloomBits
+  private def bloomPos(key: Column, a: Long, b: Long,
+                       bits: Long = bloomBits): Column =
+    (pmod(key, lit(bloomP)) * lit(a) + lit(b)) % bloomP % bits
 
-  private def bloomPosSql(key: String, a: Long, b: Long): String =
-    s"(($key % $bloomP) * $a + $b) % $bloomP % $bloomBits"
+  private def bloomPosSql(key: String, a: Long, b: Long,
+                          bits: Long = bloomBits): String =
+    s"(($key % $bloomP) * $a + $b) % $bloomP % $bits"
 
   /** Fold the LongType `h` column of `keys` into the fixed 1024-long
     * bitmask — one map-combinable bit_or aggregate; the collect is
     * bounded by the mask SIZE (1024 rows), never the key cardinality. */
-  def bloomMaskOf(keys: DataFrame): Array[Long] = {
+  def bloomMaskOf(keys: DataFrame, bits: Long = bloomBits): Array[Long] = {
     val words = keys
       .select(explode(array(bloomHashes.map { case (a, b) =>
-        bloomPos(col("h"), a, b) }: _*)).as("pos"))
+        bloomPos(col("h"), a, b, bits) }: _*)).as("pos"))
       .select(expr("pos div 64").as("word"),
         expr("shiftleft(1L, int(pos % 64))").as("bit"))
       .groupBy(col("word")).agg(bit_or(col("bit")).as("mask"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Array.tabulate((bloomBits / 64).toInt)(w => words.getOrElse(w.toLong, 0L))
+    Array.tabulate((bits / 64).toInt)(w => words.getOrElse(w.toLong, 0L))
   }
 
   /** Append `bloom_pass` testing `key` against `mask` — a LITERAL-array
@@ -266,17 +268,18 @@ object Sketches {
     * with two's complement and an arithmetic shift that equals
     * (word >> b) & 1 for every long including sign-bit words. */
   def withBloomPass(df: DataFrame, key: Column,
-                    mask: Array[Long]): DataFrame = {
+                    mask: Array[Long], bits: Long = bloomBits,
+                    passCol: String = "bloom_pass"): DataFrame = {
     val bitTests = bloomHashes.indices.map(i =>
       s"pmod(shiftright(element_at(graft_bloom_mask, int(graft_bp$i div 64) + 1), " +
         s"int(graft_bp$i % 64)), 2) = 1")
     bloomHashes.zipWithIndex
       .foldLeft(df) { case (d, ((a, b), i)) =>
-        d.withColumn(s"graft_bp$i", bloomPos(key, a, b))
+        d.withColumn(s"graft_bp$i", bloomPos(key, a, b, bits))
       }
       .withColumn("graft_bloom_mask",
         array(mask.toIndexedSeq.map(lit): _*))
-      .withColumn("bloom_pass", expr(bitTests.mkString(" AND ")))
+      .withColumn(passCol, expr(bitTests.mkString(" AND ")))
       .drop(("graft_bloom_mask" +: bloomHashes.indices.map(i => s"graft_bp$i")): _*)
   }
 
@@ -462,5 +465,86 @@ object Sketches {
       .select(col("n_weekday"), col("n_weekend"), col("n_union"),
         (col("n_weekday") + col("n_weekend") - col("n_union"))
           .as("n_overlap_est"))
+  }
+
+  /** sk11: BLOOM MASK-WIDTH SWEEP — the operating curve sk8's filter is
+    * tuned on, the way d21's bands×rows sweep tunes d2's LSH: the SAME
+    * build set and probe stream scored at mask widths m = 2^12..2^16
+    * (3 hashes throughout), emitting per width the pass count, the
+    * true-match count, the false positives, and the measured FPR over
+    * the true-negative probe population (milli). One-sided at every
+    * width (a Bloom filter never drops a true match — spec-asserted),
+    * so the sweep reads as "what scan fraction does each 0.5..8 KB of
+    * broadcast budget buy". Shape: each width's mask is collected
+    * bounded by its own SIZE (bloomMaskOf's bit_or agg), the probe
+    * pass columns are literal-array map work (zero probe-sized
+    * shuffles — sk8's posture × 5), and the per-width reshape is a
+    * map-side stack into ONE ledger rollup. The affine hash family is
+    * engine-portable integer arithmetic, so unlike a murmur-backed
+    * filter the whole sweep is oracle-checked. */
+  def bloomSweep(spark: SparkSession, dir: String,
+                 bitsLevels: Seq[Long] =
+                   Seq(4096L, 8192L, 16384L, 32768L, 65536L)): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    val probeBase = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val withPasses = bitsLevels.foldLeft(probeBase) { (d, m) =>
+      withBloomPass(d, col("l_orderkey"),
+        bloomMaskOf(build.select(col("k").as("h")), m), m, s"pass_$m")
+    }
+    val isMatch = broadcast(build)
+    val stacked = withPasses
+      .join(isMatch, withPasses("l_orderkey") === isMatch("k"), "left")
+      .withColumn("is_match", col("k").isNotNull)
+      .select(col("is_match"), expr(
+        s"stack(${bitsLevels.size}, " +
+          bitsLevels.map(m => s"CAST($m AS BIGINT), pass_$m").mkString(", ") +
+          ") AS (m_bits, pass)"))
+    stacked.groupBy(col("m_bits"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"),
+        sum(when(col("pass") && !col("is_match"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("m_bits"), col("n_probe"), col("n_pass"),
+        col("n_true_match"), col("n_false_pos"),
+        expr("n_false_pos * 1000 div (n_probe - n_true_match)")
+          .as("fpr_milli"))
+      .orderBy(col("m_bits"))
+  }
+
+  def bloomSweepSql(bitsLevels: Seq[Long] =
+                      Seq(4096L, 8192L, 16384L, 32768L, 65536L)): String = {
+    def level(m: Long): String = {
+      val posCases = bloomHashes.zipWithIndex.map { case ((a, b), i) =>
+        s"${bloomPosSql("l_orderkey", a, b, m)} AS p$i" }.mkString(", ")
+      val buildPos = bloomHashes.map { case (a, b) =>
+        s"SELECT ${bloomPosSql("k", a, b, m)} AS pos FROM build" }
+        .mkString(" UNION ")
+      s"""(WITH bits AS ($buildPos),
+         |probe AS (
+         |  SELECT l_orderkey, $posCases FROM lineitem),
+         |flags AS (
+         |  SELECT
+         |    (p0 IN (SELECT pos FROM bits)
+         |      AND p1 IN (SELECT pos FROM bits)
+         |      AND p2 IN (SELECT pos FROM bits)) AS pass,
+         |    l_orderkey IN (SELECT k FROM build) AS is_match
+         |  FROM probe)
+         |SELECT CAST($m AS BIGINT) AS m_bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+         |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+         |  CAST(SUM(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CAST(SUM(CASE WHEN pass AND NOT is_match THEN 1 ELSE 0 END) * 1000
+         |    // (COUNT(*) - CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT))
+         |    AS BIGINT) AS fpr_milli
+         |FROM flags)""".stripMargin
+    }
+    s"""WITH build AS (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderpriority = '1-URGENT')
+       |${bitsLevels.map(level).mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY m_bits""".stripMargin
   }
 }

@@ -348,4 +348,77 @@ object Flatten {
        |    AS stickiness
        |FROM g JOIN r ON g.event_date = r.window_day
        |ORDER BY date""".stripMargin
+
+  /** x10: TABLE-HEALTH REPORT — the per-table data-quality card an
+    * ingest pipeline publishes after every batch: row count for all
+    * seven warehouse tables plus the k9 referential-integrity rollup
+    * for the four that carry foreign keys (edges audited, edges clean,
+    * orphan keys/rows, NULL FKs) and a three-way health verdict
+    * (`ok` / `violations` / `no_fk` for pure dimension tables). A
+    * projection-rollup over the k9 relation joined to seven count(*)
+    * aggregates — every input is metadata-priced at any scale (counts
+    * are map-combinable; k9's shape is its own key-sized argument). */
+  def exportTableHealth(spark: SparkSession, dir: String): DataFrame = {
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "customer" -> Tables.customer(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "nation" -> Tables.nation(spark, dir),
+      "orders" -> Tables.orders(spark, dir),
+      "part" -> Tables.part(spark, dir),
+      "region" -> Tables.region(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir))
+    val counts = tables.map { case (n, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _)
+    val fk = graft.analytics.Profile.fkIntegrity(spark, dir)
+      .withColumn("table_name", split(col("edge_name"), "_").getItem(0))
+      .groupBy("table_name")
+      .agg(count(lit(1)).as("n_fk_edges"),
+        sum(when(col("verdict") === "ok", 1L).otherwise(0L)).as("n_ok_edges"),
+        sum(col("orphan_keys")).as("orphan_keys"),
+        sum(col("orphan_rows")).as("orphan_rows"),
+        sum(col("null_fk_rows")).as("null_fk_rows"))
+    counts.join(fk, Seq("table_name"), "left")
+      .select(col("table_name"), col("n_rows"),
+        coalesce(col("n_fk_edges"), lit(0L)).as("n_fk_edges"),
+        coalesce(col("n_ok_edges"), lit(0L)).as("n_ok_edges"),
+        coalesce(col("orphan_keys"), lit(0L)).as("orphan_keys"),
+        coalesce(col("orphan_rows"), lit(0L)).as("orphan_rows"),
+        coalesce(col("null_fk_rows"), lit(0L)).as("null_fk_rows"),
+        when(col("n_fk_edges").isNull, "no_fk")
+          .when(col("n_ok_edges") === col("n_fk_edges"), "ok")
+          .otherwise("violations").as("health"))
+      .orderBy("table_name")
+  }
+
+  val exportTableHealthSql: String = {
+    val names = Seq("customer", "lineitem", "nation", "orders",
+      "part", "region", "supplier")
+    val counts = names.map(n =>
+      s"SELECT '$n' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM $n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH fk_raw AS (${graft.analytics.Profile.fkIntegritySql}),
+       |fk AS (
+       |  SELECT string_split(edge_name, '_')[1] AS table_name,
+       |    CAST(COUNT(*) AS BIGINT) AS n_fk_edges,
+       |    CAST(SUM(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ok_edges,
+       |    CAST(SUM(orphan_keys) AS BIGINT) AS orphan_keys,
+       |    CAST(SUM(orphan_rows) AS BIGINT) AS orphan_rows,
+       |    CAST(SUM(null_fk_rows) AS BIGINT) AS null_fk_rows
+       |  FROM fk_raw GROUP BY 1),
+       |counts AS (
+       |  $counts)
+       |SELECT c.table_name, c.n_rows,
+       |  COALESCE(f.n_fk_edges, 0) AS n_fk_edges,
+       |  COALESCE(f.n_ok_edges, 0) AS n_ok_edges,
+       |  COALESCE(f.orphan_keys, 0) AS orphan_keys,
+       |  COALESCE(f.orphan_rows, 0) AS orphan_rows,
+       |  COALESCE(f.null_fk_rows, 0) AS null_fk_rows,
+       |  CASE WHEN f.n_fk_edges IS NULL THEN 'no_fk'
+       |    WHEN f.n_ok_edges = f.n_fk_edges THEN 'ok'
+       |    ELSE 'violations' END AS health
+       |FROM counts c LEFT JOIN fk f USING (table_name)
+       |ORDER BY table_name""".stripMargin
+  }
 }

@@ -1434,6 +1434,62 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("sk11: every mask width is one-sided; FPR reproduces from counts; " +
+    "the widest mask agrees with sk8's ledger") {
+    import graft.analytics.Sketches
+    val rows = Sketches.bloomSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("m_bits"))
+    assert(rows.map(_.getAs[Long]("m_bits")).toSeq ===
+      Seq(4096L, 8192L, 16384L, 32768L, 65536L))
+    rows.foreach { r =>
+      // a Bloom filter never drops a true match
+      assert(r.getAs[Long]("n_pass") >= r.getAs[Long]("n_true_match"))
+      assert(r.getAs[Long]("n_false_pos") ===
+        r.getAs[Long]("n_pass") - r.getAs[Long]("n_true_match"))
+      assert(r.getAs[Long]("fpr_milli") ===
+        r.getAs[Long]("n_false_pos") * 1000 /
+          (r.getAs[Long]("n_probe") - r.getAs[Long]("n_true_match")))
+    }
+    // 16x more bits cannot hurt at these populations
+    assert(rows.head.getAs[Long]("fpr_milli") >=
+      rows.last.getAs[Long]("fpr_milli"))
+    // the m=65536 row IS sk8's configuration: totals must agree
+    val sk8 = Sketches.bloomPrune(spark, sfDir).collect()
+    val widest = rows.last
+    assert(widest.getAs[Long]("n_probe") ===
+      sk8.map(_.getAs[Long]("n_probe")).sum)
+    assert(widest.getAs[Long]("n_pass") ===
+      sk8.map(_.getAs[Long]("n_bloom_pass")).sum)
+    assert(widest.getAs[Long]("n_true_match") ===
+      sk8.map(_.getAs[Long]("n_true_match")).sum)
+    assert(widest.getAs[Long]("n_false_pos") ===
+      sk8.map(_.getAs[Long]("n_false_pos")).sum)
+  }
+
+  test("x10: table-health card agrees with k9 and the raw table counts") {
+    import graft.model.Tables
+    val card = graft.export.Flatten.exportTableHealth(spark, sfDir)
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(card.size === 7)
+    assert(card("lineitem").getAs[Long]("n_rows") ===
+      Tables.lineitem(spark, sfDir).count())
+    assert(card("region").getAs[Long]("n_rows") ===
+      Tables.region(spark, sfDir).count())
+    assert(card("lineitem").getAs[Long]("n_fk_edges") === 3L)
+    Seq("part", "region", "supplier").foreach { t =>
+      assert(card(t).getAs[String]("health") === "no_fk")
+      assert(card(t).getAs[Long]("n_fk_edges") === 0L)
+    }
+    val audits = Profile.fkIntegrity(spark, sfDir).collect()
+    val cleanByChild = audits.groupBy(_.getAs[String]("edge_name").split("_")(0))
+    cleanByChild.foreach { case (child, edges) =>
+      val expected =
+        if (edges.forall(_.getAs[String]("verdict") == "ok")) "ok"
+        else "violations"
+      assert(card(child).getAs[String]("health") === expected)
+    }
+  }
+
   test("t24: Good-Turing table reproduces from an in-process shingle count; " +
     "GT identities hold") {
     import graft.text.{Corpus, TextAnalysis}

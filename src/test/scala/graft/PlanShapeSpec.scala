@@ -219,6 +219,13 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("sk11_bloom_sweep", 2,
+      "all five masks probe as literal arrays (map-side, sk8's posture " +
+        "x5); build distinct + the stacked ledger rollup are the only " +
+        "exchanges — zero probe-sized shuffles"),
+    ("x10_export_table_health", 24,
+      "k9's 18 + seven metadata-priced count(*) aggregates folded by " +
+        "AQE + the per-table rollup"),
     ("k9_fk_integrity", 18,
       "3 per edge x 6: the child key-count agg (the only data-sized " +
         "move) + key-sized distinct/anti-join plumbing — never a " +
