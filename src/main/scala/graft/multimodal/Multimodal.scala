@@ -409,4 +409,48 @@ object Multimodal {
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy("media_a", "media_b")
   }
+
+  /** m9: VAD / SILENCE-TRIM SEGMENTATION — m6's per-window energies
+    * collapsed into maximal constant-activity runs (e17's rn−rn₂
+    * run-collapse algebra on the window index): a window is `active`
+    * when its mean-square energy clears `thresholdMeanSq`, and each
+    * emitted segment is one contiguous stretch of same-class windows
+    * with its bounds, window count, total energy and peak. This is the
+    * trim list an audio-training pipeline feeds the cutter (drop
+    * silence, keep speech) — the audio sibling of m7's scene cuts.
+    * Window features are a narrow flatMap over the REAL RIFF decode
+    * (m6); the lag-free run grouping, both segment windows and the
+    * rollup all ride ONE media_id exchange. Rows-only like m6 (the
+    * features derive from WAV byte parsing DuckDB cannot do);
+    * MultimodalSpec recomputes the segmentation in-process. */
+  def vadSegments(spark: SparkSession, dir: String,
+                  windowSamples: Int = 1024,
+                  thresholdMeanSq: Long = 5500L): DataFrame = {
+    val w = audioWindows(spark, dir, windowSamples)
+      .withColumn("window_idx", col("window_idx").cast("long"))
+      .withColumn("active",
+        col("energy") >= col("n_samples").cast("long") * thresholdMeanSq)
+    val byMedia = Window.partitionBy(col("media_id"))
+      .orderBy(col("window_idx"))
+    val byMediaClass = Window.partitionBy(col("media_id"), col("active"))
+      .orderBy(col("window_idx"))
+    val runs = w
+      .withColumn("rn", row_number().over(byMedia))
+      .withColumn("rn2", row_number().over(byMediaClass))
+      .withColumn("grp", col("rn") - col("rn2"))
+    val segs = runs.groupBy(col("media_id"), col("active"), col("grp"))
+      .agg(min(col("window_idx")).as("start_window"),
+        max(col("window_idx")).as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).as("peak"))
+    segs
+      .withColumn("segment_idx",
+        row_number().over(Window.partitionBy(col("media_id"))
+          .orderBy(col("start_window"))).cast("long"))
+      .select(col("media_id"), col("segment_idx"), col("active"),
+        col("start_window"), col("end_window"), col("n_windows"),
+        col("total_energy"), col("peak"))
+      .orderBy(col("media_id"), col("segment_idx"))
+  }
 }

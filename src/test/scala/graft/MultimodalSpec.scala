@@ -323,4 +323,53 @@ class MultimodalSpec extends GraftSpec {
       assert(sorted.head.getAs[Long]("scene_id") === 1L)
     }
   }
+
+  test("m9: VAD segments reproduce an in-process run-collapse over the " +
+    "m6 windows; segments partition each track") {
+    val threshold = 5500L
+    val windows = Multimodal.audioWindows(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_id"),
+        r.getAs[Int]("window_idx").toLong,
+        r.getAs[Int]("n_samples").toLong, r.getAs[Long]("energy"),
+        r.getAs[Long]("peak")))
+    val expected = windows.groupBy(_._1).flatMap { case (mid, ws) =>
+      val sorted = ws.sortBy(_._2)
+      // in-process maximal same-class runs
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Long, Long, Long, Long, Long)]
+      sorted.foreach { case (_, idx, n, e, p) =>
+        val active = e >= n * threshold
+        segs.lastOption match {
+          case Some((a, s, last, cnt, te, pk)) if a == active && last == idx - 1 =>
+            segs(segs.length - 1) = (a, s, idx, cnt + 1, te + e, math.max(pk, p))
+          case _ => segs += ((active, idx, idx, 1L, e, p))
+        }
+      }
+      segs.zipWithIndex.map { case ((a, s, e2, cnt, te, pk), i) =>
+        (mid, i + 1L) -> ((a, s, e2, cnt, te, pk))
+      }
+    }
+    val got = Multimodal.vadSegments(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // both activity classes appear somewhere in the corpus
+    assert(got.exists(_.getAs[Boolean]("active")))
+    assert(got.exists(!_.getAs[Boolean]("active")))
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (a, s, e2, cnt, te, pk) = expected(
+        (r.getAs[Long]("media_id"), r.getAs[Long]("segment_idx")))
+      assert(r.getAs[Boolean]("active") === a)
+      assert(r.getAs[Long]("start_window") === s)
+      assert(r.getAs[Long]("end_window") === e2)
+      assert(r.getAs[Long]("n_windows") === cnt)
+      assert(r.getAs[Long]("total_energy") === te)
+      assert(r.getAs[Long]("peak") === pk)
+    }
+    // segments tile each track: window counts sum to the track's windows
+    windows.groupBy(_._1).foreach { case (mid, ws) =>
+      val segWs = got.filter(_.getAs[Long]("media_id") == mid)
+        .map(_.getAs[Long]("n_windows")).sum
+      assert(segWs === ws.length.toLong)
+    }
+  }
 }

@@ -34,7 +34,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)",
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
     "t21_bpe_encode" -> "applies t20's merge loop per word — no SQL form (BpeSpec replays the encoder in-process)",
-    "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)")
+    "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)",
+    "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet

@@ -474,4 +474,42 @@ class StatefulStreamingSpec extends GraftSpec {
         "streaming burst stats must equal the batch e17 relation exactly")
     } finally q.stop()
   }
+
+  test("streaming transitions replayed over a micro-batch split aggregate " +
+    "to the batch e14 matrix exactly") {
+    import graft.streaming.{StatefulTransitions, TransEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent].collect().sortBy(r => (r.us, r.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[TransEvent]
+    val q = StatefulTransitions.transitions(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // append mode: each bigram emitted exactly once — count them up
+      val gotCounts = spark.sql(
+        "SELECT from_type, to_type, COUNT(*) AS n FROM transitions GROUP BY 1, 2")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      val batch = graft.streaming.EventsBatch.eventTransitions(spark, sfDir)
+        .collect()
+      assert(batch.nonEmpty)
+      assert(gotCounts.size === batch.length)
+      batch.foreach { r =>
+        val key = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        assert(gotCounts(key) === r.getAs[Long]("n_trans"),
+          s"transition count mismatch for $key")
+        // p_trans re-derives from the streamed counts the same way
+        val fromTotal = gotCounts.filter(_._1._1 == key._1).values.sum
+        assert(r.getAs[Double]("p_trans") ===
+          gotCounts(key).toDouble / fromTotal.toDouble)
+      }
+    } finally q.stop()
+  }
 }
