@@ -324,4 +324,89 @@ object Kpis {
        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN net_dec END) AS DOUBLE) AS p90_sales,
        |  CAST(MAX(net_dec) AS DOUBLE) AS max_sales
        |FROM ranked GROUP BY store_id ORDER BY store_id""".stripMargin
+
+  /** a35: CUSTOMER RFM SEGMENTATION — the classic lifecycle cut every
+    * CRM/marketing pipeline runs: per customer, Recency (days from
+    * their last order to the corpus high-water date), Frequency
+    * (order count) and Monetary value (exact cents), each banded to a
+    * 1..4 score by FIXED integer milestones and combined into the RFM
+    * code and a named segment. Fixed thresholds — not per-run
+    * quantiles — on purpose: scores stay comparable across runs and
+    * partitions (the p7/p13 determinism rule applied to scoring), and
+    * the banding becomes a pure map over the per-customer aggregate:
+    * ONE custkey hash agg + a broadcast 1-row high-water date, no
+    * rank window over the customer base. Segment rubric (first match
+    * wins): champion (r4, f≥3, m≥3), loyal (f≥3), big_spender (m≥3),
+    * at_risk (r≤2, f≥2), dormant (r=1), casual. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast(Tables.Money).as("price_dec"))
+    val hiWater = orders.agg(max(col("d")).as("hi"))
+    val base = orders.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        (sum(col("price_dec")) * 100).cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(hiWater))
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("hi"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    base
+      .withColumn("r_score",
+        when(col("recency_days") <= 90, 4L).when(col("recency_days") <= 180, 3L)
+          .when(col("recency_days") <= 365, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("frequency") >= 12, 4L).when(col("frequency") >= 10, 3L)
+          .when(col("frequency") >= 8, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("monetary_cents") >= 300000000L, 4L)
+          .when(col("monetary_cents") >= 240000000L, 3L)
+          .when(col("monetary_cents") >= 180000000L, 2L).otherwise(1L))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .withColumn("segment",
+        when(col("r_score") === 4 && col("f_score") >= 3 && col("m_score") >= 3,
+          "champion")
+          .when(col("f_score") >= 3, "loyal")
+          .when(col("m_score") >= 3, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 2, "at_risk")
+          .when(col("r_score") === 1, "dormant")
+          .otherwise("casual"))
+      .orderBy(col("custkey"))
+  }
+
+  val customerRfmSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      |  FROM orders),
+      |base AS (
+      |  SELECT o_custkey AS custkey,
+      |    date_diff('day', MAX(d), (SELECT MAX(d) FROM o)) AS recency_days,
+      |    CAST(COUNT(*) AS BIGINT) AS frequency,
+      |    CAST(SUM(price_dec) * 100 AS BIGINT) AS monetary_cents
+      |  FROM o GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT *,
+      |    CASE WHEN recency_days <= 90 THEN 4 WHEN recency_days <= 180 THEN 3
+      |      WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r_score,
+      |    CASE WHEN frequency >= 12 THEN 4 WHEN frequency >= 10 THEN 3
+      |      WHEN frequency >= 8 THEN 2 ELSE 1 END AS f_score,
+      |    CASE WHEN monetary_cents >= 300000000 THEN 4
+      |      WHEN monetary_cents >= 240000000 THEN 3
+      |      WHEN monetary_cents >= 180000000 THEN 2 ELSE 1 END AS m_score
+      |  FROM base)
+      |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      |  frequency, monetary_cents,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm,
+      |  CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+      |    WHEN f_score >= 3 THEN 'loyal'
+      |    WHEN m_score >= 3 THEN 'big_spender'
+      |    WHEN r_score <= 2 AND f_score >= 2 THEN 'at_risk'
+      |    WHEN r_score = 1 THEN 'dormant'
+      |    ELSE 'casual' END AS segment
+      |FROM scored ORDER BY custkey""".stripMargin
 }

@@ -2026,6 +2026,64 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** h2: RECIPROCAL-RANK FUSION — the standard hybrid-retrieval merge
+    * (Cormack et al.'s RRF, the default fusion in every production
+    * lexical+vector stack): t15's BM25 ranking and v1's exact cosine
+    * ranking over the SAME query ids (doc_id ≡ vec_id in this corpus)
+    * fused by score(d) = Σ_systems 60000/(60 + rank_s(d)) in EXACT
+    * integer milli-arithmetic — rank-only fusion needs no score
+    * calibration between systems, which is precisely why it wins in
+    * practice. Documents surfacing in only one system still score
+    * (full outer join semantics); final order (fused desc, doc asc)
+    * is total. Where h1 fuses by candidate-generation + rerank, h2
+    * fuses two COMPLETE rankings — both compose from independently
+    * oracle-checked relations, and the whole key is oracle-checked.
+    * Cost: two query-set-sized top-k relations + query-set-sized
+    * joins; corpus-sized work stays inside the two parents. */
+  def rrfFusion(spark: SparkSession, dir: String, nQueries: Int = 3,
+                kIn: Int = 10, kOut: Int = 5): DataFrame = {
+    val lex = graft.text.TextAnalysis.bm25(spark, dir, nQueries, kIn)
+      .select(col("query_id"), col("doc_id").as("doc"),
+        col("rank").as("lex_rank"))
+    val sem = cosineTopK(spark, dir, kIn, nQueries)
+      .select(col("query_id"), col("neighbor_id").as("doc"),
+        col("rank").cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr("60000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("60000 div (60 + sem_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= kOut)
+      .select(col("query_id"), col("fused_rank"), col("doc"),
+        col("rrf_milli"), col("lex_rank"), col("sem_rank"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  def rrfFusionSql(nQueries: Int = 3, kIn: Int = 10, kOut: Int = 5): String =
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id AS doc, rank AS lex_rank
+       |  FROM (${graft.text.TextAnalysis.bm25Sql(nQueries, kIn)})),
+       |sem AS (
+       |  SELECT query_id, neighbor_id AS doc, CAST(rank AS BIGINT) AS sem_rank
+       |  FROM (${cosineTopKSql(kIn, nQueries)})),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.doc, s.doc) AS doc,
+       |    l.lex_rank, s.sem_rank,
+       |    COALESCE(60000 // (60 + l.lex_rank), 0)
+       |      + COALESCE(60000 // (60 + s.sem_rank), 0) AS rrf_milli
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc = s.doc),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_milli DESC, doc ASC) AS BIGINT) AS fused_rank
+       |  FROM fused)
+       |SELECT query_id, fused_rank, doc, rrf_milli, lex_rank, sem_rank
+       |FROM ranked WHERE fused_rank <= $kOut
+       |ORDER BY query_id, fused_rank""".stripMargin
+
   /** v26: IVF CELL-BALANCE AUDIT — k2's skew diagnostic applied to the
     * vector index: per cell, the assigned-vector count, its share of
     * the corpus (milli), the deviation from the uniform ideal (milli,

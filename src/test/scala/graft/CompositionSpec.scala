@@ -1434,6 +1434,69 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("a35: RFM scores and segments re-derive from the raw per-customer " +
+    "aggregates") {
+    import graft.analytics.Kpis
+    import graft.model.Tables
+    val rows = Kpis.customerRfm(spark, sfDir).collect()
+    assert(rows.length ===
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+    rows.foreach { r =>
+      val rec = r.getAs[Long]("recency_days")
+      val f = r.getAs[Long]("frequency")
+      val m = r.getAs[Long]("monetary_cents")
+      val rs = if (rec <= 90) 4L else if (rec <= 180) 3L else if (rec <= 365) 2L else 1L
+      val fs = if (f >= 12) 4L else if (f >= 10) 3L else if (f >= 8) 2L else 1L
+      val ms = if (m >= 300000000L) 4L else if (m >= 240000000L) 3L
+        else if (m >= 180000000L) 2L else 1L
+      assert(r.getAs[Long]("r_score") === rs)
+      assert(r.getAs[Long]("f_score") === fs)
+      assert(r.getAs[Long]("m_score") === ms)
+      assert(r.getAs[Long]("rfm") === rs * 100 + fs * 10 + ms)
+      val seg =
+        if (rs == 4 && fs >= 3 && ms >= 3) "champion"
+        else if (fs >= 3) "loyal"
+        else if (ms >= 3) "big_spender"
+        else if (rs <= 2 && fs >= 2) "at_risk"
+        else if (rs == 1) "dormant"
+        else "casual"
+      assert(r.getAs[String]("segment") === seg)
+      assert(rec >= 0 && f > 0 && m > 0)
+    }
+  }
+
+  test("h2: RRF fusion reproduces from the two parent rankings") {
+    import graft.vector.Similarity
+    val lex = TextAnalysis.bm25(spark, sfDir, 3, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val sem = Similarity.cosineTopK(spark, sfDir, 10, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    val expected = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { k =>
+          val score = lex.get(k).map(r => 60000L / (60 + r)).getOrElse(0L) +
+            sem.get(k).map(r => 60000L / (60 + r)).getOrElse(0L)
+          (q, k._2, score)
+        }.sortBy(t => (-t._3, t._2)).zipWithIndex
+          .filter(_._2 < 5)
+          .map { case ((qq, d, s), i) => (qq, i + 1L) -> ((d, s)) }
+    }
+    val got = Similarity.rrfFusion(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (d, s) = expected(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("fused_rank")))
+      assert(r.getAs[Long]("doc") === d)
+      assert(r.getAs[Long]("rrf_milli") === s)
+      // surviving parent ranks surface unchanged
+      val k = (r.getAs[Long]("query_id"), d)
+      assert(Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Long]) === lex.get(k))
+      assert(Option(r.getAs[Any]("sem_rank")).map(_.asInstanceOf[Long]) === sem.get(k))
+    }
+  }
+
   test("sk11: every mask width is one-sided; FPR reproduces from counts; " +
     "the widest mask agrees with sk8's ledger") {
     import graft.analytics.Sketches

@@ -219,6 +219,12 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("a35_customer_rfm", 1,
+      "one custkey hash agg + a broadcast 1-row high-water date; " +
+        "banding is a pure map — no rank window over the customer base"),
+    ("h2_rrf_fusion", 10,
+      "corpus-sized work stays inside the two parent rankings (t15's 6 " +
+        "+ v1's 1); fusion adds only query-set-sized join + window"),
     ("sk11_bloom_sweep", 2,
       "all five masks probe as literal arrays (map-side, sk8's posture " +
         "x5); build distinct + the stacked ledger rollup are the only " +
