@@ -839,4 +839,111 @@ object CorpusPrep {
        |FROM documents
        |WHERE ((doc_id % 999999893) * 2246822519) % 1000 < $perMille
        |ORDER BY doc_id""".stripMargin
+
+  /** Admission bucket in [0, 1e6) for p17's boundary-level fill — a
+    * FIFTH independent multiplicative hash (distinct constants from
+    * p7/p9/p10/p13, same overflow-safe reduce-then-multiply shape), so
+    * budget admission is uncorrelated with split, mix, shuffle and
+    * sample decisions. */
+  def budgetBucket(docId: Column): Column =
+    pmod(pmod(docId, lit(999999937L)) * lit(3266489917L), lit(1000000L))
+
+  val budgetBucketSql: String =
+    "((doc_id % 999999937) * 3266489917) % 1000000"
+
+  /** p17: QUALITY-BUDGET SELECTION — "spend a token budget on the best
+    * data": each language gets `budgetMilli`/1000 of its own token
+    * mass, filled from the top of t2's quality rubric down. Whole
+    * quality LEVELS are kept while they fit (the rubric's 0/25/50/75/
+    * 100 domain makes the level relation ≤5 rows per lang — bounded,
+    * never a per-doc rank window over the corpus), and the single
+    * BOUNDARY level that straddles the budget line is filled by a
+    * deterministic hash-Bernoulli draw at rate (remaining budget /
+    * level mass) — m1/p9's sampling algebra, so the expected fill hits
+    * the budget and the draw is retry/engine/layout-stable. Per-doc
+    * verdicts are a broadcast plan join + pure map (p9's shape); the
+    * only data-sized exchange is the (lang, level) token aggregate.
+    * This is the curation step between d16's dedup verdicts and p8's
+    * packing: what a team runs when the compute budget, not the
+    * corpus, is the binding constraint. */
+  def budgetSelect(spark: SparkSession, dir: String,
+                   budgetMilli: Long = 500L): DataFrame = {
+    val docs = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.qualityScoreColOf(col("words")).as("q"),
+        size(col("words")).cast("long").as("n_tokens"))
+    val byLangDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val plan = docs.groupBy(col("lang"), col("q"))
+      .agg(sum(col("n_tokens")).as("level_tokens"))
+      .withColumn("cum_tokens", sum(col("level_tokens")).over(byLangDesc))
+      .withColumn("total_tokens", sum(col("level_tokens")).over(byLang))
+      .withColumn("budget", expr(s"total_tokens * $budgetMilli div 1000"))
+      .withColumn("prev_cum", col("cum_tokens") - col("level_tokens"))
+      .withColumn("level_verdict",
+        when(col("cum_tokens") <= col("budget"), "full")
+          .when(col("prev_cum") >= col("budget"), "drop")
+          .otherwise("partial"))
+      .withColumn("fill_below",
+        when(col("level_verdict") === "full", lit(1000000L))
+          .when(col("level_verdict") === "drop", lit(0L))
+          .otherwise(expr("(budget - prev_cum) * 1000000 div level_tokens")))
+      .select(col("lang"), col("q"), col("level_verdict"), col("fill_below"))
+    docs.join(broadcast(plan), Seq("lang", "q"))
+      .select(col("doc_id"), col("lang"), col("q").as("quality_score"),
+        col("n_tokens"), col("level_verdict"),
+        budgetBucket(col("doc_id")).as("budget_bucket"),
+        (col("level_verdict") === "full" ||
+          (col("level_verdict") === "partial" &&
+            budgetBucket(col("doc_id")) < col("fill_below"))).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def budgetSelectSql(budgetMilli: Long = 500L): String = {
+    val nw = s"CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT)"
+    val nc = "CAST(length(text) AS BIGINT)"
+    val wc = s"($nc - ($nw - 1))"
+    val nstop = s"CAST(len(list_filter(${Corpus.wordsSqlExpr}, " +
+      "w -> w = 'the' OR w = 'a')) AS BIGINT)"
+    val nalpha = "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)"
+    val score =
+      s"""(CASE WHEN $nw BETWEEN 20 AND 90 THEN 25 ELSE 0 END
+         |   + CASE WHEN $wc * 10 > $nw * 30 AND $wc * 10 < $nw * 100 THEN 25 ELSE 0 END
+         |   + CASE WHEN $nstop > 0 THEN 25 ELSE 0 END
+         |   + CASE WHEN $nalpha * 10 >= $nc * 7 THEN 25 ELSE 0 END)::BIGINT""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, $score AS q, $nw AS n_tokens
+       |  FROM documents),
+       |levels AS (
+       |  SELECT lang, q, CAST(SUM(n_tokens) AS BIGINT) AS level_tokens
+       |  FROM docs GROUP BY 1, 2),
+       |plan AS (
+       |  SELECT lang, q, level_tokens,
+       |    CAST(SUM(level_tokens) OVER (PARTITION BY lang ORDER BY q DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(level_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens
+       |  FROM levels),
+       |verdicts AS (
+       |  SELECT lang, q,
+       |    CASE WHEN cum_tokens <= total_tokens * $budgetMilli // 1000 THEN 'full'
+       |      WHEN cum_tokens - level_tokens >= total_tokens * $budgetMilli // 1000
+       |        THEN 'drop'
+       |      ELSE 'partial' END AS level_verdict,
+       |    CASE WHEN cum_tokens <= total_tokens * $budgetMilli // 1000 THEN 1000000
+       |      WHEN cum_tokens - level_tokens >= total_tokens * $budgetMilli // 1000
+       |        THEN 0
+       |      ELSE (total_tokens * $budgetMilli // 1000 - (cum_tokens - level_tokens))
+       |        * 1000000 // level_tokens END AS fill_below
+       |  FROM plan)
+       |SELECT d.doc_id, d.lang, d.q AS quality_score, d.n_tokens,
+       |  v.level_verdict,
+       |  CAST($budgetBucketSql AS BIGINT) AS budget_bucket,
+       |  (v.level_verdict = 'full' OR (v.level_verdict = 'partial'
+       |    AND CAST($budgetBucketSql AS BIGINT) < v.fill_below)) AS kept
+       |FROM docs d JOIN verdicts v USING (lang, q)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -2026,6 +2026,41 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** v28: TRAINED-vs-DONOR IVF RECALL — the Lloyd codebook path
+    * ([[Lloyd.ivfTrain]], round-6's deterministic trainer) made
+    * driver-visible: the SAME ivfAnn query shape evaluated against
+    * v1's exact truth under donor centroids (first-N rows — the
+    * oracle-parity configuration every other IVF key ships) and under
+    * `trainedIters` rounds of decimal-exact Lloyd, side by side per
+    * query. This is the go/no-go table for re-training an index when
+    * v26's balance audit drifts: what recall does training actually
+    * buy on THIS corpus. Rows-only by design — the trainer's
+    * fixed-point iteration has no single-expression SQL form (t20's
+    * argument); determinism across runs and the donor row's equality
+    * with v6's ivf row are spec-asserted. */
+  def trainedRecall(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries,
+                    trainedIters: Int = 5): DataFrame = {
+    val truth = cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    def eval(method: String, pairs: DataFrame): DataFrame =
+      truth.join(pairs.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(method).as("method"), col("query_id"),
+          col("n_truth"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    eval("donor", ivfAnn(spark, dir, k, nQueries)
+        .select("query_id", "neighbor_id"))
+      .union(eval("trained",
+        ivfAnn(spark, dir, k, nQueries, trainedIters = trainedIters)
+          .select("query_id", "neighbor_id")))
+      .orderBy("method", "query_id")
+  }
+
   /** h2: RECIPROCAL-RANK FUSION — the standard hybrid-retrieval merge
     * (Cormack et al.'s RRF, the default fusion in every production
     * lexical+vector stack): t15's BM25 ranking and v1's exact cosine

@@ -1434,6 +1434,67 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("p17: budget selection keeps whole levels above the line, fills the " +
+    "boundary by hash, and never overshoots on full levels") {
+    import graft.text.CorpusPrep
+    val rows = CorpusPrep.budgetSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      val budget = total * 500 / 1000
+      // per-level verdicts re-derive from the level masses
+      val levels = docs.groupBy(_.getAs[Long]("quality_score")).map {
+        case (q, ds) => q -> ds.map(_.getAs[Long]("n_tokens")).sum
+      }
+      var cum = 0L
+      levels.toSeq.sortBy(-_._1).foreach { case (q, mass) =>
+        val expected =
+          if (cum + mass <= budget) "full"
+          else if (cum >= budget) "drop"
+          else "partial"
+        docs.filter(_.getAs[Long]("quality_score") == q).foreach { d =>
+          assert(d.getAs[String]("level_verdict") === expected)
+          val kept = d.getAs[Boolean]("kept")
+          expected match {
+            case "full" => assert(kept)
+            case "drop" => assert(!kept)
+            case _ =>
+              val fill = (budget - cum) * 1000000 / mass
+              assert(kept === (d.getAs[Long]("budget_bucket") < fill))
+          }
+        }
+        cum += mass
+      }
+      // full levels alone never exceed the budget
+      val fullTokens = docs.filter(_.getAs[String]("level_verdict") == "full")
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(fullTokens <= budget)
+    }
+    // the boundary fill is exercised somewhere in the corpus
+    assert(rows.exists(_.getAs[String]("level_verdict") == "partial"))
+  }
+
+  test("v28: donor rows equal v6's ivf eval; trained path is deterministic " +
+    "across invocations") {
+    import graft.vector.Similarity
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("method"), r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))
+    val a = Similarity.trainedRecall(spark, sfDir).collect().map(key).toSeq
+    val b = Similarity.trainedRecall(spark, sfDir).collect().map(key).toSeq
+    assert(a === b, "trained path must be bit-deterministic across runs")
+    val donor = a.filter(_._1 == "donor")
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
+    val v6ivf = Similarity.annRecall(spark, sfDir).collect()
+      .filter(_.getAs[String]("method") == "ivf")
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).sortBy(_._1).toSeq
+    assert(donor === v6ivf,
+      "the donor configuration is v6's shipped index — evals must agree")
+  }
+
   test("a35: RFM scores and segments re-derive from the raw per-customer " +
     "aggregates") {
     import graft.analytics.Kpis

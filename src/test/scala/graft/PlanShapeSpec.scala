@@ -219,6 +219,9 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("p17_budget_select", 2,
+      "(lang, level) token agg + its window re-key, both inside the " +
+        "domain-sized plan build; per-doc verdicts broadcast-join + map (p9)"),
     ("a35_customer_rfm", 1,
       "one custkey hash agg + a broadcast 1-row high-water date; " +
         "banding is a pure map — no rank window over the customer base"),

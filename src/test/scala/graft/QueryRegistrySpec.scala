@@ -35,7 +35,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
     "t21_bpe_encode" -> "applies t20's merge loop per word — no SQL form (BpeSpec replays the encoder in-process)",
     "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)",
-    "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)")
+    "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)",
+    "v28_trained_recall" -> "Lloyd's fixed-point iteration has no single-expression SQL form (t20's argument); donor row equality with v6 and run-to-run determinism are spec-asserted")
 
   test("every query key has an oracle or a declared rows-only reason") {
     val q = SparkEntry.queries.keySet
