@@ -1115,6 +1115,78 @@ object TextAnalysis {
        |WHERE s.r <= 7
        |ORDER BY s.r""".stripMargin
 
+  /** t26: DOMAIN-TRANSFER SURPRISAL — e19's drift question asked of
+    * text: fit t13's capped unigram LM on ONE reference source and
+    * score EVERY domain under it, rolled up to mean bits-per-token per
+    * (lang, source). A domain whose tokens are cheap under its own
+    * distribution but expensive under the reference's is
+    * out-of-domain — the cross-entropy gap a curation team reads
+    * before deciding whether new data matches the training mix
+    * (CCNet scores against a Wikipedia LM for exactly this reason).
+    * Same scale posture as t13: the fit is cap-bounded
+    * (TakeOrdered top-K, never a vocabulary broadcast), totals are
+    * collected 1-row literals, OOV is charged the max-bits bucket,
+    * and the scoring pass is one explode + broadcast join + one
+    * (lang, source) aggregate. Fully oracle-checked. */
+  def domainSurprisal(spark: SparkSession, dir: String,
+                      refSource: String = "src0",
+                      vocabCap: Int = lmVocabCap): DataFrame = {
+    val fitToks = Corpus.docsTok(spark, dir)
+      .filter(col("source") === refSource)
+    val cntTotal = fitToks
+      .agg(sum(size(col("words")).cast("long"))).head.getLong(0)
+    val oovBits = 63L - java.lang.Long.numberOfLeadingZeros(cntTotal)
+    val vocab = fitToks.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lm = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
+      .select(col("word"),
+        (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long")
+          .as("bits"))
+    Corpus.docsTok(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(col("words")).as("word"))
+      .join(broadcast(lm), Seq("word"), "left")
+      .withColumn("tok_bits", coalesce(col("bits"), lit(oovBits)))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("tok_bits")).cast("long").as("sum_bits"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("bits_per_token"),
+        (col("source") === refSource).as("is_reference"))
+      .orderBy("lang", "source")
+  }
+
+  def domainSurprisalSql(refSource: String = "src0",
+                         vocabCap: Int = lmVocabCap): String =
+    s"""WITH fit_toks AS (
+       |  SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents
+       |  WHERE source = '$refSource'),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt_total,
+       |               CAST(length(format('{:b}', COUNT(*))) - 1 AS BIGINT) AS oov_bits
+       |        FROM fit_toks),
+       |v AS (SELECT word, COUNT(*) AS cnt FROM fit_toks GROUP BY word),
+       |kept AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word ASC LIMIT $vocabCap),
+       |lm AS (
+       |  SELECT word,
+       |    CAST(length(format('{:b}', cnt_total // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM kept CROSS JOIN tot),
+       |toks AS (
+       |  SELECT lang, source, doc_id, unnest(${Corpus.wordsSqlExpr}) AS word
+       |  FROM documents)
+       |SELECT t.lang, t.source,
+       |  CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS bits_per_token,
+       |  t.source = '$refSource' AS is_reference
+       |FROM toks t LEFT JOIN lm l USING (word) CROSS JOIN tot
+       |GROUP BY t.lang, t.source
+       |ORDER BY t.lang, t.source""".stripMargin
+
   /** t25: ZIPF RANK-FREQUENCY SLOPE per language — the corpus-health
     * fit (natural text's type-frequency curve is near-linear in
     * log-log; template/boilerplate corpora flatten, spam steepens)

@@ -1434,6 +1434,42 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("t26: domain surprisal conserves tokens, flags the reference, and " +
+    "reproduces from an in-process scoring pass") {
+    import graft.text.{Corpus, TextAnalysis}
+    val ref = "src0"
+    // in-process: fit capped LM on the reference source, score all
+    val docs = Corpus.docsTok(spark, sfDir)
+      .select(col("lang"), col("source"), col("doc_id"), col("words"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getSeq[String](3)))
+    val fitTokens = docs.filter(_._2 == ref).flatMap(_._4)
+    val total = fitTokens.length.toLong
+    val oov = 63L - java.lang.Long.numberOfLeadingZeros(total)
+    val lm = fitTokens.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(TextAnalysis.lmVocabCap)
+      .map { case (w, c) =>
+        w -> (63L - java.lang.Long.numberOfLeadingZeros(total / c)) }.toMap
+    val expected = docs.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      val toks = ds.flatMap(_._4)
+      val bits = toks.map(w => lm.getOrElse(w, oov)).sum
+      k -> ((ds.map(_._3).distinct.length.toLong, toks.length.toLong, bits))
+    }
+    val got = TextAnalysis.domainSurprisal(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    var tokenSum = 0L
+    got.foreach { r =>
+      val (nd, nt, sb) = expected((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("sum_bits") === sb)
+      assert(r.getAs[Double]("bits_per_token") === sb.toDouble / nt.toDouble)
+      assert(r.getAs[Boolean]("is_reference") === (r.getAs[String]("source") == ref))
+      tokenSum += nt
+    }
+    assert(tokenSum === docs.map(_._4.length.toLong).sum)
+  }
+
   test("p17: budget selection keeps whole levels above the line, fills the " +
     "boundary by hash, and never overshoots on full levels") {
     import graft.text.CorpusPrep

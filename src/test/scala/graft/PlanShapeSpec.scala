@@ -219,6 +219,9 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("t26_domain_surprisal", 3,
+      "cap-bounded fit agg (TakeOrdered, no sort exchange) + the " +
+        "(lang, source) distinct-doc scoring agg; LM broadcasts"),
     ("p17_budget_select", 2,
       "(lang, level) token agg + its window re-key, both inside the " +
         "domain-sized plan build; per-doc verdicts broadcast-join + map (p9)"),
