@@ -376,7 +376,6 @@ object Multimodal {
   def imageNearDup(spark: SparkSession, dir: String,
                    maxHamming: Int = 10): DataFrame = {
     import spark.implicits._
-    require(maxHamming < 16, "byte-band blocking is complete only below 16")
     val hashes = mediaFromDocs(spark, dir).filter(_.kind == "image")
       .flatMap { r =>
         ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
@@ -384,6 +383,15 @@ object Multimodal {
           (r.media_id, h0, h1)
         }
       }.toDF("media_id", "h0", "h1").cache()
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** d8's byte-band blocking + exact popcount over a (media_id, h0, h1)
+    * 2×32-bit hash relation — the shared candidate engine behind m8's
+    * aHash and m10's pHash near-dup (pigeonhole-complete below 16). */
+  private def bandedHammingPairs(hashes: DataFrame,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming < 16, "byte-band blocking is complete only below 16")
     val bandCols = (0 until 16).map { i =>
       val word = if (i < 8) col("h0") else col("h1")
       struct(lit(i).as("band"),
@@ -408,6 +416,100 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming.toLong)
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy("media_a", "media_b")
+  }
+
+  /** 64-bit PERCEPTUAL HASH (pHash): 32×32 block-mean downsample of
+    * the grayscale buffer, 2-D DCT-II, keep the low-frequency 8×8
+    * corner, threshold each coefficient at the MEDIAN of the 63 AC
+    * terms (nearest-rank — an actual coefficient), DC bit fixed 0.
+    * Versus [[aHash]]'s global-mean rule, the DCT basis captures
+    * low-frequency STRUCTURE, so re-encodes, slight blurs and linear
+    * tone changes preserve the hash where per-pixel means drift —
+    * which is why pHash is the industry-standard image fingerprint.
+    * Doubles appear only in the DCT accumulation, in a fixed
+    * sequential loop order — bit-deterministic on any JVM (no
+    * parallel reduction, no FMA). Packed as two 32-bit words (the
+    * v19/aHash layout). */
+  def pHash(w: Int, h: Int, px: Array[Byte]): (Long, Long) = {
+    val n = 32
+    val g = new Array[Double](n * n)
+    var by = 0
+    while (by < n) {
+      val y0 = by * h / n; val y1 = math.max((by + 1) * h / n, y0 + (if (y0 < h) 1 else 0))
+      var bx = 0
+      while (bx < n) {
+        val x0 = bx * w / n; val x1 = math.max((bx + 1) * w / n, x0 + (if (x0 < w) 1 else 0))
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { s += px(y * w + x) & 0xff; cnt += 1; x += 1 }
+          y += 1
+        }
+        g(by * n + bx) = if (cnt > 0) s.toDouble / cnt.toDouble else 0.0
+        bx += 1
+      }
+      by += 1
+    }
+    // low-frequency 8x8 corner of the 32x32 DCT-II (unnormalized —
+    // thresholding at the median is scale-invariant)
+    val coefs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < n) {
+          val cy = math.cos((2 * y + 1) * u * math.Pi / (2 * n))
+          var x = 0
+          while (x < n) {
+            acc += g(y * n + x) * cy * math.cos((2 * x + 1) * v * math.Pi / (2 * n))
+            x += 1
+          }
+          y += 1
+        }
+        coefs(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coefs, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // nearest-rank median of the 63 AC terms
+    var w0 = 0L; var w1 = 0L
+    var bit = 1 // DC bit stays 0
+    while (bit < 64) {
+      if (coefs(bit) > median) {
+        if (bit < 32) w0 |= 1L << bit else w1 |= 1L << (bit - 32)
+      }
+      bit += 1
+    }
+    (w0, w1)
+  }
+
+  /** m10: DCT PERCEPTUAL-HASH NEAR-DUP — m8's pipeline with [[pHash]]
+    * in place of [[aHash]]: the same real PNG pixel decode, the same
+    * byte-band candidate blocking and exact popcount filter
+    * ([[bandedHammingPairs]] is shared code), but a fingerprint that
+    * survives the transforms re-hosted images actually undergo
+    * (re-encode, resize, tone curves) where the block-mean hash
+    * drifts. Running BOTH keys is the production pattern: aHash pairs
+    * are near-certain byte-level dups, pHash adds the perceptual
+    * tail. Rows-only like m8; the spec asserts banded-candidate
+    * COMPLETENESS against an in-process all-pairs pass over the same
+    * hashes. */
+  def imagePHashDup(spark: SparkSession, dir: String,
+                    maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaFromDocs(spark, dir).filter(_.kind == "image")
+      .flatMap { r =>
+        ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
+          val (h0, h1) = pHash(w, h, px)
+          (r.media_id, h0, h1)
+        }
+      }.toDF("media_id", "h0", "h1").cache()
+    bandedHammingPairs(hashes, maxHamming)
   }
 
   /** m9: VAD / SILENCE-TRIM SEGMENTATION — m6's per-window energies

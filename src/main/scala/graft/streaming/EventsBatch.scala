@@ -249,6 +249,67 @@ object EventsBatch {
       .orderBy(col("user_id"))
   }
 
+  /** e22: TIME-WINDOWED FUNNEL — e6 with the conversion-window rule a
+    * production funnel actually ships: each stage must land within
+    * `windowUs` of the PREVIOUS stage (an unbounded funnel credits a
+    * click to a view from last month; position-based attribution and
+    * funnel dashboards both cap the gap). Same three agg/join rounds
+    * on user_id as e6, with the window bound folded into each stage's
+    * min-over-candidates — integer-microsecond comparisons, exact in
+    * both engines. The conversion counts drop versus e6 exactly where
+    * stage gaps exceed the window (the spec asserts containment:
+    * every windowed conversion is an e6 conversion). */
+  def windowedFunnel(spark: SparkSession, dir: String,
+                     windowUs: Long = 1800000000L): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val v = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+    val c = e.join(v, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("us") > col("t_view") &&
+        col("us") - col("t_view") <= windowUs, col("us"))).as("t_click"))
+    val p = e.join(c, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_click") &&
+        col("us") - col("t_click") <= windowUs, col("us"))).as("t_purchase"))
+    p.select(
+        col("user_id"),
+        col("t_view").isNotNull.as("reached_view"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_purchase").isNotNull.as("reached_purchase"),
+        (col("t_click") - col("t_view")).as("view_to_click_us"),
+        (col("t_purchase") - col("t_click")).as("click_to_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  def windowedFunnelSql(windowUs: Long = 1800000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+       |  FROM e GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, v.t_view,
+       |    MIN(CASE WHEN e.event_type = 'click' AND e.us > v.t_view
+       |      AND e.us - v.t_view <= $windowUs THEN e.us END) AS t_click
+       |  FROM e JOIN v USING (user_id) GROUP BY e.user_id, v.t_view),
+       |p AS (
+       |  SELECT e.user_id, c.t_view, c.t_click,
+       |    MIN(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click
+       |      AND e.us - c.t_click <= $windowUs THEN e.us END) AS t_purchase
+       |  FROM e JOIN c USING (user_id) GROUP BY e.user_id, c.t_view, c.t_click)
+       |SELECT user_id,
+       |  t_view IS NOT NULL AS reached_view,
+       |  t_click IS NOT NULL AS reached_click,
+       |  t_purchase IS NOT NULL AS reached_purchase,
+       |  t_click - t_view AS view_to_click_us,
+       |  t_purchase - t_click AS click_to_purchase_us
+       |FROM p
+       |ORDER BY user_id""".stripMargin
+
   val funnelSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

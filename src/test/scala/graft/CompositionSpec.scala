@@ -1434,6 +1434,36 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("e22: windowed funnel is contained in e6's unbounded funnel; gaps " +
+    "respect the window bound") {
+    val unbounded = EventsBatch.funnel(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Boolean]("reached_click"), r.getAs[Boolean]("reached_purchase")))
+      .toMap
+    val windowUs = 1800000000L
+    val rows = EventsBatch.windowedFunnel(spark, sfDir, windowUs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uClick, uPurchase) = unbounded(r.getAs[Long]("user_id"))
+      // a windowed conversion implies the unbounded one
+      if (r.getAs[Boolean]("reached_click")) assert(uClick)
+      if (r.getAs[Boolean]("reached_purchase")) assert(uPurchase)
+      // surviving gaps are positive and within the window
+      if (!r.isNullAt(r.fieldIndex("view_to_click_us"))) {
+        val g = r.getAs[Long]("view_to_click_us")
+        assert(g > 0 && g <= windowUs)
+      }
+      if (!r.isNullAt(r.fieldIndex("click_to_purchase_us"))) {
+        val g = r.getAs[Long]("click_to_purchase_us")
+        assert(g > 0 && g <= windowUs)
+      }
+    }
+    // the window bound actually bites somewhere (else the key is e6)
+    val windowedConv = rows.count(_.getAs[Boolean]("reached_purchase"))
+    val unboundedConv = unbounded.values.count(_._2)
+    assert(windowedConv <= unboundedConv)
+  }
+
   test("t26: domain surprisal conserves tokens, flags the reference, and " +
     "reproduces from an in-process scoring pass") {
     import graft.text.{Corpus, TextAnalysis}

@@ -324,6 +324,43 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("m10: banded pHash pairs are COMPLETE vs an in-process all-pairs " +
+    "pass; exact duplicates land at hamming 0") {
+    val imgs = Multimodal.mediaFromDocs(spark, sfDir)
+      .filter(_.kind == "image").collect()
+    val hashes = imgs.flatMap { r =>
+      ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
+        r.media_id -> Multimodal.pHash(w, h, px)
+      }
+    }
+    assert(hashes.nonEmpty)
+    // determinism: recompute equals
+    imgs.take(3).foreach { r =>
+      ImageCodec.pngPixels(r.bytes).foreach { case (w, h, px) =>
+        assert(Multimodal.pHash(w, h, px) === Multimodal.pHash(w, h, px))
+      }
+    }
+    // brute-force truth at the same threshold
+    val maxHamming = 10
+    val truth = (for {
+      (a, (a0, a1)) <- hashes
+      (b, (b0, b1)) <- hashes
+      if a < b
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= maxHamming
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.imagePHashDup(spark, sfDir, maxHamming).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got === truth,
+      "byte-band blocking must find exactly the all-pairs admissions")
+    // identical payloads hash identically: at least one 0-distance pair
+    // exists in this fixture corpus (duplicate media payloads)
+    assert(truth.exists(_._3 == 0L))
+    // DC bit of every hash is 0 (word0 bit 0)
+    hashes.foreach { case (_, (h0, _)) => assert((h0 & 1L) === 0L) }
+  }
+
   test("m9: VAD segments reproduce an in-process run-collapse over the " +
     "m6 windows; segments partition each track") {
     val threshold = 5500L

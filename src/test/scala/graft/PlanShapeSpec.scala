@@ -219,6 +219,9 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("e22_windowed_funnel", 3,
+      "e6's three agg/join rounds on user_id with the window bound " +
+        "folded into each stage's min"),
     ("t26_domain_surprisal", 3,
       "cap-bounded fit agg (TakeOrdered, no sort exchange) + the " +
         "(lang, source) distinct-doc scoring agg; LM broadcasts"),
