@@ -1118,6 +1118,100 @@ object Dedup {
        |ORDER BY u.rows_per_band""".stripMargin
   }
 
+  /** d23: TEMPLATE-PASSAGE EXTRACTION — the text d15 only COUNTS:
+    * maximal runs of consecutive high-df 3-shingles per document,
+    * reconstructed back into the verbatim passage (one `slice` of the
+    * doc's own token array — no string surgery on shingles) and rolled
+    * up across the corpus: the top-N recurring passages with document
+    * frequency, total occurrences and an example doc. This is the
+    * "what IS the boilerplate" report a curation team reads before
+    * writing a C4-style line filter — d15 says a doc is 40% plumbing,
+    * d23 shows the plumbing. Shingle admission uses d15's df ≥ minDf;
+    * the reconstructed PASSAGE then needs only `minDocs` documents
+    * (an exact multi-token string repeating verbatim anywhere is
+    * already signal — requiring d15's df of the whole passage would
+    * demand the template recur five times letter-perfect).
+    * Positioned shingles ride one doc_id
+    * window (d18's run-collapse), the frequent-shingle set joins like
+    * d15's (shingle-df agg, broadcast-able), the passage rollup is one
+    * hash agg on the passage text, and top-N is TakeOrdered — no
+    * global sort. Fully oracle-checked. */
+  def templatePassages(spark: SparkSession, dir: String, minDf: Int = 5,
+                       minRun: Int = 2, minDocs: Int = 2,
+                       topN: Int = 20): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir).select(col("doc_id"), col("words"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(Corpus.shinglesOf(col("words"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+    val freq = pos.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("sh")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = pos.join(freq, Seq("sh"))
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("grp", col("pos") - col("rn"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+    runs.join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(slice(col("words"), col("start_pos").cast("int"),
+          (col("run_len") + 2).cast("int")), " ").as("passage"),
+        (col("run_len") + 2).as("span_tokens"))
+      .groupBy(col("passage"), col("span_tokens"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("passage").asc)
+      .limit(topN)
+      .orderBy(col("n_docs").desc, col("passage").asc)
+  }
+
+  def templatePassagesSql(minDf: Int = 5, minRun: Int = 2,
+                          minDocs: Int = 2, topN: Int = 20): String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH docs AS (
+       |  SELECT doc_id, $ws AS ws FROM documents),
+       |positioned AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos FROM docs),
+       |shing AS (
+       |  SELECT doc_id, ws, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(ws, pos) || ' ' || list_extract(ws, pos + 1)
+       |      || ' ' || list_extract(ws, pos + 2) AS sh
+       |  FROM positioned),
+       |freq AS (
+       |  SELECT sh FROM (
+       |    SELECT sh, COUNT(DISTINCT doc_id) AS df FROM shing GROUP BY sh)
+       |  WHERE df >= $minDf),
+       |runs AS (
+       |  SELECT doc_id, grp,
+       |    CAST(MIN(pos) AS BIGINT) AS start_pos,
+       |    CAST(COUNT(*) AS BIGINT) AS run_len
+       |  FROM (SELECT s.doc_id, s.pos,
+       |          s.pos - ROW_NUMBER() OVER (PARTITION BY s.doc_id
+       |                                     ORDER BY s.pos) AS grp
+       |        FROM shing s JOIN freq USING (sh))
+       |  GROUP BY doc_id, grp
+       |  HAVING COUNT(*) >= $minRun),
+       |passages AS (
+       |  SELECT r.doc_id,
+       |    array_to_string(d.ws[CAST(r.start_pos AS INT) :
+       |      CAST(r.start_pos + r.run_len + 1 AS INT)], ' ') AS passage,
+       |    r.run_len + 2 AS span_tokens
+       |  FROM runs r JOIN docs d USING (doc_id))
+       |SELECT passage, CAST(span_tokens AS BIGINT) AS span_tokens,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MIN(doc_id) AS BIGINT) AS example_doc
+       |FROM passages
+       |GROUP BY passage, span_tokens
+       |HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY n_docs DESC, passage ASC
+       |LIMIT $topN""".stripMargin
+  }
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

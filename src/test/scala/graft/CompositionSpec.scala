@@ -1434,6 +1434,46 @@ class CompositionSpec extends GraftSpec {
     }
   }
 
+  test("d23: template passages reproduce from an in-process " +
+    "positioned-shingle run-collapse") {
+    import graft.text.Corpus
+    val docs = Corpus.docsTok(spark, sfDir)
+      .select(col("doc_id"), col("words")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val positioned = docs.flatMap { case (id, ws) =>
+      if (ws.length >= 3)
+        (1 to ws.length - 2).map(p => (id, p, ws.slice(p - 1, p + 2).mkString(" ")))
+      else Seq.empty
+    }
+    val freq = positioned.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 5).keySet
+    val passages = docs.flatMap { case (id, ws) =>
+      val fpos = positioned.filter(t => t._1 == id && freq(t._3)).map(_._2).sorted
+      // maximal consecutive runs
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (start, len)
+      fpos.foreach { p =>
+        runs.lastOption match {
+          case Some((s, l)) if s + l == p => runs(runs.length - 1) = (s, l + 1)
+          case _ => runs += ((p, 1))
+        }
+      }
+      runs.filter(_._2 >= 2).map { case (s, l) =>
+        (id, ws.slice(s - 1, s + l + 1).mkString(" "), l + 2)
+      }
+    }
+    val expected = passages.groupBy(p => (p._2, p._3)).collect {
+      case ((text, span), occ) if occ.map(_._1).distinct.size >= 2 =>
+        (text, span.toLong, occ.map(_._1).distinct.size.toLong,
+          occ.size.toLong, occ.map(_._1).min)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(20)
+    val got = Dedup.templatePassages(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("passage"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("example_doc"))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("e22: windowed funnel is contained in e6's unbounded funnel; gaps " +
     "respect the window bound") {
     val unbounded = EventsBatch.funnel(spark, sfDir).collect()

@@ -219,6 +219,9 @@ class PlanShapeSpec extends GraftSpec {
     ("v27_matryoshka_recall", 5,
       "per-level rank windows (x2 subtrees: approx + truth) + the " +
         "semi-join and |levels|-sized rollup; queries broadcast"),
+    ("d23_template_passages", 5,
+      "shingle-df agg + freq join + run window/agg on doc_id + toks " +
+        "re-join + passage rollup; top-N is TakeOrdered, no sort exchange"),
     ("e22_windowed_funnel", 3,
       "e6's three agg/join rounds on user_id with the window bound " +
         "folded into each stage's min"),
