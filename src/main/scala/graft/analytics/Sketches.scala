@@ -467,6 +467,37 @@ object Sketches {
           .as("n_overlap_est"))
   }
 
+  /** sk12: HLL PRECISION SWEEP — sk11's operating-curve discipline for
+    * the distinct-count sketches (sk1/sk2/sk5/sk6): the SAME distinct
+    * question (corpus-wide distinct users) estimated at every relative
+    * standard deviation tier next to its exact answer and the realized
+    * error (milli). rsd maps to HLL register count (≈ 1.04/√m), so the
+    * table reads as "what accuracy does each sketch-memory tier buy on
+    * THIS data" — the number you check before wiring sk1's estimates
+    * into an alerting threshold. One pass: all tiers are aggregate
+    * expressions over a single scan, each a fixed-size register set,
+    * map-side combinable. Rows-only like sk1 (HLL estimates are
+    * implementation-defined); SketchesSpec brackets every tier against
+    * the exact count at its advertised rsd. */
+  def hllPrecisionSweep(spark: SparkSession, dir: String,
+                        rsds: Seq[Double] = Seq(0.01, 0.02, 0.05, 0.1))
+      : DataFrame = {
+    val e = Tables.events(spark, dir)
+    def name(r: Double) = s"est_${(r * 1000).round}"
+    val aggs = rsds.map(r =>
+      approx_count_distinct(col("user_id"), rsd = r).as(name(r))) :+
+      countDistinct(col("user_id")).as("exact_users")
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val stacked = rsds.map(r =>
+      one.select(lit(r).as("rsd"), col(name(r)).as("approx_users"),
+        col("exact_users")))
+      .reduce(_ unionByName _)
+    stacked.select(col("rsd"), col("approx_users"), col("exact_users"),
+        expr("abs(approx_users - exact_users) * 1000 div exact_users")
+          .as("abs_err_milli"))
+      .orderBy(col("rsd"))
+  }
+
   /** sk11: BLOOM MASK-WIDTH SWEEP — the operating curve sk8's filter is
     * tuned on, the way d21's bands×rows sweep tunes d2's LSH: the SAME
     * build set and probe stream scored at mask widths m = 2^12..2^16

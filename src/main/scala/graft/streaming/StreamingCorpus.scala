@@ -175,6 +175,50 @@ object StreamingCorpus {
     docs.filter(
       graft.text.CorpusPrep.uniformSampleBucket(col("doc_id")) < perMille)
 
+  /** The fitted p17 budget plan — (lang, quality level) → per-million
+    * admission bound — computed ONCE at query build from the static
+    * corpus via the SAME relation the batch key consumes
+    * ([[graft.text.CorpusPrep.budgetPlanDf]]): the LM-gate contract
+    * (fit offline, score in-stream), and batch/stream parity by
+    * construction. ≤5 rows per language regardless of corpus size. */
+  def budgetPlan(spark: org.apache.spark.sql.SparkSession,
+                 dir: String,
+                 budgetMilli: Long = 500L): Map[(String, Long), Long] =
+    graft.text.CorpusPrep.budgetPlanDf(spark, dir, budgetMilli)
+      .select(col("lang"), col("q"), col("fill_below"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** Streaming BUDGET gate: p17's quality-budget admission applied at
+    * the ingest edge — the plan (fitted offline on the reference
+    * corpus, a ≤5-rows-per-lang literal) maps each document's
+    * (language, t2 quality level) to a per-million admission bound,
+    * and the doc passes iff its fifth-hash budget bucket clears it.
+    * The stream carries no language labels, so the language is t3's
+    * in-stream prediction (the same router a production edge runs);
+    * a (lang, level) cell absent from the plan admits nothing.
+    * Stateless, map-side, no stream-static join; the verdict rule's
+    * parity with an in-process application of the same plan is
+    * spec-asserted. A production pipeline refreshes the plan on a
+    * cadence, exactly like the LM and decontamination gates' fitted
+    * literals. */
+  def budgetGate(docs: DataFrame,
+                 plan: Map[(String, Long), Long]): DataFrame = {
+    // (lang, level) -> fill as a literal map: key = lang || ':' || level
+    val fillMap = map(plan.toSeq.sortBy(_._1).flatMap { case ((l, q), f) =>
+      Seq(lit(s"$l:$q"), lit(f))
+    }: _*)
+    docs
+      .withColumn("graft_lang", graft.text.TextAnalysis.langPredCol)
+      .withColumn("graft_q", graft.text.TextAnalysis.qualityScoreCol)
+      .withColumn("graft_fill",
+        coalesce(element_at(fillMap,
+          concat(col("graft_lang"), lit(":"), col("graft_q"))), lit(0L)))
+      .filter(graft.text.CorpusPrep.budgetBucket(col("doc_id")) <
+        col("graft_fill"))
+      .drop("graft_lang", "graft_q", "graft_fill")
+  }
+
   /** Streaming CHARSET gate: t18's ascii_ratio threshold at the ingest
     * edge — binary garbage, wrong-script content and mojibake are
     * dropped before tokenization spends anything on them (the cheapest

@@ -866,10 +866,15 @@ object CorpusPrep {
     * This is the curation step between d16's dedup verdicts and p8's
     * packing: what a team runs when the compute budget, not the
     * corpus, is the binding constraint. */
-  def budgetSelect(spark: SparkSession, dir: String,
+  /** p17's fitted plan relation — (lang, quality level) → level verdict
+    * + per-million admission bound; ≤5 rows per language. Shared by the
+    * batch [[budgetSelect]] and the streaming gate's collect
+    * ([[graft.streaming.StreamingCorpus.budgetPlan]]) so batch/stream
+    * parity is by construction. */
+  def budgetPlanDf(spark: SparkSession, dir: String,
                    budgetMilli: Long = 500L): DataFrame = {
     val docs = Corpus.docsTok(spark, dir)
-      .select(col("doc_id"), col("lang"),
+      .select(col("lang"),
         graft.text.TextAnalysis.qualityScoreColOf(col("words")).as("q"),
         size(col("words")).cast("long").as("n_tokens"))
     val byLangDesc = org.apache.spark.sql.expressions.Window
@@ -877,7 +882,7 @@ object CorpusPrep {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-    val plan = docs.groupBy(col("lang"), col("q"))
+    docs.groupBy(col("lang"), col("q"))
       .agg(sum(col("n_tokens")).as("level_tokens"))
       .withColumn("cum_tokens", sum(col("level_tokens")).over(byLangDesc))
       .withColumn("total_tokens", sum(col("level_tokens")).over(byLang))
@@ -892,6 +897,15 @@ object CorpusPrep {
           .when(col("level_verdict") === "drop", lit(0L))
           .otherwise(expr("(budget - prev_cum) * 1000000 div level_tokens")))
       .select(col("lang"), col("q"), col("level_verdict"), col("fill_below"))
+  }
+
+  def budgetSelect(spark: SparkSession, dir: String,
+                   budgetMilli: Long = 500L): DataFrame = {
+    val docs = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.qualityScoreColOf(col("words")).as("q"),
+        size(col("words")).cast("long").as("n_tokens"))
+    val plan = budgetPlanDf(spark, dir, budgetMilli)
     docs.join(broadcast(plan), Seq("lang", "q"))
       .select(col("doc_id"), col("lang"), col("q").as("quality_score"),
         col("n_tokens"), col("level_verdict"),

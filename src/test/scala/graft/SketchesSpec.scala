@@ -193,4 +193,25 @@ class SketchesSpec extends GraftSpec {
     assert(within(row.getAs[Long]("n_overlap_est"), exactOverlap, 0.15,
       0.1 * exactUnion))
   }
+
+  test("sk12: every precision tier brackets the exact distinct count at " +
+    "its advertised rsd; exact column is the true count") {
+    import graft.analytics.Sketches
+    import graft.model.Tables
+    val rows = Sketches.hllPrecisionSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Double]("rsd"))
+    assert(rows.map(_.getAs[Double]("rsd")).toSeq === Seq(0.01, 0.02, 0.05, 0.1))
+    val exact = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") === exact)
+      val est = r.getAs[Long]("approx_users")
+      // 5-sigma of the advertised rsd, plus small-count slack
+      val tol = math.max(exact * r.getAs[Double]("rsd") * 5, 3.0)
+      assert(math.abs(est - exact).toDouble <= tol,
+        s"rsd=${r.getAs[Double]("rsd")}: est $est vs exact $exact")
+      assert(r.getAs[Long]("abs_err_milli") ===
+        math.abs(est - exact) * 1000 / exact)
+    }
+  }
 }

@@ -221,6 +221,36 @@ class StreamingCorpusSpec extends GraftSpec {
       "the streamed sample must be the identical corpus slice as batch p13")
   }
 
+  test("streaming budget gate admits exactly the docs the fitted p17 plan " +
+    "admits under the in-stream language prediction") {
+    val in = Files.createTempDirectory("stream_budget")
+    in.toFile.deleteOnExit()
+    val docsRows = graft.text.Corpus.docs(spark, sfDir)
+      .select("doc_id", "text").collect()
+    Files.writeString(in.resolve("a.json"),
+      docsRows.map(r => doc(r.getLong(0), "2024-03-01T10:00:00",
+        r.getString(1))).mkString("\n"))
+    val plan = StreamingCorpus.budgetPlan(spark, sfDir)
+    assert(plan.nonEmpty)
+    runStream(in, StreamingCorpus.budgetGate(_, plan), "budget_stream")
+    val streamed = spark.sql("SELECT doc_id FROM budget_stream")
+      .collect().map(_.getLong(0)).toSet
+    // in-process application of the same rule: predicted lang + t2 level
+    // -> plan fill, admit iff budget bucket clears it
+    val verdicts = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.langPredCol.as("lp"),
+        graft.text.TextAnalysis.qualityScoreColOf(col("words")).as("q"),
+        graft.text.CorpusPrep.budgetBucket(col("doc_id")).as("b"))
+      .collect()
+      .filter(r => r.getLong(3) <
+        plan.getOrElse((r.getString(1), r.getLong(2)), 0L))
+      .map(_.getLong(0)).toSet
+    assert(verdicts.nonEmpty && streamed === verdicts,
+      "gate must admit exactly the plan's admissions")
+    assert(streamed.size < docsRows.length, "the budget must bite")
+  }
+
   test("streaming charset gate keeps exactly the docs batch t18 rates at " +
     "or above the ascii threshold; garbage is dropped") {
     val in = Files.createTempDirectory("stream_charset")
