@@ -3,6 +3,7 @@ package graft.analytics
 import graft.etl.{Defaults, StoreDaily}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A9/A18: read-path KPI aggregates (reference: backend/functions/
@@ -409,4 +410,61 @@ object Kpis {
       |    WHEN r_score = 1 THEN 'dormant'
       |    ELSE 'casual' END AS segment
       |FROM scored ORDER BY custkey""".stripMargin
+
+  /** a38: COHORT REVENUE TRIANGLE over orders — customers grouped by
+    * their first-order month (the acquisition cohort), then each
+    * cohort's activity rolled per months-since-acquisition: active
+    * customers, orders, exact revenue cents. The LTV/retention
+    * triangle every growth team reads alongside e7's event retention —
+    * this one is purchase-weighted and spans the full order history.
+    * Month arithmetic is pure integers (year·12 + month), no interval
+    * libm; revenue is DECIMAL summed then cents-cast. Shape: one
+    * per-customer min-month agg (map-side combinable), a broadcast-free
+    * self-join replaced by a window over the customer's own orders
+    * (bounded per customer), then a (cohort, age) rollup — two
+    * data-sized exchanges, both on keys a 1000-executor cluster hashes
+    * evenly (custkey, then cohort·age ≤ |months|²). */
+  def cohortTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m_idx"),
+        col("o_totalprice").cast(Tables.Money).as("price_dec"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+    o.withColumn("cohort_idx", min(col("m_idx")).over(byCust))
+      .groupBy(col("cohort_idx"),
+        (col("m_idx") - col("cohort_idx")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("price_dec")) * 100).cast("long").as("revenue_cents"))
+      .select(
+        format_string("%04d-%02d", (col("cohort_idx") / lit(12)).cast("int"),
+          pmod(col("cohort_idx"), lit(12)).cast("int") + lit(1))
+          .as("cohort_month"),
+        col("months_since"), col("n_customers"), col("n_orders"),
+        col("revenue_cents"))
+      .orderBy(col("cohort_month"), col("months_since"))
+  }
+
+  val cohortTriangleSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m_idx,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey, m_idx, price_dec,
+      |    MIN(m_idx) OVER (PARTITION BY o_custkey) AS cohort_idx
+      |  FROM o),
+      |tri AS (
+      |  SELECT cohort_idx, m_idx - cohort_idx AS months_since,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(price_dec) * 100 AS BIGINT) AS revenue_cents
+      |  FROM c GROUP BY 1, 2)
+      |SELECT printf('%04d-%02d', CAST(cohort_idx // 12 AS INTEGER),
+      |    CAST(cohort_idx % 12 AS INTEGER) + 1) AS cohort_month,
+      |  months_since, n_customers, n_orders, revenue_cents
+      |FROM tri ORDER BY cohort_month, months_since""".stripMargin
 }

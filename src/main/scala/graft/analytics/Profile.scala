@@ -619,4 +619,84 @@ object Profile {
        |    WHEN est_bytes * 4 < $targetBytes THEN 'coalesce'
        |    ELSE 'ok' END AS advice
        |FROM p ORDER BY lang, source""".stripMargin
+
+  /** k10: SAMPLE-BASED ESTIMATE CALIBRATION — approximate query
+    * processing's honesty check: run the per-store rows/revenue
+    * profile on a deterministic 1-in-20 ORDER-level hash sample
+    * ((l_orderkey·48271 + 11) mod P < P div 20 — the multiplier must
+    * WRAP the keyspace many times (48271 = MINSTD); a small multiplier
+    * leaves dense low key ranges un-mixed and the "5%" predicate
+    * becomes a key-range filter — sampling whole orders,
+    * not lines, keeps intra-order correlation out of the variance the
+    * way cluster sampling theory says a line-fact AQP must), scale up
+    * by the exact inverse inclusion ratio (·P div T, integer), and
+    * report the per-store relative error against the exact profile.
+    * This is the table that tells an engineer whether the 5% sample
+    * tier of a 100 TB lake is usable for which store sizes — error
+    * concentrates exactly where theory predicts (small stores, few
+    * sampled orders).
+    *
+    * Shape: the sample predicate is a pushable scan filter (no join —
+    * the key arithmetic rides the scan), both branches are one
+    * map-side-combinable store agg, and the compare joins on
+    * |stores|. The same pattern at scale materializes the sample as
+    * its own parquet tier and reuses it across every AQP query.
+    * Revenue stays in integer cents through the scale-up (cents·P
+    * ≈ 10¹⁵ at sf0.1 — exact in 64-bit; a 100 TB deployment divides
+    * before multiplying or moves to DECIMAL(38)). */
+  def sampleCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000003L
+    val T = P / 20L
+    val sales = Tables.sales(spark, dir)
+      .select(col("store_id"), col("l_orderkey"),
+        (col("line_total") * 100).cast("long").as("cents"))
+    val exact = sales.groupBy(col("store_id"))
+      .agg(count(lit(1)).as("exact_rows"), sum(col("cents")).as("exact_cents"))
+    val est = sales
+      .filter((col("l_orderkey") * lit(48271L) + lit(11L)) % P < T)
+      .groupBy(col("store_id"))
+      .agg(expr(s"cast(count(1) * ${P}L div ${T}L as bigint)").as("est_rows"),
+        expr(s"cast(sum(cents) * ${P}L div ${T}L as bigint)").as("est_cents"))
+    exact.join(est, Seq("store_id"), "left")
+      .select(col("store_id"),
+        col("exact_rows"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        col("exact_cents").cast("long").as("exact_cents"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"))
+      .withColumn("row_err_milli",
+        expr("abs(est_rows - exact_rows) * 1000 div exact_rows"))
+      .withColumn("rev_err_milli",
+        expr("abs(est_cents - exact_cents) * 1000 div exact_cents"))
+      .orderBy(col("store_id"))
+  }
+
+  val sampleCalibrationSql: String = {
+    val P = 1000003L
+    val T = P / 20L
+    s"""WITH sales AS (
+       |  SELECT printf('%04d', l_suppkey) AS store_id, l_orderkey,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM lineitem),
+       |exact AS (
+       |  SELECT store_id, CAST(COUNT(*) AS BIGINT) AS exact_rows,
+       |    CAST(SUM(cents) AS BIGINT) AS exact_cents
+       |  FROM sales GROUP BY 1),
+       |est AS (
+       |  SELECT store_id,
+       |    CAST(COUNT(*) * $P // $T AS BIGINT) AS est_rows,
+       |    CAST(SUM(cents) * $P // $T AS BIGINT) AS est_cents
+       |  FROM sales WHERE (l_orderkey * 48271 + 11) % $P < $T
+       |  GROUP BY 1)
+       |SELECT x.store_id, x.exact_rows,
+       |  COALESCE(e.est_rows, 0) AS est_rows,
+       |  x.exact_cents,
+       |  COALESCE(e.est_cents, 0) AS est_cents,
+       |  ABS(COALESCE(e.est_rows, 0) - x.exact_rows) * 1000 // x.exact_rows
+       |    AS row_err_milli,
+       |  ABS(COALESCE(e.est_cents, 0) - x.exact_cents) * 1000
+       |    // x.exact_cents AS rev_err_milli
+       |FROM exact x LEFT JOIN est e USING (store_id)
+       |ORDER BY x.store_id""".stripMargin
+  }
 }

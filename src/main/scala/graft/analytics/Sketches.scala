@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregates — the operators you reach for at
@@ -577,5 +578,227 @@ object Sketches {
        |  SELECT DISTINCT o_orderkey AS k FROM orders
        |  WHERE o_orderpriority = '1-URGENT')
        |${bitsLevels.map(level).mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY m_bits""".stripMargin
+  }
+
+  /** sk13: K-MINIMUM-VALUES distinct estimator, oracle-checked — the
+    * KMV sweep puts a HASH-CHECKED row on the distinct-count-sketch
+    * family that sk2/sk5's HLL keys (implementation-defined registers,
+    * rows-only) cannot get: KMV's whole state is "the k smallest hash
+    * values", and under the house affine family
+    * h(sku) = (a·sku + b) mod P — a BIJECTION on Z_P for prime P, so
+    * no two skus collide while key ids stay below P — both engines
+    * reproduce the estimate bit-for-bit. Estimate: n̂ = (k−1)·P div h₍ₖ₎
+    * (the classic order-statistics estimator with rsd ≈ 1/√(k−2)),
+    * exact when a store has ≤ k distinct skus (the sketch saw
+    * everything). Swept over k ∈ {16, 64, 256} per store — the
+    * accuracy-vs-state operating table next to sk11/sk12's Bloom/HLL
+    * sweeps.
+    *
+    * Shape: one distinct (store, sku) agg, then per-store windows over
+    * the store's own sku set (catalog-bounded). At 100 TB the window
+    * disappears: a real KMV keeps a k-row bounded partial per group —
+    * mergeable by min-merge like sk3's Misra-Gries summaries — and
+    * only the estimator arithmetic remains. Above P-sized catalogs the
+    * affine family swaps for xxhash64 (d5's move) and oracle parity is
+    * traded away with it. */
+  def kmvSweep(spark: SparkSession, dir: String,
+               ks: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
+    val P = 1000003L
+    val pairs = Tables.sales(spark, dir)
+      .select(col("store_id"), col("sku")).distinct()
+      .withColumn("h", (col("sku") * lit(131L) + lit(911L)) % P)
+    val byStore = Window.partitionBy(col("store_id"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        byStore.orderBy(col("h").asc, col("sku").asc)).cast("long"))
+      .withColumn("exact_skus", count(lit(1)).over(byStore))
+    ranked
+      .withColumn("k", explode(array(ks.map(k => lit(k.toLong)): _*)))
+      .filter(col("rn") === least(col("k"), col("exact_skus")))
+      .select(col("store_id"), col("k"), col("exact_skus"),
+        when(col("exact_skus") <= col("k"), col("exact_skus"))
+          .otherwise(expr(s"(k - 1) * ${P}L div h")).as("kmv_est"))
+      .withColumn("err_milli",
+        expr("abs(kmv_est - exact_skus) * 1000 div exact_skus"))
+      .orderBy(col("store_id"), col("k"))
+  }
+
+  def kmvSweepSql(ks: Seq[Int] = Seq(16, 64, 256)): String = {
+    val P = 1000003L
+    val kList = ks.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT printf('%04d', l_suppkey) AS store_id,
+       |    l_partkey AS sku
+       |  FROM lineitem),
+       |hashed AS (
+       |  SELECT store_id, sku, (sku * 131 + 911) % $P AS h FROM pairs),
+       |ranked AS (
+       |  SELECT store_id, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY h ASC, sku ASC) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY store_id) AS BIGINT)
+       |      AS exact_skus
+       |  FROM hashed),
+       |est AS (
+       |  SELECT store_id, k, exact_skus,
+       |    CASE WHEN exact_skus <= k THEN exact_skus
+       |      ELSE (k - 1) * $P // h END AS kmv_est
+       |  FROM ranked CROSS JOIN (SELECT unnest([$kList]) AS k) ks
+       |  WHERE rn = LEAST(k, exact_skus))
+       |SELECT store_id, CAST(k AS BIGINT) AS k, exact_skus, kmv_est,
+       |  ABS(kmv_est - exact_skus) * 1000 // exact_skus AS err_milli
+       |FROM est ORDER BY store_id, k""".stripMargin
+  }
+
+  /** sk14: KMV SET ALGEBRA, oracle-checked — sk9's audience-overlap
+    * question (weekday vs weekend users) answered from K-minimum-values
+    * sketches instead of HLL, which buys the one thing HLL can't give
+    * the oracle: bit-reproducible estimates (sk13's bijective affine
+    * family). The algebra is the real mergeable-sketch protocol:
+    *  - per segment, the k smallest user hashes (the KMV state);
+    *  - UNION sketch = k smallest of (A_k ∪ B_k) — which provably
+    *    contains the k smallest of A ∪ B, so the union estimate needs
+    *    only the two k-sets, never the raw sets;
+    *  - INTERSECTION via the ratio estimator: ρ = |{h ∈ U_k : h ∈ A_k
+    *    ∧ h ∈ B_k}| / k, est = ρ · n̂_union (exact when the union
+    *    sketch is unsaturated — then U_k IS A∪B).
+    * Exact counterparts ride alongside for calibration, with milli
+    * errors. Shape: one distinct (segment, user) agg; every window
+    * after it runs on ≤ 2k rows except the per-segment top-k rank
+    * (audience-bounded; a production KMV keeps a k-row mergeable
+    * partial per segment — sk3's summary pattern — and only the
+    * estimator arithmetic survives). Output is one calibration row. */
+  def kmvSetAlgebra(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val P = 1000003L
+    val pairs = Tables.events(spark, dir)
+      .select(when(dayofweek(col("ts")).isin(1, 7), "weekend")
+        .otherwise("weekday").as("seg"), col("user_id"))
+      .distinct()
+      .withColumn("h", (col("user_id") * lit(48271L) + lit(11L)) % P)
+    val bySeg = Window.partitionBy(col("seg"))
+    val sketches = pairs
+      .withColumn("rn", row_number().over(
+        bySeg.orderBy(col("h").asc, col("user_id").asc)).cast("long"))
+      .withColumn("seg_n", count(lit(1)).over(bySeg))
+      .filter(col("rn") <= k)
+    val exact = pairs.groupBy(col("user_id"))
+      .agg(max(when(col("seg") === "weekday", 1L).otherwise(0L)).as("in_wd"),
+        max(when(col("seg") === "weekend", 1L).otherwise(0L)).as("in_we"))
+      .agg(sum(col("in_wd")).cast("long").as("exact_weekday"),
+        sum(col("in_we")).cast("long").as("exact_weekend"),
+        count(lit(1)).as("exact_union"),
+        sum(col("in_wd") * col("in_we")).cast("long").as("exact_overlap"))
+    val segEst = sketches
+      .groupBy(col("seg"))
+      .agg(max(col("seg_n")).as("n"), count(lit(1)).as("kept"),
+        max(col("h")).as("h_k"))
+      .select(col("seg"),
+        when(col("n") <= k, col("n"))
+          .otherwise(expr(s"($k - 1) * ${P}L div h_k")).as("est"))
+    val merged = sketches
+      .groupBy(col("h"))
+      .agg(max(when(col("seg") === "weekday", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("seg") === "weekend", 1L).otherwise(0L)).as("in_b"))
+    val wU = Window.orderBy(col("h").asc)
+    val union = merged
+      .withColumn("rn", row_number().over(wU).cast("long"))
+      .withColumn("cand_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rn") <= k)
+      .agg(max(col("cand_n")).as("cand_n"), count(lit(1)).as("u_kept"),
+        max(col("h")).as("h_k"),
+        sum(col("in_a") * col("in_b")).cast("long").as("shared"))
+      .select(
+        when(col("cand_n") < k, col("u_kept"))
+          .otherwise(expr(s"($k - 1) * ${P}L div h_k")).as("est_union"),
+        col("cand_n"), col("shared"))
+    val est = segEst.groupBy()
+      .pivot("seg", Seq("weekday", "weekend")).agg(first(col("est")))
+      .withColumnRenamed("weekday", "est_weekday")
+      .withColumnRenamed("weekend", "est_weekend")
+    est.crossJoin(union.select(col("est_union"), col("cand_n"), col("shared")))
+      .withColumn("est_overlap",
+        when(col("cand_n") < k, col("shared"))
+          .otherwise(expr(s"shared * est_union div ${k}L")))
+      .crossJoin(broadcast(exact))
+      .select(lit(k.toLong).as("k"),
+        col("exact_weekday"), col("est_weekday"),
+        col("exact_weekend"), col("est_weekend"),
+        col("exact_union"), col("est_union"),
+        col("exact_overlap"), col("est_overlap"))
+      .withColumn("err_union_milli",
+        expr("abs(est_union - exact_union) * 1000 div exact_union"))
+      .withColumn("err_overlap_milli",
+        expr("abs(est_overlap - exact_overlap) * 1000 div nullif(exact_overlap, 0)"))
+  }
+
+  def kmvSetAlgebraSql(k: Int = 256): String = {
+    val P = 1000003L
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+       |      ELSE 'weekday' END AS seg,
+       |    user_id
+       |  FROM events),
+       |hashed AS (
+       |  SELECT seg, user_id, (user_id * 48271 + 11) % $P AS h FROM pairs),
+       |ranked AS (
+       |  SELECT seg, user_id, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY seg
+       |      ORDER BY h ASC, user_id ASC) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS seg_n
+       |  FROM hashed),
+       |sketches AS (SELECT * FROM ranked WHERE rn <= $k),
+       |exact AS (
+       |  SELECT
+       |    CAST(SUM(in_wd) AS BIGINT) AS exact_weekday,
+       |    CAST(SUM(in_we) AS BIGINT) AS exact_weekend,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |    CAST(SUM(in_wd * in_we) AS BIGINT) AS exact_overlap
+       |  FROM (
+       |    SELECT user_id,
+       |      MAX(CASE WHEN seg = 'weekday' THEN 1 ELSE 0 END) AS in_wd,
+       |      MAX(CASE WHEN seg = 'weekend' THEN 1 ELSE 0 END) AS in_we
+       |    FROM pairs GROUP BY user_id)),
+       |seg_est AS (
+       |  SELECT seg,
+       |    CASE WHEN MAX(seg_n) <= $k THEN MAX(seg_n)
+       |      ELSE ($k - 1) * $P // CAST(MAX(h) AS BIGINT) END AS est
+       |  FROM sketches GROUP BY seg),
+       |merged AS (
+       |  SELECT h,
+       |    MAX(CASE WHEN seg = 'weekday' THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN seg = 'weekend' THEN 1 ELSE 0 END) AS in_b
+       |  FROM sketches GROUP BY h),
+       |u_ranked AS (
+       |  SELECT h, in_a, in_b,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY h ASC) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS cand_n
+       |  FROM merged),
+       |u AS (
+       |  SELECT MAX(cand_n) AS cand_n,
+       |    CAST(COUNT(*) AS BIGINT) AS u_kept,
+       |    CAST(MAX(h) AS BIGINT) AS h_k,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS shared
+       |  FROM u_ranked WHERE rn <= $k),
+       |u_est AS (
+       |  SELECT cand_n, shared,
+       |    CASE WHEN cand_n < $k THEN u_kept
+       |      ELSE ($k - 1) * $P // h_k END AS est_union
+       |  FROM u)
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  x.exact_weekday,
+       |  (SELECT est FROM seg_est WHERE seg = 'weekday') AS est_weekday,
+       |  x.exact_weekend,
+       |  (SELECT est FROM seg_est WHERE seg = 'weekend') AS est_weekend,
+       |  x.exact_union, u.est_union,
+       |  x.exact_overlap,
+       |  CASE WHEN u.cand_n < $k THEN u.shared
+       |    ELSE u.shared * u.est_union // $k END AS est_overlap,
+       |  ABS(u.est_union - x.exact_union) * 1000 // x.exact_union
+       |    AS err_union_milli,
+       |  ABS(CASE WHEN u.cand_n < $k THEN u.shared
+       |      ELSE u.shared * u.est_union // $k END - x.exact_overlap) * 1000
+       |    // NULLIF(x.exact_overlap, 0) AS err_overlap_milli
+       |FROM exact x CROSS JOIN u_est u""".stripMargin
   }
 }

@@ -561,4 +561,132 @@ object Trends {
        |      + (syd / CAST(n AS DOUBLE) - slope * (sxd / CAST(n AS DOUBLE)))
        |    END AS forecast_next
        |FROM f ORDER BY store_id""".stripMargin
+
+  /** a36: GINI REVENUE CONCENTRATION per day — how evenly the day's net
+    * revenue spreads across stores, the one-number inequality summary a
+    * BI page wants next to a32's Pareto curve (a32 ranks the cumulative
+    * share; Gini integrates it: 0 = perfectly even, →1 = one store takes
+    * all). Closed form over the ascending-ranked series:
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), reported in exact milli via
+    * integer cents (rank ties broken by store_id — both engines rank
+    * identically). Rides the shared (store, day) rollup silver; the
+    * per-day rank windows are store-count-bounded (never data-sized),
+    * so the whole operator is one silver read + |days|×|stores| window
+    * rows — at 100 TB the silver is the materialized daily summary
+    * table and this is a dashboard-sized query. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"), col("store_id"))
+      .agg(((sum(col("gross_dec")) - sum(col("disc_dec"))) * 100)
+        .cast("long").as("net_c"))
+    val w = Window.partitionBy(col("sale_date"))
+      .orderBy(col("net_c").asc, col("store_id").asc)
+    byDay
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy(col("sale_date"))
+      .agg(count(lit(1)).as("n_stores"),
+        sum(col("net_c")).as("total_cents"),
+        sum(col("rnk") * col("net_c")).as("rank_weighted_c"))
+      .select(col("sale_date"), col("n_stores"), col("total_cents"),
+        expr("(2 * rank_weighted_c - (n_stores + 1) * total_cents) * 1000" +
+          " div (n_stores * total_cents)").as("gini_milli"))
+      .orderBy(col("sale_date"))
+  }
+
+  val giniConcentrationSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |by_day AS (
+       |  SELECT sale_date, store_id,
+       |    CAST((SUM(gross_dec) - SUM(disc_dec)) * 100 AS BIGINT) AS net_c
+       |  FROM sd GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT sale_date, net_c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sale_date
+       |      ORDER BY net_c ASC, store_id ASC) AS BIGINT) AS rnk
+       |  FROM by_day),
+       |agg AS (
+       |  SELECT sale_date,
+       |    CAST(COUNT(*) AS BIGINT) AS n_stores,
+       |    CAST(SUM(net_c) AS BIGINT) AS total_cents,
+       |    CAST(SUM(rnk * net_c) AS BIGINT) AS rank_weighted_c
+       |  FROM ranked GROUP BY 1)
+       |SELECT sale_date, n_stores, total_cents,
+       |  (2 * rank_weighted_c - (n_stores + 1) * total_cents) * 1000
+       |    // (n_stores * total_cents) AS gini_milli
+       |FROM agg ORDER BY sale_date""".stripMargin
+
+  /** a37: EWMA CONTROL CHART over company daily net revenue — the
+    * smoother companion to a11's fixed-window deviation rubric: an
+    * exponentially-weighted baseline reacts to level shifts in a few
+    * days yet ignores single-day noise. The classic recursion
+    * E_t = αx_t + (1−α)E_{t−1} needs libm-free engine parity, so the
+    * fit is the exact FINITE-window form with α = 1/4 over the 8 prior
+    * days: weights wᵢ = 3^(i−1)·4^(8−i) (lag i = 1..8 — the geometric
+    * weights times 4⁸, all integers), baseline = Σwᵢ·xᵢ div Σwᵢ over
+    * the lags actually present. Beyond 8 days the dropped geometric
+    * tail holds < 10% of the mass; the truncation is the standard
+    * "effective window" reading of EWMA and keeps every intermediate
+    * in exact 64-bit integers (max weight 4⁷·cents ≪ 2⁶³). Flags days
+    * whose deviation from their own baseline exceeds `flagMilli`.
+    * One date-ordered window over |calendar days| rows on the company
+    * silver — dashboard-sized at any corpus scale. */
+  def ewmaControl(spark: SparkSession, dir: String,
+                  flagMilli: Long = 300L): DataFrame = {
+    val daily = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(((sum(col("gross_dec")) - sum(col("disc_dec"))) * 100)
+        .cast("long").as("net_c"))
+    val w = Window.orderBy(col("sale_date"))
+    val lags = (1 to 8).map { i =>
+      val wi = math.pow(3, i - 1).toLong * math.pow(4, 8 - i).toLong
+      (lag(col("net_c"), i).over(w), lit(wi))
+    }
+    val num = lags.map { case (x, wi) =>
+      when(x.isNotNull, x * wi).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = lags.map { case (x, wi) =>
+      when(x.isNotNull, wi).otherwise(lit(0L)) }.reduce(_ + _)
+    daily
+      .withColumn("num_c", num.cast("long"))
+      .withColumn("den_c", den.cast("long"))
+      // integer div, never Column./ (double division would round the
+      // 4^7-scaled numerator past double's 53-bit exact range)
+      .withColumn("ewma_c",
+        when(col("den_c") > 0, expr("num_c div den_c")).cast("long"))
+      .select(col("sale_date"), col("net_c"), col("ewma_c"),
+        when(col("ewma_c") > 0,
+          expr("(net_c - ewma_c) * 1000 div ewma_c")).as("dev_milli"))
+      .withColumn("is_flagged",
+        coalesce(abs(col("dev_milli")) > flagMilli, lit(false)))
+      .orderBy(col("sale_date"))
+  }
+
+  def ewmaControlSql(flagMilli: Long = 300L): String = {
+    val terms = (1 to 8).map { i =>
+      val wi = math.pow(3, i - 1).toLong * math.pow(4, 8 - i).toLong
+      (s"lag(net_c, $i) OVER (ORDER BY sale_date)", wi)
+    }
+    val num = terms.map { case (x, wi) =>
+      s"CASE WHEN $x IS NOT NULL THEN $x * $wi ELSE 0 END" }
+      .mkString(" + ")
+    val den = terms.map { case (x, wi) =>
+      s"CASE WHEN $x IS NOT NULL THEN $wi ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |daily AS (
+       |  SELECT sale_date,
+       |    CAST((SUM(gross_dec) - SUM(disc_dec)) * 100 AS BIGINT) AS net_c
+       |  FROM sd GROUP BY 1),
+       |ew AS (
+       |  SELECT sale_date, net_c,
+       |    CASE WHEN ($den) > 0
+       |      THEN CAST(($num) // ($den) AS BIGINT) END AS ewma_c
+       |  FROM daily)
+       |SELECT sale_date, net_c, ewma_c,
+       |  CASE WHEN ewma_c > 0
+       |    THEN (net_c - ewma_c) * 1000 // ewma_c END AS dev_milli,
+       |  COALESCE(ABS(CASE WHEN ewma_c > 0
+       |    THEN (net_c - ewma_c) * 1000 // ewma_c END) > $flagMilli,
+       |    FALSE) AS is_flagged
+       |FROM ew ORDER BY sale_date""".stripMargin
+  }
 }

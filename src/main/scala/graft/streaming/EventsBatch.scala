@@ -1221,4 +1221,253 @@ object EventsBatch {
        |  CAST(SUM(ABS(p_a - p_b)) // 2 AS BIGINT) AS tv_milli,
        |  CAST(SUM(ABS(p_a - p_b)) // 2 AS BIGINT) >= $thresholdMilli AS is_drifted
        |FROM props GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** e23: CUSUM CHANGEPOINT SCORE per event type over the daily event
+    * count series — the sequential change detector monitoring runs when
+    * a level shift matters more than a single-day spike (e17's bursts
+    * catch the latter; a sustained +15% volume step never trips a
+    * per-day z-test but accumulates linearly here). The textbook
+    * recursion S_d = max(0, S_{d-1} + (x_d − μ)) is not a window
+    * function, but it has a closed form over prefix sums:
+    * with Q_d = Σ_{i≤d}(x_i − μ),  S_d = Q_d − min(0, min_{j≤d} Q_j)
+    * (and the downward side mirrored with max) — so the whole detector
+    * is ONE daily-count hash agg plus per-type windows over
+    * calendar-day-bounded rows. All arithmetic is integer milli
+    * (μ in milli-events/day via floor division), exact in both
+    * engines. Alarm when either side exceeds `hDays` days' worth of
+    * average volume — a relative threshold that needs no variance
+    * estimate (and no libm sqrt).
+    *
+    * 100 TB: the daily-count agg is map-side combinable and the only
+    * data-sized exchange; windows ride |types| × |days| rows. The
+    * recursion form (not the closed form) is what the streaming twin
+    * [[StatefulCusum]] keeps as per-key state — one (S⁺, S⁻, μ) triple
+    * per type, bit-identical to this batch relation. */
+  def cusumChangepoint(spark: SparkSession, dir: String,
+                       hDays: Long = 2L): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    val toHere = byType.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu_milli",
+        expr("cast(sum(n_events) over (partition by event_type) * 1000" +
+          " div count(1) over (partition by event_type) as bigint)"))
+      .withColumn("q_milli", sum(col("n_events") * lit(1000L) - col("mu_milli")).over(toHere))
+      .withColumn("cusum_pos_milli",
+        col("q_milli") - least(lit(0L), min(col("q_milli")).over(toHere)))
+      .withColumn("cusum_neg_milli",
+        greatest(lit(0L), max(col("q_milli")).over(toHere)) - col("q_milli"))
+      .select(col("event_type"), col("d"), col("n_events"), col("mu_milli"),
+        col("cusum_pos_milli"), col("cusum_neg_milli"),
+        (greatest(col("cusum_pos_milli"), col("cusum_neg_milli")) >
+          col("mu_milli") * hDays).as("is_alarm"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  def cusumChangepointSql(hDays: Long = 2L): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |mu AS (
+       |  SELECT event_type, d, n_events,
+       |    CAST(SUM(n_events) OVER (PARTITION BY event_type) * 1000
+       |      // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS mu_milli
+       |  FROM daily),
+       |pre AS (
+       |  SELECT event_type, d, n_events, mu_milli,
+       |    CAST(SUM(n_events * 1000 - mu_milli) OVER (
+       |      PARTITION BY event_type ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q_milli
+       |  FROM mu),
+       |cus AS (
+       |  SELECT event_type, d, n_events, mu_milli,
+       |    q_milli - LEAST(0, MIN(q_milli) OVER (
+       |      PARTITION BY event_type ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING)) AS cusum_pos_milli,
+       |    GREATEST(0, MAX(q_milli) OVER (
+       |      PARTITION BY event_type ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING)) - q_milli AS cusum_neg_milli
+       |  FROM pre)
+       |SELECT event_type, d, n_events, mu_milli,
+       |  cusum_pos_milli, cusum_neg_milli,
+       |  GREATEST(cusum_pos_milli, cusum_neg_milli)
+       |    > mu_milli * $hDays AS is_alarm
+       |FROM cus ORDER BY event_type, d""".stripMargin
+
+  /** e24: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT per event type — the
+    * nonparametric companion to e19's bucketed TV distance: e19 sees
+    * only mass moved ACROSS its 10 fixed $50 buckets (a shift entirely
+    * inside one bucket is invisible); KS compares the full empirical
+    * CDFs at exact-cent resolution, catching any location/shape move.
+    * D = max_v |F_a(v) − F_b(v)| with both CDFs evaluated as integer
+    * milli floor divisions (each term ≤ 1000, so no cross-product
+    * overflow at any corpus size); the calendar-half split derives from
+    * the observed day range like e19 — retry-stable, no wall clock.
+    * `v_at_max` reports WHERE the distributions diverge most (smallest
+    * cent value attaining D — deterministic tie rule), which is the
+    * actionable part of a drift page.
+    *
+    * 100 TB: one (type, cent, half) count agg is the only data-sized
+    * exchange; CDF windows ride |types| × |distinct cents| rows
+    * (bounded by the $0–$500 cent domain, ≤ 50k) — at real scale
+    * distinct-value CDFs stay bounded whenever the metric domain is
+    * (money in cents); for unbounded domains e19's fixed buckets are
+    * the fallback. */
+  def ksDrift(spark: SparkSession, dir: String,
+              thresholdMilli: Long = 50L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(cast(value AS decimal(18,2)) * 100 AS bigint)").as("v"))
+    val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("day"), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), "a").otherwise("b"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cdf = byType.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = counts
+      .withColumn("tot_a", sum(col("n_a")).over(byType))
+      .withColumn("tot_b", sum(col("n_b")).over(byType))
+      .withColumn("diff_milli",
+        abs(expr("sum(n_a) over (partition by event_type order by v rows unbounded preceding) * 1000 div tot_a") -
+          expr("sum(n_b) over (partition by event_type order by v rows unbounded preceding) * 1000 div tot_b")))
+    diffs
+      .withColumn("ks_milli", max(col("diff_milli")).over(byType))
+      .filter(col("diff_milli") === col("ks_milli"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot_a")).as("n_first_half"),
+        max(col("tot_b")).as("n_second_half"),
+        max(col("ks_milli")).as("ks_milli"),
+        min(col("v")).as("v_at_max"))
+      .withColumn("is_drifted", col("ks_milli") >= thresholdMilli)
+      .orderBy(col("event_type"))
+  }
+
+  def ksDriftSql(thresholdMilli: Long = 50L): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events),
+       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+       |counts AS (
+       |  SELECT event_type, v,
+       |    CAST(SUM(CASE WHEN date_diff('day', b.lo, e.day) * 2
+       |      <= date_diff('day', b.lo, b.hi) THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN date_diff('day', b.lo, e.day) * 2
+       |      <= date_diff('day', b.lo, b.hi) THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM ev e CROSS JOIN bounds b GROUP BY 1, 2),
+       |diffs AS (
+       |  SELECT event_type, v,
+       |    CAST(SUM(n_a) OVER (PARTITION BY event_type) AS BIGINT) AS tot_a,
+       |    CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT) AS tot_b,
+       |    ABS(
+       |      CAST(SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+       |        ROWS UNBOUNDED PRECEDING) * 1000 AS BIGINT)
+       |        // CAST(SUM(n_a) OVER (PARTITION BY event_type) AS BIGINT)
+       |      - CAST(SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+       |        ROWS UNBOUNDED PRECEDING) * 1000 AS BIGINT)
+       |        // CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT)
+       |    ) AS diff_milli
+       |  FROM counts),
+       |mx AS (
+       |  SELECT event_type, v, tot_a, tot_b, diff_milli,
+       |    MAX(diff_milli) OVER (PARTITION BY event_type) AS ks_milli
+       |  FROM diffs)
+       |SELECT event_type,
+       |  CAST(MAX(tot_a) AS BIGINT) AS n_first_half,
+       |  CAST(MAX(tot_b) AS BIGINT) AS n_second_half,
+       |  CAST(MAX(ks_milli) AS BIGINT) AS ks_milli,
+       |  CAST(MIN(v) AS BIGINT) AS v_at_max,
+       |  CAST(MAX(ks_milli) AS BIGINT) >= $thresholdMilli AS is_drifted
+       |FROM mx WHERE diff_milli = ks_milli
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** e25: SESSION PATH MINING — the top event-type TRIGRAMS inside
+    * e4's 30-minute-gap sessions: the "what do users actually do, in
+    * order" table product analytics reads next to the funnel (e6 fixes
+    * the stage order a priori; this discovers the dominant orders).
+    * Trigram extraction is two LEAD()s inside the (user, session)
+    * window — the same bounded-group window e4/e20 already ride — and
+    * the path census is one (t1,t2,t3) hash agg over |event-types|³
+    * possible keys. share_milli is each path's exact integer share of
+    * all observed trigrams; ranks use the full lexical tiebreak so
+    * snapshots diff cleanly. At 100 TB: sessionization is the ONE
+    * user_id exchange (e4's shape), the census agg is
+    * map-side-combinable into a ≤|types|³-row result — the window
+    * never leaves the session group. */
+  def pathMining(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) div 1000000") -
+            expr("unix_micros(prev_ts) div 1000000") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tris = sessions
+      .withColumn("t2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(col("event_type").as("t1"), col("t2"), col("t3"))
+    val counts = tris.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_paths"))
+    val total = Window.partitionBy(lit(1))
+    val rank = Window.partitionBy(lit(1))
+      .orderBy(col("n_paths").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+    counts
+      .withColumn("total_paths", sum(col("n_paths")).over(total))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n_paths"),
+        expr("n_paths * 1000 div total_paths").as("share_milli"))
+      .orderBy(col("rank"))
+  }
+
+  def pathMiningSql(topN: Int = 20): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_us(ts) // 1000000
+       |         - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged),
+       |tris AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER w2 AS t2,
+       |    lead(event_type, 2) OVER w2 AS t3
+       |  FROM sess
+       |  WINDOW w2 AS (PARTITION BY user_id, session_id
+       |    ORDER BY ts, event_id)),
+       |counts AS (
+       |  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+       |  FROM tris WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(SUM(n_paths) OVER () AS BIGINT) AS total_paths,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC,
+       |      t1 ASC, t2 ASC, t3 ASC) AS BIGINT) AS rank
+       |  FROM counts)
+       |SELECT rank, t1, t2, t3, n_paths,
+       |  n_paths * 1000 // total_paths AS share_milli
+       |FROM ranked WHERE rank <= $topN
+       |ORDER BY rank""".stripMargin
 }

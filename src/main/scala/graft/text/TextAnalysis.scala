@@ -1267,4 +1267,194 @@ object TextAnalysis {
        |    / CAST(nullif(n_points * sxx - sx * sx, 0) AS DOUBLE))
        |    * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE) AS intercept
        |FROM mom ORDER BY lang""".stripMargin
+
+  /** t27: PMI COLLOCATIONS per language — the top word pairs whose
+    * adjacency is most above chance: PMI = log2( p(a,b) / (p(a)·p(b)) )
+    * over adjacent-token bigrams, the standard collocation miner (and
+    * the phrase-vocabulary builder word2vec-style pipelines run before
+    * training). Engine parity uses the house integer floor-log2:
+    * with N = bigram tokens per lang, num = c_ab·N, den = c_a·c_b,
+    * pmi_bits = floor(log2(num div den)) when num ≥ den, else
+    * −floor(log2(den div num)) — exact 64-bit arithmetic both engines
+    * (num ≤ c_ab·N ≈ 10¹⁴ at sf0.1; at extreme corpus sizes the same
+    * statistic drops to bit-length differences, no product). A
+    * `minCount` floor keeps the rare-pair PMI explosion out (the
+    * textbook failure mode: hapax pairs score max PMI). Top `topN`
+    * per lang by (pmi_bits, c_ab) with full lexical tiebreaks.
+    *
+    * Shape: one bigram count agg + one unigram count agg (both
+    * map-side combinable), two vocabulary-bounded broadcast joins, and
+    * a per-lang top-N window over the vocab²-bounded pair relation —
+    * the corpus-sized scans never shuffle more than (lang, pair) keys. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    val bigramsOf = transform(sequence(lit(0), size(col("words")) - lit(2)),
+      i => struct(element_at(col("words"), i + lit(1)).as("wa"),
+        element_at(col("words"), i + lit(2)).as("wb")))
+    val bg = Corpus.docsTok(spark, dir)
+      .filter(size(col("words")) >= 2)
+      .select(col("lang"), explode(bigramsOf).as("b"))
+      .select(col("lang"), col("b.wa").as("wa"), col("b.wb").as("wb"))
+    val pairC = bg.groupBy("lang", "wa", "wb").agg(count(lit(1)).as("c_ab"))
+    val totals = pairC.groupBy("lang").agg(sum(col("c_ab")).cast("long").as("n_bigrams"))
+    val uniC = bg.select(col("lang"), col("wa").as("w")).groupBy("lang", "w")
+      .agg(count(lit(1)).as("c_first"))
+    val uniC2 = bg.select(col("lang"), col("wb").as("w")).groupBy("lang", "w")
+      .agg(count(lit(1)).as("c_second"))
+    val scored = pairC
+      .join(broadcast(totals), Seq("lang"))
+      .join(broadcast(uniC.withColumnRenamed("w", "wa")), Seq("lang", "wa"))
+      .join(broadcast(uniC2.withColumnRenamed("w", "wb")), Seq("lang", "wb"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("num", col("c_ab") * col("n_bigrams"))
+      .withColumn("den", col("c_first") * col("c_second"))
+      .withColumn("pmi_bits",
+        when(col("num") >= col("den"),
+          (length(bin(expr("num DIV den"))) - lit(1)).cast("long"))
+          .otherwise(-(length(bin(expr("den DIV num"))) - lit(1)).cast("long")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("pmi_bits").desc, col("c_ab").desc,
+        col("wa").asc, col("wb").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("lang"), col("rank"), col("wa"), col("wb"),
+        col("c_ab"), col("c_first"), col("c_second"), col("pmi_bits"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def pmiCollocationsSql(minCount: Long = 5L, topN: Int = 20): String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH bg AS (
+       |  SELECT lang, unnest([{'wa': $ws[i], 'wb': $ws[i+1]}
+       |    for i in range(1, len($ws))], recursive := true)
+       |  FROM documents),
+       |pair_c AS (
+       |  SELECT lang, wa, wb, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM bg GROUP BY 1, 2, 3),
+       |totals AS (
+       |  SELECT lang, CAST(SUM(c_ab) AS BIGINT) AS n_bigrams
+       |  FROM pair_c GROUP BY 1),
+       |uni_a AS (
+       |  SELECT lang, wa, CAST(COUNT(*) AS BIGINT) AS c_first
+       |  FROM bg GROUP BY 1, 2),
+       |uni_b AS (
+       |  SELECT lang, wb, CAST(COUNT(*) AS BIGINT) AS c_second
+       |  FROM bg GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.lang, p.wa, p.wb, p.c_ab, a.c_first, b.c_second,
+       |    CASE WHEN p.c_ab * t.n_bigrams >= a.c_first * b.c_second
+       |      THEN CAST(length(format('{:b}',
+       |        (p.c_ab * t.n_bigrams) // (a.c_first * b.c_second))) - 1
+       |        AS BIGINT)
+       |      ELSE -CAST(length(format('{:b}',
+       |        (a.c_first * b.c_second) // (p.c_ab * t.n_bigrams))) - 1
+       |        AS BIGINT)
+       |    END AS pmi_bits
+       |  FROM pair_c p
+       |  JOIN totals t USING (lang)
+       |  JOIN uni_a a USING (lang, wa)
+       |  JOIN uni_b b USING (lang, wb)
+       |  WHERE p.c_ab >= $minCount),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY pmi_bits DESC, c_ab DESC, wa ASC, wb ASC) AS BIGINT)
+       |    AS rank
+       |  FROM scored)
+       |SELECT lang, rank, wa, wb, c_ab, c_first, c_second, pmi_bits
+       |FROM ranked WHERE rank <= $topN
+       |ORDER BY lang, rank""".stripMargin
+  }
+
+  /** t28: KNESER–NEY CONTINUATION TABLE — the smoothing statistics the
+    * strongest classical n-gram LMs are built from, as a relation:
+    * per word, the unigram count, the LEFT context diversity
+    * N₁₊(•w) = #distinct predecessors (KN's famous insight: "Francisco"
+    * is frequent but only ever follows "San", so its continuation
+    * probability should be tiny), the right diversity N₁₊(w•), and the
+    * continuation probability P_cont(w) = N₁₊(•w) / #bigram types in
+    * exact milli. Every row also carries the corpus's absolute-discount
+    * constant D = n₁/(n₁+2n₂) (micro units) from the bigram
+    * count-of-counts — t24's Good-Turing spectrum logic applied at the
+    * bigram order. Complements t13/t14: those SCORE docs under a fitted
+    * LM; this emits the smoothing table a production KN fit consumes.
+    *
+    * Shape: one bigram count agg (map-combinable), two vocab-bounded
+    * distinct rollups, a 1-row discount aggregate cross-joined in —
+    * nothing data-sized past the first agg. At 100 TB the bigram type
+    * relation is the big intermediate; it is exactly t14's capped-fit
+    * relation and the same top-K cap applies before any driver-side
+    * materialization (none happens here — the table stays
+    * distributed). */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val bigramsOf = transform(sequence(lit(0), size(col("words")) - lit(2)),
+      i => struct(element_at(col("words"), i + lit(1)).as("prev"),
+        element_at(col("words"), i + lit(2)).as("cur")))
+    val bg = Corpus.docsTok(spark, dir)
+      .filter(size(col("words")) >= 2)
+      .select(explode(bigramsOf).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val types = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
+    val disc = types
+      .agg(sum(when(col("c_big") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c_big") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
+        count(lit(1)).as("n_bigram_types"))
+      .select(col("n_bigram_types"),
+        expr("n1 * 1000000 div nullif(n1 + 2 * n2, 0)").as("discount_micro"))
+    val leftDiv = types.groupBy(col("cur").as("word"))
+      .agg(count(lit(1)).as("left_types"))
+    val rightDiv = types.groupBy(col("prev").as("word"))
+      .agg(count(lit(1)).as("right_types"))
+    val uni = Corpus.docsTok(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_uni"))
+    uni
+      .join(leftDiv, Seq("word"), "left")
+      .join(rightDiv, Seq("word"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col("word"), col("c_uni"),
+        coalesce(col("left_types"), lit(0L)).as("left_types"),
+        coalesce(col("right_types"), lit(0L)).as("right_types"),
+        col("n_bigram_types"), col("discount_micro"))
+      .withColumn("p_cont_milli",
+        expr("left_types * 1000 div n_bigram_types"))
+      .orderBy(col("word"))
+  }
+
+  val kneserNeySql: String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH bg AS (
+       |  SELECT unnest([{'prev': $ws[i], 'cur': $ws[i+1]}
+       |    for i in range(1, len($ws))], recursive := true)
+       |  FROM documents),
+       |types AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_big
+       |  FROM bg GROUP BY 1, 2),
+       |disc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+       |    CAST(SUM(CASE WHEN c_big = 1 THEN 1 ELSE 0 END) * 1000000
+       |      // NULLIF(CAST(SUM(CASE WHEN c_big = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |        + 2 * CAST(SUM(CASE WHEN c_big = 2 THEN 1 ELSE 0 END) AS BIGINT), 0)
+       |      AS BIGINT) AS discount_micro
+       |  FROM types),
+       |left_div AS (
+       |  SELECT cur AS word, CAST(COUNT(*) AS BIGINT) AS left_types
+       |  FROM types GROUP BY 1),
+       |right_div AS (
+       |  SELECT prev AS word, CAST(COUNT(*) AS BIGINT) AS right_types
+       |  FROM types GROUP BY 1),
+       |uni AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_uni
+       |  FROM (SELECT unnest($ws) AS word FROM documents) GROUP BY 1)
+       |SELECT u.word, u.c_uni,
+       |  COALESCE(l.left_types, 0) AS left_types,
+       |  COALESCE(r.right_types, 0) AS right_types,
+       |  d.n_bigram_types, d.discount_micro,
+       |  COALESCE(l.left_types, 0) * 1000 // d.n_bigram_types AS p_cont_milli
+       |FROM uni u
+       |LEFT JOIN left_div l USING (word)
+       |LEFT JOIN right_div r USING (word)
+       |CROSS JOIN disc d
+       |ORDER BY u.word""".stripMargin
+  }
 }

@@ -2260,4 +2260,93 @@ object Similarity {
        |  WHERE t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
        |GROUP BY a.dim ORDER BY dim""".stripMargin
   }
+
+  /** v29: LABEL-CENTROID GEOMETRY over the quantized tier — the
+    * pairwise separation of class centroids in embedding space, the
+    * audit a training set's labels get before anyone trusts v22's kNN
+    * or v24's hard negatives: centroid pairs that sit on top of each
+    * other mean label noise or duplicate classes; the matrix is also
+    * the confusion-structure prior for classifier design. Floating
+    * means are partition-order-dependent, so the geometry runs on
+    * v5's 0..255 integer grid where EVERYTHING except the final
+    * division is exact 64-bit arithmetic: per-label per-dim integer
+    * sums s_d (map-side combinable, order-free), centroid difference
+    * per dim = (s_aᵈ·n_b − s_bᵈ·n_a)/(n_a·n_b), and squared L2
+    * distance = Σ num_d² / (n_a·n_b)² with ONE IEEE division at the
+    * end — bit-identical in both engines. Shape: one (label, dim)
+    * agg over the exploded grid, then a |labels|²·dims-bounded join;
+    * nothing vector-count-sized past the first agg. (At extreme
+    * cardinalities the num² sum approaches 2⁶³ — a 100 TB deployment
+    * divides per-dim first or widens to DECIMAL(38).) */
+  def centroidGeometry(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("dmin"),
+        max(col("x").cast("double")).as("dmax"))
+      .orderBy("pos")
+      .collect()
+    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val qe = transform(col("embedding"), (x, i) => {
+      val dmin = element_at(mins, i + lit(1))
+      val dmax = element_at(maxs, i + lit(1))
+      when(dmax === dmin, lit(0L)).otherwise(
+        least(lit(255L),
+          floor((x.cast("double") - dmin) * lit(255.0) / (dmax - dmin))))
+    })
+    val sums = e.select(col("label"), posexplode(qe).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).cast("long").as("s"), count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("pos"),
+      col("s").as("s_a"), col("n").as("n_a"))
+    val b = sums.select(col("label").as("label_b"), col("pos"),
+      col("s").as("s_b"), col("n").as("n_b"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("num", col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
+      .agg(sum(col("num") * col("num")).cast("long").as("l2_num"))
+      .withColumn("den", (col("n_a") * col("n_b")) * (col("n_a") * col("n_b")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("l2_num"),
+        (col("l2_num").cast("double") / col("den").cast("double"))
+          .as("centroid_dist2"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val centroidGeometrySql: String =
+    s"""WITH ex AS (
+       |  SELECT unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |perdim AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM ex GROUP BY pos),
+       |dims AS (SELECT list(dmin ORDER BY pos) AS mins,
+       |                list(dmax ORDER BY pos) AS maxs FROM perdim),
+       |q AS (
+       |  SELECT label,
+       |    [CASE WHEN d.maxs[i] = d.mins[i] THEN 0
+       |          ELSE LEAST(255, CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - d.mins[i])
+       |                 * 255.0 / (d.maxs[i] - d.mins[i])) AS BIGINT)) END
+       |     for i in range(1, len(embedding) + 1)] AS qe
+       |  FROM embeddings CROSS JOIN dims d),
+       |qx AS (
+       |  SELECT label, unnest([{'pos': i, 'qv': qe[i]}
+       |    for i in range(1, len(qe) + 1)], recursive := true)
+       |  FROM q),
+       |sums AS (
+       |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM qx GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a,
+       |    b.n AS n_b, a.s * b.n - b.s * a.n AS num
+       |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label)
+       |SELECT label_a, label_b, n_a, n_b,
+       |  CAST(SUM(num * num) AS BIGINT) AS l2_num,
+       |  CAST(SUM(num * num) AS DOUBLE)
+       |    / CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) AS centroid_dist2
+       |FROM pairs GROUP BY 1, 2, 3, 4
+       |ORDER BY label_a, label_b""".stripMargin
 }
