@@ -421,4 +421,62 @@ object Flatten {
        |FROM counts c LEFT JOIN fk f USING (table_name)
        |ORDER BY table_name""".stripMargin
   }
+
+  /** x11: the STREAM-HEALTH drift card — one BI row per event type
+    * joining the three independent drift detectors: e19's bucketed TV
+    * distance (mass moved), e24's exact-cent KS distance (shape moved
+    * anywhere), and e23's CUSUM (sustained level shift), plus a
+    * composed verdict: `drifted` when any distribution test trips,
+    * `level_shift` when only the volume CUSUM alarms, else `stable`.
+    * The monitoring page behind the individual detectors — the same
+    * fifth-dataset move as x6's anomalies card. Shape: three
+    * |types|-bounded relations joined on event_type; all heavy lifting
+    * happens (and is plan-gated) inside the parents. */
+  def exportDriftCards(spark: SparkSession, dir: String): DataFrame = {
+    val tv = graft.streaming.EventsBatch.driftMonitor(spark, dir)
+      .select(col("event_type"), col("tv_milli"),
+        col("is_drifted").as("tv_drifted"))
+    val ks = graft.streaming.EventsBatch.ksDrift(spark, dir)
+      .select(col("event_type"), col("ks_milli"), col("v_at_max"),
+        col("is_drifted").as("ks_drifted"))
+    val cu = graft.streaming.EventsBatch.cusumChangepoint(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("is_alarm"), 1L).otherwise(0L)).cast("long")
+          .as("n_alarm_days"),
+        max(greatest(col("cusum_pos_milli"), col("cusum_neg_milli")))
+          .as("max_cusum_milli"),
+        max(when(col("is_alarm"), col("d"))).as("last_alarm_date"))
+    tv.join(ks, Seq("event_type"))
+      .join(cu, Seq("event_type"))
+      .withColumn("verdict",
+        when(col("tv_drifted") || col("ks_drifted"), "drifted")
+          .when(col("n_alarm_days") > 0, "level_shift")
+          .otherwise("stable"))
+      .orderBy(col("event_type"))
+  }
+
+  val exportDriftCardsSql: String =
+    s"""WITH tv AS (
+       |  SELECT event_type, tv_milli, is_drifted AS tv_drifted
+       |  FROM (${graft.streaming.EventsBatch.driftMonitorSql()})),
+       |ks AS (
+       |  SELECT event_type, ks_milli, v_at_max, is_drifted AS ks_drifted
+       |  FROM (${graft.streaming.EventsBatch.ksDriftSql()})),
+       |cu AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN is_alarm THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_alarm_days,
+       |    CAST(MAX(GREATEST(cusum_pos_milli, cusum_neg_milli)) AS BIGINT)
+       |      AS max_cusum_milli,
+       |    MAX(CASE WHEN is_alarm THEN d END) AS last_alarm_date
+       |  FROM (${graft.streaming.EventsBatch.cusumChangepointSql()})
+       |  GROUP BY event_type)
+       |SELECT t.event_type, t.tv_milli, t.tv_drifted,
+       |  k.ks_milli, k.v_at_max, k.ks_drifted,
+       |  c.n_alarm_days, c.max_cusum_milli, c.last_alarm_date,
+       |  CASE WHEN t.tv_drifted OR k.ks_drifted THEN 'drifted'
+       |    WHEN c.n_alarm_days > 0 THEN 'level_shift'
+       |    ELSE 'stable' END AS verdict
+       |FROM tv t JOIN ks k USING (event_type) JOIN cu c USING (event_type)
+       |ORDER BY t.event_type""".stripMargin
 }

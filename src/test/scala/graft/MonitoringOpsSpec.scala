@@ -1,6 +1,7 @@
 package graft
 
 import graft.analytics.{Kpis, Profile, Sketches, Trends}
+import graft.vector.Similarity
 import graft.streaming.EventsBatch
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
@@ -219,6 +220,135 @@ class MonitoringOpsSpec extends GraftSpec {
       val s = sampled.filter(_._1 == sid)
       assert(r.getAs[Long]("est_rows") === s.length.toLong * P / T)
       assert(r.getAs[Long]("est_cents") === s.map(_._3).sum * P / T)
+    }
+  }
+
+  test("t28: KN continuation stats recompute from a brute-force bigram pass") {
+    val rows = TextAnalysis.kneserNey(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(col("words")).collect().map(_.getSeq[String](0))
+    val bigrams = docs.filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+    val types = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nTypes = types.size.toLong
+    val n1 = types.values.count(_ == 1).toLong
+    val n2 = types.values.count(_ == 2).toLong
+    val leftT = types.keys.groupBy(_._2).map { case (w, ps) => w -> ps.size.toLong }
+    val rightT = types.keys.groupBy(_._1).map { case (w, ps) => w -> ps.size.toLong }
+    val uni = docs.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    assert(rows.length === uni.size)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(r.getAs[Long]("c_uni") === uni(w))
+      assert(r.getAs[Long]("left_types") === leftT.getOrElse(w, 0L))
+      assert(r.getAs[Long]("right_types") === rightT.getOrElse(w, 0L))
+      assert(r.getAs[Long]("n_bigram_types") === nTypes)
+      assert(r.getAs[Long]("p_cont_milli") ===
+        leftT.getOrElse(w, 0L) * 1000 / nTypes)
+      assert(r.getAs[Long]("discount_micro") === n1 * 1000000 / (n1 + 2 * n2))
+    }
+    // the KN insight is observable: continuation mass sums to ~1
+    assert(rows.map(_.getAs[Long]("left_types")).sum === nTypes)
+  }
+
+  test("e25: path census matches an in-process sessionized trigram count") {
+    val rows = EventsBatch.pathMining(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      // 30-min-gap sessions on second-floored timestamps (e4's rule)
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Option.empty[Long]
+      sorted.foreach { e =>
+        if (prev.exists(p => e._2 / 1000000 - p / 1000000 > 1800))
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += e._4
+        prev = Some(e._2)
+      }
+      sessions.flatMap(_.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2))))
+    }
+    val counts = tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = counts.values.sum
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    rows.sortBy(_.getAs[Long]("rank")).zip(expected).foreach {
+      case (r, ((a, b, c), n)) =>
+        assert((r.getAs[String]("t1"), r.getAs[String]("t2"),
+          r.getAs[String]("t3")) === ((a, b, c)))
+        assert(r.getAs[Long]("n_paths") === n)
+        assert(r.getAs[Long]("share_milli") === n * 1000 / total)
+    }
+  }
+
+  test("sk14: KMV set algebra is internally consistent and exact when " +
+    "unsaturated") {
+    val r = Sketches.kmvSetAlgebra(spark, sfDir).collect().head
+    val k = r.getAs[Long]("k")
+    def g(n: String) = r.getAs[Long](n)
+    // estimates land within a loose 3-sigma KMV band (rsd ~ 1/sqrt(k-2))
+    val band = 3.0 / math.sqrt(k - 2.0)
+    Seq(("exact_weekday", "est_weekday"), ("exact_weekend", "est_weekend"),
+      ("exact_union", "est_union")).foreach { case (ex, es) =>
+      if (g(ex) <= k) assert(g(es) === g(ex), s"$es exact regime")
+      else assert(math.abs(g(es) - g(ex)).toDouble / g(ex) <= band, s"$es")
+    }
+    // inclusion-exclusion sanity on the exact side
+    assert(g("exact_weekday") + g("exact_weekend") - g("exact_overlap") ===
+      g("exact_union"))
+    assert(g("est_overlap") >= 0L && g("exact_overlap") >= 0L)
+  }
+
+  test("v29: centroid geometry matches a brute-force quantized recompute") {
+    val rows = Similarity.centroidGeometry(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1).toArray))
+    val dims = e.head._2.length
+    val mins = (0 until dims).map(d => e.map(_._2(d).toDouble).min)
+    val maxs = (0 until dims).map(d => e.map(_._2(d).toDouble).max)
+    def q(x: Double, d: Int): Long =
+      if (maxs(d) == mins(d)) 0L
+      else math.min(255L, math.floor((x - mins(d)) * 255.0 / (maxs(d) - mins(d))).toLong)
+    val byLabel = e.groupBy(_._1).map { case (l, vs) =>
+      l -> ((0 until dims).map(d => vs.map(v => q(v._2(d), d)).sum).toArray,
+        vs.length.toLong)
+    }
+    rows.foreach { r =>
+      val (sa, na) = byLabel(r.getAs[Int]("label_a"))
+      val (sb, nb) = byLabel(r.getAs[Int]("label_b"))
+      assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+      val l2 = (0 until dims).map { d =>
+        val num = sa(d) * nb - sb(d) * na; num * num }.sum
+      assert(r.getAs[Long]("l2_num") === l2)
+      assert(r.getAs[Double]("centroid_dist2") ===
+        l2.toDouble / ((na * nb) * (na * nb)).toDouble)
+    }
+    // every unordered label pair appears exactly once
+    val labels = byLabel.keys.toSeq
+    assert(rows.length === labels.size * (labels.size - 1) / 2)
+  }
+
+  test("x11: drift cards join the three detectors without loss and the " +
+    "verdict rubric is first-match") {
+    val cards = graft.export.Flatten.exportDriftCards(spark, sfDir).collect()
+    val types = EventsBatch.driftMonitor(spark, sfDir)
+      .select("event_type").collect().map(_.getString(0)).sorted
+    assert(cards.map(_.getAs[String]("event_type")).sorted === types)
+    cards.foreach { r =>
+      val expected =
+        if (r.getAs[Boolean]("tv_drifted") || r.getAs[Boolean]("ks_drifted"))
+          "drifted"
+        else if (r.getAs[Long]("n_alarm_days") > 0) "level_shift"
+        else "stable"
+      assert(r.getAs[String]("verdict") === expected)
     }
   }
 }

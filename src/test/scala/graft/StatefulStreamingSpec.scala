@@ -512,4 +512,40 @@ class StatefulStreamingSpec extends GraftSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming CUSUM replayed over a micro-batch split is bit-identical " +
+    "to batch e23 under the batch-fitted means") {
+    import graft.streaming.{StatefulCusum, DailyCount}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.streaming.EventsBatch.cusumChangepoint(spark, sfDir)
+      .collect()
+    assert(batch.nonEmpty)
+    val mus = batch.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("mu_milli")).toMap
+    val daily = batch.map(r => DailyCount(r.getAs[String]("event_type"),
+      r.getAs[String]("d"), r.getAs[Long]("n_events")))
+      .sortBy(r => (r.d, r.event_type))
+    // split mid-series so state genuinely crosses the batch boundary
+    val (b1, b2) = daily.splitAt(daily.length / 2)
+    val input = MemoryStream[DailyCount]
+    val q = StatefulCusum.cusum(input.toDS(), mus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_stream").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM cusum_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[String]("d")) ->
+          (r.getAs[Long]("cusum_pos_milli"), r.getAs[Long]("cusum_neg_milli"),
+            r.getAs[Boolean]("is_alarm"))).toMap
+      assert(got.size === batch.length)
+      batch.foreach { r =>
+        val key = (r.getAs[String]("event_type"), r.getAs[String]("d"))
+        assert(got(key) === ((r.getAs[Long]("cusum_pos_milli"),
+          r.getAs[Long]("cusum_neg_milli"), r.getAs[Boolean]("is_alarm"))),
+          s"cusum mismatch at $key")
+      }
+    } finally q.stop()
+  }
 }
