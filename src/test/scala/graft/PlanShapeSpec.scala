@@ -241,6 +241,46 @@ class PlanShapeSpec extends GraftSpec {
       "all five masks probe as literal arrays (map-side, sk8's posture " +
         "x5); build distinct + the stacked ledger rollup are the only " +
         "exchanges — zero probe-sized shuffles"),
+    ("e23_cusum", 2,
+      "one daily-count hash agg is the data-sized exchange; CUSUM " +
+        "windows re-key the |types|x|days| calendar-bounded relation"),
+    ("e24_ks_drift", 2,
+      "one (type, cent) count agg; CDF windows + the max filter re-key " +
+        "the cent-domain-bounded relation"),
+    ("a36_gini", 2,
+      "(day, store) rollup over the cached silver + the per-day moment " +
+        "agg; rank windows ride the day partitioning"),
+    ("a37_ewma_control", 1,
+      "one day rollup over the cached silver; the 8-lag EWMA window is " +
+        "a single-partition pass over |calendar days| rows"),
+    ("a38_cohort_triangle", 2,
+      "custkey window + the (cohort, age) rollup — the two keyed " +
+        "exchanges the triangle needs"),
+    ("t27_pmi_collocations", 6,
+      "bigram pair agg + totals + two unigram aggs + join re-keys, all " +
+        "vocab^2-bounded after the first agg; dims broadcast"),
+    ("sk13_kmv_sweep", 2,
+      "one distinct (store, sku) agg; rank/count windows + the k-explode " +
+        "ride the store partitioning"),
+    ("k10_sample_calibration", 2,
+      "two map-side-combinable store aggs (exact + sampled); the sample " +
+        "predicate is a pushable scan filter, no join"),
+    ("t28_kneser_ney", 6,
+      "bigram-type agg + discount 1-row + left/right/unigram rollups + " +
+        "join re-keys — everything vocab-bounded past the first agg"),
+    ("e25_path_mining", 2,
+      "sessionize rides e4's one user exchange; the |types|^3 census " +
+        "agg is the only other keyed move"),
+    ("sk14_kmv_set_algebra", 6,
+      "one distinct (seg, user) agg is data-sized; every later window/" +
+        "agg touches <= 2k sketch rows"),
+    ("v29_centroid_geometry", 3,
+      "one (label, dim) integer-sum agg over the exploded grid + the " +
+        "label-pair join re-keys; quantizer stats are broadcast literals"),
+    ("x11_export_drift_cards", 9,
+      "the three parent detectors' gated shapes (e19's 5 + e23's 2 + " +
+        "e24's 2... shared scan dedup brings it to 9); the card join is " +
+        "|types|-bounded"),
     ("x10_export_table_health", 24,
       "k9's 18 + seven metadata-priced count(*) aggregates folded by " +
         "AQE + the per-table rollup"),
