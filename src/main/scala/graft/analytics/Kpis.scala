@@ -446,6 +446,54 @@ object Kpis {
       .orderBy(col("cohort_month"), col("months_since"))
   }
 
+  /** a39: NEW-vs-REPEAT revenue split per order day — the growth
+    * decomposition finance reads next to a38's cohort triangle: how
+    * much of each day's bookings came from first-ever customers vs
+    * returning ones. A customer's first day is a min over their own
+    * orders (bounded per custkey, rides ONE custkey exchange); the
+    * day rollup is calendar-bounded. Conditional distincts via
+    * NULL-ignoring COUNT(DISTINCT CASE ...) — identical semantics in
+    * both engines; revenue stays exact DECIMAL until the cents cast. */
+  def newVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_totalprice").cast(Tables.Money).as("price_dec"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+    o.withColumn("first_d", min(col("d")).over(byCust))
+      .withColumn("is_new", col("d") === col("first_d"))
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(when(col("is_new"), col("o_custkey"))).as("new_customers"),
+        countDistinct(when(!col("is_new"), col("o_custkey"))).as("repeat_customers"),
+        (sum(when(col("is_new"), col("price_dec")).otherwise(lit(0).cast(Tables.Money))) * 100)
+          .cast("long").as("new_revenue_cents"),
+        (sum(when(!col("is_new"), col("price_dec")).otherwise(lit(0).cast(Tables.Money))) * 100)
+          .cast("long").as("repeat_revenue_cents"))
+      .orderBy(col("d"))
+  }
+
+  val newVsRepeatSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      |  FROM orders),
+      |f AS (
+      |  SELECT *, d = MIN(d) OVER (PARTITION BY o_custkey) AS is_new
+      |  FROM o)
+      |SELECT d,
+      |  CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END) AS BIGINT)
+      |    AS new_customers,
+      |  CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN o_custkey END) AS BIGINT)
+      |    AS repeat_customers,
+      |  CAST(SUM(CASE WHEN is_new THEN price_dec
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+      |    AS new_revenue_cents,
+      |  CAST(SUM(CASE WHEN NOT is_new THEN price_dec
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+      |    AS repeat_revenue_cents
+      |FROM f GROUP BY d ORDER BY d""".stripMargin
+
   val cohortTriangleSql: String =
     """WITH o AS (
       |  SELECT o_custkey,

@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Star-schema join shapes over the full TPC-H-ish dimension chain
+  * (region → nation → customer → orders → lineitem). The reference's
+  * own queries are single-fact rollups (its store "dimension" is a
+  * column on the fact, SURVEY §2.4); these keys exercise the
+  * multi-way dimensional JOIN topology every warehouse query planner
+  * is actually judged on, with the 100 TB plan stated and gated:
+  * tiny dims BROADCAST (region/nation — kilobytes forever), the
+  * customer dimension pre-joins to its snowflake dims map-side and
+  * then meets orders on the custkey hash, and the fact table meets
+  * orders on the orderkey hash — the only data-sized exchanges are
+  * on the two high-cardinality keys a 1000-executor cluster
+  * distributes evenly. Filters stay on raw parquet columns so
+  * pushdown reaches the scan ([[Tables.salesInRange]]). */
+object Star {
+
+  /** j9: revenue per (region, nation) for the 1997 ship year — the
+    * TPC-H Q5 topology. Chain: sales'97 ⋈ orders (orderkey) ⋈
+    * customer (custkey) ⋈ nation ⋈ region. nation⋈region is
+    * broadcast into customer (a map-side dim decoration — the
+    * snowflake collapse), so the group keys arrive attached to the
+    * custkey side and the final aggregate is |nations|-bounded.
+    * Revenue is exact DECIMAL (line_total − discount_amount summed,
+    * then cents-cast) — order-independent, partition-safe. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name").as("nation_name"),
+          col("r_name").as("region_name")))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("region_name"), col("nation_name"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    Tables.salesInRange(spark, dir, "1997-01-01", "1997-12-31")
+      .select(col("l_orderkey"),
+        (col("line_total") - col("discount_amount")).as("net_dec"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region_name"), col("nation_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  def starRevenueSql: String =
+    s"""WITH s AS (SELECT * FROM (${Tables.salesSql}) b
+       |  WHERE sale_date BETWEEN '1997-01-01' AND '1997-12-31'),
+       |cust AS (
+       |  SELECT c_custkey, r_name AS region_name, n_name AS nation_name
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |SELECT region_name, nation_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(line_total - discount_amount) * 100 AS BIGINT)
+       |    AS revenue_cents
+       |FROM s
+       |JOIN orders ON s.l_orderkey = o_orderkey
+       |JOIN cust ON o_custkey = c_custkey
+       |GROUP BY region_name, nation_name
+       |ORDER BY region_name, nation_name""".stripMargin
+
+  /** j10: unshipped-revenue order ranking — the TPC-H Q3 topology.
+    * For customers in one market segment, orders PLACED before the
+    * cutoff whose lines SHIP after it (booked but unfulfilled
+    * revenue), ranked to the top 10. The selective dimension
+    * predicate (1-of-5 segment) rides the broadcast-able customer
+    * projection; both date predicates sit on raw parquet columns
+    * (row-group pruning on both scans); the ranking is a global
+    * top-k = TakeOrderedAndProject — per-partition heaps then one
+    * k-row merge at the driver, never a global sort exchange. */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-06-01",
+                       k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast(TimestampNTZType))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast(TimestampNTZType))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("order_date"), col("o_orderpriority"))
+      .agg((sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+      .select(col("l_orderkey").as("orderkey"), col("order_date"),
+        col("o_orderpriority").as("priority"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("order_date"), col("orderkey"))
+      .limit(k)
+  }
+
+  def shippingPrioritySql(segment: String = "BUILDING",
+                          cutoff: String = "1998-06-01",
+                          k: Int = 10): String =
+    s"""SELECT l_orderkey AS orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  o_orderpriority AS priority,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+       |    ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |    AS revenue_cents
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY l_orderkey, order_date, o_orderpriority
+       |ORDER BY revenue_cents DESC, order_date, orderkey
+       |LIMIT $k""".stripMargin
+}

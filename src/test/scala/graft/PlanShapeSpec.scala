@@ -287,7 +287,16 @@ class PlanShapeSpec extends GraftSpec {
     ("k9_fk_integrity", 18,
       "3 per edge x 6: the child key-count agg (the only data-sized " +
         "move) + key-sized distinct/anti-join plumbing — never a " +
-        "row-sized anti-join")
+        "row-sized anti-join"),
+    ("j9_star_join", 5,
+      "fact joins orders on orderkey, meets customer on custkey; " +
+        "nation/region broadcast; the group agg is |nations|-bounded"),
+    ("j10_shipping_priority", 4,
+      "segment dim + two pruned scans meet on orderkey/custkey hashes; " +
+        "top-k is TakeOrderedAndProject, never a global sort exchange"),
+    ("a39_new_vs_repeat", 2,
+      "first-day min rides ONE custkey exchange; day rollup is " +
+        "calendar-bounded")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
