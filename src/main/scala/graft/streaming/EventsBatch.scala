@@ -511,6 +511,64 @@ object EventsBatch {
       |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
       |ORDER BY p.purchase_id, v.view_id""".stripMargin
 
+  /** e26: TIME-DECAY multi-touch attribution — the weighting model the
+    * e9 interval relation exists to feed: every view in the purchase's
+    * trailing 30-minute window earns credit that HALVES per 10 minutes
+    * of gap (weight_milli 1000/500/250, and 125 at the exact-30-min
+    * boundary), each purchase's credit normalized to shares. Weights
+    * are a 4-arm integer CASE on `gap_us DIV 10min` — no pow()/exp()
+    * libm, engine-exact — and the share is ONE double division of two
+    * exact integers (the house parity rule). Scale shape: the window
+    * partitions by (user_id, purchase_id), a superset of the interval
+    * join's user_id hash, so the normalization RIDES the join's
+    * exchange — no new shuffle on top of e9's pair (plan-gated). */
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy(col("user_id"), col("purchase_id"))
+    intervalJoinOf(views, purchases)
+      .withColumn("weight_milli",
+        when(expr("gap_us DIV 600000000") === 0, 1000L)
+          .when(expr("gap_us DIV 600000000") === 1, 500L)
+          .when(expr("gap_us DIV 600000000") === 2, 250L)
+          .otherwise(125L))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("share", col("weight_milli").cast("double") /
+        sum(col("weight_milli")).over(w).cast("double"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("gap_us"), col("weight_milli"), col("n_touches"), col("share"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  val decayAttributionSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT p.purchase_id, v.view_id, p.user_id,
+      |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |  FROM p JOIN v ON p.user_id = v.user_id
+      |    AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts),
+      |wtd AS (
+      |  SELECT *, CAST(CASE gap_us // 600000000
+      |    WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+      |    ELSE 125 END AS BIGINT) AS weight_milli
+      |  FROM pairs)
+      |SELECT purchase_id, view_id, user_id, gap_us, weight_milli,
+      |  CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+      |  CAST(weight_milli AS DOUBLE) /
+      |    CAST(SUM(weight_milli) OVER (PARTITION BY purchase_id) AS DOUBLE)
+      |    AS share
+      |FROM wtd ORDER BY purchase_id, view_id""".stripMargin
+
   /** e11: funnel CONVERSION-LATENCY distribution — how long converting
     * users take per e6 stage transition (view→click, click→purchase):
     * count, min/max, total, and EXACT nearest-rank p50/p90 (the value at

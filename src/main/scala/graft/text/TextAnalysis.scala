@@ -1187,6 +1187,79 @@ object TextAnalysis {
        |GROUP BY t.lang, t.source
        |ORDER BY t.lang, t.source""".stripMargin
 
+  /** t29: HELD-OUT surprisal — the generalization check every LM-based
+    * quality filter needs before its scores are trusted: t13's capped
+    * unigram LM fitted on the TRAIN split ONLY (p7's deterministic
+    * 90/5/5 hash rule — the fit never sees val/test), then every
+    * split scored under that one model. A val/test bits-per-token
+    * materially above train's says the LM memorized its fit set (or
+    * the splits aren't exchangeable) and its per-doc scores (t13, the
+    * streaming gate) would mis-rank unseen data. Same scale posture
+    * as t26: cap-bounded fit via TakeOrdered, 1-row collected totals,
+    * OOV charged max-bits, one explode + broadcast join + a 3-row
+    * split aggregate. */
+  def heldoutSurprisal(spark: SparkSession, dir: String,
+                       vocabCap: Int = lmVocabCap): DataFrame = {
+    val fitToks = Corpus.docsTok(spark, dir)
+      .filter(CorpusPrep.splitOf(col("doc_id")) === "train")
+    val cntTotal = fitToks
+      .agg(sum(size(col("words")).cast("long"))).head.getLong(0)
+    val oovBits = 63L - java.lang.Long.numberOfLeadingZeros(cntTotal)
+    val vocab = fitToks.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lm = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
+      .select(col("word"),
+        (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long")
+          .as("bits"))
+    Corpus.docsTok(spark, dir)
+      .select(CorpusPrep.splitOf(col("doc_id")).as("split"), col("doc_id"),
+        explode(col("words")).as("word"))
+      .join(broadcast(lm), Seq("word"), "left")
+      .withColumn("tok_bits", coalesce(col("bits"), lit(oovBits)))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("tok_bits")).cast("long").as("sum_bits"))
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("bits_per_token"),
+        (col("split") === "train").as("is_fit"))
+      .orderBy("split")
+  }
+
+  def heldoutSurprisalSql(vocabCap: Int = lmVocabCap): String = {
+    val splitCase =
+      s"""CASE WHEN ${CorpusPrep.splitBucketSql} < 900 THEN 'train'
+         |       WHEN ${CorpusPrep.splitBucketSql} < 950 THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""WITH fit_toks AS (
+       |  SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents
+       |  WHERE ($splitCase) = 'train'),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt_total,
+       |               CAST(length(format('{:b}', COUNT(*))) - 1 AS BIGINT) AS oov_bits
+       |        FROM fit_toks),
+       |v AS (SELECT word, COUNT(*) AS cnt FROM fit_toks GROUP BY word),
+       |kept AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word ASC LIMIT $vocabCap),
+       |lm AS (
+       |  SELECT word,
+       |    CAST(length(format('{:b}', cnt_total // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM kept CROSS JOIN tot),
+       |toks AS (
+       |  SELECT ($splitCase) AS split, doc_id,
+       |    unnest(${Corpus.wordsSqlExpr}) AS word
+       |  FROM documents)
+       |SELECT t.split,
+       |  CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(COALESCE(l.bits, tot.oov_bits)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS bits_per_token,
+       |  t.split = 'train' AS is_fit
+       |FROM toks t LEFT JOIN lm l USING (word) CROSS JOIN tot
+       |GROUP BY t.split
+       |ORDER BY t.split""".stripMargin
+  }
+
   /** t25: ZIPF RANK-FREQUENCY SLOPE per language — the corpus-health
     * fit (natural text's type-frequency curve is near-linear in
     * log-log; template/boilerplate corpora flatten, spam steepens)

@@ -296,7 +296,13 @@ class PlanShapeSpec extends GraftSpec {
         "top-k is TakeOrderedAndProject, never a global sort exchange"),
     ("a39_new_vs_repeat", 2,
       "first-day min rides ONE custkey exchange; day rollup is " +
-        "calendar-bounded")
+        "calendar-bounded"),
+    ("e26_decay_attribution", 2,
+      "e9's interval-join exchange pair; the normalization window " +
+        "partitions by (user_id, purchase_id) and rides it"),
+    ("t29_heldout_surprisal", 3,
+      "t13's shape: capped train-split fit agg + broadcast LM join + " +
+        "the 3-row split aggregate")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
