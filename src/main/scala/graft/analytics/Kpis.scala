@@ -411,6 +411,56 @@ object Kpis {
       |    ELSE 'casual' END AS segment
       |FROM scored ORDER BY custkey""".stripMargin
 
+  /** a40: INTER-PURCHASE gap histogram — days between a customer's
+    * consecutive orders, bucketed exact through 8 days then by
+    * power-of-two floor (t19's spectrum rule: the buckets where
+    * reorder-cycle decisions live stay exact, the tail stays
+    * log-bounded at any history length). The lag rides ONE custkey
+    * exchange (each customer's orders are a bounded group); the
+    * bucket rollup is ≤64 rows. Same-day repeat orders land in
+    * bucket 0. Deterministic tie-break: orders sort by (day,
+    * o_orderkey) within the customer. */
+  def interpurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+      .withColumn("prev_d", lag(col("d"), 1).over(byCust))
+      .where(col("prev_d").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("d"), col("prev_d")).cast("long").as("gap_days"))
+    gaps
+      .withColumn("bucket",
+        when(col("gap_days") <= 8L, col("gap_days"))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(gap_days)) - 1)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("bucket"))
+  }
+
+  val interpurchaseGapsSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+      |  FROM orders),
+      |gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day',
+      |      LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey), d)
+      |      AS BIGINT) AS gap_days
+      |  FROM o
+      |  QUALIFY LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |    IS NOT NULL)
+      |SELECT
+      |  CASE WHEN gap_days <= 8 THEN gap_days
+      |       ELSE CAST(1 AS BIGINT) << (length(format('{:b}', gap_days)) - 1)
+      |  END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM gaps GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** a38: COHORT REVENUE TRIANGLE over orders — customers grouped by
     * their first-order month (the acquisition cohort), then each
     * cohort's activity rolled per months-since-acquisition: active

@@ -802,6 +802,106 @@ object EventsBatch {
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** e27: PAGERANK over the event-type transition graph — e14's Markov
+    * matrix closed into the stationary-importance ranking (the
+    * random-surfer centrality of each event type in user journeys).
+    * Three power iterations UNROLLED in pure integer micro-units
+    * (total mass 1e6): damping 850/1000, per-edge contribution
+    * `(850 · ((rank · c) DIV out)) DIV 1000` — the inner division
+    * first so the widest product is rank·c ≤ 1e6·|edge count| (no
+    * 64-bit overflow until edge counts pass ~9e12), every floor
+    * identical in both engines, no doubles anywhere. Dangling types
+    * (never a predecessor) keep the teleport base; types with no
+    * in-edges decay to it — standard simplifications, deterministic.
+    *
+    * Scale shape: this IS distributed PageRank's join-agg kernel —
+    * each iteration joins the rank relation to the edge relation and
+    * re-aggregates per destination (the d6/d10 iteration algebra on a
+    * weighted graph). Here nodes = |event types| so every relation is
+    * tiny, but the code shape is the one that runs when nodes are
+    * pages: rank join edges on src, contribution agg on dst, one
+    * exchange pair per iteration. */
+  def typePagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types|²-bounded; truncates the 3-iteration lineage
+    val outDeg = edges.groupBy(col("from_type"))
+      .agg(sum(col("c")).cast("long").as("outc"))
+      .localCheckpoint() // materialized once, reused every iteration
+    val nodes = Tables.events(spark, dir)
+      .select(col("event_type").as("etype")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = 150000L / n
+    var r = nodes.withColumn("rank_micro", lit(1000000L / n))
+    (1 to iters).foreach { _ =>
+      // rank + degree relations are |types|-bounded here, so they meet
+      // the edge stream by broadcast (at page scale rank is edge-sized
+      // and this flips to the shuffled join — the shape is unchanged)
+      val contribs = edges
+        .join(broadcast(outDeg), "from_type")
+        .join(broadcast(r), col("from_type") === col("etype"))
+        .select(col("to_type"),
+          expr("(850 * ((rank_micro * c) DIV outc)) DIV 1000").as("contrib"))
+        .groupBy(col("to_type")).agg(sum(col("contrib")).cast("long").as("s"))
+      r = nodes.join(broadcast(contribs), col("etype") === col("to_type"), "left")
+        .select(col("etype"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("rank_micro"))
+    }
+    r.join(broadcast(outDeg), col("etype") === col("from_type"), "left")
+      .select(col("etype").as("event_type"),
+        coalesce(col("outc"), lit(0L)).as("out_transitions"),
+        col("rank_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val typePagerankSql: String = {
+    def iterCte(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.to_type AS etype,
+         |    CAST(SUM((850 * ((r.rank_micro * e.c) // o.outc)) // 1000)
+         |      AS BIGINT) AS s
+         |  FROM edges e
+         |  JOIN outd o ON e.from_type = o.from_type
+         |  JOIN $prev r ON r.etype = e.from_type
+         |  GROUP BY 1),
+         |$cur AS (
+         |  SELECT nodes.etype,
+         |    (150000 // nn.n) + COALESCE(c$cur.s, 0) AS rank_micro
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$cur ON c$cur.etype = nodes.etype)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |edges AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |outd AS (
+       |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS outc
+       |  FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT event_type AS etype FROM events),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT etype, 1000000 // nn.n AS rank_micro
+       |  FROM nodes CROSS JOIN nn),
+       |${iterCte("r0", "r1")},
+       |${iterCte("r1", "r2")},
+       |${iterCte("r2", "r3")}
+       |SELECT r3.etype AS event_type,
+       |  COALESCE(outd.outc, 0) AS out_transitions,
+       |  CAST(r3.rank_micro AS BIGINT) AS rank_micro
+       |FROM r3 LEFT JOIN outd ON r3.etype = outd.from_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** e15: rolling 7-day distinct users per day (the trailing-window
     * active-user series every growth dashboard plots). The scalable
     * EXACT form is contribution-explode: a user active on day d is

@@ -302,7 +302,13 @@ class PlanShapeSpec extends GraftSpec {
         "partitions by (user_id, purchase_id) and rides it"),
     ("t29_heldout_surprisal", 3,
       "t13's shape: capped train-split fit agg + broadcast LM join + " +
-        "the 3-row split aggregate")
+        "the 3-row split aggregate"),
+    ("e27_type_pagerank", 4,
+      "edge/node relations are |types|-bounded localCheckpoints; each " +
+        "iteration is a rank-edge join + dst agg over tiny inputs"),
+    ("a40_interpurchase_gaps", 3,
+      "lag rides ONE custkey exchange; the bucket rollup (with its " +
+        "distinct expand) is <=64 rows")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
