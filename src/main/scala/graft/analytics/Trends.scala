@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.etl.{Defaults, StoreDaily}
+import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -452,6 +453,87 @@ object Trends {
         col("intercept"), col("r2"), col("forecast_next"))
       .orderBy("store_id")
   }
+
+  /** a41: DISCOUNT ELASTICITY per part brand — a30's closed-form OLS
+    * pointed at the pricing question: does a deeper discount move
+    * quantity, per brand? x = discount in exact integer percent
+    * points, y = quantity in units, so every moment (n, Σx, Σy, Σxy,
+    * Σx², Σy²) is an exact 64-bit integer and only the a30-ordered
+    * closing formula touches doubles — bit-identical across engines.
+    * Shape: the part dimension broadcasts into the fact scan, one
+    * |brands|-bounded aggregate carries six integer moments. */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      (col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2)) * 100)
+        .cast("long").as("x"),
+      col("l_quantity").cast("long").as("y"))
+    val p = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand")))
+    val m = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syyD = col("syy").cast("double")
+    m.withColumn("varx", sxxD - sxD * sxD / nD)
+      .withColumn("covxy", sxyD - sxD * syD / nD)
+      .withColumn("vary", syyD - syD * syD / nD)
+      .withColumn("slope",
+        when(col("varx") === 0.0, lit(null).cast("double"))
+          .otherwise(col("covxy") / col("varx")))
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise(syD / nD - col("slope") * (sxD / nD)))
+      .withColumn("r2",
+        when(col("varx") === 0.0 || col("vary") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("covxy") * col("covxy") /
+            (col("varx") * col("vary"))))
+      .select(col("p_brand"), col("n").as("n_lines"), col("slope"),
+        col("intercept"), col("r2"))
+      .orderBy("p_brand")
+  }
+
+  val discountElasticitySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT p_brand,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand),
+      |d AS (
+      |  SELECT p_brand, n,
+      |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS varx,
+      |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS covxy,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS vary,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM m)
+      |SELECT p_brand, n AS n_lines,
+      |  CASE WHEN varx = 0.0 THEN NULL ELSE covxy / varx END AS slope,
+      |  CASE WHEN varx = 0.0 THEN NULL
+      |    ELSE syd / nd - (covxy / varx) * (sxd / nd) END AS intercept,
+      |  CASE WHEN varx = 0.0 OR vary = 0.0 THEN NULL
+      |    ELSE covxy * covxy / (varx * vary) END AS r2
+      |FROM d ORDER BY p_brand""".stripMargin
 
   /** a32: PARETO / revenue-concentration analysis — stores ranked by
     * total net revenue with exact cumulative shares, flagging the head

@@ -107,6 +107,117 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** v30: ROCCHIO pseudo-relevance-feedback expansion — the classic
+    * query-refinement loop run fully relationally: take v1's top-k as
+    * presumed-relevant, move each query toward their centroid
+    * (q′ = q + β·centroid), and rerank the corpus under q′. The list
+    * a retrieval team reads to judge whether one feedback round helps
+    * (the `in_feedback` flag separates re-confirmed seeds from newly
+    * surfaced neighbors).
+    *
+    * FP determinism: the centroid fold is ORDER-FIXED — neighbor
+    * vectors are folded in rank order (collect → sort by rank → strict
+    * left fold per dimension), and the expansion is one fixed op chain
+    * per dimension (`q + β·(sum/k)`), so doubles hash-compare across
+    * engines exactly like v1's strict-fold dots. Scale shape: feedback
+    * relations are (nQueries·k)-sized and broadcast; the rerank is
+    * v1's broadcast loop — the corpus is scanned once, never joined to
+    * itself. */
+  def rocchioExpand(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries,
+                    beta: Double = 0.5): DataFrame = {
+    val e = withNorm(spark, dir)
+    val base = cosineTopK(spark, dir, k, nQueries)
+    val nb = base
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("neighbor_id") === col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("embedding"))))
+        .as("rv"))
+      .select(col("query_id"),
+        expr("transform(rv, s -> s.embedding)").as("vecs"))
+      .withColumn("sum_vec",
+        expr("aggregate(vecs, transform(element_at(vecs, 1), " +
+          "x -> cast(0.0 as double)), " +
+          "(acc, v) -> zip_with(acc, v, (a, b) -> a + cast(b as double)))"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val expanded = q.join(nb, "query_id")
+      .withColumn("q2",
+        expr(s"zip_with(q_emb, sum_vec, (a, b) -> " +
+          s"cast(a as double) + cast($beta as double) * (b / cast($k as double)))"))
+      .withColumn("q2_norm2", dotColHof(col("q2"), col("q2")))
+      .select(col("query_id"), col("q2"), col("q2_norm2"))
+    val pairs = broadcast(expanded)
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("norm2").as("n_norm2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotColHof(col("q2"), col("n_emb")),
+          col("q2_norm2"), col("n_norm2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(base.select(col("query_id"),
+        col("neighbor_id"), lit(true).as("in_feedback"))),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"),
+        coalesce(col("in_feedback"), lit(false)).as("in_feedback"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def rocchioExpandSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                       beta: Double = 0.5): String =
+    s"""WITH e AS ($withNormSql),
+       |bpairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS cosine
+       |  FROM e q JOIN e n ON q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+       |base AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM bpairs)
+       |  WHERE rank <= $k),
+       |nb AS (
+       |  SELECT b.query_id,
+       |    list(emb.embedding ORDER BY b.rank) AS vecs
+       |  FROM base b JOIN embeddings emb ON b.neighbor_id = emb.vec_id
+       |  GROUP BY b.query_id),
+       |ctr AS (
+       |  SELECT query_id,
+       |    [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list_transform(vecs, v -> CAST(v[i] AS DOUBLE))),
+       |       (acc, x) -> acc + x)
+       |     for i in range(1, len(vecs[1]) + 1)] AS sum_vec
+       |  FROM nb),
+       |q2 AS (
+       |  SELECT e.vec_id AS query_id,
+       |    [CAST(e.embedding[i] AS DOUBLE) + CAST($beta AS DOUBLE) *
+       |       (c.sum_vec[i] / CAST($k AS DOUBLE))
+       |     for i in range(1, len(e.embedding) + 1)] AS q2
+       |  FROM e JOIN ctr c ON e.vec_id = c.query_id),
+       |q2n AS (
+       |  SELECT query_id, q2, ${dotSql("q2", "q2")} AS q2_norm2 FROM q2),
+       |pairs AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.q2", "n.embedding")}
+       |      / sqrt(q.q2_norm2 * n.norm2) AS cosine
+       |  FROM q2n q JOIN e n ON q.query_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT r.query_id, r.rank, r.neighbor_id, r.cosine,
+       |  b.neighbor_id IS NOT NULL AS in_feedback
+       |FROM ranked r
+       |LEFT JOIN base b
+       |  ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+       |WHERE r.rank <= $k
+       |ORDER BY r.query_id, r.rank""".stripMargin
+
   /** Deterministic sign-bit LSH bucket: bit i of the bucket is the sign of
     * dimension 4i+1 (1-based), i = 0..7 — 8 axis-aligned hyperplanes, 256
     * buckets. Data-independent and engine-exact (float > 0 compare). */

@@ -308,7 +308,13 @@ class PlanShapeSpec extends GraftSpec {
         "iteration is a rank-edge join + dst agg over tiny inputs"),
     ("a40_interpurchase_gaps", 3,
       "lag rides ONE custkey exchange; the bucket rollup (with its " +
-        "distinct expand) is <=64 rows")
+        "distinct expand) is <=64 rows"),
+    ("v30_rocchio_prf", 6,
+      "v1's window + the (nQueries*k)-sized feedback agg/joins; the " +
+        "rerank is the broadcast loop + one top-k window"),
+    ("a41_discount_elasticity", 1,
+      "part dimension broadcasts into the fact scan; one " +
+        "|brands|-bounded six-moment aggregate")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

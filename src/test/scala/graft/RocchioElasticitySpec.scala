@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Similarity
+import graft.analytics.Trends
+import graft.model.Tables
+
+/** Invariants for v30 Rocchio PRF and a41 discount elasticity. */
+class RocchioElasticitySpec extends GraftSpec {
+
+  test("v30: beta = 0 reproduces v1's ranking bit-for-bit") {
+    val prf = Similarity.rocchioExpand(spark, sfDir, beta = 0.0)
+      .select("query_id", "rank", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val v1 = Similarity.cosineTopK(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(prf.toSeq == v1.toSeq)
+  }
+
+  test("v30: every query emits exactly k rows with ranks 1..k") {
+    val out = Similarity.rocchioExpand(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+    }
+    // feedback flag marks a subset of size <= k drawn from the seed list
+    val base = Similarity.cosineTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val marked = r.getBoolean(4)
+      assert(marked == base((r.getLong(0), r.getLong(2))))
+    }
+  }
+
+  test("a41: slope matches an exact in-process recomputation (same op order)") {
+    val brands = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    case class M(var n: Long = 0, var sx: Long = 0, var sy: Long = 0,
+                 var sxy: Long = 0, var sxx: Long = 0, var syy: Long = 0)
+    val acc = scala.collection.mutable.Map[String, M]()
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_discount", "l_quantity").collect()
+      .foreach { r =>
+        val b = brands(r.getLong(0))
+        val x = BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact
+        val y = r.getDouble(2).toLong
+        val m = acc.getOrElseUpdate(b, M())
+        m.n += 1; m.sx += x; m.sy += y; m.sxy += x * y
+        m.sxx += x * x; m.syy += y * y
+      }
+    val out = Trends.discountElasticity(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == acc.keySet)
+    out.foreach { r =>
+      val m = acc(r.getString(0))
+      assert(r.getLong(1) == m.n)
+      val varx = m.sxx.toDouble - m.sx.toDouble * m.sx.toDouble / m.n.toDouble
+      val covxy = m.sxy.toDouble - m.sx.toDouble * m.sy.toDouble / m.n.toDouble
+      if (varx == 0.0) assert(r.isNullAt(2))
+      else assert(r.getDouble(2) == covxy / varx, s"slope ${r.getString(0)}")
+    }
+  }
+}
