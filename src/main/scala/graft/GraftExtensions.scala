@@ -20,11 +20,16 @@ import graft.functions.{TopKByCount, VectorD2, VectorDot}
   *   spark.sql("SELECT store_id, topk_by_count(sku, 32) FROM sales GROUP BY 1")
   * }}}
   *
-  * Function injection is the ONLY extension point this library needs:
-  * every whole-operator semantic lowers to stock logical operators
-  * (SURVEY §4 — "custom Rule/SparkStrategy needed: none"), so the
-  * plan-level escape hatches stay deliberately unused; what cannot be
-  * expressed with built-ins is exactly the three expressions below.
+  * Every whole-operator SEMANTIC lowers to stock logical operators
+  * (SURVEY §4 — no custom plan is needed for correctness); the two
+  * plan-level injections below are PERFORMANCE rewrites of shapes the
+  * library itself emits: [[graft.plans.SelfDistanceElimination]] folds
+  * `vector_d2(x, x)` algebraically, and the §7.5 north-star
+  * [[graft.plans.GroupTopKRewrite]]/[[graft.plans.GroupTopKStrategy]]
+  * pair replaces the sort-based WindowGroupLimit plan for
+  * `row_number() <= k` ranking with one-pass bounded per-group heaps
+  * (no local sorts on either side of the exchange). Both are opt-in by
+  * session and bit-parity spec-gated; the oracle path runs stock plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the one algebraic identity Catalyst can't know for a foreign
     // expression: vector_d2(x, x) == 0.0 (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.SelfDistanceElimination)
+    // top-k-per-group: heap operator replacing sort-based group limits
+    ext.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectFunction((FunctionIdentifier("vector_dot"),
       info("vector_dot", classOf[VectorDot].getName),
       (args: Seq[Expression]) => {
