@@ -272,6 +272,76 @@ object Similarity {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** v31: MULTI-PROBE LSH — the standard recall lever for a bucketed
+    * sign-bit index (Lv et al.'s observation: a near neighbor that
+    * misses the query's bucket almost always sits in a bucket ONE BIT
+    * away): each query probes its own bucket plus all 8 one-bit-flip
+    * neighbors, 9× the candidate work of v2 for recall that
+    * (spec-asserted) can only improve — WITHOUT building more hash
+    * tables or re-indexing. Buckets partition the corpus, so probe
+    * hits are naturally duplicate-free. `probe_flips` records which
+    * tier surfaced each survivor (0 = v2 would have found it too).
+    * Scale shape: probes are a 9×-queries broadcast against the
+    * bucket-hash-joined corpus — same join topology as v2, candidate
+    * set 9/256 of the corpus in expectation, never all-pairs. */
+  def multiProbeLsh(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries): DataFrame = {
+    val e = withNorm(spark, dir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val q = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+    val probeArr = array(
+      col("q_bucket") +: (0 until 8).map(i =>
+        expr(s"q_bucket ^ ${1L << i}")): _*)
+    val probes = q.withColumn("p", explode(probeArr))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    val pairs = broadcast(probes).join(cand, col("p") === col("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(dotCol(col("q_emb"), col("n_emb")),
+          col("q_norm2"), col("n_norm2")))
+      .withColumn("probe_flips",
+        expr("bit_count(q_bucket ^ bucket)").cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("probe_flips"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def multiProbeLshSql(k: Int = 5, nQueries: Int = defaultNQueries): String = {
+    val flips = (0 until 8).map(i => s"xor(q_bucket, ${1L << i})")
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT *, ${bucketSql("embedding")} AS bucket FROM ($withNormSql)),
+       |q AS (
+       |  SELECT vec_id AS query_id, bucket AS q_bucket,
+       |    embedding AS q_emb, norm2 AS q_norm2
+       |  FROM e WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q.*, t.p
+       |  FROM q CROSS JOIN UNNEST([q_bucket, $flips]) AS t(p)),
+       |pairs AS (
+       |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("pr.q_emb", "n.embedding")}
+       |      / sqrt(pr.q_norm2 * n.norm2) AS cosine,
+       |    CAST(bit_count(xor(pr.q_bucket, n.bucket)) AS BIGINT)
+       |      AS probe_flips
+       |  FROM probes pr JOIN e n
+       |    ON pr.p = n.bucket AND pr.query_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cosine, probe_flips
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** v3/d5: embedding-cosine near-dup — each vector's nearest neighbor
     * within its coarse cluster (label = the IVF cell), flagged when the
     * cosine crosses the near-dup threshold. Cell-local pairwise work only. */

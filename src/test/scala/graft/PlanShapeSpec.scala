@@ -294,9 +294,10 @@ class PlanShapeSpec extends GraftSpec {
     ("j10_shipping_priority", 4,
       "segment dim + two pruned scans meet on orderkey/custkey hashes; " +
         "top-k is TakeOrderedAndProject, never a global sort exchange"),
-    ("a39_new_vs_repeat", 2,
-      "first-day min rides ONE custkey exchange; day rollup is " +
-        "calendar-bounded"),
+    ("a39_new_vs_repeat", 3,
+      "first-day min rides ONE custkey exchange; the conditional " +
+        "distincts expand into a two-phase (d, custkey) agg pair " +
+        "whose keys are calendar x customer bounded"),
     ("e26_decay_attribution", 2,
       "e9's interval-join exchange pair; the normalization window " +
         "partitions by (user_id, purchase_id) and rides it"),
@@ -314,7 +315,10 @@ class PlanShapeSpec extends GraftSpec {
         "rerank is the broadcast loop + one top-k window"),
     ("a41_discount_elasticity", 1,
       "part dimension broadcasts into the fact scan; one " +
-        "|brands|-bounded six-moment aggregate")
+        "|brands|-bounded six-moment aggregate"),
+    ("v31_multiprobe_lsh", 2,
+      "9x-queries probe relation broadcasts against the bucket join; " +
+        "one top-k window exchange")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

@@ -33,6 +33,31 @@ class RocchioElasticitySpec extends GraftSpec {
     }
   }
 
+  test("v31: multi-probe dominates v2 pointwise and flags probe tiers") {
+    val v31 = Similarity.multiProbeLsh(spark, sfDir).collect()
+    v31.foreach { r =>
+      val f = r.getAs[Long]("probe_flips")
+      assert(f == 0L || f == 1L, s"probe_flips $f outside the 1-flip probe set")
+    }
+    // candidates(v31) ⊇ candidates(v2) ⇒ at every rank the multi-probe
+    // cosine is at least v2's (ranking dominance — recall can only rise)
+    val v2 = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Double]("cosine")).toMap
+    v31.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      v2.get(key).foreach { c2 =>
+        assert(r.getAs[Double]("cosine") >= c2,
+          s"rank ${key._2} of query ${key._1} got worse under more probes")
+      }
+    }
+    // every query must emit at least as many rows as under v2
+    val n31 = v31.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    val n2 = Similarity.annLsh(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    n2.foreach { case (q, n) => assert(n31.getOrElse(q, 0) >= n) }
+  }
+
   test("a41: slope matches an exact in-process recomputation (same op order)") {
     val brands = Tables.part(spark, sfDir)
       .select("p_partkey", "p_brand").collect()
