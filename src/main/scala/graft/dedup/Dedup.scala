@@ -32,6 +32,72 @@ object Dedup {
     * identity). One hash aggregation on the text key; at 100 TB you group
     * on xxhash64(text) and resolve the (vanishingly rare) collisions with
     * a second exact pass. */
+  /** d24: PARAGRAPH-LEVEL (chunk-level) exact dedup — d1's algebra at
+    * SUB-document granularity, the Dolma/C4-style pass that catches
+    * shared paragraphs inside otherwise-distinct documents (quoted
+    * passages, navigation blocks, licence footers) that whole-document
+    * dedup (d1) and even near-dup clustering (d6) can miss when the
+    * surrounding text differs. Documents split into NON-overlapping
+    * 64-token chunks (t12's slice rule with stride = window — an
+    * overlapping stride would duplicate by construction); tail chunks
+    * under 8 tokens are excluded (trivial-match noise). A chunk is
+    * `duplicated` when its exact text occurs anywhere else in the
+    * corpus. Per doc: chunk counts, duplicated-chunk count, coverage
+    * in exact milli, and the ≥30% flag a line-level filter acts on.
+    * Shape: one chunk-text hash agg (map-side combinable) joined back
+    * on the same key — both sides ride one chunk_text exchange — then
+    * a doc_id rollup. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 window: Int = 64, minTokens: Int = 8): DataFrame = {
+    val chunks = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0), size(col("words")) - 1, lit(window)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        slice(col("words"), col("start_tok") + 1, lit(window)).as("w"))
+      .filter(size(col("w")) >= minTokens)
+      .select(col("doc_id"), concat_ws(" ", col("w")).as("chunk_text"))
+    val freq = chunks.groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    chunks.join(freq, "chunk_text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occurrences") > 1, 1L).otherwise(0L))
+          .cast("long").as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 1000 DIV n_chunks").as("dup_milli"),
+        (col("n_dup_chunks") * 10 >= col("n_chunks") * 3).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  def chunkDedupSql(window: Int = 64, minTokens: Int = 8): String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ws AS ws FROM documents),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(ws, start_tok + 1,
+       |      LEAST(start_tok + $window, len(ws))), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(0, len(ws), $window)) AS start_tok
+       |        FROM toks)
+       |  WHERE len(list_slice(ws, start_tok + 1,
+       |      LEAST(start_tok + $window, len(ws)))) >= $minTokens),
+       |freq AS (
+       |  SELECT chunk_text, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |  FROM chunks GROUP BY chunk_text)
+       |SELECT c.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.n_occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN f.n_occurrences > 1 THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS dup_milli,
+       |  CAST(SUM(CASE WHEN f.n_occurrences > 1 THEN 1 ELSE 0 END) * 10
+       |    >= COUNT(*) * 3 AS BOOLEAN) AS flagged
+       |FROM chunks c JOIN freq f USING (chunk_text)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val groups = Corpus.docsTok(spark, dir)
       .groupBy(col("text"))

@@ -479,4 +479,89 @@ object Flatten {
        |    ELSE 'stable' END AS verdict
        |FROM tv t JOIN ks k USING (event_type) JOIN cu c USING (event_type)
        |ORDER BY t.event_type""".stripMargin
+
+  /** x12: RETRIEVAL-STACK QA card — one row per query over the shared
+    * doc/vec id space, joining the three ranking engines a retrieval
+    * deployment runs side by side: exact semantic top-1 (v1), lexical
+    * BM25 top-1 (t15), and the RRF-fused top-1 (h2), with the
+    * agreement diagnostics a relevance team actually reads: do the
+    * engines' winners coincide, and how much do their top-5 lists
+    * overlap. All parents are green oracle-checked relations;
+    * query-set-sized joins only. */
+  def exportRetrievalCards(spark: SparkSession, dir: String,
+                           nQueries: Int = 3): DataFrame = {
+    import graft.vector.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // the two parent rankings are query-set-sized; materialized once
+    // (localCheckpoint) so the card's four derivations share one build
+    // instead of re-running the corpus-touching parent per column
+    val sem5 = Similarity.cosineTopK(spark, dir, 10, nQueries)
+      .select(col("query_id"), col("neighbor_id").as("doc"),
+        col("rank").cast("long").as("sem_rank"))
+      .localCheckpoint()
+    val lex5 = graft.text.TextAnalysis.bm25(spark, dir, nQueries, 10)
+      .select(col("query_id"), col("doc_id").as("doc"),
+        col("rank").as("lex_rank"))
+      .localCheckpoint()
+    val sem = sem5.filter(col("sem_rank") === 1)
+      .select(col("query_id"), col("doc").as("sem_top1"))
+    val lex = lex5.filter(col("lex_rank") === 1)
+      .select(col("query_id"), col("doc").as("lex_top1"))
+    // h2's RRF algebra inlined over the SAME materialized parents
+    val fusedAll = lex5.join(sem5, Seq("query_id", "doc"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr("60000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("60000 div (60 + sem_rank)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc").asc)
+    val fused = fusedAll.withColumn("fr", row_number().over(wf))
+      .filter(col("fr") === 1)
+      .select(col("query_id"), col("doc").as("fused_top1"),
+        col("rrf_milli").as("fused_rrf_milli"))
+    val overlap = sem5.filter(col("sem_rank") <= 5)
+      .select(col("query_id"), col("doc"))
+      .join(lex5.filter(col("lex_rank") <= 5)
+        .select(col("query_id"), col("doc")), Seq("query_id", "doc"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap_at_5"))
+    sem.join(lex, "query_id")
+      .join(fused, "query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("sem_top1"), col("lex_top1"),
+        col("fused_top1"), col("fused_rrf_milli"),
+        (col("sem_top1") === col("lex_top1")).as("tops_agree"),
+        coalesce(col("overlap_at_5"), lit(0L)).as("overlap_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  def exportRetrievalCardsSql(nQueries: Int = 3): String = {
+    import graft.vector.Similarity
+    s"""WITH sem AS (
+       |  SELECT query_id, neighbor_id AS sem_top1
+       |  FROM (${Similarity.cosineTopKSql(5, nQueries)}) WHERE rank = 1),
+       |lex AS (
+       |  SELECT query_id, doc_id AS lex_top1
+       |  FROM (${graft.text.TextAnalysis.bm25Sql(nQueries, 5)})
+       |  WHERE rank = 1),
+       |fused AS (
+       |  SELECT query_id, doc AS fused_top1, rrf_milli AS fused_rrf_milli
+       |  FROM (${Similarity.rrfFusionSql(nQueries)}) WHERE fused_rank = 1),
+       |ov AS (
+       |  SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS overlap_at_5
+       |  FROM (SELECT query_id, neighbor_id AS doc
+       |        FROM (${Similarity.cosineTopKSql(5, nQueries)})) s
+       |  JOIN (SELECT query_id, doc_id AS doc
+       |        FROM (${graft.text.TextAnalysis.bm25Sql(nQueries, 5)})) l
+       |    ON s.query_id = l.query_id AND s.doc = l.doc
+       |  GROUP BY s.query_id)
+       |SELECT sem.query_id, sem_top1, lex_top1, fused_top1,
+       |  fused_rrf_milli,
+       |  sem_top1 = lex_top1 AS tops_agree,
+       |  COALESCE(ov.overlap_at_5, 0) AS overlap_at_5
+       |FROM sem
+       |JOIN lex ON lex.query_id = sem.query_id
+       |JOIN fused ON fused.query_id = sem.query_id
+       |LEFT JOIN ov ON ov.query_id = sem.query_id
+       |ORDER BY sem.query_id""".stripMargin
+  }
 }

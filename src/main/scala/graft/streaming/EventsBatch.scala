@@ -902,6 +902,104 @@ object EventsBatch {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** e28: ABSORPTION PROBABILITY — from e14's Markov matrix, the
+    * probability a user starting at each event type reaches `purchase`
+    * within 1, 2, and 3 transitions (the funnel question e6 answers
+    * for one fixed path, answered over ALL paths). Pure integer milli
+    * recursion unrolled: p₀ = 1000·[v = purchase];
+    * pᵢ₊₁(v) = 1000 if v = purchase else (Σᵤ c(v,u)·pᵢ(u)) DIV out(v)
+    * — one floor division per node per step (sum first, divide once),
+    * widest product c·p ≤ 1000·|edge count|, engine-exact. e27's
+    * broadcast join-agg kernel with the recursion running FORWARD
+    * from each state instead of mass flowing in. */
+  def absorptionProbability(spark: SparkSession, dir: String,
+                            target: String = "purchase",
+                            steps: Int = 3): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val outDeg = edges.groupBy(col("from_type"))
+      .agg(sum(col("c")).cast("long").as("outc"))
+      .localCheckpoint()
+    val nodes = Tables.events(spark, dir)
+      .select(col("event_type").as("etype")).distinct().localCheckpoint()
+    var p = nodes.withColumn("p_milli",
+      when(col("etype") === target, 1000L).otherwise(0L))
+    val byStep = (1 to steps).map { _ =>
+      val contrib = edges
+        .join(broadcast(p), col("to_type") === col("etype"))
+        .groupBy(col("from_type"))
+        .agg(sum(col("c") * col("p_milli")).cast("long").as("mass"))
+        .select(col("from_type").as("c_type"), col("mass"))
+      val deg = outDeg.select(col("from_type").as("o_type"), col("outc"))
+      p = nodes
+        .join(broadcast(contrib), col("etype") === col("c_type"), "left")
+        .join(broadcast(deg), col("etype") === col("o_type"), "left")
+        .select(col("etype"),
+          when(col("etype") === target, 1000L)
+            .otherwise(coalesce(
+              expr("mass DIV outc"), lit(0L))).as("p_milli"))
+        .localCheckpoint() // |types| rows; keeps each step's agg single
+      p
+    }
+    byStep.zipWithIndex
+      .map { case (df, i) => df.select(col("etype"),
+        col("p_milli").as(s"p${i + 1}_milli")) }
+      .reduce((a, b) => a.join(b, "etype"))
+      .orderBy(col("etype"))
+  }
+
+  def absorptionProbabilitySql(target: String = "purchase"): String = {
+    def step(prev: String, cur: String): String =
+      s"""m$cur AS (
+         |  SELECT e.from_type,
+         |    CAST(SUM(e.c * r.p_milli) AS BIGINT) AS mass
+         |  FROM edges e JOIN $prev r ON r.etype = e.to_type
+         |  GROUP BY 1),
+         |$cur AS (
+         |  SELECT nodes.etype,
+         |    CASE WHEN nodes.etype = '$target' THEN 1000
+         |      ELSE COALESCE(m$cur.mass // outd.outc, 0) END AS p_milli
+         |  FROM nodes
+         |  LEFT JOIN m$cur ON m$cur.from_type = nodes.etype
+         |  LEFT JOIN outd ON outd.from_type = nodes.etype)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |edges AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |outd AS (
+       |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS outc
+       |  FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT event_type AS etype FROM events),
+       |p0 AS (
+       |  SELECT etype,
+       |    CASE WHEN etype = '$target' THEN 1000 ELSE 0 END AS p_milli
+       |  FROM nodes),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")}
+       |SELECT nodes.etype,
+       |  CAST(p1.p_milli AS BIGINT) AS p1_milli,
+       |  CAST(p2.p_milli AS BIGINT) AS p2_milli,
+       |  CAST(p3.p_milli AS BIGINT) AS p3_milli
+       |FROM nodes
+       |JOIN p1 ON p1.etype = nodes.etype
+       |JOIN p2 ON p2.etype = nodes.etype
+       |JOIN p3 ON p3.etype = nodes.etype
+       |ORDER BY nodes.etype""".stripMargin
+  }
+
   /** e15: rolling 7-day distinct users per day (the trailing-window
     * active-user series every growth dashboard plots). The scalable
     * EXACT form is contribution-explode: a user active on day d is

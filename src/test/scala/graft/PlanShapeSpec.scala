@@ -318,7 +318,16 @@ class PlanShapeSpec extends GraftSpec {
         "|brands|-bounded six-moment aggregate"),
     ("v31_multiprobe_lsh", 2,
       "9x-queries probe relation broadcasts against the bucket join; " +
-        "one top-k window exchange")
+        "one top-k window exchange"),
+    ("e28_absorption", 3,
+      "one |types|-bounded mass agg per unrolled step; rank/degree " +
+        "relations broadcast over localCheckpoints"),
+    ("d24_chunk_dedup", 2,
+      "chunk-text freq agg + doc rollup; the join-back rides the " +
+        "chunk_text exchange"),
+    ("x12_export_retrieval_cards", 8,
+      "two materialized query-set-sized parents; the card's four " +
+        "derivations are (nQueries*k)-row joins/windows")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
