@@ -358,6 +358,57 @@ object Trends {
         (col("sales_dec").cast("double") / col("n_days")).as("avg_daily_sales"))
       .orderBy(col("dow"))
 
+  /** a42: SEASONALITY INDEX per (store, day-of-week) — each store's
+    * weekday profile normalized by its own mean day (index 1.0 = an
+    * average day; the BI heatmap behind staffing/stocking decisions,
+    * and x2's company-wide profile broken out per store so a mall
+    * store's weekend spike isn't averaged away by office-district
+    * stores). Exactness: both means are single IEEE divisions of
+    * exact decimal-summed cents, then ONE ratio — fixed op order both
+    * engines. Shape: two rollups of the cached (store, day) silver
+    * (|stores|·7 and |stores| rows) joined on store_id. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sd = StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("net_c"))
+      .withColumn("dow", dayofweek(to_date(col("sale_date"))).cast("long"))
+    val byDow = sd.groupBy(col("store_id"), col("dow"))
+      .agg(count(lit(1)).as("n_days_dow"),
+        sum(col("net_c")).cast("long").as("dow_c"))
+    val byStore = sd.groupBy(col("store_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("net_c")).cast("long").as("store_c"))
+    byDow.join(byStore, "store_id")
+      .select(col("store_id"), col("dow"), col("n_days_dow"),
+        ((col("dow_c").cast("double") / col("n_days_dow").cast("double")) /
+          (col("store_c").cast("double") / col("n_days").cast("double")))
+          .as("seasonal_index"))
+      .orderBy(col("store_id"), col("dow"))
+  }
+
+  val seasonalIndexSql: String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |base AS (
+       |  SELECT store_id, sale_date,
+       |    CAST((gross_dec - disc_dec) * 100 AS DECIMAL(18,0)) AS net_c,
+       |    CAST(dayofweek(CAST(sale_date AS DATE)) + 1 AS BIGINT) AS dow
+       |  FROM sd),
+       |by_dow AS (
+       |  SELECT store_id, dow, CAST(COUNT(*) AS BIGINT) AS n_days_dow,
+       |    CAST(SUM(net_c) AS BIGINT) AS dow_c
+       |  FROM base GROUP BY 1, 2),
+       |by_store AS (
+       |  SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(net_c) AS BIGINT) AS store_c
+       |  FROM base GROUP BY 1)
+       |SELECT d.store_id, d.dow, d.n_days_dow,
+       |  (CAST(dow_c AS DOUBLE) / CAST(n_days_dow AS DOUBLE)) /
+       |    (CAST(store_c AS DOUBLE) / CAST(n_days AS DOUBLE))
+       |    AS seasonal_index
+       |FROM by_dow d JOIN by_store s ON d.store_id = s.store_id
+       |ORDER BY d.store_id, d.dow""".stripMargin
+
   val dowProfileSql: String =
     s"""WITH sd AS (${StoreDaily.rollupDecSql}),
        |daily AS (

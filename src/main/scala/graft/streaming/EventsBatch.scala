@@ -902,6 +902,83 @@ object EventsBatch {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** e29: NEAREST-EVENT JOIN — e8's as-of generalized to BOTH
+    * directions: for every purchase, the closest view by the same user
+    * within ±30 minutes, whichever side it falls on (the sensor-fusion
+    * / session-stitching shape: "match each reading to the nearest
+    * reference sample", where a backward-only as-of mis-attributes
+    * events that arrive just before their cause). Lowered EXACTLY like
+    * e8 — tag both sides, ONE hash partition per user, and TWO frames
+    * riding the SAME sort: a running max for the latest view at-or-
+    * before, a following-frame min for the earliest view after. Ties
+    * in |gap| break backward (the causal default). Never-matched
+    * purchases keep NULL view/gap with direction 'none'. */
+  def nearestEvent(spark: SparkSession, dir: String,
+                   horizonUs: Long = 1800000000L): DataFrame = {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("kind"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      .withColumn("b", max(when(col("kind") === 0, col("us"))).over(wb))
+      .withColumn("f", min(when(col("kind") === 0, col("us"))).over(wf))
+      .filter(col("kind") === 1)
+      .withColumn("bgap", col("us") - col("b"))
+      .withColumn("fgap", col("f") - col("us"))
+      .withColumn("view_us",
+        when(col("b").isNotNull && col("bgap") <= horizonUs &&
+          (col("f").isNull || col("fgap") > horizonUs ||
+            col("bgap") <= col("fgap")), col("b"))
+          .when(col("f").isNotNull && col("fgap") <= horizonUs, col("f")))
+      .withColumn("gap_us",
+        when(col("view_us").isNotNull, col("us") - col("view_us")))
+      .withColumn("direction",
+        when(col("view_us").isNull, "none")
+          .when(col("gap_us") >= 0, "backward")
+          .otherwise("forward"))
+      .select(col("event_id"), col("user_id"),
+        col("us").as("purchase_us"), col("view_us"), col("gap_us"),
+        col("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  def nearestEventSql(horizonUs: Long = 1800000000L): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN kind = 0 THEN us END) OVER (
+       |      PARTITION BY user_id ORDER BY us, kind
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+       |    MIN(CASE WHEN kind = 0 THEN us END) OVER (
+       |      PARTITION BY user_id ORDER BY us, kind
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+       |  FROM ev),
+       |p AS (
+       |  SELECT event_id, user_id, us, b, f,
+       |    us - b AS bgap, f - us AS fgap
+       |  FROM w WHERE kind = 1),
+       |chosen AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN b IS NOT NULL AND bgap <= $horizonUs AND
+       |        (f IS NULL OR fgap > $horizonUs OR bgap <= fgap) THEN b
+       |      WHEN f IS NOT NULL AND fgap <= $horizonUs THEN f
+       |    END AS view_us
+       |  FROM p)
+       |SELECT event_id, user_id, us AS purchase_us, view_us,
+       |  CASE WHEN view_us IS NOT NULL THEN us - view_us END AS gap_us,
+       |  CASE WHEN view_us IS NULL THEN 'none'
+       |    WHEN us - view_us >= 0 THEN 'backward'
+       |    ELSE 'forward' END AS direction
+       |FROM chosen ORDER BY event_id""".stripMargin
+
   /** e28: ABSORPTION PROBABILITY — from e14's Markov matrix, the
     * probability a user starting at each event type reaches `purchase`
     * within 1, 2, and 3 transitions (the funnel question e6 answers

@@ -536,6 +536,37 @@ object CorpusPrep {
        |FROM documents d LEFT JOIN movers m ON d.doc_id = m.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** p19: CLUSTER-AWARE SPLIT — leakage prevented BY CONSTRUCTION
+    * instead of repaired after the fact (p15's quarantine): every
+    * member of a near-dup cluster is assigned the split of the
+    * cluster's canonical minimum doc (= its d6 label), so a
+    * cross-split near-dup pair is IMPOSSIBLE — the property d14 audits
+    * and p15 patches holds identically-zero here, spec-re-derived.
+    * Singleton docs keep p7's hash split (label = own id ⇒ identical
+    * assignment), so only clustered docs can move and the 90/5/5
+    * proportions drift by at most the clustered-doc share. Shape: the
+    * memoized label relation joined once onto the doc stream; both
+    * splits are pure expressions of ids. */
+  def clusterSplit(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val labels = graft.dedup.Dedup.dupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    labels
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        splitOf(col("doc_id")).as("orig_split"),
+        splitOf(col("cluster_id")).as("final_split"))
+      .withColumn("moved", col("orig_split") =!= col("final_split"))
+      .orderBy("doc_id")
+  }
+
+  def clusterSplitSql(threshold: Double = 0.5): String =
+    s"""WITH clusters AS (${graft.dedup.Dedup.dupClustersSql(threshold)})
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  ${splitSqlOf("doc_id")} AS orig_split,
+       |  ${splitSqlOf("cluster_id")} AS final_split,
+       |  (${splitSqlOf("doc_id")}) <> (${splitSqlOf("cluster_id")}) AS moved
+       |FROM clusters ORDER BY doc_id""".stripMargin
+
   /** t10: corpus vocabulary statistics — the dashboard row a corpus
     * pipeline tracks per snapshot: total token count, vocabulary size,
     * hapax legomena (frequency-1 types, the long-tail health signal),

@@ -327,7 +327,16 @@ class PlanShapeSpec extends GraftSpec {
         "chunk_text exchange"),
     ("x12_export_retrieval_cards", 8,
       "two materialized query-set-sized parents; the card's four " +
-        "derivations are (nQueries*k)-row joins/windows")
+        "derivations are (nQueries*k)-row joins/windows"),
+    ("e29_nearest_event", 1,
+      "e8's lowering with a second frame riding the SAME user sort — " +
+        "bidirectional nearest costs the same one shuffle"),
+    ("a42_seasonal_index", 2,
+      "two bounded rollups of the cached (store, day) silver joined " +
+        "on store_id"),
+    ("p19_cluster_split", 0,
+      "pure projection over the checkpointed d6 label relation — both " +
+        "splits are expressions of ids")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
