@@ -271,6 +271,47 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming nearest-event matches the batch e29 relation after flush") {
+    import spark.implicits._
+    import graft.streaming.{StatefulNearest, TouchEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      .as[TouchEvent].collect().sortBy(r => (r.us, r.kind))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // flush: one view per user past every purchase's +horizon — it can
+    // only EXPIRE pending purchases (never match: expiry runs first),
+    // so decisions are unchanged and the stream drains completely
+    val flushUs = rows.map(_.us).max + StatefulNearest.DefaultHorizonUs + 1
+    val flush = rows.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => TouchEvent(-1L - i, u, flushUs, 0)
+    }
+    val input = MemoryStream[TouchEvent]
+    val q = StatefulNearest.nearest(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nearest").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(flush.toSeq); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT event_id, purchase_us, view_us, gap_us, direction FROM nearest")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sortBy(_._1)
+      val want = graft.streaming.EventsBatch.nearestEvent(spark, sfDir)
+        .collect().map { r =>
+          if (r.isNullAt(3)) (r.getLong(0), r.getLong(2), -1L, 0L, "none")
+          else (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5))
+        }.sortBy(_._1)
+      assert(want.nonEmpty)
+      assert(got.toSeq === want.toSeq,
+        "streaming nearest-event must equal the batch e29 relation exactly")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch e8 relation bit-for-bit") {
     import spark.implicits._
     import graft.streaming.{StatefulAttribution, TouchEvent}
