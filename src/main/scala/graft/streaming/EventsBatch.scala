@@ -821,22 +821,41 @@ object EventsBatch {
     * tiny, but the code shape is the one that runs when nodes are
     * pages: rank join edges on src, contribution agg on dst, one
     * exchange pair per iteration. */
+  /** The (from, to, count) transition-edge relation + degree + node
+    * silvers shared by e27/e28 — |types|²-bounded localCheckpoints,
+    * Silver-memoized so the two graph keys (and repeated calls) build
+    * them once per session. */
+  private def typeEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "typeEdges", dir) {
+      val perUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+
+  private def typeOutDeg(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "typeOutDeg", dir) {
+      typeEdges(spark, dir).groupBy(col("from_type"))
+        .agg(sum(col("c")).cast("long").as("outc"))
+        .localCheckpoint()
+    }
+
+  private def typeNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "typeNodes", dir) {
+      Tables.events(spark, dir)
+        .select(col("event_type").as("etype")).distinct().localCheckpoint()
+    }
+
   def typePagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val perUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("from_type"))
-      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
-      .where(col("to_type").isNotNull)
-      .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // |types|²-bounded; truncates the 3-iteration lineage
-    val outDeg = edges.groupBy(col("from_type"))
-      .agg(sum(col("c")).cast("long").as("outc"))
-      .localCheckpoint() // materialized once, reused every iteration
-    val nodes = Tables.events(spark, dir)
-      .select(col("event_type").as("etype")).distinct().localCheckpoint()
+    val edges = typeEdges(spark, dir)
+    val outDeg = typeOutDeg(spark, dir)
+    val nodes = typeNodes(spark, dir)
     val n = nodes.count()
     val base = 150000L / n
     var r = nodes.withColumn("rank_micro", lit(1000000L / n))
@@ -992,21 +1011,9 @@ object EventsBatch {
   def absorptionProbability(spark: SparkSession, dir: String,
                             target: String = "purchase",
                             steps: Int = 3): DataFrame = {
-    val perUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("from_type"))
-      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
-      .where(col("to_type").isNotNull)
-      .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val outDeg = edges.groupBy(col("from_type"))
-      .agg(sum(col("c")).cast("long").as("outc"))
-      .localCheckpoint()
-    val nodes = Tables.events(spark, dir)
-      .select(col("event_type").as("etype")).distinct().localCheckpoint()
+    val edges = typeEdges(spark, dir)
+    val outDeg = typeOutDeg(spark, dir)
+    val nodes = typeNodes(spark, dir)
     var p = nodes.withColumn("p_milli",
       when(col("etype") === target, 1000L).otherwise(0L))
     val byStep = (1 to steps).map { _ =>
