@@ -68,6 +68,55 @@ object Star {
        |GROUP BY region_name, nation_name
        |ORDER BY region_name, nation_name""".stripMargin
 
+  /** j11: SMALL-QUANTITY revenue — the TPC-H Q17 topology (the
+    * classic correlated scalar subquery, "lines below 20% of their
+    * part's average quantity", decorrelated by hand the way Catalyst
+    * lowers it): a per-part aggregate joined back to the fact on the
+    * SAME partkey hash (co-keyed — the join adds no exchange beyond
+    * the aggregate's), with the fractional-average predicate kept in
+    * EXACT integers — `qty < 0.2·avg` ⟺ `5·qty·n_part < sum_qty_part`
+    * — no float average, no rounding ambiguity. Qualifying-line
+    * revenue rolls up per brand through the broadcast part dim. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_extendedprice").cast(Tables.Money).as("price_dec"))
+    val pa = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines_part"),
+        sum(col("qty")).cast("long").as("sum_qty_part"))
+      .select(col("l_partkey").as("pk"), col("n_lines_part"),
+        col("sum_qty_part"))
+    val p = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand")))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("n_lines_part") < col("sum_qty_part"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        (sum(col("price_dec")) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+      |  FROM lineitem),
+      |pa AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines_part,
+      |    CAST(SUM(qty) AS BIGINT) AS sum_qty_part
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+      |  CAST(SUM(price_dec) * 100 AS BIGINT) AS revenue_cents
+      |FROM li
+      |JOIN pa ON li.l_partkey = pa.pk
+      |JOIN part ON li.l_partkey = p_partkey
+      |WHERE qty * 5 * n_lines_part < sum_qty_part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** j10: unshipped-revenue order ranking — the TPC-H Q3 topology.
     * For customers in one market segment, orders PLACED before the
     * cutoff whose lines SHIP after it (booked but unfulfilled

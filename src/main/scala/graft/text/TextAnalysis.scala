@@ -797,6 +797,130 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** h3: QUERY-LIKELIHOOD retrieval — the third classical ranking
+    * family next to t15's BM25 and the vector stack: score each
+    * candidate by the surprisal of the query under the DOCUMENT'S
+    * Dirichlet-smoothed language model, p(t|d) = (tf + μ·p(t|C)) /
+    * (dl + μ) (Zhai–Lafferty). Entirely in integer milli-bits:
+    * p(t|C) is pre-scaled to a per-term integer `cfp` = cf·2²⁰ DIV T
+    * (floored to ≥1 so unseen-term charges stay finite), and each
+    * term's charge is t15's milli-log2 (binary-length + linear
+    * mantissa) of ((dl+μ)·2²⁰·1024) DIV (tf·2²⁰ + μ·cfp) — every
+    * product ≤ ~2⁴⁴ REGARDLESS of corpus size because T only enters
+    * through the pre-normalized cfp (the direct tf·T form would
+    * overflow at 100 TB). Lower total charge = more likely query.
+    * Candidates come from the df-capped posting join (h1's rule);
+    * each candidate is charged over ALL the query's kept terms —
+    * absent terms pay the smoothing floor, so short docs don't win
+    * by omission. Shape: posting join proposes, a (candidates ×
+    * query-terms) broadcast join scores, one (query, doc) aggregate
+    * + top-k window. */
+  def queryLikelihood(spark: SparkSession, dir: String, nQueries: Int = 3,
+                      k: Int = 5, mu: Int = 300,
+                      maxDfPct: Int = 78): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+    val totals = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("words")).cast("long")).as("t_total"))
+    val tfs = toks
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("word"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val byWord = Window.partitionBy("word")
+    val stats = tfs
+      .withColumn("df", count(lit(1)).over(byWord))
+      .withColumn("cf", sum(col("tf")).over(byWord))
+      .crossJoin(broadcast(totals))
+      .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
+      .withColumn("cfp",
+        greatest(expr("(cf * 1048576) DIV t_total"), lit(1L)))
+    val qterms = stats.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"),
+        col("cfp").as("q_cfp")).distinct()
+    val cands = qterms.join(
+        stats.select(col("word"), col("doc_id"), col("dl")), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("dl")).distinct()
+    val pairs = cands.join(broadcast(qterms), "query_id")
+      .join(stats.select(col("doc_id"), col("word"),
+        col("tf").as("d_tf")), Seq("doc_id", "word"), "left")
+      .withColumn("tf0", coalesce(col("d_tf"), lit(0L)))
+      .withColumn("qr",
+        expr(s"((dl + $mu) * 1048576 * 1024) DIV (tf0 * 1048576 + $mu * q_cfp)"))
+      .withColumn("b", (length(bin(col("qr"))) - lit(1)).cast("long"))
+      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("charge_milli",
+        (col("b") - lit(10L)) * lit(1000L) + expr("(qr - p) * 1000 DIV p"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_milli").asc, col("doc_id").asc)
+    pairs.groupBy("query_id", "doc_id")
+      .agg(sum(col("charge_milli")).cast("long").as("score_milli"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).cast("long").as("n_hits"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_milli"), col("n_hits"))
+      .orderBy("query_id", "rank")
+  }
+
+  def queryLikelihoodSql(nQueries: Int = 3, k: Int = 5, mu: Int = 300,
+                         maxDfPct: Int = 78): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Corpus.wordsSqlExpr} AS ws FROM documents),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(ws)) AS BIGINT) AS t_total
+       |  FROM toks),
+       |tfs AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, word,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, ws, unnest(ws) AS word FROM toks)
+       |  GROUP BY doc_id, len(ws), word),
+       |stats AS (
+       |  SELECT doc_id, dl, word, tf,
+       |    GREATEST((cf * 1048576) // t_total, 1) AS cfp
+       |  FROM (SELECT *,
+       |          COUNT(*) OVER (PARTITION BY word) AS df,
+       |          CAST(SUM(tf) OVER (PARTITION BY word) AS BIGINT) AS cf
+       |        FROM tfs) CROSS JOIN tot
+       |  WHERE df * 100 <= $maxDfPct * n_docs),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, word, cfp AS q_cfp
+       |  FROM stats WHERE doc_id < $nQueries),
+       |cands AS (
+       |  SELECT DISTINCT q.query_id, s.doc_id, s.dl
+       |  FROM qterms q JOIN stats s USING (word)
+       |  WHERE s.doc_id <> q.query_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.doc_id,
+       |    COALESCE(s.tf, 0) AS tf0, c.dl, q.q_cfp
+       |  FROM cands c
+       |  JOIN qterms q ON q.query_id = c.query_id
+       |  LEFT JOIN stats s ON s.doc_id = c.doc_id AND s.word = q.word),
+       |charged AS (
+       |  SELECT query_id, doc_id, tf0,
+       |    (b - 10) * 1000 + (qr - p) * 1000 // p AS charge_milli
+       |  FROM (
+       |    SELECT *, length(format('{:b}', qr)) - 1 AS b,
+       |      CAST(power(2, length(format('{:b}', qr)) - 1) AS BIGINT) AS p
+       |    FROM (
+       |      SELECT query_id, doc_id, tf0,
+       |        ((dl + $mu) * 1048576 * 1024)
+       |          // (tf0 * 1048576 + $mu * q_cfp) AS qr
+       |      FROM pairs))),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(SUM(charge_milli) AS BIGINT) AS score_milli,
+       |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM charged GROUP BY 1, 2)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_milli ASC, doc_id ASC) AS BIGINT) AS rank,
+       |  doc_id, score_milli, n_hits
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def bm25Sql(nQueries: Int = 3, k: Int = 5, maxDfPct: Int = 78): String =
     s"""WITH toks AS (
        |  SELECT doc_id, ${Corpus.wordsSqlExpr} AS ws FROM documents),

@@ -336,7 +336,14 @@ class PlanShapeSpec extends GraftSpec {
         "on store_id"),
     ("p19_cluster_split", 0,
       "pure projection over the checkpointed d6 label relation — both " +
-        "splits are expressions of ids")
+        "splits are expressions of ids"),
+    ("h3_query_likelihood", 11,
+      "t15's df-capped word stats (x subtrees: qterms / candidates / " +
+        "tf lookup) + candidate distinct + the (query, doc) score agg " +
+        "and top-k window — all candidate-bounded after the posting join"),
+    ("j11_small_qty_revenue", 2,
+      "per-part agg joined back on the SAME partkey hash (co-keyed); " +
+        "part dim broadcasts; brand rollup is |brands|-bounded")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
