@@ -921,6 +921,91 @@ object EventsBatch {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** e30: A/B EXPERIMENT READOUT — the two-proportion test every
+    * product experiment ends in, with the assignment done RIGHT for a
+    * distributed engine: arms come from p7's deterministic
+    * multiplicative hash of user_id (retry/replay-stable, uniform,
+    * reproducible by any engine — never rand()), so the same user is
+    * in the same arm on every run of every system that reads the
+    * events. Conversion = purchase-heavy user (purchases ≥ 30% of the
+    * user's events — an exact integer predicate, np·10 ≥ 3·n). All
+    * counts are exact; rates are integer milli; the pooled
+    * two-proportion z-score is the one double chain at the end, in a
+    * fixed operation order both engines execute identically, and NULL
+    * when the pooled rate is degenerate (0 or 1 — the ANSI
+    * double-divide-by-zero case). ONE user-keyed agg + a 2-row rollup
+    * collapsed to a single readout row. */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("is_p")) * 10 >= count(lit(1)) * 3)
+        .cast("long").as("converted"))
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000L)) < 500L, "A").otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a_milli", expr("conv_a * 1000 DIV n_a"))
+      .withColumn("rate_b_milli", expr("conv_b * 1000 DIV n_b"))
+      .withColumn("lift_milli", col("rate_b_milli") - col("rate_a_milli"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z_score",
+        when(col("p_pool") === 0.0 || col("p_pool") === 1.0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("conv_b").cast("double") / col("n_b").cast("double") -
+              col("conv_a").cast("double") / col("n_a").cast("double")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double")))))
+      .select(col("n_a"), col("conv_a"), col("rate_a_milli"),
+        col("n_b"), col("conv_b"), col("rate_b_milli"),
+        col("lift_milli"), col("z_score"))
+  }
+
+  val abReadoutSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 10
+      |      >= COUNT(*) * 3 AS BIGINT) AS converted,
+      |    CASE WHEN ((user_id % 1000000007) * 2654435761) % 1000 < 500
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY arm),
+      |ab AS (
+      |  SELECT a.n_users AS n_a, a.n_conv AS conv_a,
+      |    b.n_users AS n_b, b.n_conv AS conv_b
+      |  FROM (SELECT * FROM arms WHERE arm = 'A') a
+      |  CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b),
+      |d AS (
+      |  SELECT *,
+      |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |      AS p_pool
+      |  FROM ab)
+      |SELECT n_a, conv_a, conv_a * 1000 // n_a AS rate_a_milli,
+      |  n_b, conv_b, conv_b * 1000 // n_b AS rate_b_milli,
+      |  (conv_b * 1000 // n_b) - (conv_a * 1000 // n_a) AS lift_milli,
+      |  CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+      |    ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+      |      CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+      |      sqrt(p_pool * (1.0 - p_pool) *
+      |        (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |    END AS z_score
+      |FROM d""".stripMargin
+
   /** e29: NEAREST-EVENT JOIN — e8's as-of generalized to BOTH
     * directions: for every purchase, the closest view by the same user
     * within ±30 minutes, whichever side it falls on (the sensor-fusion

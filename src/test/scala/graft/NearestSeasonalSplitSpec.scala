@@ -54,6 +54,31 @@ class NearestSeasonalSplitSpec extends GraftSpec {
     }
   }
 
+  test("e30: arm assignment, counts, and z-score match an in-process recomputation") {
+    val users = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> (rows.count(_.getString(1) == "purchase") * 10 >= rows.length * 3) }
+    def arm(u: Long) = if (((u % 1000000007L) * 2654435761L) % 1000L < 500L) "A" else "B"
+    val nA = users.count(kv => arm(kv._1) == "A").toLong
+    val cA = users.count(kv => arm(kv._1) == "A" && kv._2).toLong
+    val nB = users.count(kv => arm(kv._1) == "B").toLong
+    val cB = users.count(kv => arm(kv._1) == "B" && kv._2).toLong
+    val r = EventsBatch.abReadout(spark, sfDir).head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b")) == (nA, cA, nB, cB))
+    assert(r.getAs[Long]("rate_a_milli") == cA * 1000 / nA)
+    assert(r.getAs[Long]("lift_milli") ==
+      cB * 1000 / nB - cA * 1000 / nA)
+    val pPool = (cA + cB).toDouble / (nA + nB).toDouble
+    if (pPool == 0.0 || pPool == 1.0) assert(r.isNullAt(7))
+    else {
+      val z = (cB.toDouble / nB.toDouble - cA.toDouble / nA.toDouble) /
+        math.sqrt(pPool * (1.0 - pPool) * (1.0 / nA.toDouble + 1.0 / nB.toDouble))
+      assert(r.getAs[Double]("z_score") == z)
+    }
+  }
+
   test("p19: zero cross-split near-dup pairs by construction; singletons never move") {
     val split = CorpusPrep.clusterSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getString(4), r.getAs[Long]("cluster_size"),

@@ -343,7 +343,10 @@ class PlanShapeSpec extends GraftSpec {
         "and top-k window — all candidate-bounded after the posting join"),
     ("j11_small_qty_revenue", 2,
       "per-part agg joined back on the SAME partkey hash (co-keyed); " +
-        "part dim broadcasts; brand rollup is |brands|-bounded")
+        "part dim broadcasts; brand rollup is |brands|-bounded"),
+    ("e30_ab_readout", 4,
+      "the user-keyed agg + arm rollup appear once per filter subtree " +
+        "(A and B sides) — 2x2 exchanges, all but the user agg 2-row")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
