@@ -117,6 +117,126 @@ object Star {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** j12: PRICING SUMMARY — the TPC-H Q1 topology: one fully
+    * map-side-combinable aggregate over the fact scan, grouped by the
+    * 6-cell (returnflag, linestatus) grid. All money stays EXACT
+    * DECIMAL through the sums: disc_price = price·(1−disc) at scale 4,
+    * charge = disc_price·(1+tax) at scale 6, emitted as scale-matched
+    * integer units (cents·10⁴ / cents·10⁶... micro units) because a
+    * decimal→BIGINT cast ROUNDS in DuckDB but TRUNCATES in Spark — an
+    * integer-valued decimal (sum × 10^scale) casts identically in
+    * both. Averages are single IEEE divisions of the exact sums. The
+    * 100 TB shape: partial aggregation collapses each partition to ≤6
+    * rows before the only exchange. */
+  def pricingSummary(spark: SparkSession, dir: String,
+                     cutoff: String = "2001-09-01"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+    val d42 = DecimalType(4, 2)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit(cutoff).cast(TimestampNTZType))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast(Tables.Money).as("price_dec"),
+        col("l_discount").cast(d42).as("disc"),
+        col("l_tax").cast(d42).as("tax"))
+      .withColumn("disc_price", col("price_dec") * (lit(1).cast(d42) - col("disc")))
+      .withColumn("charge", col("disc_price") * (lit(1).cast(d42) + col("tax")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).cast("long").as("sum_qty"),
+        (sum(col("price_dec")) * 100).cast("long").as("sum_base_cents"),
+        (sum(col("disc_price")) * 10000).cast("long").as("sum_disc_price_e4"),
+        (sum(col("charge")) * 1000000).cast("long").as("sum_charge_e6"),
+        count(lit(1)).as("n_lines"),
+        (sum(col("disc")) * 100).cast("long").as("sum_disc_bp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_cents"), col("sum_disc_price_e4"), col("sum_charge_e6"),
+        col("n_lines"),
+        (col("sum_qty").cast("double") / col("n_lines").cast("double"))
+          .as("avg_qty"),
+        (col("sum_base_cents").cast("double") / col("n_lines").cast("double"))
+          .as("avg_price_cents"),
+        (col("sum_disc_bp").cast("double") / col("n_lines").cast("double"))
+          .as("avg_disc_bp"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def pricingSummarySql(cutoff: String = "2001-09-01"): String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |      AS disc_price,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+       |      (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+       |      AS charge,
+       |    CAST(l_discount AS DECIMAL(4,2)) AS disc
+       |  FROM lineitem
+       |  WHERE l_shipdate < TIMESTAMP '$cutoff 00:00:00')
+       |SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       |  CAST(SUM(price_dec) * 100 AS BIGINT) AS sum_base_cents,
+       |  CAST(SUM(disc_price) * 10000 AS BIGINT) AS sum_disc_price_e4,
+       |  CAST(SUM(charge) * 1000000 AS BIGINT) AS sum_charge_e6,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       |  CAST(CAST(SUM(price_dec) * 100 AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_price_cents,
+       |  CAST(CAST(SUM(disc) * 100 AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_disc_bp
+       |FROM li
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** j13: PROMOTION-REVENUE SHARE per month — the TPC-H Q14 topology:
+    * the part dimension (broadcast) tags each line as promo or not,
+    * and the monthly share is EXACT integer milli over cents
+    * (numerator·1000 DIV denominator — never a float percentage of
+    * floats). Month keys are y·12+m integers rendered 'yyyy-MM'. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(
+        (sum(when(col("is_promo"), col("net_dec"))
+          .otherwise(lit(0).cast(Tables.Money))) * 100).cast("long")
+          .as("promo_cents"),
+        (sum(col("net_dec")) * 100).cast("long").as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_milli", expr("promo_cents * 1000 DIV total_cents"))
+      .orderBy(col("month"))
+  }
+
+  val promoShareSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) -
+      |      ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        CAST(l_discount AS DECIMAL(18,2)), 2) AS net_dec
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT month,
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN net_dec
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+      |      AS promo_cents,
+      |    CAST(SUM(net_dec) * 100 AS BIGINT) AS total_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |  GROUP BY month)
+      |SELECT month, promo_cents, total_cents, n_lines,
+      |  promo_cents * 1000 // total_cents AS promo_milli
+      |FROM m ORDER BY month""".stripMargin
+
   /** j10: unshipped-revenue order ranking — the TPC-H Q3 topology.
     * For customers in one market segment, orders PLACED before the
     * cutoff whose lines SHIP after it (booked but unfulfilled

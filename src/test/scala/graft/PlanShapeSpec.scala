@@ -346,7 +346,12 @@ class PlanShapeSpec extends GraftSpec {
         "part dim broadcasts; brand rollup is |brands|-bounded"),
     ("e30_ab_readout", 4,
       "the user-keyed agg + arm rollup appear once per filter subtree " +
-        "(A and B sides) — 2x2 exchanges, all but the user agg 2-row")
+        "(A and B sides) — 2x2 exchanges, all but the user agg 2-row"),
+    ("j12_pricing_summary", 1,
+      "the Q1 shape: partials collapse every partition to <=6 rows " +
+        "before the ONE exchange"),
+    ("j13_promo_share", 1,
+      "part dim broadcasts; one |months|-bounded aggregate")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

@@ -75,6 +75,42 @@ class StarSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("j12: pricing summary conserves the filtered fact exactly") {
+    val out = graft.analytics.Star.pricingSummary(spark, sfDir).collect()
+    assert(out.length == 6)
+    val nLines = out.map(_.getAs[Long]("n_lines")).sum
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <
+        lit("2001-09-01").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .count()
+    assert(nLines == want)
+    out.foreach { r =>
+      // disc_price <= base price; charge >= disc_price (tax >= 0)
+      assert(r.getAs[Long]("sum_disc_price_e4") <=
+        r.getAs[Long]("sum_base_cents") * 100)
+      assert(r.getAs[Long]("sum_charge_e6") >=
+        r.getAs[Long]("sum_disc_price_e4") * 100)
+      assert(r.getAs[Double]("avg_qty") ==
+        r.getAs[Long]("sum_qty").toDouble / r.getAs[Long]("n_lines").toDouble)
+    }
+  }
+
+  test("j13: promo share is bounded and revenue conserves per month") {
+    val out = graft.analytics.Star.promoShare(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val promo = r.getAs[Long]("promo_cents")
+      val total = r.getAs[Long]("total_cents")
+      assert(promo >= 0 && promo <= total)
+      assert(r.getAs[Long]("promo_milli") == promo * 1000 / total)
+    }
+    val totalAll = out.map(_.getAs[Long]("total_cents")).sum
+    val want = Tables.sales(spark, sfDir)
+      .agg((sum(col("line_total") - col("discount_amount")) * 100)
+        .cast("long")).head.getLong(0)
+    assert(totalAll == want)
+  }
+
   test("a39: per-day new+repeat partitions that day's distinct customers") {
     val out = Kpis.newVsRepeat(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
