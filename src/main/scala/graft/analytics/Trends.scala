@@ -586,6 +586,70 @@ object Trends {
       |    ELSE covxy * covxy / (varx * vary) END AS r2
       |FROM d ORDER BY p_brand""".stripMargin
 
+  /** a43: FULFILLMENT BACKLOG over time — the open-quantity series an
+    * operations dashboard tracks: per month, quantity ordered (all
+    * lines shipping that month or later... measured by order date)
+    * versus quantity already shipped, with the backlog as the running
+    * difference of the two cumulative series. Exact integers
+    * throughout; the two monthly series come from ONE month-keyed
+    * aggregate each (map-side combinable), and the cumulative windows
+    * run over the |months|-bounded rollup — never over rows. */
+  def fulfillmentBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+    val ordered = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("month"))
+      .agg(sum(col("qty")).cast("long").as("qty_ordered"))
+    val shipped = li.groupBy(col("ship_month").as("month"))
+      .agg(sum(col("qty")).cast("long").as("qty_shipped"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered.join(shipped, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("qty_ordered"), lit(0L)).as("qty_ordered"),
+        coalesce(col("qty_shipped"), lit(0L)).as("qty_shipped"))
+      .withColumn("cum_ordered", sum(col("qty_ordered")).over(w).cast("long"))
+      .withColumn("cum_shipped", sum(col("qty_shipped")).over(w).cast("long"))
+      .withColumn("backlog_qty", col("cum_ordered") - col("cum_shipped"))
+      .orderBy(col("month"))
+  }
+
+  val fulfillmentBacklogSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    strftime(l_shipdate, '%Y-%m') AS ship_month
+      |  FROM lineitem),
+      |ordered AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(qty) AS BIGINT) AS qty_ordered
+      |  FROM li JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |shipped AS (
+      |  SELECT ship_month AS month, CAST(SUM(qty) AS BIGINT) AS qty_shipped
+      |  FROM li GROUP BY 1),
+      |m AS (
+      |  SELECT COALESCE(o.month, s.month) AS month,
+      |    COALESCE(qty_ordered, 0) AS qty_ordered,
+      |    COALESCE(qty_shipped, 0) AS qty_shipped
+      |  FROM ordered o FULL OUTER JOIN shipped s ON o.month = s.month)
+      |SELECT month, qty_ordered, qty_shipped,
+      |  CAST(SUM(qty_ordered) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_ordered,
+      |  CAST(SUM(qty_shipped) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_shipped,
+      |  CAST(SUM(qty_ordered) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) -
+      |  CAST(SUM(qty_shipped) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS backlog_qty
+      |FROM m ORDER BY month""".stripMargin
+
   /** a32: PARETO / revenue-concentration analysis — stores ranked by
     * total net revenue with exact cumulative shares, flagging the head
     * set that covers 80% of revenue (the "how concentrated is the

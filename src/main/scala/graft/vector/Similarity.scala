@@ -2313,6 +2313,49 @@ object Similarity {
     * v4's own window (same donor centroids, so the audit describes
     * exactly the shipped index); everything after is a |cells|-sized
     * rollup. Integer arithmetic throughout. */
+  /** v32: EMBEDDING OUT-OF-DISTRIBUTION scores — the data-quality gate
+    * run before trusting new embeddings: each vector's distance to its
+    * BEST coarse centroid (v4's own assignment — no new index), as
+    * `ood_milli` = 1000 − floor(best_cos·1000). A vector far from every
+    * cell is a distribution outlier: an encoder regression, a corrupted
+    * row, or genuinely novel content — exactly what v26's cell-balance
+    * audit can't see per-row. floor() before the integer cast on BOTH
+    * engines (a bare double→BIGINT cast rounds in DuckDB but truncates
+    * in Spark); the cosine itself is the strict-fold double, so the
+    * floor boundary is bit-identical. Shape: v4's broadcast-quantizer
+    * assignment window, then a pure map. */
+  def oodScores(spark: SparkSession, dir: String,
+                nCentroids: Int = 8): DataFrame =
+    ivfRanked(spark, dir, nCentroids)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        col("ccos").as("best_cos"))
+      .withColumn("ood_milli",
+        lit(1000L) - floor(col("best_cos") * 1000).cast("long"))
+      .withColumn("is_outlier", col("ood_milli") > 900L)
+      .orderBy(col("vec_id"))
+
+  def oodScoresSql(nCentroids: Int = 8): String =
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff)
+       |SELECT vec_id, centroid_id AS cell, ccos AS best_cos,
+       |  1000 - CAST(FLOOR(ccos * 1000) AS BIGINT) AS ood_milli,
+       |  (1000 - CAST(FLOOR(ccos * 1000) AS BIGINT)) > 900 AS is_outlier
+       |FROM ranked WHERE crank = 1
+       |ORDER BY vec_id""".stripMargin
+
   def cellBalance(spark: SparkSession, dir: String,
                   nCentroids: Int = 8): DataFrame = {
     val cells = ivfRanked(spark, dir, nCentroids)

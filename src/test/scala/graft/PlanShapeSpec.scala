@@ -351,7 +351,13 @@ class PlanShapeSpec extends GraftSpec {
       "the Q1 shape: partials collapse every partition to <=6 rows " +
         "before the ONE exchange"),
     ("j13_promo_share", 1,
-      "part dim broadcasts; one |months|-bounded aggregate")
+      "part dim broadcasts; one |months|-bounded aggregate"),
+    ("a43_fulfillment_backlog", 4,
+      "two month-keyed aggregates (ordered side joins orders on " +
+        "orderkey) + the |months|-bounded outer join; cumulative " +
+        "windows run over the rollup, never rows"),
+    ("v32_ood_scores", 1,
+      "v4's broadcast-quantizer assignment window + a pure map")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

@@ -58,6 +58,33 @@ class RocchioElasticitySpec extends GraftSpec {
     n2.foreach { case (q, n) => assert(n31.getOrElse(q, 0) >= n) }
   }
 
+  test("v32: ood scores are self-consistent and cover every vector") {
+    val out = Similarity.oodScores(spark, sfDir).collect()
+    assert(out.length == Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      val cos = r.getAs[Double]("best_cos")
+      val ood = r.getAs[Long]("ood_milli")
+      assert(ood == 1000L - math.floor(cos * 1000).toLong)
+      assert(r.getAs[Boolean]("is_outlier") == (ood > 900))
+    }
+    // the centroid donors sit (near-)exactly on their own centroid
+    out.filter(_.getAs[Long]("vec_id") < 8).foreach { r =>
+      assert(r.getAs[Long]("ood_milli") <= 1)
+    }
+  }
+
+  test("a43: backlog drains to zero and both series conserve total quantity") {
+    val out = graft.analytics.Trends.fulfillmentBacklog(spark, sfDir)
+      .orderBy(col("month")).collect()
+    val totalQty = Tables.lineitem(spark, sfDir)
+      .agg(sum(col("l_quantity").cast("long"))).head.getLong(0)
+    assert(out.map(_.getAs[Long]("qty_ordered")).sum == totalQty)
+    assert(out.map(_.getAs[Long]("qty_shipped")).sum == totalQty)
+    assert(out.last.getAs[Long]("backlog_qty") == 0L)
+    out.foreach(r => assert(r.getAs[Long]("cum_ordered") >=
+      r.getAs[Long]("cum_shipped") - totalQty)) // sanity: bounded
+  }
+
   test("a41: slope matches an exact in-process recomputation (same op order)") {
     val brands = Tables.part(spark, sfDir)
       .select("p_partkey", "p_brand").collect()
