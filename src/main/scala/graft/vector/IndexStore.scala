@@ -1,0 +1,124 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-PQ index LIFECYCLE — the piece that makes the v11 shape a real
+  * index instead of a per-query computation: build ONCE over the
+  * corpus, persist the four relations an IVF-PQ index actually is,
+  * and answer queries from the LOADED tables without ever touching
+  * the float corpus again.
+  *
+  * Persisted layout (all parquet under `indexDir/`):
+  *   - `cells`     — (vec_id, cell): the coarse assignment. At scale
+  *                   this is written partitioned by cell, so a probe
+  *                   reads only its cells' files (partition pruning
+  *                   does the IVF inverted-list seek).
+  *   - `codes`     — (vec_id, code_0..code_{nSub−1}): 1 byte per
+  *                   sub-space — the 64× compressed corpus.
+  *   - `centroids` — (centroid_id, c_emb): the coarse quantizer
+  *                   (kilobytes; broadcast at query time).
+  *   - `codebook`  — (s, code, vals): the PQ codebook rows
+  *                   (nSub·nCodes rows; collected to a literal at
+  *                   query time — the v8 contract).
+  *
+  * Query path = v11's exactly: probe cells from the broadcast
+  * centroids, per-query LUT from the codebook literal, ADC scoring
+  * against the loaded code table — and the result is bit-identical
+  * to the in-memory [[Similarity.ivfPqAnn]] (IndexStoreSpec asserts
+  * equality after a real write/load round trip). */
+object IndexStore {
+
+  def writeIvfPq(spark: SparkSession, dir: String, indexDir: String,
+                 nCentroids: Int = 8, nSub: Int = 4,
+                 nCodes: Int = 8): Unit = {
+    val cells = Similarity.ivfRanked(spark, dir, nCentroids)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+    // local paths write unpartitioned; an object-store deployment adds
+    // .partitionBy("cell") so probes prune to their cells' files
+    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    Similarity.pqCodes(spark, dir, nSub, nCodes)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    Similarity.withNorm(spark, dir)
+      .orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("embedding").as("c_emb"),
+        row_number().over(Window.orderBy(col("vec_id"))).as("rn"))
+      .select((col("rn") - 1).as("centroid_id"), col("c_emb"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb = Similarity.pqCodebook(spark, dir, nSub, nCodes)
+    import spark.implicits._
+    (for (s <- 0 until nSub; c <- 0 until nCodes)
+      yield (s, c, cb(s)(c).toSeq))
+      .toDF("s", "code", "vals")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** Answer top-k ANN queries from the persisted index. `queries` is
+    * any (query_id, embedding) relation — here the first `nQueries`
+    * embeddings, matching v11's harness convention. The float corpus
+    * is NOT an input: candidates come from `cells`, scores from
+    * `codes` + the codebook LUT. */
+  def queryIvfPq(spark: SparkSession, indexDir: String, dataDir: String,
+                 k: Int = 5, nQueries: Int = Similarity.defaultNQueries,
+                 nProbe: Int = 2): DataFrame = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val nSub = cbRows.map(_._1).max + 1
+    val nCodes = cbRows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](nSub, nCodes)
+    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val subDim = cb(0)(0).length
+    val cnorm = Array.tabulate(nSub, nCodes)((s, c) =>
+      cb(s)(c).foldLeft(0.0)((acc, x) => acc + x * x))
+
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("c_norm2", Similarity.dotColHof(col("c_emb"), col("c_emb"))))
+    val q = Similarity.withNorm(spark, dataDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm2").as("q_norm2"))
+    val aff = q.crossJoin(cents)
+      .withColumn("qcos",
+        Similarity.dotColHof(col("q_emb"), col("c_emb")) /
+          sqrt(col("q_norm2") * col("c_norm2")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+    def lutEntry(s: Int, c: Int) =
+      Similarity.dotColHof(
+        slice(col("q_emb"), s * subDim + 1, subDim),
+        array(cb(s)(c).map(v => lit(v.toFloat)): _*))
+    val probes = aff.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id") +: col("q_norm2") +:
+        col("centroid_id").as("cell") +:
+        (0 until nSub).map(s =>
+          array((0 until nCodes).map(c => lutEntry(s, c)): _*)
+            .as(s"lut_$s")): _*)
+    val cellCodes = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(spark.read.parquet(s"$indexDir/codes")
+        .select(col("vec_id").as("neighbor_id") +:
+          (0 until nSub).map(s => col(s"code_$s")): _*),
+        Seq("neighbor_id"))
+    val adcDot = (0 until nSub)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val reconNorm2 = (0 until nSub)
+      .map(s => element_at(array(cnorm(s).map(lit): _*),
+        col(s"code_$s").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val pairs = broadcast(probes).join(cellCodes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_adc", adcDot / sqrt(col("q_norm2") * reconNorm2))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_adc").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell"), col("cosine_adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -57,7 +57,7 @@ object Similarity {
 
   /** Embeddings with the precomputed squared norm (one pass, reused by
     * every pairwise cosine — norms are never recomputed per pair). */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[vector] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("norm2", dotCol(col("embedding"), col("embedding")))
 
@@ -428,7 +428,7 @@ object Similarity {
   /** The IVF coarse quantizer: every vector ranked against every centroid
     * (cosine, broadcast centroid table), crank 1 = its cell. Shared by v4
     * and the composed IVF-PQ index (v11). */
-  private def ivfRanked(spark: SparkSession, dir: String,
+  private[vector] def ivfRanked(spark: SparkSession, dir: String,
                         nCentroids: Int,
                         trainedIters: Int = 0): DataFrame = {
     val e = withNorm(spark, dir)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.{IndexStore, Similarity}
+
+/** The index lifecycle round trip: build → persist → load → query must
+  * reproduce the in-memory v11 relation bit-for-bit, and the query
+  * path must not scan the float corpus beyond the query rows. */
+class IndexStoreSpec extends GraftSpec {
+
+  test("persisted IVF-PQ index answers queries bit-identical to in-memory v11") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      IndexStore.writeIvfPq(spark, sfDir, tmp)
+      // the four relations exist and are self-describing
+      assert(spark.read.parquet(s"$tmp/cells").count() ==
+        graft.model.Tables.embeddings(spark, sfDir).count())
+      assert(spark.read.parquet(s"$tmp/codebook").count() == 4 * 8)
+      val got = IndexStore.queryIvfPq(spark, tmp, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4)))
+      val want = Similarity.ivfPqAnn(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4)))
+      assert(want.nonEmpty)
+      assert(got.toSeq == want.toSeq,
+        "loaded-index query diverged from the in-memory index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("query path reads the compressed tables, not the float corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
+    try {
+      IndexStore.writeIvfPq(spark, sfDir, tmp)
+      val plan = IndexStore.queryIvfPq(spark, tmp, sfDir)
+        .queryExecution.executedPlan.toString
+      // embeddings appear ONLY under the query-side scan (vec_id < n
+      // pushed down); candidate scoring comes from cells+codes
+      assert(plan.contains("cells"))
+      assert(plan.contains("codes"))
+      val embScans = "embeddings.parquet".r.findAllIn(plan).length
+      assert(embScans <= 1, s"float corpus scanned $embScans times in the probe path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
