@@ -1478,6 +1478,85 @@ object EventsBatch {
       .orderBy(col("event_type"))
   }
 
+  /** e31: VOLUME-RATE drift test — the third drift axis next to e19
+    * (bucket-shape TV) and e24 (cent-resolution KS), which both
+    * normalize counts away: a type whose per-day RATE doubles with an
+    * unchanged value distribution passes both, and this catches it.
+    * Per event type: counts in the two calendar halves (e19's split
+    * rule), rates per active day, and the Poisson-approximation
+    * z = (c_b·d_a − c_a·d_b) / (d_a·d_b·√(c_a/d_a² + c_b/d_b²)) —
+    * equivalently (r_b − r_a)/√(r_a/d_a + r_b/d_b) — as one
+    * fixed-order double chain over exact integer counts/day-spans,
+    * NULL when both counts are zero. Two bounded aggregates off one
+    * scan + a broadcast 1-row bounds relation. */
+  def rateDrift(spark: SparkSession, dir: String,
+                zThresholdMilli: Long = 3000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val bounds = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("d"), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), "a").otherwise("b"))
+      .withColumn("days_a",
+        expr("CAST(datediff(hi, lo) AS BIGINT) DIV 2 + 1"))
+      .withColumn("days_b",
+        expr("CAST(datediff(hi, lo) AS BIGINT) + 1") - col("days_a"))
+      .groupBy(col("event_type"), col("days_a"), col("days_b"))
+      .agg(
+        sum(when(col("half") === "a", 1L).otherwise(0L)).cast("long").as("c_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).cast("long").as("c_b"))
+    halves
+      .withColumn("rate_a", col("c_a").cast("double") / col("days_a").cast("double"))
+      .withColumn("rate_b", col("c_b").cast("double") / col("days_b").cast("double"))
+      .withColumn("z_score",
+        when(col("c_a") + col("c_b") === 0L, lit(null).cast("double"))
+          .otherwise((col("rate_b") - col("rate_a")) /
+            sqrt(col("rate_a") / col("days_a").cast("double") +
+              col("rate_b") / col("days_b").cast("double"))))
+      .withColumn("is_drifted",
+        coalesce(abs(col("z_score")) * 1000 >=
+          lit(zThresholdMilli).cast("double"), lit(false)))
+      .select(col("event_type"), col("c_a"), col("c_b"),
+        col("days_a"), col("days_b"), col("rate_a"), col("rate_b"),
+        col("z_score"), col("is_drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  def rateDriftSql(zThresholdMilli: Long = 3000L): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+       |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+       |h AS (
+       |  SELECT event_type,
+       |    CASE WHEN date_diff('day', lo, d) * 2 <= date_diff('day', lo, hi)
+       |      THEN 'a' ELSE 'b' END AS half,
+       |    CAST(date_diff('day', lo, hi) // 2 + 1 AS BIGINT) AS days_a,
+       |    CAST(date_diff('day', lo, hi) + 1
+       |      - (date_diff('day', lo, hi) // 2 + 1) AS BIGINT) AS days_b
+       |  FROM ev CROSS JOIN b),
+       |c AS (
+       |  SELECT event_type, days_a, days_b,
+       |    CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+       |  FROM h GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *,
+       |    CAST(c_a AS DOUBLE) / CAST(days_a AS DOUBLE) AS rate_a,
+       |    CAST(c_b AS DOUBLE) / CAST(days_b AS DOUBLE) AS rate_b
+       |  FROM c),
+       |z AS (
+       |  SELECT *,
+       |    CASE WHEN c_a + c_b = 0 THEN NULL
+       |      ELSE (rate_b - rate_a) /
+       |        sqrt(rate_a / CAST(days_a AS DOUBLE)
+       |          + rate_b / CAST(days_b AS DOUBLE)) END AS z_score
+       |  FROM r)
+       |SELECT event_type, c_a, c_b, days_a, days_b, rate_a, rate_b, z_score,
+       |  COALESCE(abs(z_score) * 1000 >= CAST($zThresholdMilli AS DOUBLE), FALSE)
+       |    AS is_drifted
+       |FROM z ORDER BY event_type""".stripMargin
+
   /** e20: SESSION-QUALITY DISTRIBUTION per day — e4's sessions rolled to
     * the product-health dashboard row: sessions/users/events per
     * session-start date, bounce share (single-event sessions, milli),

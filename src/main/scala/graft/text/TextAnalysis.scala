@@ -797,6 +797,45 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** t30: STOPWORD / DOCUMENT-FREQUENCY profile — the df-cap that h1,
+    * t15 and h3 all rely on, made inspectable: the top-`topN` words by
+    * document frequency with exact df/cf counts, df share in milli,
+    * and the `is_capped` verdict under the shared `maxDfPct` rule —
+    * the table a retrieval deployment reviews before trusting the
+    * candidate-generation cut. One map-side-combinable word aggregate
+    * capped by TakeOrdered; the vocabulary never sorts globally. */
+  def stopwordProfile(spark: SparkSession, dir: String, topN: Int = 20,
+                      maxDfPct: Int = 78): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+    val nDocs = toks.count()
+    toks.select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(topN)
+      .select(col("word"), col("df"), col("cf"),
+        expr(s"df * 1000 DIV ${nDocs}L").as("df_milli"),
+        (col("df") * lit(100L) > lit(maxDfPct.toLong) * lit(nDocs))
+          .as("is_capped"))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+
+  def stopwordProfileSql(topN: Int = 20, maxDfPct: Int = 78): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word
+       |  FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |v AS (
+       |  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |    CAST(COUNT(*) AS BIGINT) AS cf
+       |  FROM toks GROUP BY word)
+       |SELECT word, df, cf,
+       |  df * 1000 // n_docs AS df_milli,
+       |  df * 100 > $maxDfPct * n_docs AS is_capped
+       |FROM v CROSS JOIN tot
+       |ORDER BY df DESC, word ASC LIMIT $topN""".stripMargin
+
   /** h3: QUERY-LIKELIHOOD retrieval — the third classical ranking
     * family next to t15's BM25 and the vector stack: score each
     * candidate by the surprisal of the query under the DOCUMENT'S

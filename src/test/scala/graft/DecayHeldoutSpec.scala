@@ -36,6 +36,52 @@ class DecayHeldoutSpec extends GraftSpec {
     assert(e26 == e9)
   }
 
+  test("t30: profile agrees with a direct df census and the cap rule") {
+    val out = TextAnalysis.stopwordProfile(spark, sfDir).collect()
+    assert(out.length == 20)
+    val docs = Corpus.docsTok(spark, sfDir)
+      .select(col("doc_id"), col("words")).collect()
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap(r => r.getSeq[String](1).distinct)
+      .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val w = r.getString(0)
+      assert(r.getAs[Long]("df") == df(w))
+      assert(r.getAs[Long]("df_milli") == df(w) * 1000 / nDocs)
+      assert(r.getAs[Boolean]("is_capped") == (df(w) * 100 > 78 * nDocs))
+    }
+    // the 20 rows are exactly the df-top-20 (ties by word)
+    val want = df.toSeq.sortBy { case (w, d) => (-d, w) }.take(20).map(_._1)
+    assert(out.map(_.getString(0)).toSeq == want)
+  }
+
+  test("e31: counts, rates and z match an in-process recomputation") {
+    val ev = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val lo = ev.map(_._2).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val hi = ev.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi)
+    val daysA = span / 2 + 1
+    val daysB = span + 1 - daysA
+    val out = graft.streaming.EventsBatch.rateDrift(spark, sfDir).collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      val cA = ev.count { case (et, d) =>
+        et == t && java.time.temporal.ChronoUnit.DAYS.between(lo, d) * 2 <= span }.toLong
+      val cB = ev.count(_._1 == t).toLong - cA
+      assert(r.getAs[Long]("c_a") == cA && r.getAs[Long]("c_b") == cB, t)
+      assert(r.getAs[Long]("days_a") == daysA && r.getAs[Long]("days_b") == daysB)
+      val ra = cA.toDouble / daysA.toDouble
+      val rb = cB.toDouble / daysB.toDouble
+      assert(r.getAs[Double]("rate_a") == ra && r.getAs[Double]("rate_b") == rb)
+      if (cA + cB > 0) {
+        val z = (rb - ra) / math.sqrt(ra / daysA.toDouble + rb / daysB.toDouble)
+        assert(r.getAs[Double]("z_score") == z)
+      }
+    }
+  }
+
   test("t29: splits partition the corpus (docs and tokens conserve)") {
     val out = TextAnalysis.heldoutSurprisal(spark, sfDir).collect()
     assert(out.map(_.getAs[String]("split")).toSet.subsetOf(

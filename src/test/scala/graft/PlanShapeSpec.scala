@@ -357,7 +357,13 @@ class PlanShapeSpec extends GraftSpec {
         "orderkey) + the |months|-bounded outer join; cumulative " +
         "windows run over the rollup, never rows"),
     ("v32_ood_scores", 1,
-      "v4's broadcast-quantizer assignment window + a pure map")
+      "v4's broadcast-quantizer assignment window + a pure map"),
+    ("t30_stopword_profile", 2,
+      "one map-side-combinable (word, doc) distinct agg capped by " +
+        "TakeOrdered — the vocabulary never sorts globally"),
+    ("e31_rate_drift", 1,
+      "bounds broadcast; ONE |types|-bounded count aggregate off one " +
+        "scan; rates/z are per-row arithmetic on the rollup")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
