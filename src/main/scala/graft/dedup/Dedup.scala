@@ -696,6 +696,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d25: DUPLICATION-INFLATION report — the one-row answer to "what
+    * does duplication cost this corpus": how many near-dup clusters
+    * exist, how many docs are redundant copies (cluster members that
+    * are not the canonical keeper), and the token mass those copies
+    * carry — the exact figure an epoch of training would re-see, and
+    * the headline number a dedup run is judged by (wasted_milli =
+    * wasted tokens per mille of the corpus). A projection + single
+    * aggregate over the memoized d6 label relation joined to doc
+    * lengths. */
+  def dupInflation(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val labels = dupClusters(spark, dir, threshold)
+    val toks = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_toks"))
+    labels.join(toks, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(when(col("cluster_size") > 1, col("cluster_id")))
+          .as("n_dup_clusters"),
+        sum(when(col("cluster_size") > 1 && col("doc_id") =!= col("cluster_id"),
+          1L).otherwise(0L)).cast("long").as("n_redundant_docs"),
+        sum(col("n_toks")).cast("long").as("total_tokens"),
+        sum(when(col("cluster_size") > 1 && col("doc_id") =!= col("cluster_id"),
+          col("n_toks")).otherwise(lit(0L))).cast("long").as("wasted_tokens"))
+      .withColumn("wasted_milli",
+        expr("wasted_tokens * 1000 DIV total_tokens"))
+  }
+
+  def dupInflationSql(threshold: Double = 0.5): String =
+    s"""WITH clusters AS (${dupClustersSql(threshold)}),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |j AS (
+       |  SELECT c.doc_id, c.cluster_id, c.cluster_size, t.n_toks
+       |  FROM clusters c JOIN toks t USING (doc_id)),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT CASE WHEN cluster_size > 1
+       |      THEN cluster_id END) AS BIGINT) AS n_dup_clusters,
+       |    CAST(SUM(CASE WHEN cluster_size > 1 AND doc_id <> cluster_id
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN cluster_size > 1 AND doc_id <> cluster_id
+       |      THEN n_toks ELSE 0 END) AS BIGINT) AS wasted_tokens
+       |  FROM j)
+       |SELECT *, wasted_tokens * 1000 // total_tokens AS wasted_milli
+       |FROM agg""".stripMargin
+
   def dupClustersSql(threshold: Double = 0.5): String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),

@@ -758,8 +758,13 @@ object TextAnalysis {
        |  (n_hapax * 1000) // n_types AS hapax_milli
        |FROM dom ORDER BY lang, source""".stripMargin
 
-  def bm25(spark: SparkSession, dir: String, nQueries: Int = 3,
-           k: Int = 5, maxDfPct: Int = 78): DataFrame = {
+  /** The df-capped, fully SCORED BM25 posting list (doc_id, word,
+    * contrib) — t15's index half factored out so it can be PERSISTED
+    * ([[graft.vector.IndexStore.writeLexical]]) and queried without
+    * recomputation: contrib is query-independent (BM25's tf·idf per
+    * posting), so write-once query-many is exact. */
+  def bm25Index(spark: SparkSession, dir: String,
+                maxDfPct: Int = 78): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
     val totals = toks.agg(
       count(lit(1)).as("n_docs"),
@@ -768,7 +773,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
         explode(col("words")).as("word"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
-    val index = tfs
+    tfs
       .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(totals))
       .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
@@ -782,6 +787,11 @@ object TextAnalysis {
       .withColumn("tf_milli", expr("(22000 * tf) DIV (10 * tf + 3 + rel_dl)"))
       .select(col("doc_id"), col("word"),
         (col("idf_milli") * col("tf_milli")).as("contrib"))
+  }
+
+  def bm25(spark: SparkSession, dir: String, nQueries: Int = 3,
+           k: Int = 5, maxDfPct: Int = 78): DataFrame = {
+    val index = bm25Index(spark, dir, maxDfPct)
     val qterms = index.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("word"))
     val w = Window.partitionBy(col("query_id"))

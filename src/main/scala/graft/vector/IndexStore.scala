@@ -55,6 +55,39 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** Persist the BM25 LEXICAL index — the (doc, word, contrib) scored
+    * posting list t15 derives per query, written ONCE with the df cap
+    * already applied. At scale this table partitions by a word-hash
+    * bucket so a query's terms prune to their buckets. Query time
+    * becomes: posting join + per-(query, doc) sum + top-k — no tf/df
+    * recomputation, the corpus untouched. */
+  def writeLexical(spark: SparkSession, dir: String, indexDir: String,
+                   maxDfPct: Int = 78): Unit =
+    graft.text.TextAnalysis.bm25Index(spark, dir, maxDfPct)
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+
+  /** BM25 top-k from the persisted posting list: queries are documents
+    * (their kept terms come from their OWN index rows — the t15
+    * convention), candidates from the posting join. Bit-identical to
+    * the in-memory [[graft.text.TextAnalysis.bm25]] (IndexStoreSpec). */
+  def queryLexical(spark: SparkSession, indexDir: String,
+                   nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val index = spark.read.parquet(s"$indexDir/postings")
+    val qterms = index.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qterms.join(index, "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Answer top-k ANN queries from the persisted index. `queries` is
     * any (query_id, embedding) relation — here the first `nQueries`
     * embeddings, matching v11's harness convention. The float corpus

@@ -77,6 +77,21 @@ class ChunkAbsorptionSpec extends GraftSpec {
     }
   }
 
+  test("d25: inflation figures reconcile with the d6 label relation") {
+    val r = Dedup.dupInflation(spark, sfDir).head
+    val labels = Dedup.dupClusters(spark, sfDir).collect()
+    assert(r.getAs[Long]("n_docs") == labels.length.toLong)
+    val dupClusters = labels.filter(_.getAs[Long]("cluster_size") > 1)
+      .map(_.getAs[Long]("cluster_id")).distinct.length.toLong
+    assert(r.getAs[Long]("n_dup_clusters") == dupClusters)
+    val redundant = labels.count(l => l.getAs[Long]("cluster_size") > 1 &&
+      l.getAs[Long]("doc_id") != l.getAs[Long]("cluster_id")).toLong
+    assert(r.getAs[Long]("n_redundant_docs") == redundant)
+    assert(r.getAs[Long]("wasted_tokens") <= r.getAs[Long]("total_tokens"))
+    assert(r.getAs[Long]("wasted_milli") ==
+      r.getAs[Long]("wasted_tokens") * 1000 / r.getAs[Long]("total_tokens"))
+  }
+
   test("x12: card tops agree with the parent rankings") {
     val card = Flatten.exportRetrievalCards(spark, sfDir).collect()
     assert(card.nonEmpty)

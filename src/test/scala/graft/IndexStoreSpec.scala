@@ -30,6 +30,29 @@ class IndexStoreSpec extends GraftSpec {
     }
   }
 
+  test("persisted BM25 posting list answers queries bit-identical to in-memory t15") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    try {
+      IndexStore.writeLexical(spark, sfDir, tmp)
+      val got = IndexStore.queryLexical(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val want = graft.text.TextAnalysis.bm25(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(want.nonEmpty)
+      assert(got.toSeq == want.toSeq,
+        "loaded-posting-list query diverged from the in-memory t15 ranking")
+      // query plan never touches documents.parquet — the corpus is
+      // only needed at index-build time
+      val plan = IndexStore.queryLexical(spark, tmp)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("query path reads the compressed tables, not the float corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
     try {

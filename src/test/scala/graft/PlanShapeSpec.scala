@@ -363,7 +363,10 @@ class PlanShapeSpec extends GraftSpec {
         "TakeOrdered — the vocabulary never sorts globally"),
     ("e31_rate_drift", 1,
       "bounds broadcast; ONE |types|-bounded count aggregate off one " +
-        "scan; rates/z are per-row arithmetic on the rollup")
+        "scan; rates/z are per-row arithmetic on the rollup"),
+    ("d25_dup_inflation", 2,
+      "memoized checkpointed d6 labels join doc lengths + one 1-row " +
+        "aggregate")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
