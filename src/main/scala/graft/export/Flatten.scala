@@ -480,6 +480,61 @@ object Flatten {
        |FROM tv t JOIN ks k USING (event_type) JOIN cu c USING (event_type)
        |ORDER BY t.event_type""".stripMargin
 
+  /** x13: CORPUS-HEALTH card — the ONE-ROW summary a data lead reads
+    * before approving a corpus snapshot for training, composed from
+    * five green relations: t10's vocabulary dashboard, d25's
+    * duplication inflation, and the flagged-document counts from the
+    * boilerplate (d15), contamination (d12) and dedup-verdict (d16)
+    * passes. Every column is an exact count or milli off relations
+    * the oracle already certifies; the joins are 1-row × 1-row. */
+  def exportCorpusHealth(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.text.CorpusPrep.corpusStats(spark, dir)
+      .select(col("n_tokens"), col("vocab_size"), col("n_hapax"))
+    val inflation = graft.dedup.Dedup.dupInflation(spark, dir)
+      .select(col("n_docs"), col("n_dup_clusters"),
+        col("n_redundant_docs"), col("wasted_milli"))
+    val boiler = graft.dedup.Dedup.boilerplate(spark, dir)
+      .agg(sum(when(col("is_boilerplate"), 1L).otherwise(0L)).cast("long")
+        .as("n_boilerplate_docs"))
+    val contam = graft.text.CorpusPrep.contamination(spark, dir)
+      .agg(sum(when(col("is_contaminated"), 1L).otherwise(0L)).cast("long")
+        .as("n_contaminated_docs"))
+    val dropped = graft.dedup.Dedup.dedupVerdict(spark, dir)
+      .agg(sum(when(col("action") === "drop", 1L).otherwise(0L)).cast("long")
+        .as("n_dropped_docs"))
+    inflation.crossJoin(stats).crossJoin(boiler).crossJoin(contam)
+      .crossJoin(dropped)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        col("n_hapax"), col("n_dup_clusters"), col("n_redundant_docs"),
+        col("wasted_milli"), col("n_boilerplate_docs"),
+        col("n_contaminated_docs"), col("n_dropped_docs"))
+  }
+
+  def exportCorpusHealthSql: String =
+    s"""WITH stats AS (
+       |  SELECT n_tokens, vocab_size, n_hapax
+       |  FROM (${graft.text.CorpusPrep.corpusStatsSql})),
+       |infl AS (
+       |  SELECT n_docs, n_dup_clusters, n_redundant_docs, wasted_milli
+       |  FROM (${graft.dedup.Dedup.dupInflationSql()})),
+       |boiler AS (
+       |  SELECT CAST(SUM(CASE WHEN is_boilerplate THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boilerplate_docs
+       |  FROM (${graft.dedup.Dedup.boilerplateSql()})),
+       |contam AS (
+       |  SELECT CAST(SUM(CASE WHEN is_contaminated THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_contaminated_docs
+       |  FROM (${graft.text.CorpusPrep.contaminationSql})),
+       |dropped AS (
+       |  SELECT CAST(SUM(CASE WHEN action = 'drop' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped_docs
+       |  FROM (${graft.dedup.Dedup.dedupVerdictSql()}))
+       |SELECT n_docs, n_tokens, vocab_size, n_hapax, n_dup_clusters,
+       |  n_redundant_docs, wasted_milli, n_boilerplate_docs,
+       |  n_contaminated_docs, n_dropped_docs
+       |FROM infl CROSS JOIN stats CROSS JOIN boiler
+       |CROSS JOIN contam CROSS JOIN dropped""".stripMargin
+
   /** x12: RETRIEVAL-STACK QA card — one row per query over the shared
     * doc/vec id space, joining the three ranking engines a retrieval
     * deployment runs side by side: exact semantic top-1 (v1), lexical

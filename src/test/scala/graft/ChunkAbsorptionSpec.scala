@@ -92,6 +92,18 @@ class ChunkAbsorptionSpec extends GraftSpec {
       r.getAs[Long]("wasted_tokens") * 1000 / r.getAs[Long]("total_tokens"))
   }
 
+  test("x13: corpus-health card reconciles with its parent relations") {
+    val r = Flatten.exportCorpusHealth(spark, sfDir).head
+    val nDocs = graft.text.Corpus.docsTok(spark, sfDir).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    // d16 drops exactly the non-keeper members of nontrivial clusters —
+    // the same population d25 counts as redundant copies
+    assert(r.getAs[Long]("n_dropped_docs") == r.getAs[Long]("n_redundant_docs"))
+    assert(r.getAs[Long]("n_boilerplate_docs") <= nDocs)
+    assert(r.getAs[Long]("wasted_milli") >= 0 &&
+      r.getAs[Long]("wasted_milli") <= 1000)
+  }
+
   test("x12: card tops agree with the parent rankings") {
     val card = Flatten.exportRetrievalCards(spark, sfDir).collect()
     assert(card.nonEmpty)

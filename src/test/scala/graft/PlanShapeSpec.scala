@@ -366,7 +366,10 @@ class PlanShapeSpec extends GraftSpec {
         "scan; rates/z are per-row arithmetic on the rollup"),
     ("d25_dup_inflation", 2,
       "memoized checkpointed d6 labels join doc lengths + one 1-row " +
-        "aggregate")
+        "aggregate"),
+    ("x13_export_corpus_health", 12,
+      "five 1-row parent aggregates cross-joined; every parent shape " +
+        "is its own gated plan over memoized silvers")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
