@@ -4,7 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the library's own extensions (native SQL functions + the GroupTopK
+    // heap rewrite) run on the driver surfaces; bit-parity with stock
+    // plans is GroupTopKSpec's contract and the oracle re-certifies it
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -11,7 +11,11 @@ object Verify {
     // (driver always calls with exactly 2 args → full run)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the library's own extensions (native SQL functions + the GroupTopK
+    // heap rewrite) run on the driver surfaces; bit-parity with stock
+    // plans is GroupTopKSpec's contract and the oracle re-certifies it
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
