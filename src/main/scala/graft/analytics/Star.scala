@@ -294,4 +294,173 @@ object Star {
        |GROUP BY l_orderkey, order_date, o_orderpriority
        |ORDER BY revenue_cents DESC, order_date, orderkey
        |LIMIT $k""".stripMargin
+
+  /** j14: NATION MARKET SHARE — the TPC-H Q8 topology: within ONE
+    * customer region (the market), each SUPPLIER nation's share of
+    * yearly net revenue. Two independent dimension paths decorate the
+    * same fact row — the customer side (orders→customer→nation→region,
+    * the market filter) and the supplier side (l_suppkey→supplier→
+    * nation, the seller attribution) — the shape that catches planners
+    * double-shuffling a fact for each dim chain. Here both dim chains
+    * collapse to BROADCAST decorations (supplier and customer
+    * projections are keys+nation only; nation/region are kilobytes
+    * forever), so the only data-sized exchanges are the fact⋈orders
+    * orderkey hash and the (year, nation)-bounded aggregate. Shares
+    * are exact integer milli of cents (never float-of-float). */
+  def marketShare(spark: SparkSession, dir: String,
+                  market: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val marketCust = broadcast(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(nat.join(Tables.region(spark, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === market)
+          .select(col("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")))
+    val supp = broadcast(
+      Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(nat.select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val o = Tables.orders(spark, dir)
+      .join(marketCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val byNation = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("sale_year"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("sale_year"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+    val yearTotals = byNation.groupBy(col("sale_year"))
+      .agg(sum(col("revenue_cents")).cast("long").as("market_cents"))
+      .select(col("sale_year").as("yt_year"), col("market_cents"))
+    byNation
+      .join(broadcast(yearTotals), col("sale_year") === col("yt_year"))
+      .select(col("sale_year"), col("supp_nation"), col("n_lines"),
+        col("revenue_cents"), col("market_cents"),
+        expr("revenue_cents * 1000 DIV market_cents").as("share_milli"))
+      .orderBy(col("sale_year"), col("supp_nation"))
+  }
+
+  def marketShareSql(market: String = "ASIA"): String =
+    s"""WITH mcust AS (
+       |  SELECT c_custkey FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$market'),
+       |supp AS (
+       |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey),
+       |bynation AS (
+       |  SELECT CAST(year(l_shipdate) AS BIGINT) AS sale_year,
+       |    supp_nation,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+       |      ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |      AS revenue_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN mcust ON o_custkey = c_custkey
+       |  JOIN supp ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |yt AS (
+       |  SELECT sale_year AS yt_year,
+       |    CAST(SUM(revenue_cents) AS BIGINT) AS market_cents
+       |  FROM bynation GROUP BY 1)
+       |SELECT sale_year, supp_nation, n_lines, revenue_cents, market_cents,
+       |  revenue_cents * 1000 // market_cents AS share_milli
+       |FROM bynation JOIN yt ON sale_year = yt_year
+       |ORDER BY sale_year, supp_nation""".stripMargin
+
+  /** j15: TOP SUPPLIER — the TPC-H Q15 topology: each store's net
+    * revenue over one quarter, keeping every store that TIES the
+    * maximum (the "revenue = (SELECT max ...)" correlation,
+    * decorrelated as a 1-row broadcast max joined back — no window,
+    * no second fact scan: the max is computed from the same bounded
+    * per-store aggregate it filters). The date predicate sits on the
+    * raw l_shipdate column (row-group pruning); the supplier dim
+    * broadcasts for the name decoration AFTER the filter, so it
+    * touches only the winner rows. */
+  def topSupplier(spark: SparkSession, dir: String,
+                  from: String = "1997-01-01",
+                  until: String = "1997-04-01"): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast(TimestampNTZType) &&
+        col("l_shipdate") < lit(until).cast(TimestampNTZType))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+    val top = rev.agg(max(col("revenue_cents")).as("max_cents"))
+    rev.join(broadcast(top), col("revenue_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(format_string("%04d", col("l_suppkey")).as("store_id"),
+        col("s_name"), col("n_lines"), col("revenue_cents"))
+      .orderBy(col("store_id"))
+  }
+
+  def topSupplierSql(from: String = "1997-01-01",
+                     until: String = "1997-04-01"): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+       |      ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |      AS revenue_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '$until 00:00:00'
+       |  GROUP BY 1)
+       |SELECT printf('%04d', l_suppkey) AS store_id, s_name,
+       |  n_lines, revenue_cents
+       |FROM rev
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+       |ORDER BY store_id""".stripMargin
+
+  /** j16: SUPPLIER-PART COUNTS — the TPC-H Q16 topology: how many
+    * DISTINCT suppliers can source each (brand, size) cell, excluding
+    * one brand and the promo line (the assortment-breadth query a
+    * procurement team runs; TPC-H reads partsupp — this testdata's
+    * supplier-part relation is the lineitem fact). The distinct runs
+    * two-phase: the first hash aggregate collapses to unique (brand,
+    * size, suppkey) triples map-side — bounded by |parts|·|suppliers|
+    * regardless of fact volume — then a (brand, size)-bounded count.
+    * The part dim broadcasts; its exclusion predicates prune before
+    * the join. */
+  def supplierPartCounts(spark: SparkSession, dir: String,
+                         excludeBrand: String = "Brand#5"): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  def supplierPartCountsSql(excludeBrand: String = "Brand#5"): String =
+    s"""SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> '$excludeBrand' AND p_type <> 'PROMO'
+       |GROUP BY p_brand, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -1167,6 +1167,144 @@ object EventsBatch {
        |JOIN p2 ON p2.etype = nodes.etype
        |JOIN p3 ON p3.etype = nodes.etype
        |ORDER BY nodes.etype""".stripMargin
+  }
+
+  /** e32: REMOVAL-EFFECT attribution — the Markov-attribution question
+    * e28 stops short of: how much CONVERSION does each event type
+    * actually carry? Standard removal-effect convention: "remove"
+    * channel r = journeys that reach r die there (its absorption
+    * probability is pinned to 0 at every step — transitions INTO r
+    * are paid, conversions THROUGH r never happen); the chain's edges
+    * and out-degrees stay the original observed counts. Base and
+    * removed conversion rates are e28's integer-milli recursion
+    * evaluated from the EMPIRICAL start distribution (each user's
+    * first event), so effect_milli = base − removed is the
+    * conversion mass the channel carries within `steps` transitions.
+    *
+    * The removal dimension is NOT a driver loop: p is one relation
+    * keyed (removed, etype) — |types|² rows, broadcast-sized at any
+    * corpus scale because the state space is the TYPE graph (e27's
+    * argument) — so all removals advance in the SAME per-step
+    * aggregate. The only data-sized moves are the memoized edge
+    * silver's build and the one user-keyed first-event aggregate. */
+  def removalEffect(spark: SparkSession, dir: String,
+                    target: String = "purchase",
+                    steps: Int = 3): DataFrame = {
+    val none = "(none)"
+    val edges = typeEdges(spark, dir)
+    val outDeg = typeOutDeg(spark, dir)
+    val nodes = typeNodes(spark, dir)
+    val rems = nodes.filter(col("etype") =!= target)
+      .select(col("etype").as("r"))
+      .union(nodes.limit(1).select(lit(none).as("r")))
+      .localCheckpoint()
+    def pinned(mass: Column): Column =
+      when(col("etype") === col("r"), 0L)
+        .when(col("etype") === target, 1000L)
+        .otherwise(mass)
+    var p = rems.crossJoin(nodes)
+      .select(col("r"), col("etype"), pinned(lit(0L)).as("p_milli"))
+      .localCheckpoint()
+    (1 to steps).foreach { _ =>
+      val contrib = edges
+        .join(broadcast(p), col("to_type") === col("etype"))
+        .groupBy(col("r"), col("from_type"))
+        .agg(sum(col("c") * col("p_milli")).cast("long").as("mass"))
+        .select(col("r").as("c_r"), col("from_type").as("c_type"),
+          col("mass"))
+      val deg = outDeg.select(col("from_type").as("o_type"), col("outc"))
+      p = rems.crossJoin(nodes)
+        .join(broadcast(contrib),
+          col("r") === col("c_r") && col("etype") === col("c_type"), "left")
+        .join(broadcast(deg), col("etype") === col("o_type"), "left")
+        .select(col("r"), col("etype"),
+          pinned(coalesce(expr("mass DIV outc"), lit(0L))).as("p_milli"))
+        .localCheckpoint() // |types|² rows; keeps each step's agg single
+    }
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("f.event_type").as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_users"))
+      .localCheckpoint()
+    val total = firsts.agg(sum(col("n_users")).cast("long").as("n_total"))
+    val conv = p.join(broadcast(firsts), col("etype") === col("s"))
+      .groupBy(col("r"))
+      .agg(sum(col("n_users") * col("p_milli")).cast("long").as("mass"))
+      .crossJoin(broadcast(total))
+      .select(col("r"), expr("mass DIV n_total").as("conv_milli"))
+    val base = conv.filter(col("r") === none)
+      .select(col("conv_milli").as("base_milli"))
+    conv.filter(col("r") =!= none)
+      .crossJoin(broadcast(base))
+      .select(col("r").as("removed_type"), col("base_milli"),
+        col("conv_milli"),
+        (col("base_milli") - col("conv_milli")).as("effect_milli"))
+      .orderBy(col("removed_type"))
+  }
+
+  def removalEffectSql(target: String = "purchase"): String = {
+    def step(prev: String, cur: String): String =
+      s"""m$cur AS (
+         |  SELECT p.r, e.from_type,
+         |    CAST(SUM(e.c * p.p_milli) AS BIGINT) AS mass
+         |  FROM edges e JOIN $prev p ON p.etype = e.to_type
+         |  GROUP BY 1, 2),
+         |$cur AS (
+         |  SELECT rems.r, nodes.etype,
+         |    CASE WHEN nodes.etype = rems.r THEN 0
+         |      WHEN nodes.etype = '$target' THEN 1000
+         |      ELSE COALESCE(m$cur.mass // outd.outc, 0) END AS p_milli
+         |  FROM rems CROSS JOIN nodes
+         |  LEFT JOIN m$cur
+         |    ON m$cur.r = rems.r AND m$cur.from_type = nodes.etype
+         |  LEFT JOIN outd ON outd.from_type = nodes.etype)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |edges AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |outd AS (
+       |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS outc
+       |  FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT event_type AS etype FROM events),
+       |rems AS (
+       |  SELECT etype AS r FROM nodes WHERE etype <> '$target'
+       |  UNION ALL SELECT '(none)'),
+       |p0 AS (
+       |  SELECT r, etype,
+       |    CASE WHEN etype = r THEN 0
+       |      WHEN etype = '$target' THEN 1000 ELSE 0 END AS p_milli
+       |  FROM rems CROSS JOIN nodes),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")},
+       |fe AS (
+       |  SELECT event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |firsts AS (
+       |  SELECT event_type AS s, CAST(COUNT(*) AS BIGINT) AS n_users
+       |  FROM fe WHERE rn = 1 GROUP BY 1),
+       |conv AS (
+       |  SELECT p3.r,
+       |    CAST(SUM(n_users * p_milli) AS BIGINT) //
+       |      (SELECT CAST(SUM(n_users) AS BIGINT) FROM firsts)
+       |      AS conv_milli
+       |  FROM p3 JOIN firsts ON p3.etype = firsts.s
+       |  GROUP BY p3.r)
+       |SELECT r AS removed_type,
+       |  (SELECT conv_milli FROM conv WHERE r = '(none)') AS base_milli,
+       |  conv_milli,
+       |  (SELECT conv_milli FROM conv WHERE r = '(none)') - conv_milli
+       |    AS effect_milli
+       |FROM conv WHERE r <> '(none)'
+       |ORDER BY removed_type""".stripMargin
   }
 
   /** e15: rolling 7-day distinct users per day (the trailing-window

@@ -991,4 +991,68 @@ object CorpusPrep {
        |FROM docs d JOIN verdicts v USING (lang, q)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** p20: INTERLEAVED READER ORDER — the deterministic global data
+    * order a multi-source training reader actually consumes: domains
+    * (lang, source) advance ROUND-ROBIN, one document each in turn,
+    * and within a domain documents arrive in p10's hash-shuffled
+    * order (decorrelated from ingest). interleave_key =
+    * (pos−1)·n_domains + (domain_idx−1) is the strided global rank:
+    * unique, dense per round while every domain still has documents,
+    * gapped after a domain exhausts (the reader just skips — the KEY
+    * is the contract, not contiguity). Why round-robin and not
+    * concatenation: gradient batches sample every domain at every
+    * training step instead of consuming sources serially — the
+    * standard multi-corpus mixing discipline, made retry-stable by
+    * deriving everything from hashes (no rand(), no wall clock).
+    *
+    * Scale shape: the domain dimension (|langs|·|sources| rows) is
+    * broadcast; the within-domain rank is a bounded-group window
+    * (domains here play p10's shard role — a deployment with giant
+    * domains composes the two: partition by (domain, p10-shard) and
+    * interleave (shard, pos) tuples). One data-sized exchange. */
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = pmod(pmod(col("doc_id"), lit(999999937L)) * lit(2862933555L),
+      lit(999999937L))
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val domains = docs.select(col("lang"), col("source")).distinct()
+      .withColumn("domain_idx",
+        row_number().over(Window.orderBy(col("lang"), col("source")))
+          .cast("long"))
+    val nd = domains.agg(count(lit(1)).cast("long").as("n_domains"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        key.as("shuffle_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(domains), Seq("lang", "source"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("domain_idx"), col("pos"),
+        ((col("pos") - 1) * col("n_domains") + (col("domain_idx") - 1))
+          .as("interleave_key"))
+      .orderBy(col("interleave_key"))
+  }
+
+  val interleaveOrderSql: String =
+    """WITH domains AS (
+      |  SELECT lang, source,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY lang, source) AS BIGINT)
+      |      AS domain_idx
+      |  FROM (SELECT DISTINCT lang, source FROM documents)),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_domains FROM domains),
+      |pos AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY ((doc_id % 999999937) * 2862933555) % 999999937,
+      |        doc_id) AS BIGINT) AS pos
+      |  FROM documents)
+      |SELECT doc_id, p.lang, p.source, d.domain_idx, p.pos,
+      |  (p.pos - 1) * n_domains + (d.domain_idx - 1) AS interleave_key
+      |FROM pos p
+      |JOIN domains d ON p.lang = d.lang AND p.source = d.source
+      |CROSS JOIN nd
+      |ORDER BY interleave_key""".stripMargin
 }

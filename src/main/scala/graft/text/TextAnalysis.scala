@@ -1161,6 +1161,64 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** t31: CHARACTER-ENTROPY quality signal — the Shannon entropy of
+    * each document's character distribution in ENGINE-EXACT integer
+    * milli-bits: H = Σ (c/n)·log2(n/c) over the per-doc char
+    * histogram, each log2 the t15 milli-log2 (binary-string length +
+    * linear mantissa of q = n·1024 DIV c — floor-log2 commutes with
+    * the integer floor), the division order fixed (sum the exact
+    * integer mass, divide once). Low char entropy is the
+    * compression-ratio quality heuristic (CCNet/Gopher lineage):
+    * keyboard mash, repeated-char padding and template boilerplate
+    * score < ~3 bits/char where natural English sits near 4.1 — a
+    * per-doc filter signal t2's word-level rubric can't see (a doc of
+    * one repeated WORD has normal word lengths). Shape: per-char
+    * explode into ONE map-side-combinable (doc, char) aggregate +
+    * one doc rollup — alphabet-bounded output, scan-speed input. */
+  def charEntropy(spark: SparkSession, dir: String,
+                  lowMilli: Long = 3000L): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("q", expr("(n * 1024) DIV c"))
+      .withColumn("b", (length(bin(col("q"))) - lit(1)).cast("long"))
+      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("bits_milli",
+        (col("b") - lit(10L)) * lit(1000L) + expr("(q - p) * 1000 DIV p"))
+    hist.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("bits_milli")).cast("long").as("mass"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        col("n_distinct_chars"),
+        expr("mass DIV n").as("entropy_milli"),
+        (expr("mass DIV n") < lit(lowMilli)).as("is_low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  def charEntropySql(lowMilli: Long = 3000L): String =
+    s"""WITH hist AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, ch,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, text,
+       |          unnest(string_split(text, '')) AS ch FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |charged AS (
+       |  SELECT doc_id, n, c,
+       |    (b - 10) * 1000 + (q - p) * 1000 // p AS bits_milli
+       |  FROM (SELECT *, length(format('{:b}', q)) - 1 AS b,
+       |          CAST(power(2, length(format('{:b}', q)) - 1) AS BIGINT)
+       |            AS p
+       |        FROM (SELECT doc_id, n, c, (n * 1024) // c AS q
+       |              FROM hist)))
+       |SELECT doc_id, n AS n_chars,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       |  CAST(SUM(c * bits_milli) AS BIGINT) // n AS entropy_milli,
+       |  (CAST(SUM(c * bits_milli) AS BIGINT) // n) < $lowMilli
+       |    AS is_low_entropy
+       |FROM charged GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** t23: SHINGLE-NOVELTY CURVE — per document in doc_id (ingest) order,
     * how many of its distinct 3-shingles appear for the FIRST time in the
     * corpus: the saturation diagnostic a data team tracks as a corpus

@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -86,6 +86,66 @@ object IndexStore {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score"), col("n_terms"))
       .orderBy("query_id", "rank")
+  }
+
+  /** INCREMENTAL MAINTENANCE — append a delta corpus to a persisted
+    * IVF-PQ index WITHOUT rebuilding: new vectors are assigned to the
+    * FROZEN centroids and encoded against the FROZEN codebook loaded
+    * from the index, then appended to `cells`/`codes`. This is the
+    * 100 TB lifecycle contract: the quantizers are fit once and
+    * versioned with the index — daily arrivals are one narrow
+    * assign+encode pass over the delta only (the existing corpus is
+    * never rescanned, the index tables only ever grow by appends,
+    * partition-pruning layout unchanged). Bit-parity: the assignment
+    * is ivfRanked's max-cosine rule and the encode is the build
+    * path's argmin-L2 select, both against exact float round-trips
+    * of the persisted quantizers — so half-build + append is
+    * query-identical to a full build with the same (donor) quantizers
+    * (IndexStoreSpec). Re-training (centroid drift after heavy
+    * appends) is a deliberate REBUILD, never an in-place mutation.
+    * `delta` must select rows disjoint from what the index already
+    * holds — id-space hygiene is the writer's contract, as with any
+    * append-only lake table. */
+  def appendIvfPq(spark: SparkSession, dataDir: String, indexDir: String,
+                  delta: Column): Unit = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val nSub = cbRows.map(_._1).max + 1
+    val nCodes = cbRows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](nSub, nCodes)
+    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val subDim = cb(0)(0).length
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("c_norm2", Similarity.dotColHof(col("c_emb"), col("c_emb"))))
+    val newVecs = Similarity.withNorm(spark, dataDir).filter(delta)
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    newVecs.crossJoin(cents)
+      .withColumn("ccos",
+        Similarity.dotColHof(col("embedding"), col("c_emb")) /
+          sqrt(col("norm2") * col("c_norm2")))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+      .write.mode("append").parquet(s"$indexDir/cells")
+    val sub = newVecs.select(col("vec_id") +: col("label") +:
+      (0 until nSub).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim).as(s"sub_$s")): _*)
+    def d2(s: Int, c: Int): Column =
+      graft.functions.VectorD2.vectorD2(col(s"sub_$s"),
+        array(cb(s)(c).map(v => lit(v.toFloat)): _*))
+    val withD2 = sub.select(col("vec_id") +: col("label") +:
+      (0 until nSub).map(s =>
+        array((0 until nCodes).map(c => d2(s, c)): _*).as(s"d2_$s")): _*)
+    withD2.select(
+      col("vec_id") +: col("label") +:
+        ((0 until nSub).map(s =>
+          (array_position(col(s"d2_$s"), array_min(col(s"d2_$s"))) - 1)
+            .cast("long").as(s"code_$s")) :+
+          (0 until nSub).map(s => array_min(col(s"d2_$s")))
+            .reduceLeft(_ + _).as("recon_d2")): _*)
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** Answer top-k ANN queries from the persisted index. `queries` is

@@ -2573,4 +2573,143 @@ object Similarity {
        |    / CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) AS centroid_dist2
        |FROM pairs GROUP BY 1, 2, 3, 4
        |ORDER BY label_a, label_b""".stripMargin
+
+  /** v33: MMR DIVERSIFIED top-k — Maximal Marginal Relevance
+    * (Carbonell–Goldstein), the re-rank every production retrieval
+    * stack runs between ANN and the consumer so the k results aren't
+    * k copies of the same nearest cluster: greedily pick
+    * argmax[ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ] over the
+    * candidate pool, k times. Run fully relationally, NO driver
+    * loop over data: the pool is v1's top-`nCand` per query, the
+    * pool-internal similarity matrix `psim` is (nQueries·nCand²)-
+    * bounded, and each greedy step is one (pool ⟕ max-sim-to-
+    * selected) join + an argmax window over ≤ nCand rows per query —
+    * all relations query-set-sized and checkpoint-truncated, the
+    * corpus itself touched only by the v1 pool scan.
+    *
+    * FP determinism: rel and sim are the strict-fold cosines; MAX of
+    * bit-identical doubles is order-independent; the score is one
+    * fixed op chain (λ·rel − (1−λ)·maxsim) — so scores hash-compare
+    * exactly and the argmax (ties to lowest id) picks the same
+    * element in both engines. */
+  def mmrDiversify(spark: SparkSession, dir: String, k: Int = 5,
+                   nCand: Int = 10,
+                   nQueries: Int = defaultNQueries): DataFrame = {
+    val pool = cosineTopK(spark, dir, nCand, nQueries)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cosine").as("rel"))
+      .localCheckpoint()
+    val emb = withNorm(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("norm2"))
+    val poolE = pool
+      .join(emb, col("cand_id") === col("vec_id"))
+      .select(col("query_id"), col("cand_id"), col("embedding"),
+        col("norm2"))
+      .localCheckpoint()
+    val a = poolE.select(col("query_id"), col("cand_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm2").as("a_n2"))
+    val b = poolE.select(col("query_id").as("qb"),
+      col("cand_id").as("b_id"), col("embedding").as("b_emb"),
+      col("norm2").as("b_n2"))
+    val psim = a
+      .join(b, col("query_id") === col("qb") && col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        cosine(dotCol(col("a_emb"), col("b_emb")),
+          col("a_n2"), col("b_n2")).as("sim"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    var all = pool.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        lit(1).as("step"), col("rel").as("score"))
+      .localCheckpoint()
+    (2 to k).foreach { i =>
+      val seld = all.select(col("query_id").as("s_q"),
+        col("cand_id").as("s_id"))
+      val ms = psim
+        .join(seld, col("query_id") === col("s_q") &&
+          col("b_id") === col("s_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("query_id").as("m_q"), col("a_id"), col("maxsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val sel = pool
+        .join(seld, col("query_id") === col("s_q") &&
+          col("cand_id") === col("s_id"), "left_anti")
+        .join(ms, col("query_id") === col("m_q") &&
+          col("cand_id") === col("a_id"))
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          lit(i).as("step"), col("score"))
+      all = all.union(sel).localCheckpoint()
+    }
+    all.select(col("query_id"), col("step").cast("long").as("step"),
+      col("cand_id").as("vec_id"), col("rel"), col("score"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  def mmrDiversifySql(k: Int = 5, nCand: Int = 10,
+                      nQueries: Int = defaultNQueries): String = {
+    val steps = (2 to k).map { i =>
+      val seld = (1 until i)
+        .map(j => s"SELECT query_id, cand_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""seld$i AS ($seld),
+         |ms$i AS (
+         |  SELECT ps.query_id, ps.a_id AS cand_id, MAX(ps.sim) AS maxsim
+         |  FROM psim ps JOIN seld$i s
+         |    ON s.query_id = ps.query_id AND s.cand_id = ps.b_id
+         |  GROUP BY 1, 2),
+         |sel$i AS (
+         |  SELECT query_id, cand_id, rel, $i AS step, score FROM (
+         |    SELECT r.query_id, r.cand_id, r.rel,
+         |      0.5 * r.rel - 0.5 * m.maxsim AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY r.query_id
+         |        ORDER BY 0.5 * r.rel - 0.5 * m.maxsim DESC,
+         |          r.cand_id ASC) AS rn
+         |    FROM pool r
+         |    ANTI JOIN seld$i sd USING (query_id, cand_id)
+         |    JOIN ms$i m
+         |      ON m.query_id = r.query_id AND m.cand_id = r.cand_id)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to k).map(j => s"SELECT * FROM sel$j")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS ($withNormSql),
+       |pr AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
+       |    ${dotSql("q.embedding", "n.embedding")}
+       |      / sqrt(q.norm2 * n.norm2) AS rel
+       |  FROM e q JOIN e n
+       |    ON q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+       |pool AS (
+       |  SELECT query_id, cand_id, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id ASC) AS rn FROM pr)
+       |  WHERE rn <= $nCand),
+       |psim AS (
+       |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |    ${dotSql("ea.embedding", "eb.embedding")}
+       |      / sqrt(ea.norm2 * eb.norm2) AS sim
+       |  FROM pool a
+       |  JOIN pool b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |  JOIN e ea ON ea.vec_id = a.cand_id
+       |  JOIN e eb ON eb.vec_id = b.cand_id),
+       |sel1 AS (
+       |  SELECT query_id, cand_id, rel, 1 AS step, rel AS score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id ASC) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS BIGINT) AS step,
+       |  cand_id AS vec_id, rel, score
+       |FROM ($sels)
+       |ORDER BY query_id, step""".stripMargin
+  }
 }

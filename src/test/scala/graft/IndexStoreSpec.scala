@@ -53,6 +53,41 @@ class IndexStoreSpec extends GraftSpec {
     }
   }
 
+  test("appendIvfPq: half build + delta append is query-identical to a full build") {
+    val tmpFull = java.nio.file.Files.createTempDirectory("graft-ivfpq-f").toString
+    val tmpInc = java.nio.file.Files.createTempDirectory("graft-ivfpq-i").toString
+    val tmpHalf = java.nio.file.Files.createTempDirectory("graft-half").toString
+    try {
+      val all = graft.model.Tables.embeddings(spark, sfDir)
+      val n = all.count()
+      val cut = n / 2
+      // a dataset dir holding only the first half of the corpus; the
+      // quantizer donors (first rows) live entirely inside it, so the
+      // frozen quantizers match the full build's
+      all.filter(col("vec_id") < cut)
+        .write.mode("overwrite").parquet(s"$tmpHalf/embeddings.parquet")
+      IndexStore.writeIvfPq(spark, sfDir, tmpFull)
+      IndexStore.writeIvfPq(spark, tmpHalf, tmpInc)
+      IndexStore.appendIvfPq(spark, sfDir, tmpInc, col("vec_id") >= cut)
+      assert(spark.read.parquet(s"$tmpInc/cells").count() == n)
+      assert(spark.read.parquet(s"$tmpInc/codes").count() == n)
+      // appended assignments/codes match the full build row-for-row
+      val cellsDiff = spark.read.parquet(s"$tmpInc/cells")
+        .except(spark.read.parquet(s"$tmpFull/cells")).count()
+      val codesDiff = spark.read.parquet(s"$tmpInc/codes")
+        .except(spark.read.parquet(s"$tmpFull/codes")).count()
+      assert(cellsDiff == 0 && codesDiff == 0,
+        s"append diverged from full build: $cellsDiff cells, $codesDiff codes")
+      val got = IndexStore.queryIvfPq(spark, tmpInc, sfDir).collect().toSeq
+      val want = IndexStore.queryIvfPq(spark, tmpFull, sfDir).collect().toSeq
+      assert(want.nonEmpty && got == want,
+        "incrementally-maintained index answered differently from the full build")
+    } finally {
+      Seq(tmpFull, tmpInc, tmpHalf).foreach(t =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t)))
+    }
+  }
+
   test("query path reads the compressed tables, not the float corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
     try {

@@ -369,7 +369,32 @@ class PlanShapeSpec extends GraftSpec {
         "aggregate"),
     ("x13_export_corpus_health", 12,
       "five 1-row parent aggregates cross-joined; every parent shape " +
-        "is its own gated plan over memoized silvers")
+        "is its own gated plan over memoized silvers"),
+    ("j14_market_share", 6,
+      "both dim chains broadcast; fact meets orders on the orderkey " +
+        "hash (x2: nation agg + year-total subtrees); the share join " +
+        "is |years|-bounded"),
+    ("j15_top_supplier", 2,
+      "one per-store agg off the pruned scan (x2: max subtree); the " +
+        "1-row max and the name dim broadcast"),
+    ("v33_mmr_diversify", 0,
+      "every greedy-step relation is (nQueries·nCand)-bounded and " +
+        "checkpoint-truncated; the corpus is touched only by the v1 " +
+        "pool scan inside the first checkpoint"),
+    ("p20_interleave", 4,
+      "within-domain rank rides one bounded-group window exchange; " +
+        "the domain dimension (distinct 2-phase + count) broadcasts"),
+    ("e32_removal_effect", 4,
+      "all removals advance in ONE |types|²-bounded agg per unrolled " +
+        "step (checkpoint-truncated); the conv agg appears twice " +
+        "(base + effect subtrees); starts ride one user-keyed agg"),
+    ("t31_char_entropy", 2,
+      "one map-side-combinable (doc, char) aggregate + the doc " +
+        "rollup — alphabet-bounded output at scan-speed input"),
+    ("j16_supplier_part_counts", 2,
+      "part dim broadcasts; the distinct is the standard two-phase " +
+        "pair — the (brand, size, suppkey) triple agg collapses " +
+        "map-side, then the |cells|-bounded count")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
