@@ -463,4 +463,153 @@ object Star {
        |WHERE p_brand <> '$excludeBrand' AND p_type <> 'PROMO'
        |GROUP BY p_brand, p_size
        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** j17: LARGE-VOLUME ORDERS — the TPC-H Q18 topology: orders whose
+    * total line quantity crosses a threshold, decorated with the
+    * customer who placed them. The HAVING-subquery shape lowers to
+    * one orderkey hash aggregate whose output joins orders ON THE
+    * SAME orderkey hash (co-keyed — no extra exchange for the join),
+    * and the threshold prunes the aggregate to a sliver before any
+    * dimension is touched; the customer decoration broadcasts into
+    * the surviving rows. Quantities are exact longs. */
+  def largeOrders(spark: SparkSession, dir: String,
+                  minQty: Long = 250L): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > minQty)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+          .as("totalprice_cents"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("l_orderkey"),
+        col("order_date"), col("totalprice_cents"), col("total_qty"),
+        col("n_lines"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+  }
+
+  def largeOrdersSql(minQty: Long = 250L): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM lineitem GROUP BY 1
+       |  HAVING CAST(SUM(l_quantity) AS BIGINT) > $minQty)
+       |SELECT c_name, c_custkey, l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS totalprice_cents,
+       |  total_qty, n_lines
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, l_orderkey""".stripMargin
+
+  /** j18: DORMANT HIGH-VALUE CUSTOMERS — the TPC-H Q22 topology:
+    * customers whose account balance beats the positive-balance
+    * average but who placed NO order since `cutoff`, rolled up per
+    * nation (the win-back campaign list). Two decorrelations, both
+    * exact: the scalar average subquery becomes a 1-row broadcast
+    * (and the comparison stays in INTEGERS — bal·100·n > total_cents
+    * — no float average, no rounding ambiguity), and NOT EXISTS
+    * becomes a LEFT ANTI join against recent orders on the custkey
+    * hash — the customer side's only exchange, which the date
+    * predicate shrinks on the other side before any movement. */
+  def dormantCustomers(spark: SparkSession, dir: String,
+                       cutoff: String = "1998-01-01"): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(Tables.Money) * 100).cast("long")
+          .as("bal_cents"))
+    val avgRow = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).cast("long").as("total_cents"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast(TimestampNTZType))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgRow))
+      .filter(col("bal_cents") * col("n_pos") > col("total_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_cents")).cast("long").as("total_bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  def dormantCustomersSql(cutoff: String = "1998-01-01"): String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS bal_cents
+       |  FROM customer),
+       |a AS (
+       |  SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pos
+       |  FROM cust WHERE bal_cents > 0),
+       |recent AS (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
+       |SELECT n_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+       |  CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+       |FROM cust CROSS JOIN a
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE bal_cents * n_pos > total_cents
+       |  AND NOT EXISTS (SELECT 1 FROM recent
+       |                  WHERE o_custkey = c_custkey)
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  /** j19: SPLIT-SHIPMENT PRIORITY COUNTS — the TPC-H Q4 topology
+    * (EXISTS semi-join folded into the fact aggregate): per order
+    * priority, how many orders had lines shipping across more than
+    * one calendar month — the fulfilment-quality cut an ops team
+    * tracks by priority class. The per-order existence test is NOT a
+    * self-join: min(month) <> max(month) rides the SAME orderkey
+    * aggregate that Q18 uses, then meets orders co-keyed and rolls
+    * up to the 5-row priority grid, with the share in exact milli. */
+  def splitShipments(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .groupBy(col("l_orderkey"))
+      .agg((min(col("m")) =!= max(col("m"))).as("is_split"))
+    perOrder
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("is_split"), 1L).otherwise(0L)).cast("long")
+          .as("n_split"))
+      .withColumn("split_milli", expr("n_split * 1000 DIV n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val splitShipmentsSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    MIN(strftime(l_shipdate, '%Y-%m'))
+      |      <> MAX(strftime(l_shipdate, '%Y-%m')) AS is_split
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN is_split THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_split,
+      |  CAST(SUM(CASE WHEN is_split THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000 // COUNT(*) AS split_milli
+      |FROM per_order
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -2712,4 +2712,95 @@ object Similarity {
        |FROM ($sels)
        |ORDER BY query_id, step""".stripMargin
   }
+
+  /** d26: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) — dedup by
+    * EMBEDDING geometry instead of text shingles: within each IVF
+    * cell (the paper's k-means cluster), a document is DROPPED when a
+    * strictly higher-priority near-neighbor sits inside its cosine
+    * ε-ball — priority = (t2 quality desc, doc id asc), exactly d16's
+    * keeper rule, so the kept copy is the best-written one. This is
+    * the greedy one-representative-per-ball rule, which needs NO
+    * connected components: one cell-local pairwise join + a per-doc
+    * existence aggregate decides every verdict — the shuffle key is
+    * the cell id, candidates are cell-bounded, never corpus-quadratic
+    * (v3/v12's shape with d16's semantics). Catches paraphrase/
+    * translation-style duplicates that shingle dedup (d2/d4) cannot
+    * see. On this isotropic synthetic corpus the demo threshold is
+    * v3's 0.4 near-dup bar; production embedding spaces sit near
+    * 0.95. vec_id ≡ doc_id by fixture contract (FIXTURES.md §3). */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.4,
+               nCentroids: Int = 8): DataFrame = {
+    val assigned = ivfRanked(spark, dir, nCentroids)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        col("embedding"), col("norm2"))
+    val q = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val a = assigned.join(q, col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("cell"), col("embedding"),
+        col("norm2"), col("quality_score"))
+      .localCheckpoint()
+    val x = a.select(col("doc_id"), col("cell"), col("embedding"),
+      col("norm2"), col("quality_score"))
+    val y = a.select(col("doc_id").as("y_id"), col("cell").as("y_cell"),
+      col("embedding").as("y_emb"), col("norm2").as("y_n2"),
+      col("quality_score").as("y_q"))
+    val beaten = x
+      .join(y, col("cell") === col("y_cell") &&
+        col("doc_id") =!= col("y_id"))
+      .filter(cosine(dotCol(col("embedding"), col("y_emb")),
+        col("norm2"), col("y_n2")) >= tau)
+      .filter(col("y_q") > col("quality_score") ||
+        (col("y_q") === col("quality_score") &&
+          col("y_id") < col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_better_close"))
+    a.join(beaten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell").cast("long").as("cell"),
+        col("quality_score"),
+        coalesce(col("n_better_close"), lit(0L)).as("n_better_close"),
+        when(coalesce(col("n_better_close"), lit(0L)) > 0, "drop")
+          .otherwise("keep").as("action"))
+      .orderBy(col("doc_id"))
+  }
+
+  def semDedupSql(tau: Double = 0.4, nCentroids: Int = 8): String =
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, e.norm2, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm2, centroid_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |    FROM aff) WHERE crank = 1),
+       |q AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${graft.text.TextAnalysis.qualityScoreSql})),
+       |a AS (
+       |  SELECT q.doc_id, assigned.cell, assigned.embedding,
+       |    assigned.norm2, q.quality_score
+       |  FROM assigned JOIN q ON assigned.vec_id = q.doc_id),
+       |beaten AS (
+       |  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_better_close
+       |  FROM a x JOIN a y
+       |    ON x.cell = y.cell AND x.doc_id <> y.doc_id
+       |  WHERE ${dotSql("x.embedding", "y.embedding")}
+       |      / sqrt(x.norm2 * y.norm2) >= $tau
+       |    AND (y.quality_score > x.quality_score OR
+       |         (y.quality_score = x.quality_score
+       |          AND y.doc_id < x.doc_id))
+       |  GROUP BY x.doc_id)
+       |SELECT a.doc_id, CAST(a.cell AS BIGINT) AS cell, a.quality_score,
+       |  COALESCE(b.n_better_close, 0) AS n_better_close,
+       |  CASE WHEN COALESCE(b.n_better_close, 0) > 0
+       |    THEN 'drop' ELSE 'keep' END AS action
+       |FROM a LEFT JOIN beaten b ON a.doc_id = b.doc_id
+       |ORDER BY a.doc_id""".stripMargin
 }

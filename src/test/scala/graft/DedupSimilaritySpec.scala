@@ -654,4 +654,28 @@ class DedupSimilaritySpec extends GraftSpec {
         hits.toDouble / truth.size.toDouble)
     }
   }
+
+  test("d26: SemDeDup invariants — per-cell best kept, kept set is a tau-net, drops real") {
+    val rows = graft.vector.Similarity.semDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("quality_score"), r.getAs[String]("action")))
+    assert(rows.count(_._4 == "drop") > 0, "fixture should force some drops")
+    val emb = graft.model.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Long, b: Long): Double =
+      dot(emb(a), emb(b)) / math.sqrt(dot(emb(a), emb(a)) * dot(emb(b), emb(b)))
+    rows.groupBy(_._2).foreach { case (_, cellRows) =>
+      // greedy priority rule keeps the cell's best (quality desc, id asc)
+      val best = cellRows.minBy(t => (-t._3, t._1))
+      assert(best._4 == "keep", s"cell best ${best._1} was dropped")
+      // epsilon-net: two kept docs within tau would contradict the rule
+      // (the lower-priority one has a better close neighbor)
+      val kept = cellRows.filter(_._4 == "keep").map(_._1)
+      for (a <- kept; b <- kept if a < b)
+        assert(cos(a, b) < 0.4, s"kept pair ($a,$b) within tau")
+    }
+  }
 }

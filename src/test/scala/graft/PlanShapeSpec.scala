@@ -377,6 +377,19 @@ class PlanShapeSpec extends GraftSpec {
     ("j15_top_supplier", 2,
       "one per-store agg off the pruned scan (x2: max subtree); the " +
         "1-row max and the name dim broadcast"),
+    ("d26_semdedup", 4,
+      "cell-local pairwise join over the checkpointed assignment+" +
+        "quality silver, one per-doc existence agg, verdict join-back " +
+        "— shuffle keys are cell/doc ids, never corpus-quadratic"),
+    ("j17_large_orders", 3,
+      "one orderkey agg pruned by the threshold; orders meets it " +
+        "co-keyed; the customer decoration broadcasts"),
+    ("j18_dormant_customers", 3,
+      "the scalar average is a broadcast 1-row; NOT EXISTS lowers to " +
+        "a custkey anti-join; the nation rollup is |nations|-bounded"),
+    ("j19_split_shipments", 3,
+      "the EXISTS test rides the orderkey aggregate (no self-join); " +
+        "orders meets it co-keyed; the priority grid is 5 rows"),
     ("v33_mmr_diversify", 0,
       "every greedy-step relation is (nQueries·nCand)-bounded and " +
         "checkpoint-truncated; the corpus is touched only by the v1 " +
