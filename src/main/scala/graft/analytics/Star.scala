@@ -612,4 +612,204 @@ object Star {
       |JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** j20: RETURNED-ITEM CUSTOMER RANKING — the TPC-H Q10 topology:
+    * which customers drove the most returned revenue in one quarter
+    * (the churn-risk outreach list). The quarter predicate prunes
+    * ORDERS (row-group pruning on o_orderdate), the return flag
+    * prunes the fact scan, they meet on the orderkey hash, and the
+    * custkey aggregate's top-`k` is TakeOrderedAndProject — heaps per
+    * partition then a k-row driver merge, never a global sort. The
+    * customer/nation decoration broadcasts into the k surviving
+    * rows AFTER the limit. */
+  def returnedCustomers(spark: SparkSession, dir: String,
+                        from: String = "1997-07-01",
+                        until: String = "1997-10-01",
+                        k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast(TimestampNTZType) &&
+        col("o_orderdate") < lit(until).cast(TimestampNTZType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val ranked = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_returned_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("returned_cents"))
+      .orderBy(col("returned_cents").desc, col("o_custkey"))
+      .limit(k)
+    ranked
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .join(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation_name"),
+        col("n_returned_lines"), col("returned_cents"))
+      .orderBy(col("returned_cents").desc, col("c_custkey"))
+  }
+
+  def returnedCustomersSql(from: String = "1997-07-01",
+                           until: String = "1997-10-01",
+                           k: Int = 20): String =
+    s"""WITH ranked AS (
+       |  SELECT o_custkey,
+       |    CAST(COUNT(*) AS BIGINT) AS n_returned_lines,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+       |      ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |      AS returned_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '$from 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$until 00:00:00'
+       |  GROUP BY 1
+       |  ORDER BY returned_cents DESC, o_custkey LIMIT $k)
+       |SELECT c_custkey, c_name, n_name AS nation_name,
+       |  n_returned_lines, returned_cents
+       |FROM ranked
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY returned_cents DESC, c_custkey""".stripMargin
+
+  /** j21: NATION-PAIR TRADE FLOWS — the TPC-H Q7 topology: net
+    * revenue flowing from each SUPPLIER nation to each CUSTOMER
+    * nation per ship year (the bilateral-volume matrix). Both dim
+    * chains are broadcast decorations (supplier + nation on the fact
+    * side, customer + nation on the order side), so the only
+    * data-sized exchange is fact⋈orders on the orderkey hash and the
+    * final aggregate is |nations|²·|years|-bounded. */
+  def tradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("volume_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  val tradeFlowsSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+      |    ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+      |    AS volume_cents
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** j22: PREDICATE-BAND REVENUE — the TPC-H Q19 topology: revenue
+    * from a DISJUNCTION of (brand, quantity-band, size-band)
+    * conjunctions, reported per band. The OR-of-ANDs is the planner
+    * test: the part-side conjuncts prune the BROADCAST dim before the
+    * join and the quantity bounds stay on the raw fact column (the
+    * union of bands pushes as one OR range). Per-band attribution is
+    * a CASE label, so one scan serves all three bands. */
+  def bandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+      .select(col("p_partkey"), col("p_brand")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#1" && col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("qty").between(20, 30)))
+      .groupBy(col("p_brand").as("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("band"))
+  }
+
+  val bandRevenueSql: String =
+    """SELECT p_brand AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+      |    ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** a45: DISCOUNT-REVENUE PROBE — the TPC-H Q6 topology: the pure
+    * scan-and-aggregate "what would dropping these discounts have
+    * earned" probe. The whole query is ONE pruned fact scan collapsed
+    * map-side to a single row — every predicate (ship year, discount
+    * band, quantity cap) sits on a raw parquet column and reaches the
+    * reader as a PushedFilter; the only exchange is the 1-row final
+    * merge. The sum is the exact per-line rounded discount (the
+    * discount_amount convention), never float·float. */
+  def forecastRevenue(spark: SparkSession, dir: String,
+                      year: Int = 1997): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast(TimestampNTZType) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice").cast(Tables.Money) *
+          col("l_discount").cast(Tables.Money), 2)) * 100).cast("long")
+          .as("discount_cents"))
+  }
+
+  def forecastRevenueSql(year: Int = 1997): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |    AS discount_cents
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
 }

@@ -377,6 +377,19 @@ class PlanShapeSpec extends GraftSpec {
     ("j15_top_supplier", 2,
       "one per-store agg off the pruned scan (x2: max subtree); the " +
         "1-row max and the name dim broadcast"),
+    ("j20_returned_customers", 3,
+      "pruned orders meet the returned fact slice on orderkey; the " +
+        "custkey agg's top-k is TakeOrdered; dims broadcast after it"),
+    ("j21_trade_flows", 3,
+      "both nation chains are broadcast decorations; fact meets " +
+        "orders on orderkey; the pair-year aggregate is " +
+        "|nations|²·|years|-bounded"),
+    ("j22_band_revenue", 1,
+      "band conjuncts prune the broadcast part dim and the raw " +
+        "quantity column; one 3-row aggregate"),
+    ("a45_forecast_revenue", 0,
+      "the Q6 probe: one pruned scan collapsed map-side; the final " +
+        "merge is a 1-row single-partition exchange, not a hash"),
     ("d26_semdedup", 4,
       "cell-local pairwise join over the checkpointed assignment+" +
         "quality silver, one per-doc existence agg, verdict join-back " +

@@ -71,4 +71,16 @@ class PushdownSpec extends GraftSpec {
     assert(k8.nonEmpty && k8.forall(_.requiredSchema.fields.length <= 3),
       s"k8 lineitem scans widened: ${k8.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
+
+  test("a45: the Q6 probe pushes every predicate into the one fact scan") {
+    val li = scanOf("a45_forecast_revenue", "lineitem")
+    assert(li.nonEmpty, "a45: no visible lineitem scan")
+    val p = li.map(pushed).mkString
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f =>
+      assert(p.contains(f), s"a45: $f no longer pushed: $p"))
+    assert(li.forall(_.requiredSchema.fields.length <= 4),
+      s"a45 scan widened: ${li.map(_.requiredSchema.fieldNames.mkString(","))}")
+  }
 }
