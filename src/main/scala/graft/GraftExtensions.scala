@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vector_d2(array<float>, array<float>)")
         VectorD2(args.head, args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("floor_log2"),
+      info("floor_log2", classOf[graft.functions.FloorLog2].getName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "floor_log2(bigint)")
+        graft.functions.FloorLog2(args.head)
+      }))
     // aggregate: the analyzer wraps a bare AggregateFunction returned from
     // a registry builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("topk_by_count"),

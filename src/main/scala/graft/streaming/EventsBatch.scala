@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.FloorLog2.floorLog2
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1501,7 +1502,7 @@ object EventsBatch {
       .withColumn("late_us", max(col("us")).over(byArrival) - col("us"))
       .withColumn("bucket",
         when(col("late_us") === 0L, lit(-1L))
-          .otherwise((length(bin(col("late_us"))) - lit(1)).cast("long")))
+          .otherwise(floorLog2(col("late_us"))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         min(col("late_us")).as("min_late_us"),

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.functions.FloorLog2.floorLog2
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -494,7 +495,7 @@ object TextAnalysis {
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
     val kept = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
     kept.select(col("word"),
-      (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long").as("bits"))
+      floorLog2(expr(s"${cntTotal}L DIV cnt")).as("bits"))
   }
 
   private[graft] def lmBits(spark: SparkSession, dir: String,
@@ -576,7 +577,7 @@ object TextAnalysis {
       .limit(bigramCap)
     val lm = kept.join(broadcast(prevTotals), Seq("prev"))
       .select(col("prev"), col("cur"),
-        (length(bin(expr("c_prev DIV c_big"))) - lit(1)).cast("long").as("bits"))
+        floorLog2(expr("c_prev DIV c_big")).as("bits"))
     // OOV charge from a 1-row aggregate over the cached silver (sum of
     // per-doc bigram counts, no explode), entering the plan as a literal
     val bgTotal = Corpus.docsTok(spark, dir)
@@ -778,8 +779,8 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
       .withColumn("q", expr("(n_docs * 1024) DIV df"))
-      .withColumn("b", (length(bin(col("q"))) - lit(1)).cast("long"))
-      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("b", floorLog2(col("q")))
+      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
       .withColumn("idf_milli",
         (col("b") - lit(10L)) * lit(1000L)
           + expr("(q - p) * 1000 DIV p"))
@@ -896,8 +897,8 @@ object TextAnalysis {
       .withColumn("tf0", coalesce(col("d_tf"), lit(0L)))
       .withColumn("qr",
         expr(s"((dl + $mu) * 1048576 * 1024) DIV (tf0 * 1048576 + $mu * q_cfp)"))
-      .withColumn("b", (length(bin(col("qr"))) - lit(1)).cast("long"))
-      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("b", floorLog2(col("qr")))
+      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
       .withColumn("charge_milli",
         (col("b") - lit(10L)) * lit(1000L) + expr("(qr - p) * 1000 DIV p"))
     val w = Window.partitionBy(col("query_id"))
@@ -1183,8 +1184,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("n"), col("ch"))
       .agg(count(lit(1)).as("c"))
       .withColumn("q", expr("(n * 1024) DIV c"))
-      .withColumn("b", (length(bin(col("q"))) - lit(1)).cast("long"))
-      .withColumn("p", pow(lit(2.0), col("b")).cast("long"))
+      .withColumn("b", floorLog2(col("q")))
+      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
       .withColumn("bits_milli",
         (col("b") - lit(10L)) * lit(1000L) + expr("(q - p) * 1000 DIV p"))
     hist.groupBy(col("doc_id"), col("n"))
@@ -1371,7 +1372,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val lm = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
       .select(col("word"),
-        (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long")
+        floorLog2(expr(s"${cntTotal}L DIV cnt"))
           .as("bits"))
     Corpus.docsTok(spark, dir)
       .select(col("lang"), col("source"), col("doc_id"),
@@ -1440,7 +1441,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val lm = vocab.orderBy(col("cnt").desc, col("word").asc).limit(vocabCap)
       .select(col("word"),
-        (length(bin(expr(s"${cntTotal}L DIV cnt"))) - lit(1)).cast("long")
+        floorLog2(expr(s"${cntTotal}L DIV cnt"))
           .as("bits"))
     Corpus.docsTok(spark, dir)
       .select(CorpusPrep.splitOf(col("doc_id")).as("split"), col("doc_id"),
@@ -1521,8 +1522,8 @@ object TextAnalysis {
     val points = spec
       .withColumn("rank_at", sum(col("n_words")).over(wSuffix))
       .select(col("lang"),
-        expr("length(bin(bucket)) - 1").cast("long").as("x"),
-        expr("length(bin(rank_at)) - 1").cast("long").as("y"))
+        floorLog2(col("bucket")).as("x"),
+        floorLog2(col("rank_at")).as("y"))
     points.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_points"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1614,8 +1615,8 @@ object TextAnalysis {
       .withColumn("den", col("c_first") * col("c_second"))
       .withColumn("pmi_bits",
         when(col("num") >= col("den"),
-          (length(bin(expr("num DIV den"))) - lit(1)).cast("long"))
-          .otherwise(-(length(bin(expr("den DIV num"))) - lit(1)).cast("long")))
+          floorLog2(expr("num DIV den")))
+          .otherwise(-floorLog2(expr("den DIV num"))))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("pmi_bits").desc, col("c_ab").desc,
         col("wa").asc, col("wb").asc)
