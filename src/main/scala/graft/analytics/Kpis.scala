@@ -565,4 +565,54 @@ object Kpis {
       |    CAST(cohort_idx % 12 AS INTEGER) + 1) AS cohort_month,
       |  months_since, n_customers, n_orders, revenue_cents
       |FROM tri ORDER BY cohort_month, months_since""".stripMargin
+
+  /** a46: CUSTOMER-VALUE DECILES — the lifetime-value decile summary
+    * every growth team keeps (bucket floors/ceilings, head-vs-tail
+    * revenue concentration). Semantically this is `ntile(10)` over
+    * per-customer revenue — but a bare `ntile().over(orderBy(...))`
+    * window moves EVERY customer into one partition, so the rank
+    * rides [[graft.plans.GlobalRank.withRowNumber]] instead
+    * (range-repartition + per-partition offsets: the distributed
+    * global-sort shape, no data-sized single-partition stage) and
+    * the bucket falls out of [[graft.plans.GlobalRank.ntileOf]]'s
+    * exact integer form of the SQL-standard ntile rule — bit-equal
+    * to the builtin (GlobalRankSpec) and to DuckDB's `ntile(10)`
+    * (this oracle). The order is made TOTAL (revenue desc, custkey
+    * asc) so tie placement is engine-independent. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GlobalRank
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(Tables.Money)) * 100).cast("long")
+        .as("rev_cents"))
+    val total = rev.agg(count(lit(1)).as("n_total"))
+    GlobalRank.withRowNumber(rev, "rk",
+        col("rev_cents").desc, col("o_custkey").asc)
+      .crossJoin(broadcast(total))
+      .withColumn("decile", GlobalRank.ntileOf(col("rk"), col("n_total"), 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"),
+        max(col("rev_cents")).as("ceil_cents"),
+        min(col("rev_cents")).as("floor_cents"),
+        sum(col("rev_cents")).cast("long").as("total_cents"))
+      .orderBy(col("decile"))
+  }
+
+  val valueDecilesSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT rev_cents,
+      |    CAST(ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey)
+      |      AS BIGINT) AS decile
+      |  FROM rev)
+      |SELECT decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  MAX(rev_cents) AS ceil_cents,
+      |  MIN(rev_cents) AS floor_cents,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS total_cents
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 }

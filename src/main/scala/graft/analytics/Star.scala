@@ -522,7 +522,7 @@ object Star {
     * hash — the customer side's only exchange, which the date
     * predicate shrinks on the other side before any movement. */
   def dormantCustomers(spark: SparkSession, dir: String,
-                       cutoff: String = "1998-01-01"): DataFrame = {
+                       cutoff: String = "2001-01-01"): DataFrame = {
     import org.apache.spark.sql.types.TimestampNTZType
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"),
@@ -546,7 +546,7 @@ object Star {
       .orderBy(col("n_name"))
   }
 
-  def dormantCustomersSql(cutoff: String = "1998-01-01"): String =
+  def dormantCustomersSql(cutoff: String = "2001-01-01"): String =
     s"""WITH cust AS (
        |  SELECT c_custkey, c_nationkey,
        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -812,4 +812,94 @@ object Star {
        |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24""".stripMargin
+
+  /** j23: ORDER-COUNT DISTRIBUTION — the TPC-H Q13 topology: how many
+    * customers placed exactly k qualifying orders, k = 0 INCLUDED —
+    * the outer join is the whole point (an inner join silently drops
+    * the never-ordered customers, the segment a marketing query most
+    * wants). Decorrelated the way Catalyst lowers it: orders collapse
+    * to (custkey, count) FIRST (map-side combinable, the only
+    * data-sized exchange), customers LEFT-join that co-keyed
+    * aggregate, and the second aggregate is bounded by the max
+    * per-customer order count — a few dozen rows forever. The
+    * priority exclusion sits on a raw parquet column and reaches the
+    * scan. */
+  def orderCountHistogram(spark: SparkSession, dir: String,
+                          excludePriority: String = "5-LOW"): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+  }
+
+  def orderCountHistogramSql(excludePriority: String = "5-LOW"): String =
+    s"""WITH oc AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM orders WHERE o_orderpriority <> '$excludePriority'
+       |  GROUP BY 1)
+       |SELECT COALESCE(cnt, 0) AS n_orders,
+       |  CAST(COUNT(*) AS BIGINT) AS n_custs
+       |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+       |GROUP BY 1
+       |ORDER BY n_custs DESC, n_orders DESC""".stripMargin
+
+  /** j24: PRODUCT-LINE PROFIT — the TPC-H Q9 topology: supply-side
+    * profit per (supplier nation, ship year) for ONE product line.
+    * Three dimension legs meet the fact with three different
+    * physical shapes, each the right one for its cardinality class:
+    * the part filter is a LEFT SEMI join on the partkey hash (the
+    * fact needs existence, not columns — semi keeps the build side
+    * key-only and never duplicates fact rows; at 100 TB part scales
+    * with the corpus, so this is a data-sized exchange the planner
+    * can also turn into a bloom-filter pushdown), the supplier dim
+    * is decorated with its nation BROADCAST-side (nation is
+    * kilobytes forever) and meets the fact on the suppkey hash, and
+    * the final aggregate is |nations|×|years|-bounded. */
+  def profitByNation(spark: SparkSession, dir: String,
+                     productType: String = "ECONOMY"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === productType)
+      .select(col("p_partkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation_name"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        (col("l_extendedprice").cast(Tables.Money) -
+          round(col("l_extendedprice").cast(Tables.Money) *
+            col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation_name"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("net_dec")) * 100).cast("long").as("profit_cents"))
+      .orderBy(col("nation_name"), col("ship_year").desc)
+  }
+
+  def profitByNationSql(productType: String = "ECONOMY"): String =
+    s"""SELECT n_name AS nation_name,
+       |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) -
+       |    ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      CAST(l_discount AS DECIMAL(18,2)), 2)) * 100 AS BIGINT)
+       |    AS profit_cents
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE EXISTS (SELECT 1 FROM part
+       |              WHERE p_partkey = l_partkey
+       |                AND p_type = '$productType')
+       |GROUP BY 1, 2
+       |ORDER BY nation_name, ship_year DESC""".stripMargin
 }
