@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed EXACT global row numbering — the scale-safe twin of
   * `row_number().over(Window.orderBy(...))`. The windowed form is
@@ -17,19 +17,17 @@ import org.apache.spark.sql.functions._
   *   1. range-repartition on the (total) order key + sort within
   *      partitions — exactly the shape of Spark's own distributed
   *      `orderBy`, embarrassingly parallel;
-  *   2. stamp `monotonically_increasing_id()` AFTER the sort: its
-  *      layout is `pid << 33 | rowIndexInPartition`, so it encodes
-  *      (partition, local position in sorted order) in one narrow,
-  *      shuffle-free projection (Catalyst never reorders the
-  *      nondeterministic projection across the sort, and within a
-  *      sorted partition the iteration order is deterministic — so
-  *      the stamped values are stable under task retry);
-  *   3. count rows per partition (a |partitions|-row aggregate — the
-  *      ONLY thing that crosses the cluster), prefix-sum those
-  *      counts into per-partition offsets (a window over ≤ a few
-  *      hundred rows — the one SinglePartition stage, carrying one
-  *      row per PARTITION, not per datum), broadcast them back;
-  *   4. global rank = offset + local index + 1.
+  *   2. `RDD.zipWithIndex` over that ONE sorted RDD instance: a
+  *      |partitions|-sized count job fixes per-partition offsets,
+  *      then global index = offset + position. Both passes run over
+  *      the SAME materialized shuffle (boundaries sampled once,
+  *      shuffle files reused), which is the correctness linchpin —
+  *      a pure-DataFrame formulation that derives offsets from a
+  *      SECOND reference to the shuffled relation is only correct
+  *      when Catalyst happens to reuse the exchange; when a larger
+  *      plan (cache boundary, AQE stage shape) defeats reuse, the
+  *      two branches sample DIFFERENT range boundaries and the
+  *      offsets silently misalign. zipWithIndex cannot misalign.
   *
   * CORRECTNESS IS PARTITION-INVARIANT: whatever boundaries the range
   * partitioner samples, ranges are disjoint and ordered, so
@@ -37,38 +35,23 @@ import org.apache.spark.sql.functions._
   * TOTAL order. Callers must pass a tie-free ordering (end with a
   * unique key) — with ties the assignment among equal rows would
   * depend on sampled boundaries. GlobalRankSpec asserts bit-parity
-  * with the single-partition window form and that the big relation
-  * goes through `rangepartitioning`, not `SinglePartition`. */
+  * with the single-partition window form, determinism across
+  * evaluations, and that the work stays spread across partitions. */
 object GlobalRank {
 
-  private val LocalBits = 33 // monotonically_increasing_id's layout
-
-  /** Append 1-based global `rankCol` under the total order `order`. */
+  /** Append a 1-based global `rankCol` under the total order `order`. */
   def withRowNumber(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "GlobalRank needs an ordering")
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val stamped = df
-      .repartitionByRange(parts, order: _*)
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__gr_mid", monotonically_increasing_id())
-      .withColumn("__gr_pid", shiftright(col("__gr_mid"), LocalBits))
-      .withColumn("__gr_local",
-        col("__gr_mid").bitwiseAND(lit((1L << LocalBits) - 1)))
-    val offsets = stamped
-      .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
-      .withColumn("__gr_offset",
-        coalesce(
-          sum(col("__gr_n")).over(
-            Window.orderBy(col("__gr_pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__gr_pid").as("__gr_opid"), col("__gr_offset"))
-    stamped
-      .join(broadcast(offsets), col("__gr_pid") === col("__gr_opid"))
-      .withColumn(rankCol,
-        (col("__gr_offset") + col("__gr_local") + lit(1L)).cast("long"))
-      .drop("__gr_mid", "__gr_pid", "__gr_local", "__gr_opid", "__gr_offset")
+    val out = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(zipped, out)
   }
 
   /** SQL-standard `ntile(buckets)` derived from a 1-based total-order

@@ -1482,11 +1482,9 @@ object EventsBatch {
     * order (event_id — the append-log sequence) minus the event's own
     * time; on-time events (new high-water marks) land in bucket −1,
     * late ones in power-of-two µs buckets (t19's log-bound: output
-    * rows stay ≤ ~64 at any stream length). The running max rides ONE
-    * total-order window — an audit over an append log's inherent
-    * arrival sequence; at scale you run it per source partition (the
-    * unit Spark tracks watermarks over) and union the histograms —
-    * same algebra, partition-keyed. */
+    * rows stay ≤ ~64 at any stream length). The running max is
+    * block-decomposed (see [[latenessAuditOf]]) so no data-sized
+    * relation ever crosses a single partition. */
   def latenessAudit(spark: SparkSession, dir: String): DataFrame =
     latenessAuditOf(Tables.events(spark, dir)
       .select(col("event_id"), expr("unix_micros(ts)").as("us")))
@@ -1494,12 +1492,34 @@ object EventsBatch {
   /** [[latenessAudit]] over an explicit (event_id, us) relation — the
     * spec drives this with an out-of-order fixture (the synthetic
     * events table arrives perfectly ordered, putting all mass in the
-    * on-time bucket; real logs do not). */
-  def latenessAuditOf(events: DataFrame): DataFrame = {
-    val byArrival = Window.orderBy(col("event_id"))
+    * on-time bucket; real logs do not).
+    *
+    * The running max over the total arrival order is NOT a bare
+    * `max().over(Window.orderBy(...))` — that window funnels every
+    * event through one partition. A running max is associative, so it
+    * block-decomposes exactly: split the id sequence into value-derived
+    * blocks (`event_id >> blockBits` — deterministic, no sampling),
+    * compute each block's running max in parallel (hash-partitioned
+    * window), prefix-max the per-BLOCK maxes (a |blocks|-row window —
+    * n >> blockBits rows, the only single-partition stage), broadcast
+    * the carry-in back, and take the greater. Bit-identical to the
+    * one-window form (LatenessBlockSpec) at any block size. */
+  def latenessAuditOf(events: DataFrame, blockBits: Int = 20): DataFrame = {
+    val blocked = events.withColumn("blk", shiftright(col("event_id"), blockBits))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("late_us", max(col("us")).over(byArrival) - col("us"))
+    val carry = blocked.groupBy(col("blk")).agg(max(col("us")).as("blk_max"))
+      .withColumn("carry_in",
+        max(col("blk_max")).over(Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("blk").as("cblk"), col("carry_in"))
+    blocked
+      .withColumn("run_local", max(col("us")).over(wLocal))
+      .join(broadcast(carry), col("blk") === col("cblk"))
+      .withColumn("run_max",
+        greatest(col("run_local"),
+          coalesce(col("carry_in"), lit(Long.MinValue))))
+      .withColumn("late_us", col("run_max") - col("us"))
       .withColumn("bucket",
         when(col("late_us") === 0L, lit(-1L))
           .otherwise(floorLog2(col("late_us"))))

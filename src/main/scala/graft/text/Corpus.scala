@@ -2,7 +2,6 @@ package graft.text
 
 import graft.model.{Silver, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared text-corpus primitives for the training-data-pipeline operators
@@ -18,8 +17,10 @@ import org.apache.spark.sql.functions._
   * arithmetic, identical in any engine.
   *
   * SCALE POSTURE (100 TB): a rank dictionary is only viable while the
-  * vocabulary is dimension-sized (it needs a global sort; here the corpus
-  * vocabulary is tiny and the dict broadcasts). At real scale you swap
+  * vocabulary is dimension-sized (consumers broadcast it into joins; its
+  * CONSTRUCTION is already scale-clean — the ranking rides
+  * [[graft.plans.GlobalRank]]'s range-partitioned two-phase shape, never
+  * a single-partition window). At real scale you swap
   * `wid`/`sid` for `pmod(xxhash64(token), P)` — same downstream algebra, no
   * dictionary, no shuffle; [[graft.dedup.Dedup.minhashPairsXxhash]] is that
   * variant (bench-only, since DuckDB can't replay xxhash64).
@@ -54,12 +55,17 @@ object Corpus {
   val wordsSqlExpr = "string_split_regex(text, '\\s+')"
 
   /** Distinct corpus vocabulary with rank ids (1-based, sorted order).
-    * Vocabulary-sized (tiny) — computed once, broadcast into every join;
-    * the single-partition window is deliberate and safe at this size. */
+    * Vocabulary GROWS with the corpus (unbounded token space), so the
+    * ranking rides [[graft.plans.GlobalRank.withRowNumber]] — the
+    * range-partitioned two-phase shape — instead of a bare
+    * `row_number()` window that would funnel the whole dictionary
+    * through one partition at 100 TB. Ids are identical either way
+    * (the order is total: distinct words). */
   def wordDict(spark: SparkSession, dir: String): DataFrame =
-    docsTok(spark, dir)
-      .select(explode(col("words")).as("word")).distinct()
-      .withColumn("wid", row_number().over(Window.orderBy("word")).cast("long"))
+    graft.plans.GlobalRank.withRowNumber(
+      docsTok(spark, dir)
+        .select(explode(col("words")).as("word")).distinct(),
+      "wid", col("word").asc)
 
   val wordDictSql: String =
     s"""SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
@@ -103,9 +109,9 @@ object Corpus {
   /** Distinct corpus shingle dictionary with rank ids (see class doc for
     * why rank ids instead of hashes). */
   def shingleDict(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir)
-      .select(col("shingle")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+    graft.plans.GlobalRank.withRowNumber(
+      docShingles(spark, dir).select(col("shingle")).distinct(),
+      "sid", col("shingle").asc)
 
   val shingleDictSql: String =
     s"""SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid

@@ -1301,6 +1301,20 @@ class CompositionSpec extends GraftSpec {
     fres.foreach { r =>
       assert(r.getAs[Long]("n_events") === fexpect(r.getAs[Long]("bucket")))
     }
+
+    // the block-decomposed running max is bit-identical at ANY block
+    // size: blockBits=2/4 split the 200-id fixture into 50/13 blocks
+    // (carry-in crosses many boundaries), 40 leaves one block (the
+    // degenerate single-window regime)
+    for (bits <- Seq(2, 4, 40)) {
+      val bres = EventsBatch.latenessAuditOf(fdf, blockBits = bits)
+        .collect()
+      assert(bres.length === fexpect.size, s"blockBits=$bits row count")
+      bres.foreach { r =>
+        assert(r.getAs[Long]("n_events") === fexpect(r.getAs[Long]("bucket")),
+          s"blockBits=$bits bucket ${r.getAs[Long]("bucket")}")
+      }
+    }
   }
 
   test("t22: corrections match an in-process SymSpell replay; clean " +

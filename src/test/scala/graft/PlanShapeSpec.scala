@@ -169,9 +169,10 @@ class PlanShapeSpec extends GraftSpec {
     ("a33_rollup_cube", 1,
       "one Expand pass over the cached (store, day) silver: all grouping " +
         "sets combine in a single hash agg"),
-    ("e18_lateness_audit", 2,
-      "the arrival window's single-partition gather + the log-bounded " +
-        "bucket rollup"),
+    ("e18_lateness_audit", 3,
+      "block-decomposed running max: one parallel blk-window exchange + " +
+        "the |blocks|-row carry aggregate + the log-bounded bucket " +
+        "rollup; the old single-partition arrival gather is gone"),
     ("sk7_cms_estimates", 5,
       "cms cell agg + truth agg + probe/cell join + per-key min + the " +
         "truth join — all over (depth x width)-bounded or key-sized relations"),
