@@ -902,4 +902,86 @@ object Star {
        |                AND p_type = '$productType')
        |GROUP BY 1, 2
        |ORDER BY nation_name, ship_year DESC""".stripMargin
+
+  /** j25: ASSORTMENT CHURN — the SET-OPERATION topology (EXCEPT /
+    * INTERSECT, the one relational-algebra family no other key
+    * exercises): per store, how many SKUs were dropped, added, and
+    * retained between two calendar years. Spark lowers
+    * `except`/`intersect` to LEFT ANTI / LEFT SEMI joins over the
+    * distinct'd inputs — co-keyed hash exchanges on (store, sku),
+    * no sorts — and the year predicates prune the fact scan
+    * ([[Tables.salesInRange]]). The three counters recombine on the
+    * store key FULL-outer (a store may only drop, only add, or sell
+    * in just one year), zero-filled. */
+  def assortmentChurn(spark: SparkSession, dir: String,
+                      y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    def skus(y: Int) =
+      Tables.salesInRange(spark, dir, s"$y-01-01", s"$y-12-31")
+        .select(col("store_id"), col("sku")).distinct()
+    val a = skus(y1)
+    val b = skus(y2)
+    def perStore(df: DataFrame, as: String) =
+      df.groupBy(col("store_id")).agg(count(lit(1)).as(as))
+    perStore(a.except(b), "n_dropped")
+      .join(perStore(b.except(a), "n_added"), Seq("store_id"), "full")
+      .join(perStore(a.intersect(b), "n_retained"), Seq("store_id"), "full")
+      .select(col("store_id"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy(col("store_id"))
+  }
+
+  def assortmentChurnSql(y1: Int = 1996, y2: Int = 1997): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |a AS (SELECT DISTINCT store_id, sku FROM s
+       |      WHERE sale_date BETWEEN '$y1-01-01' AND '$y1-12-31'),
+       |b AS (SELECT DISTINCT store_id, sku FROM s
+       |      WHERE sale_date BETWEEN '$y2-01-01' AND '$y2-12-31'),
+       |d AS (SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+       |      FROM (SELECT * FROM a EXCEPT SELECT * FROM b) GROUP BY 1),
+       |ad AS (SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_added
+       |      FROM (SELECT * FROM b EXCEPT SELECT * FROM a) GROUP BY 1),
+       |r AS (SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_retained
+       |      FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1)
+       |SELECT store_id,
+       |  COALESCE(n_dropped, 0) AS n_dropped,
+       |  COALESCE(n_added, 0) AS n_added,
+       |  COALESCE(n_retained, 0) AS n_retained
+       |FROM d
+       |FULL JOIN ad USING (store_id)
+       |FULL JOIN r USING (store_id)
+       |ORDER BY store_id""".stripMargin
+
+  /** j26: DEMAND SURPLUS — the MULTISET set-op (`exceptAll` ≡ SQL
+    * EXCEPT ALL, bag semantics no distinct-based rewrite can fake):
+    * per (store, sku), the year-1 sale-line occurrences that have no
+    * year-2 counterpart — Σ max(0, c₁ − c₂) per store — the "demand
+    * cooling" bag difference. Spark plans exceptAll as a
+    * count-and-replicate rewrite (sum of signed per-key counts, then
+    * generate), keyed on (store, sku) — two hash aggregates, no
+    * sorts, map-side combinable. */
+  def demandSurplus(spark: SparkSession, dir: String,
+                    y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    def bag(y: Int) =
+      Tables.salesInRange(spark, dir, s"$y-01-01", s"$y-12-31")
+        .select(col("store_id"), col("sku"))
+    bag(y1).exceptAll(bag(y2))
+      .groupBy(col("store_id"))
+      .agg(count(lit(1)).as("surplus_lines"),
+        countDistinct(col("sku")).as("n_skus"))
+      .orderBy(col("store_id"))
+  }
+
+  def demandSurplusSql(y1: Int = 1996, y2: Int = 1997): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |a AS (SELECT store_id, sku FROM s
+       |      WHERE sale_date BETWEEN '$y1-01-01' AND '$y1-12-31'),
+       |b AS (SELECT store_id, sku FROM s
+       |      WHERE sale_date BETWEEN '$y2-01-01' AND '$y2-12-31')
+       |SELECT store_id,
+       |  CAST(COUNT(*) AS BIGINT) AS surplus_lines,
+       |  CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_skus
+       |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }
