@@ -517,9 +517,12 @@ object Sketches {
   def bloomSweep(spark: SparkSession, dir: String,
                  bitsLevels: Seq[Long] =
                    Seq(4096L, 8192L, 16384L, 32768L, 65536L)): DataFrame = {
+    // cached: each of the |bitsLevels| mask builds is its own action over
+    // this relation (bloomMaskOf collects a mask-sized fold), and without
+    // the cache every level re-scans and re-distincts the orders side
     val build = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey").as("k")).distinct()
+      .select(col("o_orderkey").as("k")).distinct().cache()
     val probeBase = Tables.lineitem(spark, dir).select(col("l_orderkey"))
     val withPasses = bitsLevels.foldLeft(probeBase) { (d, m) =>
       withBloomPass(d, col("l_orderkey"),

@@ -430,6 +430,23 @@ object Multimodal {
     * sequential loop order — bit-deterministic on any JVM (no
     * parallel reduction, no FMA). Packed as two 32-bit words (the
     * v19/aHash layout). */
+  /** cos((2y+1)·k·π/64) for k < 8, y < 32 — the 8×32 DCT-II basis slice
+    * [[pHash]] reads for both axes (executor-local, built once per JVM). */
+  private lazy val dctCosTable: Array[Double] = {
+    val n = 32
+    val t = new Array[Double](8 * n)
+    var k = 0
+    while (k < 8) {
+      var y = 0
+      while (y < n) {
+        t(k * n + y) = math.cos((2 * y + 1) * k * math.Pi / (2 * n))
+        y += 1
+      }
+      k += 1
+    }
+    t
+  }
+
   def pHash(w: Int, h: Int, px: Array[Byte]): (Long, Long) = {
     val n = 32
     val g = new Array[Double](n * n)
@@ -452,8 +469,14 @@ object Multimodal {
       by += 1
     }
     // low-frequency 8x8 corner of the 32x32 DCT-II (unnormalized —
-    // thresholding at the median is scale-invariant)
+    // thresholding at the median is scale-invariant). The cosine basis
+    // comes from a precomputed [k][y] table: calling math.cos per pixel
+    // is ~65k transcendental evaluations PER IMAGE and dominated m10's
+    // bench time; the table holds the IDENTICAL doubles (same cos
+    // arguments) and the accumulation order is unchanged, so hashes are
+    // bit-equal to the inline-cos form.
     val coefs = new Array[Double](64)
+    val tbl = dctCosTable
     var u = 0
     while (u < 8) {
       var v = 0
@@ -461,10 +484,11 @@ object Multimodal {
         var acc = 0.0
         var y = 0
         while (y < n) {
-          val cy = math.cos((2 * y + 1) * u * math.Pi / (2 * n))
+          val cy = tbl(u * n + y)
+          val row = y * n
           var x = 0
           while (x < n) {
-            acc += g(y * n + x) * cy * math.cos((2 * x + 1) * v * math.Pi / (2 * n))
+            acc += g(row + x) * cy * tbl(v * n + x)
             x += 1
           }
           y += 1
