@@ -248,6 +248,36 @@ object Sketches {
                           bits: Long = bloomBits): String =
     s"(($key % $bloomP) * $a + $b) % $bloomP % $bits"
 
+  /** All of [[bloomMaskOf]]'s masks for a WIDTH SWEEP in ONE action:
+    * the per-level builds are independent bit_or aggregates over the
+    * same key set, so a (level × hash) explode folds them together —
+    * one build-side scan and one Σ(level masks)-bounded collect where
+    * the per-level form pays one job per width. Values are identical
+    * (same position formula; sk11's oracle re-certifies). */
+  def bloomMasksOf(keys: DataFrame,
+                   levels: Seq[Long]): Map[Long, Array[Long]] = {
+    val posCols = levels.flatMap { m =>
+      bloomHashes.map { case (a, b) =>
+        struct(lit(m).as("m"), bloomPos(col("h"), a, b, m).as("pos"))
+      }
+    }
+    val words = keys
+      .select(explode(array(posCols: _*)).as("mp"))
+      .select(col("mp.m").as("m"),
+        expr("mp.pos div 64").as("word"),
+        expr("shiftleft(1L, int(mp.pos % 64))").as("bit"))
+      .groupBy(col("m"), col("word")).agg(bit_or(col("bit")).as("mask"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (m, rs) =>
+        m -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    levels.map { m =>
+      val w = words.getOrElse(m, Map.empty)
+      m -> Array.tabulate((m / 64).toInt)(i => w.getOrElse(i.toLong, 0L))
+    }.toMap
+  }
+
   /** Fold the LongType `h` column of `keys` into the fixed 1024-long
     * bitmask — one map-combinable bit_or aggregate; the collect is
     * bounded by the mask SIZE (1024 rows), never the key cardinality. */
@@ -517,17 +547,34 @@ object Sketches {
   def bloomSweep(spark: SparkSession, dir: String,
                  bitsLevels: Seq[Long] =
                    Seq(4096L, 8192L, 16384L, 32768L, 65536L)): DataFrame = {
-    // cached: each of the |bitsLevels| mask builds is its own action over
-    // this relation (bloomMaskOf collects a mask-sized fold), and without
-    // the cache every level re-scans and re-distincts the orders side
+    // cached: the one-shot mask build and the truth broadcast are two
+    // actions over this relation
     val build = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k")).distinct().cache()
-    val probeBase = Tables.lineitem(spark, dir).select(col("l_orderkey"))
-    val withPasses = bitsLevels.foldLeft(probeBase) { (d, m) =>
-      withBloomPass(d, col("l_orderkey"),
-        bloomMaskOf(build.select(col("k").as("h")), m), m, s"pass_$m")
+    // every level's mask in ONE build job (bloomMasksOf), and the three
+    // affine hashes h_i = ((k mod P)·a_i + b_i) mod P hoisted to shared
+    // columns — each level's pass tests h_i mod m against its literal
+    // mask, instead of recomputing the full position chain 3×|levels|
+    // times per probe row
+    val masks = bloomMasksOf(build.select(col("k").as("h")), bitsLevels)
+    val probeH = bloomHashes.zipWithIndex.foldLeft(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"))) {
+      case (d, ((a, b), i)) =>
+        d.withColumn(s"graft_h$i",
+          (pmod(col("l_orderkey"), lit(bloomP)) * lit(a) + lit(b)) % bloomP)
     }
+    val withPasses = bitsLevels.foldLeft(probeH) { (d, m) =>
+      val mask = masks(m)
+      val pass = bloomHashes.indices.map { i =>
+        expr(s"pmod(shiftright(element_at(graft_mask_$m, " +
+          s"int((graft_h$i % $m) div 64) + 1), int((graft_h$i % $m) % 64)), 2) = 1")
+      }.reduce(_ && _)
+      d.withColumn(s"graft_mask_$m", array(mask.toIndexedSeq.map(lit): _*))
+        .withColumn(s"pass_$m", pass)
+        .drop(s"graft_mask_$m")
+    }
+      .drop(bloomHashes.indices.map(i => s"graft_h$i"): _*)
     val isMatch = broadcast(build)
     val stacked = withPasses
       .join(isMatch, withPasses("l_orderkey") === isMatch("k"), "left")

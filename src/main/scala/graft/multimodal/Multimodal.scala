@@ -373,18 +373,31 @@ object Multimodal {
     * carries (media_id, 16 one-byte band keys). Rows-only like m2/m4
     * (pixel decode has no DuckDB analogue); the spec pins hashes to a
     * javax.imageio decode of the same bytes. */
+  /** Decode-once image-hash silver: ONE real PNG pixel decode per image
+    * yielding BOTH fingerprints (aHash words a0/a1, pHash words p0/p1),
+    * cached and memoized — m8 and m10 each used to run their own full
+    * decode pass over the same bytes, and the pixel decode (inflate +
+    * unfilter) dominates both keys' time; the hash arithmetic on the
+    * decoded buffer is noise next to it. At 100 TB this is the
+    * fingerprint column written at ingest, decoded exactly once. */
+  private[graft] def imageHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "imageHashes", dir) {
+      import spark.implicits._
+      mediaFromDocs(spark, dir).filter(_.kind == "image")
+        .flatMap { r =>
+          ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
+            val (a0, a1) = aHash(w, h, px)
+            val (p0, p1) = pHash(w, h, px)
+            (r.media_id, a0, a1, p0, p1)
+          }
+        }.toDF("media_id", "a0", "a1", "p0", "p1").cache()
+    }
+
   def imageNearDup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 10): DataFrame = {
-    import spark.implicits._
-    val hashes = mediaFromDocs(spark, dir).filter(_.kind == "image")
-      .flatMap { r =>
-        ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
-          val (h0, h1) = aHash(w, h, px)
-          (r.media_id, h0, h1)
-        }
-      }.toDF("media_id", "h0", "h1").cache()
-    bandedHammingPairs(hashes, maxHamming)
-  }
+                   maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(
+      imageHashes(spark, dir).select(col("media_id"),
+        col("a0").as("h0"), col("a1").as("h1")), maxHamming)
 
   /** d8's byte-band blocking + exact popcount over a (media_id, h0, h1)
     * 2×32-bit hash relation — the shared candidate engine behind m8's
@@ -524,17 +537,10 @@ object Multimodal {
     * COMPLETENESS against an in-process all-pairs pass over the same
     * hashes. */
   def imagePHashDup(spark: SparkSession, dir: String,
-                    maxHamming: Int = 10): DataFrame = {
-    import spark.implicits._
-    val hashes = mediaFromDocs(spark, dir).filter(_.kind == "image")
-      .flatMap { r =>
-        ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
-          val (h0, h1) = pHash(w, h, px)
-          (r.media_id, h0, h1)
-        }
-      }.toDF("media_id", "h0", "h1").cache()
-    bandedHammingPairs(hashes, maxHamming)
-  }
+                    maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(
+      imageHashes(spark, dir).select(col("media_id"),
+        col("p0").as("h0"), col("p1").as("h1")), maxHamming)
 
   /** m9: VAD / SILENCE-TRIM SEGMENTATION — m6's per-window energies
     * collapsed into maximal constant-activity runs (e17's rn−rn₂
