@@ -198,6 +198,16 @@ object Multimodal {
     * anchor. */
   def audioWindows(spark: SparkSession, dir: String,
                    windowSamples: Int = 1024): DataFrame = {
+    // decode-once silver (keyed by window size): m6 IS this relation and
+    // m9's segmentation re-derives from it — without memoization each
+    // consumer re-runs the full RIFF decode over the same bytes
+    graft.model.Silver.memoize(spark, s"audioWindows_$windowSamples", dir) {
+      audioWindowsUncached(spark, dir, windowSamples).cache()
+    }
+  }
+
+  private def audioWindowsUncached(spark: SparkSession, dir: String,
+                                   windowSamples: Int): DataFrame = {
     import spark.implicits._
     require(windowSamples > 0, "window must be positive")
     mediaFromDocs(spark, dir).filter(_.kind == "audio").flatMap { r =>
