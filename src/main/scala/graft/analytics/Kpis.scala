@@ -598,6 +598,51 @@ object Kpis {
       .orderBy(col("decile"))
   }
 
+  /** a47: TRAILING-28-DAY RANGE-FRAME WINDOW — the one window-frame
+    * semantic no other key exercises: a VALUE-based frame
+    * (`RANGE BETWEEN 27 PRECEDING AND CURRENT ROW` over the day
+    * index), which differs from a ROWS frame exactly when a store has
+    * gap days — absent days shrink the trailing sum instead of
+    * silently stretching the lookback, which is what a
+    * calendar-window KPI means. Rides the shared (store, day) silver
+    * (dimension-sized), one store exchange for the windows, exact
+    * cents arithmetic. */
+  def trailingRange(spark: SparkSession, dir: String,
+                    days: Int = 28): DataFrame = {
+    val base = graft.etl.StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"),
+        unix_date(to_date(col("sale_date"))).cast("long").as("day_idx"),
+        ((col("gross_dec") - col("disc_dec")) * 100).cast("long")
+          .as("net_cents"))
+    val w = Window.partitionBy(col("store_id")).orderBy(col("day_idx"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    base
+      .withColumn("trail_cents", sum(col("net_cents")).over(w).cast("long"))
+      .withColumn("n_active_days", count(lit(1)).over(w).cast("long"))
+      .select(col("store_id"), col("sale_date"), col("net_cents"),
+        col("trail_cents"), col("n_active_days"))
+      .orderBy(col("store_id"), col("sale_date"))
+  }
+
+  def trailingRangeSql(days: Int = 28): String =
+    s"""WITH sd AS (
+       |  SELECT store_id, sale_date,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(sale_date AS DATE))
+       |      AS BIGINT) AS day_idx,
+       |    CAST((SUM(line_total) - SUM(discount_amount)) * 100 AS BIGINT)
+       |      AS net_cents
+       |  FROM (${graft.model.Tables.salesSql})
+       |  GROUP BY store_id, sale_date)
+       |SELECT store_id, sale_date, net_cents,
+       |  CAST(SUM(net_cents) OVER (PARTITION BY store_id ORDER BY day_idx
+       |    RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS trail_cents,
+       |  CAST(COUNT(*) OVER (PARTITION BY store_id ORDER BY day_idx
+       |    RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_active_days
+       |FROM sd
+       |ORDER BY store_id, sale_date""".stripMargin
+
   val valueDecilesSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,

@@ -699,4 +699,50 @@ object Profile {
        |FROM exact x LEFT JOIN est e USING (store_id)
        |ORDER BY x.store_id""".stripMargin
   }
+
+  /** k11: FUZZY DIMENSION DEDUP — blocked edit-distance pairs over the
+    * part catalog: near-identical product names inside one (brand,
+    * size) shelf are the master-data duplicates an entity-resolution
+    * pass flags before they pollute joins. The BLOCKING is the whole
+    * operator: `levenshtein` is a quadratic per-pair cost, so
+    * candidates form inside (p_brand, p_size) equi-join cells only —
+    * one co-keyed hash join, never all-pairs (the same
+    * block-then-filter posture as d8's byte bands and d4's shingle
+    * index; at 100 TB the cell key widens with more attributes or a
+    * q-gram index replaces it). `part_a < part_b` halves the cell and
+    * kills self-pairs; the distance rides Spark's codegen'd
+    * `levenshtein` (same unit-cost edit distance DuckDB implements,
+    * so the key is hash-checked). May legitimately be empty at tiny
+    * SF (sparse shelves). */
+  def fuzzyPartNames(spark: SparkSession, dir: String,
+                     maxDist: Int = 3): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("distance") <= maxDist.toLong)
+      .select(col("p_brand").as("brand"),
+        col("p_size").cast("long").as("size"),
+        col("part_a"), col("part_b"),
+        col("name_a"), col("name_b"), col("distance"))
+      .orderBy(col("brand"), col("size"), col("part_a"), col("part_b"))
+  }
+
+  def fuzzyPartNamesSql(maxDist: Int = 3): String =
+    s"""SELECT a.p_brand AS brand,
+       |  CAST(a.p_size AS BIGINT) AS size,
+       |  a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+       |FROM part a
+       |JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |  AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
+       |ORDER BY brand, size, part_a, part_b""".stripMargin
 }

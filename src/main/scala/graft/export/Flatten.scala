@@ -624,4 +624,62 @@ object Flatten {
        |LEFT JOIN ov ON ov.query_id = sem.query_id
        |ORDER BY sem.query_id""".stripMargin
   }
+
+  /** x14: KPI CARD MELT — the a9 KPI row UNPIVOTED into (metric, value)
+    * rows via Spark's first-class `Dataset.unpivot` (the relational
+    * MELT/UNPIVOT operator no other key exercises; the inverse of
+    * a20's pivot). BI tools ingest long-form metric tables; the wide
+    * card melts without a UNION-ALL re-scan per metric — unpivot is
+    * one Expand pass over the 1-row input. Values are exact cents /
+    * counts (longs), so the key hash-checks; the reference's
+    * `mobile` drop (get-analytics:213-216) is preserved. */
+  def kpiMelt(spark: SparkSession, dir: String,
+              from: String = graft.etl.Defaults.rangeStart,
+              to: String = graft.etl.Defaults.rangeEnd): DataFrame = {
+    def pay(m: String) =
+      (coalesce(sum(when(col("payment_method") === m, col("amt_dec"))),
+        lit(java.math.BigDecimal.ZERO).cast(Tables.Money)) * 100)
+        .cast("long").as(s"payment_${m}_cents")
+    val card = StoreDaily.paymentDec(spark, dir)
+      .filter(col("sale_date").between(from, to))
+      .agg(
+        (sum(col("gross_dec")) * 100).cast("long").as("total_sales_cents"),
+        sum(col("txn")).cast("long").as("total_transactions"),
+        sum(col("item_count")).cast("long").as("total_items"),
+        pay("cash"), pay("credit"), pay("debit"), pay("gift_card"))
+    card.unpivot(Array.empty, "metric", "value")
+      .orderBy(col("metric"))
+  }
+
+  def kpiMeltSql(from: String = graft.etl.Defaults.rangeStart,
+                 to: String = graft.etl.Defaults.rangeEnd): String =
+    s"""WITH s AS (${Tables.salesWithPaymentSql}),
+       |card AS (
+       |  SELECT
+       |    CAST(SUM(line_total) * 100 AS BIGINT) AS total_sales_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS total_transactions,
+       |    CAST(SUM(quantity) AS BIGINT) AS total_items,
+       |    CAST(COALESCE(SUM(CASE WHEN payment_method = 'cash'
+       |      THEN line_total - discount_amount END), 0) * 100 AS BIGINT)
+       |      AS payment_cash_cents,
+       |    CAST(COALESCE(SUM(CASE WHEN payment_method = 'credit'
+       |      THEN line_total - discount_amount END), 0) * 100 AS BIGINT)
+       |      AS payment_credit_cents,
+       |    CAST(COALESCE(SUM(CASE WHEN payment_method = 'debit'
+       |      THEN line_total - discount_amount END), 0) * 100 AS BIGINT)
+       |      AS payment_debit_cents,
+       |    CAST(COALESCE(SUM(CASE WHEN payment_method = 'gift_card'
+       |      THEN line_total - discount_amount END), 0) * 100 AS BIGINT)
+       |      AS payment_gift_card_cents
+       |  FROM s WHERE sale_date BETWEEN '$from' AND '$to')
+       |SELECT metric, value FROM (
+       |  SELECT 'total_sales_cents' AS metric, total_sales_cents AS value FROM card
+       |  UNION ALL SELECT 'total_transactions', total_transactions FROM card
+       |  UNION ALL SELECT 'total_items', total_items FROM card
+       |  UNION ALL SELECT 'payment_cash_cents', payment_cash_cents FROM card
+       |  UNION ALL SELECT 'payment_credit_cents', payment_credit_cents FROM card
+       |  UNION ALL SELECT 'payment_debit_cents', payment_debit_cents FROM card
+       |  UNION ALL SELECT 'payment_gift_card_cents', payment_gift_card_cents
+       |    FROM card)
+       |ORDER BY metric""".stripMargin
 }

@@ -11,7 +11,10 @@ class OperatorInvariantsSpec extends GraftSpec {
 
   /** Single-date-parameterized queries may legitimately be empty at
     * sf0.001 (~2.4 rows/day); the sf0.01 oracle gate covers their values. */
-  private val mayBeEmptyAtSf0001 = Set("a16_product_history")
+  private val mayBeEmptyAtSf0001 = Set("a16_product_history",
+    // blocked edit-distance pairs: (brand, size) shelves hold ~1 part
+    // each at sf0.001, so no candidate pairs exist to score
+    "k11_fuzzy_part_names")
 
   test("every SparkEntry query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
