@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the one algebraic identity Catalyst can't know for a foreign
     // expression: vector_d2(x, x) == 0.0 (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.SelfDistanceElimination)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     // top-k-per-group: heap operator replacing sort-based group limits
     ext.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
