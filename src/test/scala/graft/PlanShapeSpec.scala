@@ -421,7 +421,32 @@ class PlanShapeSpec extends GraftSpec {
     ("j16_supplier_part_counts", 2,
       "part dim broadcasts; the distinct is the standard two-phase " +
         "pair — the (brand, size, suppkey) triple agg collapses " +
-        "map-side, then the |cells|-bounded count")
+        "map-side, then the |cells|-bounded count"),
+    ("j23_order_count_histogram", 3,
+      "orders collapse to (custkey, count) map-side first; customers " +
+        "meet that aggregate co-keyed; the histogram agg is bounded " +
+        "by the max per-customer order count"),
+    ("j24_profit_by_nation", 3,
+      "the part existence leg is a LEFT SEMI (broadcast at test SF); " +
+        "nation decorates supplier broadcast-side; the final agg is " +
+        "|nations|x|years|-bounded"),
+    ("j25_assortment_churn", 12,
+      "set ops are legitimately exchange-heavy: two year-distincts + " +
+        "EXCEPT/EXCEPT/INTERSECT anti-semi lowering + three per-store " +
+        "rollups + the store-keyed full-outer recombination — every " +
+        "exchange keyed on (store, sku) or store, none data-skewed"),
+    ("j26_demand_surplus", 3,
+      "exceptAll lowers to signed per-key counts + replicate on the " +
+        "(store, sku) hash; one store rollup"),
+    ("a47_trailing_range", 2,
+      "rides the cached (store, day) silver; one store exchange " +
+        "carries both RANGE-frame windows"),
+    ("k11_fuzzy_part_names", 2,
+      "(brand, size) cell join — broadcast at test SF, co-keyed hash " +
+        "at scale; never all-pairs"),
+    ("x14_kpi_melt", 2,
+      "one 1-row KPI aggregate over the cached payment silver; " +
+        "unpivot is a pure Expand, no movement")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
