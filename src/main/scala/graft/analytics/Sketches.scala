@@ -308,8 +308,10 @@ object Sketches {
       .foldLeft(df) { case (d, ((a, b), i)) =>
         d.withColumn(s"graft_bp$i", bloomPos(key, a, b, bits))
       }
-      .withColumn("graft_bloom_mask",
-        array(mask.toIndexedSeq.map(lit): _*))
+      // ONE ArrayType literal, not a CreateArray of |mask| literal
+      // children — every optimizer pass walks the expression tree, and a
+      // 1024-child node per mask made PLANNING the dominant cost
+      .withColumn("graft_bloom_mask", typedlit(mask.toIndexedSeq))
       .withColumn(passCol, expr(bitTests.mkString(" AND ")))
       .drop(("graft_bloom_mask" +: bloomHashes.indices.map(i => s"graft_bp$i")): _*)
   }
@@ -570,7 +572,8 @@ object Sketches {
         expr(s"pmod(shiftright(element_at(graft_mask_$m, " +
           s"int((graft_h$i % $m) div 64) + 1), int((graft_h$i % $m) % 64)), 2) = 1")
       }.reduce(_ && _)
-      d.withColumn(s"graft_mask_$m", array(mask.toIndexedSeq.map(lit): _*))
+      // single ArrayType literal — see withBloomPass's planning-cost note
+      d.withColumn(s"graft_mask_$m", typedlit(mask.toIndexedSeq))
         .withColumn(s"pass_$m", pass)
         .drop(s"graft_mask_$m")
     }
