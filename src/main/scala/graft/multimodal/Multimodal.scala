@@ -60,7 +60,20 @@ object Multimodal {
     * WAV ([[AudioCodec.wavBytes]]) at a metadata-derived sample rate —
     * so the decode path exercises genuine format parsing for both;
     * video rows keep UTF-8 payloads for their (stubbed) codec. */
-  def mediaFromDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private val mediaMemo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), Dataset[MediaRecord]]()
+
+  /** Memoized + cached: building this table ENCODES a PNG/WAV payload
+    * per row (deflate and all), and six m-keys consume it — without the
+    * cache each key re-encodes the whole media lake. At 100 TB there is
+    * no encode step at all (bytes come from the real bronze media
+    * table on storage); the cache stands in for that one read. */
+  def mediaFromDocs(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    mediaMemo.getOrElseUpdate((spark, dir),
+      mediaFromDocsUncached(spark, dir).cache())
+
+  private def mediaFromDocsUncached(spark: SparkSession,
+                                    dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.model.Tables.documents(spark, dir)
       .select(
