@@ -643,6 +643,65 @@ object Kpis {
        |FROM sd
        |ORDER BY store_id, sale_date""".stripMargin
 
+  /** a48: PURCHASE-STREAK ISLANDS — gaps-and-islands on the CALENDAR
+    * grid: maximal runs of consecutive active months per customer
+    * (the "3-month streak" retention metric). The classic island key
+    * `m_idx − row_number()` is constant exactly while months are
+    * consecutive (distinct months first, so row_number is the rank on
+    * the grid); two bounded per-customer aggregates ride ONE custkey
+    * exchange — groups are |months-in-corpus|-bounded (~84), never
+    * stream-length. Differs from e17's run-collapse (consecutive
+    * WINDOW indices of a same-class flag): here the grid is the
+    * calendar and gaps are absent months. */
+  def orderStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m_idx"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m_idx"))
+    val islands = om
+      .withColumn("grp", col("m_idx") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("m_idx")).as("end_idx"))
+    islands.groupBy(col("o_custkey"))
+      .agg(sum(col("len")).cast("long").as("n_active_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).cast("long").as("longest_streak"),
+        max(col("end_idx")).as("last_idx"))
+      .select(col("o_custkey"), col("n_active_months"), col("n_streaks"),
+        col("longest_streak"),
+        format_string("%04d-%02d",
+          expr("last_idx div 12"), expr("last_idx % 12 + 1"))
+          .as("last_active_month"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val orderStreaksSql: String =
+    """WITH om AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m_idx
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey,
+      |    m_idx - row_number() OVER (PARTITION BY o_custkey ORDER BY m_idx)
+      |      AS grp, m_idx
+      |  FROM om),
+      |runs AS (
+      |  SELECT o_custkey, grp,
+      |    CAST(COUNT(*) AS BIGINT) AS len,
+      |    MAX(m_idx) AS end_idx
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT o_custkey,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_months,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  printf('%04d-%02d', CAST(MAX(end_idx) // 12 AS INTEGER),
+      |    CAST(MAX(end_idx) % 12 AS INTEGER) + 1) AS last_active_month
+      |FROM runs GROUP BY 1
+      |ORDER BY o_custkey""".stripMargin
+
   val valueDecilesSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,
