@@ -973,6 +973,73 @@ object Star {
       .orderBy(col("store_id"))
   }
 
+  /** j27: MIN-COST SUPPLIER — the TPC-H Q2 topology on the lineitem
+    * bridge (this lake has no partsupp; observed trade is the cost
+    * book): per part, the supplier with the lowest average unit price,
+    * rolled up to how many parts each nation's suppliers win. The
+    * correlated MIN subquery decorrelates the way Catalyst lowers Q2:
+    * a per-(part, supplier) price aggregate (integer milli-cents — DIV,
+    * no float average), the per-part minimum joined back CO-KEYED on
+    * the partkey hash (the join adds no exchange beyond the
+    * aggregate's), ties broken deterministically at min suppkey, and a
+    * |nations|-bounded rollup through the broadcast-decorated supplier
+    * dim. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(((sum(col("l_extendedprice").cast(Tables.Money)) * 100000)
+        .cast("long")).as("price_milli_sum"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("price_milli_sum div n_lines").as("avg_milli"))
+    val mins = ps.groupBy(col("l_partkey"))
+      .agg(min(col("avg_milli")).as("min_milli"))
+      .select(col("l_partkey").as("pk"), col("min_milli"))
+    val winners = ps
+      .join(mins, col("l_partkey") === col("pk") &&
+        col("avg_milli") === col("min_milli"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("win_suppkey"),
+        min(col("avg_milli")).as("win_milli"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation_name"))
+    winners
+      .join(supp, col("win_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation_name"))
+      .agg(count(lit(1)).as("n_parts_won"),
+        sum(col("win_milli")).cast("long").as("total_win_milli"))
+      .orderBy(col("nation_name"))
+  }
+
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100000
+      |      AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS avg_milli
+      |  FROM lineitem GROUP BY 1, 2),
+      |mins AS (
+      |  SELECT l_partkey AS pk, MIN(avg_milli) AS min_milli
+      |  FROM ps GROUP BY 1),
+      |winners AS (
+      |  SELECT ps.l_partkey,
+      |    MIN(ps.l_suppkey) AS win_suppkey,
+      |    MIN(ps.avg_milli) AS win_milli
+      |  FROM ps JOIN mins ON ps.l_partkey = mins.pk
+      |    AND ps.avg_milli = mins.min_milli
+      |  GROUP BY 1)
+      |SELECT n_name AS nation_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts_won,
+      |  CAST(SUM(win_milli) AS BIGINT) AS total_win_milli
+      |FROM winners
+      |JOIN supplier ON win_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1
+      |ORDER BY nation_name""".stripMargin
+
   def demandSurplusSql(y1: Int = 1996, y2: Int = 1997): String =
     s"""WITH s AS (${Tables.salesSql}),
        |a AS (SELECT store_id, sku FROM s
