@@ -1015,6 +1015,62 @@ object Star {
       .orderBy(col("nation_name"))
   }
 
+  /** j28: NULL-SAFE RECONCILIATION — the null-equality semantic no
+    * other key exercises: return categories where 'N' (no return)
+    * maps to NULL (`nullif`), reconciled across two years per
+    * supplier with a FULL join whose category leg is NULL-SAFE
+    * (`<=>` ≡ SQL `IS NOT DISTINCT FROM`) — a plain `=` silently
+    * drops every NULL-category group from the match and double-counts
+    * it on both outer sides, the classic reconciliation bug. Both
+    * sides pre-aggregate to (supplier, category) before the join
+    * (dimension-bounded), year predicates prune the scans. */
+  def nullSafeRecon(spark: SparkSession, dir: String,
+                    y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def side(y: Int, cnt: String, sk: String, cat: String) =
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit(s"$y-01-01").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit(s"${y + 1}-01-01").cast(TimestampNTZType))
+        .select(col("l_suppkey").as(sk),
+          nullif(col("l_returnflag"), lit("N")).as(cat))
+        .groupBy(col(sk), col(cat))
+        .agg(count(lit(1)).as(cnt))
+    val a = side(y1, "n_y1", "sk1", "cat1")
+    val b = side(y2, "n_y2", "sk2", "cat2")
+    a.join(b, col("sk1") === col("sk2") && col("cat1") <=> col("cat2"),
+        "full")
+      .select(coalesce(col("sk1"), col("sk2")).as("suppkey"),
+        coalesce(col("cat1"), col("cat2")).as("category"),
+        coalesce(col("n_y1"), lit(0L)).as("n_y1"),
+        coalesce(col("n_y2"), lit(0L)).as("n_y2"))
+      .withColumn("delta_lines", col("n_y2") - col("n_y1"))
+      .orderBy(col("suppkey"), col("category"))
+  }
+
+  def nullSafeReconSql(y1: Int = 1996, y2: Int = 1997): String =
+    s"""WITH a AS (
+       |  SELECT l_suppkey AS sk1, nullif(l_returnflag, 'N') AS cat1,
+       |    CAST(COUNT(*) AS BIGINT) AS n_y1
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$y1-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '${y1 + 1}-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT l_suppkey AS sk2, nullif(l_returnflag, 'N') AS cat2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_y2
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$y2-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '${y2 + 1}-01-01 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT COALESCE(sk1, sk2) AS suppkey,
+       |  COALESCE(cat1, cat2) AS category,
+       |  COALESCE(n_y1, 0) AS n_y1,
+       |  COALESCE(n_y2, 0) AS n_y2,
+       |  COALESCE(n_y2, 0) - COALESCE(n_y1, 0) AS delta_lines
+       |FROM a FULL JOIN b
+       |  ON sk1 = sk2 AND cat1 IS NOT DISTINCT FROM cat2
+       |ORDER BY suppkey, category""".stripMargin
+
   val minCostSupplierSql: String =
     """WITH ps AS (
       |  SELECT l_partkey, l_suppkey,
