@@ -446,7 +446,17 @@ class PlanShapeSpec extends GraftSpec {
         "at scale; never all-pairs"),
     ("x14_kpi_melt", 2,
       "one 1-row KPI aggregate over the cached payment silver; " +
-        "unpivot is a pure Expand, no movement")
+        "unpivot is a pure Expand, no movement"),
+    ("a48_order_streaks", 2,
+      "distinct months + both island aggregates ride one custkey " +
+        "exchange; groups are |corpus months|-bounded"),
+    ("j27_min_cost_supplier", 5,
+      "per-(part,supp) price agg + per-part min + the co-keyed " +
+        "winner join + supplier meet + |nations| rollup — every " +
+        "exchange on partkey/suppkey hashes, nation broadcast"),
+    ("j28_null_safe_recon", 4,
+      "both year sides pre-aggregate to (supplier, category) before " +
+        "the null-safe FULL join; dimension-bounded relations only")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
