@@ -433,8 +433,8 @@ object Kpis {
     gaps
       .withColumn("bucket",
         when(col("gap_days") <= 8L, col("gap_days"))
-          .otherwise(expr(
-            "shiftleft(CAST(1 AS BIGINT), length(bin(gap_days)) - 1)")))
+          .otherwise(call_function("shiftleft", lit(1L),
+            graft.functions.FloorLog2.floorLog2(col("gap_days")).cast("int"))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_gaps"),
         countDistinct(col("o_custkey")).as("n_customers"))

@@ -698,7 +698,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .withColumn("bucket",
         when(col("c") <= 8L, col("c"))
-          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+          .otherwise(call_function("shiftleft", lit(1L), floorLog2(col("c")).cast("int"))))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_words"), sum("c").as("mass"))
       .orderBy("bucket")
@@ -1293,7 +1293,7 @@ object TextAnalysis {
         .groupBy("sh").agg(count(lit(1)).as("c"))
         .withColumn("bucket",
           when(col("c") <= 15L, col("c"))
-            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+            .otherwise(call_function("shiftleft", lit(1L), floorLog2(col("c")).cast("int"))))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_words"), sum("c").as("mass"))
         .cache()
@@ -1514,7 +1514,7 @@ object TextAnalysis {
       .groupBy("lang", "word").agg(count(lit(1)).as("c"))
       .withColumn("bucket",
         when(col("c") <= 8L, col("c"))
-          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")))
+          .otherwise(call_function("shiftleft", lit(1L), floorLog2(col("c")).cast("int"))))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_words"))
     val wSuffix = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
