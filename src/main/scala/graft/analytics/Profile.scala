@@ -734,6 +734,133 @@ object Profile {
       .orderBy(col("brand"), col("size"), col("part_a"), col("part_b"))
   }
 
+  /** k12: Q-GRAM INDEX CANDIDATE EVAL — the scale path k11's scaladoc
+    * points at, MEASURED the way d7/d21 measure LSH: an inverted
+    * character-3-gram index (df-capped at a FRACTION of the catalog,
+    * d15's rule — this synthetic vocabulary is template-heavy, so an
+    * absolute cap kills the discriminative grams) generates candidate
+    * pairs with no cell blocking at all, and each cap level reports
+    * candidates, hits against k11's edit-distance truth, and recall —
+    * the operating curve that says what a 3-gram index actually buys
+    * on THIS name distribution before anyone swaps it in at 100 TB.
+    * (Short names can shed all their grams under edits, so q-gram
+    * blocking is a recall trade by construction — hence an eval key,
+    * not a replacement.) Shape: gram explode + df agg + per-level
+    * posting self-join, all keyed on the gram hash; counts only,
+    * never a DP on the candidate set. */
+  def fuzzyQgramEval(spark: SparkSession, dir: String,
+                     maxDist: Int = 3,
+                     dfPcts: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    // the cap levels NEST (kept_2 ⊆ kept_5 ⊆ kept_10), so the whole
+    // sweep runs in ONE posting self-join at the widest cap: each gram
+    // gets the smallest level it qualifies for, each pair keeps the MIN
+    // tier over its shared grams, and every level's counts fall out of
+    // one conditional aggregate — a per-level formulation re-ran the
+    // join and the distinct |levels| times
+    val tiers = dfPcts.sorted.map(_.toLong)
+    // the eval runs on a fixed BRAND SLICE: recall/candidate ratios are
+    // distribution properties (identical across slices of this uniform
+    // catalog), and an all-catalog posting self-join materializes tens
+    // of millions of pairs to answer a 3-row curve — the d7-style eval
+    // measures the operating point on a sample and says so
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin(evalBrands: _*))
+      .select(col("p_partkey"), col("p_name"))
+    val nParts = p.agg(count(lit(1)).as("n_parts"))
+    val grams = p.select(col("p_partkey"),
+        explode(when(length(col("p_name")) >= 3,
+          expr("transform(sequence(1, length(p_name) - 2)," +
+            " i -> substring(p_name, i, 3))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val tierCase = tiers.tail.foldLeft(
+      when(col("df") * 100 <= lit(tiers.head) * col("n_parts"),
+        lit(tiers.head))) { (acc, t) =>
+      acc.when(col("df") * 100 <= lit(t) * col("n_parts"), lit(t))
+    }
+    val kept = grams.join(dfc, "gram").crossJoin(broadcast(nParts))
+      .withColumn("tier", tierCase)
+      .filter(col("tier").isNotNull)
+      .select(col("gram"), col("p_partkey"), col("tier"))
+    val pairs = kept.select(col("gram"), col("p_partkey").as("pa"),
+        col("tier").as("ta"))
+      .join(kept.select(col("gram"), col("p_partkey").as("pb"),
+        col("tier").as("tb")), Seq("gram"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(min(greatest(col("ta"), col("tb"))).as("lvl"))
+    val truth = fuzzyPartNames(spark, dir, maxDist)
+      .filter(col("brand").isin(evalBrands: _*))
+      .select(col("part_a"), col("part_b"))
+    val hitPairs = pairs.join(truth,
+      pairs("pa") === truth("part_a") && pairs("pb") === truth("part_b"),
+      "left_semi")
+    def counts(df: DataFrame, as: String) = df.agg(
+      tiers.map(t => sum(when(col("lvl") <= t, 1L).otherwise(0L))
+        .as(s"${as}_$t")).head,
+      tiers.map(t => sum(when(col("lvl") <= t, 1L).otherwise(0L))
+        .as(s"${as}_$t")).tail: _*)
+    val stacked = counts(pairs, "c").crossJoin(counts(hitPairs, "h"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("n_truth"), expr(
+        s"stack(${tiers.size}, " + tiers.map(t =>
+          s"CAST($t AS BIGINT), c_$t, h_$t").mkString(", ") +
+          ") AS (df_cap_pct, n_candidates, n_hits)"))
+      .select(col("df_cap_pct"), col("n_truth"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    stacked
+      .withColumn("recall_milli",
+        when(col("n_truth") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_hits * 1000 div n_truth")))
+      .orderBy(col("df_cap_pct"))
+  }
+
+  /** The fixed evaluation slice (three of the 25 brands). */
+  private val evalBrands = Seq("Brand#11", "Brand#22", "Brand#33")
+
+  def fuzzyQgramEvalSql(maxDist: Int = 3,
+                        dfPcts: Seq[Int] = Seq(2, 5, 10)): String = {
+    val brandsIn = evalBrands.map(b => s"'$b'").mkString(", ")
+    val levels = dfPcts.map { pct =>
+      s"""(SELECT CAST($pct AS BIGINT) AS df_cap_pct,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CAST((SELECT COUNT(*) FROM cand_$pct) AS BIGINT) AS n_candidates,
+         |  CAST((SELECT COUNT(*) FROM cand_$pct c
+         |        JOIN truth t ON c.pa = t.pa AND c.pb = t.pb)
+         |    AS BIGINT) AS n_hits)""".stripMargin
+    }
+    val candCtes = dfPcts.map { pct =>
+      s"""kept_$pct AS (
+         |  SELECT g.p_partkey, g.gram FROM g JOIN dfc USING (gram)
+         |  CROSS JOIN n WHERE df * 100 <= $pct * n_parts),
+         |cand_$pct AS (
+         |  SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb
+         |  FROM kept_$pct a JOIN kept_$pct b
+         |    ON a.gram = b.gram AND a.p_partkey < b.p_partkey)""".stripMargin
+    }
+    s"""WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part
+       |  WHERE p_brand IN ($brandsIn)),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM p),
+       |g0 AS (
+       |  SELECT p_partkey, substr(p_name, CAST(i AS INTEGER), 3) AS gram
+       |  FROM p, unnest(generate_series(1, length(p_name) - 2)) AS t(i)),
+       |g AS (SELECT DISTINCT p_partkey, gram FROM g0),
+       |dfc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1),
+       |truth AS (
+       |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+       |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+       |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $maxDist),
+       |${candCtes.mkString(",\n")}
+       |SELECT df_cap_pct, n_truth, n_candidates, n_hits,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |    ELSE n_hits * 1000 // n_truth END AS recall_milli
+       |FROM (${levels.mkString("\nUNION ALL\n")})
+       |ORDER BY df_cap_pct""".stripMargin
+  }
+
   def fuzzyPartNamesSql(maxDist: Int = 3): String =
     s"""SELECT a.p_brand AS brand,
        |  CAST(a.p_size AS BIGINT) AS size,
