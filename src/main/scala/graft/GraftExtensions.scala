@@ -29,7 +29,10 @@ import graft.functions.{TopKByCount, VectorD2, VectorDot}
   * pair replaces the sort-based WindowGroupLimit plan for
   * `row_number() <= k` ranking with one-pass bounded per-group heaps
   * (no local sorts on either side of the exchange). Both are opt-in by
-  * session and bit-parity spec-gated; the oracle path runs stock plans.
+  * session and bit-parity spec-gated; the driver surfaces
+  * ([[graft.Verify]] and [[graft.Bench]]) install these extensions, so
+  * the DuckDB oracle sweep re-certifies every key under the injected
+  * rules each round.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

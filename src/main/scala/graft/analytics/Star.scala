@@ -213,7 +213,12 @@ object Star {
           .as("promo_cents"),
         (sum(col("net_dec")) * 100).cast("long").as("total_cents"),
         count(lit(1)).as("n_lines"))
-      .withColumn("promo_milli", expr("promo_cents * 1000 DIV total_cents"))
+      // zero guard: a month whose net revenue sums to exactly 0 cents
+      // would raise DIVIDE_BY_ZERO under Spark 4 ANSI mode — NULL the
+      // share instead (mirrored in the DuckDB twin below)
+      .withColumn("promo_milli",
+        expr("CASE WHEN total_cents = 0 THEN NULL " +
+          "ELSE promo_cents * 1000 DIV total_cents END"))
       .orderBy(col("month"))
   }
 
@@ -234,7 +239,8 @@ object Star {
       |  FROM li JOIN part ON l_partkey = p_partkey
       |  GROUP BY month)
       |SELECT month, promo_cents, total_cents, n_lines,
-      |  promo_cents * 1000 // total_cents AS promo_milli
+      |  CASE WHEN total_cents = 0 THEN NULL
+      |    ELSE promo_cents * 1000 // total_cents END AS promo_milli
       |FROM m ORDER BY month""".stripMargin
 
   /** j10: unshipped-revenue order ranking — the TPC-H Q3 topology.
@@ -344,7 +350,10 @@ object Star {
       .join(broadcast(yearTotals), col("sale_year") === col("yt_year"))
       .select(col("sale_year"), col("supp_nation"), col("n_lines"),
         col("revenue_cents"), col("market_cents"),
-        expr("revenue_cents * 1000 DIV market_cents").as("share_milli"))
+        // zero guard: a year whose market revenue nets to exactly 0
+        // cents would raise DIVIDE_BY_ZERO under ANSI mode
+        expr("CASE WHEN market_cents = 0 THEN NULL " +
+          "ELSE revenue_cents * 1000 DIV market_cents END").as("share_milli"))
       .orderBy(col("sale_year"), col("supp_nation"))
   }
 
@@ -375,7 +384,8 @@ object Star {
        |    CAST(SUM(revenue_cents) AS BIGINT) AS market_cents
        |  FROM bynation GROUP BY 1)
        |SELECT sale_year, supp_nation, n_lines, revenue_cents, market_cents,
-       |  revenue_cents * 1000 // market_cents AS share_milli
+       |  CASE WHEN market_cents = 0 THEN NULL
+       |    ELSE revenue_cents * 1000 // market_cents END AS share_milli
        |FROM bynation JOIN yt ON sale_year = yt_year
        |ORDER BY sale_year, supp_nation""".stripMargin
 
@@ -1107,4 +1117,72 @@ object Star {
        |  CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_skus
        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** j29: SUPPLIERS WHO KEPT ORDERS WAITING — the TPC-H Q21 topology,
+    * the one join class the j-family hadn't exercised: TWO CORRELATED
+    * EXISTENTIAL LEGS against the same fact table. For finished
+    * (`o_orderstatus = 'F'`) orders, count per supplier the orders
+    * where THIS supplier shipped late (ship lag > `lagDays` after the
+    * order date — the testdata lineitem has no receipt/commit dates,
+    * so ship-lag-vs-orderdate is the lateness rubric), ANOTHER
+    * supplier participated in the order (`EXISTS`, → LeftSemi), and
+    * NO other supplier was also late (`NOT EXISTS`, → LeftAnti).
+    *
+    * Written as SQL with genuinely CORRELATED subqueries (the anti leg
+    * even carries the non-equality outer reference `o_orderdate`) so
+    * the plan goes through Catalyst's RewritePredicateSubquery /
+    * DecorrelateInnerQuery lowering rather than hand-built joins —
+    * both legs decorrelate to orderkey-keyed semi/anti joins that ride
+    * the SAME orderkey exchange as the fact-orders join
+    * (StarShapeSpec gates the exchange count). Q21's LIMIT 100 is
+    * dropped: the supplier dimension is the group key, so the full
+    * ordered relation is the deterministic oracle surface. */
+  def waitingSuppliers(spark: SparkSession, dir: String,
+                       lagDays: Int = 90): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("j29_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("j29_orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("j29_supplier")
+    val df = spark.sql(
+      s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         |FROM j29_supplier
+         |JOIN j29_lineitem l1 ON s_suppkey = l1.l_suppkey
+         |JOIN j29_orders ON o_orderkey = l1.l_orderkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l1.l_shipdate > o_orderdate + INTERVAL $lagDays DAYS
+         |  AND EXISTS (
+         |    SELECT 1 FROM j29_lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM j29_lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_shipdate > o_orderdate + INTERVAL $lagDays DAYS)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name""".stripMargin)
+    // the analyzed plan holds the resolved relations; the views were
+    // only a parse-time vehicle for the correlated-subquery syntax
+    Seq("j29_lineitem", "j29_orders", "j29_supplier")
+      .foreach(spark.catalog.dropTempView(_))
+    df
+  }
+
+  def waitingSuppliersSql(lagDays: Int = 90): String =
+    s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM supplier
+       |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL $lagDays DAYS
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_shipdate > o_orderdate + INTERVAL $lagDays DAYS)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name""".stripMargin
 }

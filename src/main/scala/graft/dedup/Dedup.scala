@@ -51,7 +51,14 @@ object Dedup {
                  window: Int = 64, minTokens: Int = 8): DataFrame = {
     val chunks = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("words"),
-        explode(sequence(lit(0), size(col("words")) - 1, lit(window)))
+        // empty-words guard: sequence(0, -1, w) THROWS (illegal
+        // boundaries), and the regex tokenizer never emitting a
+        // 0-length array is a property of the current tokenizer, not
+        // of this operator — explode of the empty array drops the row,
+        // which is the correct semantics (no chunks)
+        explode(when(size(col("words")) > 0,
+            sequence(lit(0), size(col("words")) - 1, lit(window)))
+          .otherwise(array().cast("array<int>")))
           .as("start_tok"))
       .select(col("doc_id"),
         slice(col("words"), col("start_tok") + 1, lit(window)).as("w"))

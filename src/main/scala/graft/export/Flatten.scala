@@ -682,4 +682,248 @@ object Flatten {
        |  UNION ALL SELECT 'payment_gift_card_cents', payment_gift_card_cents
        |    FROM card)
        |ORDER BY metric""".stripMargin
+
+  /** Exact integer-cents dollar rendering `123.45` shared by both engines
+    * (Spark `DIV`, DuckDB `//` — the float `{:,.2f}` of the reference is
+    * engine-divergent; thousands separators are scoped out with it). */
+  private def moneySpark(cents: String): String =
+    s"CAST($cents DIV 100 AS STRING) || '.' || " +
+      s"lpad(CAST($cents % 100 AS STRING), 2, '0')"
+  private def moneyDuck(cents: String): String =
+    s"CAST($cents // 100 AS VARCHAR) || '.' || " +
+      s"lpad(CAST($cents % 100 AS VARCHAR), 2, '0')"
+
+  /** r3: the ASSEMBLED DAILY REPORT — one row per date carrying the full
+    * concatenated plain-text report of generate-report/
+    * lambda_function.py:52-175, closing the last reference Lambda
+    * end-to-end: header, company summary (a4), best/worst stores (a5),
+    * payment breakdown sorted by descending amount (a6), the per-date
+    * top-5 products of the lossy rollup (a7's algebra), the top-5
+    * anomaly lines in r1's severity-priority order, and the footer.
+    * Deviations from the reference text, by house rule: money renders as
+    * exact integer cents (no commas), initcap labels (`Gift_card`) reuse
+    * r1's convention rather than Python `.title()`, payment ties break
+    * on method name, and the anomaly lines are the deterministic a11
+    * rubric standing in for the LLM-drafted text (the l1/r2 seam).
+    *
+    * Shape: every section is an aggregate of an already-cached
+    * dimension-sized silver (rollupDec / paymentDec / topProductsDec /
+    * anomalies), the section blocks meet on the sale_date key
+    * (|days|-sized joins), and the one cross join carries a broadcast
+    * 1-row store-universe count — no fact-table scan anywhere. */
+  def assembledReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eq = "=" * 40
+    val dash = "-" * 40
+    val sd = StoreDaily.rollupDec(spark, dir)
+    val totalStores = sd.agg(
+      countDistinct(col("store_id")).as("n_stores_total"))
+    val comp = sd.groupBy(col("sale_date"))
+      .agg((sum(col("gross_dec")) * 100).cast("long").as("total_cents"),
+        sum(col("transaction_count")).as("txn"),
+        sum(col("item_count")).as("items"),
+        count(lit(1)).as("n_stores"))
+      .withColumn("avg_cents",
+        expr("CASE WHEN txn = 0 THEN NULL ELSE total_cents DIV txn END"))
+    val wBest = Window.partitionBy(col("sale_date"))
+      .orderBy(col("gross_dec").desc, col("store_id").asc)
+    val wWorst = Window.partitionBy(col("sale_date"))
+      .orderBy(col("gross_dec").asc, col("store_id").desc)
+    val bw = sd
+      .withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+      .groupBy(col("sale_date"))
+      .agg(
+        max(when(col("rb") === 1, col("store_id"))).as("best_id"),
+        max(when(col("rb") === 1, (col("gross_dec") * 100).cast("long")))
+          .as("best_cents"),
+        max(when(col("rw") === 1, col("store_id"))).as("worst_id"),
+        max(when(col("rw") === 1, (col("gross_dec") * 100).cast("long")))
+          .as("worst_cents"))
+    val pay = StoreDaily.paymentDec(spark, dir)
+      .groupBy(col("sale_date"), col("payment_method"))
+      .agg((sum(col("amt_dec")) * 100).cast("long").as("cents"))
+      .withColumn("pay_line", expr(
+        "'  ' || initcap(payment_method) || ': $' || " + moneySpark("cents")))
+      .groupBy(col("sale_date"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct((-col("cents")).as("neg"),
+          col("payment_method"), col("pay_line")))),
+        x => x.getField("pay_line")), "\n").as("pay_block"))
+    val prodRanked = StoreDaily.topProductsDec(spark, dir, 5)
+      .groupBy(col("sale_date"), col("sku"))
+      .agg(sum(col("units")).as("units"),
+        (sum(col("rev_dec")) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("sale_date"))
+        .orderBy(col("cents").desc, col("sku").asc)))
+      .filter(col("rn") <= 5)
+    val names = Tables.part(spark, dir)
+      .select(col("p_partkey").as("sku"), col("p_name").as("product_name"))
+    val prod = prodRanked.join(broadcast(names), Seq("sku"), "left")
+      .withColumn("prod_line", expr(
+        "CAST(rn AS STRING) || '. ' || COALESCE(product_name, 'Unknown') || " +
+          "' - ' || CAST(units AS STRING) || ' units - $' || " +
+          moneySpark("cents")))
+      .groupBy(col("sale_date"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("prod_line")))),
+        x => x.getField("prod_line")), "\n").as("prod_block"))
+    val anom = reportLines(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("sale_date"))
+        .orderBy(col("priority_rank"), col("store_id"))))
+      .filter(col("rn") <= 5)
+      .groupBy(col("sale_date"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("line")))),
+        x => x.getField("line")), "\n").as("anom_block"))
+    comp.crossJoin(broadcast(totalStores))
+      .join(bw, Seq("sale_date"))
+      .join(pay, Seq("sale_date"), "left")
+      .join(prod, Seq("sale_date"), "left")
+      .join(anom, Seq("sale_date"), "left")
+      .select(col("sale_date"), concat_ws("\n",
+        lit("SMURF MEMORABILIA DAILY SALES REPORT"),
+        lit(eq),
+        concat(lit("Date: "), col("sale_date")),
+        lit(""),
+        lit("COMPANY SUMMARY"),
+        lit(dash),
+        concat(lit("Total Sales: $"), expr(moneySpark("total_cents"))),
+        concat(lit("Transactions: "), col("txn").cast("string")),
+        concat(lit("Total Items: "), col("items").cast("string")),
+        concat(lit("Stores Reporting: "), col("n_stores").cast("string"),
+          lit("/"), col("n_stores_total").cast("string")),
+        concat(lit("Avg Transaction: $"), expr(moneySpark("avg_cents"))),
+        lit(""),
+        concat(lit("Best Store: #"), col("best_id"), lit(" ($"),
+          expr(moneySpark("best_cents")), lit(")")),
+        concat(lit("Worst Store: #"), col("worst_id"), lit(" ($"),
+          expr(moneySpark("worst_cents")), lit(")")),
+        lit(""),
+        lit("PAYMENT BREAKDOWN"),
+        lit(dash),
+        coalesce(col("pay_block"), lit("")),
+        lit(""),
+        lit("TOP PRODUCTS"),
+        lit(dash),
+        coalesce(col("prod_block"), lit("")),
+        lit(""),
+        lit("ANOMALIES DETECTED"),
+        lit(dash),
+        coalesce(col("anom_block"),
+          lit("No significant insights detected for today.")),
+        lit(""),
+        lit(dash),
+        lit("Report generated by Sales Data Platform")).as("report"))
+      .orderBy(col("sale_date"))
+  }
+
+  val assembledReportSql: String = {
+    val nl = "chr(10)"
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |tot AS (SELECT COUNT(DISTINCT store_id) AS n_stores_total FROM sd),
+       |comp AS (
+       |  SELECT sale_date,
+       |    CAST(SUM(gross_dec) * 100 AS BIGINT) AS total_cents,
+       |    CAST(SUM(transaction_count) AS BIGINT) AS txn,
+       |    CAST(SUM(item_count) AS BIGINT) AS items,
+       |    CAST(COUNT(*) AS BIGINT) AS n_stores
+       |  FROM sd GROUP BY 1),
+       |compa AS (
+       |  SELECT *, CASE WHEN txn = 0 THEN NULL
+       |    ELSE total_cents // txn END AS avg_cents FROM comp),
+       |ranked AS (
+       |  SELECT sale_date, store_id, CAST(gross_dec * 100 AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (PARTITION BY sale_date
+       |      ORDER BY gross_dec DESC, store_id ASC) AS rb,
+       |    ROW_NUMBER() OVER (PARTITION BY sale_date
+       |      ORDER BY gross_dec ASC, store_id DESC) AS rw
+       |  FROM sd),
+       |bw AS (
+       |  SELECT sale_date,
+       |    MAX(CASE WHEN rb = 1 THEN store_id END) AS best_id,
+       |    MAX(CASE WHEN rb = 1 THEN cents END) AS best_cents,
+       |    MAX(CASE WHEN rw = 1 THEN store_id END) AS worst_id,
+       |    MAX(CASE WHEN rw = 1 THEN cents END) AS worst_cents
+       |  FROM ranked GROUP BY 1),
+       |payd AS (
+       |  SELECT sale_date, payment_method,
+       |    CAST(SUM(line_total - discount_amount) * 100 AS BIGINT) AS cents
+       |  FROM (${Tables.salesWithPaymentSql})
+       |  GROUP BY 1, 2),
+       |pay AS (
+       |  SELECT sale_date, string_agg(
+       |    '  ' || upper(substr(payment_method, 1, 1))
+       |      || substr(payment_method, 2) || ': $$' || ${moneyDuck("cents")},
+       |    $nl ORDER BY cents DESC, payment_method) AS pay_block
+       |  FROM payd GROUP BY 1),
+       |prodd AS (
+       |  SELECT sale_date, sku, CAST(SUM(units) AS BIGINT) AS units,
+       |    CAST(SUM(rev_dec) * 100 AS BIGINT) AS cents
+       |  FROM (${StoreDaily.topProductsDecSql(5)}) GROUP BY 1, 2),
+       |prodr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY sale_date
+       |    ORDER BY cents DESC, sku ASC) AS rn FROM prodd),
+       |prod AS (
+       |  SELECT sale_date, string_agg(
+       |    CAST(rn AS VARCHAR) || '. ' || COALESCE(p_name, 'Unknown')
+       |      || ' - ' || CAST(units AS VARCHAR) || ' units - $$'
+       |      || ${moneyDuck("cents")},
+       |    $nl ORDER BY rn) AS prod_block
+       |  FROM prodr LEFT JOIN part ON sku = p_partkey
+       |  WHERE rn <= 5 GROUP BY 1),
+       |ar AS (
+       |  SELECT sale_date, store_id,
+       |    CASE severity WHEN 'critical' THEN 0 WHEN 'warning' THEN 1 ELSE 2 END AS priority_rank,
+       |    (CASE severity WHEN 'critical' THEN '[CRIT]' WHEN 'warning' THEN '[WARN]' ELSE '[INFO]' END) || ' ' || upper(substr(severity, 1, 1)) || substr(severity, 2) || ': store ' || store_id || ' on ' || sale_date || ' deviated ~' || CAST(CAST(floor(abs(deviation_pct)) AS BIGINT) AS VARCHAR) || '%' AS line
+       |  FROM (${History.anomaliesBodySql}) a),
+       |arr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY sale_date
+       |    ORDER BY priority_rank, store_id) AS rn FROM ar),
+       |anom AS (
+       |  SELECT sale_date, string_agg(line, $nl
+       |    ORDER BY priority_rank, store_id) AS anom_block
+       |  FROM arr WHERE rn <= 5 GROUP BY 1)
+       |SELECT c.sale_date,
+       |  'SMURF MEMORABILIA DAILY SALES REPORT' || $nl ||
+       |  '${"=" * 40}' || $nl ||
+       |  'Date: ' || c.sale_date || $nl ||
+       |  '' || $nl ||
+       |  'COMPANY SUMMARY' || $nl ||
+       |  '${"-" * 40}' || $nl ||
+       |  'Total Sales: $$' || ${moneyDuck("total_cents")} || $nl ||
+       |  'Transactions: ' || CAST(txn AS VARCHAR) || $nl ||
+       |  'Total Items: ' || CAST(items AS VARCHAR) || $nl ||
+       |  'Stores Reporting: ' || CAST(n_stores AS VARCHAR) || '/'
+       |    || CAST(n_stores_total AS VARCHAR) || $nl ||
+       |  'Avg Transaction: $$' || ${moneyDuck("avg_cents")} || $nl ||
+       |  '' || $nl ||
+       |  'Best Store: #' || best_id || ' ($$' || ${moneyDuck("best_cents")}
+       |    || ')' || $nl ||
+       |  'Worst Store: #' || worst_id || ' ($$' || ${moneyDuck("worst_cents")}
+       |    || ')' || $nl ||
+       |  '' || $nl ||
+       |  'PAYMENT BREAKDOWN' || $nl ||
+       |  '${"-" * 40}' || $nl ||
+       |  COALESCE(pay_block, '') || $nl ||
+       |  '' || $nl ||
+       |  'TOP PRODUCTS' || $nl ||
+       |  '${"-" * 40}' || $nl ||
+       |  COALESCE(prod_block, '') || $nl ||
+       |  '' || $nl ||
+       |  'ANOMALIES DETECTED' || $nl ||
+       |  '${"-" * 40}' || $nl ||
+       |  COALESCE(anom_block, 'No significant insights detected for today.')
+       |    || $nl ||
+       |  '' || $nl ||
+       |  '${"-" * 40}' || $nl ||
+       |  'Report generated by Sales Data Platform' AS report
+       |FROM compa c
+       |CROSS JOIN tot
+       |JOIN bw ON c.sale_date = bw.sale_date
+       |LEFT JOIN pay ON c.sale_date = pay.sale_date
+       |LEFT JOIN prod ON c.sale_date = prod.sale_date
+       |LEFT JOIN anom ON c.sale_date = anom.sale_date
+       |ORDER BY c.sale_date""".stripMargin
+  }
 }

@@ -4,10 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeSet, CurrentRow, EqualTo, Expression,
-  GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual,
-  RowFrame, RowNumber, RowOrdering, SortOrder, SpecifiedWindowFrame,
-  UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression,
-  WindowSpecDefinition}
+  GenericInternalRow, GreaterThan, GreaterThanOrEqual, IntegerLiteral,
+  JoinedRow, LessThan, LessThanOrEqual, RowFrame, RowNumber, RowOrdering,
+  SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection,
+  UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -56,8 +56,10 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Registered via [[graft.GraftExtensions]]: [[GroupTopKRewrite]]
   * (an `injectOptimizerRule`) swaps the Filter+Window+WindowGroupLimit
   * pattern for the custom logical node; [[GroupTopKStrategy]]
-  * (an `injectPlannerStrategy`) lowers it. Opt-in by session — the
-  * oracle path runs stock plans unless the extension is installed. */
+  * (an `injectPlannerStrategy`) lowers it. Opt-in by session; the
+  * driver surfaces (Verify/Bench) install the extensions, so the
+  * DuckDB oracle sweep re-certifies every ranking key UNDER the
+  * rewrite each round (bit-parity is also GroupTopKSpec's contract). */
 case class GroupTopK(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -74,8 +76,18 @@ case class GroupTopK(
 /** Rewrites `Filter(rank_pred, Window(row_number, p, o))` — with the
   * native WindowGroupLimit the optimizer may already have inserted
   * below the Window stripped — into [[GroupTopK]]. Only the exact
-  * single-predicate shapes `rn <= k`, `rn < k`, `rn = 1` fire; anything
-  * else keeps the stock plan. */
+  * single-predicate shapes `rn <= k` / `rn < k` / `rn = 1` (and their
+  * literal-on-left commutations `k >= rn` / `k > rn` / `1 = rn`) fire;
+  * anything else keeps the stock plan.
+  *
+  * REGIME GUARD: the heap operator loses to the stock sort-based plan
+  * when nearly every row opens a fresh heap (measured 0.42× at ≈8
+  * rows/group — see [[GroupTopK]]'s scaladoc). When the child carries
+  * CBO column statistics for every partition key, the rewrite computes
+  * estimated rows-per-group = rowCount / Π ndv(key) and KEEPS THE
+  * STOCK PLAN below `spark.graft.groupTopK.minRowsPerGroup` (default
+  * 64 — the log-midpoint of the measured 8×-losing and 1.6×-winning
+  * regimes). Without stats the session knob alone decides, as before. */
 object GroupTopKRewrite extends Rule[LogicalPlan] {
 
   private def limitFrom(cond: Expression, rank: Attribute): Option[Int] =
@@ -86,8 +98,40 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
         if a.semanticEquals(rank) => Some(k - 1)
       case EqualTo(a: Attribute, IntegerLiteral(1))
         if a.semanticEquals(rank) => Some(1)
+      // commuted literal-on-left forms (a user's `5 >= rn` is the same
+      // predicate; without these cases it silently kept the stock plan)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute)
+        if a.semanticEquals(rank) => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute)
+        if a.semanticEquals(rank) => Some(k - 1)
+      case EqualTo(IntegerLiteral(1), a: Attribute)
+        if a.semanticEquals(rank) => Some(1)
       case _ => None
     }
+
+  /** True when the heap operator's regime is plausible: either no
+    * usable statistics (the session knob is the only signal), or the
+    * estimated rows-per-group clears the configured floor. */
+  private def heapRegime(child: LogicalPlan, groupExprs: Seq[Expression]): Boolean = {
+    val minRowsPerGroup = BigInt(
+      conf.getConfString("spark.graft.groupTopK.minRowsPerGroup", "64").toLong)
+    val stats = child.stats
+    stats.rowCount match {
+      case Some(rows) if rows > 0 && groupExprs.nonEmpty =>
+        val ndvs = groupExprs.map {
+          case a: Attribute =>
+            stats.attributeStats.collectFirst {
+              case (attr, cs) if attr.semanticEquals(a) => cs.distinctCount
+            }.flatten
+          case _ => None
+        }
+        if (ndvs.forall(_.isDefined)) {
+          val groups = ndvs.flatten.map(_.max(BigInt(1))).product.min(rows)
+          rows >= groups * minRowsPerGroup
+        } else true
+      case _ => true
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: logical.Window)
@@ -105,8 +149,10 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
                 case wgl: logical.WindowGroupLimit => wgl.child
                 case c => c
               }
-              GroupTopK(w.partitionSpec, w.orderSpec, k, a.toAttribute,
-                realChild)
+              if (heapRegime(realChild, w.partitionSpec))
+                GroupTopK(w.partitionSpec, w.orderSpec, k, a.toAttribute,
+                  realChild)
+              else f
             case _ => f
           }
         case _ => f

@@ -61,8 +61,24 @@ object StatefulSessionsTws {
           case Some(c) if second(r.us) - second(c.last_us) > gapSec =>
             out += SessionOut(user, c.start_us, c.last_us, c.n)
             cur.update(SessionCell(r.us, r.us, 1L))
+          case Some(c) if second(c.start_us) - second(r.us) > gapSec =>
+            // late straggler from a PREVIOUS batch, more than a gap
+            // before the live session's start: it cannot extend the
+            // session, and its true in-order neighbors were already
+            // emitted — surface it as a singleton retro-session rather
+            // than corrupting the live cell (bounded-lateness streaming
+            // cannot re-open an emitted session; the batch twin would
+            // have merged it only with already-closed history)
+            out += SessionOut(user, r.us, r.us, 1L)
           case Some(c) =>
-            cur.update(SessionCell(c.start_us, r.us, c.n + 1L))
+            // absorb — with min/max tracking, NOT plain assignment: a
+            // cross-batch out-of-order event (late but above the
+            // watermark) may carry r.us < c.last_us, and assigning it
+            // would move the session end BACKWARD, so later gap checks
+            // and the re-armed timer would use the stale earlier
+            // timestamp and split where the batch e4 rule would not
+            cur.update(SessionCell(math.min(c.start_us, r.us),
+              math.max(c.last_us, r.us), c.n + 1L))
           case None =>
             cur.update(SessionCell(r.us, r.us, 1L))
         }

@@ -84,4 +84,46 @@ class TwsSessionsSpec extends GraftSpec {
       } finally q.stop()
     }
   }
+
+  test("cross-batch out-of-order events absorb by min/max, stragglers emit retro") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // gap 30 s, watermark delay 2000 s so a batch-2 event EARLIER than
+    // batch 1's can still be above the watermark (the late-but-valid
+    // path the per-user-ordered fixture above never exercises).
+    // user 1: b1 [2000, 2010]; b2 delivers 2005 LATE then 2038.
+    //   A plain last_us := r.us absorb would set last backward to 2005
+    //   and split at 2038 (2038-2005=33 > 30); the batch rule on the
+    //   sorted events (0,5,10,38 gaps 5,5,28) keeps ONE session.
+    // user 3: b1 [3000]; b2 delivers 1500 — above the watermark (1000)
+    //   but a full gap BEFORE the live session's start: it cannot
+    //   extend [3000,3000]; it emits as a singleton retro-session,
+    //   exactly what the batch rule yields for the sorted pair.
+    val batch1 = Seq(ev(1, 1, 2000), ev(1, 2, 2010), ev(3, 3, 3000))
+    val batch2 = Seq(ev(1, 4, 2005), ev(1, 5, 2038), ev(3, 6, 1500))
+    val fixture = batch1 ++ batch2
+    val sentinelSec = 10000000L
+    withRocksDb {
+      val input = MemoryStream[SessionEvent]
+      val q = StatefulSessionsTws.sessions(input.toDS(), gapSec = 30L,
+          watermarkDelay = "2000 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions_ooo").start()
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        input.addData(ev(999L, 100L, sentinelSec)); q.processAllAvailable()
+        input.addData(ev(998L, 101L, sentinelSec * 2)); q.processAllAvailable()
+        val got = spark.sql(
+            """SELECT user_id, start_us, end_us, n_events
+              |FROM tws_sessions_ooo WHERE user_id < 100""".stripMargin)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+        val want = reference(fixture, 30L)
+        assert(want.size === 3, s"fixture must produce 3 sessions, got $want")
+        assert(got.toSeq === want)
+      } finally q.stop()
+    }
+  }
 }
