@@ -29,7 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: 32 local threads share one JVM; cached summary tables +
-  // 32-way shuffle execution memory under 8g caused GC churn at sf0.1.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: 32 local threads share one JVM; cached summary tables +
+  // 32-way shuffle execution memory under 8g caused GC churn at sf0.1,
+  // and the bench's sf1.0 scale section holds 10x silvers (the host has
+  // 125 GiB; heap is lazily committed, so tests don't pay for it).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

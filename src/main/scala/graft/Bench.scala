@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Median of the timed iterations — the honest per-key statistic on a
+    * shared host (min hides steady-state cost, mean is noise-dominated;
+    * BENCH_r05→r07 swung 1.7× on environment alone). Even sizes take
+    * the lower middle (conservative: never above the true median). */
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    s((s.size - 1) / 2)
+  }
+
+  private def jstr(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => " "
+    case c => c.toString
+  } + "\""
+
+  private def r3(d: Double) = math.round(d * 1000) / 1000.0
+
+  /** The ten heaviest keys of the r7 audit — the sf1.0 section re-times
+    * exactly these (superlinear constants show up in the tail first). */
+  private val HeavyKeys = Seq(
+    "t23_novelty_curve", "t25_zipf_slope", "t28_kneser_ney",
+    "sk3_store_top_sellers", "t17_lang_confusion", "t21_bpe_encode",
+    "t20_bpe_train", "t27_pmi_collocations", "v10_pq_adc",
+    "v28_trained_recall")
+
+  private def warm(spark: SparkSession, dir: String): Unit = {
+    graft.etl.StoreDaily.rollupDec(spark, dir).count()
+    graft.etl.StoreDaily.paymentDec(spark, dir).count()
+    graft.etl.StoreDaily.topProductsDec(spark, dir).count()
+    graft.analytics.History.trendDirection(spark, dir).count()
+    graft.analytics.History.anomalies(spark, dir).count()
+    graft.text.Corpus.docsTok(spark, dir).count() // tokenize-once silver
+    // materializes the corpusBase + corpusBuildKept shard-layout silvers
+    graft.text.CorpusFilter.shardManifest(spark, dir).count()
+    graft.dedup.Dedup.warm(spark, dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,31 +56,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/codegen warmup + shared-cache pre-materialization OUTSIDE the
-    // measurement. The (store,day) rollup and payment silver caches are
-    // read by 15+ queries; in production they are materialized silver
-    // tables (Materialize.writeSummaries), so their build cost is an
-    // ingest-time cost, not a query cost — without this, whichever query
-    // happened to trigger materialization ate the build (the r2 bench
-    // regressions on a18/a12/a13/a2 were exactly this measurement skew).
+    // JVM/codegen warmup + shared-silver pre-materialization OUTSIDE the
+    // measurement. The (store,day) rollup and payment silvers are read by
+    // 15+ queries; in production they are materialized silver tables
+    // (Materialize.writeSummaries), so their build cost is an ingest-time
+    // cost, not a query cost — without this, whichever query happened to
+    // trigger materialization ate the build (the r2 bench regressions on
+    // a18/a12/a13/a2 were exactly this measurement skew). Silver.memoize
+    // additionally leaf-materializes each silver (localCheckpoint) so no
+    // per-query planning re-pays the lineage — the r7 suite-wide
+    // per-query constant.
     try {
       SparkEntry.entry(spark).count()
-      graft.etl.StoreDaily.rollupDec(spark, sfDir).count()
-      graft.etl.StoreDaily.paymentDec(spark, sfDir).count()
-      graft.etl.StoreDaily.topProductsDec(spark, sfDir).count()
-      graft.analytics.History.trendDirection(spark, sfDir).count()
-      graft.analytics.History.anomalies(spark, sfDir).count()
-      graft.text.Corpus.docsTok(spark, sfDir).count() // tokenize-once silver
-      // materializes the corpusBase + corpusBuildKept shard-layout silvers
-      graft.text.CorpusFilter.shardManifest(spark, sfDir).count()
-      graft.dedup.Dedup.warm(spark, sfDir)
+      warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    // min over iterations: single-JVM local mode on a shared host sees
-    // multi-second scheduling noise; the min is the honest steady-state
-    // per-query cost. Override with SPARK_GRAFT_BENCH_ITERS=1 for one-shot.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // median over iterations (default 3): single-JVM local mode on a
+    // shared host sees multi-second scheduling noise. Override with
+    // SPARK_GRAFT_BENCH_ITERS=1 for one-shot.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
@@ -54,36 +89,27 @@ object Bench {
       }
       // a failed query benches as -1 (never a silent elapsed time) and is
       // excluded from the total; its error is emitted alongside
-      name -> times.minOption.getOrElse(-1.0)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
-    def r3(d: Double) = math.round(d * 1000) / 1000.0
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // Three lines, distinct metrics so a parse-every-line consumer can't
+    // Distinct metric names so a parse-every-line consumer can't
     // double-count totals: the full per-query map first (total_detail),
-    // the scale-slope audit second, then the compact headline line LAST —
-    // BENCH_r04.json confirmed the driver keeps the tail of stdout, so
-    // the last line always survives.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}""")
+    // the scale-slope audits second, then the compact headline line
+    // LAST — the driver keeps a bounded TAIL of stdout.
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}"""
+    println(detailLine)
+    val fullLines = scala.collection.mutable.ListBuffer[String](detailLine)
 
-    // SCALE-SLOPE audit: re-run every key at the next-smaller SF and
-    // compare the time ratio against the data ratio — sub-linear or
-    // linear keys have slope <= ratio; a key whose slope exceeds
-    // 2 x ratio hides a superlinear constant that sf-local timings can't
-    // see (an uncapped candidate join would surface here long before a
-    // cluster bill does). Keys faster than 0.25 s at the large SF are
-    // below local-mode scheduling noise and are reported but never
-    // flagged. Disable with SPARK_GRAFT_SLOPE_DIR="" or point it at a
-    // different small SF.
+    // SCALE-SLOPE audit (downward): re-run every key ONCE at the
+    // next-smaller SF and compare the time ratio against the data
+    // ratio — a key whose slope exceeds 2 x ratio hides a superlinear
+    // constant. Keys faster than 0.25 s at the large SF are below
+    // local-mode scheduling noise and are reported but never flagged.
+    // Disable with SPARK_GRAFT_SLOPE_DIR="".
     val slopeDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_DIR",
       if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + "sf0.01" else "")
     if (slopeDir.nonEmpty && slopeDir != sfDir &&
@@ -98,48 +124,98 @@ object Bench {
           s"[bench] slope section skipped: cannot derive data ratio from " +
             s"'$sfDir' vs '$slopeDir' (need sf<number> basenames)")
       } else {
-      try { // mirror the big-SF warmup so silver builds stay out of timings
-        graft.etl.StoreDaily.rollupDec(spark, slopeDir).count()
-        graft.etl.StoreDaily.paymentDec(spark, slopeDir).count()
-        graft.etl.StoreDaily.topProductsDec(spark, slopeDir).count()
-        graft.analytics.History.trendDirection(spark, slopeDir).count()
-        graft.analytics.History.anomalies(spark, slopeDir).count()
-        graft.text.Corpus.docsTok(spark, slopeDir).count()
-        graft.text.CorpusFilter.shardManifest(spark, slopeDir).count()
-        graft.dedup.Dedup.warm(spark, slopeDir)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] slope warmup failed: ${e.getMessage}")
-      }
-      val small = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, slopeDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
-      }.toMap
-      val big = results.toMap
-      val slopes = results.collect {
-        case (k, tL) if tL >= 0 && small.getOrElse(k, -1.0) > 0 =>
-          k -> r3(tL / small(k))
-      }
-      val flagged = slopes.filter { case (k, s) =>
-        big(k) >= 0.25 && s > 2 * ratio }
-      val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
-        .mkString("{", ",", "}")
-      val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"slopes":$slopesJson}""")
+        try warm(spark, slopeDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] slope warmup failed: ${e.getMessage}")
+        }
+        val small = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, slopeDir).count()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => name -> -1.0 }
+        }.toMap
+        val big = results.toMap
+        val slopes = results.collect {
+          case (k, tL) if tL >= 0 && small.getOrElse(k, -1.0) > 0 =>
+            k -> r3(tL / small(k))
+        }
+        val flagged = slopes.filter { case (k, s) =>
+          big(k) >= 0.25 && s > 2 * ratio }
+        val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
+          .mkString("{", ",", "}")
+        val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
+          .mkString("{", ",", "}")
+        val line = s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"slopes":$slopesJson}"""
+        println(line)
+        fullLines += line
       }
     }
 
-    // The headline line must stay SHORT: the driver keeps a bounded tail of
-    // stdout, and a long errors blob here can push this line's opening brace
-    // out of the window (BENCH_r06 became unparseable exactly this way).
-    // Full error text lives on the total_detail line above; the headline
-    // carries only the first 3 keys with 60-char messages.
+    // SCALE-SLOPE audit (UPWARD, sf1.0): build a 10x replica of the
+    // bench SF under target/ (ScaleData — once, ~170 MB) and re-time
+    // the ten heaviest keys there. The sf0.01→sf0.1 slope can hide
+    // constants that only bite at the next decade; this section pays
+    // one decade more on exactly the keys where it would show. Each
+    // key runs once; flag when time ratio > 2 x data ratio and the
+    // sf1.0 time clears a 2.5 s noise floor. Disable with
+    // SPARK_GRAFT_SF1=off.
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "off" &&
+        sfDir.endsWith("sf0.1")) {
+      try {
+        val sf1Dir = ScaleData.ensure(spark, sfDir, "target/sf1.0", 10)
+        warm(spark, sf1Dir)
+        val big = results.toMap
+        val sf1 = HeavyKeys.filter(SparkEntry.queries.contains).map { name =>
+          val t0 = System.nanoTime()
+          val t = try { SparkEntry.queries(name)(spark, sf1Dir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+            -1.0
+          }
+          name -> t
+        }
+        val slopes = sf1.collect {
+          case (k, t1) if t1 >= 0 && big.getOrElse(k, -1.0) > 0 =>
+            k -> r3(t1 / big(k))
+        }
+        val sf1Map = sf1.toMap
+        val flagged = slopes.filter { case (k, s) =>
+          sf1Map(k) >= 2.5 && s > 20.0 }
+        val timesJson = sf1.map { case (k, v) => jstr(k) + ":" + r3(v) }
+          .mkString("{", ",", "}")
+        val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
+          .mkString("{", ",", "}")
+        val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
+          .mkString("{", ",", "}")
+        val line = s"""{"metric":"scale_slope_sf1","sf_large":"target/sf1.0","sf_small":"$sfDir","data_ratio":10.0,"n_flagged":${flagged.size},"flagged":$flaggedJson,"times":$timesJson,"slopes":$slopesJson}"""
+        println(line)
+        fullLines += line
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+      }
+    }
+
+    // The headline line must stay SHORT: the driver keeps a bounded tail
+    // of stdout, and a long errors blob here can push this line's opening
+    // brace out of the window (BENCH_r06 became unparseable exactly this
+    // way). Full error text lives on the total_detail line above; the
+    // headline carries only the first 3 keys with 60-char messages.
     val errsBrief = errors.take(3)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errsBrief}""")
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errsBrief}"""
+    println(headline)
+    fullLines += headline
+    // Repo-root artifact with EVERY line (BENCH_r07's driver tail kept
+    // only the last ~73 per-key times; per-key round-over-round diffs
+    // need the full map to live in the repo, committed each round).
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try fullLines.foreach(w.println) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1334,6 +1334,134 @@ object Dedup {
        |LIMIT $topN""".stripMargin
   }
 
+  /** d27: EXACT DUPLICATED-SPAN DEDUP AT ANY ALIGNMENT — the
+    * suffix-array-class pass of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022) re-expressed as two
+    * relational stages, closing the gap d24's fixed 64-token chunking
+    * leaves: a duplicated span straddling chunk boundaries (e.g. 60
+    * tokens starting at token 40) produces NO equal chunk text in
+    * either doc, but it must still be found — at ANY alignment, with
+    * edits anywhere outside the span.
+    *
+    * Stage 1 (CANDIDATES — the alignment-free seed): any common
+    * substring of ≥ `minSpan` tokens contains a common contiguous
+    * window of k = minSpan−2 tokens at EVERY offset inside it, so two
+    * docs sharing such a span necessarily share at least one exact
+    * k-token window — window equality is position-independent, which
+    * is what makes the seed alignment-free. Distinct (doc, window)
+    * pairs meet on the window key (one exchange); windows occurring in
+    * more than `maxDf` docs are routed OUT of pairing (that is shared
+    * BOILERPLATE, d15/d23's department — and the df cap bounds the
+    * per-window pair fanout at C(maxDf,2), the same discipline as the
+    * h1/d4 inverted-index caps).
+    *
+    * Stage 2 (EXACT SPANS — d19's run-collapse algebra + an ALIGNMENT
+    * key): for candidate pairs only, join the two positioned 3-shingle
+    * streams on shingle, key each match by diff = pos_a − pos_b (one
+    * diff per alignment), and collapse consecutive pos_a runs per
+    * (pair, diff) with the pos − row_number group trick. A run of r
+    * consecutive matching 3-shingles at constant diff is an exact
+    * common substring of r+2 tokens — no hashing, no approximation.
+    *
+    * Scale shape: stage 1 is one window-key exchange over an O(tokens)
+    * relation (at 100 TB you swap the window TEXT for a rolling
+    * xxhash64 of the token window — same algebra, fixed-width keys —
+    * exactly the d5/d9 dictionary→hash swap; text keys here keep the
+    * DuckDB oracle exact). Stage 2 touches only candidate-pair docs —
+    * the pair relation is thresholded tiny and broadcasts onto the
+    * positioned streams (d19's shape); runs/spans ride one pair-key
+    * exchange. Never all-pairs anywhere. */
+  def dupSpans(spark: SparkSession, dir: String,
+               minSpan: Int = 50, maxDf: Int = 50): DataFrame =
+    dupSpansFrom(Corpus.docsTok(spark, dir), minSpan, maxDf)
+
+  private[graft] def dupSpansFrom(docsTok: DataFrame,
+                                  minSpan: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = minSpan - 2
+    val wins = docsTok
+      .select(col("doc_id"), col("words"),
+        explode(when(size(col("words")) >= k,
+            sequence(lit(1), size(col("words")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("words"), col("p"), lit(k))).as("win"))
+      .distinct()
+    val eligible = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("win"))
+    val winOk = wins.join(eligible, Seq("win"))
+    val pairs = winOk.select(col("win"), col("doc_id").as("doc_a"))
+      .join(winOk.select(col("win"), col("doc_id").as("doc_b")), Seq("win"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shingPos = docsTok
+      .select(col("doc_id"), posexplode(Corpus.shinglesOf(col("words"))))
+      .select(col("doc_id"), (col("pos") + lit(1L)).as("pos"),
+        col("col").as("shingle"))
+    val matched = broadcast(pairs)
+      .join(shingPos.select(col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"), col("shingle")), Seq("doc_a"))
+      .join(shingPos.select(col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .withColumn("diff", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+      .orderBy(col("pos_a"))
+    val runs = matched
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diff"), col("grp"))
+      .agg((count(lit(1)) + 2).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("longest_span_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("dup_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dupSpansSql(minSpan: Int = 50, maxDf: Int = 50): String = {
+    val ws = Corpus.wordsSqlExpr
+    val k = minSpan - 2
+    s"""WITH docs AS (SELECT doc_id, $ws AS ws FROM documents),
+       |wins AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(list_slice(ws, p, p + ${k - 1}), ' ') AS win
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${k - 2})) AS p
+       |        FROM docs) t),
+       |elig AS (
+       |  SELECT win FROM (SELECT win, COUNT(*) AS df FROM wins GROUP BY 1)
+       |  WHERE df BETWEEN 2 AND $maxDf),
+       |wok AS (SELECT w.doc_id, w.win FROM wins w JOIN elig USING (win)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM wok a JOIN wok b ON a.win = b.win AND a.doc_id < b.doc_id),
+       |shing AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(ws, pos) || ' ' || list_extract(ws, pos + 1)
+       |      || ' ' || list_extract(ws, pos + 2) AS shingle
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos
+       |        FROM docs) t),
+       |matched AS (
+       |  SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM pairs p
+       |  JOIN shing a ON a.doc_id = p.doc_a
+       |  JOIN shing b ON b.doc_id = p.doc_b AND b.shingle = a.shingle),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diff, grp,
+       |    CAST(COUNT(*) + 2 AS BIGINT) AS span_tokens
+       |  FROM (SELECT doc_a, doc_b, pos_a, pos_a - pos_b AS diff,
+       |      pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+       |        ORDER BY pos_a) AS grp
+       |    FROM matched) GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  CAST(MAX(span_tokens) AS BIGINT) AS longest_span_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+       |FROM runs WHERE span_tokens >= $minSpan
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

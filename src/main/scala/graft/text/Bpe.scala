@@ -25,11 +25,21 @@ import org.apache.spark.sql.functions._
   * narrow: no shuffle, and each iteration's dictionary is cached so
   * lineage stays one step deep.
   *
-  * Rows-only at the correctness gate: iterative merge application
-  * needs a per-merge rewrite loop no single SQL expression expresses
-  * (DuckDB's list_reduce cannot build lists); [[graft.BpeSpec]]
-  * recomputes the whole trainer in-process and asserts the merge
-  * table matches exactly. */
+  * ORACLE TWIN (r8): the trainer IS expressible in DuckDB once the
+  * fixed iteration count is UNROLLED (8 rounds of CTEs) and the
+  * symbol list is represented as a DOUBLE-DELIMITED STRING:
+  * `||s1||s2||...||`. One global `replace(s, '|l||r|', '|lr|')` is
+  * then exactly the greedy left-to-right non-overlapping BPE merge
+  * fold: each match consumes ONE `|` from each side, leaving the
+  * other for the neighboring symbol, so consecutive merge sites chain
+  * (`||a||a||a||a||` → `||aa||aa||`) while the surviving outer bars
+  * anchor both symbol boundaries (no prefix/suffix false matches —
+  * `|b||c|` cannot match inside `||ab||c||`). The representation
+  * assumes `|` never occurs inside a token (whitespace-split corpus
+  * text; holds for the synthetic corpus and is asserted nowhere
+  * cheaper than the oracle compare itself, which would hash-diverge).
+  * [[graft.BpeSpec]] additionally recomputes the whole trainer
+  * in-process and asserts the merge table matches exactly. */
 object Bpe {
 
   /** Split a word into single-character symbols. */
@@ -102,9 +112,10 @@ object Bpe {
     * UNROLLS into k nested fold expressions over each word: the encode
     * is a pure NARROW MAP at parquet-scan speed — train once (t20),
     * encode 100 TB with zero shuffles, the exact production split.
-    * Rows-only like t20 (the per-merge rewrite loop has no SQL form);
-    * [[graft.BpeSpec]] replays an in-process encoder over the same
-    * merge table and the counts match exactly. */
+    * Oracle-checked since r8 via [[encodeSql]] (the unrolled trainer's
+    * final dictionary carries each word's token count); [[graft.BpeSpec]]
+    * additionally replays an in-process encoder over the same merge
+    * table and the counts match exactly. */
   def encode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     val merges = train(spark, dir, nMerges).collect()
       .sortBy(_.getAs[Long]("merge_rank"))
@@ -120,4 +131,67 @@ object Bpe {
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
       .orderBy("doc_id")
   }
+
+  /** One unrolled training round for the DuckDB twins: adjacent-pair
+    * counts over the delimited dictionary, the (count DESC, left, right)
+    * argmax, and the merge applied via the double-delimiter replace
+    * (see the object scaladoc for the equivalence argument). The split
+    * array `a` is ['', s1, ..., sn, ''], so pairs live at indices
+    * 2..len-2 against their successors. */
+  private def roundCteSql(i: Int): String = {
+    val prev = s"dict${i - 1}"
+    s""",
+       |pc$i AS (
+       |  SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM (SELECT string_split(s, '||') AS a, freq FROM $prev) t,
+       |       unnest(range(2, len(a) - 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |best$i AS (
+       |  SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |dict$i AS (
+       |  SELECT d.word,
+       |    replace(d.s, '|' || b.l || '||' || b.r || '|',
+       |      '|' || b.l || b.r || '|') AS s, d.freq
+       |  FROM $prev d CROSS JOIN best$i b)""".stripMargin
+  }
+
+  private def dictCtesSql(nMerges: Int): String =
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
+       |  GROUP BY 1),
+       |dict0 AS (
+       |  SELECT word,
+       |    '||' || array_to_string(string_split(word, ''), '||') || '||' AS s,
+       |    freq
+       |  FROM wf)""".stripMargin +
+      (1 to nMerges).map(roundCteSql).mkString
+
+  /** DuckDB twin of [[train]] — the 8 iterations unrolled as CTE
+    * rounds; assumes the corpus yields at least `nMerges` mergeable
+    * pairs (true at every gate SF; the Scala trainer's exhaustion
+    * branch has no SQL analogue). */
+  def trainSql(nMerges: Int = 8): String =
+    dictCtesSql(nMerges) + "\nSELECT * FROM (\n" +
+      (1 to nMerges).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM best$i""")
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY merge_rank"
+
+  /** DuckDB twin of [[encode]]: the trained per-word symbol strings
+    * (dict`nMerges`) ARE the encoded words — token count per word is
+    * its delimiter count, and documents re-aggregate the word relation. */
+  def encodeSql(nMerges: Int = 8): String =
+    dictCtesSql(nMerges) +
+      s""",
+         |wtok AS (
+         |  SELECT word, CAST(len(string_split(s, '||')) - 2 AS BIGINT) AS ntok
+         |  FROM dict$nMerges),
+         |docw AS (
+         |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tokens_per_word
+         |FROM docw JOIN wtok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

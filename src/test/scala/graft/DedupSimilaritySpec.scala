@@ -678,4 +678,39 @@ class DedupSimilaritySpec extends GraftSpec {
         assert(cos(a, b) < 0.4, s"kept pair ($a,$b) within tau")
     }
   }
+
+  test("d27: boundary-straddling span found exactly where d24's chunking is blind") {
+    import spark.implicits._
+    // doc 1: 60-token span S at positions 41..100 of 120 tokens — it
+    // straddles the 64-token chunk boundary; doc 2 carries S at
+    // positions 11..70 (a DIFFERENT alignment) amid different filler;
+    // docs 1 & 3 share a 30-token span (below minSpan -> excluded).
+    val span = (1 to 60).map(i => s"s$i")
+    val small = (1 to 30).map(i => s"m$i")
+    val d1toks = (1 to 40).map(i => s"a$i") ++ span ++ small ++
+      (1 to 20).map(i => s"x$i")
+    val d2toks = (1 to 10).map(i => s"b$i") ++ span ++ (1 to 60).map(i => s"y$i")
+    val d3toks = (1 to 50).map(i => s"c$i") ++ small ++ (1 to 50).map(i => s"z$i")
+    val docs = Seq(
+      (1L, d1toks.mkString(" ")),
+      (2L, d2toks.mkString(" ")),
+      (3L, d3toks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("words", graft.text.Corpus.wordsCol)
+
+    // d24-style 64-token chunking is provably blind here: no aligned
+    // 64-chunk of doc 1 equals any chunk of doc 2
+    def chunks(toks: Seq[String]) =
+      toks.grouped(64).filter(_.size >= 8).map(_.mkString(" ")).toSet
+    assert(chunks(d1toks).intersect(chunks(d2toks)).isEmpty,
+      "fixture must defeat chunk-aligned dedup")
+
+    val got = Dedup.dupSpansFrom(docs, minSpan = 50, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly the (1,2) pair; the longest span is EXACTLY 60 tokens at
+    // the 30-offset alignment; the 30-token (1,3)-class span is below
+    // minSpan and must not appear
+    assert(got.toSeq === Seq((1L, 2L, 60L, 1L, 60L)), got.mkString(","))
+  }
 }
