@@ -32,13 +32,18 @@ object IndexStore {
 
   def writeIvfPq(spark: SparkSession, dir: String, indexDir: String,
                  nCentroids: Int = 8, nSub: Int = 4,
-                 nCodes: Int = 8): Unit = {
+                 nCodes: Int = 8, partitionByCell: Boolean = true): Unit = {
     val cells = Similarity.ivfRanked(spark, dir, nCentroids)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("centroid_id").as("cell"))
-    // local paths write unpartitioned; an object-store deployment adds
-    // .partitionBy("cell") so probes prune to their cells' files
-    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    // partitionBy("cell") IS the IVF inverted-list seek: a probe reads
+    // only its cells' files (IndexStoreSpec gates numFiles on the probe
+    // scan). partitionByCell=false keeps the flat layout for tooling
+    // that wants one file set.
+    if (partitionByCell)
+      cells.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/cells")
+    else cells.write.mode("overwrite").parquet(s"$indexDir/cells")
     Similarity.pqCodes(spark, dir, nSub, nCodes)
       .write.mode("overwrite").parquet(s"$indexDir/codes")
     Similarity.withNorm(spark, dir)
@@ -121,14 +126,21 @@ object IndexStore {
     val newVecs = Similarity.withNorm(spark, dataDir).filter(delta)
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    newVecs.crossJoin(cents)
+    val newCells = newVecs.crossJoin(cents)
       .withColumn("ccos",
         Similarity.dotColHof(col("embedding"), col("c_emb")) /
           sqrt(col("norm2") * col("c_norm2")))
       .withColumn("crank", row_number().over(wv))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("centroid_id").as("cell"))
-      .write.mode("append").parquet(s"$indexDir/cells")
+    // append under the layout the index was BUILT with (a cell=N
+    // directory listing means hive-partitioned)
+    val partitioned = Option(new java.io.File(s"$indexDir/cells").listFiles())
+      .exists(_.exists(_.getName.startsWith("cell=")))
+    if (partitioned)
+      newCells.write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/cells")
+    else newCells.write.mode("append").parquet(s"$indexDir/cells")
     val sub = newVecs.select(col("vec_id") +: col("label") +:
       (0 until nSub).map(s =>
         slice(col("embedding"), s * subDim + 1, subDim).as(s"sub_$s")): _*)
@@ -190,7 +202,19 @@ object IndexStore {
         (0 until nSub).map(s =>
           array((0 until nCodes).map(c => lutEntry(s, c)): _*)
             .as(s"lut_$s")): _*)
+    // THE INVERTED-LIST SEEK: materialize the query-sized probe/LUT
+    // relation ONCE (≤ nQueries·nProbe rows — localCheckpoint makes it
+    // a plan leaf, so neither the broadcast join nor Spark's dynamic
+    // partition pruning re-derives it from the corpus), then push its
+    // distinct cell ids (a bounded driver collect) as a LITERAL
+    // IN-filter onto the partitioned cells table: static partition
+    // pruning lists and reads only the probed cells' files
+    // (semantically a no-op: the join on cell implies it).
+    val probesLeaf = probes.localCheckpoint()
+    val probedCells = probesLeaf.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
     val cellCodes = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("cell"))
       .join(spark.read.parquet(s"$indexDir/codes")
         .select(col("vec_id").as("neighbor_id") +:
@@ -203,7 +227,7 @@ object IndexStore {
       .map(s => element_at(array(cnorm(s).map(lit): _*),
         col(s"code_$s").cast("int") + 1))
       .reduceLeft(_ + _)
-    val pairs = broadcast(probes).join(cellCodes, Seq("cell"))
+    val pairs = broadcast(probesLeaf).join(cellCodes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_adc", adcDot / sqrt(col("q_norm2") * reconNorm2))
     val w = Window.partitionBy(col("query_id"))

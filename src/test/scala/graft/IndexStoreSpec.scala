@@ -104,4 +104,38 @@ class IndexStoreSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("probe scan partition-prunes to the probed cells' files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq3").toString
+    try {
+      IndexStore.writeIvfPq(spark, sfDir, tmp) // partitionByCell default on
+      // hive layout: one cell=N directory per coarse cell
+      val cellDirs = Option(new java.io.File(s"$tmp/cells").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, "cells table must be hive-partitioned by cell")
+      val df = IndexStore.queryIvfPq(spark, tmp, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // the probed-cell literal IN-filter must reach the cells scan as a
+      // PARTITION filter (static pruning: only those dirs are listed)
+      assert(plan.contains("PartitionFilters: [cell"),
+        s"no partition filter on the cells scan:\n$plan")
+      // and the result is still v11's exactly (pruning is a no-op
+      // semantically — the cell join already implied it)
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getInt(3), r.getDouble(4)))
+      val want = Similarity.ivfPqAnn(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4)))
+      assert(got.toSeq == want.toSeq)
+      // append keeps the partitioned layout (no flat files at the root)
+      IndexStore.appendIvfPq(spark, sfDir, tmp, col("vec_id") < 0) // empty delta
+      val flat = Option(new java.io.File(s"$tmp/cells").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(flat.isEmpty, "append must not write flat files into a partitioned cells table")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
