@@ -165,15 +165,20 @@ object Bench {
         val sf1Dir = ScaleData.ensure(spark, sfDir, "target/sf1.0", 10)
         warm(spark, sf1Dir)
         val big = results.toMap
+        // min of 2 runs: the first pays per-plan codegen + footer reads,
+        // which at this SF is a 2-4x one-off that would chronically
+        // over-flag (measured: sk3 16.1 s cold vs 5.7 s steady)
         val sf1 = HeavyKeys.filter(SparkEntry.queries.contains).map { name =>
-          val t0 = System.nanoTime()
-          val t = try { SparkEntry.queries(name)(spark, sf1Dir).count()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-            -1.0
+          val times = (1 to 2).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, sf1Dir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+              None
+            }
           }
-          name -> t
+          name -> times.minOption.getOrElse(-1.0)
         }
         val slopes = sf1.collect {
           case (k, t1) if t1 >= 0 && big.getOrElse(k, -1.0) > 0 =>

@@ -1386,14 +1386,19 @@ object Dedup {
           .otherwise(array().cast("array<int>"))).as("p"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("words"), col("p"), lit(k))).as("win"))
-      .distinct()
-    val eligible = wins.groupBy(col("win"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("win"))
-    val winOk = wins.join(eligible, Seq("win"))
-    val pairs = winOk.select(col("win"), col("doc_id").as("doc_a"))
-      .join(winOk.select(col("win"), col("doc_id").as("doc_b")), Seq("win"))
+    // d4's posting-list shape: ONE window-key exchange builds the
+    // per-window doc set (collect_set dedupes in the aggregation
+    // buffer), the size filter is the df gate, and pairs explode from
+    // the bounded (≤ maxDf) posting arrays — no self-join. The buffer
+    // transiently holds a boilerplate window's full doc set before the
+    // filter drops it; at true scale a count-first semi-join pre-cap
+    // bounds that too (the d4/h1 discipline).
+    val winDocs = wins.groupBy(col("win"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDf)
+    val pairs = winDocs
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val shingPos = docsTok

@@ -456,7 +456,20 @@ class PlanShapeSpec extends GraftSpec {
         "exchange on partkey/suppkey hashes, nation broadcast"),
     ("j28_null_safe_recon", 4,
       "both year sides pre-aggregate to (supplier, category) before " +
-        "the null-safe FULL join; dimension-bounded relations only")
+        "the null-safe FULL join; dimension-bounded relations only"),
+    ("j29_waiting_suppliers", 1,
+      "Q21's two correlated existential legs decorrelate to semi/anti " +
+        "joins that BROADCAST at this SF (at scale AQE shuffles them " +
+        "on the shared orderkey); the s_name rollup is the only hash " +
+        "exchange"),
+    ("d27_dup_spans", 6,
+      "one window-key posting agg (collect_set, df-capped) + pair " +
+        "distinct; stage 2's runs/spans ride one broadcast-pair + " +
+        "(doc_b, shingle) meet, the diff window, and the pair rollup " +
+        "— never all-pairs"),
+    ("r3_daily_report", 8,
+      "every section block aggregates an already-leaf silver per " +
+        "sale_date; section joins meet on the |days|-sized date key")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
