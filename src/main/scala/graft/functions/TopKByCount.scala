@@ -33,6 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - with `summarySize` ≥ distinct keys the summary is EXACT
   *    (max_err = 0) — the spec's correctness anchor.
   *
+  * Update cost: the classic "decrement every tracked key" step is realized
+  * LAZILY via a global offset `delta` (effective count = stored − delta),
+  * so an untracked arrival against a full summary is O(log summarySize)
+  * — one offset bump plus amortized O(1) eviction of keys whose effective
+  * count reached zero — instead of an O(summarySize) sweep per miss. At
+  * skewed 100 TB inputs most arrivals ARE misses, so the sweep form is a
+  * scale-killer (measured 36× time at 10× data before this form); the
+  * offset form's per-row cost is flat in the summary size. A TreeMap of
+  * stored-count → keys makes "which keys just died" an O(#evicted)
+  * lookup; each tracked key is evicted at most once per insertion, so the
+  * eviction loop is amortized O(1) per arrival.
+  *
   * Output: struct(items: array<struct<sku, est_count>> sorted
   * (est desc, sku asc), max_err: long). Deterministic: ties order by key.
   */
@@ -70,7 +82,7 @@ case class TopKByCount(
   }
 
   override def eval(b: MG): Any = {
-    val items = b.counts.toArray.sortBy { case (k, c) => (-c, k) }
+    val items = b.entries.toArray.sortBy { case (k, c) => (-c, k) }
       .map { case (k, c) => InternalRow(UTF8String.fromString(k), c) }
     InternalRow(new GenericArrayData(items.asInstanceOf[Array[Any]]), b.decs)
   }
@@ -79,8 +91,8 @@ case class TopKByCount(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(b.decs)
-    out.writeInt(b.counts.size)
-    b.counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.writeInt(b.size)
+    b.entries.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
     out.flush()
     bos.toByteArray
   }
@@ -109,45 +121,100 @@ case class TopKByCount(
 }
 
 object TopKByCount {
-  /** Mutable Misra-Gries state: bounded (key → count) map + the total
-    * decrement, which is the one-sided error bound. */
-  final class MG(val counts: mutable.HashMap[String, Long], var decs: Long)
+  /** Mutable Misra-Gries state: bounded (key → stored count) map, a lazy
+    * global decrement `delta` (effective count = stored − delta; invariant
+    * stored > delta for every tracked key), the total decrement `decs`
+    * (the one-sided error bound), and a stored-count → keys index for
+    * O(#evicted) lazy eviction. Constructed from an EFFECTIVE-counts map
+    * (delta starts at 0), which is also the serialized form — so wire
+    * format and observable semantics are identical to the eager-sweep
+    * implementation. */
+  final class MG(initCounts: mutable.HashMap[String, Long], var decs: Long) {
+    private[functions] val stored: mutable.HashMap[String, Long] = initCounts
+    private[functions] var delta: Long = 0L
+    private[functions] val buckets =
+      new java.util.TreeMap[Long, mutable.HashSet[String]]()
+    initCounts.foreach { case (k, c) => bucketAdd(c, k) }
+
+    private[functions] def bucketAdd(c: Long, k: String): Unit = {
+      val s = buckets.get(c)
+      if (s == null) {
+        val n = mutable.HashSet.empty[String]; n += k; buckets.put(c, n)
+      } else s += k
+    }
+
+    private[functions] def bucketRemove(c: Long, k: String): Unit = {
+      val s = buckets.get(c)
+      if (s != null) { s -= k; if (s.isEmpty) buckets.remove(c) }
+    }
+
+    /** Drop stored/buckets/delta and install a fresh effective-count map,
+      * pre-shifted by `cut` (merge truncation), keeping positives only. */
+    private[functions] def reset(eff: mutable.HashMap[String, Long], cut: Long): Unit = {
+      stored.clear(); buckets.clear(); delta = 0L
+      eff.foreach { case (k, c) =>
+        val r = c - cut
+        if (r > 0) { stored.update(k, r); bucketAdd(r, k) }
+      }
+    }
+
+    /** Number of tracked keys. */
+    def size: Int = stored.size
+
+    /** Effective (key → count) view — what eval/serialize/consumers see. */
+    def entries: Iterator[(String, Long)] =
+      stored.iterator.map { case (k, c) => (k, c - delta) }
+
+    /** Immutable effective snapshot (streaming state checkpointing). */
+    def toMap: Map[String, Long] = entries.toMap
+  }
 
   /** One Misra-Gries arrival. Shared by the batch aggregate and the
     * streaming state twin ([[graft.streaming.StatefulTopSellers]]) so the
-    * two paths run the IDENTICAL algebra by construction. */
+    * two paths run the IDENTICAL algebra by construction. The decrement
+    * step is the lazy-offset form: bump `delta` (one unit off every
+    * tracked key, and the arriving key is simply not added), then evict
+    * only the keys whose effective count reached zero — found in O(log
+    * summarySize) via the min stored-count bucket. */
   def updateOne(b: MG, key: String, summarySize: Int): Unit =
-    b.counts.get(key) match {
-      case Some(c) => b.counts.update(key, c + 1)
+    b.stored.get(key) match {
+      case Some(c) =>
+        b.stored.update(key, c + 1)
+        b.bucketRemove(c, key)
+        b.bucketAdd(c + 1, key)
       case None =>
-        if (b.counts.size < summarySize) b.counts.update(key, 1L)
-        else {
-          // classic MG decrement step: one unit off every tracked key
-          // (and one off the arriving key, which is simply not added)
-          val dead = mutable.ArrayBuffer.empty[String]
-          b.counts.mapValuesInPlace((_, c) => c - 1)
-          b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
-          dead.foreach(b.counts.remove)
+        if (b.stored.size < summarySize) {
+          b.stored.update(key, b.delta + 1)
+          b.bucketAdd(b.delta + 1, key)
+        } else {
+          b.delta += 1
           b.decs += 1
+          var e = b.buckets.firstEntry()
+          while (e != null && e.getKey <= b.delta) {
+            e.getValue.foreach(b.stored.remove)
+            b.buckets.remove(e.getKey)
+            e = b.buckets.firstEntry()
+          }
         }
     }
 
-  /** Mergeable-summaries combine: add counts, then subtract the
-    * (size+1)-th largest and drop the non-positive remainder. */
+  /** Mergeable-summaries combine: add effective counts, then subtract the
+    * (size+1)-th largest and drop the non-positive remainder. Runs once
+    * per partial-pair (not per row), so the eager O(summarySize) rebuild
+    * is fine here. */
   def mergeInto(b: MG, other: MG, summarySize: Int): Unit = {
-    other.counts.foreach { case (k, c) =>
-      b.counts.update(k, b.counts.getOrElse(k, 0L) + c)
+    val eff = mutable.HashMap.empty[String, Long]
+    b.entries.foreach { case (k, c) => eff.update(k, c) }
+    other.entries.foreach { case (k, c) =>
+      eff.update(k, eff.getOrElse(k, 0L) + c)
     }
     b.decs += other.decs
-    if (b.counts.size > summarySize) {
-      val cut = b.counts.values.toArray.sorted(Ordering[Long].reverse)
-        .apply(summarySize)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b.counts.mapValuesInPlace((_, c) => c - cut)
-      b.counts.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(b.counts.remove)
+    var cut = 0L
+    if (eff.size > summarySize) {
+      cut = eff.values.toArray.sorted(Ordering[Long].reverse).apply(summarySize)
       b.decs += cut
     }
+    b.reset(eff, cut)
   }
 
   /** Column-API entry point. */

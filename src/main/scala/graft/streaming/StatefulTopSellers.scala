@@ -51,8 +51,8 @@ object StatefulTopSellers {
             TopKByCount.updateOne(mg, r.sku, summarySize)
             n += 1
           }
-          state.update(MGState(mg.counts.toMap, mg.decs, n))
-          mg.counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(topK)
+          state.update(MGState(mg.toMap, mg.decs, n))
+          mg.entries.toSeq.sortBy { case (k, c) => (-c, k) }.take(topK)
             .zipWithIndex.iterator.map { case ((k, c), i) =>
               TopSellerUpdate(store, n, i + 1, k, c, mg.decs)
             }

@@ -1230,21 +1230,26 @@ object TextAnalysis {
     * new at all"). First occurrence = min(doc_id) per shingle — ingest
     * order, deterministic, no wall clock.
     *
-    * Scale shape: one shingle-keyed count agg + a join that RIDES the
-    * same shingle partitioning (d4's inverted-index shape), then one
-    * doc-keyed rollup — shingle-df bounded, never all-pairs. Docs too
-    * short to shingle simply do not appear (nothing to measure). At
-    * 100 TB the first-occurrence relation is the incremental silver an
-    * ingest pipeline maintains per batch — arrivals join against it,
-    * never against each other. */
+    * Scale shape: TWO aggregates joined on doc_id, NO shingle-keyed
+    * join-back. `Corpus.docShingles` is already per-doc DISTINCT, so a
+    * doc's novel-shingle count is exactly the number of shingles whose
+    * corpus-wide min(doc_id) is that doc — i.e. `first.groupBy(first_doc)
+    * .count()` — and its total is a plain per-doc count. The naive form
+    * (join every (doc, shingle) row back to the first-occurrence relation
+    * ON shingle) re-shuffles the full vocabulary-scale stream a second
+    * time and measured 26× time at 10× data; this form's second exchange
+    * is |docs|-sized. The left join keeps docs whose every shingle was
+    * seen earlier (n_novel = 0). At 100 TB the first-occurrence relation
+    * is the incremental silver an ingest pipeline maintains per batch —
+    * arrivals aggregate against it, never against each other. */
   def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     val ds = Corpus.docShingles(spark, dir)
-    val first = ds.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
-    ds.join(first, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val total = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = ds.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    total.join(novel, total("doc_id") === novel("first_doc"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("n_novel * 1000 div n_shingles").as("novelty_milli"))
       .orderBy(col("doc_id"))
@@ -1252,15 +1257,18 @@ object TextAnalysis {
 
   val noveltyCurveSql: String =
     s"""WITH ds AS (${Corpus.docShinglesSql}),
-       |first AS (
-       |  SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
-       |SELECT d.doc_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) * 1000
-       |    // COUNT(*) AS BIGINT) AS novelty_milli
-       |FROM ds d JOIN first f USING (shingle)
-       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+       |total AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+       |  FROM ds GROUP BY 1),
+       |novel AS (
+       |  SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+       |  FROM (SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
+       |  GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles,
+       |  COALESCE(n.n_novel, 0) AS n_novel,
+       |  COALESCE(n.n_novel, 0) * 1000 // t.n_shingles AS novelty_milli
+       |FROM total t LEFT JOIN novel n ON t.doc_id = n.first_doc
+       |ORDER BY t.doc_id""".stripMargin
 
   /** t24: GOOD-TURING ADJUSTED COUNTS over the corpus 3-gram spectrum —
     * the smoothing table a Katz-backoff n-gram LM is built from: for

@@ -200,8 +200,9 @@ class PlanShapeSpec extends GraftSpec {
       "per audited join: two key-count aggs + the key-sized equi-join — " +
         "never the data-sized join itself (3 joins x 3)"),
     ("t23_novelty_curve", 3,
-      "first-occurrence agg + join riding the shingle partitioning + " +
-        "one doc rollup — d4's inverted-index shape, never all-pairs"),
+      "shingle first-occurrence agg + its first_doc rollup + per-doc " +
+        "count; the stitch join is |docs|-sized — no vocabulary-scale " +
+        "join-back of the (doc, shingle) stream"),
     ("e20_session_stats", 2,
       "session build rides e4's one user exchange; both per-day rank " +
         "windows AND the day rollup ride one day exchange"),

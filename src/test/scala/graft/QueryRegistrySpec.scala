@@ -30,10 +30,8 @@ class QueryRegistrySpec extends AnyFunSuite {
     "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do",
     "m7_scene_cuts" -> "frame features come from the binary decode seam (like m4)",
     "sk6_rolling_approx" -> "Datasketches HLL estimates are implementation-defined (e15 is the exact anchor)",
-    "t20_bpe_train" -> "iterative merge application needs a per-merge rewrite loop SQL cannot express (BpeSpec recomputes the trainer in-process)",
     "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)",
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
-    "t21_bpe_encode" -> "applies t20's merge loop per word — no SQL form (BpeSpec replays the encoder in-process)",
     "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)",
     "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)",
     "v28_trained_recall" -> "Lloyd's fixed-point iteration has no single-expression SQL form (t20's argument); donor row equality with v6 and run-to-run determinism are spec-asserted",
