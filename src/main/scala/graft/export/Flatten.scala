@@ -684,14 +684,29 @@ object Flatten {
        |ORDER BY metric""".stripMargin
 
   /** Exact integer-cents dollar rendering `123.45` shared by both engines
-    * (Spark `DIV`, DuckDB `//` — the float `{:,.2f}` of the reference is
-    * engine-divergent; thousands separators are scoped out with it). */
-  private def moneySpark(cents: String): String =
-    s"CAST($cents DIV 100 AS STRING) || '.' || " +
-      s"lpad(CAST($cents % 100 AS STRING), 2, '0')"
-  private def moneyDuck(cents: String): String =
-    s"CAST($cents // 100 AS VARCHAR) || '.' || " +
-      s"lpad(CAST($cents % 100 AS VARCHAR), 2, '0')"
+    * (the float `{:,.2f}` of the reference is engine-divergent; thousands
+    * separators are scoped out with it). Negative amounts format the
+    * ABSOLUTE value and prepend the sign explicitly: integer division
+    * disagrees across engines on negatives (Spark `DIV` truncates toward
+    * zero, DuckDB `//` floors) and `%` keeps the dividend's sign in both,
+    * so `-250` would otherwise render `-2.-50` vs `-3.-50`. */
+  private[graft] def moneySpark(cents: String): String =
+    s"(CASE WHEN $cents < 0 THEN '-' ELSE '' END || " +
+      s"CAST(abs($cents) DIV 100 AS STRING) || '.' || " +
+      s"lpad(CAST(abs($cents) % 100 AS STRING), 2, '0'))"
+  private[graft] def moneyDuck(cents: String): String =
+    s"(CASE WHEN $cents < 0 THEN '-' ELSE '' END || " +
+      s"CAST(abs($cents) // 100 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(abs($cents) % 100 AS VARCHAR), 2, '0'))"
+
+  /** NULL-total rendering for the one nullable money field (avg over a
+    * zero-transaction date): without the COALESCE, Spark's `concat_ws`
+    * silently DROPS the null line while DuckDB's `||` chain nulls the
+    * WHOLE report row — a single such date flips the r3 oracle. */
+  private[graft] def moneyOrNaSpark(cents: String): String =
+    s"COALESCE(${moneySpark(cents)}, 'N/A')"
+  private[graft] def moneyOrNaDuck(cents: String): String =
+    s"COALESCE(${moneyDuck(cents)}, 'N/A')"
 
   /** r3: the ASSEMBLED DAILY REPORT — one row per date carrying the full
     * concatenated plain-text report of generate-report/
@@ -793,7 +808,7 @@ object Flatten {
         concat(lit("Total Items: "), col("items").cast("string")),
         concat(lit("Stores Reporting: "), col("n_stores").cast("string"),
           lit("/"), col("n_stores_total").cast("string")),
-        concat(lit("Avg Transaction: $"), expr(moneySpark("avg_cents"))),
+        concat(lit("Avg Transaction: $"), expr(moneyOrNaSpark("avg_cents"))),
         lit(""),
         concat(lit("Best Store: #"), col("best_id"), lit(" ($"),
           expr(moneySpark("best_cents")), lit(")")),
@@ -896,7 +911,7 @@ object Flatten {
        |  'Total Items: ' || CAST(items AS VARCHAR) || $nl ||
        |  'Stores Reporting: ' || CAST(n_stores AS VARCHAR) || '/'
        |    || CAST(n_stores_total AS VARCHAR) || $nl ||
-       |  'Avg Transaction: $$' || ${moneyDuck("avg_cents")} || $nl ||
+       |  'Avg Transaction: $$' || ${moneyOrNaDuck("avg_cents")} || $nl ||
        |  '' || $nl ||
        |  'Best Store: #' || best_id || ' ($$' || ${moneyDuck("best_cents")}
        |    || ')' || $nl ||

@@ -130,7 +130,11 @@ object TopKByCount {
     * format and observable semantics are identical to the eager-sweep
     * implementation. */
   final class MG(initCounts: mutable.HashMap[String, Long], var decs: Long) {
-    private[functions] val stored: mutable.HashMap[String, Long] = initCounts
+    // defensively copied: aliasing the caller's map would let a caller
+    // that retains it (or builds two MGs from one map) corrupt the
+    // summary and its bucket index out from under us
+    private[functions] val stored: mutable.HashMap[String, Long] =
+      mutable.HashMap.from(initCounts)
     private[functions] var delta: Long = 0L
     private[functions] val buckets =
       new java.util.TreeMap[Long, mutable.HashSet[String]]()

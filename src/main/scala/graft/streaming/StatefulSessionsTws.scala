@@ -55,6 +55,17 @@ object StatefulSessionsTws {
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
                                  timerValues: TimerValues): Iterator[SessionOut] = {
       val out = List.newBuilder[SessionOut]
+      // Retro-session builder for gap-distant stragglers: since rows are
+      // processed in (us, event_id) order, stragglers that themselves sit
+      // within gapSec of each other must COALESCE into one retro-session
+      // (the batch e4 rule would merge them) — emitting one singleton per
+      // straggler would over-split exactly when two late events arrive in
+      // the same batch.
+      var retro: Option[SessionCell] = None
+      def pushRetro(): Unit = retro.foreach { rc =>
+        out += SessionOut(user, rc.start_us, rc.last_us, rc.n)
+        retro = None
+      }
       rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
         val prev = if (cur.exists()) Option(cur.get()) else None
         prev match {
@@ -65,11 +76,21 @@ object StatefulSessionsTws {
             // late straggler from a PREVIOUS batch, more than a gap
             // before the live session's start: it cannot extend the
             // session, and its true in-order neighbors were already
-            // emitted — surface it as a singleton retro-session rather
-            // than corrupting the live cell (bounded-lateness streaming
-            // cannot re-open an emitted session; the batch twin would
-            // have merged it only with already-closed history)
-            out += SessionOut(user, r.us, r.us, 1L)
+            // emitted — fold it into the retro-session under the same
+            // gap rule as the live path rather than corrupting the live
+            // cell (bounded-lateness streaming cannot re-open an emitted
+            // session; the batch twin would have merged it only with
+            // already-closed history)
+            retro match {
+              case Some(rc) if second(r.us) - second(rc.last_us) > gapSec =>
+                pushRetro()
+                retro = Some(SessionCell(r.us, r.us, 1L))
+              case Some(rc) =>
+                retro = Some(SessionCell(math.min(rc.start_us, r.us),
+                  math.max(rc.last_us, r.us), rc.n + 1L))
+              case None =>
+                retro = Some(SessionCell(r.us, r.us, 1L))
+            }
           case Some(c) =>
             // absorb — with min/max tracking, NOT plain assignment: a
             // cross-batch out-of-order event (late but above the
@@ -83,6 +104,7 @@ object StatefulSessionsTws {
             cur.update(SessionCell(r.us, r.us, 1L))
         }
       }
+      pushRetro()
       // ONE live timer per user at the gap horizon of the newest event:
       // re-arm by deleting whatever was pending first (timers are not
       // keyed by name, so stale horizons would otherwise accumulate)

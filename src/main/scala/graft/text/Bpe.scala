@@ -150,9 +150,9 @@ object Bpe {
        |  SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
        |dict$i AS (
        |  SELECT d.word,
-       |    replace(d.s, '|' || b.l || '||' || b.r || '|',
-       |      '|' || b.l || b.r || '|') AS s, d.freq
-       |  FROM $prev d CROSS JOIN best$i b)""".stripMargin
+       |    COALESCE(replace(d.s, '|' || b.l || '||' || b.r || '|',
+       |      '|' || b.l || b.r || '|'), d.s) AS s, d.freq
+       |  FROM $prev d LEFT JOIN best$i b ON TRUE)""".stripMargin
   }
 
   private def dictCtesSql(nMerges: Int): String =
@@ -168,9 +168,12 @@ object Bpe {
       (1 to nMerges).map(roundCteSql).mkString
 
   /** DuckDB twin of [[train]] — the 8 iterations unrolled as CTE
-    * rounds; assumes the corpus yields at least `nMerges` mergeable
-    * pairs (true at every gate SF; the Scala trainer's exhaustion
-    * branch has no SQL analogue). */
+    * rounds. Exhaustion-safe like the Scala trainer: when pair counts
+    * run out before `nMerges`, `best_i` is empty, the LEFT JOIN +
+    * COALESCE in `dict_i` carries the dictionary through unchanged,
+    * and the empty `best_i` simply contributes no merge row — matching
+    * the trainer's early stop (a CROSS JOIN here would instead zero
+    * every later round's dictionary: total silent data loss). */
   def trainSql(nMerges: Int = 8): String =
     dictCtesSql(nMerges) + "\nSELECT * FROM (\n" +
       (1 to nMerges).map(i =>

@@ -134,9 +134,15 @@ object IndexStore {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("centroid_id").as("cell"))
     // append under the layout the index was BUILT with (a cell=N
-    // directory listing means hive-partitioned)
-    val partitioned = Option(new java.io.File(s"$indexDir/cells").listFiles())
-      .exists(_.exists(_.getName.startsWith("cell=")))
+    // directory listing means hive-partitioned). Probed through the
+    // Hadoop FileSystem API, NOT java.io.File: the index dir may live on
+    // an object store (s3a://, hdfs://) where a local-file probe returns
+    // null and would silently demote the append to the flat layout,
+    // breaking partition pruning for every subsequent query.
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.exists(cellsPath) &&
+      fs.listStatus(cellsPath).exists(_.getPath.getName.startsWith("cell="))
     if (partitioned)
       newCells.write.mode("append").partitionBy("cell")
         .parquet(s"$indexDir/cells")

@@ -101,4 +101,35 @@ class BpeSpec extends GraftSpec {
       assert(nBpe >= words.length.toLong)
     }
   }
+
+  test("merge exhaustion: the trainer early-stops and the SQL twins carry " +
+    "the dictionary through empty rounds instead of zeroing it") {
+    import spark.implicits._
+    // a corpus whose dictionary exhausts after ONE merge: the only word
+    // is "ab", so round 1 merges (a,b) and round 2 finds no pairs
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_exhaust").toString
+    try {
+      Seq((0L, "ab ab", "test"), (1L, "ab", "test"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.text.Bpe.train(spark, tmp, nMerges = 8).collect()
+      assert(got.length === 1, "exhausted trainer must stop after its one merge")
+      assert(got(0).getAs[String]("merged") === "ab")
+      assert(got(0).getAs[Long]("pair_count") === 3L)
+      // encode over the exhausted table still works: every word is one token
+      val enc = graft.text.Bpe.encode(spark, tmp, nMerges = 8).collect()
+      assert(enc.map(_.getAs[Long]("n_bpe_tokens")).toSeq === Seq(2L, 1L))
+      // the DuckDB twins must survive exhaustion the same way: each round's
+      // dictionary LEFT-JOINs the possibly-empty best pair with a COALESCE
+      // fallback (a CROSS JOIN would zero every post-exhaustion round —
+      // silent total data loss in trainSql AND encodeSql)
+      val sql = graft.text.Bpe.trainSql(8)
+      assert(sql.contains("LEFT JOIN best1 b ON TRUE"))
+      assert(sql.contains("LEFT JOIN best8 b ON TRUE"))
+      assert(sql.contains("COALESCE(replace("))
+      assert(!sql.contains("CROSS JOIN best"))
+      assert(graft.text.Bpe.encodeSql(8).contains("LEFT JOIN best8 b ON TRUE"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }

@@ -138,4 +138,31 @@ class IndexStoreSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("appendIvfPq detects a FLAT cells layout and appends flat") {
+    // the layout probe goes through the Hadoop FileSystem API (works on
+    // file://, hdfs://, s3a:// alike — java.io.File silently returned
+    // null off the local FS and would demote every object-store append);
+    // this is the probe's false branch with a real delta
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq4").toString
+    val tmpHalf = java.nio.file.Files.createTempDirectory("graft-half2").toString
+    try {
+      val all = graft.model.Tables.embeddings(spark, sfDir)
+      val n = all.count()
+      val cut = n / 2
+      all.filter(col("vec_id") < cut)
+        .write.mode("overwrite").parquet(s"$tmpHalf/embeddings.parquet")
+      IndexStore.writeIvfPq(spark, tmpHalf, tmp, partitionByCell = false)
+      IndexStore.appendIvfPq(spark, sfDir, tmp, col("vec_id") >= cut)
+      assert(spark.read.parquet(s"$tmp/cells").count() == n)
+      val cellDirs = Option(new java.io.File(s"$tmp/cells").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.isEmpty,
+        "append must not introduce hive partitions into a flat cells table")
+    } finally {
+      Seq(tmp, tmpHalf).foreach(t =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t)))
+    }
+  }
 }

@@ -126,4 +126,44 @@ class TwsSessionsSpec extends GraftSpec {
       } finally q.stop()
     }
   }
+
+  test("same-batch gap-distant stragglers coalesce into merged retro-sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // gap 30 s, watermark delay 2000 s. Both users have a live session at
+    // 3000 and receive TWO stragglers in one later batch, each a full gap
+    // before the live start:
+    // user 5: stragglers 1500, 1510 — within gapSec of EACH OTHER, so the
+    //   batch rule merges them into ONE retro-session [1500,1510] n=2
+    //   (per-event singleton emission would over-split this to two rows);
+    // user 6: stragglers 1500, 1600 — gap 100 > 30 between them, so they
+    //   stay two singleton retro-sessions.
+    val batch1 = Seq(ev(5, 1, 3000), ev(6, 2, 3000))
+    val batch2 = Seq(ev(5, 3, 1500), ev(5, 4, 1510),
+      ev(6, 5, 1500), ev(6, 6, 1600))
+    val fixture = batch1 ++ batch2
+    val sentinelSec = 10000000L
+    withRocksDb {
+      val input = MemoryStream[SessionEvent]
+      val q = StatefulSessionsTws.sessions(input.toDS(), gapSec = 30L,
+          watermarkDelay = "2000 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions_retro").start()
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        input.addData(ev(999L, 100L, sentinelSec)); q.processAllAvailable()
+        input.addData(ev(998L, 101L, sentinelSec * 2)); q.processAllAvailable()
+        val got = spark.sql(
+            """SELECT user_id, start_us, end_us, n_events
+              |FROM tws_sessions_retro WHERE user_id < 100""".stripMargin)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+        val want = reference(fixture, 30L)
+        assert(want.size === 5, s"fixture must produce 5 sessions, got $want")
+        assert(got.toSeq === want)
+      } finally q.stop()
+    }
+  }
 }
