@@ -1185,4 +1185,174 @@ object Star {
        |      AND l3.l_shipdate > o_orderdate + INTERVAL $lagDays DAYS)
        |GROUP BY s_name
        |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** j30: EXCESS-STOCK SUPPLIERS — the TPC-H Q20 topology, the last
+    * decorrelation shape the j-family hadn't exercised: a SEMI JOIN
+    * (`IN` on supplier) whose inner relation filters a part-supplier
+    * aggregate through a CORRELATED SCALAR SUBQUERY on the fact table
+    * (Q20's "half of the quantity shipped" rule; here inverted to the
+    * excess-stock calibration `availqty > 2 × shipped-in-year`, which
+    * selects the tail at every gate SF). The partsupp stand-in is the
+    * synthesized (partkey, suppkey) quantity rollup — the same move as
+    * j27's Q2 shape, since the testdata carries no partsupp table.
+    *
+    * Written as SQL with the correlation GENUINE (like j29) so the
+    * plan goes through Catalyst's scalar-subquery decorrelation
+    * (PullupCorrelatedPredicates → an aggregate joined on exactly the
+    * (l_partkey, l_suppkey) key of the outer aggregate): both sums
+    * ride the SAME partkey-suppkey exchange, the part-name prefix
+    * filter arrives as a broadcast semi leg, and the supplier output
+    * leg is dimension-sized — never a row-sized anti-join
+    * (StarShapeSpec gates the shape). An empty correlated sum yields
+    * NULL → predicate unknown → excluded, the Q20 semantics both
+    * engines share. */
+  def excessStockSuppliers(spark: SparkSession, dir: String,
+                           prefix: String = "red", regionKey: Int = 1,
+                           year: Int = 1997): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("j30_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("j30_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("j30_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("j30_nation")
+    val df = spark.sql(
+      s"""WITH avail AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |    CAST(SUM(l_quantity) AS BIGINT) AS availqty
+         |  FROM j30_lineitem GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name
+         |FROM j30_supplier JOIN j30_nation ON s_nationkey = n_nationkey
+         |WHERE n_regionkey = $regionKey
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM avail
+         |    WHERE ps_partkey IN (
+         |        SELECT p_partkey FROM j30_part WHERE p_name LIKE '$prefix%')
+         |      AND availqty > 2 * (
+         |        SELECT CAST(SUM(l_quantity) AS BIGINT) FROM j30_lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP_NTZ '$year-01-01 00:00:00'
+         |          AND l_shipdate < TIMESTAMP_NTZ '${year + 1}-01-01 00:00:00'))
+         |ORDER BY s_suppkey""".stripMargin)
+    Seq("j30_lineitem", "j30_part", "j30_supplier", "j30_nation")
+      .foreach(spark.catalog.dropTempView(_))
+    df
+  }
+
+  def excessStockSuppliersSql(prefix: String = "red", regionKey: Int = 1,
+                              year: Int = 1997): String =
+    s"""WITH avail AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    CAST(SUM(l_quantity) AS BIGINT) AS availqty
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT s_suppkey, s_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_regionkey = $regionKey
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM avail
+       |    WHERE ps_partkey IN (
+       |        SELECT p_partkey FROM part WHERE p_name LIKE '$prefix%')
+       |      AND availqty > 2 * (
+       |        SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '$year-01-01 00:00:00'
+       |          AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'))
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** j31: IMPORTANT-STOCK PARTS — the TPC-H Q11 topology: a grouped
+    * aggregate HAVING-filtered against a GLOBAL SCALAR computed over
+    * the same relation. Per-part value (integer cents, decimal-exact)
+    * over one region's suppliers, keeping parts whose value exceeds
+    * 2× the AVERAGE part value — Q11's `> fraction × total` restated
+    * scale-stably (`value × n_parts > total × 2` in pure 64-bit
+    * integers: a fixed fraction returns everything at small SF and
+    * nothing at large SF as the part dimension grows, the exact
+    * reason Q11 parameterizes its fraction by SF).
+    *
+    * Shape: the supplier/nation legs are broadcast dims decorating the
+    * fact scan; ONE hash aggregate to part grain, materialized ONCE as
+    * a plan leaf (localCheckpoint — the IndexStore probe discipline:
+    * a self-referencing DAG otherwise duplicates the whole fact
+    * subtree into both branches of the cross join); the global scalar
+    * is a 1-row aggregate of that part-grain leaf CROSS-broadcast
+    * back — the fact table is scanned exactly once by construction. */
+  def importantStockParts(spark: SparkSession, dir: String,
+                          regionKey: Int = 1): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_regionkey") === regionKey)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val ps = Tables.lineitem(spark, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(Tables.Money)) * 100)
+        .cast("long").as("value_cents"))
+      .localCheckpoint()
+    val tot = ps.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    ps.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
+      .select(col("l_partkey").as("partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("partkey").asc)
+  }
+
+  def importantStockPartsSql(regionKey: Int = 1): String =
+    s"""WITH sup AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_regionkey = $regionKey),
+       |ps AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS value_cents
+       |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_parts FROM ps)
+       |SELECT l_partkey AS partkey, value_cents
+       |FROM ps CROSS JOIN tot
+       |WHERE value_cents * n_parts > total_cents * 2
+       |ORDER BY value_cents DESC, partkey ASC""".stripMargin
+
+  /** j32: PRIORITY SHIPPING CLASSES — the TPC-H Q12 topology: a
+    * fact-fact join (lineitem ⋈ orders on orderkey) under a category
+    * IN-filter and a one-year date window, grouped by the lineitem
+    * category with TWO CONDITIONAL COUNTS over the joined-in order
+    * attribute (urgent/high vs the rest — Q12's CASE-sum pair). The
+    * testdata carries no l_shipmode/commit/receipt dates, so the
+    * return flag stands in for the ship mode and the ship-date year
+    * for the receipt window; the topology — selective fact filter
+    * first, orderkey-keyed shuffle join, tiny grouped output — is
+    * Q12's exactly, and at scale the pre-join filter (flag + year)
+    * is what keeps the shuffle small. */
+  def priorityShipClasses(spark: SparkSession, dir: String,
+                          year: Int = 1997): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit(s"$year-01-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast(TimestampNTZType))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("return_class"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+      .orderBy(col("return_class"))
+  }
+
+  def priorityShipClassesSql(year: Int = 1997): String =
+    s"""SELECT l_returnflag AS return_class,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_returnflag IN ('A', 'R')
+       |  AND l_shipdate >= TIMESTAMP '$year-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'
+       |GROUP BY 1
+       |ORDER BY return_class""".stripMargin
 }

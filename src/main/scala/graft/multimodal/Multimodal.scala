@@ -20,7 +20,7 @@ case class MediaFeatures(
     kind: String,
     n_bytes: Long,
     checksum: Long,
-    decoded_format: String, // "png" | "jpeg" | "wav" | "raw"
+    decoded_format: String, // "png" | "jpeg" | "wav" | "y4m" | "raw"
     // format-primary dimensions: image (width, height); audio
     // (sample_rate, n_samples); 0 when the payload parses as neither
     decoded_w: Int,
@@ -31,15 +31,16 @@ case class MediaFeatures(
 /** Multimodal-column operators: decode / feature-extract / frame-sample
   * over opaque binary media columns.
   *
-  * The decode step is REAL for image AND audio metadata: image rows
-  * carry valid PNG payloads, audio rows valid PCM WAV payloads, and
-  * [[extractFeatures]] parses their actual bytes (PNG IHDR / JPEG SOF
-  * via [[ImageCodec]]; RIFF/WAVE chunks via [[AudioCodec]] — pure JVM,
-  * deterministic) into decoded dimensions/rates and channel counts —
-  * the routing metadata a real media pipeline extracts first.
-  * Waveform/pixel-level model EMBEDDING
-  * remains a stub ([[decodeStub]]: no model weights in this container);
-  * it produces a deterministic feature vector from the payload bytes.
+  * The decode step is REAL for ALL THREE kinds: image rows carry valid
+  * PNG payloads, audio rows valid PCM WAV payloads, video rows valid
+  * mono Y4M streams, and [[extractFeatures]] parses their actual bytes
+  * (PNG IHDR / JPEG SOF via [[ImageCodec]]; RIFF/WAVE chunks via
+  * [[AudioCodec]]; the YUV4MPEG2 header + frame walk via [[VideoCodec]]
+  * — pure JVM, deterministic) into decoded dimensions/rates and channel
+  * counts — the routing metadata a real media pipeline extracts first.
+  * Only the MODEL EMBEDDING over the decoded tensors remains a stub
+  * ([[decodeStub]]: no model weights in this container); it produces a
+  * deterministic feature vector from the payload bytes.
   * Everything around both — the binary column schema, the
   * Dataset[MediaRecord] encoder, the per-partition batched iteration
   * (the Scala analogue of `mapInPandas`: one iterator per partition,
@@ -57,9 +58,15 @@ object Multimodal {
     * for a real (id, bytes, metadata) media lake. IMAGE rows carry a
     * real PNG payload ([[ImageCodec.pngBytes]]) whose encoded
     * dimensions equal the row's metadata dims, AUDIO rows a real PCM
-    * WAV ([[AudioCodec.wavBytes]]) at a metadata-derived sample rate —
-    * so the decode path exercises genuine format parsing for both;
-    * video rows keep UTF-8 payloads for their (stubbed) codec. */
+    * WAV ([[AudioCodec.wavBytes]]) at a metadata-derived sample rate,
+    * and VIDEO rows a real mono Y4M stream ([[VideoCodec.y4mBytes]])
+    * whose header dims/frame count equal the row's metadata — every
+    * kind's decode path exercises genuine container parsing. Video
+    * dims are CAPPED (≤78×58, ≤49 frames) so the frame planes stay
+    * fixture-sized; frame 0 of every video is a constant TITLE CARD
+    * (the cross-video duplicate class m4 exists to find), later frames
+    * drift minimally within 16-frame scenes and jump across them (the
+    * structure m7's cut detector keys on). */
   private val mediaMemo = scala.collection.concurrent
     .TrieMap[(SparkSession, String), Dataset[MediaRecord]]()
 
@@ -92,9 +99,49 @@ object Multimodal {
           case "audio" => r.copy(bytes = AudioCodec.wavBytes(
             8000 + (r.media_id % 8).toInt * 1000,
             math.max(1, r.width * r.height), r.media_id))
-          case _ => r // video: payload stays opaque (decode is the stub seam)
+          case _ =>
+            // video: a REAL mono Y4M stream at capped, even dims; the
+            // metadata columns are rewritten to the encoded truth
+            val w = ((r.width % 32) + 8) * 2 // 16..78, even
+            val h = ((r.height % 24) + 6) * 2 // 12..58, even
+            val nf = (r.n_frames % 48) + 2 // 2..49 (≥ 3 sampled scenes)
+            val seed = (r.media_id % 251).toInt
+            val frames = (0 until nf).map(f => videoFramePlane(w, h, f, seed))
+            r.copy(bytes = VideoCodec.y4mBytes(w, h, 25, 1, frames),
+              width = w, height = h, n_frames = nf)
         }
       }
+  }
+
+  /** Deterministic luma plane of video frame `f`: frame 0 is a constant
+    * mid-gray TITLE CARD (identical across all same-dims videos — the
+    * cross-video duplicate m4 is built to find); later frames are a
+    * seeded gradient whose SLOPE changes every 16 frames (a scene jump
+    * — whole-image restructure, large luma-grid distance) while INSIDE
+    * a scene only a bounded timestamp "ticker" pixel advances (distance
+    * ≤ 96 milli-levels in one block — far under the cut threshold), so
+    * consecutive sampled frames inside a scene register small nonzero
+    * motion and scene boundaries register structural change. */
+  def videoFramePlane(w: Int, h: Int, f: Int, seed: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    if (f == 0) {
+      java.util.Arrays.fill(px, 128.toByte)
+    } else {
+      val scene = f / 16
+      val a = 3 + 2 * scene
+      val b = 5 + 3 * scene
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = ((x * a + y * b + seed) % 251).toByte
+          x += 1
+        }
+        y += 1
+      }
+      px(0) = ((f * 3) % 97 + 100).toByte // bounded in-scene ticker
+    }
+    px
   }
 
   /** Deterministic per-image pixel pattern (gradient + seed, wrapped
@@ -134,7 +181,10 @@ object Multimodal {
           case Some(h) => (h.format, h.width, h.height, h.channels)
           case None => AudioCodec.parseWav(r.bytes) match {
             case Some(w) => ("wav", w.sampleRate, w.nSamples.toInt, w.channels)
-            case None => ("raw", 0, 0, 0)
+            case None => VideoCodec.parseY4m(r.bytes) match {
+              case Some(v) => ("y4m", v.width, v.height, 1)
+              case None => ("raw", 0, 0, 0)
+            }
           }
         }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
@@ -245,31 +295,40 @@ object Multimodal {
       .orderBy("media_id", "window_idx")
   }
 
+  /** Rolling content hash of one REALLY-DECODED luma plane — frame
+    * identity for m4 (equal planes ⇔ equal hashes up to 64-bit rolling
+    * collisions; dims are mixed in so a w×h plane never collides with
+    * its transpose). */
+  def framePlaneHash(w: Int, h: Int, plane: Array[Byte]): Long = {
+    var acc = 1125899906842597L * 31 + w
+    acc = acc * 31 + h
+    var i = 0
+    while (i < plane.length) { acc = acc * 31 + (plane(i) & 0xff); i += 1 }
+    acc
+  }
+
   /** m4: CROSS-VIDEO FRAME DEDUP — d1's exact-dedup semantics applied to
     * sampled frames: identical frame content appearing in many videos
     * (intros, title cards, black frames) is training redundancy a video
     * pipeline drops before captioning/embedding. Frame content identity
-    * comes from a per-frame decode-stub hash (a real pipeline hashes the
-    * decoded frame tensor — same seam as [[decodeStub]]); the dedup
-    * algebra is d1's: min-(media_id, frame_idx) keeper per content group,
-    * everything else marked duplicate. One hash aggregate on the frame
-    * hash — bytes never leave executors, the shuffle carries 8-byte
-    * hashes. Rows-only like m2 (the frame hash has no DuckDB analogue). */
+    * is [[framePlaneHash]] over the GENUINELY DECODED luma plane
+    * ([[VideoCodec.lumaFrames]] — the real Y4M frame walk, not a byte
+    * window of the container): the shared title-card frame collapses
+    * across same-dims videos exactly as shared intros do in a real
+    * lake. The dedup algebra is d1's: min-(media_id, frame_idx) keeper
+    * per content group, everything else marked duplicate. One hash
+    * aggregate on the frame hash — planes never leave executors, the
+    * shuffle carries 8-byte hashes. Rows-only like m2 (the frame hash
+    * has no DuckDB analogue). */
   def frameDedup(spark: SparkSession, dir: String, step: Int = 10): DataFrame = {
     import spark.implicits._
     val media = mediaFromDocs(spark, dir)
     val frames = media.filter(_.kind == "video").flatMap { r =>
-      // per-frame content stub: rolling hash over the frame's byte window
-      // (a real codec hashes the decoded tensor); deterministic and
-      // content-derived, so equal payload windows ⇒ equal hashes
-      Range(0, r.n_frames, step).map { f =>
-        val start = math.min(f * 7 % math.max(1, r.bytes.length), r.bytes.length)
-        val end = math.min(start + 64, r.bytes.length)
-        var h = 1125899906842597L
-        var i = start
-        while (i < end) { h = h * 31 + (r.bytes(i) & 0xff); i += 1 }
-        (r.media_id, f, h)
-      }
+      VideoCodec.lumaFrames(r.bytes)
+        .filter { case (f, _) => f % step == 0 }
+        .map { case (f, plane) =>
+          (r.media_id, f, framePlaneHash(r.width, r.height, plane))
+        }
     }.toDF("media_id", "frame_idx", "frame_hash")
     val groups = frames.groupBy(col("frame_hash"))
       .agg(min(struct(col("media_id"), col("frame_idx"))).as("keeper"),
@@ -284,21 +343,33 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
-  /** Per-frame integer feature vector for [[sceneCuts]] — the
-    * [[decodeStub]] rolling-hash accumulator kept in exact longs (a
-    * real pipeline would use a downsampled luma histogram per decoded
-    * frame; same seam, same shape). Deterministic and content-derived:
-    * equal frame windows ⇒ equal features. */
-  private def frameFeature(bytes: Array[Byte], frame: Int,
-                           dim: Int = 8): Array[Long] = {
-    val start = math.min(frame * 7 % math.max(1, bytes.length), bytes.length)
-    val end = math.min(start + 64, bytes.length)
-    val acc = new Array[Long](dim)
-    var i = start
-    while (i < end) {
-      val d = (i - start) % dim
-      acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
-      i += 1
+  /** Per-frame integer feature vector for [[sceneCuts]]: the 4×4 grid
+    * of block MILLI-MEANS over the really-decoded luma plane — the
+    * downsampled-luma signature production cut detectors compare,
+    * in exact integer arithmetic (blockSum·1000 / blockPixels, integer
+    * division — bit-identical on any JVM/partitioning). Block
+    * boundaries use the standard ⌊b·dim/4⌋ partition, the aHash
+    * discipline at 4×4. */
+  def frameLumaGrid(w: Int, h: Int, plane: Array[Byte]): Array[Long] = {
+    val acc = new Array[Long](16)
+    var by = 0
+    while (by < 4) {
+      val y0 = by * h / 4; val y1 = (by + 1) * h / 4
+      var bx = 0
+      while (bx < 4) {
+        val x0 = bx * w / 4; val x1 = (bx + 1) * w / 4
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += plane(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        acc(by * 4 + bx) = if (n > 0) s * 1000L / n else 0L
+        bx += 1
+      }
+      by += 1
     }
     acc
   }
@@ -310,22 +381,29 @@ object Multimodal {
     * distance exceeds `threshold`, and a running sum of cut flags
     * assigns scene ids — e4's sessionization algebra applied to frames
     * (gap-over-threshold starts a new group). The first frame of every
-    * video starts scene 1 by definition.
+    * video starts scene 1 by definition. Features are [[frameLumaGrid]]
+    * signatures of the GENUINELY DECODED frame planes
+    * ([[VideoCodec.lumaFrames]]) — real pixels in, not container-byte
+    * windows; the default threshold (20 milli-levels per block on
+    * average, = 16·1250) separates the fixture's in-scene drift from
+    * its scene jumps and is calibrated per corpus in production.
     *
-    * Scale shape: the frame flatMap is narrow (bytes never leave
-    * executors; only media_id + 8 longs shuffle); the lag and the
+    * Scale shape: the frame flatMap is narrow (planes never leave
+    * executors; only media_id + 16 longs shuffle); the lag and the
     * running sum BOTH ride the single media_id exchange — one shuffle
     * total regardless of corpus size, and per-video frame counts bound
     * the window state. Rows-only like m2/m4 (the frame features have no
     * DuckDB analogue); the spec recomputes cuts and scene ids
     * in-process from the same bytes. */
   def sceneCuts(spark: SparkSession, dir: String, step: Int = 10,
-                threshold: Long = 2000000L): DataFrame = {
+                threshold: Long = 20000L): DataFrame = {
     import spark.implicits._
     val frames = mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>
-      Range(0, r.n_frames, step).map { f =>
-        (r.media_id, f, frameFeature(r.bytes, f))
-      }
+      VideoCodec.lumaFrames(r.bytes)
+        .filter { case (f, _) => f % step == 0 }
+        .map { case (f, plane) =>
+          (r.media_id, f, frameLumaGrid(r.width, r.height, plane))
+        }
     }.toDF("media_id", "frame_idx", "feat")
     val byVideo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
     frames

@@ -166,6 +166,35 @@ object IndexStore {
       .write.mode("append").parquet(s"$indexDir/codes")
   }
 
+  /** Persist Lloyd-TRAINED coarse centroids — the fit-once half of the
+    * re-training lifecycle: [[graft.vector.Lloyd.ivfTrainedOnce]] fits
+    * against the corpus exactly once, writes the result here, and every
+    * later session loads it instead of paying the iteration passes.
+    * Doubles round-trip parquet bit-exactly, so a loaded quantizer is
+    * BIT-IDENTICAL to the in-memory fit (IndexStoreSpec). */
+  def writeTrainedCentroids(spark: SparkSession, indexDir: String,
+                            cents: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "c_emb")
+      .write.mode("overwrite").parquet(s"$indexDir/trained_centroids")
+  }
+
+  /** The persisted trained centroids, or None when the index dir holds
+    * none (Hadoop-FS probe — object-store safe, like [[appendIvfPq]]'s
+    * layout detection). */
+  def readTrainedCentroids(spark: SparkSession,
+                           indexDir: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/trained_centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .orderBy(col("centroid_id").asc)
+      .collect()
+      .map(_.getSeq[Double](1).toArray))
+  }
+
   /** Answer top-k ANN queries from the persisted index. `queries` is
     * any (query_id, embedding) relation — here the first `nQueries`
     * embeddings, matching v11's harness convention. The float corpus

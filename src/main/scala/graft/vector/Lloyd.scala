@@ -111,4 +111,30 @@ object Lloyd {
   private def exactMean(sx: java.math.BigDecimal, n: Long): Double =
     sx.divide(java.math.BigDecimal.valueOf(n), 30,
       java.math.RoundingMode.HALF_EVEN).doubleValue
+
+  private val ivfMemo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, Int, Int), Array[Array[Double]]]()
+
+  /** FIT-ONCE access to the trained IVF centroids — the index-lifecycle
+    * contract: quantizers are fit once and versioned with the index,
+    * never refit per query. In-JVM the fit memoizes on
+    * (session, corpus, nCentroids, iters) — every consumer (v28's two
+    * ivfAnn legs, repeated bench iterations) shares ONE fit; pass
+    * `persistDir` to also round-trip the centroids through
+    * [[IndexStore.writeTrainedCentroids]] so a later session loads
+    * instead of refitting. The fit is deterministic (decimal-exact
+    * sums, see the object scaladoc) and doubles survive parquet
+    * bit-exactly, so memoized, persisted and fresh fits are
+    * BIT-IDENTICAL (IndexStoreSpec asserts the round trip). */
+  def ivfTrainedOnce(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                     iters: Int = 4,
+                     persistDir: Option[String] = None): Array[Array[Double]] =
+    ivfMemo.getOrElseUpdate((spark, dir, nCentroids, iters), {
+      persistDir.flatMap(IndexStore.readTrainedCentroids(spark, _))
+        .getOrElse {
+          val fit = ivfTrain(spark, dir, nCentroids, iters)
+          persistDir.foreach(IndexStore.writeTrainedCentroids(spark, _, fit))
+          fit
+        }
+    })
 }

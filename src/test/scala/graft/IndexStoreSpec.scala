@@ -139,6 +139,31 @@ class IndexStoreSpec extends GraftSpec {
     }
   }
 
+  test("trained centroids: fit-once round trip is bit-identical to the " +
+    "in-memory fit; a second call loads instead of refitting") {
+    import graft.vector.Lloyd
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trained").toString
+    try {
+      val direct = Lloyd.ivfTrain(spark, sfDir, nCentroids = 8, iters = 2)
+      // first call under an empty index dir: fits and persists
+      val fitted = Lloyd.ivfTrainedOnce(spark, sfDir, 8, 2, Some(tmp))
+      assert(fitted.length === direct.length)
+      fitted.zip(direct).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b),
+          "fit-once centroids diverged from the direct fit")
+      }
+      // the persisted copy loads bit-identical (doubles survive parquet)
+      val loaded = IndexStore.readTrainedCentroids(spark, tmp).get
+      loaded.zip(direct).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b),
+          "persisted centroids diverged from the in-memory fit")
+      }
+      // an empty dir reads as None, never a bogus quantizer
+      assert(IndexStore.readTrainedCentroids(spark, s"$tmp/nope").isEmpty)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("appendIvfPq detects a FLAT cells layout and appends flat") {
     // the layout probe goes through the Hadoop FileSystem API (works on
     // file://, hdfs://, s3a:// alike — java.io.File silently returned

@@ -81,10 +81,17 @@ class MultimodalSpec extends GraftSpec {
         col("decoded_w") < 8000 || col("decoded_w") > 15000 ||
         col("decoded_h") < 1).count() === 0,
         "audio rows must parse as mono PCM WAV at the fixture rate")
-      // video payloads must not pretend to decode
-      assert(feats.filter(col("kind") === "video")
-        .filter(col("decoded_format") =!= "raw" || col("decoded_w") =!= 0)
-        .count() === 0)
+      // video rows decode as mono Y4M at exactly the metadata dims
+      val vid = feats.filter(col("kind") === "video")
+      assert(vid.count() > 0)
+      val vmedia = Multimodal.mediaFromDocs(spark, sfDir).toDF()
+        .select(col("media_id"), col("width"), col("height"))
+      assert(vid.join(vmedia, "media_id")
+        .filter(col("decoded_format") =!= "y4m" ||
+          col("decoded_w") =!= col("width") ||
+          col("decoded_h") =!= col("height") ||
+          col("channels") =!= 1).count() === 0,
+        "video rows must parse as mono Y4M at the encoded dims")
     } finally feats.unpersist()
   }
 
@@ -280,30 +287,47 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
-  test("m7: cuts and scene ids recompute exactly from the same bytes; " +
-    "scene ids are contiguous from 1 per video") {
+  /** Independent in-process Y4M frame walk (deliberately NOT
+    * VideoCodec): find the header newline, read W/H from the tags,
+    * then slice mono frames at fixed "FRAME\n" + w·h offsets — an
+    * anchor implementation the operator's decoder must agree with. */
+  private def refY4mFrames(b: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    val hdrEnd = b.indexOf('\n'.toByte)
+    val tags = new String(b, 0, hdrEnd, "US-ASCII").split(" ")
+    val w = tags.find(_.startsWith("W")).get.drop(1).toInt
+    val h = tags.find(_.startsWith("H")).get.drop(1).toInt
+    assert(tags.contains("Cmono"), "fixture videos are mono Y4M")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val frames = Seq.newBuilder[Array[Byte]]
+    var i = hdrEnd + 1
+    while (i < b.length) {
+      assert(marker.indices.forall(j => b(i + j) == marker(j)),
+        s"expected FRAME marker at $i")
+      frames += java.util.Arrays.copyOfRange(
+        b, i + marker.length, i + marker.length + w * h)
+      i += marker.length + w * h
+    }
+    (w, h, frames.result())
+  }
+
+  test("m7: cuts and scene ids recompute exactly from an independent " +
+    "Y4M walk; scene ids are contiguous from 1 per video") {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocs(spark, sfDir).collect()
       .filter(_.kind == "video")
       .map(r => r.media_id -> r).toMap
-    def feat(bytes: Array[Byte], frame: Int): Array[Long] = {
-      val start = math.min(frame * 7 % math.max(1, bytes.length), bytes.length)
-      val end = math.min(start + 64, bytes.length)
-      val acc = new Array[Long](8)
-      var i = start
-      while (i < end) {
-        val d = (i - start) % 8
-        acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
-        i += 1
-      }
-      acc
-    }
     val res = Multimodal.sceneCuts(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("media_id"))
     assert(res.keySet === media.keySet)
+    var cuts = 0; var nonCuts = 0
     res.foreach { case (mid, rows) =>
       val r = media(mid)
+      val (w, h, allFrames) = refY4mFrames(r.bytes)
+      assert((w, h) === (r.width, r.height))
+      assert(allFrames.length === r.n_frames,
+        "encoded frame count must equal the metadata")
       val idxs = Range(0, r.n_frames, 10).toArray
+      val feats = idxs.map(f => Multimodal.frameLumaGrid(w, h, allFrames(f)))
       val sorted = rows.sortBy(_.getAs[Long]("frame_idx"))
       assert(sorted.map(_.getAs[Long]("frame_idx")).toSeq === idxs.map(_.toLong).toSeq)
       var scene = 0L
@@ -312,16 +336,81 @@ class MultimodalSpec extends GraftSpec {
           assert(row.isNullAt(row.fieldIndex("diff_energy")))
           assert(row.getAs[Boolean]("is_cut"))
         } else {
-          val d = feat(r.bytes, idxs(i)).zip(feat(r.bytes, idxs(i - 1)))
+          val d = feats(i).zip(feats(i - 1))
             .map { case (a, b) => math.abs(a - b) }.sum
           assert(row.getAs[Long]("diff_energy") === d)
-          assert(row.getAs[Boolean]("is_cut") === (d > 2000000L))
+          assert(row.getAs[Boolean]("is_cut") === (d > 20000L))
+          if (row.getAs[Boolean]("is_cut")) cuts += 1 else nonCuts += 1
         }
         if (row.getAs[Boolean]("is_cut")) scene += 1
         assert(row.getAs[Long]("scene_id") === scene)
       }
       assert(sorted.head.getAs[Long]("scene_id") === 1L)
     }
+    // the threshold must DISCRIMINATE on this corpus: both in-scene
+    // (no cut) and cross-scene (cut) transitions occur
+    assert(cuts > 0, "no scene cuts fired — threshold too high")
+    assert(nonCuts > 0, "every transition cut — threshold too low")
+  }
+
+  test("m4: frame-dedup hashes recompute from the independent Y4M walk; " +
+    "the shared title card collapses across same-dims videos") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocs(spark, sfDir).collect()
+      .filter(_.kind == "video")
+    val want = media.flatMap { r =>
+      val (w, h, frames) = refY4mFrames(r.bytes)
+      Range(0, frames.length, 10).map(f =>
+        (r.media_id, f.toLong) -> Multimodal.framePlaneHash(w, h, frames(f)))
+    }.toMap
+    val res = Multimodal.frameDedup(spark, sfDir).collect()
+    assert(res.length === want.size)
+    res.foreach { row =>
+      val key = (row.getAs[Long]("media_id"), row.getAs[Int]("frame_idx").toLong)
+      assert(row.getAs[Long]("frame_hash") === want(key))
+    }
+    // every frame 0 is the constant title card: within an equal-dims
+    // group all frame-0 rows share one hash, and any group with > 1
+    // video yields duplicates (the m4 use case, present at this SF)
+    val frame0 = res.filter(_.getAs[Int]("frame_idx") === 0)
+    val dupTitleCards = frame0.filter(_.getAs[Boolean]("is_duplicate"))
+    assert(dupTitleCards.nonEmpty,
+      "no duplicate title cards found — fixture lost its dup structure")
+    // group_size agrees with the hash multiplicity
+    val byHash = res.groupBy(_.getAs[Long]("frame_hash"))
+    res.foreach { row =>
+      assert(row.getAs[Long]("group_size") ===
+        byHash(row.getAs[Long]("frame_hash")).length.toLong)
+    }
+  }
+
+  test("VideoCodec: encode → parse → frame round trip; malformed streams reject") {
+    import graft.multimodal.VideoCodec
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(20 * 10)(i => ((i * 7 + f * 31) % 251).toByte))
+    val b = VideoCodec.y4mBytes(20, 10, 25, 1, frames)
+    val hd = VideoCodec.parseY4m(b).get
+    assert((hd.width, hd.height, hd.fpsNum, hd.fpsDen) === ((20, 10, 25, 1)))
+    assert(hd.colorspace === "mono" && hd.nFrames === 3 && hd.frameSize === 200)
+    val back = VideoCodec.lumaFrames(b).toSeq
+    assert(back.map(_._1) === Seq(0, 1, 2))
+    back.zip(frames).foreach { case ((_, got), want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+    assert(VideoCodec.lumaFrame(b, 1).get.toSeq === frames(1).toSeq)
+    // a C420 header from another encoder parses (frame size 3/2·w·h)
+    val h420 = "YUV4MPEG2 W4 H2 F30:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val f420 = "FRAME\n".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val parsed420 = VideoCodec.parseY4m(h420 ++ f420 ++ f420).get
+    assert(parsed420.frameSize === 12 && parsed420.nFrames === 2)
+    // luma slice of a 420 frame is its first w·h bytes
+    assert(VideoCodec.lumaFrame(h420 ++ f420, 0).get.length === 8)
+    // malformed: wrong magic, truncated frame, garbage tail
+    assert(VideoCodec.parseY4m("JUNK".getBytes("US-ASCII")).isEmpty)
+    assert(VideoCodec.parseY4m(
+      java.util.Arrays.copyOf(b, b.length - 5)).isEmpty)
+    assert(VideoCodec.parseY4m(
+      b ++ "tail-garbage".getBytes("US-ASCII")).isEmpty)
   }
 
   test("m10: banded pHash pairs are COMPLETE vs an in-process all-pairs " +

@@ -470,7 +470,21 @@ class PlanShapeSpec extends GraftSpec {
         "— never all-pairs"),
     ("r3_daily_report", 8,
       "every section block aggregates an already-leaf silver per " +
-        "sale_date; section joins meet on the |days|-sized date key")
+        "sale_date; section joins meet on the |days|-sized date key"),
+    ("j30_excess_stock", 2,
+      "Q20's correlated availqty scalar decorrelates to a SECOND " +
+        "(partkey, suppkey) aggregate co-keyed with the first — the " +
+        "two partsupp-grain exchanges and nothing else; parts and " +
+        "suppliers arrive by broadcast semi legs"),
+    ("j31_important_parts", 0,
+      "the part-grain aggregate is a materialized leaf; the global " +
+        "scalar HAVING reads it 1-row broadcast — no hash exchange " +
+        "in the query plan at all (the one fact aggregate ran inside " +
+        "the leaf's checkpoint job)"),
+    ("j32_priority_classes", 2,
+      "Q12: the flag+year filter prunes before the orderkey shuffle " +
+        "join; the 2-row conditional-count aggregate rides one more " +
+        "exchange")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
@@ -490,5 +504,14 @@ class PlanShapeSpec extends GraftSpec {
       assert(n <= max,
         s"$key now has $n hash exchanges (claim: $claim) — a shuffle crept in")
     }
+  }
+
+  test("j30_excess_stock: the supplier filter is a SEMI join, never an anti-join") {
+    val plan = SparkEntry.queries("j30_excess_stock")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "Q20's IN must lower to a semi join")
+    assert(!plan.contains("LeftAnti"),
+      "a row-sized anti-join crept into the Q20 shape")
   }
 }

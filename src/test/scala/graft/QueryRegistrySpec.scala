@@ -25,10 +25,10 @@ class QueryRegistrySpec extends AnyFunSuite {
     "d11_simhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d3)",
     "d13_lsh_eval_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d7)",
     "t8_fingerprint_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of t4)",
-    "m2_multimodal" -> "binary decode-stub features have no DuckDB analogue",
-    "m4_frame_dedup" -> "frame-content hashes come from the binary decode stub",
+    "m2_multimodal" -> "PNG/WAV/Y4M container parsing has no DuckDB analogue",
+    "m4_frame_dedup" -> "frame hashes derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
     "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do",
-    "m7_scene_cuts" -> "frame features come from the binary decode seam (like m4)",
+    "m7_scene_cuts" -> "luma-grid features derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
     "sk6_rolling_approx" -> "Datasketches HLL estimates are implementation-defined (e15 is the exact anchor)",
     "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)",
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
