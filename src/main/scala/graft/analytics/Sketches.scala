@@ -854,4 +854,86 @@ object Sketches {
        |    // NULLIF(x.exact_overlap, 0) AS err_overlap_milli
        |FROM exact x CROSS JOIN u_est u""".stripMargin
   }
+
+  /** sk15: HISTOGRAM QUANTILE SKETCH — the mergeable QUANTILE summary
+    * class the sk-family lacked, built relationally like sk7's CMS so
+    * it is FULLY ORACLE-CHECKED (where sk1's `percentile_approx` GK
+    * sketch is implementation-defined and rows-only): `bins`
+    * equal-width bins over the global [min, max] net-sales domain in
+    * integer cents, per-store bin counts, and rank-based quantile
+    * estimates read off the cumulative counts — the estimate for rank
+    * r is the LOWER EDGE of the bin where the cumulative count first
+    * reaches r (a34's positional ranks: ceil(n/2), ceil(9n/10)), so
+    * |estimate − exact| ≤ bin width by the histogram guarantee
+    * (SketchesSpec asserts it against an in-process exact recompute).
+    * Every step is 64-bit integer arithmetic — both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: the domain is ONE 1-row (min, max) aggregate of the
+    * cached rollup silver, cross-broadcast back (j31's discipline);
+    * binning is a pure map; the sketch is one (store, bin) hash
+    * aggregate whose state is ≤ |stores|·bins cells regardless of
+    * input rows — THE mergeable-summary property (bin counts add
+    * across partitions/days, so map-side combine does the compression
+    * and a day's sketch unions into a month's by addition); the
+    * quantile read-off windows over ≤ `bins` rows per store. */
+  def histogramQuantiles(spark: SparkSession, dir: String,
+                         bins: Int = 64): DataFrame = {
+    val vals = graft.etl.StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"),
+        ((col("gross_dec") - col("disc_dec")) * 100).cast("long").as("cents"))
+    val dom = vals.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val cells = vals.crossJoin(broadcast(dom))
+      .withColumn("bin", least(lit(bins - 1),
+        expr(s"((cents - lo) * $bins) div (hi - lo + 1)")).cast("int"))
+      .groupBy(col("store_id"), col("bin"))
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+    val byStore = Window.partitionBy(col("store_id"))
+    val cum = cells
+      .withColumn("cum", sum(col("cnt"))
+        .over(byStore.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byStore))
+      .withColumn("edge_cents",
+        col("lo") + expr(s"(bin * (hi - lo + 1)) div $bins"))
+    cum.groupBy(col("store_id"))
+      .agg(max(col("n")).as("n_days"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("edge_cents")))
+          .as("p50_est_cents"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("edge_cents")))
+          .as("p90_est_cents"))
+      .orderBy(col("store_id"))
+  }
+
+  def histogramQuantilesSql(bins: Int = 64): String =
+    s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql}),
+       |vals AS (
+       |  SELECT store_id,
+       |    CAST((gross_dec - disc_dec) * 100 AS BIGINT) AS cents
+       |  FROM r),
+       |dom AS (
+       |  SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+       |    CAST(MAX(cents) AS BIGINT) AS hi FROM vals),
+       |cells AS (
+       |  SELECT store_id,
+       |    LEAST($bins - 1, ((cents - lo) * $bins) // (hi - lo + 1)) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MAX(lo) AS lo, MAX(hi) AS hi
+       |  FROM vals CROSS JOIN dom
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT store_id, bin, cnt, lo, hi,
+       |    SUM(cnt) OVER (PARTITION BY store_id ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY store_id) AS n,
+       |    lo + (bin * (hi - lo + 1)) // $bins AS edge_cents
+       |  FROM cells)
+       |SELECT store_id,
+       |  CAST(MAX(n) AS BIGINT) AS n_days,
+       |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN edge_cents END)
+       |    AS BIGINT) AS p50_est_cents,
+       |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN edge_cents END)
+       |    AS BIGINT) AS p90_est_cents
+       |FROM cum GROUP BY store_id ORDER BY store_id""".stripMargin
 }

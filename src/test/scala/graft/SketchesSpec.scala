@@ -214,4 +214,40 @@ class SketchesSpec extends GraftSpec {
         math.abs(est - exact) * 1000 / exact)
     }
   }
+
+  test("sk15: histogram quantile estimates honor the bin-width error " +
+    "guarantee against an exact in-process recompute") {
+    val bins = 64
+    val vals = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .select(col("store_id"),
+        ((col("gross_dec") - col("disc_dec")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => r.getAs[String]("store_id") -> r.getAs[Long]("cents"))
+    val lo = vals.map(_._2).min
+    val hi = vals.map(_._2).max
+    val width = (hi - lo + 1) / bins + 1
+    val byStore = vals.groupBy(_._1).map { case (s, vs) =>
+      s -> vs.map(_._2).sorted
+    }
+    val res = graft.analytics.Sketches.histogramQuantiles(spark, sfDir).collect()
+    assert(res.length === byStore.size)
+    res.foreach { r =>
+      val s = r.getAs[String]("store_id")
+      val sorted = byStore(s)
+      val n = sorted.length
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      // a34's positional ranks: value at ceil(n/2), ceil(9n/10)
+      val exactP50 = sorted(((n + 1) / 2) - 1)
+      val exactP90 = sorted(((9 * n + 9) / 10) - 1)
+      val estP50 = r.getAs[Long]("p50_est_cents")
+      val estP90 = r.getAs[Long]("p90_est_cents")
+      // the estimate is the lower edge of the bin CONTAINING the exact
+      // positional value: never above it, never more than a width below
+      assert(estP50 <= exactP50 && exactP50 - estP50 <= width,
+        s"store $s: p50 est $estP50 vs exact $exactP50 (width $width)")
+      assert(estP90 <= exactP90 && exactP90 - estP90 <= width,
+        s"store $s: p90 est $estP90 vs exact $exactP90 (width $width)")
+      assert(estP50 <= estP90, "quantile estimates must be monotone")
+    }
+  }
 }
