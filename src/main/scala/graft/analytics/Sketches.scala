@@ -877,18 +877,43 @@ object Sketches {
     * across partitions/days, so map-side combine does the compression
     * and a day's sketch unions into a month's by addition); the
     * quantile read-off windows over ≤ `bins` rows per store. */
-  def histogramQuantiles(spark: SparkSession, dir: String,
-                         bins: Int = 64): DataFrame = {
+  /** The shared (store, bin) histogram-sketch relation of sk15/sk16:
+    * per-store bin counts of net-sales cents over `bins` equal-width
+    * bins spanning the global [min, max] domain (one 1-row broadcast
+    * aggregate). This IS the sketch: ≤ |stores|·bins cells however
+    * many input rows, built by one map-side-combinable aggregate. */
+  private def histCells(spark: SparkSession, dir: String, bins: Int): DataFrame = {
     val vals = graft.etl.StoreDaily.rollupDec(spark, dir)
       .select(col("store_id"),
         ((col("gross_dec") - col("disc_dec")) * 100).cast("long").as("cents"))
     val dom = vals.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
-    val cells = vals.crossJoin(broadcast(dom))
+    vals.crossJoin(broadcast(dom))
       .withColumn("bin", least(lit(bins - 1),
         expr(s"((cents - lo) * $bins) div (hi - lo + 1)")).cast("int"))
       .groupBy(col("store_id"), col("bin"))
       .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
         max(col("hi")).as("hi"))
+  }
+
+  private def histCellsSql(bins: Int): String =
+    s"""vals AS (
+       |  SELECT store_id,
+       |    CAST((gross_dec - disc_dec) * 100 AS BIGINT) AS cents
+       |  FROM r),
+       |dom AS (
+       |  SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+       |    CAST(MAX(cents) AS BIGINT) AS hi FROM vals),
+       |cells AS (
+       |  SELECT store_id,
+       |    LEAST($bins - 1, ((cents - lo) * $bins) // (hi - lo + 1)) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MAX(lo) AS lo, MAX(hi) AS hi
+       |  FROM vals CROSS JOIN dom
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def histogramQuantiles(spark: SparkSession, dir: String,
+                         bins: Int = 64): DataFrame = {
+    val cells = histCells(spark, dir, bins)
     val byStore = Window.partitionBy(col("store_id"))
     val cum = cells
       .withColumn("cum", sum(col("cnt"))
@@ -908,20 +933,7 @@ object Sketches {
 
   def histogramQuantilesSql(bins: Int = 64): String =
     s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql}),
-       |vals AS (
-       |  SELECT store_id,
-       |    CAST((gross_dec - disc_dec) * 100 AS BIGINT) AS cents
-       |  FROM r),
-       |dom AS (
-       |  SELECT CAST(MIN(cents) AS BIGINT) AS lo,
-       |    CAST(MAX(cents) AS BIGINT) AS hi FROM vals),
-       |cells AS (
-       |  SELECT store_id,
-       |    LEAST($bins - 1, ((cents - lo) * $bins) // (hi - lo + 1)) AS bin,
-       |    CAST(COUNT(*) AS BIGINT) AS cnt,
-       |    MAX(lo) AS lo, MAX(hi) AS hi
-       |  FROM vals CROSS JOIN dom
-       |  GROUP BY 1, 2),
+       |${histCellsSql(bins)},
        |cum AS (
        |  SELECT store_id, bin, cnt, lo, hi,
        |    SUM(cnt) OVER (PARTITION BY store_id ORDER BY bin
@@ -936,4 +948,71 @@ object Sketches {
        |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN edge_cents END)
        |    AS BIGINT) AS p90_est_cents
        |FROM cum GROUP BY store_id ORDER BY store_id""".stripMargin
+
+  /** sk16: SKETCH UNION — the property that makes sk15's histogram a
+    * SKETCH and not just a query: per-store summaries merge into the
+    * company summary by BIN-COUNT ADDITION (no re-scan of the inputs),
+    * exactly how per-partition/per-day sketches roll up to
+    * company/month granularity in a 100 TB lake. Built FROM the same
+    * (store, bin) cell relation sk15 reads: merge = one `bins`-bounded
+    * `GROUP BY bin, SUM(cnt)`, then the company p50/p90/p99 read off
+    * the merged cumulative counts with the same lower-edge rule (so
+    * the histogram error guarantee — |est − exact| ≤ bin width —
+    * survives the union unchanged, which SketchesSpec asserts against
+    * an exact company-level recompute). The same discipline as sk12's
+    * HLL register-max union and k13's algebraic-partial restatement:
+    * summaries compose associatively, so a day's sketch unions into a
+    * month's, a store's into the company's, on dimension-sized data.
+    *
+    * Scale shape: everything after the shared cell build is ≤
+    * |stores|·bins rows — the merge agg, the `bins`-row cumulative
+    * window (single partition is CORRECT here: the relation is
+    * config-bounded, never data-sized), and the 1-row readout. */
+  def mergedQuantiles(spark: SparkSession, dir: String,
+                      bins: Int = 64): DataFrame = {
+    val merged = histCells(spark, dir, bins)
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+      .withColumn("edge_cents",
+        col("lo") + expr(s"(bin * (hi - lo + 1)) div $bins"))
+    val all = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("cum", sum(col("cnt")).over(all))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_bins_used"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("edge_cents")))
+          .as("p50_est_cents"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("edge_cents")))
+          .as("p90_est_cents"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("edge_cents")))
+          .as("p99_est_cents"))
+  }
+
+  def mergedQuantilesSql(bins: Int = 64): String =
+    s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql}),
+       |${histCellsSql(bins)},
+       |merged AS (
+       |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt,
+       |    MAX(lo) AS lo, MAX(hi) AS hi
+       |  FROM cells GROUP BY bin),
+       |cum AS (
+       |  SELECT bin, cnt,
+       |    lo + (bin * (hi - lo + 1)) // $bins AS edge_cents,
+       |    SUM(cnt) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM merged)
+       |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN edge_cents END)
+       |    AS BIGINT) AS p50_est_cents,
+       |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN edge_cents END)
+       |    AS BIGINT) AS p90_est_cents,
+       |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN edge_cents END)
+       |    AS BIGINT) AS p99_est_cents
+       |FROM cum""".stripMargin
 }

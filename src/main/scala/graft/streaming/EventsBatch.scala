@@ -2133,4 +2133,300 @@ object EventsBatch {
        |  n_paths * 1000 // total_paths AS share_milli
        |FROM ranked WHERE rank <= $topN
        |ORDER BY rank""".stripMargin
+
+  /** e33: SCD TYPE-2 INTERVAL BUILD — the slowly-changing-dimension
+    * history table every warehouse maintains, built from the raw event
+    * stream: per user, CONSECUTIVE runs of the same state
+    * (`event_type`) collapse into one versioned row with a
+    * `[valid_from, valid_to)` validity interval, `valid_to` NULL on
+    * the open (current) version. The reference keeps only the latest
+    * state per entity (DynamoDB upsert, write-metrics:77-104); this is
+    * the full-history twin of e12's current-state snapshot — the
+    * row-level analogue of the reference's overwrite-by-day
+    * idempotent re-delivery story (process_upload.py).
+    *
+    * Shape is the classic gaps-and-islands build: change flag (lag ≠
+    * current, ROWS frame), running sum of flags = 1-based version id,
+    * one group per island, lead(valid_from) closes each interval.
+    *
+    * Scale posture: ONE exchange on user_id serves all three steps —
+    * the change-flag/version windows sort per-user (bounded by a
+    * user's own activity, never corpus size), the island groupBy keys
+    * (user_id, version) are satisfied by the same hash partitioning
+    * (ClusteredDistribution subset rule: no second shuffle), and the
+    * interval-closing lead window runs over the versions relation,
+    * already dimension-sized (≤ state changes per user). Nothing
+    * global; AQE skew-split applies per stage. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val perEvent = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(perEvent).isNull ||
+          lag(col("state"), 1).over(perEvent) =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(perEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("state")).as("state"), // constant within a run
+        min(col("ts")).as("from_ts"),
+        count(lit(1)).as("n_events"))
+    val perVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us",
+        lead(expr("unix_micros(from_ts)"), 1).over(perVersion))
+      .select(col("user_id"), col("version"), col("state"),
+        expr("unix_micros(from_ts)").as("valid_from_us"),
+        col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, state, ts,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM seq),
+      |v AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    MIN(state) AS state, MIN(ts) AS from_ts,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM runs GROUP BY 1, 2),
+      |closed AS (
+      |  SELECT user_id, version, state,
+      |    epoch_us(from_ts) AS valid_from_us,
+      |    LEAD(epoch_us(from_ts)) OVER (PARTITION BY user_id
+      |      ORDER BY version) AS valid_to_us,
+      |    n_events
+      |  FROM v)
+      |SELECT user_id, version, state, valid_from_us, valid_to_us,
+      |  n_events, (valid_to_us IS NULL) AS is_current
+      |FROM closed ORDER BY user_id, version""".stripMargin
+
+  /** e34: CDC SNAPSHOT DIFF IN ONE SCAN — the change-data-capture
+    * readout between two as-of times: what would a consumer that last
+    * synced at T1 have to apply to reach the T2 state? Classified per
+    * entity as `insert` (absent at T1), `noop` (identical latest
+    * version row), `touch` (new events arrived but the state value is
+    * unchanged), `update` (state changed). Deletes are structurally
+    * absent in an append-only event lake — stated, not guessed.
+    * Reference analog: the incremental re-export decision in
+    * export-to-quicksight (re-push only changed partitions).
+    *
+    * Scale posture: the naive build is two ranked snapshots + a full
+    * outer join (three exchanges). Here both as-of snapshots come out
+    * of ONE scan and ONE exchange: conditional max-of-struct partials
+    * — max(when(ts<T, struct(ts, event_id, state))) for each cutoff —
+    * are algebraic, collapse map-side to ≤2 candidate rows per
+    * (map partition, user), and the diff classification is a pure
+    * projection of the two struct columns. The join is gone; the agg
+    * is AQE-skew-splittable. This is e12's latest-version-by-max
+    * pattern doubled up, and the reason it exists: time-travel diffs
+    * at 100 TB must not pay per-snapshot passes. */
+  def stateCdc(spark: SparkSession, dir: String,
+               t1: String = "2024-01-15", t2: String = "2024-01-25"): DataFrame = {
+    val v = struct(col("ts"), col("event_id"), col("event_type"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts") < lit(t1).cast("timestamp"), v)).as("a"),
+        max(when(col("ts") < lit(t2).cast("timestamp"), v)).as("b"))
+      .where(col("b").isNotNull)
+      .select(col("user_id"),
+        col("a.event_type").as("old_state"),
+        col("b.event_type").as("new_state"),
+        when(col("a").isNull, lit("insert"))
+          .when(col("a.event_id") === col("b.event_id"), lit("noop"))
+          .when(col("a.event_type") === col("b.event_type"), lit("touch"))
+          .otherwise(lit("update")).as("change"))
+      .orderBy(col("user_id"))
+  }
+
+  def stateCdcSql(t1: String = "2024-01-15", t2: String = "2024-01-25"): String =
+    s"""WITH r1 AS (
+       |  SELECT user_id, event_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts < TIMESTAMP '$t1'),
+       |a AS (SELECT user_id, event_id, event_type FROM r1 WHERE rn = 1),
+       |r2 AS (
+       |  SELECT user_id, event_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts < TIMESTAMP '$t2'),
+       |b AS (SELECT user_id, event_id, event_type FROM r2 WHERE rn = 1)
+       |SELECT b.user_id,
+       |  a.event_type AS old_state,
+       |  b.event_type AS new_state,
+       |  CASE WHEN a.user_id IS NULL THEN 'insert'
+       |       WHEN a.event_id = b.event_id THEN 'noop'
+       |       WHEN a.event_type = b.event_type THEN 'touch'
+       |       ELSE 'update' END AS change
+       |FROM b LEFT JOIN a ON a.user_id = b.user_id
+       |ORDER BY b.user_id""".stripMargin
+
+  /** e35: CUPED VARIANCE-REDUCED A/B READOUT (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments") —
+    * e30's experiment readout upgraded with the pre-experiment
+    * covariate adjustment every large experimentation platform runs:
+    * Y* = Y − θ(X − X̄) where X is the user's PRE-period value and
+    * θ = cov(X,Y)/var(X) fitted POOLED across arms (the standard
+    * recipe: θ must not differ by arm or the adjustment biases the
+    * contrast). Output is one row per arm with the raw and adjusted
+    * means and the realized variance reduction.
+    *
+    * PARITY DISCIPLINE (a30's moment pattern): per-event values
+    * quantize to milli (one IEEE multiply + FLOOR — bit-identical in
+    * both engines); per-user pre/post sums are exact BIGINTs off ONE
+    * conditional-sum scan (the e34 move — no second pass, no join);
+    * arm moments n, Σx, Σy are BIGINT and Σx², Σxy, Σy² accumulate as
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact, order-free —
+    * and only the closing θ/mean/variance chain touches doubles, in
+    * one fixed operation order. Degenerate var(X)=0 → θ NULL, adjusted
+    * columns NULL; var(Y)=0 → reduction NULL (ANSI-safe).
+    *
+    * Scale shape: one user-keyed conditional aggregate over the fact
+    * scan (map-side combinable), a 2-row arm rollup, a 1-row pooled-θ
+    * rollup OF THE ARM MOMENTS (moments are algebraic — pooled =
+    * arm-sum, no second user pass), broadcast back over 2 rows.
+    * At 100 TB this is exactly one shuffle on user_id. */
+  def cupedReadout(spark: SparkSession, dir: String,
+                   cutoff: String = "2024-01-10"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vm = expr("CAST(FLOOR(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)")
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), vm.as("vm"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit(cutoff).cast("timestamp"), col("vm"))
+          .otherwise(0L)).as("xm"),
+        sum(when(col("ts") >= lit(cutoff).cast("timestamp"), col("vm"))
+          .otherwise(0L)).as("ym"))
+      .withColumn("arm",
+        when(pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000L)) < 500L, "A").otherwise("B"))
+    val d19 = DecimalType(19, 0)
+    val arms = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("xm")).as("sx"),
+      sum(col("ym")).as("sy"),
+      sum(col("xm").cast(d19) * col("xm").cast(d19)).as("sxx"),
+      sum(col("xm").cast(d19) * col("ym").cast(d19)).as("sxy"),
+      sum(col("ym").cast(d19) * col("ym").cast(d19)).as("syy"))
+    val pooled = arms.agg(
+      sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxx")).as("psxx"),
+      sum(col("sxy")).as("psxy"))
+      .select(
+        (col("psx").cast("double") / lit(1000.0) / col("pn").cast("double"))
+          .as("pmean_x"),
+        (col("psxx").cast("double") / lit(1e6) / col("pn").cast("double") -
+          (col("psx").cast("double") / lit(1000.0) / col("pn").cast("double")) *
+          (col("psx").cast("double") / lit(1000.0) / col("pn").cast("double")))
+          .as("pvarx"),
+        (col("psxy").cast("double") / lit(1e6) / col("pn").cast("double") -
+          (col("psx").cast("double") / lit(1000.0) / col("pn").cast("double")) *
+          (col("psy").cast("double") / lit(1000.0) / col("pn").cast("double")))
+          .as("pcovxy"))
+      .select(col("pmean_x"),
+        when(col("pvarx") === 0.0, lit(null).cast("double"))
+          .otherwise(col("pcovxy") / col("pvarx")).as("theta"))
+    val nD = col("n").cast("double")
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("mean_x", col("sx").cast("double") / lit(1000.0) / nD)
+      .withColumn("mean_y", col("sy").cast("double") / lit(1000.0) / nD)
+      .withColumn("var_y",
+        col("syy").cast("double") / lit(1e6) / nD - col("mean_y") * col("mean_y"))
+      .withColumn("varx_a",
+        col("sxx").cast("double") / lit(1e6) / nD - col("mean_x") * col("mean_x"))
+      .withColumn("covxy_a",
+        col("sxy").cast("double") / lit(1e6) / nD - col("mean_x") * col("mean_y"))
+      .withColumn("mean_y_cuped",
+        when(col("theta").isNull, lit(null).cast("double"))
+          .otherwise(col("mean_y") -
+            col("theta") * (col("mean_x") - col("pmean_x"))))
+      .withColumn("var_y_cuped",
+        when(col("theta").isNull, lit(null).cast("double"))
+          .otherwise(col("var_y") - lit(2.0) * col("theta") * col("covxy_a") +
+            col("theta") * col("theta") * col("varx_a")))
+      .withColumn("var_reduction_pct",
+        when(col("theta").isNull || col("var_y") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((lit(1.0) - col("var_y_cuped") / col("var_y")) * 100.0))
+      .select(col("arm"), col("n").as("n_users"), col("mean_x"), col("mean_y"),
+        col("theta"), col("mean_y_cuped"), col("var_y"), col("var_y_cuped"),
+        col("var_reduction_pct"))
+      .orderBy(col("arm"))
+  }
+
+  def cupedReadoutSql(cutoff: String = "2024-01-10"): String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$cutoff'
+       |      THEN CAST(FLOOR(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS xm,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$cutoff'
+       |      THEN CAST(FLOOR(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ym,
+       |    CASE WHEN ((user_id % 1000000007) * 2654435761) % 1000 < 500
+       |      THEN 'A' ELSE 'B' END AS arm
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+       |    SUM(CAST(xm AS HUGEINT) * xm) AS sxx,
+       |    SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+       |    SUM(CAST(ym AS HUGEINT) * ym) AS syy
+       |  FROM u GROUP BY arm),
+       |pooled AS (
+       |  SELECT pmean_x,
+       |    CASE WHEN pvarx = 0.0 THEN NULL ELSE pcovxy / pvarx END AS theta
+       |  FROM (
+       |    SELECT
+       |      CAST(psx AS DOUBLE) / 1000.0 / CAST(pn AS DOUBLE) AS pmean_x,
+       |      CAST(psxx AS DOUBLE) / 1e6 / CAST(pn AS DOUBLE) -
+       |        (CAST(psx AS DOUBLE) / 1000.0 / CAST(pn AS DOUBLE)) *
+       |        (CAST(psx AS DOUBLE) / 1000.0 / CAST(pn AS DOUBLE)) AS pvarx,
+       |      CAST(psxy AS DOUBLE) / 1e6 / CAST(pn AS DOUBLE) -
+       |        (CAST(psx AS DOUBLE) / 1000.0 / CAST(pn AS DOUBLE)) *
+       |        (CAST(psy AS DOUBLE) / 1000.0 / CAST(pn AS DOUBLE)) AS pcovxy
+       |    FROM (
+       |      SELECT CAST(SUM(n) AS BIGINT) AS pn,
+       |        CAST(SUM(sx) AS BIGINT) AS psx, CAST(SUM(sy) AS BIGINT) AS psy,
+       |        SUM(sxx) AS psxx, SUM(sxy) AS psxy
+       |      FROM arms))),
+       |closed AS (
+       |  SELECT arm, n, pmean_x, theta,
+       |    CAST(sx AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean_x,
+       |    CAST(sy AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS mean_y,
+       |    CAST(syy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) -
+       |      (CAST(sy AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) *
+       |      (CAST(sy AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) AS var_y,
+       |    CAST(sxx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) -
+       |      (CAST(sx AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) *
+       |      (CAST(sx AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) AS varx_a,
+       |    CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) -
+       |      (CAST(sx AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) *
+       |      (CAST(sy AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)) AS covxy_a
+       |  FROM arms CROSS JOIN pooled)
+       |SELECT arm, n AS n_users, mean_x, mean_y, theta,
+       |  CASE WHEN theta IS NULL THEN NULL
+       |    ELSE mean_y - theta * (mean_x - pmean_x) END AS mean_y_cuped,
+       |  var_y,
+       |  CASE WHEN theta IS NULL THEN NULL
+       |    ELSE var_y - 2.0 * theta * covxy_a + theta * theta * varx_a
+       |    END AS var_y_cuped,
+       |  CASE WHEN theta IS NULL OR var_y = 0.0 THEN NULL
+       |    ELSE (1.0 - (var_y - 2.0 * theta * covxy_a
+       |      + theta * theta * varx_a) / var_y) * 100.0
+       |    END AS var_reduction_pct
+       |FROM closed ORDER BY arm""".stripMargin
 }

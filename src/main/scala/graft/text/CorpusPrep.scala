@@ -1055,4 +1055,126 @@ object CorpusPrep {
       |JOIN domains d ON p.lang = d.lang AND p.source = d.source
       |CROSS JOIN nd
       |ORDER BY interleave_key""".stripMargin
+
+  /** p21: DSIR — Domain-Specific Importance Resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): select raw documents that LOOK LIKE a target domain
+    * by the log-likelihood ratio of two hashed-feature bag-of-words
+    * models. Feature space = unigrams hashed into `nBuckets` buckets
+    * (the hashing trick bounds model size regardless of vocabulary);
+    * target model = token-bucket counts over the target slice (here
+    * `lang = 'en'` — the curated domain), raw model = counts over the
+    * whole corpus; both add-one smoothed. A document's importance
+    * weight is Σ_tokens [log2 p_target(bucket) − log2 p_raw(bucket)],
+    * and the deterministic variant of DSIR's resampling keeps the top
+    * `quotaPct`% by weight (total order: weight desc, doc_id asc).
+    *
+    * ENGINE-PORTABLE ARITHMETIC: each log2 is t15's milli-log2
+    * (floor-log2 by binary length + linear mantissa — no libm), so a
+    * bucket's weight is the exact integer
+    * mlog2(cnt_t+1) − mlog2(tot_t+B) − mlog2(cnt_r+1) + mlog2(tot_r+B)
+    * and a doc's weight an exact Σ tf·w — no float accumulation
+    * anywhere. Buckets come from wordDict rank ids through a SIXTH
+    * independent multiplicative hash (999999929, 2654435789 — distinct
+    * from p7/p13/p14's constants), so the feature map is reproducible
+    * by any engine.
+    *
+    * Scale shape: ONE pass over the token long-form builds both models
+    * (conditional sums in the same bucket aggregate — the e34 move);
+    * the model is `nBuckets`-bounded and BROADCASTS to the per-doc
+    * scoring join; ranking rides GlobalRank's range-partitioned
+    * two-phase shape (never a single-partition global window); the
+    * quota bound is a 1-row broadcast. At 100 TB: two corpus passes
+    * (model fit + scoring), everything else dimension-sized — the
+    * published DSIR recipe is exactly this shape on Hadoop. */
+  def dsirSelect(spark: SparkSession, dir: String, target: String = "en",
+                 nBuckets: Int = 4096, quotaPct: Int = 25): DataFrame = {
+    import graft.functions.FloorLog2.floorLog2
+    def mlog2(df: DataFrame, in: String, out: String): DataFrame =
+      df.withColumn(s"__b_$out", floorLog2(col(in)))
+        .withColumn(s"__p_$out",
+          call_function("shiftleft", lit(1L), col(s"__b_$out").cast("int")))
+        .withColumn(out, col(s"__b_$out") * lit(1000L) +
+          expr(s"($in - __p_$out) * 1000 DIV __p_$out"))
+        .drop(s"__b_$out", s"__p_$out")
+    val toks = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      .join(Corpus.wordDict(spark, dir), "word")
+      .withColumn("bucket",
+        pmod(pmod(col("wid"), lit(999999929L)) * lit(2654435789L),
+          lit(nBuckets.toLong)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+    val counts = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr0"),
+        sum(when(col("lang") === target, 1L).otherwise(0L)).as("ct0"))
+      .select(col("bucket"), (col("cr0") + 1L).as("cr"), (col("ct0") + 1L).as("ct"))
+    val totals = toks.agg(
+      (count(lit(1)) + lit(nBuckets.toLong)).as("tr"),
+      (sum(when(col("lang") === target, 1L).otherwise(0L))
+        + lit(nBuckets.toLong)).as("tt"))
+    val weights = mlog2(mlog2(counts, "ct", "ml_ct"), "cr", "ml_cr")
+      .crossJoin(broadcast(mlog2(mlog2(totals, "tt", "ml_tt"), "tr", "ml_tr")))
+      .select(col("bucket"),
+        (col("ml_ct") - col("ml_tt") - col("ml_cr") + col("ml_tr")).as("w_milli"))
+    val docW = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("w_milli")).as("dsir_milli_bits"))
+    val nDocs = Corpus.docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    graft.plans.GlobalRank.withRowNumber(docW, "rank",
+        col("dsir_milli_bits").desc, col("doc_id").asc)
+      .crossJoin(broadcast(nDocs))
+      .where(col("rank") <= expr(s"(n_docs * $quotaPct) DIV 100"))
+      .select(col("rank"), col("doc_id"), col("lang"), col("dsir_milli_bits"))
+      .orderBy(col("rank"))
+  }
+
+  def dsirSelectSql(target: String = "en", nBuckets: Int = 4096,
+                    quotaPct: Int = 25): String = {
+    def mlog2(x: String): String = {
+      val b = s"(length(format('{:b}', $x)) - 1)"
+      val p = s"CAST(power(2, $b) AS BIGINT)"
+      s"($b * 1000 + ($x - $p) * 1000 // $p)"
+    }
+    s"""WITH dict AS (${Corpus.wordDictSql}),
+       |toks AS (
+       |  SELECT t.doc_id, t.lang,
+       |    ((d.wid % 999999929) * 2654435789) % $nBuckets AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(${Corpus.wordsSqlExpr}) AS word
+       |        FROM documents) t
+       |  JOIN dict d ON d.word = t.word),
+       |counts AS (
+       |  SELECT bucket,
+       |    CAST(COUNT(*) + 1 AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = '$target' THEN 1 ELSE 0 END) + 1
+       |      AS BIGINT) AS ct
+       |  FROM toks GROUP BY bucket),
+       |totals AS (
+       |  SELECT CAST(COUNT(*) + $nBuckets AS BIGINT) AS tr,
+       |    CAST(SUM(CASE WHEN lang = '$target' THEN 1 ELSE 0 END)
+       |      + $nBuckets AS BIGINT) AS tt
+       |  FROM toks),
+       |weights AS (
+       |  SELECT bucket,
+       |    ${mlog2("ct")} - ${mlog2("tt")}
+       |      - ${mlog2("cr")} + ${mlog2("tr")} AS w_milli
+       |  FROM counts CROSS JOIN totals),
+       |docw AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(tf * w_milli) AS BIGINT) AS dsir_milli_bits
+       |  FROM (SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM toks GROUP BY 1, 2, 3) t
+       |  JOIN weights USING (bucket)
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY dsir_milli_bits DESC,
+       |    doc_id ASC) AS BIGINT) AS rank, doc_id, lang, dsir_milli_bits
+       |  FROM docw)
+       |SELECT rank, doc_id, lang, dsir_milli_bits
+       |FROM ranked CROSS JOIN nd
+       |WHERE rank <= (n_docs * $quotaPct) // 100
+       |ORDER BY rank""".stripMargin
+  }
 }

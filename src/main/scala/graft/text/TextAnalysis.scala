@@ -1770,4 +1770,108 @@ object TextAnalysis {
        |CROSS JOIN disc d
        |ORDER BY u.word""".stripMargin
   }
+
+  /** t30: GOPHER REPETITION RUBRIC (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", App. A / MassiveText filters) — the
+    * repeated-n-gram CHARACTER-fraction rules t7's count form doesn't
+    * cover: per document, the fraction of characters inside (a) the
+    * single most frequent n-gram for n = 2, 3, 4 and (b) all n-grams
+    * occurring more than once for n = 5, each against its published
+    * threshold (0.20 / 0.18 / 0.16 / 0.15), plus the composite
+    * keep/drop verdict. Char mass of a gram occurrence = its rendered
+    * length (words + separating spaces); denominator = the document's
+    * full character count.
+    *
+    * PARITY: every number is an exact integer — counts, per-gram char
+    * masses, and the milli fractions (×1000, truncating DIV).
+    * MassiveText's top-gram tie (two grams with equal count) is broken
+    * toward the LONGER gram by packing (cnt, len) into one BIGINT
+    * (cnt·100000 + len — len < 100k by construction) and taking MAX:
+    * a total order both engines agree on with plain integer max.
+    *
+    * Scale shape: one pass over the tokenize-once silver per n (four
+    * narrow explodes of a cached relation), each a map-side-combinable
+    * (doc, gram) count whose shuffle key includes doc_id — the same
+    * doc-bounded-group discipline as t7; the 4-row-per-doc pivot is a
+    * second doc-keyed agg on dimension-sized data. Nothing global. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val silver = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("words").as("ws"),
+        length(col("text")).cast("long").as("n_chars"))
+    def gramsOf(n: Int): DataFrame = {
+      val grams = transform(sequence(lit(0), size(col("ws")) - lit(n)),
+        i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))
+      silver.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), col("n_chars"), lit(n).as("n"),
+          explode(grams).as("g"))
+    }
+    val stacked = (2 to 5).map(gramsOf).reduce(_ unionAll _)
+    val perGram = stacked
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("n_chars"), col("n"), col("cnt"),
+        (length(col("g")).cast("long")).as("len"))
+    val perN = perGram.groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(max(col("cnt") * lit(100000L) + col("len")).as("top_key"),
+        sum(when(col("cnt") >= 2L, col("cnt") * col("len"))
+          .otherwise(0L)).as("dup_charc"))
+      .select(col("doc_id"), col("n_chars"), col("n"),
+        expr("((top_key DIV 100000) * (top_key % 100000)) * 1000 DIV n_chars")
+          .as("top_milli"),
+        expr("dup_charc * 1000 DIV n_chars").as("dup_milli"))
+    perN.groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        max(when(col("n") === 2, col("top_milli"))).as("top2_milli"),
+        max(when(col("n") === 3, col("top_milli"))).as("top3_milli"),
+        max(when(col("n") === 4, col("top_milli"))).as("top4_milli"),
+        max(when(col("n") === 5, col("dup_milli"))).as("dup5_milli"))
+      .select(col("doc_id"), col("n_chars"),
+        col("top2_milli"), col("top3_milli"), col("top4_milli"),
+        col("dup5_milli"),
+        (coalesce(col("top2_milli"), lit(0L)) < 200L &&
+          coalesce(col("top3_milli"), lit(0L)) < 180L &&
+          coalesce(col("top4_milli"), lit(0L)) < 160L &&
+          coalesce(col("dup5_milli"), lit(0L)) < 150L).as("gopher_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRepetitionSql: String = {
+    val ws = Corpus.wordsSqlExpr
+    def gramCte(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    $n AS n,
+         |    unnest([array_to_string($ws[i:i+${n - 1}], ' ')
+         |      for i in range(1, len($ws) - ${n - 2})]) AS g
+         |  FROM documents WHERE len($ws) >= $n)""".stripMargin
+    s"""WITH ${(2 to 5).map(gramCte).mkString(",\n")},
+       |stacked AS (
+       |  SELECT * FROM g2 UNION ALL SELECT * FROM g3
+       |  UNION ALL SELECT * FROM g4 UNION ALL SELECT * FROM g5),
+       |per_gram AS (
+       |  SELECT doc_id, n_chars, n, g,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(length(g) AS BIGINT) AS len
+       |  FROM stacked GROUP BY 1, 2, 3, 4),
+       |per_n AS (
+       |  SELECT doc_id, n_chars, n,
+       |    ((MAX(cnt * 100000 + len) // 100000)
+       |      * (MAX(cnt * 100000 + len) % 100000)) * 1000 // n_chars
+       |      AS top_milli,
+       |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END)
+       |      AS BIGINT) * 1000 // n_chars AS dup_milli
+       |  FROM per_gram GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_chars,
+       |  MAX(CASE WHEN n = 2 THEN top_milli END) AS top2_milli,
+       |  MAX(CASE WHEN n = 3 THEN top_milli END) AS top3_milli,
+       |  MAX(CASE WHEN n = 4 THEN top_milli END) AS top4_milli,
+       |  MAX(CASE WHEN n = 5 THEN dup_milli END) AS dup5_milli,
+       |  (COALESCE(MAX(CASE WHEN n = 2 THEN top_milli END), 0) < 200 AND
+       |   COALESCE(MAX(CASE WHEN n = 3 THEN top_milli END), 0) < 180 AND
+       |   COALESCE(MAX(CASE WHEN n = 4 THEN top_milli END), 0) < 160 AND
+       |   COALESCE(MAX(CASE WHEN n = 5 THEN dup_milli END), 0) < 150)
+       |    AS gopher_keep
+       |FROM per_n GROUP BY doc_id, n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
 }
