@@ -66,13 +66,20 @@ object Pca {
     var v = long.select(col("pos")).distinct()
       .select(col("pos"), lit(10000L).as("v"))
     (1 to iters).foreach { _ =>
+      // sraw/wraw are each consumed TWICE (the rescale max and the
+      // quotient) — without eager materialization Spark re-executes the
+      // unshared lineage on both branches, doubling the fact passes per
+      // iteration (2^iters growth; measured 55 s at sf0.1 vs ~2 s
+      // materialized). localCheckpoint = one pass each, per iteration.
       val sraw = long.join(broadcast(v), "pos")
         .groupBy(col("vec_id")).agg(sum(col("c") * col("v")).as("sraw"))
+        .localCheckpoint()
       val qs = sraw.agg(expr("MAX(ABS(sraw)) DIV 10000 + 1").as("q"))
       val s = sraw.crossJoin(broadcast(qs))
         .select(col("vec_id"), expr(truncDiv("sraw", "q", "DIV")).as("s"))
       val wraw = long.join(s, "vec_id")
         .groupBy(col("pos")).agg(sum(col("c") * col("s")).as("wraw"))
+        .localCheckpoint()
       val qw = wraw.agg(expr("MAX(ABS(wraw)) DIV 10000 + 1").as("q"))
       v = wraw.crossJoin(broadcast(qw))
         .select(col("pos"), expr(truncDiv("wraw", "q", "DIV")).as("v"))
