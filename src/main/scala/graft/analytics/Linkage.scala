@@ -1,0 +1,202 @@
+package graft.analytics
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** er1: FELLEGI–SUNTER PROBABILISTIC RECORD LINKAGE (Fellegi & Sunter
+  * 1969; the Splink/Zingg-class workhorse of large-scale entity
+  * resolution) — the probabilistic layer k11/k12's deterministic fuzzy
+  * matching stops short of. A deterministically "dirty" twin of the
+  * part catalog (one character deleted from every name at a
+  * hash-chosen position; p_type blanked on every hash%4 row — the
+  * corruption is part of the operator's fixture contract, reproducible
+  * by any engine from the formula) is linked back to the clean
+  * catalog:
+  *
+  *  1. BLOCKING, multi-pass: candidates from (p_brand, p_size) ∪
+  *     (p_type, p_size) equi-cells, distinct'd — never all-pairs (the
+  *     k11 posture; at 100 TB each pass is one co-keyed hash join).
+  *  2. AGREEMENT VECTOR per candidate: name within edit distance 2,
+  *     brand equal, type equal.
+  *  3. m/u ESTIMATION: m_i (P[agree|match]) counted on the true-pair
+  *     relation (clean ⋈ dirty on partkey); u_i (P[agree|non-match])
+  *     on the deterministic offset pairing (partkey vs partkey+1) —
+  *     both 1-row integer-milli aggregates, clamped to [1,999] so the
+  *     disagreement weights stay defined (the standard ε-clamp).
+  *  4. WEIGHTS in exact milli-bits via t15's milli-log2 (floor-log2 +
+  *     linear mantissa — no libm): w = mlog2(m) − mlog2(u) on
+  *     agreement, mlog2(1000−m) − mlog2(1000−u) on disagreement.
+  *  5. DECISION: link / possible / non-link by fixed score thresholds;
+  *     readout = per-decision pair counts, true-match counts,
+  *     precision, and (for the link class) recall against the |parts|
+  *     ground truth.
+  *
+  * Scale shape: two blocked joins + one key-equi truth join + one
+  * offset join, each hash-partitioned and row-sized; the m/u model is
+  * TWO 1-row broadcasts; scoring is a pure projection; the readout a
+  * 3-row aggregate. Nothing quadratic, nothing global. */
+object Linkage {
+
+  /** Milli-log2 of a positive integer column in [1, 999] (t15's
+    * floor-log2 + linear mantissa — the p21 helper). The mantissa
+    * division runs as floor-of-double, which is EXACT here: numerator
+    * ≤ 511·1000, denominator ≤ 512, so any non-integral quotient sits
+    * ≥ 1/512 from the next integer — far beyond double rounding. */
+  private def mlog2(x: Column): Column = {
+    import graft.functions.FloorLog2.floorLog2
+    val b = floorLog2(x)
+    val p = call_function("shiftleft", lit(1L), b.cast("int")).cast("long")
+    b * lit(1000L) +
+      floor(((x - p) * lit(1000L)).cast("double") / p.cast("double"))
+        .cast("long")
+  }
+
+  def fsLinkage(spark: SparkSession, dir: String,
+                upper: Long = 2000L, lower: Long = 0L): DataFrame = {
+    val clean = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key_c"), col("p_name").as("name_c"),
+        col("p_brand").as("brand_c"), col("p_type").as("type_c"),
+        col("p_size").as("size_c"))
+    val pos = pmod(pmod(col("p_partkey"), lit(1000000007L)) * lit(2654435761L),
+      length(col("p_name")).cast("long")) + 1L
+    val dirty = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key_d"),
+        concat(
+          expr("substring(p_name, 1, " +
+            "CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT))"),
+          expr("substring(p_name, " +
+            "CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT) + 2, " +
+            "length(p_name))")).as("name_d"),
+        col("p_brand").as("brand_d"),
+        when(pmod(col("p_partkey"), lit(4L)) === 0L, lit("UNKNOWN"))
+          .otherwise(col("p_type")).as("type_d"),
+        col("p_size").as("size_d"))
+    def agreements(df: DataFrame): DataFrame = df
+      .withColumn("a_name",
+        (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long"))
+      .withColumn("a_brand", (col("brand_c") === col("brand_d")).cast("long"))
+      .withColumn("a_type", (col("type_c") === col("type_d")).cast("long"))
+    // m from the true pairing, u from the +1 offset pairing; milli, clamped
+    def rates(df: DataFrame, p: String): DataFrame = agreements(df)
+      .agg(count(lit(1)).as(s"n_$p"),
+        greatest(least(expr(s"SUM(a_name) * 1000 DIV COUNT(*)"), lit(999L)),
+          lit(1L)).as(s"${p}_name"),
+        greatest(least(expr(s"SUM(a_brand) * 1000 DIV COUNT(*)"), lit(999L)),
+          lit(1L)).as(s"${p}_brand"),
+        greatest(least(expr(s"SUM(a_type) * 1000 DIV COUNT(*)"), lit(999L)),
+          lit(1L)).as(s"${p}_type"))
+    val m = rates(clean.join(dirty, col("key_c") === col("key_d")), "m")
+    val u = rates(clean.join(dirty, col("key_c") + 1L === col("key_d")), "u")
+    val model = m.crossJoin(u)
+    def w(f: String): (Column, Column) = (
+      mlog2(col(s"m_$f")) - mlog2(col(s"u_$f")),
+      mlog2(lit(1000L) - col(s"m_$f")) - mlog2(lit(1000L) - col(s"u_$f")))
+    val b1 = clean.join(dirty,
+      col("brand_c") === col("brand_d") && col("size_c") === col("size_d"))
+    val b2 = clean.join(dirty,
+      col("type_c") === col("type_d") && col("size_c") === col("size_d"))
+    val cands = b1.select(col("key_c"), col("key_d"), col("name_c"),
+        col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
+        col("type_d"))
+      .unionAll(b2.select(col("key_c"), col("key_d"), col("name_c"),
+        col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
+        col("type_d")))
+      .distinct()
+    val (wnA, wnD) = w("name"); val (wbA, wbD) = w("brand")
+    val (wtA, wtD) = w("type")
+    val scored = agreements(cands).crossJoin(broadcast(model))
+      .withColumn("score_milli",
+        when(col("a_name") === 1L, wnA).otherwise(wnD) +
+          when(col("a_brand") === 1L, wbA).otherwise(wbD) +
+          when(col("a_type") === 1L, wtA).otherwise(wtD))
+      .withColumn("decision",
+        when(col("score_milli") >= upper, "link")
+          .when(col("score_milli") <= lower, "non_link")
+          .otherwise("possible"))
+      .withColumn("is_true", (col("key_c") === col("key_d")).cast("long"))
+    val nTruth = Tables.part(spark, dir).agg(count(lit(1)).as("n_truth"))
+    scored.groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_true")).as("n_true"),
+        expr("SUM(is_true) * 1000 DIV COUNT(*)").as("precision_milli"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("decision"), col("n_pairs"), col("n_true"),
+        col("precision_milli"),
+        when(col("decision") === "link",
+          expr("n_true * 1000 DIV n_truth")).as("recall_milli"))
+      .orderBy(col("decision"))
+  }
+
+  def fsLinkageSql(upper: Long = 2000L, lower: Long = 0L): String = {
+    def mlog2(x: String): String = {
+      val b = s"(length(format('{:b}', $x)) - 1)"
+      val p = s"CAST(power(2, $b) AS BIGINT)"
+      s"($b * 1000 + ($x - $p) * 1000 // $p)"
+    }
+    def wA(f: String) = s"(${mlog2(s"m_$f")} - ${mlog2(s"u_$f")})"
+    def wD(f: String) = s"(${mlog2(s"1000 - m_$f")} - ${mlog2(s"1000 - u_$f")})"
+    val rateCols = (p: String) => Seq("name", "brand", "type").map { f =>
+      val a = f match {
+        case "name" => "CASE WHEN levenshtein(name_c, name_d) <= 2 THEN 1 ELSE 0 END"
+        case "brand" => "CASE WHEN brand_c = brand_d THEN 1 ELSE 0 END"
+        case "type" => "CASE WHEN type_c = type_d THEN 1 ELSE 0 END"
+      }
+      s"CAST(GREATEST(LEAST(SUM($a) * 1000 // COUNT(*), 999), 1) AS BIGINT) AS ${p}_$f"
+    }.mkString(",\n    ")
+    s"""WITH clean AS (
+       |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
+       |    p_type AS type_c, p_size AS size_c
+       |  FROM part),
+       |dirty AS (
+       |  SELECT p_partkey AS key_d,
+       |    substring(p_name, 1,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT))
+       |    || substring(p_name,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT) + 2,
+       |      length(p_name)) AS name_d,
+       |    p_brand AS brand_d,
+       |    CASE WHEN p_partkey % 4 = 0 THEN 'UNKNOWN' ELSE p_type END AS type_d,
+       |    p_size AS size_d
+       |  FROM part),
+       |m AS (
+       |  SELECT ${rateCols("m")}
+       |  FROM clean JOIN dirty ON key_c = key_d),
+       |u AS (
+       |  SELECT ${rateCols("u")}
+       |  FROM clean JOIN dirty ON key_c + 1 = key_d),
+       |cands AS (
+       |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
+       |    type_c, type_d
+       |  FROM (
+       |    SELECT clean.*, dirty.* FROM clean JOIN dirty
+       |      ON brand_c = brand_d AND size_c = size_d
+       |    UNION ALL
+       |    SELECT clean.*, dirty.* FROM clean JOIN dirty
+       |      ON type_c = type_d AND size_c = size_d)),
+       |scored AS (
+       |  SELECT key_c, key_d,
+       |    (CASE WHEN levenshtein(name_c, name_d) <= 2
+       |       THEN ${wA("name")} ELSE ${wD("name")} END +
+       |     CASE WHEN brand_c = brand_d
+       |       THEN ${wA("brand")} ELSE ${wD("brand")} END +
+       |     CASE WHEN type_c = type_d
+       |       THEN ${wA("type")} ELSE ${wD("type")} END) AS score_milli,
+       |    CASE WHEN key_c = key_d THEN 1 ELSE 0 END AS is_true
+       |  FROM cands CROSS JOIN m CROSS JOIN u),
+       |dec AS (
+       |  SELECT CASE WHEN score_milli >= $upper THEN 'link'
+       |    WHEN score_milli <= $lower THEN 'non_link'
+       |    ELSE 'possible' END AS decision, is_true
+       |  FROM scored),
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM part)
+       |SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(is_true) AS BIGINT) AS n_true,
+       |  CAST(SUM(is_true) AS BIGINT) * 1000 // COUNT(*) AS precision_milli,
+       |  CASE WHEN decision = 'link'
+       |    THEN CAST(SUM(is_true) AS BIGINT) * 1000 // n_truth END AS recall_milli
+       |FROM dec CROSS JOIN truth
+       |GROUP BY decision, n_truth
+       |ORDER BY decision""".stripMargin
+  }
+}

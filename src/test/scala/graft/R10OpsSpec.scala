@@ -222,6 +222,109 @@ class R10OpsSpec extends GraftSpec {
     }
   }
 
+  test("v35: JL readout matches an in-process recompute of the hashed " +
+    "sign matrix, projection, and pair ratios") {
+    val k = 16
+    val x = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000.0).toLong).toArray)
+      .toMap
+    val d = x.values.head.length
+    def sign(j: Long, kk: Long): Long = {
+      val m = (j * k + kk) % 1000000007L * 2654435761L % 1000000007L % 6L
+      if (m == 0L) 1L else if (m == 1L) -1L else 0L
+    }
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(k)(kk =>
+        (0 until d).map(j => sign(j, kk) * v(j)).sum)
+    def ratios(st: Int): Seq[Long] =
+      x.keys.toSeq.sorted.flatMap { id =>
+        x.get(id + st).map { b =>
+          val a = x(id)
+          val dorig = (0 until d).map(j => { val t = a(j) - b(j); t * t }).sum
+          val pa = proj(a); val pb = proj(b)
+          val dproj = (0 until k).map(j => { val t = pa(j) - pb(j); t * t }).sum
+          (dorig, dproj)
+        }
+      }.filter(_._1 > 0L)
+        .map { case (o, p) =>
+          (BigInt(p) * 3000 / (BigInt(k) * BigInt(o))).toLong }
+    val got = graft.vector.RandomProjection.jlEval(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("stride") -> r).toMap
+    for (st <- Seq(1, 37)) {
+      val rs = ratios(st)
+      val r = got(st)
+      assert(r.getAs[Long]("n_pairs") === rs.size.toLong)
+      assert(r.getAs[Long]("mean_ratio_milli") === rs.sum / rs.size)
+      assert(r.getAs[Long]("min_ratio_milli") === rs.min)
+      assert(r.getAs[Long]("max_ratio_milli") === rs.max)
+      assert(r.getAs[Long]("within_25pct_milli") ===
+        rs.count(v => v >= 750 && v <= 1250).toLong * 1000 / rs.size)
+    }
+  }
+
+  test("er1: Fellegi–Sunter linkage matches a full in-process recompute " +
+    "(corruption, blocking, m/u, milli-bit weights, decisions)") {
+    case class P(key: Long, name: String, brand: String, tpe: String, size: Int)
+    val parts = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size").collect()
+      .map(r => P(r.getAs[Long](0), r.getAs[String](1), r.getAs[String](2),
+        r.getAs[String](3), r.getAs[Int](4)))
+    def dirty(p: P): P = {
+      val pos = (p.key % 1000000007L * 2654435761L % p.name.length).toInt
+      P(p.key, p.name.substring(0, pos) + p.name.substring(pos + 1),
+        p.brand, if (p.key % 4 == 0) "UNKNOWN" else p.tpe, p.size)
+    }
+    val ds = parts.map(dirty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def agree(c: P, d: P) =
+      (lev(c.name, d.name) <= 2, c.brand == d.brand, c.tpe == d.tpe)
+    def rate(pairs: Seq[(P, P)], f: ((Boolean, Boolean, Boolean)) => Boolean) = {
+      val r = pairs.count(p => f(agree(p._1, p._2))).toLong * 1000 / pairs.size
+      math.max(1L, math.min(999L, r))
+    }
+    val truePairs = parts.map(c => c -> ds.find(_.key == c.key).get).toSeq
+    val offPairs = parts.flatMap(c => ds.find(_.key == c.key + 1).map(c -> _)).toSeq
+    def mlog2(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << b
+      b * 1000L + (x - p) * 1000L / p
+    }
+    val fields: Seq[((Boolean, Boolean, Boolean)) => Boolean] =
+      Seq(_._1, _._2, _._3)
+    val ws = fields.map { f =>
+      val (m, u) = (rate(truePairs, f), rate(offPairs, f))
+      (mlog2(m) - mlog2(u), mlog2(1000 - m) - mlog2(1000 - u))
+    }
+    val cands = (for {
+      c <- parts; d <- ds
+      if (c.brand == d.brand && c.size == d.size) ||
+        (c.tpe == d.tpe && c.size == d.size)
+    } yield (c, d)).distinct
+    val decided = cands.map { case (c, d) =>
+      val a = agree(c, d)
+      val score = fields.zip(ws).map { case (f, (wa, wd)) =>
+        if (f(a)) wa else wd }.sum
+      val dec = if (score >= 2000L) "link"
+        else if (score <= 0L) "non_link" else "possible"
+      (dec, c.key == d.key)
+    }
+    val exp = decided.groupBy(_._1).map { case (dec, xs) =>
+      dec -> (xs.size.toLong, xs.count(_._2).toLong) }
+    val got = graft.analytics.Linkage.fsLinkage(spark, sfDir).collect()
+      .map(r => r.getAs[String]("decision") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true"))).toMap
+    assert(got === exp)
+  }
+
   test("v34: the fixed-point chain tracks the same-iteration-count " +
     "double-precision trajectory (|cos| > 0.99) under the sign convention") {
     // NOTE the contract: v34 is 4 ROUNDS of power iteration, not the
