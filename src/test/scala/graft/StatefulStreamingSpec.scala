@@ -589,4 +589,46 @@ class StatefulStreamingSpec extends GraftSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming SCD2 intervals match batch e33 bit-for-bit under " +
+    "last-write-wins on (user, version), split mid-stream") {
+    import spark.implicits._
+    import graft.streaming.{ScdEvent, StatefulScd2}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"))
+      .as[ScdEvent].collect().sortBy(r => (r.us, r.event_id))
+    // in-order replay (the documented delivery contract), split mid-stream:
+    // open versions must carry across the boundary and close correctly
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[ScdEvent]
+    val q = StatefulScd2.intervals(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("scd2").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // a version may emit open (per batch) then closed (once): keep the
+      // final word per (user, version) — closed beats open, else max n
+      val got = spark.sql("SELECT * FROM scd2").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+          r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+        .groupBy(t => (t._1, t._2))
+        .map(_._2.maxBy(t => (t._5.isDefined, t._6)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      val want = graft.streaming.EventsBatch.scd2Intervals(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+          r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streaming SCD2 history must equal the batch interval build exactly")
+    } finally q.stop()
+  }
 }
