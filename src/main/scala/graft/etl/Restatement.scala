@@ -86,4 +86,81 @@ object Restatement {
        |LEFT JOIN touched t
        |  ON f.store_id = t.store_id AND f.sale_date = t.sale_date
        |ORDER BY f.store_id, f.sale_date""".stripMargin
+
+  /** k14: SKETCH-PARTIAL RESTATEMENT — the non-algebraic companion of
+    * [[lateRestatement]]: distinct-SKU-per-(store, day) cannot be
+    * restated by adding partial sums, so the maintained silver carries
+    * a KMV SKETCH per grain (the k smallest distinct SKU hashes,
+    * sk13's bijective affine family) and the late slice merges as
+    * sketch-state union: merged = k smallest of (base_k ∪ delta_k).
+    * The KMV merge theorem makes this EXACTLY lossless for the union's
+    * k-minima — the k smallest of A ∪ B all sit inside A's k smallest
+    * or B's k smallest — so, uniquely among cardinality sketches, the
+    * DuckDB oracle can recompute the sketch FROM SCRATCH over the full
+    * fact table and hash-match the merged estimate bit-for-bit:
+    * merge-equals-recompute, k13's contract, now for a sketch.
+    *
+    * Scale shape: two conditional grain-keyed aggregates off one scan
+    * (collect_set is bounded: distinct hashes per store-day ≤ catalog
+    * size, and the sketch caps at k immediately after); the merge is a
+    * dimension-sized full-outer join + array union; estimates are pure
+    * projection. At 100 TB the base sketch column is the persisted
+    * silver and only the delta aggregate scans new data. */
+  def kmvRestatement(spark: SparkSession, dir: String,
+                     k: Int = 64, mod: Int = 10, res: Int = 7): DataFrame = {
+    val P = 1000003L
+    val isLate = pmod(col("l_orderkey"), lit(mod)) === lit(res)
+    val hashed = Tables.sales(spark, dir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("sku") * lit(131L) + lit(911L)) % P).as("h"), isLate.as("late"))
+    def sketch(flag: Boolean, name: String): DataFrame = hashed
+      .filter(col("late") === flag)
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as(name))
+    val base = sketch(flag = false, "sk_b")
+    val delta = sketch(flag = true, "sk_d")
+    val empty = array().cast("array<bigint>")
+    base.join(delta, Seq("store_id", "sale_date"), "full_outer")
+      .select(col("store_id"), col("sale_date"),
+        slice(array_sort(array_union(
+          coalesce(col("sk_b"), empty), coalesce(col("sk_d"), empty))),
+          1, k).as("sk"),
+        col("sk_d").isNotNull.as("restated"))
+      .select(col("store_id"), col("sale_date"),
+        size(col("sk")).cast("long").as("sk_size"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${(k - 1) * P}L div element_at(sk, $k)"))
+          .as("kmv_est"),
+        col("restated"))
+      .orderBy(col("store_id"), col("sale_date"))
+  }
+
+  def kmvRestatementSql(k: Int = 64, mod: Int = 10, res: Int = 7): String = {
+    val P = 1000003L
+    s"""WITH sales AS (${Tables.salesSql}),
+       |pairs AS (
+       |  SELECT DISTINCT store_id, sale_date,
+       |    (sku * 131 + 911) % $P AS h
+       |  FROM sales),
+       |ranked AS (
+       |  SELECT store_id, sale_date, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY store_id, sale_date
+       |      ORDER BY h ASC) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY store_id, sale_date) AS BIGINT)
+       |      AS n
+       |  FROM pairs),
+       |touched AS (
+       |  SELECT DISTINCT store_id, sale_date
+       |  FROM sales WHERE l_orderkey % $mod = $res)
+       |SELECT r.store_id, r.sale_date,
+       |  LEAST(r.n, $k) AS sk_size,
+       |  CASE WHEN r.n < $k THEN r.n
+       |    ELSE (${k - 1}) * $P // r.h END AS kmv_est,
+       |  (t.store_id IS NOT NULL) AS restated
+       |FROM ranked r
+       |LEFT JOIN touched t
+       |  ON r.store_id = t.store_id AND r.sale_date = t.sale_date
+       |WHERE r.rn = LEAST(r.n, $k)
+       |ORDER BY r.store_id, r.sale_date""".stripMargin
+  }
 }

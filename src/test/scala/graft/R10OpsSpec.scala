@@ -118,6 +118,29 @@ class R10OpsSpec extends GraftSpec {
     } finally got.unpersist()
   }
 
+  test("k14: merged KMV partials equal the from-scratch sketch per grain, " +
+    "and small grains are exact counts") {
+    val k = 64; val P = 1000003L
+    val scratch = Tables.sales(spark, sfDir)
+      .select("store_id", "sale_date", "sku").collect()
+      .map(r => ((r.getAs[String]("store_id"), r.getAs[String]("sale_date")),
+        (r.getAs[Long]("sku") * 131L + 911L) % P))
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).distinct.sorted.take(k) }
+    val got = graft.etl.Restatement.kmvRestatement(spark, sfDir).collect()
+    assert(got.length === scratch.size)
+    got.foreach { r =>
+      val g = (r.getAs[String]("store_id"), r.getAs[String]("sale_date"))
+      val mins = scratch(g)
+      assert(r.getAs[Long]("sk_size") === mins.length.toLong)
+      val expEst = if (mins.length < k) mins.length.toLong
+        else (k - 1).toLong * P / mins(k - 1)
+      assert(r.getAs[Long]("kmv_est") === expEst, s"grain $g")
+      // the exact regime: below k distinct hashes the sketch IS the count
+      if (mins.length < k) assert(r.getAs[Long]("kmv_est") === mins.length.toLong)
+    }
+  }
+
   test("p21: DSIR keeps the exact quota, ranks by weight, and " +
     "over-represents the target domain") {
     val sel = graft.text.CorpusPrep.dsirSelect(spark, sfDir).cache()
