@@ -63,7 +63,12 @@ object RandomProjection {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("xq"))
-    val both = full.join(proj, "vec_id")
+    // the packed (vec_id, xq, y) relation appears in FOUR join subtrees
+    // (lhs/rhs x strides) — materialize it once as a plan leaf or the
+    // projection aggregate re-runs per subtree (4x the corpus pass)
+    val both = graft.model.Silver.memoize(spark, s"jlPacked:$k", dir) {
+      full.join(proj, "vec_id")
+    }
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => {
         val diff = x - y; diff.cast(d19) * diff.cast(d19)

@@ -484,7 +484,54 @@ class PlanShapeSpec extends GraftSpec {
     ("j32_priority_classes", 2,
       "Q12: the flag+year filter prunes before the orderkey shuffle " +
         "join; the 2-row conditional-count aggregate rides one more " +
-        "exchange")
+        "exchange"),
+    ("e33_scd2_intervals", 1,
+      "ONE user_id exchange serves the change-flag/version windows " +
+        "AND the (user, version) island groupBy (clustered-subset " +
+        "rule); the interval-closing lead rides the versions relation"),
+    ("e34_state_cdc", 1,
+      "both as-of snapshots come out of ONE scan and ONE user " +
+        "exchange as conditional max-of-struct partials; the diff is " +
+        "a pure projection — no per-snapshot pass, no outer join"),
+    ("e35_cuped_readout", 4,
+      "one user-keyed conditional moment agg is the data-sized move; " +
+        "arm rollup, pooled-theta rollup and the broadcast-back " +
+        "re-key all touch <= 2 rows"),
+    ("er1_fs_linkage", 2,
+      "blocked candidate joins are co-keyed hash (broadcast at test " +
+        "SF); the m/u model is two 1-row broadcasts; scoring is a " +
+        "pure projection and the readout a 3-row aggregate"),
+    ("k13_late_restatement", 2,
+      "two conditional grain-keyed aggregates off ONE scan; the " +
+        "base+delta merge is a dimension-sized full-outer join; " +
+        "restated totals are pure projection"),
+    ("k14_kmv_restatement", 2,
+      "k13's shape with KMV partials: collect_set caps at k right " +
+        "after each grain agg; merge = dimension-sized array union"),
+    ("p21_dsir_select", 0,
+      "one-pass bucket model (conditional sums) broadcasts to the " +
+        "per-doc scoring join; ranking rides GlobalRank's RANGE " +
+        "partitioning — zero hash exchanges"),
+    ("sk15_histogram_quantiles", 2,
+      "1-row (min,max) domain agg + the (store,bin) cell agg whose " +
+        "state is <= |stores|*bins regardless of input rows; " +
+        "quantile read-off windows over <= bins rows per store"),
+    ("sk16_merged_quantiles", 2,
+      "shared cell build + the bins-bounded merge agg; the " +
+        "cumulative window runs over <= bins rows"),
+    ("t30_gopher_rubric", 3,
+      "per-n (doc, gram) counts are map-side-combinable and ride " +
+        "doc-keyed exchanges over the tokenize-once silver; the " +
+        "4-row-per-doc pivot re-keys dimension-sized data"),
+    ("v34_pca_power", 0,
+      "the fact-sized long form is localCheckpointed once; iterates/" +
+        "rescales/sign broadcast — every per-iteration exchange runs " +
+        "inside checkpoint jobs, none in the consumer plan"),
+    ("v35_jl_projection", 5,
+      "the packed (vec_id, xq, y) projection is a memoized leaf " +
+        "(built once, not once per stride subtree); the stride " +
+        "pairings are row-sized self-joins on a computed key + the " +
+        "2-row readout agg")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan
