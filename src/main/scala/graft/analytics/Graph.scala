@@ -1,0 +1,188 @@
+package graft.analytics
+
+import graft.model.{Silver, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRIANGLE CENSUS over the SKU co-purchase graph — the canonical
+  * "join that must be oriented or it explodes" operator class, absent
+  * from the inventory until now. Nodes are SKUs, an edge (a, b) means
+  * the two SKUs co-occur in at least `minSupport` distinct orders
+  * (a31's basket relation is the incidence list). Exact triangle
+  * counting is Θ(Σ_v outdeg(v)²) wedge work, so the 100 TB posture is
+  * the published two-step discipline, and each key demonstrates one:
+  *
+  *  - g1: EXACT census on the SUPPORT-PRUNED graph (minSupport ≥ 2 —
+  *    the k-truss-style prefilter every production pipeline applies
+  *    before exact counting), wedges generated under the DEGREE-ORDERED
+  *    ORIENTATION (Chiba–Nishizeki / Suri–Vassilvitskii "Counting
+  *    triangles and the curse of the last reducer", WWW 2011): each
+  *    edge points from its lower-(degree, id) endpoint to the higher,
+  *    so every triangle is generated from exactly ONE wedge at its
+  *    lowest-order apex and per-apex fan-out is bounded by O(√m)
+  *    instead of max-degree — the skewed-hub wedge explosion cannot
+  *    happen regardless of degree distribution.
+  *  - g2: DOULION (Tsourakakis et al., KDD 2009) — count on a
+  *    deterministic 1/p edge sample and scale by p³: the estimator
+  *    that makes the FULL unpruned graph tractable. Sampling is the
+  *    house multiplicative hash on the (sa, sb) pair, so both engines
+  *    draw the identical subgraph and the "estimate" is an exact
+  *    integer the oracle hash-matches (the statistical guarantee —
+  *    unbiasedness, concentration for T = Ω(n) — is the cited paper's;
+  *    the oracle certifies the arithmetic, GraphSpec the census).
+  *
+  * Both readouts also report the UNORIENTED wedge count Σ d(d−1)/2
+  * (orientation-free, so the oracle's naive id-ordered triple join
+  * agrees) and the global clustering coefficient 3T·1000 DIV W in
+  * milli. All counts are exact BIGINTs.
+  *
+  * Scale shape: the (sa, sb, c) co-occurrence relation is ONE
+  * basket-keyed self-join + pair aggregate, memoized as a plan leaf
+  * and shared by g1/g2 (and priced once per session like a31's basket
+  * silver). Everything downstream is EDGE-sized: degree agg, okey
+  * decoration joins, the lo-keyed wedge self-join, and the (lo, hi)
+  * pair-keyed closing join — never node-quadratic, and the oriented
+  * fan-out bound caps the wedge relation at O(m^1.5) with the skew
+  * immunity argued above. Reference analogue: none (the reference has
+  * no graph surface); this extends SURVEY §2.4's join inventory with
+  * the self-join-with-orientation class. */
+object Graph {
+
+  /** Distinct co-purchase pairs (sa < sb) with their support count —
+    * the shared edge universe of g1/g2, leaf-memoized per session. */
+  private def coPairs(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize(spark, "coPairs", dir) {
+      val baskets = Tables.sales(spark, dir)
+        .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
+      baskets.select(col("order_id"), col("sku").as("sa"))
+        .join(baskets.select(col("order_id"), col("sku").as("sb")),
+          Seq("order_id"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("c"))
+    }
+
+  /** Degree-oriented edge list (lo → hi by ascending (deg, id) okey)
+    * of the given edge subset, leaf-memoized: the wedge and closing
+    * joins each read it twice and must not rebuild the degree pass. */
+  private def oriented(spark: SparkSession, dir: String, tag: String)
+                      (edges: DataFrame => DataFrame): DataFrame =
+    Silver.memoize(spark, s"triOriented:$tag", dir) {
+      val e = edges(coPairs(spark, dir)).select(col("sa"), col("sb"))
+      val deg = e.select(col("sa").as("v"))
+        .unionAll(e.select(col("sb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // okey: one BIGINT realizing the (deg, id) total order
+      val ok = deg.select(col("v"),
+        (col("deg") * lit(4294967296L) + col("v")).as("okey"))
+      e.join(ok.select(col("v").as("sa"), col("okey").as("ka")), "sa")
+        .join(ok.select(col("v").as("sb"), col("okey").as("kb")), "sb")
+        .select(
+          when(col("ka") < col("kb"), col("sa")).otherwise(col("sb")).as("lo"),
+          when(col("ka") < col("kb"), col("sb")).otherwise(col("sa")).as("hi"),
+          least(col("ka"), col("kb")).as("klo"),
+          greatest(col("ka"), col("kb")).as("khi"))
+    }
+
+  /** Census over one oriented edge set: nodes, edges, unoriented
+    * wedges, exact triangles, clustering in milli. */
+  private def census(o: DataFrame, e: DataFrame): DataFrame = {
+    val tri = o.select(col("lo"), col("hi").as("h1"), col("khi").as("k1"))
+      .join(o.select(col("lo"), col("hi").as("h2"), col("khi").as("k2")),
+        Seq("lo"))
+      .filter(col("k1") < col("k2"))
+      .join(o.select(col("lo").as("h1"), col("hi").as("h2")), Seq("h1", "h2"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("sa").as("v"))
+      .unionAll(e.select(col("sb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // integer DIV throughout: `/` on longs is double division in Spark
+    // and a summed double is not exact past 2^52
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("SUM(deg) DIV 2").as("n_edges"),
+      expr("SUM(deg * (deg - 1) DIV 2)").cast("long").as("n_wedges"))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000 DIV n_wedges")).as("clustering_milli"))
+  }
+
+  /** g1: exact triangle census on the support-pruned graph. */
+  def triangleCensus(spark: SparkSession, dir: String,
+                     minSupport: Int = 2): DataFrame = {
+    val edges = coPairs(spark, dir).filter(col("c") >= minSupport)
+    census(oriented(spark, dir, s"sup$minSupport")(
+      _.filter(col("c") >= minSupport)), edges)
+  }
+
+  /** The DOULION edge-keeper predicate: the house multiplicative hash
+    * of the pair, mod pInv. Mod BEFORE the golden-ratio multiply keeps
+    * every intermediate < 2^61. */
+  private def sampled(pInv: Int)(pairs: DataFrame): DataFrame =
+    pairs.filter(
+      pmod(pmod(col("sa") * lit(1000003L) + col("sb"), lit(1000000007L)) *
+        lit(2654435761L), lit(1000000007L)) % pInv === 0L)
+
+  /** g2: DOULION estimate on the full (support ≥ 1) graph. */
+  def triangleDoulion(spark: SparkSession, dir: String,
+                      pInv: Int = 8): DataFrame = {
+    val edges = sampled(pInv)(coPairs(spark, dir))
+    census(oriented(spark, dir, s"doulion$pInv")(sampled(pInv)), edges)
+      .select(lit(pInv.toLong).as("p_inv"),
+        col("n_nodes").as("n_nodes_sampled"),
+        col("n_edges").as("n_edges_sampled"),
+        col("n_wedges").as("n_wedges_sampled"),
+        col("n_triangles").as("n_triangles_sampled"),
+        (col("n_triangles") * lit(pInv.toLong) * pInv * pInv)
+          .as("est_triangles"))
+  }
+
+  private def pairsCte: String =
+    """baskets AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS sku
+      |  FROM lineitem),
+      |pairs AS (
+      |  SELECT a.sku AS sa, b.sku AS sb, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM baskets a JOIN baskets b
+      |    ON a.order_id = b.order_id AND a.sku < b.sku
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Orientation-free oracle: naive id-ordered triple join (the count
+    * is orientation-invariant) + degree-derived wedge count. */
+  private def censusSql(edgeCte: String, select: String): String =
+    s"""WITH $pairsCte,
+       |e AS ($edgeCte),
+       |deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e) q
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM e x JOIN e y ON y.sa = x.sa AND y.sb > x.sb
+       |           JOIN e z ON z.sa = x.sb AND z.sb = y.sb),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+       |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg)
+       |SELECT $select FROM stats CROSS JOIN tri""".stripMargin
+
+  def triangleCensusSql(minSupport: Int = 2): String =
+    censusSql(s"SELECT sa, sb FROM pairs WHERE c >= $minSupport",
+      """n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN 3 * n_triangles * 1000 // n_wedges END AS clustering_milli"""
+        .stripMargin)
+
+  def triangleDoulionSql(pInv: Int = 8): String =
+    censusSql(
+      s"""SELECT sa, sb FROM pairs
+         |  WHERE ((sa * 1000003 + sb) % 1000000007) * 2654435761
+         |    % 1000000007 % $pInv = 0""".stripMargin,
+      s"""CAST($pInv AS BIGINT) AS p_inv, n_nodes AS n_nodes_sampled,
+         |  n_edges AS n_edges_sampled, n_wedges AS n_wedges_sampled,
+         |  n_triangles AS n_triangles_sampled,
+         |  n_triangles * ${pInv.toLong * pInv * pInv} AS est_triangles"""
+        .stripMargin)
+}

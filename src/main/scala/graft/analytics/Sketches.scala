@@ -936,9 +936,9 @@ object Sketches {
        |${histCellsSql(bins)},
        |cum AS (
        |  SELECT store_id, bin, cnt, lo, hi,
-       |    SUM(cnt) OVER (PARTITION BY store_id ORDER BY bin
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    SUM(cnt) OVER (PARTITION BY store_id) AS n,
+       |    CAST(SUM(cnt) OVER (PARTITION BY store_id ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY store_id) AS BIGINT) AS n,
        |    lo + (bin * (hi - lo + 1)) // $bins AS edge_cents
        |  FROM cells)
        |SELECT store_id,
@@ -1002,9 +1002,9 @@ object Sketches {
        |cum AS (
        |  SELECT bin, cnt,
        |    lo + (bin * (hi - lo + 1)) // $bins AS edge_cents,
-       |    SUM(cnt) OVER (ORDER BY bin
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    SUM(cnt) OVER () AS n
+       |    CAST(SUM(cnt) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
        |  FROM merged)
        |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
        |  CAST(COUNT(*) AS BIGINT) AS n_bins_used,

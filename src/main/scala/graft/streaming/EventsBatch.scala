@@ -2193,11 +2193,11 @@ object EventsBatch {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |runs AS (
       |  SELECT user_id, state, ts,
-      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS UNBOUNDED PRECEDING) AS version
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       |  FROM seq),
       |v AS (
-      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |  SELECT user_id, version,
       |    MIN(state) AS state, MIN(ts) AS from_ts,
       |    CAST(COUNT(*) AS BIGINT) AS n_events
       |  FROM runs GROUP BY 1, 2),

@@ -58,7 +58,16 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "session_id" -> "group key of intermediate CTE; never output",
     // Trends.pivotWideSql: dynamic PIVOT columns re-selected through
     // CAST(COALESCE(COLUMNS(...), 0) AS BIGINT) — the documented a20 fix
-    "transactions" -> "PIVOT output re-cast AS BIGINT via COLUMNS re-select"
+    "transactions" -> "PIVOT output re-cast AS BIGINT via COLUMNS re-select",
+    // EventsBatch.cupedReadoutSql: the exact integer-micro moment sums are
+    // HUGEINT ON PURPOSE (Spark twin uses DECIMAL(38,0) partials — sums of
+    // squared micros overflow BIGINT at production scale); every readout
+    // consumes them via CAST(... AS DOUBLE), none is output raw
+    "sxx" -> "intentional HUGEINT exact moment; CAST AS DOUBLE downstream",
+    "sxy" -> "intentional HUGEINT exact moment; CAST AS DOUBLE downstream",
+    "syy" -> "intentional HUGEINT exact moment; CAST AS DOUBLE downstream",
+    "psxx" -> "pooled HUGEINT moment; CAST AS DOUBLE downstream",
+    "psxy" -> "pooled HUGEINT moment; CAST AS DOUBLE downstream"
   )
 
   private def matchParen(s: String, open: Int): Int = {

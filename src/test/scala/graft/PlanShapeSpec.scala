@@ -527,6 +527,14 @@ class PlanShapeSpec extends GraftSpec {
       "the fact-sized long form is localCheckpointed once; iterates/" +
         "rescales/sign broadcast — every per-iteration exchange runs " +
         "inside checkpoint jobs, none in the consumer plan"),
+    ("g1_triangle_census", 5,
+      "everything downstream of the memoized co-pair leaf is " +
+        "EDGE-sized: degree agg, the lo-keyed wedge self-join and the " +
+        "(h1,h2) closing semi join; oriented fan-out caps wedge rows " +
+        "at O(m^1.5) regardless of hub skew"),
+    ("g2_triangle_doulion", 5,
+      "g1's shape on the hash-sampled edge subset — the sample " +
+        "predicate is map-side on the pair leaf, never a separate pass"),
     ("v35_jl_projection", 5,
       "the packed (vec_id, xq, y) projection is a memoized leaf " +
         "(built once, not once per stride subtree); the stride " +
