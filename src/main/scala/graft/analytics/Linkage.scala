@@ -199,4 +199,135 @@ object Linkage {
        |GROUP BY decision, n_truth
        |ORDER BY decision""".stripMargin
   }
+
+  /** er2: GOLDEN-RECORD SURVIVORSHIP — the merge step of master-data
+    * management that follows linkage (er1 scores pairs, d6 clusters;
+    * this key MERGES a cluster into one canonical record). Three
+    * deterministic "source system" views of every customer (one scan +
+    * a 3-struct inline explode, never three scans):
+    *
+    *   crm (priority 1): name intact; balance STALE (minus custkey%100
+    *     cents) and NULL on custkey%7=0; segment NULL on custkey%3=0
+    *   web (priority 2): name truncated to 12 chars; balance current;
+    *     segment lowercased
+    *   pos (priority 3): name uppercased; balance current but NULL on
+    *     custkey%5=0; segment intact
+    *
+    * Survivorship, one rule per field — the three standard MDM shapes:
+    *   name    LONGEST-WINS (tie → lexicographic min, then priority)
+    *   balance SOURCE-PRIORITY with null skip (first non-null by rank)
+    *   segment MODE (most frequent value, tie → lexicographic min)
+    * plus per-field provenance (which source won) and conflict counts
+    * (distinct non-null candidates).
+    *
+    * Scale shape: the explode is a per-row map (3× row count, no
+    * shuffle); name/balance picks are rank-1 windows partitioned by
+    * custkey — ONE hash exchange, two in-partition sorts, and the
+    * rank<=1 filter is the GroupTopK heap regime (bounded state, no
+    * full sort at 100 TB); the mode is a (custkey, value) count then a
+    * custkey window; the final assembly joins three custkey-keyed
+    * rank-1 relations — co-partitioned, row-sized. Nothing quadratic. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        col("c_mktsegment"),
+        (col("c_acctbal").cast(Tables.Money) * 100).cast("long").as("cents"))
+    val src = c.select(col("custkey"), explode(array(
+      struct(lit("crm").as("src"), lit(1L).as("priority"),
+        col("c_name").as("name"),
+        when(pmod(col("custkey"), lit(7L)) === 0L, lit(null).cast("long"))
+          .otherwise(col("cents") - pmod(col("custkey"), lit(100L)))
+          .as("bal_cents"),
+        when(pmod(col("custkey"), lit(3L)) === 0L, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment")),
+      struct(lit("web").as("src"), lit(2L).as("priority"),
+        substring(col("c_name"), 1, 12).as("name"),
+        col("cents").as("bal_cents"),
+        lower(col("c_mktsegment")).as("segment")),
+      struct(lit("pos").as("src"), lit(3L).as("priority"),
+        upper(col("c_name")).as("name"),
+        when(pmod(col("custkey"), lit(5L)) === 0L, lit(null).cast("long"))
+          .otherwise(col("cents")).as("bal_cents"),
+        col("c_mktsegment").as("segment")))).as("r"))
+      .select(col("custkey"), col("r.src"), col("r.priority"),
+        col("r.name"), col("r.bal_cents"), col("r.segment"))
+    val byKey = Window.partitionBy(col("custkey"))
+    val name = src
+      .withColumn("rn", row_number().over(byKey.orderBy(
+        length(col("name")).desc, col("name").asc, col("priority").asc)))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("name").as("golden_name"),
+        col("src").as("name_src"))
+    val bal = src.filter(col("bal_cents").isNotNull)
+      .withColumn("rn", row_number().over(byKey.orderBy(col("priority").asc)))
+      .withColumn("n_bal", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("bal_cents").as("golden_bal_cents"),
+        col("src").as("bal_src"), col("n_bal").as("n_bal_sources"))
+    val seg = src.filter(col("segment").isNotNull)
+      .groupBy(col("custkey"), col("segment"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(byKey.orderBy(
+        col("n_votes").desc, col("segment").asc)))
+      .withColumn("n_seg", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("segment").as("golden_segment"),
+        col("n_votes").as("seg_votes"), col("n_seg").as("n_seg_variants"))
+    name.join(bal, Seq("custkey")).join(seg, Seq("custkey"))
+      .orderBy(col("custkey"))
+  }
+
+  def goldenRecordSql(): String =
+    """WITH c AS (
+      |  SELECT c_custkey AS custkey, c_name, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |src AS (
+      |  SELECT custkey, 'crm' AS src, 1 AS priority, c_name AS name,
+      |    CASE WHEN custkey % 7 = 0 THEN NULL
+      |      ELSE cents - custkey % 100 END AS bal_cents,
+      |    CASE WHEN custkey % 3 = 0 THEN NULL
+      |      ELSE c_mktsegment END AS segment
+      |  FROM c
+      |  UNION ALL
+      |  SELECT custkey, 'web', 2, substring(c_name, 1, 12), cents,
+      |    lower(c_mktsegment)
+      |  FROM c
+      |  UNION ALL
+      |  SELECT custkey, 'pos', 3, upper(c_name),
+      |    CASE WHEN custkey % 5 = 0 THEN NULL ELSE cents END, c_mktsegment
+      |  FROM c),
+      |name_pick AS (
+      |  SELECT custkey, name AS golden_name, src AS name_src
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+      |      ORDER BY length(name) DESC, name ASC, priority ASC) AS rn
+      |    FROM src)
+      |  WHERE rn = 1),
+      |bal_pick AS (
+      |  SELECT custkey, bal_cents AS golden_bal_cents, src AS bal_src,
+      |    n_bal AS n_bal_sources
+      |  FROM (SELECT *,
+      |      ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY priority ASC) AS rn,
+      |      CAST(COUNT(*) OVER (PARTITION BY custkey) AS BIGINT) AS n_bal
+      |    FROM src WHERE bal_cents IS NOT NULL)
+      |  WHERE rn = 1),
+      |votes AS (
+      |  SELECT custkey, segment, CAST(COUNT(*) AS BIGINT) AS n_votes
+      |  FROM src WHERE segment IS NOT NULL GROUP BY 1, 2),
+      |seg_pick AS (
+      |  SELECT custkey, segment AS golden_segment, n_votes AS seg_votes,
+      |    n_seg AS n_seg_variants
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+      |      ORDER BY n_votes DESC, segment ASC) AS rn,
+      |      CAST(COUNT(*) OVER (PARTITION BY custkey) AS BIGINT) AS n_seg
+      |    FROM votes)
+      |  WHERE rn = 1)
+      |SELECT n.custkey, n.golden_name, n.name_src, b.golden_bal_cents,
+      |  b.bal_src, b.n_bal_sources, s.golden_segment, s.seg_votes,
+      |  s.n_seg_variants
+      |FROM name_pick n
+      |JOIN bal_pick b ON n.custkey = b.custkey
+      |JOIN seg_pick s ON n.custkey = s.custkey
+      |ORDER BY n.custkey""".stripMargin
 }

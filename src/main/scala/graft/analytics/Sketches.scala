@@ -992,6 +992,47 @@ object Sketches {
           .as("p99_est_cents"))
   }
 
+  /** sk17: EXACT distinct counting by BITMAP PARTIAL AGGREGATION —
+    * Spark's native bitmap family (`bitmap_bucket_number` /
+    * `bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count`,
+    * the Databricks-published exact-distinct pattern). Per store, each
+    * 32 768-key bucket of the sku domain folds into one fixed 4 KB
+    * bitmap, so the aggregation state is BOUNDED and MERGEABLE:
+    * map-side partials OR together, the expand-based COUNT(DISTINCT)
+    * rewrite (double-shuffle at scale) never appears, and re-bucketing
+    * the same bitmaps answers company-level distincts without touching
+    * rows (the `n_distinct_company` column: a second OR-fold of the
+    * SAME per-bucket bitmaps, not a rescan). The sk1 HLL twin trades
+    * this exactness for O(1) state; this key is the exact rung of that
+    * ladder. Oracle: plain COUNT(DISTINCT) — the result is exact, so
+    * it hash-matches. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.sales(spark, dir)
+      .select(col("store_id"), col("sku"))
+      .groupBy(col("store_id"), expr("bitmap_bucket_number(sku)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
+    val perStore = buckets
+      .groupBy(col("store_id"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))
+    val company = buckets
+      .groupBy(col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_company"))
+    perStore.crossJoin(broadcast(company))
+      .orderBy(col("store_id"))
+  }
+
+  def bitmapDistinctSql(): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |per_store AS (
+       |  SELECT store_id, CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_distinct_skus
+       |  FROM s GROUP BY 1),
+       |company AS (
+       |  SELECT CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_distinct_company FROM s)
+       |SELECT store_id, n_distinct_skus, n_distinct_company
+       |FROM per_store CROSS JOIN company
+       |ORDER BY store_id""".stripMargin
+
   def mergedQuantilesSql(bins: Int = 64): String =
     s"""WITH r AS (${graft.etl.StoreDaily.rollupDecSql}),
        |${histCellsSql(bins)},

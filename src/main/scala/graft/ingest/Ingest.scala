@@ -220,6 +220,45 @@ object Ingest {
 
   /** The reference's full per-dataset export step: NDJSON data files plus
     * the manifest sidecar a BI consumer points at. */
+  /** s9: ORC INTERCHANGE ROUND-TRIP — certifies the second columnar
+    * format Spark ships natively (vectorized reader, predicate pushdown,
+    * zlib/zstd codecs; the Hive-ecosystem counterpart of the lake's
+    * parquet). The sales projection — string, date-string, long, and
+    * DECIMAL(18,2) money columns — is written to ORC ONCE per
+    * (session, sf) into a session-scoped temp dir, read back through
+    * `spark.read.orc`, and rolled up per store. The oracle computes the
+    * SAME rollup from the parquet table, so a hash match certifies
+    * value-exact survival of every type through the ORC writer/reader
+    * pair (DuckDB reads no ORC — routing the oracle through parquet is
+    * what makes this key checkable at all). The memoized handle is a
+    * plan leaf, so repeated calls pay neither the write nor the read. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val viaOrc = graft.model.Silver.memoize(spark, "orcSales", dir) {
+      val orcDir = java.nio.file.Files
+        .createTempDirectory("graft-orc").toString
+      graft.model.Tables.sales(spark, dir)
+        .select(col("store_id"), col("sale_date"), col("sku"),
+          col("quantity"), col("line_total"), col("discount_amount"))
+        .write.mode("overwrite").orc(orcDir)
+      spark.read.orc(orcDir)
+    }
+    viaOrc.groupBy(col("store_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("quantity")).as("total_units"),
+        sum(col("line_total") - col("discount_amount")).cast("double")
+          .as("net_sales"),
+        countDistinct(col("sale_date")).as("n_dates"))
+      .orderBy(col("store_id"))
+  }
+
+  def orcRoundtripSql(): String =
+    s"""WITH s AS (${graft.model.Tables.salesSql})
+       |SELECT store_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(quantity) AS BIGINT) AS total_units,
+       |  CAST(SUM(line_total - discount_amount) AS DOUBLE) AS net_sales,
+       |  CAST(COUNT(DISTINCT sale_date) AS BIGINT) AS n_dates
+       |FROM s GROUP BY store_id ORDER BY store_id""".stripMargin
+
   def exportNdjsonWithManifest(df: DataFrame, outDir: String, parts: Int = 1): String = {
     exportNdjson(df, outDir, parts)
     writeManifest(df.sparkSession, outDir)

@@ -66,16 +66,25 @@ object Sampling {
     * derive from ONE strata rollup (without the leaf, each crossJoin
     * branch would re-aggregate — three full corpus scans at 100 TB). */
   def stratifiedSample(spark: SparkSession, dir: String,
-                       budget: Int = 150): DataFrame = {
+                       budget: Int = 150): DataFrame =
+    apportionedDraw(spark, dir, budget, s"samplingAlloc:$budget",
+      col("n_docs"))
+
+  /** Shared machinery of smp1/smp3: Hamilton-apportion `budget` over the
+    * strata by `weight` (an expression over the rollup's `n_docs`), then
+    * draw each stratum's quota of hash-smallest docs. */
+  private def apportionedDraw(spark: SparkSession, dir: String, budget: Int,
+                              memoKey: String, weight: Column): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val alloc = graft.model.Silver.memoize(spark, s"samplingAlloc:$budget", dir) {
+    val alloc = graft.model.Silver.memoize(spark, memoKey, dir) {
       val strata = docs.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
-      val tot = strata.agg(sum(col("n_docs")).as("n_total"))
+        .withColumn("w", weight)
+      val tot = strata.agg(sum(col("w")).as("w_total"))
       val quotas = strata.crossJoin(broadcast(tot))
-        .withColumn("base", expr(s"$budget * n_docs DIV n_total"))
-        .withColumn("rem", expr(s"($budget * n_docs) % n_total"))
+        .withColumn("base", expr(s"$budget * w DIV w_total"))
+        .withColumn("rem", expr(s"($budget * w) % w_total"))
       val leftover = quotas.agg((lit(budget.toLong) - sum(col("base"))).as("leftover"))
       quotas.crossJoin(broadcast(leftover))
         .withColumn("rrank", row_number().over(
@@ -96,16 +105,54 @@ object Sampling {
       .orderBy(col("lang"), col("source"), col("draw_rank"))
   }
 
+  /** Exact integer square root: floor(sqrt(n)) from the double sqrt with
+    * a ±1 correction, so the boundary cases (perfect squares, doubles
+    * rounding up) can never disagree across engines. */
+  private def isqrt(n: Column): Column = {
+    val f = floor(sqrt(n.cast("double"))).cast("long")
+    f + when((f + 1) * (f + 1) <= n, 1L).otherwise(0L) -
+      when(f * f > n, 1L).otherwise(0L)
+  }
+
+  private def isqrtSql(n: String): String = {
+    val f = s"CAST(FLOOR(SQRT(CAST($n AS DOUBLE))) AS BIGINT)"
+    s"($f + (CASE WHEN ($f + 1) * ($f + 1) <= $n THEN 1 ELSE 0 END)" +
+      s" - (CASE WHEN $f * $f > $n THEN 1 ELSE 0 END))"
+  }
+
+  /** smp3: TEMPERATURE-BALANCED mixture draw, τ = 1/2 — the multilingual
+    * up-sampling rule (rates ∝ n_h^τ; mT5/XLM-R's low-resource boost)
+    * with the exponent computed in EXACT INTEGER arithmetic: the stratum
+    * weight is isqrt(n_docs) (double sqrt + ±1 correction = true floor
+    * square root, never an engine-divergent ulp), apportioned by the
+    * same Hamilton rule as smp1. Head strata shrink relative to their
+    * proportional share, tail strata grow — SamplingSpec asserts the
+    * crossover against smp1 on the same budget. Scale shape identical to
+    * smp1: dimension-sized alloc leaf, per-stratum bounded heap, no
+    * full-stratum sort. */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     budget: Int = 150): DataFrame =
+    apportionedDraw(spark, dir, budget, s"samplingAllocSqrt:$budget",
+      isqrt(col("n_docs")))
+
   def stratifiedSampleSql(budget: Int = 150): String =
+    apportionedDrawSql(budget, "n_docs")
+
+  def temperatureMixSql(budget: Int = 150): String =
+    apportionedDrawSql(budget, isqrtSql("n_docs"))
+
+  private def apportionedDrawSql(budget: Int, weight: String): String =
     s"""WITH strata AS (
        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
        |  FROM documents GROUP BY 1, 2),
-       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM strata),
+       |wstrata AS (
+       |  SELECT lang, source, $weight AS w FROM strata),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n_total FROM wstrata),
        |quotas AS (
-       |  SELECT lang, source, n_docs,
-       |    ($budget * n_docs) // n_total AS base,
-       |    ($budget * n_docs) % n_total AS rem
-       |  FROM strata CROSS JOIN tot),
+       |  SELECT lang, source, w,
+       |    ($budget * w) // n_total AS base,
+       |    ($budget * w) % n_total AS rem
+       |  FROM wstrata CROSS JOIN tot),
        |l AS (SELECT $budget - CAST(SUM(base) AS BIGINT) AS leftover FROM quotas),
        |alloc AS (
        |  SELECT lang, source,

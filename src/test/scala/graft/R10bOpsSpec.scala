@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Invariant specs for the round-10 batch-2 keys: smp3 temperature mix,
+  * er2 golden-record survivorship, sk17 bitmap exact-distinct, s9 ORC
+  * round trip. */
+class R10bOpsSpec extends GraftSpec {
+
+  test("smp3: quotas are Hamilton over isqrt weights, sum to budget, " +
+      "and flatten the mixture relative to smp1") {
+    val budget = 60
+    def isqrt(n: Long): Long = {
+      val f = math.sqrt(n.toDouble).toLong
+      f + (if ((f + 1) * (f + 1) <= n) 1L else 0L) - (if (f * f > n) 1L else 0L)
+    }
+    val strata = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val smp3 = graft.text.Sampling.temperatureMix(spark, sfDir, budget)
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(smp3.values.sum == budget)
+    // Hamilton over isqrt weights, recomputed in-process
+    val w = strata.view.mapValues(isqrt).toMap
+    val tot = w.values.sum
+    val base = w.view.mapValues(v => budget * v / tot).toMap
+    val leftover = budget - base.values.sum
+    val extras = w.toSeq
+      .sortBy { case (k, v) => (-(budget * v % tot), k._1, k._2) }
+      .take(leftover.toInt).map(_._1).toSet
+    strata.keys.foreach { k =>
+      val expect = base(k) + (if (extras(k)) 1L else 0L)
+      assert(smp3.getOrElse(k, 0L) == expect, s"stratum $k")
+    }
+    // sqrt temperature flattens: smallest stratum's share grows (or holds),
+    // largest stratum's share shrinks (or holds) vs proportional smp1
+    val smp1 = graft.text.Sampling.stratifiedSample(spark, sfDir, budget)
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    val smallest = strata.minBy(_._2)._1
+    val largest = strata.maxBy(_._2)._1
+    assert(smp3.getOrElse(smallest, 0L) >= smp1.getOrElse(smallest, 0L))
+    assert(smp3.getOrElse(largest, 0L) <= smp1.getOrElse(largest, 0L))
+  }
+
+  test("er2: survivorship matches a full in-process recompute of all " +
+      "three merge rules") {
+    val got = graft.analytics.Linkage.goldenRecord(spark, sfDir).collect()
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        (col("c_acctbal").cast(Tables.Money) * 100).cast("long"))
+      .collect()
+    assert(got.length == cust.length)
+    val byKey = got.map(r => r.getLong(0) -> r).toMap
+    cust.foreach { c =>
+      val (k, nm, seg, cents) =
+        (c.getLong(0), c.getString(1), c.getString(2), c.getLong(3))
+      val srcs = Seq(
+        ("crm", 1, nm, if (k % 7 == 0) None else Some(cents - k % 100),
+          if (k % 3 == 0) None else Some(seg)),
+        ("web", 2, nm.take(12), Some(cents), Some(seg.toLowerCase)),
+        ("pos", 3, nm.toUpperCase, if (k % 5 == 0) None else Some(cents),
+          Some(seg)))
+      val r = byKey(k)
+      val bestName = srcs.minBy { case (_, p, n, _, _) => (-n.length, n, p) }
+      assert(r.getString(1) == bestName._3 && r.getString(2) == bestName._1,
+        s"name pick for $k")
+      val balCands = srcs.filter(_._4.isDefined).sortBy(_._2)
+      assert(r.getLong(3) == balCands.head._4.get, s"balance for $k")
+      assert(r.getString(4) == balCands.head._1)
+      assert(r.getLong(5) == balCands.length.toLong)
+      val votes = srcs.flatMap(_._5).groupBy(identity)
+        .view.mapValues(_.size).toSeq
+      val bestSeg = votes.minBy { case (v, n) => (-n, v) }
+      assert(r.getString(6) == bestSeg._1, s"segment for $k")
+      assert(r.getLong(7) == bestSeg._2.toLong)
+      assert(r.getLong(8) == votes.length.toLong)
+    }
+  }
+
+  test("sk17: bitmap fold equals Spark's own exact distinct, with no " +
+      "Expand-based rewrite in the plan") {
+    val got = graft.analytics.Sketches.bitmapDistinct(spark, sfDir)
+    val exact = Tables.sales(spark, sfDir)
+      .groupBy(col("store_id"))
+      .agg(countDistinct(col("sku")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val company = Tables.sales(spark, sfDir)
+      .select(col("sku")).distinct().count()
+    val rows = got.collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"store ${r.getString(0)}")
+      assert(r.getLong(2) == company)
+    }
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "bitmap path must not fall back to the expand-based distinct rewrite")
+  }
+
+  test("s9: the ORC round trip is value-exact — rollup via ORC equals " +
+      "the same rollup straight off parquet") {
+    val viaOrc = graft.ingest.Ingest.orcRoundtrip(spark, sfDir).collect()
+    val direct = Tables.sales(spark, sfDir)
+      .groupBy(col("store_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("quantity")).as("total_units"),
+        sum(col("line_total") - col("discount_amount")).cast("double")
+          .as("net_sales"),
+        countDistinct(col("sale_date")).as("n_dates"))
+      .orderBy(col("store_id")).collect()
+    assert(viaOrc.length == direct.length && viaOrc.length > 0)
+    viaOrc.zip(direct).foreach { case (a, b) => assert(a == b) }
+  }
+}
