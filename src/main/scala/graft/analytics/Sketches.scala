@@ -1007,10 +1007,15 @@ object Sketches {
     * ladder. Oracle: plain COUNT(DISTINCT) — the result is exact, so
     * it hash-matches. */
   def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = Tables.sales(spark, dir)
-      .select(col("store_id"), col("sku"))
-      .groupBy(col("store_id"), expr("bitmap_bucket_number(sku)").as("bucket"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
+    // the (store, bucket) bitmap table is the persisted sketch of this
+    // key — |stores| x |buckets| fixed-width rows. Memoized as a leaf so
+    // the company grain folds the SAME bitmaps instead of rescanning.
+    val buckets = graft.model.Silver.memoize(spark, "bitmapBuckets", dir) {
+      Tables.sales(spark, dir)
+        .select(col("store_id"), col("sku"))
+        .groupBy(col("store_id"), expr("bitmap_bucket_number(sku)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
+    }
     val perStore = buckets
       .groupBy(col("store_id"))
       .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))

@@ -535,6 +535,29 @@ class PlanShapeSpec extends GraftSpec {
     ("g2_triangle_doulion", 5,
       "g1's shape on the hash-sampled edge subset — the sample " +
         "predicate is map-side on the pair leaf, never a separate pass"),
+    ("smp1_stratified_sample", 1,
+      "the alloc is a dimension-sized memoized leaf joined by " +
+        "broadcast; the only hash exchange is the per-stratum rank " +
+        "window, whose rank<=budget filter runs in the heap regime"),
+    ("smp3_temperature_mix", 1,
+      "smp1's shape under isqrt weights — same single stratum-keyed " +
+        "exchange"),
+    ("smp2_weighted_sample", 0,
+      "ticket min is a fused per-row map; the global k-draw is " +
+        "TakeOrderedAndProject (per-partition heaps merged on the " +
+        "driver) — zero shuffles"),
+    ("er2_golden_record", 4,
+      "survivorship is custkey-keyed throughout: name and balance " +
+        "rank-1 windows, the (custkey, segment) vote count and its " +
+        "custkey window — four row-sized exchanges, assembly joins " +
+        "ride them (broadcast at test SF)"),
+    ("s9_orc_roundtrip", 2,
+      "the ORC read feeds one two-phase distinct-date rollup: " +
+        "(store, date) then store"),
+    ("sk17_bitmap_distinct", 2,
+      "the (store, bucket) bitmap table is a memoized leaf; per-store " +
+        "and company grains each re-key it once — bitmap-sized, " +
+        "never row-sized"),
     ("v35_jl_projection", 5,
       "the packed (vec_id, xq, y) projection is a memoized leaf " +
         "(built once, not once per stride subtree); the stride " +
