@@ -631,4 +631,47 @@ class StatefulStreamingSpec extends GraftSpec {
         "streaming SCD2 history must equal the batch interval build exactly")
     } finally q.stop()
   }
+
+  test("streaming sampler reservoirs equal the batch hash-draw prefix " +
+    "per stratum, independent of micro-batch split and re-delivery") {
+    import spark.implicits._
+    import graft.streaming.{StatefulSampler, DocArrival}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val budget = 40
+    val rows = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[DocArrival].collect()
+    // adversarial order: interleave strata, split mid-stream, re-deliver
+    // a slice of b1 inside b2 (the draw must not move or duplicate)
+    val shuffled = rows.sortBy(d => StatefulSampler.hrank(d.doc_id * 7 + 3))
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 3)
+    val input = MemoryStream[DocArrival]
+    val q = StatefulSampler.sample(input.toDS(), budget)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sampler").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData((b2 ++ b1.take(25)).toSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sampler").collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getAs[Long]("n_seen"), r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_chars"), r.getAs[Long]("draw_rank"))))
+        .groupBy(_._1)
+        .map { case (k, rs) =>
+          val latest = rs.map(_._2).maxBy(_._1)._1
+          k -> rs.map(_._2).filter(_._1 == latest)
+            .map(t => (t._4, t._2, t._3)).sortBy(_._1).toSeq
+        }
+      val want = rows.groupBy(d => (d.lang, d.source))
+        .map { case (k, ds) =>
+          k -> ds.sortBy(d => (StatefulSampler.hrank(d.doc_id), d.doc_id))
+            .take(budget).zipWithIndex
+            .map { case (d, i) => (i + 1L, d.doc_id, d.n_chars) }.toSeq
+        }
+      assert(want.nonEmpty && want.keySet == got.keySet)
+      want.foreach { case (k, w) =>
+        assert(got(k) === w, s"stratum $k reservoir diverged from batch draw")
+      }
+    } finally q.stop()
+  }
 }
