@@ -48,12 +48,20 @@ import org.apache.spark.sql.functions._
   * the self-join-with-orientation class. */
 object Graph {
 
+  /** Distinct (basket, item) pairs — the shared base of the pair leaf
+    * and g3's item/basket supports, leaf-memoized so neither consumer
+    * re-pays the distinct. */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize(spark, "graphBaskets", dir) {
+      Tables.sales(spark, dir)
+        .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
+    }
+
   /** Distinct co-purchase pairs (sa < sb) with their support count —
-    * the shared edge universe of g1/g2, leaf-memoized per session. */
+    * the shared edge universe of g1/g2/g3, leaf-memoized per session. */
   private def coPairs(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "coPairs", dir) {
-      val baskets = Tables.sales(spark, dir)
-        .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
+      val baskets = this.baskets(spark, dir)
       baskets.select(col("order_id"), col("sku").as("sa"))
         .join(baskets.select(col("order_id"), col("sku").as("sb")),
           Seq("order_id"))
@@ -185,4 +193,78 @@ object Graph {
          |  n_triangles AS n_triangles_sampled,
          |  n_triangles * ${pInv.toLong * pInv * pInv} AS est_triangles"""
         .stripMargin)
+
+  /** g3: ASSOCIATION RULES over the same co-purchase universe — the
+    * market-basket readout (Agrawal/Srikant Apriori at depth 2, the
+    * depth that carries nearly all retail signal): every supported pair
+    * unfolds into its two directed rules a→b / b→a with
+    *
+    *   confidence = supp(ab) / supp(a)      (milli, integer DIV)
+    *   lift       = supp(ab)·N / (supp(a)·supp(b))   (milli)
+    *
+    * kept when support ≥ minSupport and confidence ≥ minConf, top-k by
+    * (lift, confidence) with full deterministic tie order. Integer
+    * end-to-end: supp ≤ |baskets| ≈ 2^24 at 100 TB and the lift
+    * numerator c·N·1000 stays < 2^63.
+    *
+    * Scale shape: the pair leaf is g1's memoized co-pair aggregate
+    * (priced once per session); item supports are one sku-keyed agg of
+    * the SAME basket relation; decorating pairs with two supports is a
+    * pair-keyed join against the item dimension (broadcast at any
+    * realistic |items|); the readout is TakeOrderedAndProject — per-
+    * partition heaps, no global sort. */
+  def assocRules(spark: SparkSession, dir: String, minSupport: Int = 3,
+                 minConfMilli: Long = 50L, topK: Int = 50): DataFrame = {
+    val b = baskets(spark, dir)
+    val itemSupp = b.groupBy(col("sku")).agg(count(lit(1)).as("supp"))
+    val nBaskets = b.select(col("order_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = coPairs(spark, dir).filter(col("c") >= minSupport)
+    val directed = pairs
+      .select(col("sa").as("antecedent"), col("sb").as("consequent"), col("c"))
+      .unionAll(pairs
+        .select(col("sb").as("antecedent"), col("sa").as("consequent"), col("c")))
+    directed
+      .join(itemSupp.select(col("sku").as("antecedent"),
+        col("supp").as("ante_supp")), "antecedent")
+      .join(itemSupp.select(col("sku").as("consequent"),
+        col("supp").as("cons_supp")), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence_milli", expr("c * 1000 DIV ante_supp"))
+      .filter(col("confidence_milli") >= minConfMilli)
+      .withColumn("lift_milli",
+        expr("c * n_baskets * 1000 DIV (ante_supp * cons_supp)"))
+      .select(col("antecedent"), col("consequent"),
+        col("c").as("pair_supp"), col("ante_supp"), col("cons_supp"),
+        col("n_baskets"), col("confidence_milli"), col("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("confidence_milli").desc,
+        col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
+  def assocRulesSql(minSupport: Int = 3, minConfMilli: Long = 50L,
+                    topK: Int = 50): String =
+    s"""WITH $pairsCte,
+       |item AS (SELECT sku, CAST(COUNT(*) AS BIGINT) AS supp
+       |  FROM baskets GROUP BY 1),
+       |nb AS (SELECT CAST(COUNT(DISTINCT order_id) AS BIGINT) AS n_baskets
+       |  FROM baskets),
+       |directed AS (
+       |  SELECT sa AS antecedent, sb AS consequent, c
+       |  FROM pairs WHERE c >= $minSupport
+       |  UNION ALL
+       |  SELECT sb, sa, c FROM pairs WHERE c >= $minSupport),
+       |scored AS (
+       |  SELECT d.antecedent, d.consequent, d.c AS pair_supp,
+       |    a.supp AS ante_supp, b.supp AS cons_supp, n_baskets,
+       |    d.c * 1000 // a.supp AS confidence_milli,
+       |    d.c * n_baskets * 1000 // (a.supp * b.supp) AS lift_milli
+       |  FROM directed d
+       |  JOIN item a ON d.antecedent = a.sku
+       |  JOIN item b ON d.consequent = b.sku
+       |  CROSS JOIN nb)
+       |SELECT * FROM scored
+       |WHERE confidence_milli >= $minConfMilli
+       |ORDER BY lift_milli DESC, confidence_milli DESC, antecedent, consequent
+       |LIMIT $topK""".stripMargin
 }

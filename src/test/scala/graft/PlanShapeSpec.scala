@@ -558,6 +558,11 @@ class PlanShapeSpec extends GraftSpec {
       "the (store, bucket) bitmap table is a memoized leaf; per-store " +
         "and company grains each re-key it once — bitmap-sized, " +
         "never row-sized"),
+    ("g3_assoc_rules", 3,
+      "pair and basket relations are memoized leaves; the consumers " +
+        "pay one sku-keyed support agg and the two-step basket count; " +
+        "support decoration joins broadcast the item dimension and the " +
+        "readout is TakeOrderedAndProject"),
     ("v35_jl_projection", 5,
       "the packed (vec_id, xq, y) projection is a memoized leaf " +
         "(built once, not once per stride subtree); the stride " +

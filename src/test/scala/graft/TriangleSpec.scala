@@ -56,6 +56,28 @@ class TriangleSpec extends GraftSpec {
       full.getAs[Long]("n_triangles"))
   }
 
+  test("g3: association rules match a naive in-process Apriori depth-2 " +
+      "recompute, including the deterministic top-k order") {
+    val minSupport = 3; val minConf = 50L; val topK = 50
+    val baskets = Tables.sales(spark, sfDir)
+      .select(col("l_orderkey"), col("sku")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val itemSupp = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = baskets.map(_._1).distinct.length.toLong
+    val rules = pairs.filter(_._2 >= minSupport).toSeq.flatMap {
+      case ((a, b), c) => Seq((a, b, c), (b, a, c))
+    }.map { case (a, b, c) =>
+      (a, b, c, itemSupp(a), itemSupp(b), n,
+        c * 1000 / itemSupp(a), c * n * 1000 / (itemSupp(a) * itemSupp(b)))
+    }.filter(_._7 >= minConf)
+      .sortBy(t => (-t._8, -t._7, t._1, t._2)).take(topK)
+    val got = graft.analytics.Graph.assocRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rules.nonEmpty, "fixture must yield rules")
+    assert(got.toSeq === rules)
+  }
+
   test("g2: default sample keeps a strict, non-empty edge subset") {
     val est = Graph.triangleDoulion(spark, sfDir).collect().head
     val full = pairs.size.toLong
