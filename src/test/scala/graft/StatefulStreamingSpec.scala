@@ -674,4 +674,44 @@ class StatefulStreamingSpec extends GraftSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming bitmap distinct sums to the batch sk17 relation " +
+    "exactly, independent of split and re-delivery, and the JVM bucket " +
+    "split matches Spark's bitmap functions") {
+    import spark.implicits._
+    import graft.streaming.{StatefulBitmapDistinct, SkuSale}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // bucket/position parity with the SQL functions over the sku domain
+    val skus = graft.model.Tables.sales(spark, sfDir)
+      .select(col("sku")).distinct()
+      .select(col("sku"), expr("bitmap_bucket_number(sku)").as("b"),
+        expr("bitmap_bit_position(sku)").as("p")).collect()
+    skus.foreach { r =>
+      assert(StatefulBitmapDistinct.bucketOf(r.getLong(0)) == r.getLong(1))
+      assert(StatefulBitmapDistinct.positionOf(r.getLong(0)).toLong ==
+        r.getLong(2))
+    }
+    val rows = graft.model.Tables.sales(spark, sfDir)
+      .select(col("store_id"), col("sku")).as[SkuSale].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[SkuSale]
+    val q = StatefulBitmapDistinct.count(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bmdist").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData((b2 ++ b1.take(200)).toSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM bmdist").collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getAs[Long]("n_seen"), r.getAs[Long]("n_distinct"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)._2)
+        .toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val want = graft.analytics.Sketches.bitmapDistinct(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streamed bucket-bitmap sums must equal the batch sk17 per-store counts")
+    } finally q.stop()
+  }
 }
