@@ -1,0 +1,166 @@
+package graft.etl
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k15: Z-ORDER LAYOUT vs LINEAR CLUSTERING — the data-skipping readout
+  * behind every lakehouse OPTIMIZE ZORDER BY: interleaving the bits of
+  * two filter dimensions gives every file a tight min/max box in BOTH,
+  * so a rectangle predicate prunes multiplicatively; lexicographic
+  * (sku, supp) clustering prunes only its leading column. The key lays
+  * the fact rows out both ways — file = rank DIV rowsPerFile under each
+  * total order — computes each file's (sku, supp) min/max footer stats,
+  * and reads off how many files the SAME rectangle query must touch
+  * under each layout. One output row per layout: files, touched files,
+  * touched per-mille, selected rows (identical across layouts — layout
+  * changes I/O, never results).
+  *
+  * Exactness: each dimension is min-max scaled to a common 10-bit
+  * budget in exact integer arithmetic (unequal bit-widths would
+  * degenerate z to leading-column order), the z-value is pure 64-bit
+  * bit-twiddling, file stats are integer min/max, the overlap test
+  * integer comparisons — the DuckDB twin hash-matches bit for bit.
+  *
+  * Scale shape: ranking rides [[graft.plans.GlobalRank.withRowNumber]]
+  * (range partitioning + per-partition zipWithIndex — no single-
+  * partition window, no second scan); footer stats are one file-keyed
+  * aggregate (output = |files| rows); the readout aggregates the stats
+  * relation. At 100 TB this IS the write-side OPTIMIZE job shape:
+  * range-shuffle on the layout key, stats ride the write. */
+object Layout {
+
+  private val ZBits = 10
+
+  /** Bit-interleave a (even lanes) and b (odd lanes), both < 2^10.
+    * Inputs are min-max-scaled to this common bit budget first — raw
+    * interleaving of dimensions with unequal bit-widths degenerates to
+    * leading-column order (the wide dimension's high bits own every
+    * high lane), which is exactly the linear layout z-order exists to
+    * beat. */
+  private def zValue(a: Column, b: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  private def zValueSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Min-max scale to [0, 1023] in exact integer arithmetic (div by a
+    * GREATEST(1, span) so a constant column degenerates to 0, not an
+    * error). */
+  private def scaled(v: Column, lo: Column, hi: Column): Column =
+    call_function("div", (v - lo) * lit((1L << ZBits) - 1),
+      greatest(lit(1L), hi - lo))
+
+  def zorderPruning(spark: SparkSession, dir: String, rowsPerFile: Int = 512,
+                    skuLo: Long = 100L, skuHi: Long = 500L,
+                    suppLo: Long = 10L, suppHi: Long = 30L): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("long").as("sku"),
+        col("l_suppkey").cast("long").as("supp"),
+        col("l_orderkey"), col("l_linenumber"))
+    val selected = rows
+      .filter(col("sku").between(skuLo, skuHi) &&
+        col("supp").between(suppLo, suppHi))
+      .agg(count(lit(1)).as("n_rows_selected"))
+    val dom = rows.agg(min(col("sku")).as("sku_lo"), max(col("sku")).as("sku_hi"),
+      min(col("supp")).as("supp_lo"), max(col("supp")).as("supp_hi"))
+    val z = rows.crossJoin(broadcast(dom))
+      .withColumn("z", zValue(
+        scaled(col("sku"), col("sku_lo"), col("sku_hi")),
+        scaled(col("supp"), col("supp_lo"), col("supp_hi"))))
+      .select(col("sku"), col("supp"), col("l_orderkey"),
+        col("l_linenumber"), col("z"))
+    val zLayout = {
+      val ranked = graft.plans.GlobalRank.withRowNumber(
+        z, "rk", col("z"), col("l_orderkey"), col("l_linenumber"))
+      fileReadout("zorder", ranked, rowsPerFile, skuLo, skuHi, suppLo, suppHi)
+    }
+    val linLayout = {
+      val ranked = graft.plans.GlobalRank.withRowNumber(
+        rows, "rk", col("sku"), col("supp"), col("l_orderkey"),
+        col("l_linenumber"))
+      fileReadout("linear", ranked, rowsPerFile, skuLo, skuHi, suppLo, suppHi)
+    }
+    zLayout.unionAll(linLayout)
+      .crossJoin(broadcast(selected))
+      .orderBy(col("layout"))
+  }
+
+  private def touchedExpr(skuLo: Long, skuHi: Long,
+                          suppLo: Long, suppHi: Long): String =
+    s"CASE WHEN sku_min <= $skuHi AND sku_max >= $skuLo AND " +
+      s"supp_min <= $suppHi AND supp_max >= $suppLo THEN 1 ELSE 0 END"
+
+  private def fileReadout(name: String, ranked: DataFrame, rowsPerFile: Int,
+                          skuLo: Long, skuHi: Long,
+                          suppLo: Long, suppHi: Long): DataFrame =
+    ranked
+      .groupBy(expr(s"(rk - 1) DIV $rowsPerFile").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("sku")).as("sku_min"), max(col("sku")).as("sku_max"),
+        min(col("supp")).as("supp_min"), max(col("supp")).as("supp_max"))
+      .agg(
+        lit(name).as("layout"),
+        count(lit(1)).as("n_files"),
+        expr(s"CAST(SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) " +
+          "AS BIGINT)").as("n_touched"),
+        expr(s"SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) * 1000" +
+          " DIV COUNT(*)").as("touched_pct_milli"),
+        sum(col("n_rows")).as("n_rows_total"))
+
+  def zorderPruningSql(rowsPerFile: Int = 512,
+                       skuLo: Long = 100L, skuHi: Long = 500L,
+                       suppLo: Long = 10L, suppHi: Long = 30L): String = {
+    val touched =
+      s"""CASE WHEN sku_min <= $skuHi AND sku_max >= $skuLo
+         |  AND supp_min <= $suppHi AND supp_max >= $suppLo
+         |  THEN 1 ELSE 0 END""".stripMargin
+    def one(name: String, orderBy: String) =
+      s"""SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM($touched) AS BIGINT) AS n_touched,
+         |  CAST(SUM($touched) AS BIGINT) * 1000 // COUNT(*) AS touched_pct_milli,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows_total
+         |FROM (
+         |  SELECT (rk - 1) // $rowsPerFile AS file_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    MIN(sku) AS sku_min, MAX(sku) AS sku_max,
+         |    MIN(supp) AS supp_min, MAX(supp) AS supp_max
+         |  FROM (
+         |    SELECT sku, supp,
+         |      ROW_NUMBER() OVER (ORDER BY $orderBy) AS rk
+         |    FROM rows)
+         |  GROUP BY 1)""".stripMargin
+    val scale = (v: String, lo: String, hi: String) =>
+      s"(($v - $lo) * ${(1L << ZBits) - 1} // GREATEST(1, $hi - $lo))"
+    s"""WITH raw AS (
+       |  SELECT l_partkey AS sku, l_suppkey AS supp, l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |dom AS (
+       |  SELECT MIN(sku) AS dsku_lo, MAX(sku) AS dsku_hi,
+       |    MIN(supp) AS dsupp_lo, MAX(supp) AS dsupp_hi
+       |  FROM raw),
+       |rows AS (
+       |  SELECT sku, supp, l_orderkey, l_linenumber,
+       |    ${zValueSql(scale("sku", "dsku_lo", "dsku_hi"),
+                        scale("supp", "dsupp_lo", "dsupp_hi"))} AS z
+       |  FROM raw CROSS JOIN dom),
+       |sel AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_selected FROM rows
+       |  WHERE sku BETWEEN $skuLo AND $skuHi
+       |    AND supp BETWEEN $suppLo AND $suppHi),
+       |layouts AS (
+       |  ${one("zorder", "z, l_orderkey, l_linenumber")}
+       |  UNION ALL
+       |  ${one("linear", "sku, supp, l_orderkey, l_linenumber")})
+       |SELECT layout, n_files, n_touched, touched_pct_milli, n_rows_total,
+       |  n_rows_selected
+       |FROM layouts CROSS JOIN sel
+       |ORDER BY layout""".stripMargin
+  }
+}

@@ -102,6 +102,52 @@ class R10bOpsSpec extends GraftSpec {
       "bitmap path must not fall back to the expand-based distinct rewrite")
   }
 
+  test("k15: layouts conserve rows, agree on selectivity, and the " +
+      "z-order box test matches an in-process recompute") {
+    val rowsPerFile = 64
+    // rectangle sized to the sf0.001 domains (sku 0..199, supp 0..9)
+    val (qSkuLo, qSkuHi, qSupLo, qSupHi) = (40L, 120L, 2L, 4L)
+    val got = graft.etl.Layout.zorderPruning(spark, sfDir, rowsPerFile,
+      qSkuLo, qSkuHi, qSupLo, qSupHi)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val n = rows.length.toLong
+    // in-process z recompute with the same 10-bit min-max scaling
+    val (skuLo, skuHi) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (supLo, supHi) = (rows.map(_._2).min, rows.map(_._2).max)
+    def scale(v: Long, lo: Long, hi: Long) = (v - lo) * 1023 / math.max(1, hi - lo)
+    def z(sku: Long, sup: Long): Long = {
+      val (a, b) = (scale(sku, skuLo, skuHi), scale(sup, supLo, supHi))
+      (0 until 10).map(i =>
+        (((a >> i) & 1) << (2 * i)) + (((b >> i) & 1) << (2 * i + 1))).sum
+    }
+    def readout(ordered: Array[(Long, Long, Long, Long)]) = {
+      val files = ordered.zipWithIndex.groupBy(_._2 / rowsPerFile).values
+      val touched = files.count { f =>
+        val skus = f.map(_._1._1); val sups = f.map(_._1._2)
+        skus.min <= qSkuHi && skus.max >= qSkuLo &&
+          sups.min <= qSupHi && sups.max >= qSupLo
+      }.toLong
+      (files.size.toLong, touched)
+    }
+    val (zf, zt) = readout(rows.sortBy(r => (z(r._1, r._2), r._3, r._4)))
+    val (lf, lt) = readout(rows.sortBy(r => (r._1, r._2, r._3, r._4)))
+    val sel = rows.count(r => r._1 >= qSkuLo && r._1 <= qSkuHi &&
+      r._2 >= qSupLo && r._2 <= qSupHi).toLong
+    assert(got("zorder") ==
+      (zf, zt, zt * 1000 / zf, n, sel), "zorder readout")
+    assert(got("linear") ==
+      (lf, lt, lt * 1000 / lf, n, sel), "linear readout")
+    assert(got("zorder")._2 < got("linear")._2,
+      "fixture must show z-order actually pruning more than linear")
+  }
+
   test("s9: the ORC round trip is value-exact — rollup via ORC equals " +
       "the same rollup straight off parquet") {
     val viaOrc = graft.ingest.Ingest.orcRoundtrip(spark, sfDir).collect()
