@@ -92,10 +92,27 @@ object Linkage {
     def w(f: String): (Column, Column) = (
       mlog2(col(s"m_$f")) - mlog2(col(s"u_$f")),
       mlog2(lit(1000L) - col(s"m_$f")) - mlog2(lit(1000L) - col(s"u_$f")))
-    val b1 = clean.join(dirty,
-      col("brand_c") === col("brand_d") && col("size_c") === col("size_d"))
-    val b2 = clean.join(dirty,
-      col("type_c") === col("type_d") && col("size_c") === col("size_d"))
+    // LENGTH component in every blocking key: (brand, size) / (type,
+    // size) alone are CONSTANT-cardinality blocks, so cell population
+    // grows linearly with the catalog and candidate pairs QUADRATICALLY
+    // (the classic ER blocking trap — fine at sf0.01, a scale-killer at
+    // sf1.0). The standard length filter bounds it: a true match under
+    // any <=2-char edit satisfies len_c - len_d ∈ [0, 2], so the dirty
+    // side replicates into the three covering length blocks and the
+    // equi-key gains a term whose cardinality GROWS with the catalog —
+    // cells stay O(n / (|brand||size||len|)), recall stays 1 by
+    // construction, and the 3x replication is the whole cost.
+    val dirtyB = dirty.withColumn("blk",
+      explode(array(length(col("name_d")).cast("long"),
+        length(col("name_d")).cast("long") + 1L,
+        length(col("name_d")).cast("long") + 2L)))
+    val lenC = length(col("name_c")).cast("long")
+    val b1 = clean.join(dirtyB,
+      col("brand_c") === col("brand_d") && col("size_c") === col("size_d") &&
+        lenC === col("blk"))
+    val b2 = clean.join(dirtyB,
+      col("type_c") === col("type_d") && col("size_c") === col("size_d") &&
+        lenC === col("blk"))
     val cands = b1.select(col("key_c"), col("key_d"), col("name_c"),
         col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
         col("type_d"))
@@ -165,15 +182,20 @@ object Linkage {
        |u AS (
        |  SELECT ${rateCols("u")}
        |  FROM clean JOIN dirty ON key_c + 1 = key_d),
+       |dirtyb AS (
+       |  SELECT d.*, length(name_d) + t.r AS blk
+       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r)),
        |cands AS (
        |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
        |    type_c, type_d
        |  FROM (
-       |    SELECT clean.*, dirty.* FROM clean JOIN dirty
+       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
        |      ON brand_c = brand_d AND size_c = size_d
+       |      AND length(name_c) = blk
        |    UNION ALL
-       |    SELECT clean.*, dirty.* FROM clean JOIN dirty
-       |      ON type_c = type_d AND size_c = size_d)),
+       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
+       |      ON type_c = type_d AND size_c = size_d
+       |      AND length(name_c) = blk)),
        |scored AS (
        |  SELECT key_c, key_d,
        |    (CASE WHEN levenshtein(name_c, name_d) <= 2

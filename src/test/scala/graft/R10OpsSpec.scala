@@ -329,8 +329,10 @@ class R10OpsSpec extends GraftSpec {
     }
     val cands = (for {
       c <- parts; d <- ds
-      if (c.brand == d.brand && c.size == d.size) ||
-        (c.tpe == d.tpe && c.size == d.size)
+      if c.name.length - d.name.length >= 0 &&
+        c.name.length - d.name.length <= 2 &&
+        ((c.brand == d.brand && c.size == d.size) ||
+          (c.tpe == d.tpe && c.size == d.size))
     } yield (c, d)).distinct
     val decided = cands.map { case (c, d) =>
       val a = agree(c, d)
