@@ -563,6 +563,14 @@ class PlanShapeSpec extends GraftSpec {
         "pay one sku-keyed support agg and the two-step basket count; " +
         "support decoration joins broadcast the item dimension and the " +
         "readout is TakeOrderedAndProject"),
+    ("k16_purge_audit", 4,
+      "cohort flag is a pure map on orders; ONE orderkey-keyed join " +
+        "decorates lineitem; each table folds once into its partition " +
+        "grain — the readouts aggregate partition-sized relations"),
+    ("sk18_native_hll", 2,
+      "one store-keyed sketch agg (fixed 2^lgK state, map-side " +
+        "combinable); company direct/union rows are 1-row aggregates; " +
+        "the exact column rides sk17's memoized bitmap leaf"),
     ("v35_jl_projection", 5,
       "the packed (vec_id, xq, y) projection is a memoized leaf " +
         "(built once, not once per stride subtree); the stride " +

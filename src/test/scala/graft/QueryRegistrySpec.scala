@@ -15,6 +15,7 @@ class QueryRegistrySpec extends AnyFunSuite {
   /** Keys with no oracle BY DESIGN, each with the reason. */
   private val rowsOnly: Map[String, String] = Map(
     "s6_file_inventory" -> "Spark _metadata hidden column has no DuckDB analogue",
+    "sk18_native_hll" -> "Datasketches HLL estimates are implementation-defined (the in-row n_exact column is the anchor; NativeHllSpec bounds error and asserts lossless union)",
     "sk1_daily_approx" -> "HLL++/GK sketch values are implementation-defined",
     "sk2_store_sku_approx" -> "HLL++ sketch values are implementation-defined",
     "sk3_store_top_sellers" -> "Misra-Gries summary contents are algorithm-defined",

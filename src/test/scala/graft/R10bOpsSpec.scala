@@ -148,6 +148,39 @@ class R10bOpsSpec extends GraftSpec {
       "fixture must show z-order actually pruning more than linear")
   }
 
+  test("k16: purge audit matches an in-process recompute of cohort, " +
+      "partition touch set, and write amplification") {
+    val mod = 97L
+    val got = graft.etl.Purge.purgeAudit(spark, sfDir, mod).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val purged = orders.filter(t => t._2 % mod == 0).map(_._1).toSet
+    def readout[K](parts: Map[K, (Long, Long)]) = {
+      val rows = parts.values.map(_._1).sum
+      val np = parts.values.map(_._2).sum
+      val touched = parts.values.filter(_._2 > 0)
+      (rows, np, np * 1000 / rows, parts.size.toLong,
+        touched.size.toLong,
+        touched.map(_._1).sum * 1000 / math.max(1, np))
+    }
+    val oParts = orders.groupBy(_._3).view.mapValues(g =>
+      (g.length.toLong, g.count(t => purged(t._1)).toLong)).toMap
+    assert(got("orders") == readout(oParts))
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("l_orderkey"), col("store_id"),
+        substring(col("sale_date"), 1, 7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val lParts = sales.groupBy(t => (t._3, t._2)).view.mapValues(g =>
+      (g.length.toLong, g.count(t => purged(t._1)).toLong)).toMap
+    assert(got("lineitem") == readout(lParts))
+    assert(got("lineitem")._6 > 1000L,
+      "fixture must show real write amplification (>1 row rewritten per purge)")
+  }
+
   test("s9: the ORC round trip is value-exact — rollup via ORC equals " +
       "the same rollup straight off parquet") {
     val viaOrc = graft.ingest.Ingest.orcRoundtrip(spark, sfDir).collect()
