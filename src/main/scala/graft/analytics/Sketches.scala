@@ -1061,4 +1061,53 @@ object Sketches {
        |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN edge_cents END)
        |    AS BIGINT) AS p99_est_cents
        |FROM cum""".stripMargin
+
+  /** sk19: SPARK-NATIVE GK QUANTILES — `approx_percentile`
+    * (Greenwald-Khanna, the engine's production quantile sketch) over
+    * ROW-sized line totals per store, next to POSITIONAL exact
+    * percentiles as the in-row certification anchor (a34's rank-lookup
+    * definition: value at row ceil(q·n) of the cents-ordered series —
+    * no interpolation, so the anchor itself is engine-exact). The GK
+    * rung completes the quantile ladder: a34 exact at day grain,
+    * sk15/sk16 mergeable histograms with bin-width error, sk19 the
+    * native sketch with RANK error <= n/accuracy (NativeQuantileSpec
+    * asserts that bound against the collected per-store order
+    * statistics). Rows-only by design: GK summary contents are
+    * implementation-defined, no cross-engine hash can exist.
+    *
+    * Scale shape: ONE store-keyed exchange — the anchor's rank window
+    * and the combined agg (GK partials + rank-hit conditional max)
+    * ride the same partitioning; GK state is O(1/eps log n) per store
+    * regardless of rows, map-side combinable. The exact anchor's
+    * per-store window is the exactness rung only (a34 argument) — at
+    * unbounded group sizes the GK column IS the answer. */
+  def nativeQuantiles(spark: SparkSession, dir: String,
+                      accuracy: Int = 1000): DataFrame = {
+    val byStore = Window.partitionBy(col("store_id"))
+    val ordered = byStore.orderBy(col("cents"), col("l_orderkey"),
+      col("l_linenumber"))
+    Tables.sales(spark, dir)
+      .select(col("store_id"),
+        (col("line_total") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byStore))
+      .groupBy(col("store_id"))
+      .agg(max(col("n")).as("n_rows"),
+        expr(s"approx_percentile(cents, array(0.5D, 0.9D, 0.99D), $accuracy)")
+          .as("gk"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("p50_exact_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_exact_cents"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents")))
+          .as("p99_exact_cents"))
+      .select(col("store_id"), col("n_rows"),
+        col("gk")(0).as("p50_est_cents"),
+        col("gk")(1).as("p90_est_cents"),
+        col("gk")(2).as("p99_est_cents"),
+        col("p50_exact_cents"), col("p90_exact_cents"),
+        col("p99_exact_cents"))
+      .orderBy(col("store_id"))
+  }
 }

@@ -567,6 +567,17 @@ class PlanShapeSpec extends GraftSpec {
       "cohort flag is a pure map on orders; ONE orderkey-keyed join " +
         "decorates lineitem; each table folds once into its partition " +
         "grain — the readouts aggregate partition-sized relations"),
+    ("k17_compaction_plan", 2,
+      "the (day, store) file inventory is the ONLY row-sized fold; " +
+        "the pack window and final rollup re-key once to the " +
+        "(month, store) partition grain over metadata-sized rows"),
+    ("k18_expectation_suite", 2,
+      "row-level checks are single-partition conditional aggs " +
+        "(map-side partials); the only hash exchanges are the " +
+        "uniqueness key-grain fold and the month-grain continuity fold"),
+    ("sk19_native_quantiles", 1,
+      "the anchor's rank window and the GK+rank-hit agg ride ONE " +
+        "store-keyed exchange; GK state is O(1/eps log n) per store"),
     ("sk18_native_hll", 2,
       "one store-keyed sketch agg (fixed 2^lgK state, map-side " +
         "combinable); company direct/union rows are 1-row aggregates; " +

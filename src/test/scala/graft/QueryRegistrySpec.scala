@@ -16,6 +16,7 @@ class QueryRegistrySpec extends AnyFunSuite {
   private val rowsOnly: Map[String, String] = Map(
     "s6_file_inventory" -> "Spark _metadata hidden column has no DuckDB analogue",
     "sk18_native_hll" -> "Datasketches HLL estimates are implementation-defined (the in-row n_exact column is the anchor; NativeHllSpec bounds error and asserts lossless union)",
+    "sk19_native_quantiles" -> "GK approx_percentile summaries are implementation-defined (the in-row positional exact columns are the anchor; NativeQuantileSpec asserts the rank-error bound)",
     "sk1_daily_approx" -> "HLL++/GK sketch values are implementation-defined",
     "sk2_store_sku_approx" -> "HLL++ sketch values are implementation-defined",
     "sk3_store_top_sellers" -> "Misra-Gries summary contents are algorithm-defined",
