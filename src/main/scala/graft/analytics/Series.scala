@@ -1,0 +1,167 @@
+package graft.analytics
+
+import graft.etl.StoreDaily
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series and forensic-audit readouts over the daily revenue
+  * series — the a30/a42 family extended with the two classics every
+  * BI stack ships: the autocorrelation function (is there weekly
+  * structure worth a seasonal model?) and the Benford first-digit
+  * audit (does the amount distribution look organic?). */
+object Series {
+
+  private val MaxLag = 14
+
+  /** a50: AUTOCORRELATION FUNCTION of company daily net revenue at row
+    * lags 1..14 — the readout that justifies (or kills) a42's weekly
+    * seasonal index: a lag-7 spike is weekly structure, a flat ACF says
+    * the seasonal model is noise. Pairing is POSITIONAL (row i with row
+    * i−k of the date-ordered series), so calendar gaps never produce
+    * null pairs and both engines agree by construction.
+    *
+    * Exactness: all five moments accumulate as scale-0 integer cents
+    * (the a30 rule — decimal→double lands one ulp apart across
+    * engines; exact-integer moments cast to double at the END, then
+    * ONE identical IEEE expression per row, cannot). `acf` is the raw
+    * IEEE quotient of those exact operands.
+    *
+    * Scale shape: the company series is DATE-grain (calendar-bounded —
+    * the a29 argument), so the single-partition lag window is over
+    * ~10^3 rows regardless of fact-table size; all 14 lags come out of
+    * ONE window pass (14 lag columns, then a stack unpivot), and the
+    * lag-grain moment agg has 14 output rows. The row-sized folds are
+    * the two upstream rollups. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+      .cast(DecimalType(18, 0))
+    val series = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(sum(netCents).cast(DecimalType(18, 0)).as("net_c"))
+    val byDate = Window.orderBy(col("sale_date"))
+    val lagged = (1 to MaxLag).foldLeft(series) { (df, k) =>
+      df.withColumn(s"lag_$k", lag(col("net_c"), k).over(byDate))
+    }
+    val stackArgs = (1 to MaxLag)
+      .map(k => s"${k}L, lag_$k").mkString(s"stack($MaxLag, ", ", ",
+        ") AS (lag, x_c)")
+    val pairs = lagged.selectExpr("net_c AS y_c", stackArgs)
+      .where(col("x_c").isNotNull)
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x_c")).as("sx_c"),
+      sum(col("y_c")).as("sy_c"),
+      sum(col("x_c") * col("x_c")).as("sxx_c"),
+      sum(col("y_c") * col("y_c")).as("syy_c"),
+      sum(col("x_c") * col("y_c")).as("sxy_c"))
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("lag"), col("n_pairs"),
+        ((nD * d("sxy_c") - d("sx_c") * d("sy_c")) /
+          sqrt((nD * d("sxx_c") - d("sx_c") * d("sx_c")) *
+            (nD * d("syy_c") - d("sy_c") * d("sy_c")))).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  def acfSql(): String = {
+    val lagCols = (1 to MaxLag)
+      .map(k => s"LAG(net_c, $k) OVER (ORDER BY sale_date) AS lag_$k")
+      .mkString(",\n       |    ")
+    val unpivot = (1 to MaxLag)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS lag, net_c AS y_c, " +
+        s"lag_$k AS x_c FROM lagged WHERE lag_$k IS NOT NULL")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |series AS (
+       |  SELECT sale_date,
+       |    CAST(SUM((gross_dec - disc_dec) * 100) AS BIGINT) AS net_c
+       |  FROM sd GROUP BY sale_date),
+       |lagged AS (
+       |  SELECT sale_date, net_c,
+       |    $lagCols
+       |  FROM series),
+       |pairs AS (
+       |  $unpivot),
+       |m AS (
+       |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(x_c) AS DOUBLE) AS sx, CAST(SUM(y_c) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x_c AS HUGEINT) * x_c) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y_c AS HUGEINT) * y_c) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x_c AS HUGEINT) * y_c) AS DOUBLE) AS sxy,
+       |    CAST(COUNT(*) AS DOUBLE) AS nd
+       |  FROM pairs GROUP BY lag)
+       |SELECT lag, n_pairs,
+       |  (nd * sxy - sx * sy)
+       |    / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS acf
+       |FROM m ORDER BY lag""".stripMargin
+  }
+
+  /** Benford expected first-digit shares, per-mille (floor of
+    * 1000·log10(1 + 1/d)) — fixed literals so both engines agree and
+    * the rubric is stable across runs. */
+  private val BenfordMilli: Map[Int, Long] = Map(
+    1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+    6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+
+  /** a51: BENFORD FIRST-DIGIT AUDIT of order totals — the forensic
+    * screen every finance/audit pipeline runs: organic multiplicative
+    * amounts follow log-uniform first digits; fabricated or clamped
+    * data doesn't. One row per digit 1..9: observed count, observed
+    * per-mille, the Benford expectation (fixed per-mille literals)
+    * and the signed deviation. TPC-H-style uniform pricing is NOT
+    * Benford — large deviations here are the readout working, and the
+    * spec asserts the exact counts, not conformance.
+    *
+    * Exactness: digit = first char of the integer cents rendered as a
+    * string (cents via the house DECIMAL(18,2) money cast — never
+    * double*100 truncation); counts and per-milles are pure integers.
+    *
+    * Scale shape: a narrow map to the digit, one 9-group hash agg,
+    * and a broadcast 1-row total for the share — nothing else moves. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100)
+      .cast("long")
+    val digits = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 0d)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      // total via a global window over the 9-row digit relation — a
+      // second .agg would re-run the whole scan+fold for one number
+      .withColumn("n_total", sum(col("n_obs")).over(Window.partitionBy()))
+    val expected = BenfordMilli.toSeq
+      .map { case (d, m) => s"$d, ${m}L" }
+      .mkString("stack(9, ", ", ", ") AS (digit, expected_milli)")
+    digits
+      .join(broadcast(spark.range(1).selectExpr(expected)), Seq("digit"))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        expr("n_obs * 1000 DIV n_total").as("obs_milli"),
+        col("expected_milli"),
+        (expr("n_obs * 1000 DIV n_total") - col("expected_milli"))
+          .as("deviation_milli"))
+      .orderBy(col("digit"))
+  }
+
+  def benfordAuditSql(): String = {
+    val expected = BenfordMilli.toSeq.sorted
+      .map { case (d, m) => s"($d, $m)" }.mkString(", ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substring(CAST(CAST(
+       |      CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |obs AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+       |  FROM digits GROUP BY digit),
+       |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+       |exp_m AS (SELECT * FROM (VALUES $expected) AS t(digit, expected_milli))
+       |SELECT CAST(o.digit AS BIGINT) AS digit, o.n_obs,
+       |  o.n_obs * 1000 // t.n_total AS obs_milli,
+       |  CAST(e.expected_milli AS BIGINT) AS expected_milli,
+       |  o.n_obs * 1000 // t.n_total - e.expected_milli AS deviation_milli
+       |FROM obs o CROSS JOIN tot t JOIN exp_m e ON e.digit = o.digit
+       |ORDER BY digit""".stripMargin
+  }
+}

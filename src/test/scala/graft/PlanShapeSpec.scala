@@ -567,6 +567,13 @@ class PlanShapeSpec extends GraftSpec {
       "cohort flag is a pure map on orders; ONE orderkey-keyed join " +
         "decorates lineitem; each table folds once into its partition " +
         "grain — the readouts aggregate partition-sized relations"),
+    ("a50_acf", 3,
+      "store-day rollup + the date-grain company fold are the row-" +
+        "sized moves; all 14 lags ride ONE calendar-bounded window " +
+        "pass and the lag-grain moment agg has 14 output rows"),
+    ("a51_benford_audit", 1,
+      "narrow map to the first digit, one 9-group hash agg; total and " +
+        "expectation arrive by broadcast"),
     ("k17_compaction_plan", 2,
       "the (day, store) file inventory is the ONLY row-sized fold; " +
         "the pack window and final rollup re-key once to the " +

@@ -91,6 +91,54 @@ class R10cOpsSpec extends GraftSpec {
       "the healthy checks must pass on this corpus")
   }
 
+  test("a50: ACF matches an in-process recompute over the positional " +
+      "company series and lag-0 self-correlation sanity holds at lag 7 vs 1") {
+    val got = graft.analytics.Series.acf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == (1L to 14L).toSet)
+    val series = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .groupBy(col("sale_date"))
+      .agg(sum((col("gross_dec") - col("disc_dec")) * 100).as("net"))
+      .orderBy(col("sale_date")).collect()
+      .map(_.getDecimal(1).longValueExact())
+    (1 to 14).foreach { k =>
+      val x = series.dropRight(k).map(_.toDouble)
+      val y = series.drop(k).map(_.toDouble)
+      val n = x.length.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum
+      val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val expect = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (np, acf) = got(k.toLong)
+      assert(np == x.length.toLong)
+      assert(math.abs(acf - expect) < 1e-9, s"lag $k: $acf vs $expect")
+    }
+  }
+
+  test("a51: Benford digit counts match an in-process recompute and the " +
+      "per-mille table is exact") {
+    val got = graft.analytics.Series.benfordAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cents = Tables.orders(spark, sfDir)
+      .where(col("o_totalprice") > 0d)
+      .select((col("o_totalprice").cast(Tables.Money) * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val counts = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+      6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+    assert(got.keySet == counts.keySet.map(_.toLong))
+    counts.foreach { case (d, n) =>
+      val obsMilli = n * 1000L / total
+      assert(got(d.toLong) ==
+        (n, obsMilli, benford(d), obsMilli - benford(d)), s"digit $d")
+    }
+  }
+
   test("sk19: GK estimates honor the rank-error bound n/accuracy against " +
       "the per-store order statistics, and the exact anchors are positional") {
     val accuracy = 1000
