@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "floor_log2(bigint)")
         graft.functions.FloorLog2(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("bit_interleave"),
+      info("bit_interleave", classOf[graft.functions.BitInterleave].getName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bit_interleave(bigint, bigint)")
+        graft.functions.BitInterleave(args.head, args(1))
+      }))
     // aggregate: the analyzer wraps a bare AggregateFunction returned from
     // a registry builder in its AggregateExpression
     ext.injectFunction((FunctionIdentifier("topk_by_count"),

@@ -99,6 +99,89 @@ object Series {
        |FROM m ORDER BY lag""".stripMargin
   }
 
+  /** a52: CHANGEPOINT DETECTION (binary segmentation, first split) on
+    * company daily net revenue — "did the level shift, and when?": the
+    * split t that maximizes the variance explained by a two-mean model,
+    * gain(t) = S_l²/t + S_r²/(n−t) − S²/n (the SSE reduction in sum
+    * form — no per-candidate rescan, every candidate reads one prefix
+    * sum). Ties break to the EARLIEST split in both engines. One row:
+    * split index/date, segment means (exact integer cents), the raw
+    * gain and the variance-explained per-mille.
+    *
+    * Exactness: prefix sums and the squared-total moments accumulate
+    * as exact integer cents (the a30/a50 rule); gain is ONE identical
+    * IEEE expression from those exact operands, so argmax and the
+    * emitted doubles agree across engines bit-for-bit; means and the
+    * per-mille are integer DIV.
+    *
+    * Scale shape: the candidate relation IS the date-grain series
+    * (calendar-bounded — the a29 argument), one single-partition
+    * window pass builds rank + prefix + totals, gain is a pure map,
+    * and the argmax is a 1-row sort-limit. The row-sized folds are
+    * the two upstream rollups. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+      .cast(DecimalType(18, 0))
+    val series = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(sum(netCents).cast(DecimalType(18, 0)).as("net_c"))
+    val byDate = Window.orderBy(col("sale_date"))
+    val all = Window.partitionBy()
+    val cand = series
+      .withColumn("t", row_number().over(byDate).cast("long"))
+      .withColumn("cum_c", sum(col("net_c")).over(byDate))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s_c", sum(col("net_c")).over(all))
+      .withColumn("syy_c", sum(col("net_c") * col("net_c")).over(all))
+      .where(col("t") < col("n"))
+    val tD = col("t").cast("double")
+    val nD = col("n").cast("double")
+    val slD = col("cum_c").cast("double")
+    val sD = col("s_c").cast("double")
+    val srD = sD - slD
+    val gain = slD * slD / tD + srD * srD / (nD - tD) - sD * sD / nD
+    val sseTotal = col("syy_c").cast("double") - sD * sD / nD
+    cand.select(col("sale_date").as("split_date"), col("t").as("split_idx"),
+        col("n").as("n_days"), gain.as("gain"),
+        floor(gain * 1000d / sseTotal).cast("long").as("var_explained_milli"),
+        expr("CAST(cum_c AS BIGINT) DIV t").as("mean_left_cents"),
+        expr("CAST(s_c - cum_c AS BIGINT) DIV (n - t)").as("mean_right_cents"))
+      .orderBy(col("gain").desc, col("split_idx"))
+      .limit(1)
+  }
+
+  def changepointSql(): String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |series AS (
+       |  SELECT sale_date,
+       |    CAST(SUM((gross_dec - disc_dec) * 100) AS BIGINT) AS net_c
+       |  FROM sd GROUP BY sale_date),
+       |cand AS (
+       |  SELECT sale_date,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sale_date) AS BIGINT) AS t,
+       |    CAST(SUM(net_c) OVER (ORDER BY sale_date
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_c,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+       |    CAST(SUM(net_c) OVER () AS BIGINT) AS s_c,
+       |    CAST(SUM(CAST(net_c AS HUGEINT) * net_c) OVER () AS DOUBLE) AS syy
+       |  FROM series),
+       |scored AS (
+       |  SELECT sale_date AS split_date, t AS split_idx, n AS n_days,
+       |    CAST(cum_c AS DOUBLE) * cum_c / t
+       |      + (CAST(s_c AS DOUBLE) - cum_c) * (CAST(s_c AS DOUBLE) - cum_c)
+       |        / (n - t)
+       |      - CAST(s_c AS DOUBLE) * s_c / n AS gain,
+       |    syy - CAST(s_c AS DOUBLE) * s_c / n AS sse_total,
+       |    cum_c // t AS mean_left_cents,
+       |    (s_c - cum_c) // (n - t) AS mean_right_cents
+       |  FROM cand WHERE t < n)
+       |SELECT split_date, split_idx, n_days, gain,
+       |  CAST(floor(gain * 1000 / sse_total) AS BIGINT) AS var_explained_milli,
+       |  mean_left_cents, mean_right_cents
+       |FROM scored
+       |ORDER BY gain DESC, split_idx LIMIT 1""".stripMargin
+
   /** Benford expected first-digit shares, per-mille (floor of
     * 1000·log10(1 + 1/d)) — fixed literals so both engines agree and
     * the rubric is stable across runs. */

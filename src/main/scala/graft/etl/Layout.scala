@@ -37,13 +37,12 @@ object Layout {
     * interleaving of dimensions with unequal bit-widths degenerates to
     * leading-column order (the wide dimension's high bits own every
     * high lane), which is exactly the linear layout z-order exists to
-    * beat. */
+    * beat. Lowered to the native [[graft.functions.BitInterleave]]
+    * Morton-spread expression (one codegen node vs the 3-nodes-per-bit
+    * fold this replaced; BitInterleaveSpec holds bit-parity with the
+    * fold, so the k15 oracle value cannot move). */
   private def zValue(a: Column, b: Column): Column =
-    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }
+    graft.functions.BitInterleave.bitInterleave(a, b)
 
   private def zValueSql(a: String, b: String): String =
     (0 until ZBits).map { i =>

@@ -77,7 +77,8 @@ object Purge {
        |ro AS (
        |  SELECT 'orders' AS table_name, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
        |    CAST(SUM(n_purged) AS BIGINT) AS n_purged,
-       |    CAST(SUM(n_purged) AS BIGINT) * 1000 // SUM(n_rows) AS purge_pct_milli,
+       |    CAST(SUM(n_purged) AS BIGINT) * 1000 // CAST(SUM(n_rows) AS BIGINT)
+       |      AS purge_pct_milli,
        |    CAST(COUNT(*) AS BIGINT) AS n_parts,
        |    CAST(SUM(CASE WHEN n_purged > 0 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_parts_touched,
@@ -88,7 +89,7 @@ object Purge {
        |rl AS (
        |  SELECT 'lineitem', CAST(SUM(n_rows) AS BIGINT),
        |    CAST(SUM(n_purged) AS BIGINT),
-       |    CAST(SUM(n_purged) AS BIGINT) * 1000 // SUM(n_rows),
+       |    CAST(SUM(n_purged) AS BIGINT) * 1000 // CAST(SUM(n_rows) AS BIGINT),
        |    CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(CASE WHEN n_purged > 0 THEN 1 ELSE 0 END) AS BIGINT),
        |    CAST(SUM(CASE WHEN n_purged > 0 THEN n_rows ELSE 0 END) AS BIGINT)

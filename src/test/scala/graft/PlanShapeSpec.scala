@@ -571,6 +571,10 @@ class PlanShapeSpec extends GraftSpec {
       "store-day rollup + the date-grain company fold are the row-" +
         "sized moves; all 14 lags ride ONE calendar-bounded window " +
         "pass and the lag-grain moment agg has 14 output rows"),
+    ("a52_changepoint", 3,
+      "candidates ARE the calendar-bounded series: one window pass " +
+        "builds rank/prefix/totals, gain is a pure map, the argmax a " +
+        "1-row sort-limit; the row-sized folds are the two rollups"),
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),

@@ -117,6 +117,36 @@ class R10cOpsSpec extends GraftSpec {
     }
   }
 
+  test("a52: the changepoint is the argmax of an in-process gain scan " +
+      "and the two-mean decomposition is exact") {
+    val r = graft.analytics.Series.changepoint(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val series = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .groupBy(col("sale_date"))
+      .agg(sum((col("gross_dec") - col("disc_dec")) * 100).as("net"))
+      .orderBy(col("sale_date")).collect()
+      .map(x => (x.getString(0), x.getDecimal(1).longValueExact()))
+    val n = series.length
+    val s = series.map(_._2).sum
+    val cums = series.map(_._2).scanLeft(0L)(_ + _).tail
+    def gainOf(t: Int): Double = {
+      val sl = cums(t - 1).toDouble
+      val sr = s.toDouble - sl
+      sl * sl / t + sr * sr / (n - t) - s.toDouble * s.toDouble / n
+    }
+    val bestT = (1 until n).minBy(t => (-gainOf(t), t))
+    assert(row.getLong(1) == bestT.toLong)
+    assert(row.getString(0) == series(bestT - 1)._1)
+    assert(row.getLong(2) == n.toLong)
+    assert(math.abs(row.getDouble(3) - gainOf(bestT)) < 1e-6)
+    assert(row.getLong(5) == cums(bestT - 1) / bestT)
+    assert(row.getLong(6) == (s - cums(bestT - 1)) / (n - bestT))
+    val syy = series.map(v => BigInt(v._2) * BigInt(v._2)).sum
+    val sse = syy.toDouble - s.toDouble * s.toDouble / n
+    assert(row.getLong(4) == math.floor(gainOf(bestT) * 1000d / sse).toLong)
+  }
+
   test("a51: Benford digit counts match an in-process recompute and the " +
       "per-mille table is exact") {
     val got = graft.analytics.Series.benfordAudit(spark, sfDir).collect()

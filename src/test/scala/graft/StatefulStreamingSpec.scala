@@ -714,4 +714,52 @@ class StatefulStreamingSpec extends GraftSpec {
         "streamed bucket-bitmap sums must equal the batch sk17 per-store counts")
     } finally q.stop()
   }
+
+  test("streaming quality gate sums to the batch k18 mergeable metrics " +
+      "exactly, independent of micro-batch split") {
+    import spark.implicits._
+    import graft.streaming.{OrderObs, QualityCounters, StatefulQualityGate}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val obs = graft.model.Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("month"),
+        col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("totalprice"))
+      .as[OrderObs].collect()
+    val batch = graft.analytics.Expectations.expectationSuite(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def run(name: String, batches: Seq[Seq[OrderObs]]): Map[Long, QualityCounters] = {
+      val input = MemoryStream[OrderObs]
+      val q = StatefulQualityGate.gate(input.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.sql(s"SELECT * FROM $name").as[QualityCounters].collect()
+          .groupBy(_.month).view.mapValues(_.maxBy(_.n)).toMap
+      } finally q.stop()
+    }
+
+    val splitA = Seq(obs.take(obs.length / 3).toSeq,
+      obs.slice(obs.length / 3, 2 * obs.length / 3).toSeq,
+      obs.drop(2 * obs.length / 3).toSeq)
+    val splitB = Seq(obs.zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSeq,
+      obs.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).toSeq)
+    val a = run("qgate_a", splitA)
+    val b = run("qgate_b", splitB)
+    assert(a === b, "counters must be split-invariant")
+
+    val n = a.values.map(_.n).sum
+    assert(n == obs.length.toLong)
+    assert(a.values.map(_.custkey_nonnull).sum * 1000L / n ==
+      batch("ord_custkey_complete"))
+    assert(a.values.map(_.status_ok).sum * 1000L / n ==
+      batch("ord_status_domain"))
+    assert(a.values.map(_.total_pos).sum * 1000L / n ==
+      batch("ord_total_positive"))
+    val months = a.keySet
+    assert(months.size.toLong * 1000L / (months.max - months.min + 1) ==
+      batch("ord_month_continuity"))
+  }
 }
