@@ -52,8 +52,21 @@ object Linkage {
         .cast("long")
   }
 
-  def fsLinkage(spark: SparkSession, dir: String,
-                upper: Long = 2000L, lower: Long = 0L): DataFrame = {
+  /** The scored candidate-pair relation (key_c, key_d, agreement bits,
+    * score_milli, decision, is_true) shared by er1's readout and er3's
+    * cluster construction. MEMOIZED as a silver handle: er1 aggregates
+    * it, er3 runs a driver-side CC convergence loop over it — without
+    * sharing, er3 would re-run both blocked joins and the m/u model.
+    * Thresholds are part of the memo key. */
+  private[graft] def scoredPairs(spark: SparkSession, dir: String,
+                                 upper: Long = 2000L,
+                                 lower: Long = 0L): DataFrame =
+    graft.model.Silver.memoize(spark, s"erScoredPairs_${upper}_$lower", dir) {
+      scoredPairsPlan(spark, dir, upper, lower).cache()
+    }
+
+  private def scoredPairsPlan(spark: SparkSession, dir: String,
+                              upper: Long, lower: Long): DataFrame = {
     val clean = Tables.part(spark, dir)
       .select(col("p_partkey").as("key_c"), col("p_name").as("name_c"),
         col("p_brand").as("brand_c"), col("p_type").as("type_c"),
@@ -132,6 +145,13 @@ object Linkage {
           .when(col("score_milli") <= lower, "non_link")
           .otherwise("possible"))
       .withColumn("is_true", (col("key_c") === col("key_d")).cast("long"))
+    scored.select(col("key_c"), col("key_d"), col("score_milli"),
+      col("decision"), col("is_true"))
+  }
+
+  def fsLinkage(spark: SparkSession, dir: String,
+                upper: Long = 2000L, lower: Long = 0L): DataFrame = {
+    val scored = scoredPairs(spark, dir, upper, lower)
     val nTruth = Tables.part(spark, dir).agg(count(lit(1)).as("n_truth"))
     scored.groupBy(col("decision"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -145,7 +165,9 @@ object Linkage {
       .orderBy(col("decision"))
   }
 
-  def fsLinkageSql(upper: Long = 2000L, lower: Long = 0L): String = {
+  /** The clean..scored CTE chain shared by [[fsLinkageSql]] and
+    * [[entityClustersSql]] — the SQL twin of [[scoredPairs]]. */
+  private def scoredCtesSql(): String = {
     def mlog2(x: String): String = {
       val b = s"(length(format('{:b}', $x)) - 1)"
       val p = s"CAST(power(2, $b) AS BIGINT)"
@@ -161,7 +183,7 @@ object Linkage {
       }
       s"CAST(GREATEST(LEAST(SUM($a) * 1000 // COUNT(*), 999), 1) AS BIGINT) AS ${p}_$f"
     }.mkString(",\n    ")
-    s"""WITH clean AS (
+    s"""clean AS (
        |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
        |    p_type AS type_c, p_size AS size_c
        |  FROM part),
@@ -205,8 +227,16 @@ object Linkage {
        |     CASE WHEN type_c = type_d
        |       THEN ${wA("type")} ELSE ${wD("type")} END) AS score_milli,
        |    CASE WHEN key_c = key_d THEN 1 ELSE 0 END AS is_true
-       |  FROM cands CROSS JOIN m CROSS JOIN u),
-       |dec AS (
+       |  FROM cands CROSS JOIN m CROSS JOIN u)""".stripMargin
+  }
+
+  // NOTE both composers below CONCATENATE the pre-stripped CTE chain
+  // instead of interpolating it inside a stripMargin template: the chain
+  // contains continuation lines that BEGIN with `||` (string concat),
+  // which a second stripMargin pass would eat as margin characters.
+  def fsLinkageSql(upper: Long = 2000L, lower: Long = 0L): String =
+    s"WITH ${scoredCtesSql()},\n" +
+    s"""dec AS (
        |  SELECT CASE WHEN score_milli >= $upper THEN 'link'
        |    WHEN score_milli <= $lower THEN 'non_link'
        |    ELSE 'possible' END AS decision, is_true
@@ -220,7 +250,6 @@ object Linkage {
        |FROM dec CROSS JOIN truth
        |GROUP BY decision, n_truth
        |ORDER BY decision""".stripMargin
-  }
 
   /** er2: GOLDEN-RECORD SURVIVORSHIP — the merge step of master-data
     * management that follows linkage (er1 scores pairs, d6 clusters;
@@ -352,4 +381,81 @@ object Linkage {
       |JOIN bal_pick b ON n.custkey = b.custkey
       |JOIN seg_pick s ON n.custkey = s.custkey
       |ORDER BY n.custkey""".stripMargin
+
+  /** er3: ENTITY CLUSTERS — the transitive-closure step between er1
+    * (pairwise link decisions) and er2 (per-entity survivorship): link
+    * pairs rarely form clean 1:1 matches — chains (A links B links C)
+    * and conflations (two true entities bridged by a false positive)
+    * only surface once links are closed into CONNECTED COMPONENTS.
+    * Vertices are both sides of the er1 universe on one id line
+    * (clean key → 2k, dirty key → 2k+1 — disjoint by parity, ordered,
+    * so min-label canonical ids are well-defined); edges are er1's
+    * `link`-decision pairs. Readout: the cluster-cardinality histogram
+    * with purity — per cluster size, how many clusters, how many are
+    * PURE (every member the same partkey — exactly one true entity),
+    * and the records they carry. Size-2 pure clusters are the ideal
+    * 1:1 resolutions; size-1 are unmatched singletons (missed links);
+    * impure or >2 clusters are over-merges an MDM steward reviews.
+    *
+    * Scale shape: the edge relation is er1's blocked candidate set
+    * filtered to links (shared via the [[scoredPairs]] silver — er3
+    * never re-runs the blocking joins); the closure is the d6
+    * min-label propagation (one co-keyed join + aggregate per round,
+    * rounds = component diameter — link chains are shallow; driver
+    * carries only the convergence bit); the readouts are two
+    * group-bounded aggregates. Nothing quadratic, no all-pairs.
+    * Oracle: DuckDB replays the closure with WITH RECURSIVE. */
+  def entityClusters(spark: SparkSession, dir: String,
+                     upper: Long = 2000L): DataFrame = {
+    val links = scoredPairs(spark, dir, upper)
+      .where(col("decision") === "link")
+      .select((col("key_c") * 2L).as("doc_a"),
+        (col("key_d") * 2L + 1L).as("doc_b"))
+    val verts = Tables.part(spark, dir)
+      .select(explode(array(col("p_partkey") * 2L,
+        col("p_partkey") * 2L + 1L)).as("doc_id"))
+    // memoized like d6: the CC loop runs driver-side convergence ACTIONS
+    // at build time — a plain cache can't stop a second call (or a bench
+    // re-run) from re-executing the rounds
+    val labeled = graft.model.Silver.memoize(spark, s"erClusters_$upper", dir) {
+      graft.dedup.Dedup.dupClustersFrom(verts, links)
+    }
+    labeled
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg((min(expr("doc_id DIV 2")) === max(expr("doc_id DIV 2")))
+        .cast("long").as("pure"))
+      .groupBy(col("cluster_size").as("n_members"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("pure")).cast("long").as("n_pure_clusters"),
+        sum(col("cluster_size")).cast("long").as("n_records"))
+      .orderBy(col("n_members"))
+  }
+
+  def entityClustersSql(upper: Long = 2000L): String =
+    s"WITH RECURSIVE ${scoredCtesSql()},\n" +
+    s"""links AS (
+       |  SELECT 2 * key_c AS a, 2 * key_d + 1 AS b
+       |  FROM scored WHERE score_milli >= $upper),
+       |edges AS (SELECT a, b FROM links UNION ALL SELECT b, a FROM links),
+       |verts AS (
+       |  SELECT 2 * p_partkey AS id FROM part
+       |  UNION ALL SELECT 2 * p_partkey + 1 FROM part),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT v.id, LEAST(v.id, COALESCE(MIN(r.dst), v.id)) AS cluster_id
+       |  FROM verts v LEFT JOIN reach r ON r.src = v.id
+       |  GROUP BY v.id),
+       |per_cluster AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       |    CASE WHEN MIN(id // 2) = MAX(id // 2) THEN 1 ELSE 0 END AS pure
+       |  FROM labels GROUP BY cluster_id)
+       |SELECT cluster_size AS n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(pure) AS BIGINT) AS n_pure_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS n_records
+       |FROM per_cluster
+       |GROUP BY cluster_size
+       |ORDER BY n_members""".stripMargin
 }

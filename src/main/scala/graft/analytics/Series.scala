@@ -247,4 +247,95 @@ object Series {
        |FROM obs o CROSS JOIN tot t JOIN exp_m e ON e.digit = o.digit
        |ORDER BY digit""".stripMargin
   }
+
+  /** How many trailing sale dates per store the Theil–Sen window reads.
+    * The bound is the whole scale argument: pair count per store is
+    * WindowDays·(WindowDays−1)/2 = 1,770 — CONSTANT in corpus size. */
+  private val TheilSenDays = 60
+
+  /** a54: THEIL–SEN ROBUST TREND per store — the median-of-pairwise-
+    * slopes estimator (Theil 1950, Sen 1968): the robust answer to
+    * a30's OLS slope, immune to the outlier days that drag a
+    * least-squares fit (up to ~29% contamination). Computed over the
+    * TRAILING 60 sale dates per store so the pairwise stage is
+    * calendar-bounded, not data-bounded.
+    *
+    * Exactness: a slope is the rational (dy_cents / dx_days); the
+    * MEDIAN is selected — never averaged — as the LOWER median (rank
+    * (n+1) DIV 2), so the emitted numerator/denominator are exact
+    * integers. The rank order is the IEEE double quotient of exact
+    * integer operands (identically rounded in both engines; one
+    * division, the a50 rule) with a full deterministic tie-break
+    * (dy, dx, both endpoint dates).
+    *
+    * Scale shape: the silver rollup is the only fact-sized fold; the
+    * trailing-window rank and the pair self-join are both keyed on
+    * store_id — ONE hash exchange reused by the window, the join, and
+    * the median window (Spark keeps the co-partitioning); pairs are
+    * ≤1,770 rows per store by the window bound, so the join output is
+    * dimension-sized (|stores|·1,770) at ANY fact scale. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val byStoreRecent = Window.partitionBy(col("store_id"))
+      .orderBy(col("sale_date").desc)
+    val pts = StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast(DecimalType(18, 0)).cast("long").as("net_c"))
+      .withColumn("rn", row_number().over(byStoreRecent))
+      .where(col("rn") <= TheilSenDays)
+      .select(col("store_id"),
+        datediff(to_date(col("sale_date")), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("net_c").as("y"))
+    val a = pts.select(col("store_id"), col("x").as("x1"), col("y").as("y1"))
+    val b = pts.select(col("store_id"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("store_id")).where(col("x1") < col("x2"))
+      .select(col("store_id"),
+        (col("y2") - col("y1")).as("dy"),
+        (col("x2") - col("x1")).as("dx"),
+        col("x1"), col("x2"))
+    val byStoreSlope = Window.partitionBy(col("store_id"))
+      .orderBy((col("dy").cast("double") / col("dx").cast("double")).asc,
+        col("dy").asc, col("dx").asc, col("x1").asc, col("x2").asc)
+    val byStore = Window.partitionBy(col("store_id"))
+    pairs
+      .withColumn("rnk", row_number().over(byStoreSlope))
+      .withColumn("n_pairs", count(lit(1)).over(byStore))
+      .where(col("rnk") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("store_id"), col("n_pairs"),
+        col("dy").as("med_dy_cents"), col("dx").as("med_dx_days"),
+        (col("dy").cast("double") / col("dx").cast("double"))
+          .as("slope_cents_per_day"))
+      .orderBy(col("store_id"))
+  }
+
+  def theilSenSql(): String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |pts AS (
+       |  SELECT store_id,
+       |    CAST(date_diff('day', DATE '1992-01-01',
+       |      CAST(sale_date AS DATE)) AS BIGINT) AS x,
+       |    CAST((gross_dec - disc_dec) * 100 AS BIGINT) AS y
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY sale_date DESC) AS rn
+       |    FROM sd)
+       |  WHERE rn <= $TheilSenDays),
+       |pairs AS (
+       |  SELECT a.store_id, b.y - a.y AS dy, b.x - a.x AS dx, a.x AS x1,
+       |    b.x AS x2
+       |  FROM pts a JOIN pts b
+       |    ON a.store_id = b.store_id AND a.x < b.x),
+       |ranked AS (
+       |  SELECT store_id, dy, dx,
+       |    ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY CAST(dy AS DOUBLE) / dx ASC, dy ASC, dx ASC,
+       |        x1 ASC, x2 ASC) AS rnk,
+       |    CAST(COUNT(*) OVER (PARTITION BY store_id) AS BIGINT) AS n_pairs
+       |  FROM pairs)
+       |SELECT store_id, n_pairs, dy AS med_dy_cents, dx AS med_dx_days,
+       |  CAST(dy AS DOUBLE) / dx AS slope_cents_per_day
+       |FROM ranked
+       |WHERE rnk = (n_pairs + 1) // 2
+       |ORDER BY store_id""".stripMargin
 }

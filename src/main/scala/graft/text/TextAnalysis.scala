@@ -1220,6 +1220,77 @@ object TextAnalysis {
        |    AS is_low_entropy
        |FROM charged GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** t32: FLESCH READING-EASE profile per (source, lang) — the
+    * classic readability screen (Flesch 1948; the long-form filter in
+    * C4/Gopher-class curation next to t2's rubric and t31's entropy):
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+    * here in exact MILLI units, all three counts integers:
+    * words = the house whitespace tokens; sentences = runs of [.!?]
+    * (clamped to ≥1 — this corpus carries no terminal punctuation, so
+    * the sentence term degenerates to W per sentence, documented and
+    * identical in both engines); syllables = vowel-group runs
+    * [aeiouy]+ of the lowercased text (the standard heuristic — exact
+    * syllabification needs a lexicon; vowel runs are deterministic and
+    * language-blind).
+    *
+    * Exactness: score_milli = 206835 − (1015·W) DIV S − (84600·Y)
+    * DIV W with every operand positive (truncate = floor there); the
+    * group mean divides a possibly-NEGATIVE score sum, where BOTH
+    * engines truncate toward zero (Spark `DIV` by definition; DuckDB
+    * `//` verified empirically: −7 // 2 = −3) — the Flatten.scala:687
+    * bug class, checked rather than assumed.
+    *
+    * Scale shape: a per-doc map over the tokenize-once silver plus
+    * regexp counts on the raw text, then ONE (source, lang)-keyed
+    * hash aggregate with map-side partials — group-bounded output,
+    * scan-speed input, no joins. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Corpus.docsTok(spark, dir)
+      .select(col("source"), col("lang"),
+        greatest(size(col("words")).cast("long"), lit(1L)).as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          lit(1L)).as("s"),
+        greatest(regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long"), lit(1L)).as("y"))
+      .withColumn("score_milli",
+        lit(206835L) - expr("(1015 * w) DIV s") - expr("(84600 * y) DIV w"))
+    perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_milli")).cast("long").as("sum_s"),
+        min(col("score_milli")).as("min_score_milli"),
+        max(col("score_milli")).as("max_score_milli"),
+        sum(col("y")).cast("long").as("sum_y"),
+        sum(col("w")).cast("long").as("sum_w"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("sum_s DIV n_docs").as("mean_score_milli"),
+        col("min_score_milli"), col("max_score_milli"),
+        expr("sum_y * 1000 DIV sum_w").as("syll_per_word_milli"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  def readabilitySql(): String =
+    s"""WITH per_doc AS (
+       |  SELECT source, lang,
+       |    GREATEST(CAST(len(${Corpus.wordsSqlExpr}) AS BIGINT), 1) AS w,
+       |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |      AS BIGINT), 1) AS s,
+       |    GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT), 1) AS y
+       |  FROM documents),
+       |scored AS (
+       |  SELECT source, lang, w, s, y,
+       |    206835 - (1015 * w) // s - (84600 * y) // w AS score_milli
+       |  FROM per_doc)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(score_milli) AS BIGINT) // COUNT(*) AS mean_score_milli,
+       |  CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+       |  CAST(MAX(score_milli) AS BIGINT) AS max_score_milli,
+       |  CAST(SUM(y) AS BIGINT) * 1000 // CAST(SUM(w) AS BIGINT)
+       |    AS syll_per_word_milli
+       |FROM scored
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
   /** t23: SHINGLE-NOVELTY CURVE — per document in doc_id (ingest) order,
     * how many of its distinct 3-shingles appear for the FIRST time in the
     * corpus: the saturation diagnostic a data team tracks as a corpus

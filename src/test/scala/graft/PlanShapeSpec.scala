@@ -578,6 +578,19 @@ class PlanShapeSpec extends GraftSpec {
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),
+    ("a54_theil_sen", 2,
+      "everything is store_id-keyed off the silver leaf: the trailing-" +
+        "window rank (heap regime via WindowGroupLimit), the pair " +
+        "self-join (broadcast at test SF) and the median rank window — " +
+        "pairs are calendar-bounded at <=1,770 rows per store"),
+    ("t32_readability", 1,
+      "per-doc regexp/token counts are a pure map over the tokenize-" +
+        "once silver; ONE (source, lang) hash agg with map-side " +
+        "partials is the only move"),
+    ("er3_entity_clusters", 2,
+      "the link edges and the CC labels are memoized leaves (the " +
+        "closure's per-round joins run at build, rounds = component " +
+        "diameter); the consumer pays two cluster-bounded aggregates"),
     ("k17_compaction_plan", 2,
       "the (day, store) file inventory is the ONLY row-sized fold; " +
         "the pack window and final rollup re-key once to the " +
