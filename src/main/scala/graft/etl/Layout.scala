@@ -162,4 +162,106 @@ object Layout {
        |FROM layouts CROSS JOIN sel
        |ORDER BY layout""".stripMargin
   }
+
+  /** The fixed representative workload k19 scores layouts against —
+    * one predicate per query family the engine actually runs (date
+    * range / single day / store drill / returns / sku point-lookup).
+    * (name, Spark boolean expr == DuckDB boolean expr — dialect-shared
+    * on purpose). */
+  private val Workload: Seq[(String, String)] = Seq(
+    ("w1_date_range", "sale_date BETWEEN '1995-06-01' AND '1995-08-31'"),
+    ("w2_single_day", "sale_date = '1995-06-15'"),
+    ("w3_store_point", "store_id = '0042'"),
+    ("w4_returns", "l_returnflag = 'R'"),
+    ("w5_sku_point", "sku = 100"))
+
+  /** The candidate partition keys under evaluation, as
+    * (layout_name, Spark string expr == DuckDB string expr). */
+  private val Candidates: Seq[(String, String)] = Seq(
+    ("by_month", "substring(sale_date, 1, 7)"),
+    ("by_store", "store_id"),
+    ("by_returnflag", "l_returnflag"),
+    ("by_sku_bucket", "sku % 16")) // outer CAST normalizes to string
+
+  /** k19: WORKLOAD-AWARE PARTITION-KEY ADVISOR — the decision k6/k7
+    * stop short of: k6 scores synthetic uniform predicates and k7
+    * sizes files under a GIVEN layout; k19 scores CANDIDATE partition
+    * keys against the engine's OWN workload. For each (candidate,
+    * predicate): a Hive partition is scanned iff it contains ≥1
+    * matching row (partition pruning skips value-disjoint directories
+    * — the row-level proxy that is exact when the predicate is a
+    * function of the partition key and conservative otherwise), so
+    * rows_scanned = Σ rows of hit partitions and pruned_milli is the
+    * scan-cost saving the layout would buy that query family. The
+    * by_month row under w1/w2 versus the by_store row under w3 is the
+    * classic date-vs-tenant partitioning tradeoff, quantified.
+    *
+    * Scale shape: ONE fact scan feeds a 4-way layout explode (map-side
+    * stack — rows×|layouts|, no shuffle until the agg), then ONE
+    * (layout, partition) hash aggregate carrying the 5 predicate flags
+    * as MAX-combinable booleans — output is partition-count-sized; the
+    * predicate unpivot and the (layout, predicate) rollup run over
+    * that dimension-sized relation. The fact table is read once for
+    * all 20 (layout × predicate) cells. */
+  def layoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Workload.map { case (n, p) =>
+      max(expr(p).cast("long")).as(s"hit_$n")
+    }
+    val stackLayouts = Candidates
+      .map { case (n, e) => s"'$n', CAST(($e) AS STRING)" }
+      .mkString(s"stack(${Candidates.size}, ", ", ", ") AS (layout, part_key)")
+    val perPart = Tables.sales(spark, dir)
+      .selectExpr("sale_date", "store_id", "sku", "l_returnflag",
+        stackLayouts)
+      .groupBy(col("layout"), col("part_key"))
+      .agg(count(lit(1)).as("rows_in_part"), flags: _*)
+    val stackPreds = Workload
+      .map { case (n, _) => s"'$n', hit_$n" }
+      .mkString(s"stack(${Workload.size}, ", ", ", ") AS (predicate, hit)")
+    perPart
+      .selectExpr("layout", "part_key", "rows_in_part", stackPreds)
+      .groupBy(col("layout"), col("predicate"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum(col("hit")).cast("long").as("n_partitions_scanned"),
+        sum(col("rows_in_part")).cast("long").as("rows_total"),
+        sum(col("rows_in_part") * col("hit")).cast("long").as("rows_scanned"))
+      .withColumn("pruned_milli",
+        expr("(rows_total - rows_scanned) * 1000 DIV rows_total"))
+      .orderBy(col("layout"), col("predicate"))
+  }
+
+  def layoutAdvisorSql(): String = {
+    val layoutArms = Candidates.map { case (n, e) =>
+      s"SELECT '$n' AS layout, CAST(($e) AS VARCHAR) AS part_key, " +
+        Workload.map { case (wn, p) =>
+          s"CASE WHEN $p THEN 1 ELSE 0 END AS hit_$wn"
+        }.mkString(", ") + " FROM sales"
+    }.mkString("\n  UNION ALL ")
+    val predArms = Workload.map { case (wn, _) =>
+      s"SELECT layout, part_key, rows_in_part, '$wn' AS predicate, " +
+        s"hit_$wn AS hit FROM per_part"
+    }.mkString("\n  UNION ALL ")
+    val hitAggs = Workload.map { case (wn, _) =>
+      s"CAST(MAX(hit_$wn) AS BIGINT) AS hit_$wn"
+    }.mkString(", ")
+    s"""WITH sales AS (${Tables.salesSql}),
+       |arms AS (
+       |  $layoutArms),
+       |per_part AS (
+       |  SELECT layout, part_key, CAST(COUNT(*) AS BIGINT) AS rows_in_part,
+       |    $hitAggs
+       |  FROM arms GROUP BY layout, part_key),
+       |cells AS (
+       |  $predArms)
+       |SELECT layout, predicate, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       |  CAST(SUM(hit) AS BIGINT) AS n_partitions_scanned,
+       |  CAST(SUM(rows_in_part) AS BIGINT) AS rows_total,
+       |  CAST(SUM(rows_in_part * hit) AS BIGINT) AS rows_scanned,
+       |  (CAST(SUM(rows_in_part) AS BIGINT) - CAST(SUM(rows_in_part * hit)
+       |    AS BIGINT)) * 1000 // CAST(SUM(rows_in_part) AS BIGINT)
+       |    AS pruned_milli
+       |FROM cells
+       |GROUP BY layout, predicate
+       |ORDER BY layout, predicate""".stripMargin
+  }
 }

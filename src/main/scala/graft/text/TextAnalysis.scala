@@ -808,6 +808,149 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** t33: MULTINOMIAL NAIVE BAYES LANG CLASSIFIER — the trained
+    * counterpart of t3's n-gram heuristic and the smallest member of
+    * the fastText/CCNet class of learned corpus routers: train
+    * per-(lang, word) counts on the EVEN doc_ids, classify the ODD
+    * ones, read out the confusion matrix (t17's harness shape, now
+    * over a trained model). On this synthetic corpus the lang label is
+    * independent of the token stream, so the matrix sits near chance —
+    * like a51's Benford deviations, that IS the readout working; the
+    * oracle certifies the exact scoring pipeline, not model quality.
+    *
+    * Exactness: Laplace-smoothed surprisal in exact integer MILLI-BITS
+    * (the t13/t15 discipline): per token, mlog2((tot_l + V)·1024 DIV
+    * (cnt_{l,w} + 1)) via floor-log2 + linear mantissa; per class, the
+    * prior surprisal mlog2(n_train·1024 DIV nd_l); argmin with lang-asc
+    * tie-break. Integer everywhere — no libm, no float drift.
+    *
+    * Scale shape: the model is a (lang, word)-keyed count relation
+    * (vocab·|langs| bounded, NOT corpus-bounded) joined to the test
+    * token stream on (lang, word) — the standard NB scoring join,
+    * linear in test tokens with a |langs| (5×) explode factor; class
+    * totals and the vocab size arrive as a broadcast 5-row dim and a
+    * 1-row scalar; the argmin is a per-doc window over 5 rows riding
+    * the doc-keyed score agg. Confusion output is |langs|² rows. */
+  def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+    val train = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    // model: per-(lang, word) occurrence counts — vocab-bounded
+    val model = train.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    // class totals: tokens + docs per lang (5 rows), vocab + doc scalars
+    val classTotals = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("tot_l"))
+      .join(Corpus.docs(spark, dir)
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd_l")), Seq("lang"))
+    val scalars = train.agg(
+      countDistinct(col("word")).as("v"),
+      countDistinct(col("doc_id")).as("n_train"))
+    // exact milli-bits of q/1024 (the t31 read-off: floor-log2 + linear
+    // mantissa, integer DIV throughout — no libm, no doubles)
+    def withBitsMilli(df: DataFrame, qExpr: String, out: String): DataFrame =
+      df.withColumn("q", expr(qExpr))
+        .withColumn("b", floorLog2(col("q")))
+        .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .withColumn(out, expr("(b - 10) * 1000 + (q - p) * 1000 DIV p"))
+        .drop("q", "b", "p")
+    // test tokens with per-(doc, word) tf, exploded across the 5 classes
+    val testTf = toks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val scoredTok = withBitsMilli(
+      testTf
+        .crossJoin(broadcast(classTotals.select(col("lang").as("c_lang"),
+          col("tot_l"), col("nd_l"))))
+        .join(model.select(col("lang").as("c_lang"), col("word"), col("cnt")),
+          Seq("c_lang", "word"), "left")
+        .crossJoin(broadcast(scalars)),
+      "((tot_l + v) * 1024) DIV (COALESCE(cnt, 0) + 1)", "surp_milli")
+    val priors = withBitsMilli(classTotals.crossJoin(scalars),
+        "(n_train * 1024) DIV nd_l", "prior_milli")
+      .select(col("lang").as("c_lang"), col("prior_milli"))
+    val docScores = scoredTok
+      .groupBy(col("doc_id"), col("true_lang"), col("c_lang"))
+      .agg(sum(col("tf") * col("surp_milli")).cast("long").as("tok_milli"))
+      .join(broadcast(priors), Seq("c_lang"))
+      .withColumn("score_milli", col("tok_milli") + col("prior_milli"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").asc, col("c_lang").asc)
+    val pred = docScores.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("true_lang"), col("c_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_true",
+        sum(col("n_docs")).over(Window.partitionBy(col("true_lang"))))
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000 DIV n_true").as("share_milli"),
+        (col("true_lang") === col("pred_lang")).as("is_correct"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  def nbLangClassifySql(): String = {
+    def bits(q: String): String =
+      s"""((length(format('{:b}', $q)) - 1 - 10) * 1000
+         | + ($q - CAST(power(2, length(format('{:b}', $q)) - 1) AS BIGINT))
+         |   * 1000 // CAST(power(2, length(format('{:b}', $q)) - 1) AS BIGINT))"""
+        .stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(${Corpus.wordsSqlExpr}) AS word
+       |  FROM documents),
+       |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+       |model AS (
+       |  SELECT lang AS c_lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM train GROUP BY 1, 2),
+       |class_totals AS (
+       |  SELECT t.lang AS c_lang, t.tot_l, d.nd_l
+       |  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot_l
+       |        FROM train GROUP BY lang) t
+       |  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd_l
+       |        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang) d
+       |    ON t.lang = d.lang),
+       |scalars AS (
+       |  SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train
+       |  FROM train),
+       |test_tf AS (
+       |  SELECT doc_id, lang AS true_lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+       |scored_tok AS (
+       |  SELECT tt.doc_id, tt.true_lang, ct.c_lang, tt.tf,
+       |    ${bits("(((ct.tot_l + s.v) * 1024) // (COALESCE(m.cnt, 0) + 1))")}
+       |      AS surp_milli
+       |  FROM test_tf tt
+       |  CROSS JOIN class_totals ct
+       |  CROSS JOIN scalars s
+       |  LEFT JOIN model m ON m.c_lang = ct.c_lang AND m.word = tt.word),
+       |priors AS (
+       |  SELECT ct.c_lang,
+       |    ${bits("((s.n_train * 1024) // ct.nd_l)")} AS prior_milli
+       |  FROM class_totals ct CROSS JOIN scalars s),
+       |doc_scores AS (
+       |  SELECT st.doc_id, st.true_lang, st.c_lang,
+       |    CAST(SUM(st.tf * st.surp_milli) AS BIGINT) + p.prior_milli
+       |      AS score_milli
+       |  FROM scored_tok st JOIN priors p ON p.c_lang = st.c_lang
+       |  GROUP BY st.doc_id, st.true_lang, st.c_lang, p.prior_milli),
+       |pred AS (
+       |  SELECT doc_id, true_lang, c_lang AS pred_lang
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_milli ASC, c_lang ASC) AS rn
+       |    FROM doc_scores)
+       |  WHERE rn = 1),
+       |conf AS (
+       |  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT true_lang, pred_lang, n_docs,
+       |  n_docs * 1000 // CAST(SUM(n_docs) OVER (PARTITION BY true_lang)
+       |    AS BIGINT) AS share_milli,
+       |  true_lang = pred_lang AS is_correct
+       |FROM conf
+       |ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
   /** t30: STOPWORD / DOCUMENT-FREQUENCY profile — the df-cap that h1,
     * t15 and h3 all rely on, made inspectable: the top-`topN` words by
     * document frequency with exact df/cf counts, df share in milli,

@@ -578,6 +578,17 @@ class PlanShapeSpec extends GraftSpec {
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),
+    ("k19_layout_advisor", 2,
+      "one fact scan feeds the map-side layout stack; the (layout, " +
+        "partition) agg and the (layout, predicate) rollup are the " +
+        "only hash moves — everything after the first agg is " +
+        "partition-count-sized"),
+    ("t33_nb_classifier", 14,
+      "the only row-sized moves are the train count aggs and the " +
+        "test-token tf agg + model join re-key; the rest of the " +
+        "exchanges live inside the 5-row class dims, the 1-row " +
+        "scalars, the priors and the |langs|^2 confusion rollup — " +
+        "all class/vocab-bounded, none fact-bounded"),
     ("a54_theil_sen", 2,
       "everything is store_id-keyed off the silver leaf: the trailing-" +
         "window rank (heap regime via WindowGroupLimit), the pair " +
