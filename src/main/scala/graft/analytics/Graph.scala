@@ -267,4 +267,127 @@ object Graph {
        |WHERE confidence_milli >= $minConfMilli
        |ORDER BY lift_milli DESC, confidence_milli DESC, antecedent, consequent
        |LIMIT $topK""".stripMargin
+
+  /** How many peel rounds the k-core ORACLE unrolls. The Spark side
+    * peels to FIXPOINT and `require`s it lands within this budget, so
+    * a data shape needing more rounds fails LOUDLY instead of silently
+    * hash-mismatching the unrolled oracle. Peeling converges in a few
+    * rounds on co-purchase graphs (each round removes the whole
+    * current fringe); 16 is several times the observed depth. */
+  private val KCoreMaxRounds = 16
+
+  /** g4: K-CORE DECOMPOSITION (k = 3) over the support-pruned
+    * co-purchase graph — the standard "dense nucleus" extraction
+    * (Seidman 1983; the degeneracy peel every graph-analytics stack
+    * ships): repeatedly delete vertices with fewer than k surviving
+    * neighbors until none remain. Complements g1's triangles (local
+    * density) with the global cohesive core, and is the classic
+    * prefilter before community detection on a 100 TB graph.
+    *
+    * Scale shape: the edge universe is g1's memoized co-pair leaf;
+    * each peel round is TWO survivor semi-joins + one degree
+    * aggregate — all keyed on the vertex id, edge-sized, never
+    * node-quadratic — and the driver carries only a convergence
+    * COUNT; `localCheckpoint` truncates per-round lineage exactly as
+    * d6's component loop does. Rounds = peel depth (graph-dependent,
+    * small on dense co-occurrence graphs; bounded by the loud
+    * [[KCoreMaxRounds]] contract shared with the oracle's unroll —
+    * an oracle round PAST the fixpoint is a no-op, so unrolling more
+    * rounds than needed is harmless). Readout: one row — graph and
+    * core sizes, core share, core density in milli. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3,
+            minSupport: Int = 2): DataFrame = {
+    val edges = Silver.memoize(spark, s"kcoreEdges:$minSupport", dir) {
+      coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"))
+    }
+    val core = Silver.memoize(spark, s"kcore:$k:$minSupport", dir) {
+      var surv = edges.select(col("sa").as("v"))
+        .unionAll(edges.select(col("sb").as("v")))
+        .distinct().localCheckpoint()
+      var n = surv.count()
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < KCoreMaxRounds) {
+        val alive = edges
+          .join(surv.select(col("v").as("sa")), Seq("sa"), "left_semi")
+          .join(surv.select(col("v").as("sb")), Seq("sb"), "left_semi")
+        val next = alive.select(col("sa").as("v"))
+          .unionAll(alive.select(col("sb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("v"))
+          .localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        surv = next
+        n = m
+        rounds += 1
+      }
+      require(converged,
+        s"k-core peel did not converge in $KCoreMaxRounds rounds — " +
+          "raise KCoreMaxRounds AND the oracle unroll together")
+      surv
+    }
+    val graphStats = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(edges.select(col("sa").as("v"))
+        .unionAll(edges.select(col("sb").as("v"))).distinct()
+        .agg(count(lit(1)).as("n_nodes")))
+    val coreEdges = edges
+      .join(core.select(col("v").as("sa")), Seq("sa"), "left_semi")
+      .join(core.select(col("v").as("sb")), Seq("sb"), "left_semi")
+      .agg(count(lit(1)).as("n_core_edges"))
+    val coreNodes = core.agg(count(lit(1)).as("n_core_nodes"))
+    graphStats.crossJoin(coreNodes).crossJoin(coreEdges)
+      .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
+        col("n_core_nodes"), col("n_core_edges"),
+        when(col("n_nodes") > 0,
+          expr("n_core_nodes * 1000 DIV n_nodes")).as("core_share_milli"),
+        when(col("n_core_nodes") > 1,
+          expr("2 * n_core_edges * 1000 DIV (n_core_nodes * (n_core_nodes - 1))"))
+          .as("core_density_milli"))
+  }
+
+  def kCoreSql(k: Int = 3, minSupport: Int = 2): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each round references its predecessor TWICE — un-materialized,
+    // r16 would inline 2^16 copies of the base scan (observed as "too
+    // many open files" before it even plans)
+    val rounds = (1 to KCoreMaxRounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v FROM (
+         |    SELECT v, COUNT(*) AS deg FROM (
+         |      SELECT e.sa AS v FROM e
+         |        JOIN $prev p ON e.sa = p.v JOIN $prev q ON e.sb = q.v
+         |      UNION ALL
+         |      SELECT e.sb AS v FROM e
+         |        JOIN $prev p ON e.sa = p.v JOIN $prev q ON e.sb = q.v) d
+         |    GROUP BY v) g
+         |  WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val last = s"r$KCoreMaxRounds"
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (SELECT sa, sb FROM pairs WHERE c >= $minSupport),
+       |r0 AS MATERIALIZED (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e) q),
+       |$rounds,
+       |graph_stats AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r0) AS n_nodes),
+       |core_nodes AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes FROM $last),
+       |core_edges AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_core_edges
+       |  FROM e JOIN $last p ON e.sa = p.v JOIN $last q ON e.sb = q.v)
+       |SELECT CAST($k AS BIGINT) AS k, n_nodes, n_edges, n_core_nodes,
+       |  n_core_edges,
+       |  CASE WHEN n_nodes > 0
+       |    THEN n_core_nodes * 1000 // n_nodes END AS core_share_milli,
+       |  CASE WHEN n_core_nodes > 1
+       |    THEN 2 * n_core_edges * 1000 // (n_core_nodes * (n_core_nodes - 1))
+       |    END AS core_density_milli
+       |FROM graph_stats CROSS JOIN core_nodes CROSS JOIN core_edges"""
+      .stripMargin
+  }
 }

@@ -338,4 +338,87 @@ object Series {
        |FROM ranked
        |WHERE rnk = (n_pairs + 1) // 2
        |ORDER BY store_id""".stripMargin
+
+  /** a55: CLASSICAL SEASONAL DECOMPOSITION (the moving-average
+    * decomposition under STL's additive model: series = trend +
+    * seasonal + remainder) of company daily net revenue — the readout
+    * that turns a42's seasonal index and a50's lag-7 ACF spike into
+    * per-day components an analyst actually plots:
+    *
+    *   trend_c     centered 7-day moving average, defined only where
+    *               the full window exists (rank 4 .. n−3 — no
+    *               half-window edge bias)
+    *   seasonal_c  per day-of-week mean of the detrended series
+    *               (integer cents, truncating DIV — both engines
+    *               truncate, the t32 verification)
+    *   remainder_c net − trend − seasonal where trend is defined
+    *
+    * Exactness: the 7-day sum is exact integer cents, DIV 7 once; the
+    * DOW means are integer sums over the detrended values divided
+    * once; no doubles anywhere. DOW is Spark `dayofweek` (1=Sunday);
+    * the oracle maps DuckDB's 0-based value with +1 (the x2 rule).
+    *
+    * Scale shape: the series is DATE-grain (calendar-bounded, the a29
+    * argument) — the rank/MA windows and the 7-group DOW means all run
+    * over ~10³ rows regardless of fact scale; the row-sized folds are
+    * the two upstream rollups. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+      .cast(DecimalType(18, 0))
+    val series = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(sum(netCents).cast(DecimalType(18, 0)).cast("long").as("net_c"))
+    val byDate = Window.orderBy(col("sale_date"))
+    val ma7 = byDate.rowsBetween(-3, 3)
+    val withTrend = series
+      .withColumn("rn", row_number().over(byDate).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sum7", sum(col("net_c")).over(ma7).cast("long"))
+      .withColumn("trend_c",
+        when(col("rn") > 3 && col("rn") <= col("n") - 3,
+          expr("sum7 DIV 7")))
+      .withColumn("dow",
+        dayofweek(to_date(col("sale_date"))).cast("long"))
+      .withColumn("detr_c", col("net_c") - col("trend_c"))
+    val byDow = Window.partitionBy(col("dow"))
+    withTrend
+      .withColumn("seas_sum", sum(col("detr_c")).over(byDow).cast("long"))
+      .withColumn("seas_n", count(col("detr_c")).over(byDow))
+      .withColumn("seasonal_c",
+        when(col("seas_n") > 0, expr("seas_sum DIV seas_n")))
+      .select(col("sale_date"), col("net_c"), col("dow"), col("trend_c"),
+        col("seasonal_c"),
+        (col("detr_c") - col("seasonal_c")).as("remainder_c"))
+      .orderBy(col("sale_date"))
+  }
+
+  def seasonalDecomposeSql(): String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |series AS (
+       |  SELECT sale_date,
+       |    CAST(SUM((gross_dec - disc_dec) * 100) AS BIGINT) AS net_c
+       |  FROM sd GROUP BY sale_date),
+       |with_trend AS (
+       |  SELECT sale_date, net_c,
+       |    CAST(dayofweek(CAST(sale_date AS DATE)) + 1 AS BIGINT) AS dow,
+       |    CASE WHEN ROW_NUMBER() OVER (ORDER BY sale_date) > 3
+       |        AND ROW_NUMBER() OVER (ORDER BY sale_date)
+       |          <= COUNT(*) OVER () - 3
+       |      THEN CAST(SUM(net_c) OVER (ORDER BY sale_date
+       |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) // 7
+       |      END AS trend_c
+       |  FROM series),
+       |detr AS (
+       |  SELECT *, net_c - trend_c AS detr_c FROM with_trend),
+       |seas AS (
+       |  SELECT *,
+       |    CASE WHEN COUNT(detr_c) OVER (PARTITION BY dow) > 0
+       |      THEN CAST(SUM(detr_c) OVER (PARTITION BY dow) AS BIGINT)
+       |        // CAST(COUNT(detr_c) OVER (PARTITION BY dow) AS BIGINT)
+       |      END AS seasonal_c
+       |  FROM detr)
+       |SELECT sale_date, net_c, dow, trend_c, seasonal_c,
+       |  detr_c - seasonal_c AS remainder_c
+       |FROM seas
+       |ORDER BY sale_date""".stripMargin
 }

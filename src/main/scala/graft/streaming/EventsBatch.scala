@@ -2429,4 +2429,103 @@ object EventsBatch {
        |      + theta * theta * varx_a) / var_y) * 100.0
        |    END AS var_reduction_pct
        |FROM closed ORDER BY arm""".stripMargin
+
+  /** Day cap for the e36 hazard grid: durations past this land in the
+    * final bucket (at-risk counts are unaffected for t <= cap, since a
+    * capped duration >= t iff the raw one is). */
+  private val HazardCapDays = 30
+
+  /** e36: INACTIVITY HAZARD TABLE — discrete-time survival analysis of
+    * the gap between a user's consecutive ACTIVE DAYS, the life-table
+    * half of Kaplan–Meier (Cutler–Ederer): the readout behind every
+    * churn model's "how long until they come back, and when do we stop
+    * expecting them". Observations: each consecutive active-day pair is
+    * a COMPLETE duration (the return happened); each user's last active
+    * day is RIGHT-CENSORED at the corpus horizon (max event date) — the
+    * piece naive gap histograms (e15/a40 class) get wrong by treating
+    * silence as churn. Per day t: n_at_risk (obs with duration >= t),
+    * n_events (returns at exactly t), n_censored (horizons at t), and
+    * the discrete hazard n_events·1000 DIV n_at_risk. The survival
+    * curve is the running product of (1 − hazard) — left to the reader
+    * deliberately: a cumulative product is sequential rounding, the
+    * hazard table is the exact, engine-portable artifact.
+    *
+    * Exactness: durations are calendar-day diffs (exact integers both
+    * engines); counts and the hazard are pure integer arithmetic.
+    *
+    * Scale shape: ONE user-keyed exchange for the distinct-day lead
+    * window; the horizon is a 1-row broadcast; the duration histogram
+    * is a <=31-group map-side-combinable agg, and the at-risk reverse
+    * cumsum runs over the 31-row grid — grid-bounded, never row-sized. */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val horizon = days.agg(max(col("d")).as("horizon"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val obs = days
+      .withColumn("next_d", lead(col("d"), 1).over(wUser))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("next_d").isNotNull,
+          datediff(col("next_d"), col("d")))
+          .otherwise(datediff(col("horizon"), col("d")))
+          .cast("long").as("dur"),
+        col("next_d").isNotNull.cast("long").as("is_event"))
+      .select(least(col("dur"), lit(HazardCapDays.toLong)).as("t_days"),
+        col("is_event"))
+    val hist = obs.groupBy(col("t_days"))
+      .agg(sum(col("is_event")).cast("long").as("n_events"),
+        sum(lit(1L) - col("is_event")).cast("long").as("n_censored"))
+    val grid = spark.range(0, HazardCapDays + 1)
+      .select(col("id").as("t_days"))
+      .join(hist, Seq("t_days"), "left")
+      .select(col("t_days"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_censored"), lit(0L)).as("n_censored"))
+    val wRev = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(wRev).cast("long"))
+      .filter(col("n_at_risk") > 0)
+      .select(col("t_days"), col("n_at_risk"), col("n_events"),
+        col("n_censored"),
+        expr("n_events * 1000 DIV n_at_risk").as("hazard_milli"))
+      .orderBy(col("t_days"))
+  }
+
+  def hazardTableSql(): String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |horizon AS (SELECT MAX(d) AS horizon FROM days),
+       |obs AS (
+       |  SELECT LEAST(CASE WHEN next_d IS NOT NULL
+       |      THEN date_diff('day', d, next_d)
+       |      ELSE date_diff('day', d, horizon) END,
+       |      $HazardCapDays) AS t_days,
+       |    CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS is_event
+       |  FROM (
+       |    SELECT user_id, d,
+       |      LEAD(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+       |    FROM days) x CROSS JOIN horizon),
+       |hist AS (
+       |  SELECT t_days, CAST(SUM(is_event) AS BIGINT) AS n_events,
+       |    CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+       |  FROM obs GROUP BY t_days),
+       |grid AS (
+       |  SELECT CAST(g.t_days AS BIGINT) AS t_days,
+       |    COALESCE(h.n_events, 0) AS n_events,
+       |    COALESCE(h.n_censored, 0) AS n_censored
+       |  FROM (SELECT UNNEST(range(0, ${HazardCapDays + 1})) AS t_days) g
+       |  LEFT JOIN hist h ON h.t_days = g.t_days),
+       |risk AS (
+       |  SELECT t_days, n_events, n_censored,
+       |    CAST(SUM(n_events + n_censored) OVER (ORDER BY t_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_at_risk
+       |  FROM grid)
+       |SELECT t_days, n_at_risk, n_events, n_censored,
+       |  n_events * 1000 // n_at_risk AS hazard_milli
+       |FROM risk WHERE n_at_risk > 0
+       |ORDER BY t_days""".stripMargin
 }

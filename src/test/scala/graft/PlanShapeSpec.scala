@@ -578,6 +578,20 @@ class PlanShapeSpec extends GraftSpec {
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),
+    ("a55_seasonal_decompose", 2,
+      "the date-grain series agg is the only row-sized move; the MA/" +
+        "rank windows are single-partition over the calendar-bounded " +
+        "series and the DOW means re-key <= |dates| rows once"),
+    ("e36_hazard_table", 5,
+      "one user-keyed exchange for the distinct-day lead window (two-" +
+        "phase distinct); the duration histogram is <= 31 groups, the " +
+        "grid join broadcasts, and the at-risk cumsum runs over the " +
+        "31-row grid"),
+    ("g4_kcore", 7,
+      "edge universe and the peeled core are memoized leaves (peel " +
+        "rounds run at build, edge-sized, driver carries only a " +
+        "count); the consumer census is degree aggs + two core semi " +
+        "joins — all edge- or core-sized, nothing quadratic"),
     ("k19_layout_advisor", 2,
       "one fact scan feeds the map-side layout stack; the (layout, " +
         "partition) agg and the (layout, predicate) rollup are the " +
