@@ -362,35 +362,40 @@ object Series {
     * argument) — the rank/MA windows and the 7-group DOW means all run
     * over ~10³ rows regardless of fact scale; the row-sized folds are
     * the two upstream rollups. */
-  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
-    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
-      .cast(DecimalType(18, 0))
-    val series = StoreDaily.rollupDec(spark, dir)
-      .groupBy(col("sale_date"))
-      .agg(sum(netCents).cast(DecimalType(18, 0)).cast("long").as("net_c"))
-    val byDate = Window.orderBy(col("sale_date"))
-    val ma7 = byDate.rowsBetween(-3, 3)
-    val withTrend = series
-      .withColumn("rn", row_number().over(byDate).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("sum7", sum(col("net_c")).over(ma7).cast("long"))
-      .withColumn("trend_c",
-        when(col("rn") > 3 && col("rn") <= col("n") - 3,
-          expr("sum7 DIV 7")))
-      .withColumn("dow",
-        dayofweek(to_date(col("sale_date"))).cast("long"))
-      .withColumn("detr_c", col("net_c") - col("trend_c"))
-    val byDow = Window.partitionBy(col("dow"))
-    withTrend
-      .withColumn("seas_sum", sum(col("detr_c")).over(byDow).cast("long"))
-      .withColumn("seas_n", count(col("detr_c")).over(byDow))
-      .withColumn("seasonal_c",
-        when(col("seas_n") > 0, expr("seas_sum DIV seas_n")))
-      .select(col("sale_date"), col("net_c"), col("dow"), col("trend_c"),
-        col("seasonal_c"),
-        (col("detr_c") - col("seasonal_c")).as("remainder_c"))
-      .orderBy(col("sale_date"))
-  }
+  /** The unordered decomposition relation, leaf-memoized: a55 reads it
+    * ordered, a56 runs its MAD screen over the same rows. */
+  private def decomposed(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "seasonalDecomp", dir) {
+      val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+        .cast(DecimalType(18, 0))
+      val series = StoreDaily.rollupDec(spark, dir)
+        .groupBy(col("sale_date"))
+        .agg(sum(netCents).cast(DecimalType(18, 0)).cast("long").as("net_c"))
+      val byDate = Window.orderBy(col("sale_date"))
+      val ma7 = byDate.rowsBetween(-3, 3)
+      val withTrend = series
+        .withColumn("rn", row_number().over(byDate).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("sum7", sum(col("net_c")).over(ma7).cast("long"))
+        .withColumn("trend_c",
+          when(col("rn") > 3 && col("rn") <= col("n") - 3,
+            expr("sum7 DIV 7")))
+        .withColumn("dow",
+          dayofweek(to_date(col("sale_date"))).cast("long"))
+        .withColumn("detr_c", col("net_c") - col("trend_c"))
+      val byDow = Window.partitionBy(col("dow"))
+      withTrend
+        .withColumn("seas_sum", sum(col("detr_c")).over(byDow).cast("long"))
+        .withColumn("seas_n", count(col("detr_c")).over(byDow))
+        .withColumn("seasonal_c",
+          when(col("seas_n") > 0, expr("seas_sum DIV seas_n")))
+        .select(col("sale_date"), col("net_c"), col("dow"), col("trend_c"),
+          col("seasonal_c"),
+          (col("detr_c") - col("seasonal_c")).as("remainder_c"))
+    }
+
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    decomposed(spark, dir).orderBy(col("sale_date"))
 
   def seasonalDecomposeSql(): String =
     s"""WITH sd AS (${StoreDaily.rollupDecSql}),
@@ -421,4 +426,144 @@ object Series {
        |  detr_c - seasonal_c AS remainder_c
        |FROM seas
        |ORDER BY sale_date""".stripMargin
+
+  /** a56: MAD ANOMALY SCREEN ON THE DECOMPOSITION REMAINDER — the
+    * robust-residual alert that closes the a55 loop (the S-H-ESD /
+    * "seasonal hybrid" pattern: deseasonalize+detrend FIRST, then a
+    * median/MAD outlier rule on what's left — e16 runs the same rule
+    * on raw values, where weekly structure masquerades as anomaly):
+    * flag days whose |remainder − median| exceeds 3× the median
+    * absolute deviation. Both medians are the POSITIONAL lower median
+    * (a34's rank-lookup — no interpolation, engine-exact); the MAD is
+    * floored at 1 so a degenerate zero-spread series cannot divide by
+    * zero. Output: the flagged days with their deviation and a
+    * milli score, plus the med/MAD the rule used.
+    *
+    * Scale shape: everything runs over the a55 leaf (calendar-bounded
+    * date grain); the two medians are single-partition rank windows
+    * over ~10³ rows; the readout is a filter. */
+  def remainderAnomalies(spark: SparkSession, dir: String,
+                         kMad: Long = 3L): DataFrame = {
+    val rem = decomposed(spark, dir)
+      .filter(col("remainder_c").isNotNull)
+    val byRem = Window.orderBy(col("remainder_c"), col("sale_date"))
+    val all = Window.partitionBy()
+    val med = rem
+      .withColumn("rn", row_number().over(byRem).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("remainder_c").as("med_c"))
+    val withDev = rem.crossJoin(broadcast(med))
+      .withColumn("dev_c", abs(col("remainder_c") - col("med_c")))
+    val byDev = Window.orderBy(col("dev_c"), col("sale_date"))
+    val mad = withDev
+      .withColumn("rn", row_number().over(byDev).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(greatest(col("dev_c"), lit(1L)).as("mad_c"))
+    withDev.crossJoin(broadcast(mad))
+      .filter(col("dev_c") > lit(kMad) * col("mad_c"))
+      .select(col("sale_date"), col("net_c"), col("remainder_c"),
+        col("med_c"), col("mad_c"), col("dev_c"),
+        expr("dev_c * 1000 DIV mad_c").as("score_milli"))
+      .orderBy(col("sale_date"))
+  }
+
+  def remainderAnomaliesSql(kMad: Long = 3L): String =
+    s"""WITH decomp AS (${seasonalDecomposeSql()}),
+       |rem AS (SELECT * FROM decomp WHERE remainder_c IS NOT NULL),
+       |med AS (
+       |  SELECT remainder_c AS med_c FROM (
+       |    SELECT remainder_c,
+       |      ROW_NUMBER() OVER (ORDER BY remainder_c, sale_date) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM rem)
+       |  WHERE rn = (n + 1) // 2),
+       |with_dev AS (
+       |  SELECT r.*, m.med_c, abs(r.remainder_c - m.med_c) AS dev_c
+       |  FROM rem r CROSS JOIN med m),
+       |mad AS (
+       |  SELECT GREATEST(dev_c, 1) AS mad_c FROM (
+       |    SELECT dev_c,
+       |      ROW_NUMBER() OVER (ORDER BY dev_c, sale_date) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM with_dev)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT sale_date, net_c, remainder_c, med_c, mad_c, dev_c,
+       |  dev_c * 1000 // mad_c AS score_milli
+       |FROM with_dev CROSS JOIN mad
+       |WHERE dev_c > $kMad * mad_c
+       |ORDER BY sale_date""".stripMargin
+
+  /** a57: PRICE INDICES (Laspeyres / Paasche, matched-model) — the
+    * retail-economics readout that separates "revenue grew" into price
+    * vs volume: per month t against the first month as base,
+    *
+    *   Laspeyres = Σ p_t·q_0 / Σ p_0·q_0   (base-period basket)
+    *   Paasche   = Σ p_t·q_t / Σ p_0·q_t   (current-period basket)
+    *
+    * over the SKUs traded in BOTH months (the matched-model rule —
+    * entering/exiting SKUs are a composition effect, not a price
+    * move). Unit price = monthly cents·1000 DIV monthly qty (exact
+    * integer milli-cents; the floor is applied identically in both
+    * engines, and identically in numerator and denominator).
+    *
+    * Exactness/overflow: p ≤ ~10⁷ milli-cents (price-like, scale-
+    * free), q is the monthly sku quantity; p·q summed over the
+    * catalog stays far inside BIGINT at any tested SF — at true 100 TB
+    * the two Σ's move to DECIMAL(38) sums, a type change, not a shape
+    * change.
+    *
+    * Scale shape: one (sku, month) rollup of the fact table (hash,
+    * map-side combinable, dimension-sized output); the base month is
+    * a 1-row broadcast; the matched join is sku-keyed over the
+    * dimension-sized monthly relation; the index is a per-month
+    * aggregate. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.sales(spark, dir)
+      .groupBy(col("sku"), substring(col("sale_date"), 1, 7).as("month"))
+      .agg((sum(col("line_total")) * 100).cast(DecimalType(18, 0))
+        .cast("long").as("cents"),
+        sum(col("quantity")).cast("long").as("qty"))
+      .withColumn("p_milli", expr("cents * 1000 DIV qty"))
+    val base = monthly
+      .crossJoin(broadcast(monthly.agg(min(col("month")).as("base_month"))))
+      .filter(col("month") === col("base_month"))
+      .select(col("sku"), col("base_month"),
+        col("p_milli").as("p0"), col("qty").as("q0"))
+    monthly.join(base, Seq("sku"))
+      .groupBy(col("month"), col("base_month"))
+      .agg(count(lit(1)).as("n_matched_skus"),
+        sum(col("p_milli") * col("q0")).cast("long").as("pt_q0"),
+        sum(col("p0") * col("q0")).cast("long").as("p0_q0"),
+        sum(col("p_milli") * col("qty")).cast("long").as("pt_qt"),
+        sum(col("p0") * col("qty")).cast("long").as("p0_qt"))
+      .select(col("month"), col("base_month"), col("n_matched_skus"),
+        expr("pt_q0 * 1000 DIV p0_q0").as("laspeyres_milli"),
+        expr("pt_qt * 1000 DIV p0_qt").as("paasche_milli"))
+      .orderBy(col("month"))
+  }
+
+  def priceIndexSql(): String =
+    s"""WITH sales AS (${graft.model.Tables.salesSql}),
+       |monthly AS (
+       |  SELECT sku, substring(sale_date, 1, 7) AS month,
+       |    CAST(SUM(line_total) * 100 AS BIGINT) AS cents,
+       |    CAST(SUM(quantity) AS BIGINT) AS qty
+       |  FROM sales GROUP BY 1, 2),
+       |priced AS (
+       |  SELECT *, cents * 1000 // qty AS p_milli FROM monthly),
+       |base AS (
+       |  SELECT sku, month AS base_month, p_milli AS p0, qty AS q0
+       |  FROM priced
+       |  WHERE month = (SELECT MIN(month) FROM priced))
+       |SELECT t.month, b.base_month,
+       |  CAST(COUNT(*) AS BIGINT) AS n_matched_skus,
+       |  CAST(SUM(t.p_milli * b.q0) AS BIGINT) * 1000
+       |    // CAST(SUM(b.p0 * b.q0) AS BIGINT) AS laspeyres_milli,
+       |  CAST(SUM(t.p_milli * t.qty) AS BIGINT) * 1000
+       |    // CAST(SUM(b.p0 * t.qty) AS BIGINT) AS paasche_milli
+       |FROM priced t JOIN base b ON t.sku = b.sku
+       |GROUP BY t.month, b.base_month
+       |ORDER BY t.month""".stripMargin
 }

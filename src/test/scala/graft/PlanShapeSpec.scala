@@ -578,6 +578,14 @@ class PlanShapeSpec extends GraftSpec {
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),
+    ("a56_remainder_anomalies", 3,
+      "runs entirely over the a55 leaf: the two positional medians " +
+        "are single-partition rank windows over the calendar-bounded " +
+        "series, arriving back as 1-row broadcasts"),
+    ("a57_price_index", 4,
+      "one (sku, month) rollup of the fact table is the only row-" +
+        "sized move; base month is a 1-row broadcast, the matched " +
+        "join and index agg are dimension-sized on sku/month"),
     ("a55_seasonal_decompose", 2,
       "the date-grain series agg is the only row-sized move; the MA/" +
         "rank windows are single-partition over the calendar-bounded " +
