@@ -131,4 +131,75 @@ object Expectations {
       |    AS BIGINT) AS ok
       |FROM checks
       |ORDER BY check_id""".stripMargin
+
+  /** The candidate functional dependencies k20 audits:
+    * (fd_id, table, lhs column, rhs column) — a deliberate mix of
+    * key-implied FDs that must HOLD and plausible-looking business
+    * rules that FAIL on real data (the profiling signal). */
+  private val FdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("cust_key_nation", "customer", "c_custkey", "c_nationkey"),
+    ("cust_nation_segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("ord_key_status", "orders", "o_orderkey", "o_orderstatus"),
+    ("ord_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("li_part_supp", "lineitem", "l_partkey", "l_suppkey"),
+    ("supp_key_nation", "supplier", "s_suppkey", "s_nationkey"))
+
+  /** k20: FUNCTIONAL-DEPENDENCY AUDIT — the profiling pass behind
+    * normalization and dedup-key decisions (TANE/Metanome class, here
+    * on a fixed candidate list — FD *discovery* enumerates lattices,
+    * FD *auditing* is one aggregate per candidate): does column A
+    * determine column B? For each candidate A→B: distinct A values,
+    * how many carry MORE than one distinct B (violations), the worst
+    * variant count, the violation rate in milli, and the verdict.
+    * Key-implied FDs (custkey→nationkey) must hold; the
+    * plausible-looking business rules (nationkey→segment,
+    * partkey→suppkey — TPC-H gives every part 4 suppliers) fail,
+    * which is the signal a steward actually reads.
+    *
+    * Scale shape: one (lhs)-keyed count-distinct aggregate per
+    * candidate (two-phase, map-side combinable), then a 1-row rollup
+    * each — |candidates| rows out, no joins, each table scanned once
+    * per FD on only the two audited columns (column pruning makes
+    * this a narrow scan at any width). */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(spark, dir)
+      case "orders"   => Tables.orders(spark, dir)
+      case "lineitem" => Tables.lineitem(spark, dir)
+      case "supplier" => Tables.supplier(spark, dir)
+    }
+    FdCandidates.map { case (id, t, lhs, rhs) =>
+      table(t)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_lhs_keys"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating_keys"),
+          max(col("n_rhs")).as("max_rhs_variants"))
+        .select(lit(id).as("fd_id"), lit(t).as("table_name"),
+          lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs_keys"), col("n_violating_keys"),
+          col("max_rhs_variants"),
+          expr("n_violating_keys * 1000 DIV n_lhs_keys")
+            .as("violation_milli"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }.reduceLeft(_.unionByName(_)).orderBy(col("fd_id"))
+  }
+
+  def fdAuditSql(): String =
+    FdCandidates.map { case (id, t, lhs, rhs) =>
+      s"""SELECT '$id' AS fd_id, '$t' AS table_name, '$lhs' AS lhs,
+         |  '$rhs' AS rhs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lhs_keys,
+         |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_keys,
+         |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_variants,
+         |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // COUNT(*) AS violation_milli,
+         |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+         |    AS holds
+         |FROM (SELECT $lhs, CAST(COUNT(DISTINCT $rhs) AS BIGINT) AS n_rhs
+         |      FROM $t GROUP BY $lhs) g""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) u ORDER BY fd_id")
 }

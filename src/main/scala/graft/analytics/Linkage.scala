@@ -65,15 +65,14 @@ object Linkage {
       scoredPairsPlan(spark, dir, upper, lower).cache()
     }
 
-  private def scoredPairsPlan(spark: SparkSession, dir: String,
-                              upper: Long, lower: Long): DataFrame = {
-    val clean = Tables.part(spark, dir)
+  private def cleanView(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .select(col("p_partkey").as("key_c"), col("p_name").as("name_c"),
         col("p_brand").as("brand_c"), col("p_type").as("type_c"),
         col("p_size").as("size_c"))
-    val pos = pmod(pmod(col("p_partkey"), lit(1000000007L)) * lit(2654435761L),
-      length(col("p_name")).cast("long")) + 1L
-    val dirty = Tables.part(spark, dir)
+
+  private def dirtyView(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
       .select(col("p_partkey").as("key_d"),
         concat(
           expr("substring(p_name, 1, " +
@@ -85,6 +84,29 @@ object Linkage {
         when(pmod(col("p_partkey"), lit(4L)) === 0L, lit("UNKNOWN"))
           .otherwise(col("p_type")).as("type_d"),
         col("p_size").as("size_d"))
+
+  /** The dirty side replicated into its three covering length blocks
+    * (see the blocking-trap note in [[scoredPairsPlan]]). */
+  private def dirtyBlocked(dirty: DataFrame): DataFrame =
+    dirty.withColumn("blk",
+      explode(array(length(col("name_d")).cast("long"),
+        length(col("name_d")).cast("long") + 1L,
+        length(col("name_d")).cast("long") + 2L)))
+
+  /** One blocking pass: the co-keyed equi-join of clean against the
+    * length-replicated dirty side on (blockCol, size, length). */
+  private def blockPass(clean: DataFrame, dirtyB: DataFrame,
+                        blockCol: String): DataFrame = {
+    val lenC = length(col("name_c")).cast("long")
+    clean.join(dirtyB,
+      col(s"${blockCol}_c") === col(s"${blockCol}_d") &&
+        col("size_c") === col("size_d") && lenC === col("blk"))
+  }
+
+  private def scoredPairsPlan(spark: SparkSession, dir: String,
+                              upper: Long, lower: Long): DataFrame = {
+    val clean = cleanView(spark, dir)
+    val dirty = dirtyView(spark, dir)
     def agreements(df: DataFrame): DataFrame = df
       .withColumn("a_name",
         (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long"))
@@ -115,17 +137,9 @@ object Linkage {
     // equi-key gains a term whose cardinality GROWS with the catalog —
     // cells stay O(n / (|brand||size||len|)), recall stays 1 by
     // construction, and the 3x replication is the whole cost.
-    val dirtyB = dirty.withColumn("blk",
-      explode(array(length(col("name_d")).cast("long"),
-        length(col("name_d")).cast("long") + 1L,
-        length(col("name_d")).cast("long") + 2L)))
-    val lenC = length(col("name_c")).cast("long")
-    val b1 = clean.join(dirtyB,
-      col("brand_c") === col("brand_d") && col("size_c") === col("size_d") &&
-        lenC === col("blk"))
-    val b2 = clean.join(dirtyB,
-      col("type_c") === col("type_d") && col("size_c") === col("size_d") &&
-        lenC === col("blk"))
+    val dirtyB = dirtyBlocked(dirty)
+    val b1 = blockPass(clean, dirtyB, "brand")
+    val b2 = blockPass(clean, dirtyB, "type")
     val cands = b1.select(col("key_c"), col("key_d"), col("name_c"),
         col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
         col("type_d"))
@@ -458,4 +472,95 @@ object Linkage {
        |FROM per_cluster
        |GROUP BY cluster_size
        |ORDER BY n_members""".stripMargin
+
+  /** er4: BLOCKING-QUALITY AUDIT — the evaluation triple every ER
+    * deployment reads BEFORE trusting er1's scores (Christen's
+    * blocking metrics): per blocking pass and for their union,
+    *
+    *   reduction ratio   1000 − cands·1000 DIV n²   (how much of the
+    *                     all-pairs space the blocks avoided)
+    *   pair completeness true pairs surviving ·1000 DIV n_truth (the
+    *                     recall CEILING blocking imposes — er1 can
+    *                     never find a match its blocks dropped)
+    *   candidate counts  the join cost the pass actually pays
+    *
+    * The two passes overlap (a pair can match on brand AND type), so
+    * the union row is NOT the sum — that overlap is exactly why
+    * multi-pass blocking is cheap insurance.
+    *
+    * Scale shape: the same two co-keyed blocked joins er1 pays (each
+    * hash-partitioned, never all-pairs — n² appears only as a
+    * DENOMINATOR), each reduced to a count + true-hit sum; the union
+    * row distincts the pair keys (pair-relation-sized). */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val clean = cleanView(spark, dir)
+    val dirtyB = dirtyBlocked(dirtyView(spark, dir))
+    val nTruth = Tables.part(spark, dir).agg(count(lit(1)).as("n_truth"))
+    def audit(pass: String, cands: DataFrame): DataFrame =
+      cands.select(col("key_c"), col("key_d")).distinct()
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("key_c") === col("key_d")).cast("long")).cast("long")
+            .as("n_true_covered"))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(pass).as("pass"), col("n_candidates"),
+          col("n_true_covered"), col("n_truth"),
+          (lit(1000L) - expr("n_candidates * 1000 DIV (n_truth * n_truth)"))
+            .as("reduction_milli"),
+          expr("n_true_covered * 1000 DIV n_truth").as("completeness_milli"))
+    val b1 = blockPass(clean, dirtyB, "brand")
+    val b2 = blockPass(clean, dirtyB, "type")
+    audit("brand_size_len", b1)
+      .unionByName(audit("type_size_len", b2))
+      .unionByName(audit("union", b1.select(col("key_c"), col("key_d"))
+        .unionAll(b2.select(col("key_c"), col("key_d")))))
+      .orderBy(col("pass"))
+  }
+
+  def blockingAuditSql(): String = {
+    def audit(pass: String, candsSql: String): String =
+      s"""SELECT '$pass' AS pass,
+         |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(CASE WHEN key_c = key_d THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_covered,
+         |  t.n_truth,
+         |  1000 - CAST(COUNT(*) AS BIGINT) * 1000
+         |    // (t.n_truth * t.n_truth) AS reduction_milli,
+         |  CAST(SUM(CASE WHEN key_c = key_d THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // t.n_truth AS completeness_milli
+         |FROM (SELECT DISTINCT key_c, key_d FROM $candsSql) c
+         |CROSS JOIN truth t
+         |GROUP BY t.n_truth""".stripMargin
+    "WITH " + s"""clean AS (
+       |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
+       |    p_type AS type_c, p_size AS size_c
+       |  FROM part),
+       |dirty AS (
+       |  SELECT p_partkey AS key_d,
+       |    substring(p_name, 1,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT))
+       |    || substring(p_name,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT) + 2,
+       |      length(p_name)) AS name_d,
+       |    p_brand AS brand_d,
+       |    CASE WHEN p_partkey % 4 = 0 THEN 'UNKNOWN' ELSE p_type END AS type_d,
+       |    p_size AS size_d
+       |  FROM part),
+       |dirtyb AS (
+       |  SELECT d.*, length(name_d) + t.r AS blk
+       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r)),
+       |b1 AS (
+       |  SELECT key_c, key_d FROM clean JOIN dirtyb
+       |    ON brand_c = brand_d AND size_c = size_d
+       |    AND length(name_c) = blk),
+       |b2 AS (
+       |  SELECT key_c, key_d FROM clean JOIN dirtyb
+       |    ON type_c = type_d AND size_c = size_d
+       |    AND length(name_c) = blk),
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM part)
+       |""".stripMargin +
+      audit("brand_size_len", "b1") + "\nUNION ALL\n" +
+      audit("type_size_len", "b2") + "\nUNION ALL\n" +
+      audit("union", "(SELECT * FROM b1 UNION ALL SELECT * FROM b2)") +
+      "\nORDER BY pass"
+  }
 }

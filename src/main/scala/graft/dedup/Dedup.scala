@@ -379,30 +379,72 @@ object Dedup {
        |  (simhash // 16777216) % 256 AS band3
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** The DISTINCT-SIGNATURE candidate engine behind d8 and d22: hash
+    * pairs (sh_a < sh_b) sharing at least one of the 4 signature bytes,
+    * with their exact Hamming distance.
+    *
+    * Running the band self-join over DISTINCT simhashes — not docs —
+    * is the scale fix the r10 sf1.0 slope audit demanded: duplicated
+    * content (exact-dup groups, boilerplate, the 10× replica) piles
+    * identical signatures into the same band cells, so a doc-grain
+    * band join grows QUADRATICALLY in the duplication factor (d22
+    * measured 90× at 10× data). Distinct signatures don't multiply
+    * with duplication, the Hamming filter runs BEFORE any expansion
+    * back to docs, and doc-grain pairs are recovered exactly by the
+    * multiplicity algebra (cross-expand members of each hash pair;
+    * same-hash pairs are within-group id pairs). This is the standard
+    * production order: exact-collapse, then near-dup. */
+  private def simhashHashPairs(spark: SparkSession, dir: String,
+                               maxHamming: Int): DataFrame = {
+    val distinctSig = simhash(spark, dir)
+      .select(col("simhash"), col("band0"), col("band1"), col("band2"),
+        col("band3")).distinct()
+    val bands = distinctSig.select(col("simhash"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("pos", "byte_band")))
+    bands.select(col("simhash").as("sh_a"), col("pos"), col("byte_band"))
+      .join(bands.select(col("simhash").as("sh_b"), col("pos"),
+        col("byte_band")), Seq("pos", "byte_band"))
+      .filter(col("sh_a") < col("sh_b"))
+      // Hamming filter BEFORE the pair distinct: both signatures are in
+      // the joined row, so the filter is map-side and the distinct's
+      // shuffle carries only qualifying pairs — a hot band cell prunes
+      // in place instead of flooding the exchange
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("sh_a"), col("sh_b"), col("hamming")).distinct()
+  }
+
+  /** (simhash, doc_id) membership — the expansion side of the
+    * distinct-signature engine. */
+  private def simhashMembers(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir).select(col("simhash"), col("doc_id"))
+
   /** d8: SimHash near-dup pairs — complete the d3 pipeline: candidates
     * share at least one of the 4 signature bytes (pigeonhole: Hamming
     * distance ≤ 3 guarantees a shared byte; ≤ threshold generally needs
     * it with high probability), then exact Hamming distance via
     * `bit_count(xor)` (built-in, codegen'd — no custom expression
-    * needed). Self-join is on the byte bands, never all-pairs. */
+    * needed). The band self-join runs at DISTINCT-signature grain (see
+    * [[simhashHashPairs]]); doc pairs are recovered exactly by member
+    * expansion, so the output is bit-identical to the doc-grain join
+    * while duplicated content can no longer square the candidate set. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
-    val sig = simhash(spark, dir).cache()
-    // candidate = same (band position, byte value)
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
-        .as(Seq("pos", "byte_band")))
-    val cands = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-        col("pos"), col("byte_band"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-        col("pos"), col("byte_band")), Seq("pos", "byte_band"))
+    val members = simhashMembers(spark, dir)
+    val cross = simhashHashPairs(spark, dir, maxHamming)
+      .join(members.select(col("simhash").as("sh_a"), col("doc_id").as("id_a")),
+        Seq("sh_a"))
+      .join(members.select(col("simhash").as("sh_b"), col("doc_id").as("id_b")),
+        Seq("sh_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val same = members.select(col("simhash"), col("doc_id").as("doc_a"))
+      .join(members.select(col("simhash"), col("doc_id").as("doc_b")),
+        Seq("simhash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-    cands
-      .withColumn("hamming",
-        expr("bit_count(sh_a ^ sh_b)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.unionAll(same)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -439,8 +481,29 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("hamming"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    simhashPairs(spark, dir, maxHamming = 64)
-      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    // MULTIPLICITY ALGEBRA, never pair expansion: the full (≤64)
+    // profile is quadratic in the duplication factor if materialized
+    // doc-grain (the r10 sf1.0 flag: 90× at 10× data). count(d) =
+    // Σ m(s)·m(t) over distinct hash pairs at distance d, plus the
+    // C(m,2) same-hash mass at d=0 — exactly the doc-grain counts,
+    // computed from relations that don't grow with duplication
+    // (hash pairs) or grow linearly (the multiplicity table).
+    val mult = simhashMembers(spark, dir)
+      .groupBy(col("simhash")).agg(count(lit(1)).as("m"))
+    val cross = simhashHashPairs(spark, dir, maxHamming = 64)
+      .join(mult.select(col("simhash").as("sh_a"), col("m").as("m_a")),
+        Seq("sh_a"))
+      .join(mult.select(col("simhash").as("sh_b"), col("m").as("m_b")),
+        Seq("sh_b"))
+      .groupBy(col("hamming"))
+      .agg(sum(col("m_a") * col("m_b")).cast("long").as("n_pairs"))
+    val same = mult
+      .agg(sum(expr("m * (m - 1) DIV 2")).cast("long").as("n_pairs"))
+      .select(lit(0L).as("hamming"), col("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    cross.unionByName(same)
+      .groupBy(col("hamming"))
+      .agg(sum(col("n_pairs")).cast("long").as("n_pairs"))
       .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
       .select(col("hamming"), col("n_pairs"), col("cum_pairs"))
       .orderBy(col("hamming"))

@@ -204,17 +204,66 @@ object Layout {
     * that dimension-sized relation. The fact table is read once for
     * all 20 (layout × predicate) cells. */
   def layoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
-    val flags = Workload.map { case (n, p) =>
+    // ONE agg at the finest cross-grain of all four candidate keys —
+    // the fact table is scanned and shuffled exactly once (slim rows:
+    // four key parts + five flag longs), and each layout then rolls up
+    // from the DIMENSION-sized cell relation (months × stores × flags
+    // × buckets — calendar/catalog-bounded at any fact scale). The
+    // first cut stacked the fact rows 4× and carried the raw predicate
+    // columns through the explode; the r10 sf1.0 section flagged it.
+    // Row-level flags survive the two-level rollup because MAX and SUM
+    // both re-aggregate losslessly from the finer grain.
+    // RAW-COLUMN form of the Workload predicates and candidate keys:
+    // semantically identical to the sale-view strings (the oracle runs
+    // the string form and certifies the equivalence), but the per-row
+    // work is timestamp/long comparisons instead of date_format +
+    // format_string on every fact row — store-id formatting happens
+    // once per CELL, and the shipdate ranges push into parquet
+    // row-group pruning.
+    val rawPreds: Seq[(String, String)] = Seq(
+      ("w1_date_range", "l_shipdate >= TIMESTAMP_NTZ '1995-06-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP_NTZ '1995-09-01 00:00:00'"),
+      ("w2_single_day", "l_shipdate >= TIMESTAMP_NTZ '1995-06-15 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP_NTZ '1995-06-16 00:00:00'"),
+      ("w3_store_point", "l_suppkey = 42"),
+      ("w4_returns", "l_returnflag = 'R'"),
+      ("w5_sku_point", "l_partkey = 100"))
+    val flagCols = rawPreds.map { case (n, p) =>
       max(expr(p).cast("long")).as(s"hit_$n")
     }
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate"), col("l_suppkey"), col("l_partkey"),
+        col("l_returnflag"))
+      .groupBy(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .as("k_month_raw"),
+        col("l_suppkey").as("k_store_raw"),
+        col("l_returnflag").as("k_flag"),
+        pmod(col("l_partkey"), lit(16L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_rows"), flagCols: _*)
+      .select(Seq(
+        concat(substring(col("k_month_raw").cast("string"), 1, 4),
+          lit("-"),
+          substring(col("k_month_raw").cast("string"), 5, 2))
+          .as("k_month"),
+        format_string("%04d", col("k_store_raw")).as("k_store"),
+        col("k_flag"), col("k_bucket"), col("n_rows")) ++
+        rawPreds.map { case (n, _) => col(s"hit_$n") }: _*)
+    // the 4-way layout stack runs over the CELL relation (dimension-
+    // sized), not the fact rows — one union-free pass, and the fact
+    // aggregate executes exactly once
+    val layoutKey: Map[String, String] = Map(
+      "by_month" -> "k_month", "by_store" -> "k_store",
+      "by_returnflag" -> "k_flag", "by_sku_bucket" -> "k_bucket")
     val stackLayouts = Candidates
-      .map { case (n, e) => s"'$n', CAST(($e) AS STRING)" }
+      .map { case (n, _) => s"'$n', CAST(${layoutKey(n)} AS STRING)" }
       .mkString(s"stack(${Candidates.size}, ", ", ", ") AS (layout, part_key)")
-    val perPart = Tables.sales(spark, dir)
-      .selectExpr("sale_date", "store_id", "sku", "l_returnflag",
-        stackLayouts)
+    val hitNames = Workload.map { case (n, _) => s"hit_$n" }
+    val perPart = cells
+      .selectExpr(Seq(stackLayouts, "n_rows") ++ hitNames: _*)
       .groupBy(col("layout"), col("part_key"))
-      .agg(count(lit(1)).as("rows_in_part"), flags: _*)
+      .agg(sum(col("n_rows")).cast("long").as("rows_in_part"),
+        hitNames.map(n => max(col(n)).as(n)): _*)
     val stackPreds = Workload
       .map { case (n, _) => s"'$n', hit_$n" }
       .mkString(s"stack(${Workload.size}, ", ", ", ") AS (predicate, hit)")

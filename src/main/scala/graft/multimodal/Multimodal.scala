@@ -484,14 +484,32 @@ object Multimodal {
   private[graft] def imageHashes(spark: SparkSession, dir: String): DataFrame =
     graft.model.Silver.memoize(spark, "imageHashes", dir) {
       import spark.implicits._
-      mediaFromDocs(spark, dir).filter(_.kind == "image")
-        .flatMap { r =>
-          ImageCodec.pngPixels(r.bytes).map { case (w, h, px) =>
+      // CONTENT-ADDRESSED decode: byte-identical images (exact-dup
+      // groups, replicated corpora) share one pixel decode — group by
+      // the payload hash, inflate+unfilter ONE representative per
+      // distinct content, broadcast-join the fingerprints back to ids.
+      // At 100 TB this is the content-addressable media store doing the
+      // same thing structurally; here it keeps the decode stage linear
+      // in DISTINCT content, not row count.
+      val imgs = mediaFromDocs(spark, dir).filter(_.kind == "image")
+        .map(r => (r.media_id, r.bytes))
+        .toDF("media_id", "bytes")
+        .withColumn("ckey", xxhash64(col("bytes")))
+      val reps = imgs
+        .groupBy(col("ckey"))
+        .agg(expr("min_by(bytes, media_id)").as("rbytes"))
+        .select(col("ckey"), col("rbytes")).as[(Long, Array[Byte])]
+        .flatMap { case (ck, bytes) =>
+          ImageCodec.pngPixels(bytes).map { case (w, h, px) =>
             val (a0, a1) = aHash(w, h, px)
             val (p0, p1) = pHash(w, h, px)
-            (r.media_id, a0, a1, p0, p1)
+            (ck, a0, a1, p0, p1)
           }
-        }.toDF("media_id", "a0", "a1", "p0", "p1").cache()
+        }.toDF("ckey", "a0", "a1", "p0", "p1")
+      imgs.select(col("media_id"), col("ckey"))
+        .join(reps, Seq("ckey"))
+        .select(col("media_id"), col("a0"), col("a1"), col("p0"), col("p1"))
+        .cache()
     }
 
   def imageNearDup(spark: SparkSession, dir: String,
@@ -505,30 +523,68 @@ object Multimodal {
     * aHash and m10's pHash near-dup (pigeonhole-complete below 16). */
   private def bandedHammingPairs(hashes: DataFrame,
                                  maxHamming: Int): DataFrame = {
-    require(maxHamming < 16, "byte-band blocking is complete only below 16")
-    val bandCols = (0 until 16).map { i =>
-      val word = if (i < 8) col("h0") else col("h1")
-      struct(lit(i).as("band"),
-        shiftrightunsigned(word, 8 * (i % 8)).bitwiseAND(lit(0xffL))
-          .as("byteval"))
+    require(maxHamming < 11, "11-band blocking is complete only below 11")
+    // DISTINCT-FINGERPRINT grain + map-side Hamming filter — the r10
+    // sf1.0 slope fix (m8/m10 measured 260-340x at 10x data): identical
+    // fingerprints (exact-dup content) pile into the same band cells,
+    // so a media-grain band join squares in the duplication factor; and
+    // with structured fingerprints (gradients share whole bytes) hot
+    // cells flood the pair-distinct's exchange unless the exact popcount
+    // filter runs BEFORE it, where both hashes are already in the joined
+    // row. Media pairs are recovered exactly by member expansion
+    // (cross pairs between hash groups + within-group zero-distance
+    // pairs), so the output is bit-identical to the media-grain join.
+    //
+    // BANDS COVER THE REAL 64 BITS: the fingerprint packs as two 32-BIT
+    // words, so byte-banding each word as if it were 64-bit gives eight
+    // bands that read an always-zero byte — EVERY distinct hash lands
+    // in those cells and the join degenerates to all-pairs eight times
+    // over (the actual r10 sf1.0 scale-killer: ~0.9e9 joined rows at
+    // 16.7k images). Eleven bands over the concatenated 64 bits (nine
+    // 6-bit + two 5-bit) are the minimum count that stays pigeonhole-
+    // complete at maxHamming = 10: ≤10 flipped bits touch ≤10 bands, so
+    // one of the 11 is intact and the pair shares that band cell.
+    val distinctH = hashes.select(col("h0"), col("h1")).distinct()
+    val full = shiftleft(col("h1"), 32)
+      .bitwiseOR(col("h0").bitwiseAND(lit(0xffffffffL)))
+    val bandWidths = Seq.fill(9)(6) ++ Seq.fill(2)(5) // 9*6 + 2*5 = 64
+    val bandOffsets = bandWidths.scanLeft(0)(_ + _).init
+    val bandCols = bandWidths.zip(bandOffsets).zipWithIndex.map {
+      case ((w, off), i) =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(full, off)
+            .bitwiseAND(lit((1L << w) - 1)).as("byteval"))
     }
-    val bands = hashes.select(col("media_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("media_id"), col("b.band").as("band"),
+    val bands = distinctH
+      .select(col("h0"), col("h1"), explode(array(bandCols: _*)).as("b"))
+      .select(col("h0"), col("h1"), col("b.band").as("band"),
         col("b.byteval").as("byteval"))
-    val cands = bands.select(col("media_id").as("media_a"), col("band"), col("byteval"))
-      .join(bands.select(col("media_id").as("media_b"), col("band"), col("byteval")),
-        Seq("band", "byteval"))
-      .filter(col("media_a") < col("media_b"))
-      .select(col("media_a"), col("media_b")).distinct()
-    cands
-      .join(hashes.select(col("media_id").as("media_a"),
-        col("h0").as("a0"), col("h1").as("a1")), Seq("media_a"))
-      .join(hashes.select(col("media_id").as("media_b"),
-        col("h0").as("b0"), col("h1").as("b1")), Seq("media_b"))
+    val hashPairs = bands
+      .select(col("h0").as("a0"), col("h1").as("a1"), col("band"),
+        col("byteval"))
+      .join(bands.select(col("h0").as("b0"), col("h1").as("b1"),
+        col("band"), col("byteval")), Seq("band", "byteval"))
+      .filter(col("a0") < col("b0") ||
+        (col("a0") === col("b0") && col("a1") < col("b1")))
       .withColumn("hamming",
         (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)")).cast("long"))
       .filter(col("hamming") <= maxHamming.toLong)
-      .select(col("media_a"), col("media_b"), col("hamming"))
+      .select(col("a0"), col("a1"), col("b0"), col("b1"), col("hamming"))
+      .distinct()
+    val members = hashes.select(col("media_id"), col("h0"), col("h1"))
+    val cross = hashPairs
+      .join(members.select(col("media_id").as("id_a"), col("h0").as("a0"),
+        col("h1").as("a1")), Seq("a0", "a1"))
+      .join(members.select(col("media_id").as("id_b"), col("h0").as("b0"),
+        col("h1").as("b1")), Seq("b0", "b1"))
+      .select(least(col("id_a"), col("id_b")).as("media_a"),
+        greatest(col("id_a"), col("id_b")).as("media_b"), col("hamming"))
+    val same = members.select(col("h0"), col("h1"), col("media_id").as("media_a"))
+      .join(members.select(col("h0"), col("h1"), col("media_id").as("media_b")),
+        Seq("h0", "h1"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), lit(0L).as("hamming"))
+    cross.unionAll(same)
       .orderBy("media_a", "media_b")
   }
 

@@ -578,6 +578,14 @@ class PlanShapeSpec extends GraftSpec {
     ("a51_benford_audit", 1,
       "narrow map to the first digit, one 9-group hash agg; total and " +
         "expectation arrive by broadcast"),
+    ("er4_blocking_audit", 10,
+      "the same two co-keyed blocked joins er1 pays, each reduced to " +
+        "a pair-distinct + 1-row count — candidate-set-sized, n^2 " +
+        "only ever a denominator"),
+    ("k20_fd_audit", 18,
+      "three exchanges per FD candidate: the lhs-keyed two-phase " +
+        "count-distinct and its 1-row rollup — each bounded by the " +
+        "audited table's key cardinality, no joins anywhere"),
     ("a56_remainder_anomalies", 3,
       "runs entirely over the a55 leaf: the two positional medians " +
         "are single-partition rank windows over the calendar-bounded " +
@@ -600,11 +608,11 @@ class PlanShapeSpec extends GraftSpec {
         "rounds run at build, edge-sized, driver carries only a " +
         "count); the consumer census is degree aggs + two core semi " +
         "joins — all edge- or core-sized, nothing quadratic"),
-    ("k19_layout_advisor", 2,
-      "one fact scan feeds the map-side layout stack; the (layout, " +
-        "partition) agg and the (layout, predicate) rollup are the " +
-        "only hash moves — everything after the first agg is " +
-        "partition-count-sized"),
+    ("k19_layout_advisor", 3,
+      "one RAW-column fact agg to the finest cross-grain is the only " +
+        "row-sized move; the 4-way layout stack, its rollup and the " +
+        "(layout, predicate) readout all run over the calendar/" +
+        "catalog-bounded cell relation"),
     ("t33_nb_classifier", 14,
       "the only row-sized moves are the train count aggs and the " +
         "test-token tf agg + model join re-key; the rest of the " +
