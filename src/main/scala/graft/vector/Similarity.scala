@@ -342,28 +342,87 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** v3/d5: embedding-cosine near-dup — each vector's nearest neighbor
-    * within its coarse cluster (label = the IVF cell), flagged when the
-    * cosine crosses the near-dup threshold. Cell-local pairwise work only. */
-  def cosineNearDup(spark: SparkSession, dir: String,
-                    threshold: Double = 0.4): DataFrame = {
-    val e = withNorm(spark, dir)
-    val a = e.select(col("label"), col("vec_id"),
-      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
-    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
-    val pairs = a.join(b, Seq("label"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
+  /** Cell-local rank-1 cosine near-dup at DISTINCT-EMBEDDING grain —
+    * the shared engine of v3 (cell = ground-truth label) and v12
+    * (cell = LSH bucket). The r10 sf1.0 audit showed the naive
+    * member-grain pairwise squares in the duplication factor (v3:
+    * 27 s warm at 10× data — replicated corpora carry exact-dup
+    * vector groups), so the pairwise pass runs over one REPRESENTATIVE
+    * per distinct (cell, embedding) and member results are
+    * reconstructed exactly:
+    *  - every member of an identical-embedding group shares one
+    *    cross-group rank-1 (cosine is a function of the values; the
+    *    tie-break neighbor is the best group's smallest member id);
+    *  - the within-group candidate is cosine(v, v) (the SAME double
+    *    expression the member-grain join evaluated) with neighbor =
+    *    the group's smallest other id;
+    *  - the winner per member is the max by (cosine, neighbor_id asc)
+    *    of the two — exactly the naive window's rank-1 order.
+    * Output is bit-identical (oracles re-certify); the quadratic work
+    * now scales with DISTINCT vectors per cell, not members. */
+  private def cellNearDup(e: DataFrame, cellCol: String,
+                          threshold: Double): DataFrame = {
+    val wg = Window.partitionBy(col(cellCol), col("embedding"))
+      .orderBy(col("vec_id"))
+    val members = e
+      .withColumn("grp_rn", row_number().over(wg))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col(cellCol), col("embedding"))))
+    val reps = members.filter(col("grp_rn") === 1)
+      .select(col(cellCol), col("embedding"), col("norm2"),
+        col("vec_id").as("min_id"), col("m"))
+    val seconds = members.filter(col("grp_rn") === 2)
+      .select(col(cellCol), col("embedding"), col("vec_id").as("second_id"))
+    val a = reps.select(col(cellCol), col("embedding").as("a_emb"),
+      col("norm2").as("a_norm2"), col("min_id").as("a_min"))
+    val b = reps.select(col(cellCol), col("embedding").as("b_emb"),
+      col("norm2").as("b_norm2"), col("min_id").as("b_min"))
+    val wCross = Window.partitionBy(col(cellCol), col("a_min"))
+      .orderBy(col("cosine").desc, col("b_min").asc)
+    val bestCross = a.join(b, Seq(cellCol))
+      .filter(col("a_emb") =!= col("b_emb"))
       .withColumn("cosine",
         cosine(dotCol(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wCross))
       .filter(col("rank") === 1)
-      .select(col("vec_id"), col("label"), col("neighbor_id"), col("cosine"),
-        (col("cosine") >= threshold).as("is_near_dup"))
+      .select(col(cellCol), col("a_emb").as("embedding"),
+        col("cosine").as("cross_cos"), col("b_min").as("cross_nb"))
+    val selfCos = cosine(dotCol(col("embedding"), col("embedding")),
+      col("norm2"), col("norm2"))
+    members
+      .join(seconds, Seq(cellCol, "embedding"), "left")
+      .join(bestCross, Seq(cellCol, "embedding"), "left")
+      .withColumn("self_cos", when(col("m") >= 2, selfCos))
+      .withColumn("self_nb", when(col("m") >= 2,
+        when(col("grp_rn") === 1, col("second_id"))
+          .otherwise(first(col("vec_id")).over(wg.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))))
+      .filter(col("self_cos").isNotNull || col("cross_cos").isNotNull)
+      .withColumn("use_self",
+        col("self_cos").isNotNull && (col("cross_cos").isNull ||
+          col("self_cos") > col("cross_cos") ||
+          (col("self_cos") === col("cross_cos") &&
+            col("self_nb") < col("cross_nb"))))
+      .select(col("vec_id"), col(cellCol),
+        when(col("use_self"), col("self_nb")).otherwise(col("cross_nb"))
+          .as("neighbor_id"),
+        when(col("use_self"), col("self_cos")).otherwise(col("cross_cos"))
+          .as("cosine"))
+      .withColumn("is_near_dup", col("cosine") >= threshold)
       .orderBy(col("vec_id"))
   }
+
+  /** v3/d5: embedding-cosine near-dup — each vector's nearest neighbor
+    * within its coarse cluster (label = the IVF cell), flagged when the
+    * cosine crosses the near-dup threshold. Pairwise work is cell-local
+    * AND distinct-vector-grain (see [[cellNearDup]]). */
+  def cosineNearDup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.4): DataFrame =
+    cellNearDup(withNorm(spark, dir).select(col("label"), col("vec_id"),
+      col("embedding"), col("norm2")), "label", threshold)
+      .select(col("vec_id"), col("label"), col("neighbor_id"), col("cosine"),
+        col("is_near_dup"))
+      .orderBy(col("vec_id"))
 
   /** v12: label-free scale twin of v3 — embedding-cosine near-dup with
     * candidates from the SIGN-BIT LSH BUCKETS (v2's hash) instead of the
@@ -375,24 +434,14 @@ object Similarity {
     * the two keys are directly comparable; recall loss vs the label cell
     * is the LSH trade, measured the same way v6 measures v2's. */
   def lshNearDup(spark: SparkSession, dir: String,
-                 threshold: Double = 0.4): DataFrame = {
-    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id"),
-      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
-    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
-    val pairs = a.join(b, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        cosine(dotCol(col("a_emb"), col("b_emb")), col("a_norm2"), col("b_norm2")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+                 threshold: Double = 0.4): DataFrame =
+    cellNearDup(withNorm(spark, dir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+      .select(col("bucket"), col("vec_id"), col("embedding"), col("norm2")),
+      "bucket", threshold)
       .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cosine"),
-        (col("cosine") >= threshold).as("is_near_dup"))
+        col("is_near_dup"))
       .orderBy(col("vec_id"))
-  }
 
   def lshNearDupSql(threshold: Double = 0.4): String =
     s"""WITH e AS (

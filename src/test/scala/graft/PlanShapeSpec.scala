@@ -90,7 +90,12 @@ class PlanShapeSpec extends GraftSpec {
     // the per-query top-k — the index BUILD cost; probing itself is a
     // broadcast join against the cell-partitioned code table
     ("v11_ivf_pq", 3, "assignment window + code join + top-k; probes broadcast"),
-    ("v12_lsh_near_dup", 3, "bucket-local pairwise: bucket join + rank window"),
+    ("v12_lsh_near_dup", 6,
+      "bucket-local pairwise at DISTINCT-vector grain: the group " +
+        "window, the rep self-join + cross rank window, and the two " +
+        "member join-backs all key on (bucket, embedding) — every " +
+        "exchange is distinct-vector- or member-row-sized, and the " +
+        "quadratic stage no longer scales with duplication"),
     ("v13_residual_pq", 1, "assignment window only; residual codebook is a literal"),
     ("sk3_store_top_sellers", 1, "one store_id agg; MG partials map-side combined"),
     ("sk4_top_sellers_exact", 1, "sk3's plan with the summary sized past the key space"),
