@@ -38,6 +38,11 @@ object Bench {
     // materializes the corpusBase + corpusBuildKept shard-layout silvers
     graft.text.CorpusFilter.shardManifest(spark, dir).count()
     graft.dedup.Dedup.warm(spark, dir)
+    // the decode-once image-fingerprint silver (media encode + PNG
+    // inflate/unfilter): m8/m10 read it, and the sf1.0 slope section's
+    // one-shot timings would otherwise charge the whole media-lake
+    // build to whichever m-key runs first
+    graft.multimodal.Multimodal.imageHashes(spark, dir).count()
   }
 
   def main(args: Array[String]): Unit = {
