@@ -656,7 +656,20 @@ class PlanShapeSpec extends GraftSpec {
       "the packed (vec_id, xq, y) projection is a memoized leaf " +
         "(built once, not once per stride subtree); the stride " +
         "pairings are row-sized self-joins on a computed key + the " +
-        "2-row readout agg")
+        "2-row readout agg"),
+    ("a58_brand_skyline", 1,
+      "skyline WITHOUT the n^2 self-join: one brand-keyed exchange, " +
+        "both dominance windows and the frontier rank ride it — " +
+        "O(n log n) vs the oracle's NOT EXISTS"),
+    ("a59_store_mlr", 1,
+      "the 3x3 Cramer solve is pure projection over moment rows: one " +
+        "store-keyed exchange carries the day-index window AND the " +
+        "9-moment aggregate; no joins, no iteration"),
+    ("v36_als_recs", 8,
+      "per-customer ridge solves ride the custkey exchanges (ratings " +
+        "rollup + moment agg + rec window + final stitch); brand " +
+        "factors and the 25-row catalog arrive ONLY by broadcast — " +
+        "nothing customer x catalog ever shuffles")
   )
 
   /** The corpus/doc side must meet its small side via broadcast — a plan

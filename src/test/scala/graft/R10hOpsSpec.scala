@@ -3,83 +3,118 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
-/** Invariant specs for the round-10 batch-8 keys: er4 blocking-quality
-  * audit, k20 functional-dependency audit. */
+/** Invariant specs for the round-10 batch-8 keys: a58 brand skyline
+  * (window formulation vs brute-force dominance), a59 per-store exact
+  * multivariate OLS (Cramer solve vs BigInt recompute), v36 ALS
+  * half-step (closed-form ridge vs BigInt recompute + rec sanity). */
 class R10hOpsSpec extends GraftSpec {
 
-  test("er4: blocking metrics match an in-process recompute of both " +
-      "passes, and the brand pass covers every true pair by construction") {
+  test("a58: window skyline equals the brute-force dominance frontier") {
     val parts = Tables.part(spark, sfDir)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getInt(4)))
-    val clean = parts.map { case (k, n, b, t, s) => (k, n, b, t, s) }
-    val dirty = parts.map { case (k, n, b, t, s) =>
-      val h = ((k % 1000000007L) * 2654435761L % n.length).toInt
-      val nd = n.substring(0, h) + n.substring(math.min(h + 1, n.length))
-      (k, nd, b, if (k % 4 == 0) "UNKNOWN" else t, s)
-    }
-    def pass(block: ((Long, String, String, String, Int),
-                     (Long, String, String, String, Int)) => Boolean) =
-      (for {
-        c <- clean; d <- dirty
-        if c._5 == d._5 && (c._2.length - d._2.length) >= 0 &&
-          (c._2.length - d._2.length) <= 2 && block(c, d)
-      } yield (c._1, d._1)).distinct
-    val b1 = pass((c, d) => c._3 == d._3)
-    val b2 = pass((c, d) => c._4 == d._4)
-    val union = (b1 ++ b2).distinct
-    val n = parts.length.toLong
-    def metrics(p: Seq[(Long, Long)]) = {
-      val covered = p.count(x => x._1 == x._2).toLong
-      (p.size.toLong, covered, n,
-        1000L - p.size.toLong * 1000 / (n * n), covered * 1000 / n)
-    }
-    val expect = Map("brand_size_len" -> metrics(b1),
-      "type_size_len" -> metrics(b2), "union" -> metrics(union))
-    val got = graft.analytics.Linkage.blockingAudit(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byBrand = parts.groupBy(_._2)
+    val expect = byBrand.toSeq.flatMap { case (_, ps) =>
+      ps.toSeq.filter(p => !ps.exists(q =>
+        (q._3 < p._3 && q._4 >= p._4) || (q._3 <= p._3 && q._4 > p._4)))
+    }.map(p => (p._2, p._1, p._3, p._4)).toSet
+    val got = graft.analytics.Skyline.brandSkyline(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
     assert(got == expect)
-    // the corruption deletes one name char and never touches brand/size,
-    // so the brand pass must reach every true pair: recall ceiling 1000
-    assert(got("brand_size_len")._5 == 1000L)
-    assert(got("union")._5 == 1000L)
-    // the type pass must NOT (p_type blanked on every key%4=0 row)
-    assert(got("type_size_len")._5 < 1000L)
-    // multi-pass insurance is real: the union exceeds each single pass
-    assert(got("union")._1 > got("brand_size_len")._1)
-    assert(got("union")._1 > got("type_size_len")._1)
+    // frontier_rank is dense 1..k per brand in (price, partkey) order
+    val ranks = graft.analytics.Skyline.brandSkyline(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getInt(1)).sorted.toSeq }
+    assert(ranks.forall(rs => rs == (1 to rs.size)))
   }
 
-  test("k20: every FD verdict matches an in-process recompute, " +
-      "key-implied FDs hold, business-rule FDs fail") {
-    def check(rows: Array[(Any, Any)]): (Long, Long, Long, Long, Boolean) = {
-      val byLhs = rows.groupBy(_._1).map { case (_, xs) =>
-        xs.map(_._2).distinct.length.toLong }
-      val nLhs = byLhs.size.toLong
-      val viol = byLhs.count(_ > 1).toLong
-      (nLhs, viol, byLhs.max, viol * 1000 / nLhs, viol == 0)
+  test("a59: Cramer coefficients match a BigInt normal-equations solve " +
+      "per store") {
+    val rows = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast("decimal(18,0)").cast("long").as("y_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def toEpochDay(s: String) = java.time.LocalDate.parse(s, fmt).toEpochDay
+    def isWeekend(s: String) = {
+      val dow = java.time.LocalDate.parse(s, fmt).getDayOfWeek
+      dow == java.time.DayOfWeek.SATURDAY || dow == java.time.DayOfWeek.SUNDAY
     }
-    def collectPairs(df: org.apache.spark.sql.DataFrame,
-                     a: String, b: String): Array[(Any, Any)] =
-      df.select(col(a), col(b)).collect().map(r => (r.get(0), r.get(1)))
-    val expect = Map(
-      "cust_key_nation" -> check(collectPairs(Tables.customer(spark, sfDir), "c_custkey", "c_nationkey")),
-      "cust_nation_segment" -> check(collectPairs(Tables.customer(spark, sfDir), "c_nationkey", "c_mktsegment")),
-      "ord_key_status" -> check(collectPairs(Tables.orders(spark, sfDir), "o_orderkey", "o_orderstatus")),
-      "ord_cust_priority" -> check(collectPairs(Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority")),
-      "li_part_supp" -> check(collectPairs(Tables.lineitem(spark, sfDir), "l_partkey", "l_suppkey")),
-      "supp_key_nation" -> check(collectPairs(Tables.supplier(spark, sfDir), "s_suppkey", "s_nationkey")))
-    val got = graft.analytics.Expectations.fdAudit(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7), r.getBoolean(8))).toMap
+    val expect = rows.groupBy(_._1).map { case (store, rs) =>
+      val minDay = rs.map(r => toEpochDay(r._2)).min
+      val obs = rs.map { r =>
+        (BigInt(toEpochDay(r._2) - minDay),
+          BigInt(if (isWeekend(r._2)) 1 else 0), BigInt(r._3))
+      }
+      val n = BigInt(obs.size)
+      val sx1 = obs.map(_._1).sum; val sx2 = obs.map(_._2).sum
+      val sx11 = obs.map(o => o._1 * o._1).sum
+      val sx12 = obs.map(o => o._1 * o._2).sum
+      val sx22 = obs.map(o => o._2 * o._2).sum
+      val sy = obs.map(_._3).sum
+      val sx1y = obs.map(o => o._1 * o._3).sum
+      val sx2y = obs.map(o => o._2 * o._3).sum
+      val det = n * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val d0 = sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) +
+        sx2 * (sx1y * sx12 - sx11 * sx2y)
+      val d1 = n * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+      val d2 = n * (sx11 * sx2y - sx1y * sx12) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+      def milli(num: BigInt): Option[Long] =
+        if (det == 0) None
+        else Some(((num * 1000) / det).toLong) // BigInt / truncates toward 0
+      store -> (obs.size.toLong, milli(d0), milli(d1), milli(d2))
+    }
+    val got = graft.analytics.Regression.storeMlr(spark, sfDir)
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getString(0) -> (r.getLong(1), opt(2), opt(3), opt(4))
+      }.toMap
     assert(got == expect)
-    // the fixture exercises both verdicts
-    assert(got("cust_key_nation")._5 && got("ord_key_status")._5 &&
-      got("supp_key_nation")._5, "key-implied FDs must hold")
-    assert(!got("cust_nation_segment")._5 && !got("li_part_supp")._5,
-      "business-rule FDs must fail on real data")
+  }
+
+  test("v36: closed-form ridge factors match a BigInt recompute and the " +
+      "rec is a best-scoring unpurchased brand") {
+    val ratings = graft.vector.Als.ratingsForSpec(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def f1(b: Long) = b * 37 % 101 - 50
+    def f2(b: Long) = b * 73 % 101 - 50
+    val allBrands = Tables.part(spark, sfDir)
+      .select(substring(col("p_brand"), 7, 8).cast("long").as("bid"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ratings.groupBy(_._1).map { case (ck, rs) =>
+      val a11 = BigInt(rs.map(r => f1(r._2) * f1(r._2)).sum + 1000)
+      val a12 = BigInt(rs.map(r => f1(r._2) * f2(r._2)).sum)
+      val a22 = BigInt(rs.map(r => f2(r._2) * f2(r._2)).sum + 1000)
+      val b1 = BigInt(rs.map(r => r._3 * f1(r._2)).sum)
+      val b2 = BigInt(rs.map(r => r._3 * f2(r._2)).sum)
+      val det = a11 * a22 - a12 * a12
+      val u1 = ((b1 * a22 - b2 * a12) * 1000 / det).toLong
+      val u2 = ((b2 * a11 - b1 * a12) * 1000 / det).toLong
+      val owned = rs.map(_._2).toSet
+      val cand = allBrands.filterNot(owned)
+        .map(b => (b, u1 * f1(b) + u2 * f2(b)))
+      val rec = if (cand.isEmpty) None
+        else Some(cand.maxBy(c => (c._2, -c._1)))
+      ck -> (rs.size.toLong, u1, u2, rec)
+    }
+    val got = graft.vector.Als.alsRecs(spark, sfDir)
+      .collect().map { r =>
+        val rec = if (r.isNullAt(4)) None
+          else Some((r.getLong(4), r.getLong(5)))
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), rec)
+      }.toMap
+    assert(got == expect)
   }
 }
