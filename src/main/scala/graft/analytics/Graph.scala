@@ -390,4 +390,105 @@ object Graph {
        |FROM graph_stats CROSS JOIN core_nodes CROSS JOIN core_edges"""
       .stripMargin
   }
+
+  /** g5: LINK PREDICTION over the support-pruned co-purchase graph —
+    * the neighborhood-overlap scoring family every recommender /
+    * graph-completion stack ships (Liben-Nowell & Kleinberg CIKM'03):
+    * for every NON-adjacent pair (a, b) sharing at least one common
+    * neighbor, emit
+    *
+    *   cn            — common-neighbor count
+    *   jaccard_milli — 1000·|N(a)∩N(b)| DIV |N(a)∪N(b)|
+    *   ra_micro      — Σ_{z∈N(a)∩N(b)} 1000000 DIV deg(z)
+    *                   (Resource Allocation, Zhou/Lü/Zhang EPJ B 2009 —
+    *                   the Adamic–Adar variant whose 1/deg weight stays
+    *                   EXACT in integer micro units, no float log)
+    *
+    * top-k by (ra_micro, cn, sa, sb) — a full deterministic tie order,
+    * so the k-cut is engine-independent.
+    *
+    * Scale shape: candidates are generated ONLY through wedges — a
+    * self-join of the neighbor list on the apex z with a < b — so work
+    * is Σ_z C(deg z, 2), never node-quadratic, and apexes are
+    * DEGREE-CAPPED at [[LinkPredMaxApexDeg]] (a star hub's wedge set is
+    * quadratic in its degree while each 1/deg term contributes almost
+    * nothing to RA — the same df-cap discipline as d4's inverted
+    * index; the cap is part of the declared semantics and the oracle
+    * applies it identically). Jaccard denominators use the UNCAPPED
+    * true degrees. Everything downstream is wedge-/edge-sized: one
+    * (a, b) aggregate, one anti join against the edge set, two
+    * degree-decoration joins against the node dimension, and a
+    * TakeOrderedAndProject readout (per-partition heaps, no global
+    * sort). Reference analogue: none (no graph surface in the
+    * reference); extends the §2.4 self-join class with the
+    * wedge-scored NON-edge readout. */
+  def linkPrediction(spark: SparkSession, dir: String, minSupport: Int = 2,
+                     topK: Int = 30): DataFrame = {
+    val e = Silver.memoize(spark, s"lpEdges:$minSupport", dir) {
+      coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"))
+    }
+    val nbr = e.select(col("sa").as("z"), col("sb").as("n"))
+      .unionAll(e.select(col("sb").as("z"), col("sa").as("n")))
+    // the degree relation is node-dimension-sized (the SKU catalog) —
+    // leaf-memoized (built once, three consumers) and broadcast
+    // everywhere it decorates an edge-/wedge-sized stream
+    val deg = Silver.memoize(spark, s"lpDeg:$minSupport", dir) {
+      nbr.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    }
+    val apex =
+      nbr.join(broadcast(deg.filter(col("deg") <= LinkPredMaxApexDeg)), "z")
+    val wedges = apex.select(col("z"), col("deg"), col("n").as("a"))
+      .join(apex.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 DIV deg")).as("ra_micro"))
+    scored
+      .join(e.select(col("sa").as("a"), col("sb").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("z").as("a"), col("deg").as("deg_a"))),
+        "a")
+      .join(broadcast(deg.select(col("z").as("b"), col("deg").as("deg_b"))),
+        "b")
+      .select(col("a").as("sa"), col("b").as("sb"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("cn * 1000 DIV (deg_a + deg_b - cn)").as("jaccard_milli"),
+        col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("cn").desc, col("sa"), col("sb"))
+      .limit(topK)
+  }
+
+  /** Apex-degree cap for g5's wedge generation — hubs above this
+    * degree are excluded as common-neighbor evidence (declared
+    * semantics, mirrored in the oracle). */
+  private val LinkPredMaxApexDeg = 256
+
+  def linkPredictionSql(minSupport: Int = 2, topK: Int = 30): String =
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (SELECT sa, sb FROM pairs WHERE c >= $minSupport),
+       |nbr AS MATERIALIZED (
+       |  SELECT sa AS z, sb AS n FROM e
+       |  UNION ALL SELECT sb AS z, sa AS n FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY 1),
+       |w AS (
+       |  SELECT x.n AS a, y.n AS b, d.deg
+       |  FROM nbr x JOIN nbr y ON x.z = y.z AND x.n < y.n
+       |  JOIN deg d ON d.z = x.z
+       |  WHERE d.deg <= $LinkPredMaxApexDeg),
+       |scored AS (
+       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+       |    CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro
+       |  FROM w GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT s.* FROM scored s
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.sa = s.a AND e.sb = s.b))
+       |SELECT c.a AS sa, c.b AS sb, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+       |  c.cn * 1000 // (da.deg + db.deg - c.cn) AS jaccard_milli,
+       |  c.ra_micro
+       |FROM cand c
+       |JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
+       |ORDER BY ra_micro DESC, cn DESC, sa, sb LIMIT $topK"""
+      .stripMargin
 }

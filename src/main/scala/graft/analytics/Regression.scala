@@ -115,4 +115,135 @@ object Regression {
        |  CAST(${milli(det2, detM, "//")} AS BIGINT) AS b2_milli
        |FROM m
        |ORDER BY store_id""".stripMargin
+
+  /** a60: DIFFERENCE-IN-DIFFERENCES — the canonical quasi-experimental
+    * promo-impact readout (Card & Krueger 1994 class): stores split
+    * into a deterministic treatment/control arm (house multiplicative
+    * hash parity of the store key — both engines draw the identical
+    * assignment), the calendar split into the last [[DidWindowDays]]
+    * days (post) and the [[DidWindowDays]] before them (pre). Emitted:
+    * the four cell means of store-day net revenue (milli-cents,
+    * integer DIV — sums are non-negative so truncate == floor), the
+    * DiD estimate (Δtreated − Δcontrol), and the PARALLEL-TRENDS
+    * diagnostic — each arm's exact-OLS slope over its pre-period
+    * daily totals (the a59 integer-moment discipline, sign-explicit
+    * division) and the slope gap, the number a practitioner checks
+    * before believing the DiD.
+    *
+    * Scale shape: ONE pass over the dimension-sized store-day silver
+    * ([[StoreDaily.rollupDec]]) does all four cells as conditional
+    * sums (map-side partials, 1-row result); the trend leg aggregates
+    * the pre window to ≤ 2·[[DidWindowDays]] group-day rows before
+    * its 2-row moment agg; the calendar anchor is a broadcast 1-row
+    * scalar. Nothing here scales with fact rows beyond the silver
+    * build, which is priced once per session. */
+  def didPromo(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val w = DidWindowDays
+    val sd = StoreDaily.rollupDec(spark, dir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast("decimal(18,0)").cast("long").as("y_c"))
+    val maxd = sd.agg(max(col("sale_date")).as("maxd"))
+    val base = sd.crossJoin(broadcast(maxd))
+      .withColumn("gap",
+        datediff(to_date(col("maxd")), to_date(col("sale_date")))
+          .cast("long"))
+      .filter(col("gap") < 2L * w)
+      .withColumn("post", when(col("gap") < w, 1L).otherwise(0L))
+      .withColumn("treated",
+        when((col("store_id").cast("long") * 2654435761L) %
+          1000000007L % 2 === 0L, 1L).otherwise(0L))
+    val cells = base.agg(
+      expr("CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 1 AND post = 0 THEN 1 END)").cast("long").as("t_pre_milli"),
+      expr("CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 1 AND post = 1 THEN 1 END)").cast("long").as("t_post_milli"),
+      expr("CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 0 AND post = 0 THEN 1 END)").cast("long").as("c_pre_milli"),
+      expr("CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 0 AND post = 1 THEN 1 END)").cast("long").as("c_post_milli"))
+      .select(col("t_pre_milli"), col("t_post_milli"),
+        col("c_pre_milli"), col("c_post_milli"),
+        ((col("t_post_milli") - col("t_pre_milli")) -
+          (col("c_post_milli") - col("c_pre_milli"))).as("did_milli"))
+    val preDaily = base.filter(col("post") === 0L)
+      .withColumn("t", lit(2L * w - 1) - col("gap"))
+      .groupBy(col("treated"), col("t"))
+      .agg(sum(col("y_c")).as("yd"))
+    val slopeNum = "(n * sty - st * sy)"
+    val slopeDen = "(n * stt - st * st)"
+    val slopes = preDaily.groupBy(col("treated")).agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("t")).cast(dec38).as("st"),
+      sum(col("t") * col("t")).cast(dec38).as("stt"),
+      sum(col("yd")).cast(dec38).as("sy"),
+      sum(col("t").cast(dec38) * col("yd")).cast(dec38).as("sty"))
+      .select(col("treated"),
+        expr(milli(slopeNum, slopeDen, "div")).as("slope_milli"))
+      .agg(max(when(col("treated") === 1L, col("slope_milli")))
+        .as("t_slope_milli"),
+        max(when(col("treated") === 0L, col("slope_milli")))
+          .as("c_slope_milli"))
+      .select(col("t_slope_milli"), col("c_slope_milli"),
+        (col("t_slope_milli") - col("c_slope_milli"))
+          .as("slope_gap_milli"))
+    cells.crossJoin(slopes)
+  }
+
+  /** Pre/post window length for a60 — two equal 28-day arms off the
+    * calendar tail (declared semantics, mirrored in the oracle). */
+  private val DidWindowDays = 28L
+
+  def didPromoSql(): String = {
+    val w = DidWindowDays
+    def cell(t: Int, p: Int): String =
+      s"CAST(CAST(SUM(CASE WHEN treated = $t AND post = $p THEN y_c END)" +
+        s" AS HUGEINT) * 1000 // COUNT(CASE WHEN treated = $t AND" +
+        s" post = $p THEN 1 END) AS BIGINT)"
+    val slopeNum = "(n * sty - st * sy)"
+    val slopeDen = "(n * stt - st * st)"
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |y AS (
+       |  SELECT store_id, sale_date,
+       |    CAST(CAST((gross_dec - disc_dec) * 100 AS DECIMAL(18,0))
+       |      AS BIGINT) AS y_c
+       |  FROM sd),
+       |mx AS (SELECT MAX(sale_date) AS maxd FROM y),
+       |base AS (
+       |  SELECT store_id, y_c,
+       |    CAST(date_diff('day', CAST(sale_date AS DATE),
+       |      CAST(maxd AS DATE)) AS BIGINT) AS gap,
+       |    CASE WHEN date_diff('day', CAST(sale_date AS DATE),
+       |      CAST(maxd AS DATE)) < $w THEN 1 ELSE 0 END AS post,
+       |    CASE WHEN (CAST(store_id AS BIGINT) * 2654435761)
+       |      % 1000000007 % 2 = 0 THEN 1 ELSE 0 END AS treated
+       |  FROM y CROSS JOIN mx
+       |  WHERE date_diff('day', CAST(sale_date AS DATE),
+       |    CAST(maxd AS DATE)) < ${2 * w}),
+       |cells AS (
+       |  SELECT ${cell(1, 0)} AS t_pre_milli, ${cell(1, 1)} AS t_post_milli,
+       |    ${cell(0, 0)} AS c_pre_milli, ${cell(0, 1)} AS c_post_milli
+       |  FROM base),
+       |pre_daily AS (
+       |  SELECT treated, ${2 * w - 1} - gap AS t,
+       |    CAST(SUM(y_c) AS HUGEINT) AS yd
+       |  FROM base WHERE post = 0 GROUP BY 1, 2),
+       |moments AS (
+       |  SELECT treated, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(t) AS HUGEINT) AS st,
+       |    CAST(SUM(t * t) AS HUGEINT) AS stt,
+       |    CAST(SUM(yd) AS HUGEINT) AS sy,
+       |    CAST(SUM(t * yd) AS HUGEINT) AS sty
+       |  FROM pre_daily GROUP BY 1),
+       |slopes AS (
+       |  SELECT
+       |    MAX(CASE WHEN treated = 1 THEN slope_milli END) AS t_slope_milli,
+       |    MAX(CASE WHEN treated = 0 THEN slope_milli END) AS c_slope_milli
+       |  FROM (SELECT treated,
+       |    CAST(${milli(slopeNum, slopeDen, "//")} AS BIGINT) AS slope_milli
+       |    FROM moments) q)
+       |SELECT t_pre_milli, t_post_milli, c_pre_milli, c_post_milli,
+       |  (t_post_milli - t_pre_milli) - (c_post_milli - c_pre_milli)
+       |    AS did_milli,
+       |  t_slope_milli, c_slope_milli,
+       |  t_slope_milli - c_slope_milli AS slope_gap_milli
+       |FROM cells CROSS JOIN slopes""".stripMargin
+  }
 }

@@ -1110,4 +1110,97 @@ object Sketches {
         col("p99_exact_cents"))
       .orderBy(col("store_id"))
   }
+
+  /** sk20: AMS SECOND-MOMENT (F2) SKETCH, oracle-checked — the
+    * Alon–Matias–Szegedy tug-of-war estimator (STOC 1996) for
+    * Σ freq(k)², the self-join size of the sku stream. Each of
+    * 12 replicas keeps ONE counter Z_j = Σ_rows sign_j(sku) where
+    * sign_j ∈ {−1, +1} is the parity of the house CMS hash family;
+    * E[Z²] = F2. The readout is the classic median-of-means:
+    * 4 groups × 3 replicas, group mean = Σ Z² DIV 3, estimate =
+    * LOWER MEDIAN (2nd smallest of 4 — positional, never averaged).
+    * Deterministic hashes make the "estimate" an exact integer the
+    * oracle hash-matches (the statistical guarantee is the paper's;
+    * the oracle certifies the arithmetic). Beside it: the EXACT
+    * F2 = Σ freq² twin and the signed per-mille error, sign-explicit
+    * so Spark DIV (truncates) and DuckDB // (floors) agree.
+    *
+    * Scale shape — the reason AMS is first-class at 100 TB: the
+    * sketch state is 12 longs TOTAL regardless of rows or key
+    * cardinality (vs CMS's depth×width, vs the exact twin's
+    * |keys|-sized shuffle); the 12-way explode feeds a 12-group
+    * map-side partial agg, so the shuffle carries 12·|partitions|
+    * longs. Z² needs DECIMAL(38,0)/HUGEINT: Z is row-count-sized,
+    * so Z² overflows BIGINT past ~3·10^9 rows. Completes the
+    * frequency-moment ladder next to F0 (sk1/sk13 HLL/KMV) and the
+    * point-frequency CMS (sk7/sk10). */
+  def amsF2(spark: SparkSession, dir: String,
+            replicas: Int = 12, perGroup: Int = 3): DataFrame = {
+    val P = 1000003L
+    val dec38 = "decimal(38,0)"
+    def sign(j: Int, k: Column): Column =
+      when(((k * lit(37L + 101L * j) + lit(17L + 61L * j)) % P) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val skus = Tables.sales(spark, dir).select(col("sku"))
+    val z = skus
+      .withColumn("j", explode(array((0 until replicas).map(lit): _*)))
+      .withColumn("s", (0 until replicas).foldLeft(lit(0L)) { (acc, j) =>
+        when(col("j") === j, sign(j, col("sku"))).otherwise(acc)
+      })
+      .groupBy(col("j")).agg(sum(col("s")).as("z"))
+    val means = z
+      .select((col("j") / perGroup).cast("int").as("g"),
+        (col("z").cast(dec38) * col("z").cast(dec38)).as("z2"))
+      .groupBy(col("g"))
+      .agg(expr(s"CAST(sum(z2) DIV $perGroup AS $dec38)").as("mean_z2"))
+    // lower median of the 4 group means: positional, never averaged
+    val est = means
+      .select(col("mean_z2"),
+        row_number().over(Window.orderBy(col("mean_z2"), col("g"))).as("rn"))
+      .filter(col("rn") === (replicas / perGroup + 1) / 2)
+      .select(col("mean_z2").as("f2_est"))
+    val exact = skus.groupBy(col("sku")).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_skus"), sum(col("f")).as("f1"),
+        sum(col("f").cast(dec38) * col("f").cast(dec38)).as("f2_exact"))
+    exact.crossJoin(est)
+      .select(col("n_skus"), col("f1"),
+        col("f2_exact").cast("long").as("f2_exact"),
+        col("f2_est").cast("long").as("f2_est"),
+        expr("CAST(CASE WHEN (f2_est - f2_exact < 0) THEN -1 ELSE 1 END" +
+          " * (abs(f2_est - f2_exact) * 1000 DIV f2_exact) AS BIGINT)")
+          .as("err_milli"))
+  }
+
+  def amsF2Sql(replicas: Int = 12, perGroup: Int = 3): String = {
+    val P = 1000003L
+    def sign(k: String) =
+      s"CASE WHEN (($k * (37 + 101 * j) + (17 + 61 * j)) % $P) % 2 = 0" +
+        s" THEN 1 ELSE -1 END"
+    s"""WITH skus AS (SELECT l_partkey AS sku FROM lineitem),
+       |z AS (
+       |  SELECT j, CAST(SUM(${sign("sku")}) AS HUGEINT) AS z
+       |  FROM skus CROSS JOIN (SELECT unnest(range($replicas)) AS j) d
+       |  GROUP BY j),
+       |means AS (
+       |  SELECT j // $perGroup AS g,
+       |    CAST(SUM(z * z) AS HUGEINT) // $perGroup AS mean_z2
+       |  FROM z GROUP BY 1),
+       |est AS (
+       |  SELECT mean_z2 AS f2_est FROM (
+       |    SELECT mean_z2, g,
+       |      ROW_NUMBER() OVER (ORDER BY mean_z2, g) AS rn FROM means) q
+       |  WHERE rn = ${(replicas / perGroup + 1) / 2}),
+       |exact AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_skus,
+       |    CAST(SUM(f) AS BIGINT) AS f1,
+       |    CAST(SUM(f * f) AS HUGEINT) AS f2_exact
+       |  FROM (SELECT sku, CAST(COUNT(*) AS HUGEINT) AS f
+       |        FROM skus GROUP BY 1) q)
+       |SELECT n_skus, f1, CAST(f2_exact AS BIGINT) AS f2_exact,
+       |  CAST(f2_est AS BIGINT) AS f2_est,
+       |  CAST(CASE WHEN (f2_est - f2_exact < 0) THEN -1 ELSE 1 END
+       |    * (abs(f2_est - f2_exact) * 1000 // f2_exact) AS BIGINT)
+       |    AS err_milli
+       |FROM exact CROSS JOIN est""".stripMargin
+  }
 }

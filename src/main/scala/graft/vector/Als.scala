@@ -139,11 +139,11 @@ object Als {
        |    CAST(${milli(num2, detA, "//")} AS BIGINT) AS u2_milli
        |  FROM (
        |    SELECT rt.custkey, COUNT(*) AS cnt,
-       |      SUM(f.f1 * f.f1) + $Lambda AS a11,
-       |      SUM(f.f1 * f.f2) AS a12,
-       |      SUM(f.f2 * f.f2) + $Lambda AS a22,
-       |      SUM(rt.r * f.f1) AS b1,
-       |      SUM(rt.r * f.f2) AS b2
+       |      CAST(SUM(f.f1 * f.f1) AS HUGEINT) + $Lambda AS a11,
+       |      CAST(SUM(f.f1 * f.f2) AS HUGEINT) AS a12,
+       |      CAST(SUM(f.f2 * f.f2) AS HUGEINT) + $Lambda AS a22,
+       |      CAST(SUM(rt.r * f.f1) AS HUGEINT) AS b1,
+       |      CAST(SUM(rt.r * f.f2) AS HUGEINT) AS b2
        |    FROM ratings rt JOIN factors f ON rt.bid = f.bid
        |    GROUP BY rt.custkey) t),
        |recs AS (

@@ -665,6 +665,18 @@ class PlanShapeSpec extends GraftSpec {
       "the 3x3 Cramer solve is pure projection over moment rows: one " +
         "store-keyed exchange carries the day-index window AND the " +
         "9-moment aggregate; no joins, no iteration"),
+    ("g5_link_prediction", 4,
+      "candidates ONLY through capped wedges (apex self-join + pair " +
+        "agg + edge anti join); the node-degree dimension is a " +
+        "memoized leaf arriving ONLY by broadcast"),
+    ("sk20_ams_f2", 3,
+      "12-group tug-of-war partial agg (sketch state = 12 longs " +
+        "total, map-side combinable) + the exact-F2 twin's key agg; " +
+        "nothing key-cardinality-sized beyond the exact anchor"),
+    ("a60_did_promo", 2,
+      "all four DiD cells are ONE conditional-agg pass over the " +
+        "memoized store-day silver; the pre-trend leg aggregates to " +
+        "<= 2x28 group-day rows before its 2-row moment agg"),
     ("v36_als_recs", 8,
       "per-customer ridge solves ride the custkey exchanges (ratings " +
         "rollup + moment agg + rec window + final stitch); brand " +

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Invariant specs for the round-10 batch-9 keys: g5 link prediction
+  * (wedge-scored non-edges vs a brute-force neighborhood recompute). */
+class R10iOpsSpec extends GraftSpec {
+
+  test("g5: scores match a brute-force neighborhood-overlap recompute") {
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("l_orderkey").as("oid"), col("sku")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = sales.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // co-purchase pair supports, a < b
+    val supp = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    byOrder.foreach { case (_, skus) =>
+      val s = skus.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size)
+        supp((s(i), s(j))) = supp.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val edges = supp.filter(_._2 >= 2).keys.toSet
+    val nbrs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    // wedge generation under the declared apex-degree cap
+    val cn = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    val ra = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    nbrs.foreach { case (z, ns) =>
+      if (deg(z) <= 256) {
+        val s = ns.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) {
+          val k = (s(i), s(j))
+          cn(k) = cn.getOrElse(k, 0L) + 1
+          ra(k) = ra.getOrElse(k, 0L) + 1000000L / deg(z)
+        }
+      }
+    }
+    val expect = cn.keys.filterNot(edges.contains).toSeq.map { case (a, b) =>
+      val (da, db) = (deg(a), deg(b))
+      val c = cn((a, b))
+      (a, b, c, da, db, c * 1000 / (da + db - c), ra((a, b)))
+    }.sortBy { case (a, b, c, _, _, _, r) => (-r, -c, a, b) }.take(30)
+    val got = graft.analytics.Graph.linkPrediction(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+    // every emitted pair is a genuine non-edge with overlap evidence
+    assert(got.forall { case (a, b, c, _, _, _, _) =>
+      !edges.contains((a, b)) && c >= 1 })
+  }
+
+  test("sk20: AMS estimate matches a BigInt recompute of the tug-of-war " +
+      "counters and exact F2") {
+    val P = BigInt(1000003L)
+    val skus = Tables.sales(spark, sfDir).select(col("sku"))
+      .collect().map(_.getLong(0))
+    def sign(j: Int, k: Long): Long =
+      if ((BigInt(k) * (37 + 101 * j) + (17 + 61 * j)).mod(P) % 2 == 0) 1L
+      else -1L
+    val z = (0 until 12).map(j => BigInt(skus.map(sign(j, _)).sum))
+    val means = (0 until 4).map { g =>
+      (g * 3 until g * 3 + 3).map(j => z(j) * z(j)).sum / 3
+    }
+    val est = means.sorted.apply(1) // lower median of 4
+    val freqs = skus.groupBy(identity).view.mapValues(_.length.toLong)
+    val f2 = freqs.values.map(f => BigInt(f) * f).sum
+    val row = graft.analytics.Sketches.amsF2(spark, sfDir).collect().head
+    assert(row.getLong(0) == freqs.size.toLong)
+    assert(row.getLong(1) == skus.length.toLong)
+    assert(BigInt(row.getLong(2)) == f2)
+    assert(BigInt(row.getLong(3)) == est)
+    val diff = est - f2
+    val errExpect = (if (diff < 0) -1 else 1) * (diff.abs * 1000 / f2)
+    assert(BigInt(row.getLong(4)) == errExpect)
+  }
+
+  test("a60: DiD cells, estimate, and pre-trend slopes match an " +
+      "in-process recompute") {
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def day(s: String) = java.time.LocalDate.parse(s, fmt).toEpochDay
+    val sd = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .select(col("store_id"), col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast("decimal(18,0)").cast("long").as("y_c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val maxd = day(sd.map(_._2).max)
+    val w = 28L
+    val base = sd.map { case (store, date, y) =>
+      val gap = maxd - day(date)
+      (store, gap, y, if (gap < w) 1 else 0,
+        if (BigInt(store.toLong) * BigInt(2654435761L) % 1000000007 % 2 == 0) 1
+        else 0)
+    }.filter(_._2 < 2 * w)
+    def mean(t: Int, p: Int): Long = {
+      val cell = base.filter(r => r._5 == t && r._4 == p)
+      (BigInt(cell.map(_._3).sum) * 1000 / cell.size).toLong
+    }
+    def slope(t: Int): Long = {
+      val daily = base.filter(r => r._5 == t && r._4 == 0)
+        .groupBy(2 * w - 1 - _._2).view
+        .mapValues(rs => BigInt(rs.map(_._3).sum)).toSeq
+      val n = BigInt(daily.size)
+      val st = daily.map(d => BigInt(d._1)).sum
+      val stt = daily.map(d => BigInt(d._1) * d._1).sum
+      val sy = daily.map(_._2).sum
+      val sty = daily.map(d => d._2 * d._1).sum
+      val num = n * sty - st * sy
+      val den = n * stt - st * st
+      val s = if ((num < 0) != (den < 0)) -1 else 1
+      (BigInt(s) * (num.abs * 1000 / den.abs)).toLong
+    }
+    val row = graft.analytics.Regression.didPromo(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) == mean(1, 0) && row.getLong(1) == mean(1, 1))
+    assert(row.getLong(2) == mean(0, 0) && row.getLong(3) == mean(0, 1))
+    assert(row.getLong(4) ==
+      (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)))
+    assert(row.getLong(5) == slope(1) && row.getLong(6) == slope(0))
+    assert(row.getLong(7) == slope(1) - slope(0))
+  }
+}
