@@ -872,4 +872,184 @@ object Profile {
        |  AND a.p_partkey < b.p_partkey
        |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
        |ORDER BY brand, size, part_a, part_b""".stripMargin
+
+  /** k22: BATCH-OVER-BATCH PROFILE DRIFT AUDIT — the monitoring pass a
+    * lake runs when a new month of data lands (the Deequ/whylogs
+    * "profile diff" class, complementing k18's threshold rubric and
+    * e19's distribution drift): the two most recent calendar months of
+    * the sales lake are profiled column-by-column and DIFFED. Per
+    * audited column: row/null/distinct counts in each batch, min/max,
+    * exact integer means (milli), the signed mean shift in per-mille
+    * of the old mean (sign-explicit division, both engines truncate
+    * toward zero), NEW values (in the new batch, never seen in the
+    * old — the category-drift signal that breaks enum contracts
+    * downstream) and GONE values, plus three integer verdict flags:
+    * range_drift (new batch escapes the old min/max envelope),
+    * novelty_drift (new values appeared), mean_drift (|shift| >
+    * [[MeanDriftPm]] per-mille). The month anchors are picked by
+    * string order (largest / second-largest distinct 'yyyy-MM'), so
+    * there is no interval arithmetic to diverge between engines.
+    *
+    * Scale shape: ONE scan of the two-month slice stack()s the five
+    * audited columns map-side (long-encoded — the categorical flag by
+    * ascii code — so the melted relation is narrow); all batch stats
+    * ride one (col, batch) aggregate, distinct/new/gone ride one
+    * value-grain aggregate (the only data-sized exchange, ~5×distinct
+    * values); the final diff is a 5-row join. At 100 TB the month
+    * predicate is the partition prune — the audit never touches the
+    * lake's history beyond the two batches it compares. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sales(spark, dir).select(
+      substring(col("sale_date"), 1, 7).as("m"),
+      col("quantity"),
+      (col("line_total") * 100).cast("long").as("cents"),
+      col("sku"),
+      col("store_id").cast("long").as("store"),
+      ascii(col("l_returnflag")).cast("long").as("rflag"))
+    val months = s.select(col("m")).distinct()
+    val mb = months.agg(max(col("m")).as("mb"))
+    val ma = months.crossJoin(broadcast(mb)).filter(col("m") < col("mb"))
+      .agg(max(col("m")).as("ma"))
+    val mm = mb.crossJoin(ma)
+    val melted = s.crossJoin(broadcast(mm))
+      .filter(col("m") === col("ma") || col("m") === col("mb"))
+      .withColumn("batch",
+        when(col("m") === col("mb"), lit("b")).otherwise(lit("a")))
+      .selectExpr("batch",
+        "stack(5, 'quantity', quantity, 'cents', cents, 'sku', sku, " +
+          "'store', store, 'returnflag', rflag) AS (col_name, v)")
+    // ONE data-sized exchange: the (col, batch, value) grain — every
+    // downstream stat (counts, null counts, min/max, sums, distincts,
+    // new/gone) derives from it, so the two-month slice shuffles once
+    val valGrain = melted.groupBy(col("col_name"), col("batch"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = valGrain.groupBy(col("col_name"), col("batch"))
+      .agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("nn"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("v").cast("decimal(38,0)") * col("cnt"))
+          .cast("decimal(38,0)").as("sv"))
+      .groupBy(col("col_name"))
+      .agg(
+        max(when(col("batch") === "a", col("n"))).as("n_a"),
+        max(when(col("batch") === "b", col("n"))).as("n_b"),
+        max(when(col("batch") === "a", col("nn"))).as("null_a"),
+        max(when(col("batch") === "b", col("nn"))).as("null_b"),
+        max(when(col("batch") === "a", col("mn"))).as("min_a"),
+        max(when(col("batch") === "a", col("mx"))).as("max_a"),
+        max(when(col("batch") === "b", col("mn"))).as("min_b"),
+        max(when(col("batch") === "b", col("mx"))).as("max_b"),
+        max(when(col("batch") === "a", col("sv"))).as("sv_a"),
+        max(when(col("batch") === "b", col("sv"))).as("sv_b"))
+      .select(col("col_name"), col("n_a"), col("n_b"), col("null_a"),
+        col("null_b"), col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+        expr("CAST(sv_a * 1000 DIV n_a AS BIGINT)").as("mean_a_milli"),
+        expr("CAST(sv_b * 1000 DIV n_b AS BIGINT)").as("mean_b_milli"))
+    val vals = valGrain.groupBy(col("col_name"), col("v"))
+      .agg(max(when(col("batch") === "a", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("batch") === "b", 1L).otherwise(0L)).as("in_b"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("in_a")).as("distinct_a"), sum(col("in_b")).as("distinct_b"),
+        sum(when(col("in_b") === 1L && col("in_a") === 0L, 1L).otherwise(0L))
+          .as("new_values"),
+        sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L).otherwise(0L))
+          .as("gone_values"))
+    stats.join(vals, Seq("col_name"))
+      .select(col("col_name"), col("n_a"), col("n_b"), col("null_a"),
+        col("null_b"), col("distinct_a"), col("distinct_b"),
+        col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+        col("mean_a_milli"), col("mean_b_milli"),
+        expr("CASE WHEN mean_a_milli = 0 THEN NULL ELSE " +
+          "(CASE WHEN mean_b_milli < mean_a_milli THEN -1 ELSE 1 END) * " +
+          "(abs(mean_b_milli - mean_a_milli) * 1000 DIV abs(mean_a_milli)) " +
+          "END").as("mean_shift_pm"),
+        expr("CASE WHEN min_b < min_a OR max_b > max_a THEN 1 ELSE 0 END")
+          .cast("long").as("range_drift"),
+        expr("CASE WHEN new_values > 0 THEN 1 ELSE 0 END").cast("long")
+          .as("novelty_drift"),
+        expr(s"CASE WHEN mean_a_milli != 0 AND abs((CASE WHEN mean_b_milli" +
+          s" < mean_a_milli THEN -1 ELSE 1 END) * (abs(mean_b_milli - " +
+          s"mean_a_milli) * 1000 DIV abs(mean_a_milli))) > $MeanDriftPm " +
+          s"THEN 1 ELSE 0 END").cast("long").as("mean_drift"),
+        col("new_values"), col("gone_values"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Mean-shift per-mille threshold for k22's mean_drift verdict. */
+  private val MeanDriftPm = 100L
+
+  def profileDriftSql(): String =
+    s"""WITH s AS (
+       |  SELECT substr(sale_date, 1, 7) AS m, quantity,
+       |    CAST(line_total * 100 AS BIGINT) AS cents, sku,
+       |    CAST(store_id AS BIGINT) AS store,
+       |    CAST(ascii(l_returnflag) AS BIGINT) AS rflag
+       |  FROM (${Tables.salesSql}) q),
+       |mm AS (
+       |  SELECT (SELECT MAX(m) FROM s) AS mb,
+       |    (SELECT MAX(m) FROM s WHERE m < (SELECT MAX(m) FROM s)) AS ma),
+       |two AS (
+       |  SELECT CASE WHEN m = mb THEN 'b' ELSE 'a' END AS batch, s.*
+       |  FROM s CROSS JOIN mm WHERE m = ma OR m = mb),
+       |melted AS (
+       |  SELECT batch, 'quantity' AS col_name, quantity AS v FROM two
+       |  UNION ALL SELECT batch, 'cents', cents FROM two
+       |  UNION ALL SELECT batch, 'sku', sku FROM two
+       |  UNION ALL SELECT batch, 'store', store FROM two
+       |  UNION ALL SELECT batch, 'returnflag', rflag FROM two),
+       |stats AS (
+       |  SELECT col_name,
+       |    MAX(CASE WHEN batch = 'a' THEN n END) AS n_a,
+       |    MAX(CASE WHEN batch = 'b' THEN n END) AS n_b,
+       |    MAX(CASE WHEN batch = 'a' THEN nn END) AS null_a,
+       |    MAX(CASE WHEN batch = 'b' THEN nn END) AS null_b,
+       |    MAX(CASE WHEN batch = 'a' THEN mn END) AS min_a,
+       |    MAX(CASE WHEN batch = 'a' THEN mx END) AS max_a,
+       |    MAX(CASE WHEN batch = 'b' THEN mn END) AS min_b,
+       |    MAX(CASE WHEN batch = 'b' THEN mx END) AS max_b,
+       |    MAX(CASE WHEN batch = 'a' THEN sv END) * 1000
+       |      // MAX(CASE WHEN batch = 'a' THEN n END) AS mean_a_milli,
+       |    MAX(CASE WHEN batch = 'b' THEN sv END) * 1000
+       |      // MAX(CASE WHEN batch = 'b' THEN n END) AS mean_b_milli
+       |  FROM (
+       |    SELECT col_name, batch, CAST(COUNT(*) AS BIGINT) AS n,
+       |      CAST(COUNT(*) - COUNT(v) AS BIGINT) AS nn,
+       |      CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+       |      CAST(SUM(v) AS HUGEINT) AS sv
+       |    FROM melted GROUP BY 1, 2) q
+       |  GROUP BY col_name),
+       |vals AS (
+       |  SELECT col_name,
+       |    CAST(SUM(in_a) AS BIGINT) AS distinct_a,
+       |    CAST(SUM(in_b) AS BIGINT) AS distinct_b,
+       |    CAST(SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS new_values,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS gone_values
+       |  FROM (
+       |    SELECT col_name, v,
+       |      MAX(CASE WHEN batch = 'a' THEN 1 ELSE 0 END) AS in_a,
+       |      MAX(CASE WHEN batch = 'b' THEN 1 ELSE 0 END) AS in_b
+       |    FROM melted GROUP BY 1, 2) q
+       |  GROUP BY col_name)
+       |SELECT s.col_name, n_a, n_b, null_a, null_b, distinct_a, distinct_b,
+       |  min_a, max_a, min_b, max_b,
+       |  CAST(mean_a_milli AS BIGINT) AS mean_a_milli,
+       |  CAST(mean_b_milli AS BIGINT) AS mean_b_milli,
+       |  CAST(CASE WHEN mean_a_milli = 0 THEN NULL ELSE
+       |    (CASE WHEN mean_b_milli < mean_a_milli THEN -1 ELSE 1 END) *
+       |    (abs(mean_b_milli - mean_a_milli) * 1000 // abs(mean_a_milli))
+       |    END AS BIGINT) AS mean_shift_pm,
+       |  CAST(CASE WHEN min_b < min_a OR max_b > max_a THEN 1 ELSE 0 END
+       |    AS BIGINT) AS range_drift,
+       |  CAST(CASE WHEN new_values > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS novelty_drift,
+       |  CAST(CASE WHEN mean_a_milli != 0 AND abs(
+       |    (CASE WHEN mean_b_milli < mean_a_milli THEN -1 ELSE 1 END) *
+       |    (abs(mean_b_milli - mean_a_milli) * 1000 // abs(mean_a_milli)))
+       |    > $MeanDriftPm THEN 1 ELSE 0 END AS BIGINT) AS mean_drift,
+       |  new_values, gone_values
+       |FROM stats s JOIN vals USING (col_name)
+       |ORDER BY s.col_name""".stripMargin
 }

@@ -677,6 +677,10 @@ class PlanShapeSpec extends GraftSpec {
       "all four DiD cells are ONE conditional-agg pass over the " +
         "memoized store-day silver; the pre-trend leg aggregates to " +
         "<= 2x28 group-day rows before its 2-row moment agg"),
+    ("k22_profile_drift", 4,
+      "the two-month slice shuffles ONCE at (col, batch, value) " +
+        "grain; batch stats, distincts, and new/gone all derive from " +
+        "that leaf; everything after is 5-row-bounded"),
     ("v36_als_recs", 8,
       "per-customer ridge solves ride the custkey exchanges (ratings " +
         "rollup + moment agg + rec window + final stitch); brand " +

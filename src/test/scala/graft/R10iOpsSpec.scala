@@ -123,4 +123,50 @@ class R10iOpsSpec extends GraftSpec {
     assert(row.getLong(5) == slope(1) && row.getLong(6) == slope(0))
     assert(row.getLong(7) == slope(1) - slope(0))
   }
+
+  test("k22: per-column drift diff matches an in-process recompute over " +
+      "the two newest months") {
+    val rows = Tables.sales(spark, sfDir)
+      .select(substring(col("sale_date"), 1, 7).as("m"), col("quantity"),
+        (col("line_total") * 100).cast("long").as("cents"), col("sku"),
+        col("store_id").cast("long").as("store"),
+        ascii(col("l_returnflag")).cast("long").as("rflag"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val months = rows.map(_._1).distinct.sorted
+    val (ma, mb) = (months(months.size - 2), months.last)
+    val cols: Seq[(String, ((String, Long, Long, Long, Long, Long)) => Long)] =
+      Seq(("cents", _._3), ("quantity", _._2), ("returnflag", _._6),
+        ("sku", _._4), ("store", _._5))
+    val expect = cols.map { case (name, f) =>
+      val a = rows.filter(_._1 == ma).map(f)
+      val b = rows.filter(_._1 == mb).map(f)
+      val (meanA, meanB) = ((BigInt(a.sum) * 1000 / a.size).toLong,
+        (BigInt(b.sum) * 1000 / b.size).toLong)
+      val (setA, setB) = (a.toSet, b.toSet)
+      val shift = if (meanA == 0) None
+        else Some((if (meanB < meanA) -1 else 1) *
+          ((BigInt(meanB) - meanA).abs * 1000 / BigInt(meanA).abs).toLong)
+      val newV = (setB -- setA).size.toLong
+      (name, a.size.toLong, b.size.toLong, 0L, 0L,
+        setA.size.toLong, setB.size.toLong,
+        a.min, a.max, b.min, b.max, meanA, meanB, shift,
+        if (b.min < a.min || b.max > a.max) 1L else 0L,
+        if (newV > 0) 1L else 0L,
+        if (shift.exists(s => s.abs > 100)) 1L else 0L,
+        newV, (setA -- setB).size.toLong)
+    }
+    val got = graft.analytics.Profile.profileDrift(spark, sfDir)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
+          r.getLong(12),
+          if (r.isNullAt(13)) None else Some(r.getLong(13)),
+          r.getLong(14), r.getLong(15), r.getLong(16), r.getLong(17),
+          r.getLong(18))
+      }.toSeq
+    assert(got == expect)
+  }
 }
