@@ -762,4 +762,47 @@ class StatefulStreamingSpec extends GraftSpec {
     assert(months.size.toLong * 1000L / (months.max - months.min + 1) ==
       batch("ord_month_continuity"))
   }
+
+  test("streaming funnel replayed over a micro-batch split is " +
+      "bit-identical to the batch e22 windowed funnel") {
+    import spark.implicits._
+    import graft.streaming.{StatefulFunnel, FunnelEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      .as[FunnelEvent].collect().sortBy(r => (r.us, r.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[FunnelEvent]
+    val q = StatefulFunnel.funnel(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_tw").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // n_seen grows strictly per delivered row → final snapshot per
+      // user is its max-n_seen emission
+      val got = spark.sql("SELECT * FROM funnel_tw").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("reached_view"),
+          r.getAs[Boolean]("reached_click"),
+          r.getAs[Boolean]("reached_purchase"),
+          Option(r.getAs[Any]("view_to_click_us")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("click_to_purchase_us"))
+            .map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_seen")))
+        .groupBy(_._1).map(_._2.maxBy(_._7)).toSeq
+        .map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).sortBy(_._1)
+      val want = graft.streaming.EventsBatch.windowedFunnel(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("reached_view"),
+          r.getAs[Boolean]("reached_click"),
+          r.getAs[Boolean]("reached_purchase"),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .toSeq.sortBy(_._1)
+      assert(want.nonEmpty)
+      assert(got === want,
+        "streaming funnel snapshots must equal the batch windowed funnel")
+    } finally q.stop()
+  }
 }
