@@ -464,6 +464,116 @@ object Graph {
     * semantics, mirrored in the oracle). */
   private val LinkPredMaxApexDeg = 256
 
+  /** Hop budget for g6 — the cap IS the declared semantics (nodes
+    * farther than this report as unreached, hop −1), so unlike g4's
+    * fixpoint there is no convergence contract to enforce. */
+  private val BfsMaxHops = 8
+
+  /** Seed-set size for g6: the [[BfsSeeds]] smallest node ids — a
+    * deterministic stand-in for "the hub/landmark set" of a
+    * multi-source distance query. */
+  private val BfsSeeds = 8
+
+  /** g6: MULTI-SOURCE BFS HOP PROFILE over the support-pruned
+    * co-purchase graph — the reachability / shortest-path-class
+    * operator (landmark distance, "how far is every product from the
+    * core assortment"): exact hop distance from the nearest of
+    * [[BfsSeeds]] seed nodes, capped at [[BfsMaxHops]], read out as
+    * the hop histogram (n_nodes per hop, per-mille share) with the
+    * unreached remainder reported at hop −1. Completes the graph
+    * family's traversal class next to g1/g2 (local density), g4
+    * (global core), g5 (non-edge scoring), er3/d6 (components).
+    *
+    * Scale shape: each round is ONE frontier-keyed join against the
+    * neighbor list + an anti join against the visited set — edge- and
+    * node-sized relations only, never node-quadratic; lineage is
+    * truncated per round (localCheckpoint) exactly like d6/g4's
+    * loops, and the loop EXITS EARLY when a frontier drains (at most
+    * [[BfsMaxHops]] rounds — a fixed, data-independent bound, so the
+    * oracle's unroll is total). The readout is a ≤10-row aggregate.
+    * Edge universe = g5's memoized lpEdges leaf (priced once per
+    * session). */
+  def bfsHops(spark: SparkSession, dir: String, minSupport: Int = 2)
+  : DataFrame = {
+    val e = Silver.memoize(spark, s"lpEdges:$minSupport", dir) {
+      coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"))
+    }
+    val nbr = e.select(col("sa").as("z"), col("sb").as("n"))
+      .unionAll(e.select(col("sb").as("z"), col("sa").as("n")))
+    val nodes = Silver.memoize(spark, s"bfsNodes:$minSupport", dir) {
+      e.select(col("sa").as("v")).unionAll(e.select(col("sb").as("v")))
+        .distinct()
+    }
+    val dist = Silver.memoize(spark, s"bfsDist:$minSupport", dir) {
+      var d = nodes.orderBy(col("v")).limit(BfsSeeds)
+        .select(col("v"), lit(0L).as("hop")).localCheckpoint()
+      var frontier = d.select(col("v"))
+      var hop = 0L
+      var drained = frontier.isEmpty
+      while (!drained && hop < BfsMaxHops) {
+        hop += 1
+        val next = frontier.join(nbr, frontier("v") === nbr("z"))
+          .select(col("n").as("v")).distinct()
+          .join(d, Seq("v"), "left_anti")
+          .select(col("v"), lit(hop).as("hop")).localCheckpoint()
+        drained = next.isEmpty
+        if (!drained) d = d.unionAll(next).localCheckpoint()
+        frontier = next.select(col("v"))
+      }
+      d
+    }
+    val n = nodes.agg(count(lit(1)).as("n_total"))
+    val reached = dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(dist.select(col("v")), Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("hop"), col("n_nodes"))
+    reached.unionByName(unreached).crossJoin(broadcast(n))
+      .select(col("hop"), col("n_nodes"),
+        expr("n_nodes * 1000 DIV n_total").as("share_milli"))
+      .orderBy(col("hop"))
+  }
+
+  def bfsHopsSql(minSupport: Int = 2): String = {
+    val rounds = (1 to BfsMaxHops).map { i =>
+      val pf = s"f${i - 1}"
+      val pv = s"vis${i - 1}"
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT nbr.n AS v FROM nbr JOIN $pf p ON nbr.z = p.v
+         |  EXCEPT SELECT v FROM $pv),
+         |vis$i AS MATERIALIZED (
+         |  SELECT v FROM $pv UNION SELECT v FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val hopRows = (0 to BfsMaxHops)
+      .map(i => s"SELECT v, CAST($i AS BIGINT) AS hop FROM f$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (SELECT sa, sb FROM pairs WHERE c >= $minSupport),
+       |nbr AS MATERIALIZED (
+       |  SELECT sa AS z, sb AS n FROM e
+       |  UNION ALL SELECT sb AS z, sa AS n FROM e),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e) q),
+       |f0 AS MATERIALIZED (SELECT v FROM nodes ORDER BY v LIMIT $BfsSeeds),
+       |vis0 AS MATERIALIZED (SELECT v FROM f0),
+       |$rounds,
+       |dist AS (
+       |  $hopRows),
+       |unreached AS (
+       |  SELECT CAST(-1 AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT)
+       |    AS n_nodes
+       |  FROM (SELECT v FROM nodes EXCEPT SELECT v FROM vis$BfsMaxHops) q),
+       |hist AS (
+       |  SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM dist GROUP BY 1
+       |  UNION ALL SELECT hop, n_nodes FROM unreached),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM nodes)
+       |SELECT hop, n_nodes, n_nodes * 1000 // n_total AS share_milli
+       |FROM hist CROSS JOIN nt
+       |ORDER BY hop""".stripMargin
+  }
+
   def linkPredictionSql(minSupport: Int = 2, topK: Int = 30): String =
     s"""WITH $pairsCte,
        |e AS MATERIALIZED (SELECT sa, sb FROM pairs WHERE c >= $minSupport),

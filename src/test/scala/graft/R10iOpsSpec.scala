@@ -169,4 +169,42 @@ class R10iOpsSpec extends GraftSpec {
       }.toSeq
     assert(got == expect)
   }
+
+  test("g6: hop histogram matches an in-process multi-source BFS") {
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("l_orderkey").as("oid"), col("sku")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    sales.groupBy(_._1).foreach { case (_, rs) =>
+      val s = rs.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size)
+        supp((s(i), s(j))) = supp.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val edges = supp.filter(_._2 >= 2).keys.toSet
+    val nbrs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val nodes = nbrs.keySet.toSet
+    val seeds = nodes.toSeq.sorted.take(8)
+    val dist = scala.collection.mutable.HashMap.from(seeds.map(_ -> 0L))
+    var frontier = seeds.toSet
+    for (hop <- 1 to 8 if frontier.nonEmpty) {
+      frontier = frontier.flatMap(nbrs.getOrElse(_, Set.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = hop.toLong)
+    }
+    val hist = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap +
+      (-1L -> (nodes.size - dist.size).toLong)
+    val expect = hist.toSeq.sortBy(_._1).map { case (h, n) =>
+      (h, n, n * 1000 / nodes.size) }
+    val got = graft.analytics.Graph.bfsHops(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // conservation: every node is in exactly one bucket
+    assert(got.map(_._2).sum == nodes.size.toLong)
+  }
 }
