@@ -396,17 +396,34 @@ object Multimodal {
     * DuckDB analogue); the spec recomputes cuts and scene ids
     * in-process from the same bytes. */
   def sceneCuts(spark: SparkSession, dir: String, step: Int = 10,
-                threshold: Long = 20000L): DataFrame = {
-    import spark.implicits._
-    val frames = mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>
-      VideoCodec.lumaFrames(r.bytes)
-        .filter { case (f, _) => f % step == 0 }
-        .map { case (f, plane) =>
-          (r.media_id, f, frameLumaGrid(r.width, r.height, plane))
-        }
-    }.toDF("media_id", "frame_idx", "feat")
+                threshold: Long = 20000L): DataFrame =
+    sceneFrames(spark, dir, step, threshold)
+      .select(col("media_id"), col("frame_idx"),
+        col("diff_energy"), col("is_cut"), col("scene_id"))
+      .orderBy("media_id", "frame_idx")
+
+  /** Sampled frames with luma-grid features — the decoded-video silver
+    * m7 and m11 share (one Y4M walk per session, like the image
+    * fingerprint silver m8/m10 share). */
+  private def frameFeats(spark: SparkSession, dir: String,
+                         step: Int): DataFrame =
+    graft.model.Silver.memoize(spark, s"videoFrameFeats_$step", dir) {
+      import spark.implicits._
+      mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>
+        VideoCodec.lumaFrames(r.bytes)
+          .filter { case (f, _) => f % step == 0 }
+          .map { case (f, plane) =>
+            (r.media_id, f.toLong, frameLumaGrid(r.width, r.height, plane))
+          }
+      }.toDF("media_id", "frame_idx", "feat")
+    }
+
+  /** m7's frame relation decorated with cut flags and scene ids, the
+    * feature vector retained for downstream consumers (m11). */
+  private def sceneFrames(spark: SparkSession, dir: String, step: Int,
+                          threshold: Long): DataFrame = {
     val byVideo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
-    frames
+    frameFeats(spark, dir, step)
       .withColumn("prev_feat", lag(col("feat"), 1).over(byVideo))
       .withColumn("diff_energy",
         when(col("prev_feat").isNull, lit(null).cast("long")).otherwise(
@@ -417,9 +434,55 @@ object Multimodal {
       .withColumn("scene_id",
         sum(when(col("is_cut"), 1L).otherwise(0L)).over(
           byVideo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("diff_energy"), col("is_cut"), col("scene_id"))
-      .orderBy("media_id", "frame_idx")
+      .drop("prev_feat")
+  }
+
+  /** m11: STORYBOARD — the keyframe-selection readout a video curation
+    * pipeline feeds to captioning/embedding after m7's cut detection:
+    * per (video, scene), the MEDOID-BY-L1 representative frame — the
+    * frame minimizing Σ_blocks |n·feat − Σ feat| over the scene (the
+    * per-scene L1 dispersion MULTIPLIED THROUGH by the scene's frame
+    * count n, so "distance to the scene mean" stays exact integer —
+    * no fractional means), ties to the earliest frame. Emitted per
+    * scene: extent (first/last sampled frame), frame count, the
+    * keyframe index, and its scaled dispersion — the storyboard
+    * manifest (one thumbnail per scene) plus a quality signal
+    * (dispersion ≈ how well one frame summarizes the scene).
+    *
+    * Scale shape: frame features come from the memoized [[frameFeats]]
+    * silver (ONE Y4M decode walk per session shared with m7); the
+    * medoid is computed at (frame, block) grain — 16 narrow rows per
+    * sampled frame — via one (video, scene, block) sum, a join back,
+    * and a min(struct) argmin per scene; per-video frame counts bound
+    * every group. Rows-only like m2/m4/m7 (frame features have no
+    * DuckDB analogue); MultimodalSpec recomputes the medoid from an
+    * independent decode walk. */
+  def storyboard(spark: SparkSession, dir: String, step: Int = 10,
+                 threshold: Long = 20000L): DataFrame = {
+    val f = sceneFrames(spark, dir, step, threshold)
+      .select(col("media_id"), col("scene_id"), col("frame_idx"), col("feat"))
+    val fb = f.select(col("media_id"), col("scene_id"), col("frame_idx"),
+      posexplode(col("feat")).as(Seq("b", "v")))
+    val sb = fb.groupBy(col("media_id"), col("scene_id"), col("b"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nf"))
+    val disp = fb
+      .join(sb, Seq("media_id", "scene_id", "b"))
+      .groupBy(col("media_id"), col("scene_id"), col("frame_idx"))
+      .agg(sum(abs(col("nf") * col("v") - col("sv"))).as("disp_scaled"))
+    val key = disp.groupBy(col("media_id"), col("scene_id"))
+      .agg(min(struct(col("disp_scaled"), col("frame_idx"))).as("k"))
+      .select(col("media_id"), col("scene_id"),
+        col("k.frame_idx").as("keyframe_idx"),
+        col("k.disp_scaled").as("disp_scaled"))
+    val extent = f.groupBy(col("media_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+    extent.join(key, Seq("media_id", "scene_id"))
+      .select(col("media_id"), col("scene_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("keyframe_idx"),
+        col("disp_scaled"))
+      .orderBy(col("media_id"), col("scene_id"))
   }
 
   /** 8×8 AVERAGE HASH of a grayscale pixel buffer — the classic

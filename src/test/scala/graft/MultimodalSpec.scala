@@ -498,4 +498,51 @@ class MultimodalSpec extends GraftSpec {
       assert(segWs === ws.length.toLong)
     }
   }
+
+  test("m11: storyboard medoids recompute exactly from an independent " +
+    "Y4M walk; scenes tile each video") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocs(spark, sfDir).collect()
+      .filter(_.kind == "video")
+    // independent recompute: frames -> scenes (m7's rule) -> L1 medoid
+    val want = media.flatMap { r =>
+      val (w, h, frames) = refY4mFrames(r.bytes)
+      val idxs = Range(0, frames.length, 10).toArray
+      val feats = idxs.map(f => Multimodal.frameLumaGrid(w, h, frames(f)))
+      var scene = 0L
+      val assigned = idxs.zipWithIndex.map { case (fi, i) =>
+        val cut = i == 0 || feats(i).zip(feats(i - 1))
+          .map { case (a, b) => math.abs(a - b) }.sum > 20000L
+        if (cut) scene += 1
+        (scene, fi.toLong, feats(i))
+      }
+      assigned.groupBy(_._1).toSeq.map { case (sid, fs) =>
+        val n = fs.length.toLong
+        val sums = fs.map(_._3).transpose.map(_.sum)
+        val scored = fs.map { case (_, fi, ft) =>
+          (ft.zip(sums).map { case (v, s) => math.abs(n * v - s) }.sum, fi)
+        }.sortBy(identity)
+        val (disp, kf) = scored.head
+        (r.media_id, sid, fs.map(_._2).min, fs.map(_._2).max, n, kf, disp)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Multimodal.storyboard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want.toSeq)
+    // scenes tile: per video, frame counts sum to the sampled walk and
+    // extents are disjoint in scene order
+    got.groupBy(_._1).foreach { case (mid, rows) =>
+      val r = media.find(_.media_id == mid).get
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).sum ===
+        Range(0, r.n_frames, 10).length.toLong)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 < b._3)
+        case _ =>
+      }
+      // every keyframe lies inside its scene's extent
+      sorted.foreach(s => assert(s._6 >= s._3 && s._6 <= s._4))
+    }
+  }
 }

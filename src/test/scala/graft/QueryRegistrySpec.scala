@@ -38,6 +38,7 @@ class QueryRegistrySpec extends AnyFunSuite {
     "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)",
     "v28_trained_recall" -> "Lloyd's fixed-point iteration has no single-expression SQL form (t20's argument); donor row equality with v6 and run-to-run determinism are spec-asserted",
     "m10_phash_dup" -> "pHashes derive from PNG pixel decode + DCT DuckDB cannot do (MultimodalSpec asserts banded-candidate completeness vs all-pairs)",
+    "m11_storyboard" -> "keyframe medoids derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
     "sk12_hll_sweep" -> "HLL estimates are implementation-defined (SketchesSpec brackets every tier against the exact count)")
 
   test("every query key has an oracle or a declared rows-only reason") {
