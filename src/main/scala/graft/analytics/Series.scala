@@ -519,13 +519,21 @@ object Series {
     * a 1-row broadcast; the matched join is sku-keyed over the
     * dimension-sized monthly relation; the index is a per-month
     * aggregate. */
+  /** The (sku, month) rollup a57 and a61 share — cents, quantity, and
+    * the exact milli-cent unit price; leaf-memoized so the fact scan
+    * is priced once per session. */
+  private def monthlySku(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "monthlySku", dir) {
+      Tables.sales(spark, dir)
+        .groupBy(col("sku"), substring(col("sale_date"), 1, 7).as("month"))
+        .agg((sum(col("line_total")) * 100).cast(DecimalType(18, 0))
+          .cast("long").as("cents"),
+          sum(col("quantity")).cast("long").as("qty"))
+        .withColumn("p_milli", expr("cents * 1000 DIV qty"))
+    }
+
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.sales(spark, dir)
-      .groupBy(col("sku"), substring(col("sale_date"), 1, 7).as("month"))
-      .agg((sum(col("line_total")) * 100).cast(DecimalType(18, 0))
-        .cast("long").as("cents"),
-        sum(col("quantity")).cast("long").as("qty"))
-      .withColumn("p_milli", expr("cents * 1000 DIV qty"))
+    val monthly = monthlySku(spark, dir)
     val base = monthly
       .crossJoin(broadcast(monthly.agg(min(col("month")).as("base_month"))))
       .filter(col("month") === col("base_month"))
@@ -566,4 +574,118 @@ object Series {
        |FROM priced t JOIN base b ON t.sku = b.sku
        |GROUP BY t.month, b.base_month
        |ORDER BY t.month""".stripMargin
+
+  /** a61: REVENUE BRIDGE (price / volume / mix waterfall) — the FP&A
+    * decomposition of month-over-month revenue change, the additive
+    * sibling of a57's ratio indices: between the two newest calendar
+    * months (k22's string-order anchors — no interval arithmetic),
+    *
+    *   price effect  = Σ_matched (p1 − p0)·q1
+    *   volume effect = Σ_matched (q1 − q0)·p0
+    *   new effect    = Σ_{B only} revenue
+    *   disc. effect  = −Σ_{A only} revenue
+    *
+    * with unit prices in exact integer milli-cents (a57's floor rule)
+    * and the RECONCILIATION RESIDUAL reported explicitly: flooring the
+    * unit prices makes the four effects not sum exactly to ΔR, and a
+    * real bridge CARRIES that rounding line instead of hiding it —
+    * the spec asserts delta = effects + residual as an identity and
+    * bounds the residual by 1 milli-cent per matched-sku quantity
+    * unit (the floor's worst case).
+    *
+    * Scale shape: rides the memoized [[monthlySku]] leaf (shared with
+    * a57 — the fact scan is priced once); the month filter cuts it to
+    * two dimension-sized slices, the bridge is ONE sku-keyed
+    * full-outer join + a 1-row conditional aggregate. Overflow note
+    * as a57: p·q sums move to DECIMAL(38) at true 100 TB — a type
+    * change, not a shape change. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val m = monthlySku(spark, dir)
+    val months = m.select(col("month")).distinct()
+    val mbDf = months.agg(max(col("month")).as("mb"))
+    val maDf = months.crossJoin(broadcast(mbDf))
+      .filter(col("month") < col("mb")).agg(max(col("month")).as("ma"))
+    val mm = mbDf.crossJoin(maDf)
+    val two = m.crossJoin(broadcast(mm))
+      .filter(col("month") === col("ma") || col("month") === col("mb"))
+    val a = two.filter(col("month") === col("ma"))
+      .select(col("sku"), col("ma"), col("cents").as("c0"),
+        col("qty").as("q0"), col("p_milli").as("p0"))
+    val b = two.filter(col("month") === col("mb"))
+      .select(col("sku"), col("mb"), col("cents").as("c1"),
+        col("qty").as("q1"), col("p_milli").as("p1"))
+    val j = a.join(b, Seq("sku"), "full_outer")
+    val matched = col("c0").isNotNull && col("c1").isNotNull
+    j.agg(
+      max(col("ma")).as("month_a"), max(col("mb")).as("month_b"),
+      coalesce(sum(col("c0")), lit(0L)).as("rev_a_c"),
+      coalesce(sum(col("c1")), lit(0L)).as("rev_b_c"),
+      sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(col("c0").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_gone"),
+      coalesce(sum(when(matched, (col("p1") - col("p0")) * col("q1"))),
+        lit(0L)).as("price_effect_milli"),
+      coalesce(sum(when(matched, (col("q1") - col("q0")) * col("p0"))),
+        lit(0L)).as("volume_effect_milli"),
+      coalesce(sum(when(col("c0").isNull, col("c1") * 1000)), lit(0L))
+        .as("new_effect_milli"),
+      (-coalesce(sum(when(col("c1").isNull, col("c0") * 1000)), lit(0L)))
+        .as("discontinued_effect_milli"))
+      .select(col("month_a"), col("month_b"), col("rev_a_c"), col("rev_b_c"),
+        col("n_matched"), col("n_new"), col("n_gone"),
+        ((col("rev_b_c") - col("rev_a_c")) * 1000).as("delta_milli"),
+        col("price_effect_milli"), col("volume_effect_milli"),
+        col("new_effect_milli"), col("discontinued_effect_milli"),
+        ((col("rev_b_c") - col("rev_a_c")) * 1000 -
+          col("price_effect_milli") - col("volume_effect_milli") -
+          col("new_effect_milli") - col("discontinued_effect_milli"))
+          .as("residual_milli"))
+  }
+
+  def revenueBridgeSql(): String =
+    s"""WITH sales AS (${graft.model.Tables.salesSql}),
+       |monthly AS (
+       |  SELECT sku, substring(sale_date, 1, 7) AS month,
+       |    CAST(SUM(line_total) * 100 AS BIGINT) AS cents,
+       |    CAST(SUM(quantity) AS BIGINT) AS qty
+       |  FROM sales GROUP BY 1, 2),
+       |priced AS (
+       |  SELECT *, cents * 1000 // qty AS p_milli FROM monthly),
+       |mm AS (
+       |  SELECT (SELECT MAX(month) FROM priced) AS mb,
+       |    (SELECT MAX(month) FROM priced
+       |     WHERE month < (SELECT MAX(month) FROM priced)) AS ma),
+       |a AS (SELECT sku, cents AS c0, qty AS q0, p_milli AS p0
+       |  FROM priced CROSS JOIN mm WHERE month = ma),
+       |b AS (SELECT sku, cents AS c1, qty AS q1, p_milli AS p1
+       |  FROM priced CROSS JOIN mm WHERE month = mb),
+       |j AS (SELECT * FROM a FULL OUTER JOIN b USING (sku)),
+       |agg AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS rev_a_c,
+       |    CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS rev_b_c,
+       |    CAST(SUM(CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |    CAST(SUM(CASE WHEN c0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_new,
+       |    CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_gone,
+       |    CAST(COALESCE(SUM(CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+       |      THEN (p1 - p0) * q1 END), 0) AS BIGINT) AS price_effect_milli,
+       |    CAST(COALESCE(SUM(CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+       |      THEN (q1 - q0) * p0 END), 0) AS BIGINT) AS volume_effect_milli,
+       |    CAST(COALESCE(SUM(CASE WHEN c0 IS NULL THEN c1 * 1000 END), 0)
+       |      AS BIGINT) AS new_effect_milli,
+       |    CAST(-COALESCE(SUM(CASE WHEN c1 IS NULL THEN c0 * 1000 END), 0)
+       |      AS BIGINT) AS discontinued_effect_milli
+       |  FROM j)
+       |SELECT (SELECT ma FROM mm) AS month_a, (SELECT mb FROM mm) AS month_b,
+       |  rev_a_c, rev_b_c, n_matched, n_new, n_gone,
+       |  (rev_b_c - rev_a_c) * 1000 AS delta_milli,
+       |  price_effect_milli, volume_effect_milli, new_effect_milli,
+       |  discontinued_effect_milli,
+       |  (rev_b_c - rev_a_c) * 1000 - price_effect_milli
+       |    - volume_effect_milli - new_effect_milli
+       |    - discontinued_effect_milli AS residual_milli
+       |FROM agg""".stripMargin
 }

@@ -207,4 +207,45 @@ class R10iOpsSpec extends GraftSpec {
     // conservation: every node is in exactly one bucket
     assert(got.map(_._2).sum == nodes.size.toLong)
   }
+
+  test("a61: bridge effects match an in-process recompute and the " +
+      "waterfall identity holds with a floor-bounded residual") {
+    val ms = Tables.sales(spark, sfDir)
+      .select(substring(col("sale_date"), 1, 7).as("m"), col("sku"),
+        (col("line_total") * 100).cast("decimal(18,0)").cast("long")
+          .as("c"), col("quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    val months = ms.keys.map(_._1).toSeq.distinct.sorted
+    val (ma, mb) = (months(months.size - 2), months.last)
+    def slice(m: String) = ms.collect { case ((`m`, sku), (c, q)) =>
+      sku -> (c, q, c * 1000 / q) }.toMap
+    val (sa, sb) = (slice(ma), slice(mb))
+    val both = sa.keySet & sb.keySet
+    val pe = both.toSeq.map(k => (sb(k)._3 - sa(k)._3) * sb(k)._2).sum
+    val ve = both.toSeq.map(k => (sb(k)._2 - sa(k)._2) * sa(k)._3).sum
+    val ne = (sb.keySet -- sa.keySet).toSeq.map(sb(_)._1 * 1000).sum
+    val de = -(sa.keySet -- sb.keySet).toSeq.map(sa(_)._1 * 1000).sum
+    val (ra, rb) = (sa.values.map(_._1).sum, sb.values.map(_._1).sum)
+    val row = graft.analytics.Series.revenueBridge(spark, sfDir)
+      .collect().head
+    assert(row.getString(0) == ma && row.getString(1) == mb)
+    assert(row.getLong(2) == ra && row.getLong(3) == rb)
+    assert(row.getLong(4) == both.size.toLong)
+    assert(row.getLong(5) == (sb.keySet -- sa.keySet).size.toLong)
+    assert(row.getLong(6) == (sa.keySet -- sb.keySet).size.toLong)
+    assert(row.getLong(8) == pe && row.getLong(9) == ve)
+    assert(row.getLong(10) == ne && row.getLong(11) == de)
+    // identity: delta = sum of effects + residual (exactly)
+    assert(row.getLong(7) ==
+      row.getLong(8) + row.getLong(9) + row.getLong(10) +
+        row.getLong(11) + row.getLong(12))
+    // the residual is pure price-floor rounding: bounded by 1 milli-cent
+    // per quantity unit appearing in a floored term
+    val bound = both.toSeq.map(k => 2 * sb(k)._2 + (sb(k)._2 - sa(k)._2).abs)
+      .sum
+    assert(row.getLong(12).abs <= bound)
+  }
 }
