@@ -265,6 +265,74 @@ object Linkage {
        |GROUP BY decision, n_truth
        |ORDER BY decision""".stripMargin
 
+  /** er5: DECISION-THRESHOLD SWEEP — the precision/recall/F1 curve
+    * over er1's match scores, the readout a linkage steward reads
+    * before PICKING the upper threshold er1/er3 then apply (the ER
+    * sibling of d21's LSH-bands sweep and sk11's bloom-width sweep):
+    * for every distinct score value τ, the operating point of the
+    * rule "link iff score ≥ τ" — cumulative candidate pairs, true
+    * pairs among them, precision, recall against the known entity
+    * universe, and integer F1 (2·p·r DIV (p+r) on the already-
+    * truncated milli operands, identical in both engines).
+    *
+    * Computed as ONE pass, never per-threshold: pairs aggregate to
+    * score grain (the memoized er1 scored-pairs silver feeds it, so
+    * the blocked joins are priced once per session), and a single
+    * score-descending cumulative window turns the grain counts into
+    * every operating point at once — the classic ROC/PR construction.
+    * The global window is score-DIMENSION-sized (|distinct weight
+    * sums| — the F-S weight lattice is tiny regardless of catalog
+    * size), so the single-partition window is a non-issue at any SF. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     upper: Long = 2000L, lower: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredPairs(spark, dir, upper, lower)
+    val nTruth = Tables.part(spark, dir).agg(count(lit(1)).as("n_truth"))
+    val byScore = scored.groupBy(col("score_milli"))
+      .agg(count(lit(1)).as("np"), sum(col("is_true")).as("nt"))
+    val cum = Window.orderBy(col("score_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("n_link", sum(col("np")).over(cum))
+      .withColumn("n_true_link", sum(col("nt")).over(cum))
+      .crossJoin(broadcast(nTruth))
+      .select(col("score_milli").as("tau_milli"), col("n_link"),
+        col("n_true_link"),
+        expr("n_true_link * 1000 DIV n_link").as("precision_milli"),
+        expr("n_true_link * 1000 DIV n_truth").as("recall_milli"))
+      .withColumn("f1_milli",
+        expr("CASE WHEN precision_milli + recall_milli > 0 THEN " +
+          "2 * precision_milli * recall_milli DIV " +
+          "(precision_milli + recall_milli) ELSE 0 END"))
+      .orderBy(col("tau_milli"))
+  }
+
+  def thresholdSweepSql(): String =
+    s"WITH ${scoredCtesSql()},\n" +
+    s"""by_score AS (
+       |  SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(is_true) AS BIGINT) AS nt
+       |  FROM scored GROUP BY 1),
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM part),
+       |cum AS (
+       |  SELECT score_milli AS tau_milli,
+       |    CAST(SUM(np) OVER w AS BIGINT) AS n_link,
+       |    CAST(SUM(nt) OVER w AS BIGINT) AS n_true_link
+       |  FROM by_score
+       |  WINDOW w AS (ORDER BY score_milli DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pts AS (
+       |  SELECT tau_milli, n_link, n_true_link,
+       |    n_true_link * 1000 // n_link AS precision_milli,
+       |    n_true_link * 1000 // n_truth AS recall_milli
+       |  FROM cum CROSS JOIN truth)
+       |SELECT tau_milli, n_link, n_true_link, precision_milli, recall_milli,
+       |  CASE WHEN precision_milli + recall_milli > 0 THEN
+       |    2 * precision_milli * recall_milli
+       |      // (precision_milli + recall_milli) ELSE 0 END AS f1_milli
+       |FROM pts
+       |ORDER BY tau_milli""".stripMargin
+
   /** er2: GOLDEN-RECORD SURVIVORSHIP — the merge step of master-data
     * management that follows linkage (er1 scores pairs, d6 clusters;
     * this key MERGES a cluster into one canonical record). Three

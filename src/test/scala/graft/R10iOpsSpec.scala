@@ -248,4 +248,33 @@ class R10iOpsSpec extends GraftSpec {
       .sum
     assert(row.getLong(12).abs <= bound)
   }
+
+  test("er5: sweep matches an in-process cumulative recompute over the " +
+      "scored-pairs silver; recall is monotone in the threshold") {
+    val scored = graft.analytics.Linkage.scoredPairs(spark, sfDir, 2000L, 0L)
+      .select(col("score_milli"), col("is_true"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nTruth = Tables.part(spark, sfDir).count()
+    val grain = scored.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toSeq
+      .sortBy(-_._1)
+    var (cp, ct) = (0L, 0L)
+    val expect = grain.map { case (tau, (np, nt)) =>
+      cp += np; ct += nt
+      val p = ct * 1000 / cp
+      val r = ct * 1000 / nTruth
+      (tau, cp, ct, p, r, if (p + r > 0) 2 * p * r / (p + r) else 0L)
+    }.sortBy(_._1)
+    val got = graft.analytics.Linkage.thresholdSweep(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // descending tau: n_link strictly grows, recall never decreases
+    val desc = got.sortBy(-_._1)
+    desc.sliding(2).foreach {
+      case Seq(hi, lo) =>
+        assert(lo._2 > hi._2); assert(lo._5 >= hi._5)
+      case _ =>
+    }
+  }
 }
