@@ -1355,4 +1355,116 @@ object Star {
        |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'
        |GROUP BY 1
        |ORDER BY return_class""".stripMargin
+
+  /** j33: DRILL-ACROSS — the galaxy-schema operator the §2.4 join
+    * inventory still lacked: TWO FACT TABLES (the order lake and the
+    * behavioral event stream) co-aggregated to a CONFORMED dimension
+    * grain (customer × day) and full-outer stitched into one panel —
+    * the Kimball "drill across separate fact tables on conformed
+    * dimensions" pattern, never a fact-to-fact row join. Per customer
+    * the readout is the engagement↔spend profile: day counts on each
+    * side and their overlap, totals, and the exact-moment Pearson
+    * correlation between daily event count and daily order spend over
+    * the joint panel (zero-filled), read off the integer moments in
+    * the k5 divide-early double form — ONE identical IEEE expression
+    * per row, so the double column hash-matches across engines;
+    * zero-variance panels yield NULL, never 0/0.
+    *
+    * Scale shape: each fact aggregates INDEPENDENTLY to its
+    * (key, day) grain first (map-side combinable, dimension×days
+    * output), so the full-outer stitch and everything after is
+    * panel-sized — the whole point of drill-across at 100 TB: the two
+    * fact scans never meet at row grain. One (k, d) exchange family
+    * carries the stitch and the per-key moment agg. */
+  def drillAcross(spark: SparkSession, dir: String): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast(dec18).as("c"))
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("c")).cast(dec18).as("y_c"),
+        count(lit(1)).as("n_ord"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .groupBy(col("k"), col("d")).agg(count(lit(1)).as("x_n"))
+    val p = o.join(e, Seq("k", "d"), "full_outer")
+      .select(col("k"),
+        coalesce(col("x_n"), lit(0L)).as("x"),
+        coalesce(col("y_c"), lit(0).cast(dec18)).as("y"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+    val m = p.groupBy(col("k")).agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("n_ord") > 0 && col("x") > 0, 1L).otherwise(0L))
+        .as("n_days_both"),
+      sum(when(col("n_ord") > 0, 1L).otherwise(0L)).as("n_days_orders"),
+      sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_days_events"),
+      sum(col("n_ord")).as("n_orders"),
+      sum(col("x")).as("n_events"),
+      sum(col("y")).as("spend_c"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x").cast(dec18) * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_days").cast("double")
+    val varx = d("sxx") - d("n_events") * d("n_events") / nD
+    val vary = d("syy") - d("spend_c") * d("spend_c") / nD
+    val cov = d("sxy") - d("n_events") * d("spend_c") / nD
+    m.select(col("k").as("custkey"), col("n_days"), col("n_days_orders"),
+        col("n_days_events"), col("n_days_both"), col("n_orders"),
+        col("n_events"), col("spend_c").cast("long").as("spend_c"),
+        when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+          .otherwise(cov / sqrt(varx * vary)).as("corr"))
+      .orderBy(col("custkey"))
+  }
+
+  def drillAcrossSql(): String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+       |      AS DECIMAL(18,0)) AS y_c,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ord
+       |  FROM orders GROUP BY 1, 2),
+       |e AS (
+       |  SELECT user_id AS k, strftime(ts, '%Y-%m-%d') AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS x_n
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT k, COALESCE(x_n, 0) AS x,
+       |    COALESCE(y_c, CAST(0 AS DECIMAL(18,0))) AS y,
+       |    COALESCE(n_ord, 0) AS n_ord
+       |  FROM o FULL OUTER JOIN e USING (k, d)),
+       |m AS (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(CASE WHEN n_ord > 0 AND x > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_days_both,
+       |    CAST(SUM(CASE WHEN n_ord > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_days_orders,
+       |    CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_days_events,
+       |    CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+       |    CAST(SUM(x) AS BIGINT) AS n_events,
+       |    CAST(SUM(y) AS HUGEINT) AS spend_c,
+       |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(y * y) AS HUGEINT) AS syy
+       |  FROM p GROUP BY 1)
+       |SELECT k AS custkey, n_days, n_days_orders, n_days_events,
+       |  n_days_both, n_orders, n_events, CAST(spend_c AS BIGINT) AS spend_c,
+       |  CASE WHEN (CAST(sxx AS DOUBLE) - CAST(n_events AS DOUBLE)
+       |      * CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)) = 0.0
+       |    OR (CAST(syy AS DOUBLE) - CAST(spend_c AS DOUBLE)
+       |      * CAST(spend_c AS DOUBLE) / CAST(n_days AS DOUBLE)) = 0.0
+       |    THEN NULL
+       |    ELSE (CAST(sxy AS DOUBLE) - CAST(n_events AS DOUBLE)
+       |      * CAST(spend_c AS DOUBLE) / CAST(n_days AS DOUBLE))
+       |      / SQRT((CAST(sxx AS DOUBLE) - CAST(n_events AS DOUBLE)
+       |        * CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+       |        * (CAST(syy AS DOUBLE) - CAST(spend_c AS DOUBLE)
+       |          * CAST(spend_c AS DOUBLE) / CAST(n_days AS DOUBLE)))
+       |  END AS corr
+       |FROM m
+       |ORDER BY custkey""".stripMargin
 }

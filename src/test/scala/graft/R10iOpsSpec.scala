@@ -277,4 +277,52 @@ class R10iOpsSpec extends GraftSpec {
       case _ =>
     }
   }
+
+  test("j33: drill-across panel counts and correlation match an " +
+      "in-process recompute of both fact rollups") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val oDaily = orders.groupBy(r => (r._1, r._2)).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.size.toLong)).toMap
+    val eDaily = events.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.size.toLong).toMap
+    val keys = (oDaily.keySet ++ eDaily.keySet).groupBy(_._1)
+    val expect = keys.toSeq.map { case (k, kd) =>
+      val panel = kd.toSeq.map { cell =>
+        val (yc, no) = oDaily.getOrElse(cell, (0L, 0L))
+        (eDaily.getOrElse(cell, 0L), yc, no)
+      }
+      val n = panel.size.toLong
+      val sx = panel.map(_._1).sum; val sy = panel.map(_._2).sum
+      val sxx = panel.map(p => p._1 * p._1).sum
+      val syy = panel.map(p => BigInt(p._2) * p._2).sum
+      val sxy = panel.map(p => BigInt(p._1) * p._2).sum
+      val nD = n.toDouble
+      val varx = sxx.toDouble - sx.toDouble * sx.toDouble / nD
+      val vary = syy.toDouble - sy.toDouble * sy.toDouble / nD
+      val cov = sxy.toDouble - sx.toDouble * sy.toDouble / nD
+      val corr = if (varx == 0.0 || vary == 0.0) None
+        else Some(cov / math.sqrt(varx * vary))
+      (k, n, panel.count(_._3 > 0).toLong, panel.count(_._1 > 0).toLong,
+        panel.count(p => p._3 > 0 && p._1 > 0).toLong,
+        panel.map(_._3).sum, sx, sy, corr)
+    }.sortBy(_._1)
+    val got = graft.analytics.Star.drillAcross(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toSeq
+    assert(got == expect)
+    // the panel genuinely drills across: some customers carry BOTH fact
+    // tables' days (the fixtures' calendars are disjoint, so same-day
+    // overlap — n_days_both — is structurally 0 here; the conformed-
+    // dimension stitch is what the operator certifies)
+    assert(got.exists(t => t._3 > 0 && t._4 > 0))
+    assert(got.exists(_._9.isDefined))
+  }
 }
