@@ -534,6 +534,149 @@ object Graph {
       .orderBy(col("hop"))
   }
 
+  /** Synchronous LPA rounds for g7 — a FIXED snapshot count (declared
+    * semantics, mirrored by the oracle's unroll; synchronous LPA can
+    * oscillate, so a convergence contract would be wrong here). */
+  private val LpaRounds = 4
+
+  /** How many communities g7 reads out (by size desc, label asc). */
+  private val LpaTopK = 20
+
+  /** g7: LABEL-PROPAGATION COMMUNITIES — the near-linear community
+    * detection of Raghavan/Albert/Kumara (Phys. Rev. E 2007) over the
+    * support-pruned co-purchase graph, DETERMINISTIC variant: labels
+    * start as node ids and for [[LpaRounds]] synchronous rounds every
+    * node adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label (the classic random tie-break replaced by a
+    * total order so both engines propagate identically). Readout: the
+    * [[LpaTopK]] largest communities with internal edge counts,
+    * internal density, node share — and NEWMAN MODULARITY of the full
+    * partition in milli, computed EXACTLY:
+    * Q = Σ_c (4·m·e_c − d_c²) / (4·m²), accumulated in DECIMAL(38,0)
+    * (numerator·1000 overflows BIGINT once m reaches ~10⁹ edges) with
+    * the sign-explicit division (Q can be negative).
+    *
+    * Scale shape: each round is ONE neighbor-label join (edge-sized)
+    * + a (v, label) count + a per-node argmax via min(struct) — all
+    * keyed exchanges, never node-quadratic; lineage truncated per
+    * round like d6/g4/g6. The community rollup, degree join, and
+    * modularity fold are node-/community-sized; the top-k cut is
+    * TakeOrderedAndProject. Complements g4 (one dense core) with the
+    * full partition of the graph. */
+  def lpaCommunities(spark: SparkSession, dir: String,
+                     minSupport: Int = 2): DataFrame = {
+    val e = Silver.memoize(spark, s"lpEdges:$minSupport", dir) {
+      coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"))
+    }
+    val nbr = e.select(col("sa").as("v"), col("sb").as("n"))
+      .unionAll(e.select(col("sb").as("v"), col("sa").as("n")))
+    val labels = Silver.memoize(spark, s"lpaLabels:$minSupport", dir) {
+      var lbl = nbr.select(col("v")).distinct()
+        .select(col("v"), col("v").as("lbl")).localCheckpoint()
+      for (_ <- 1 to LpaRounds) {
+        lbl = nbr
+          .join(lbl.select(col("v").as("n"), col("lbl").as("nbl")), "n")
+          .groupBy(col("v"), col("nbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("v"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("nbl"))).as("k"))
+          .select(col("v"), col("k.nbl").as("lbl"))
+          .localCheckpoint()
+      }
+      lbl
+    }
+    val dec38 = "decimal(38,0)"
+    val m = e.agg(count(lit(1)).as("m")) // 1 row
+    val la = labels.select(col("v").as("sa"), col("lbl").as("la"))
+    val lb = labels.select(col("v").as("sb"), col("lbl").as("lb"))
+    // internal edges per community; cross-community edges drop out
+    val internal = e.join(la, "sa").join(lb, "sb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val comm = labels.join(deg, "v")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+      .join(internal, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+    val nTotal = labels.agg(count(lit(1)).as("n_total"))
+    // modularity numerator folds over ALL communities before the one
+    // sign-explicit division
+    val q = comm.crossJoin(broadcast(m))
+      .agg(sum((lit(4).cast(dec38) * col("m") * col("e_c") -
+        col("d_c").cast(dec38) * col("d_c"))).as("num"),
+        max(col("m")).as("m"))
+      .select(expr("CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+        s"(abs(num) * 1000 DIV (CAST(4 AS $dec38) * m * m)) AS BIGINT)")
+        .as("modularity_milli"))
+    comm.crossJoin(broadcast(nTotal)).crossJoin(broadcast(q))
+      .select(col("lbl").as("community"), col("n_nodes"), col("e_c"),
+        when(col("n_nodes") > 1,
+          expr("2 * e_c * 1000 DIV (n_nodes * (n_nodes - 1))"))
+          .as("density_milli"),
+        expr("n_nodes * 1000 DIV n_total").as("share_milli"),
+        col("modularity_milli"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(LpaTopK)
+  }
+
+  def lpaCommunitiesSql(minSupport: Int = 2): String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, nbl AS lbl FROM (
+         |    SELECT v, nbl, ROW_NUMBER() OVER (
+         |      PARTITION BY v ORDER BY cnt DESC, nbl) AS rn
+         |    FROM (
+         |      SELECT nbr.v, p.lbl AS nbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM nbr JOIN $prev p ON nbr.n = p.v
+         |      GROUP BY 1, 2) g) r
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = s"l$LpaRounds"
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (SELECT sa, sb FROM pairs WHERE c >= $minSupport),
+       |nbr AS MATERIALIZED (
+       |  SELECT sa AS v, sb AS n FROM e
+       |  UNION ALL SELECT sb AS v, sa AS n FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT v, v AS lbl FROM nbr),
+       |$rounds,
+       |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+       |internal AS (
+       |  SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+       |  FROM e JOIN $last a ON e.sa = a.v JOIN $last b ON e.sb = b.v
+       |  WHERE a.lbl = b.lbl GROUP BY 1),
+       |deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY 1),
+       |comm AS (
+       |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d.deg) AS BIGINT) AS d_c
+       |  FROM $last l JOIN deg d ON l.v = d.v GROUP BY 1),
+       |comm2 AS (
+       |  SELECT c.lbl, c.n_nodes, COALESCE(i.e_c, 0) AS e_c, c.d_c
+       |  FROM comm c LEFT JOIN internal i ON c.lbl = i.lbl),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+       |  FROM (SELECT DISTINCT v FROM nbr) q),
+       |q AS (
+       |  SELECT CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+       |    (abs(num) * 1000 // (4 * m * m)) AS BIGINT) AS modularity_milli
+       |  FROM (
+       |    SELECT CAST(SUM(4 * m * e_c - CAST(d_c AS HUGEINT) * d_c)
+       |      AS HUGEINT) AS num, MAX(m) AS m
+       |    FROM comm2 CROSS JOIN mm) s)
+       |SELECT lbl AS community, n_nodes, e_c,
+       |  CASE WHEN n_nodes > 1
+       |    THEN 2 * e_c * 1000 // (n_nodes * (n_nodes - 1)) END
+       |    AS density_milli,
+       |  n_nodes * 1000 // n_total AS share_milli,
+       |  modularity_milli
+       |FROM comm2 CROSS JOIN nt CROSS JOIN q
+       |ORDER BY n_nodes DESC, community
+       |LIMIT $LpaTopK""".stripMargin
+  }
+
   def bfsHopsSql(minSupport: Int = 2): String = {
     val rounds = (1 to BfsMaxHops).map { i =>
       val pf = s"f${i - 1}"

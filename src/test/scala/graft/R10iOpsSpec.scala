@@ -325,4 +325,58 @@ class R10iOpsSpec extends GraftSpec {
     assert(got.exists(t => t._3 > 0 && t._4 > 0))
     assert(got.exists(_._9.isDefined))
   }
+
+  test("g7: LPA partition, densities, and modularity match an " +
+      "in-process synchronous propagation") {
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("l_orderkey").as("oid"), col("sku")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    sales.groupBy(_._1).foreach { case (_, rs) =>
+      val s = rs.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size)
+        supp((s(i), s(j))) = supp.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val edges = supp.filter(_._2 >= 2).keys.toSeq
+    val nbrs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lbl = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size.toLong).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val m = edges.size.toLong
+    val byComm = lbl.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val eC = byComm.map { case (c, vs) =>
+      c -> edges.count { case (a, b) => vs(a) && vs(b) }.toLong }
+    val dC = byComm.map { case (c, vs) =>
+      c -> vs.toSeq.map(nbrs(_).size.toLong).sum }
+    val num = byComm.keys.map(c =>
+      BigInt(4) * m * eC(c) - BigInt(dC(c)) * dC(c)).sum
+    val qMilli = ((if (num < 0) -1 else 1) *
+      (num.abs * 1000 / (BigInt(4) * m * m))).toLong
+    val nTotal = lbl.size.toLong
+    val expect = byComm.toSeq.map { case (c, vs) =>
+      val n = vs.size.toLong
+      (c, n, eC(c),
+        if (n > 1) Some(2 * eC(c) * 1000 / (n * (n - 1))) else None,
+        n * 1000 / nTotal, qMilli)
+    }.sortBy(t => (-t._2, t._1)).take(20)
+    val got = graft.analytics.Graph.lpaCommunities(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // at sf0.001 the dense co-purchase graph collapses to ONE community
+    // after 4 rounds (the equality above is the contract); the sf0.01
+    // oracle gate exercises the multi-community readout (20 rows)
+    assert(byComm.nonEmpty)
+    assert(got.map(_._2).sum <= nTotal)
+  }
 }
