@@ -805,4 +805,45 @@ class StatefulStreamingSpec extends GraftSpec {
         "streaming funnel snapshots must equal the batch windowed funnel")
     } finally q.stop()
   }
+
+  test("streaming retention increments aggregated over a micro-batch " +
+      "split equal the batch e7 triangle") {
+    import spark.implicits._
+    import graft.streaming.{StatefulRetention, RetEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.model.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+      .as[RetEvent].collect().sortBy(r => (r.us, r.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[RetEvent]
+    val q = StatefulRetention.increments(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_inc").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val incs = spark.sql("SELECT * FROM ret_inc").collect()
+        .map(r => (r.getAs[String]("cohort_week"),
+          r.getAs[Long]("week_offset"), r.getAs[Long]("user_id")))
+      // exactly one increment per (user, offset)
+      assert(incs.distinct.length === incs.length)
+      val active = incs.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.length.toLong).toMap
+      val sizes = active.collect { case ((cw, 0L), n) => cw -> n }
+      val got = active.toSeq.map { case ((cw, off), n) =>
+        val size = sizes.toMap.apply(cw)
+        (cw, off, n, size, n.toDouble / size.toDouble)
+      }.sortBy(t => (t._1, t._2))
+      val want = graft.streaming.EventsBatch.retention(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[String]("cohort_week"),
+          r.getAs[Long]("week_offset"), r.getAs[Long]("active_users"),
+          r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(want.nonEmpty)
+      assert(got === want,
+        "aggregated retention increments must equal the batch triangle")
+    } finally q.stop()
+  }
 }
