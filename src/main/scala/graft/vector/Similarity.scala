@@ -1642,20 +1642,27 @@ object Similarity {
     * is exactly the partitioning the posting-list join needs, so the
     * filter rides the index's own exchange. Dot products are the
     * strict-fold parity path; ties break on doc_id. */
-  def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 3,
-                   minCommon: Int = 3, k: Int = 5,
-                   maxDfPct: Int = defaultMaxDfPct): DataFrame = {
+  /** One row per (doc, distinct word) under the df cap — h1's lexical
+    * candidate universe, shared with h4's pseudo-qrels. */
+  private def dfCappedWords(spark: SparkSession, dir: String,
+                            maxDfPct: Int): DataFrame = {
     val allWords = graft.text.Corpus.docsTok(spark, dir)
       .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
     // one row per (doc, distinct word) -> the per-word window count IS
     // the document frequency
     val nDocs = graft.text.Corpus.docsTok(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
-    val words = allWords
+    allWords
       .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
       .select("doc_id", "word")
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 3,
+                   minCommon: Int = 3, k: Int = 5,
+                   maxDfPct: Int = defaultMaxDfPct): DataFrame = {
+    val words = dfCappedWords(spark, dir, maxDfPct)
     val cands = words.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("word"))
       .join(words, "word")
@@ -2351,6 +2358,137 @@ object Similarity {
        |SELECT query_id, fused_rank, doc, rrf_milli, lex_rank, sem_rank
        |FROM ranked WHERE fused_rank <= $kOut
        |ORDER BY query_id, fused_rank""".stripMargin
+
+  /** Milli DCG discounts floor(1000 / log2(i + 1)) for ranks 1..k —
+    * precomputed here and injected as LITERALS into both engines, so
+    * no runtime libm call can diverge. */
+  private def dcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i => (1000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** h4: RANKER EVALUATION — the IR-metrics harness the h-family was
+    * missing: BM25 (t15), exact cosine (v1), and their RRF fusion (h2)
+    * scored per query against deterministic PSEUDO-QRELS — graded
+    * relevance = df-capped distinct-word overlap with the query doc
+    * (h1's own candidate feature; the standard trick when no human
+    * judgments exist, and fully engine-reproducible). Per (system,
+    * query): hits@k, DCG@k and the ideal DCG in milli (discount
+    * literals from [[dcgDiscounts]] — no runtime log), nDCG, MRR
+    * (1000 DIV first-relevant rank), precision@k — all exact integers
+    * the oracle hash-matches.
+    *
+    * Scale shape: the three rankings are query-set-sized top-k
+    * relations (corpus-sized work stays inside the independently
+    * oracle-checked parents); the qrels join is (queries × corpus)
+    * word-overlap — the same df-capped inverted-index shape as
+    * h1/t15, never all-pairs; metrics are 9-row aggregates. */
+  def rankerEval(spark: SparkSession, dir: String, nQueries: Int = 3,
+                 k: Int = 5, maxDfPct: Int = defaultMaxDfPct): DataFrame = {
+    val words = dfCappedWords(spark, dir, maxDfPct)
+    val rel = words.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .join(words, "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("gain"))
+    val disc = dcgDiscounts(k)
+    def discOf(rankCol: Column): Column =
+      disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+        when(rankCol === (i + 1).toLong, lit(d)).otherwise(acc)
+      }
+    val systems =
+      graft.text.TextAnalysis.bm25(spark, dir, nQueries, k)
+        .select(lit("bm25").as("system"), col("query_id"),
+          col("doc_id"), col("rank"))
+      .unionByName(cosineTopK(spark, dir, k, nQueries)
+        .select(lit("cosine").as("system"), col("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank")))
+      .unionByName(rrfFusion(spark, dir, nQueries, kIn = 2 * k, kOut = k)
+        .select(lit("rrf").as("system"), col("query_id"),
+          col("doc").as("doc_id"), col("fused_rank").as("rank")))
+    val scored = systems.join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("g", coalesce(col("gain"), lit(0L)))
+    val perSys = scored.groupBy(col("system"), col("query_id"))
+      .agg(sum(when(col("g") > 0, 1L).otherwise(0L)).as("hits"),
+        sum(col("g") * discOf(col("rank"))).as("dcg_milli"),
+        coalesce(max(when(col("g") > 0, expr("1000 DIV rank"))), lit(0L))
+          .as("mrr_milli"))
+      .withColumn("p_at_k_milli", expr(s"hits * 1000 DIV $k"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("gain").desc, col("doc_id").asc)
+    val ideal = rel.withColumn("rn", row_number().over(wIdeal))
+      .filter(col("rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain") * discOf(col("rn").cast("long")))
+        .as("idcg_milli"))
+    perSys.join(broadcast(ideal), Seq("query_id"))
+      .select(col("system"), col("query_id"), col("hits"),
+        col("dcg_milli"), col("idcg_milli"),
+        when(col("idcg_milli") > 0,
+          expr("dcg_milli * 1000 DIV idcg_milli")).as("ndcg_milli"),
+        col("mrr_milli"), col("p_at_k_milli"))
+      .orderBy(col("system"), col("query_id"))
+  }
+
+  def rankerEvalSql(nQueries: Int = 3, k: Int = 5,
+                    maxDfPct: Int = defaultMaxDfPct): String = {
+    val disc = dcgDiscounts(k)
+    def discOf(r: String): String =
+      disc.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+        .mkString(s"CASE $r ", " ", " ELSE 0 END")
+    s"""WITH wall AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+       |  FROM documents),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, word, COUNT(*) OVER (PARTITION BY word) AS df
+       |    FROM wall) CROSS JOIN nd
+       |  WHERE df * 100 <= $maxDfPct * n_docs),
+       |rel AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS gain
+       |  FROM w q JOIN w d ON q.word = d.word
+       |  WHERE q.doc_id < $nQueries AND d.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |systems AS (
+       |  SELECT 'bm25' AS system, query_id, doc_id,
+       |    CAST(rank AS BIGINT) AS rank
+       |  FROM (${graft.text.TextAnalysis.bm25Sql(nQueries, k)})
+       |  UNION ALL
+       |  SELECT 'cosine', query_id, neighbor_id, CAST(rank AS BIGINT)
+       |  FROM (${cosineTopKSql(k, nQueries)})
+       |  UNION ALL
+       |  SELECT 'rrf', query_id, doc, fused_rank
+       |  FROM (${rrfFusionSql(nQueries, 2 * k, k)})),
+       |scored AS (
+       |  SELECT s.system, s.query_id, s.rank, COALESCE(r.gain, 0) AS g
+       |  FROM systems s LEFT JOIN rel r
+       |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id),
+       |per_sys AS (
+       |  SELECT system, query_id,
+       |    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |    CAST(SUM(g * ${discOf("rank")}) AS BIGINT) AS dcg_milli,
+       |    CAST(COALESCE(MAX(CASE WHEN g > 0 THEN 1000 // rank END), 0)
+       |      AS BIGINT) AS mrr_milli
+       |  FROM scored GROUP BY 1, 2),
+       |ideal AS (
+       |  SELECT query_id,
+       |    CAST(SUM(gain * ${discOf("rn")}) AS BIGINT) AS idcg_milli
+       |  FROM (
+       |    SELECT query_id, gain, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY gain DESC, doc_id ASC) AS rn
+       |    FROM rel) q
+       |  WHERE rn <= $k
+       |  GROUP BY 1)
+       |SELECT p.system, p.query_id, p.hits, p.dcg_milli, i.idcg_milli,
+       |  CASE WHEN i.idcg_milli > 0
+       |    THEN p.dcg_milli * 1000 // i.idcg_milli END AS ndcg_milli,
+       |  p.mrr_milli, p.hits * 1000 // $k AS p_at_k_milli
+       |FROM per_sys p JOIN ideal i USING (query_id)
+       |ORDER BY p.system, p.query_id""".stripMargin
+  }
 
   /** v26: IVF CELL-BALANCE AUDIT — k2's skew diagnostic applied to the
     * vector index: per cell, the assigned-vector count, its share of

@@ -379,4 +379,61 @@ class R10iOpsSpec extends GraftSpec {
     assert(byComm.nonEmpty)
     assert(got.map(_._2).sum <= nTotal)
   }
+
+  test("h4: IR metrics match an in-process recompute from the parent " +
+      "rankings and the pseudo-qrels; nDCG is bounded by 1000") {
+    val docs = graft.text.Corpus.docsTok(spark, sfDir)
+      .select(col("doc_id"), col("words"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).distinct.toSet)
+    val nDocs = docs.length
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val kept = docs.map { case (id, ws) =>
+      id -> ws.filter(w => df(w) * 100L <= 78L * nDocs) }.toMap
+    val rel = (for {
+      q <- 0L until 3L
+      (d, ws) <- kept if d != q
+      g = (kept(q) & ws).size.toLong if g > 0
+    } yield (q, d) -> g).toMap
+    val disc = (1 to 5).map(i =>
+      (1000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    def evalSys(name: String, rows: Seq[(Long, Long, Long)]) =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        val gs = rs.map(r => (r._3, rel.getOrElse((q, r._2), 0L)))
+        val hits = gs.count(_._2 > 0).toLong
+        val dcg = gs.map { case (rk, g) => g * disc(rk.toInt - 1) }.sum
+        val mrr = gs.filter(_._2 > 0).map(_._1) match {
+          case Seq() => 0L
+          case rks => 1000L / rks.min
+        }
+        (name, q) -> (hits, dcg, mrr)
+      }
+    val bm = graft.text.TextAnalysis.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val cos = graft.vector.Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(1).toLong))
+    val rrf = graft.vector.Similarity.rrfFusion(spark, sfDir, 3, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val sys = evalSys("bm25", bm.toSeq) ++ evalSys("cosine", cos.toSeq) ++
+      evalSys("rrf", rrf.toSeq)
+    val idcg = (0L until 3L).map { q =>
+      // NB: .toSeq BEFORE collect — Map.collect over pair results
+      // rebuilds a Map and silently collapses duplicate gains
+      val gains = rel.toSeq.collect { case ((`q`, d), g) => (g, d) }
+        .sortBy { case (g, d) => (-g, d) }.take(5).map(_._1)
+      q -> gains.zipWithIndex.map { case (g, i) => g * disc(i) }.sum
+    }.toMap
+    val got = graft.vector.Similarity.rankerEval(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6), r.getLong(7)))
+    assert(got.length == 9)
+    got.foreach { case (s, q, hits, dcg, idcgG, ndcg, mrr, pk) =>
+      val (eh, ed, em) = sys((s, q))
+      assert(hits == eh && dcg == ed && mrr == em, s"($s,$q)")
+      assert(idcgG == idcg(q))
+      assert(ndcg == (if (idcg(q) > 0) Some(dcg * 1000 / idcg(q)) else None))
+      ndcg.foreach(v => assert(v >= 0 && v <= 1000))
+      assert(pk == hits * 1000 / 5)
+    }
+  }
 }
