@@ -575,6 +575,72 @@ object Series {
        |GROUP BY t.month, b.base_month
        |ORDER BY t.month""".stripMargin
 
+  /** a62: WEIGHTED QUANTILES — the quantity-weighted median and p90 of
+    * the UNIT price per brand (a34's exact positional quantiles weight
+    * every row equally; pricing and survey analytics weight by volume,
+    * where a 1000-unit line should pull the median 1000× harder than a
+    * 1-unit line). Classic cumulative-weight construction: lines order
+    * by (unit price, full tie-break), weights cumulate, and the LOWER
+    * weighted quantile is the first value whose running weight reaches
+    * the quantile share — positional selection over exact integers,
+    * never interpolation. Unit price in exact milli-cents (the a57
+    * floor rule).
+    *
+    * Scale shape: ONE brand-keyed exchange carries the cumulative
+    * window AND the final per-brand aggregate (same-partitioning
+    * reuse); the readout is |brands| rows. The selection predicates
+    * (2·cum ≥ W, 10·cum ≥ 9·W) are pure integer comparisons. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.sales(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("sku"), col("p_brand").as("brand"))),
+        Seq("sku"))
+      .select(col("brand"),
+        expr("CAST(CAST(line_total * 100 AS DECIMAL(18,0)) AS BIGINT)" +
+          " * 1000 DIV quantity").as("u_milli"),
+        col("quantity").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val byBrand = Window.partitionBy(col("brand"))
+    val ordered = byBrand.orderBy(col("u_milli"), col("l_orderkey"),
+      col("l_linenumber"))
+    lines
+      .withColumn("cum", sum(col("w")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(byBrand))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_lines"), max(col("tot")).as("total_qty"),
+        min(when(col("cum") * 2 >= col("tot"), col("u_milli")))
+          .as("wmedian_u_milli"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("u_milli")))
+          .as("wp90_u_milli"))
+      .orderBy(col("brand"))
+  }
+
+  def weightedQuantilesSql(): String =
+    s"""WITH sales AS (${graft.model.Tables.salesSql}),
+       |lines AS (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(CAST(s.line_total * 100 AS DECIMAL(18,0)) AS BIGINT)
+       |      * 1000 // s.quantity AS u_milli,
+       |    s.quantity AS w, s.l_orderkey, s.l_linenumber
+       |  FROM sales s JOIN part p ON s.sku = p.p_partkey),
+       |cums AS (
+       |  SELECT brand, u_milli, w,
+       |    SUM(w) OVER (PARTITION BY brand ORDER BY u_milli, l_orderkey,
+       |      l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum,
+       |    SUM(w) OVER (PARTITION BY brand) AS tot
+       |  FROM lines)
+       |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(MAX(tot) AS BIGINT) AS total_qty,
+       |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN u_milli END) AS BIGINT)
+       |    AS wmedian_u_milli,
+       |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN u_milli END) AS BIGINT)
+       |    AS wp90_u_milli
+       |FROM cums
+       |GROUP BY brand
+       |ORDER BY brand""".stripMargin
+
   /** a61: REVENUE BRIDGE (price / volume / mix waterfall) — the FP&A
     * decomposition of month-over-month revenue change, the additive
     * sibling of a57's ratio indices: between the two newest calendar

@@ -436,4 +436,35 @@ class R10iOpsSpec extends GraftSpec {
       assert(pk == hits * 1000 / 5)
     }
   }
+
+  test("a62: weighted quantiles match an in-process cumulative-weight " +
+      "recompute per brand") {
+    val brandOf = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = Tables.sales(spark, sfDir)
+      .select(col("sku"),
+        (col("line_total") * 100).cast("decimal(18,0)").cast("long"),
+        col("quantity"), col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (brandOf(r.getLong(0)), r.getLong(1) * 1000 / r.getLong(2),
+        r.getLong(2), r.getLong(3), r.getInt(4).toLong))
+    val expect = lines.groupBy(_._1).toSeq.map { case (brand, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._4, r._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L; var med = Option.empty[Long]; var p90 = Option.empty[Long]
+      sorted.foreach { r =>
+        cum += r._3
+        if (med.isEmpty && cum * 2 >= tot) med = Some(r._2)
+        if (p90.isEmpty && cum * 10 >= tot * 9) p90 = Some(r._2)
+      }
+      (brand, rs.length.toLong, tot, med.get, p90.get)
+    }.sortBy(_._1)
+    val got = graft.analytics.Series.weightedQuantiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // weighted p90 never precedes the weighted median
+    assert(got.forall(t => t._5 >= t._4))
+  }
 }
