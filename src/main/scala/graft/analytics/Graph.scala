@@ -410,12 +410,15 @@ object Graph {
     * Scale shape: candidates are generated ONLY through wedges — a
     * self-join of the neighbor list on the apex z with a < b — so work
     * is Σ_z C(deg z, 2), never node-quadratic, and apexes are
-    * DEGREE-CAPPED at [[LinkPredMaxApexDeg]] (a star hub's wedge set is
-    * quadratic in its degree while each 1/deg term contributes almost
-    * nothing to RA — the same df-cap discipline as d4's inverted
-    * index; the cap is part of the declared semantics and the oracle
-    * applies it identically). Jaccard denominators use the UNCAPPED
-    * true degrees. Everything downstream is wedge-/edge-sized: one
+    * DEGREE-CAPPED by the wedge-budgeted ladder ([[LinkPredCapLadder]]
+    * / [[LinkPredWedgeBudget]]): a star hub's wedge set is quadratic
+    * in its degree while each 1/deg term contributes almost nothing to
+    * RA — the same df-cap discipline as d4's inverted index, but
+    * AUTO-TUNED, because an absolute cap cannot survive the graph
+    * densification that comes with volume (the cap choice is a pure
+    * function of the degree histogram and the oracle recomputes it
+    * identically). Jaccard denominators use the UNCAPPED true
+    * degrees. Everything downstream is wedge-/edge-sized: one
     * (a, b) aggregate, one anti join against the edge set, two
     * degree-decoration joins against the node dimension, and a
     * TakeOrderedAndProject readout (per-partition heaps, no global
@@ -436,8 +439,28 @@ object Graph {
     val deg = Silver.memoize(spark, s"lpDeg:$minSupport", dir) {
       nbr.groupBy(col("z")).agg(count(lit(1)).as("deg"))
     }
-    val apex =
-      nbr.join(broadcast(deg.filter(col("deg") <= LinkPredMaxApexDeg)), "z")
+    // WEDGE-BUDGETED apex cap: the largest cap in the fixed ladder
+    // whose total wedge work Σ_{deg≤cap} C(deg, 2) fits the budget — a
+    // pure function of the degree histogram, computed identically in
+    // the oracle. An absolute cap cannot hold across scales: more
+    // volume densifies the co-purchase graph until a fixed support
+    // threshold stops pruning (measured: the 10x replica pushes every
+    // pair past support 2 and cap-256 wedges to 1.5e8), and wedge work
+    // is THE cost of exact neighborhood scoring. The ladder keeps the
+    // choice deterministic; the budget bounds the stage at any SF.
+    val ladderSums = LinkPredCapLadder.map(c =>
+      coalesce(sum(when(col("deg") <= c,
+        expr("deg * (deg - 1) DIV 2"))), lit(0L)).as(s"w$c"))
+    // ascending fold -> the LARGEST satisfying cap ends up outermost
+    // (wedge sums are cumulative in the cap, so the first hit wins)
+    val capRow = deg.agg(ladderSums.head, ladderSums.tail: _*)
+      .select(LinkPredCapLadder.foldLeft(
+        lit(LinkPredCapLadder.head.toLong)) { (acc, c) =>
+        when(col(s"w$c") <= LinkPredWedgeBudget, lit(c.toLong)).otherwise(acc)
+      }.as("cap"))
+    val apex = nbr.join(broadcast(deg), "z")
+      .crossJoin(broadcast(capRow))
+      .filter(col("deg") <= col("cap"))
     val wedges = apex.select(col("z"), col("deg"), col("n").as("a"))
       .join(apex.select(col("z"), col("n").as("b")), Seq("z"))
       .filter(col("a") < col("b"))
@@ -459,10 +482,14 @@ object Graph {
       .limit(topK)
   }
 
-  /** Apex-degree cap for g5's wedge generation — hubs above this
-    * degree are excluded as common-neighbor evidence (declared
-    * semantics, mirrored in the oracle). */
-  private val LinkPredMaxApexDeg = 256
+  /** Apex-degree cap ladder for g5's wedge budgeting — fixed so the
+    * chosen cap is a deterministic pure function of the degree
+    * histogram, mirrored in the oracle. */
+  private val LinkPredCapLadder = Seq(8, 16, 32, 64, 128, 256)
+
+  /** Upper bound on Σ_{deg≤cap} C(deg, 2) — the wedge rows the scoring
+    * stage is allowed to generate at any SF. */
+  private val LinkPredWedgeBudget = 20000000L
 
   /** Hop budget for g6 — the cap IS the declared semantics (nodes
     * farther than this report as unreached, hop −1), so unlike g4's
@@ -725,11 +752,21 @@ object Graph {
        |  UNION ALL SELECT sb AS z, sa AS n FROM e),
        |deg AS MATERIALIZED (
        |  SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY 1),
+       |caps AS (
+       |  SELECT CASE
+       |    ${LinkPredCapLadder.reverse.map(c =>
+                s"WHEN w$c <= $LinkPredWedgeBudget THEN $c").mkString(" ")}
+       |    ELSE ${LinkPredCapLadder.head} END AS cap
+       |  FROM (SELECT
+       |    ${LinkPredCapLadder.map(c =>
+                s"COALESCE(SUM(CASE WHEN deg <= $c THEN deg * (deg - 1) // 2 END), 0) AS w$c").mkString(",\n       |    ")}
+       |  FROM deg) s),
        |w AS (
        |  SELECT x.n AS a, y.n AS b, d.deg
        |  FROM nbr x JOIN nbr y ON x.z = y.z AND x.n < y.n
        |  JOIN deg d ON d.z = x.z
-       |  WHERE d.deg <= $LinkPredMaxApexDeg),
+       |  CROSS JOIN caps
+       |  WHERE d.deg <= caps.cap),
        |scored AS (
        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
        |    CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro

@@ -27,11 +27,17 @@ class R10iOpsSpec extends GraftSpec {
       nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
     }
     val deg = nbrs.view.mapValues(_.size.toLong).toMap
-    // wedge generation under the declared apex-degree cap
+    // wedge-budgeted ladder cap, mirrored from the engine
+    val ladder = Seq(8L, 16L, 32L, 64L, 128L, 256L)
+    val cap = ladder.foldLeft(ladder.head) { (acc, c) =>
+      val w = deg.values.filter(_ <= c).map(d => d * (d - 1) / 2).sum
+      if (w <= 20000000L) c else acc
+    }
+    // wedge generation under the budgeted apex-degree cap
     val cn = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
     val ra = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
     nbrs.foreach { case (z, ns) =>
-      if (deg(z) <= 256) {
+      if (deg(z) <= cap) {
         val s = ns.toSeq.sorted
         for (i <- s.indices; j <- (i + 1) until s.size) {
           val k = (s(i), s(j))
