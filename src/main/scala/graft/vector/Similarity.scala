@@ -2359,6 +2359,125 @@ object Similarity {
        |FROM ranked WHERE fused_rank <= $kOut
        |ORDER BY query_id, fused_rank""".stripMargin
 
+  /** v37: PARTITION AGREEMENT (Adjusted Rand Index) — the clustering-
+    * evaluation operator (Hubert & Arabie 1985): do two independent
+    * coarse quantizations of the SAME corpus carve it up the same way?
+    * Compared here: v4's 8-cell IVF donor assignment vs an 8-bucket
+    * axis-aligned sign-LSH partition (3 hyperplanes — v2's family).
+    * ARI is computed EXACTLY from the pair-counting contingency:
+    * with Sij = Σ C(n_ij, 2), Sa = Σ C(a_i, 2), Sb = Σ C(b_j, 2),
+    * T = C(n, 2),
+    *
+    *   ARI = (2T·Sij − 2·Sa·Sb) / (T·(Sa + Sb) − 2·Sa·Sb)
+    *
+    * (the textbook form multiplied through by 2T so everything stays
+    * integer), in DECIMAL(38,0)/HUGEINT — T is corpus-quadratic, so
+    * the products overflow BIGINT long before 100 TB — with the
+    * sign-explicit milli division (ARI can be negative). Beside it:
+    * the bucket→cell purity (Σ_b max_cell n_bc, milli). Near-zero ARI
+    * on isotropic synthetic embeddings is the calibration readout
+    * (the k5-matrix argument); the operator exists for the drift case
+    * — re-run after re-training (v28) to quantify how far the new
+    * partition moved.
+    *
+    * Scale shape: both assignments are narrow broadcast passes over
+    * the corpus (no shuffle of the big side); the contingency is ONE
+    * (cell, bucket) aggregate — ≤64 rows; everything after is
+    * cell-count-sized arithmetic. */
+  def partitionAri(spark: SparkSession, dir: String,
+                   nCentroids: Int = 8): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val cellOf = ivfRanked(spark, dir, nCentroids)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        col("embedding"))
+    val both = cellOf.withColumn("bucket",
+      (0 until 3).map(i =>
+        when(element_at(col("embedding"), i * 4 + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _))
+    val cont = both.groupBy(col("cell"), col("bucket"))
+      .agg(count(lit(1)).as("nij"))
+    val sij = cont.agg(sum(expr("CAST(nij AS decimal(38,0)) * (nij - 1)" +
+      " DIV 2")).cast(dec38).as("sij"),
+      count(lit(1)).as("n_joint"))
+    val sa = cont.groupBy(col("cell")).agg(sum(col("nij")).as("a"))
+      .agg(sum(expr("CAST(a AS decimal(38,0)) * (a - 1) DIV 2"))
+        .cast(dec38).as("sa"), count(lit(1)).as("n_cells"))
+    val sb = cont.groupBy(col("bucket")).agg(sum(col("nij")).as("b"))
+      .agg(sum(expr("CAST(b AS decimal(38,0)) * (b - 1) DIV 2"))
+        .cast(dec38).as("sb"), count(lit(1)).as("n_buckets"))
+    val purity = cont.groupBy(col("bucket"))
+      .agg(max(col("nij")).as("mx"))
+      .agg(sum(col("mx")).as("pure_n"))
+    val n = both.agg(count(lit(1)).as("n"))
+    n.crossJoin(sij).crossJoin(sa).crossJoin(sb).crossJoin(purity)
+      .select(col("n"), col("n_cells"), col("n_buckets"), col("n_joint"),
+        expr("CAST(pure_n * 1000 DIV n AS BIGINT)").as("purity_milli"),
+        expr(s"CAST(CASE WHEN (CAST(n AS $dec38) * (n - 1) DIV 2)" +
+          s" * (sa + sb) - 2 * sa * sb = 0 THEN NULL ELSE" +
+          s" (CASE WHEN (2 * (CAST(n AS $dec38) * (n - 1) DIV 2) * sij" +
+          s" - 2 * sa * sb) < 0 THEN -1 ELSE 1 END) *" +
+          s" (abs(2 * (CAST(n AS $dec38) * (n - 1) DIV 2) * sij" +
+          s" - 2 * sa * sb) * 1000 DIV" +
+          s" abs((CAST(n AS $dec38) * (n - 1) DIV 2) * (sa + sb)" +
+          s" - 2 * sa * sb)) END AS BIGINT)").as("ari_milli"))
+  }
+
+  def partitionAriSql(nCentroids: Int = 8): String = {
+    val bucket3 = (0 until 3).map(i =>
+      s"CASE WHEN embedding[${i * 4 + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS ($withNormSql),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM aff),
+       |pb AS (
+       |  SELECT centroid_id AS cell, $bucket3 AS bucket
+       |  FROM ranked WHERE crank = 1),
+       |cont AS (
+       |  SELECT cell, bucket, CAST(COUNT(*) AS HUGEINT) AS nij
+       |  FROM pb GROUP BY 1, 2),
+       |sij AS (
+       |  SELECT CAST(SUM(nij * (nij - 1) // 2) AS HUGEINT) AS sij,
+       |    CAST(COUNT(*) AS BIGINT) AS n_joint
+       |  FROM cont),
+       |sa AS (
+       |  SELECT CAST(SUM(a * (a - 1) // 2) AS HUGEINT) AS sa,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells
+       |  FROM (SELECT cell, CAST(SUM(nij) AS HUGEINT) AS a
+       |        FROM cont GROUP BY 1) q),
+       |sb AS (
+       |  SELECT CAST(SUM(b * (b - 1) // 2) AS HUGEINT) AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_buckets
+       |  FROM (SELECT bucket, CAST(SUM(nij) AS HUGEINT) AS b
+       |        FROM cont GROUP BY 1) q),
+       |pur AS (
+       |  SELECT CAST(SUM(mx) AS HUGEINT) AS pure_n
+       |  FROM (SELECT bucket, MAX(nij) AS mx FROM cont GROUP BY 1) q),
+       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pb)
+       |SELECT CAST(n AS BIGINT) AS n, n_cells, n_buckets, n_joint,
+       |  CAST(pure_n * 1000 // n AS BIGINT) AS purity_milli,
+       |  CAST(CASE WHEN (n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb = 0
+       |    THEN NULL ELSE
+       |    (CASE WHEN (2 * (n * (n - 1) // 2) * sij - 2 * sa * sb) < 0
+       |      THEN -1 ELSE 1 END) *
+       |    (abs(2 * (n * (n - 1) // 2) * sij - 2 * sa * sb) * 1000 //
+       |     abs((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb))
+       |  END AS BIGINT) AS ari_milli
+       |FROM nn CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb CROSS JOIN pur"""
+      .stripMargin
+  }
+
   /** Milli DCG discounts floor(1000 / log2(i + 1)) for ranks 1..k —
     * precomputed here and injected as LITERALS into both engines, so
     * no runtime libm call can diverge. */

@@ -473,4 +473,50 @@ class R10iOpsSpec extends GraftSpec {
     // weighted p90 never precedes the weighted median
     assert(got.forall(t => t._5 >= t._4))
   }
+
+  test("v37: ARI and purity match a BigInt recompute of both partitions " +
+      "from the raw embeddings") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cents = embs.take(8).map(_._2)
+    val assigned = embs.map { case (id, e) =>
+      val n2 = dot(e, e)
+      val best = cents.zipWithIndex.map { case (c, ci) =>
+        (dot(e, c) / math.sqrt(n2 * dot(c, c)), ci)
+      }.maxBy { case (cos, ci) => (cos, -ci) }._2
+      val bucket = (0 until 3).map(i =>
+        if (e(i * 4) > 0f) 1L << i else 0L).sum
+      (best.toLong, bucket)
+    }
+    val cont: Map[(Long, Long), Long] = assigned.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    def c2(x: BigInt): BigInt = x * (x - 1) / 2
+    val sij = cont.values.map(v => c2(BigInt(v))).sum
+    val sa = cont.toSeq.groupBy(_._1._1).values
+      .map(g => c2(BigInt(g.map(_._2).sum))).sum
+    val sb = cont.toSeq.groupBy(_._1._2).values
+      .map(g => c2(BigInt(g.map(_._2).sum))).sum
+    val n = BigInt(assigned.length)
+    val t = c2(n)
+    val pureN = cont.toSeq.groupBy(_._1._2).values.map(_.map(_._2).max).sum
+    val num = 2 * t * sij - 2 * sa * sb
+    val den = t * (sa + sb) - 2 * sa * sb
+    val ari = if (den == 0) None
+      else Some(((if (num < 0) -1 else 1) * (num.abs * 1000 / den.abs)).toLong)
+    val row = graft.vector.Similarity.partitionAri(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) == assigned.length.toLong)
+    assert(row.getLong(1) == cont.keySet.map(_._1).size.toLong)
+    assert(row.getLong(2) == cont.keySet.map(_._2).size.toLong)
+    assert(row.getLong(3) == cont.size.toLong)
+    assert(row.getLong(4) == (BigInt(pureN) * 1000 / n).toLong)
+    assert((if (row.isNullAt(5)) None else Some(row.getLong(5))) == ari)
+  }
 }
