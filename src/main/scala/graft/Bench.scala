@@ -43,6 +43,8 @@ object Bench {
     // one-shot timings would otherwise charge the whole media-lake
     // build to whichever m-key runs first
     graft.multimodal.Multimodal.imageHashes(spark, dir).count()
+    // the decode-once video frame-feature silver (Y4M walk): m7/m11
+    graft.multimodal.Multimodal.frameFeats(spark, dir).count()
   }
 
   def main(args: Array[String]): Unit = {

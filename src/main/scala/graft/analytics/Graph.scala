@@ -759,7 +759,7 @@ object Graph {
        |    ELSE ${LinkPredCapLadder.head} END AS cap
        |  FROM (SELECT
        |    ${LinkPredCapLadder.map(c =>
-                s"COALESCE(SUM(CASE WHEN deg <= $c THEN deg * (deg - 1) // 2 END), 0) AS w$c").mkString(",\n       |    ")}
+                s"CAST(COALESCE(SUM(CASE WHEN deg <= $c THEN deg * (deg - 1) // 2 END), 0) AS HUGEINT) AS w$c").mkString(",\n       |    ")}
        |  FROM deg) s),
        |w AS (
        |  SELECT x.n AS a, y.n AS b, d.deg

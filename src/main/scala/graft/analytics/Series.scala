@@ -626,10 +626,11 @@ object Series {
        |  FROM sales s JOIN part p ON s.sku = p.p_partkey),
        |cums AS (
        |  SELECT brand, u_milli, w,
-       |    SUM(w) OVER (PARTITION BY brand ORDER BY u_milli, l_orderkey,
-       |      l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |      AS cum,
-       |    SUM(w) OVER (PARTITION BY brand) AS tot
+       |    CAST(SUM(w) OVER (PARTITION BY brand ORDER BY u_milli,
+       |      l_orderkey, l_linenumber
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS HUGEINT) AS cum,
+       |    CAST(SUM(w) OVER (PARTITION BY brand) AS HUGEINT) AS tot
        |  FROM lines)
        |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
        |  CAST(MAX(tot) AS BIGINT) AS total_qty,

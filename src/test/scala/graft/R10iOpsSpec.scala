@@ -519,4 +519,41 @@ class R10iOpsSpec extends GraftSpec {
     assert(row.getLong(4) == (BigInt(pureN) * 1000 / n).toLong)
     assert((if (row.isNullAt(5)) None else Some(row.getLong(5))) == ari)
   }
+
+  test("k23: masking PRF and k-anonymity audit match an in-process " +
+      "recompute; masking preserves the name format") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_name"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    def mask(name: String): String = {
+      val num = name.substring(9)
+      val v = num.toLong
+      val h = v * 2654435761L % 1000000007L
+      "Customer#" + (0 until 9).map { i =>
+        val d = num.charAt(i) - '0'
+        val o = h / math.pow(10, i).toLong % 10
+        ('0' + ((d + o) % 10)).toChar
+      }.mkString
+    }
+    val masked = rows.map(r => (r._4.substring(9), mask(r._4)))
+    val byNum = masked.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val distinctAfter = byNum.values.toSet.size.toLong
+    assert(byNum.values.forall(_.matches("^Customer#[0-9]{9}$")))
+    val groups = rows.groupBy(r => (r._2, r._3, r._5 / 50000)).view
+      .mapValues(_.length.toLong).values.toSeq
+    val row = graft.etl.Masking.anonymizeAudit(spark, sfDir).collect().head
+    assert(row.getLong(0) == rows.length.toLong)
+    assert(row.getLong(1) == byNum.size.toLong)
+    assert(row.getLong(2) == distinctAfter)
+    assert(row.getLong(3) == byNum.size - distinctAfter)
+    assert(row.getLong(4) == 0L)
+    assert(row.getLong(5) == groups.size.toLong)
+    assert(row.getLong(6) == groups.min)
+    assert(row.getLong(7) == groups.count(_ < 5).toLong)
+    assert(row.getLong(8) == groups.filter(_ < 5).sum)
+    assert(row.getLong(9) == groups.filter(_ < 5).sum * 1000 / rows.length)
+  }
 }
