@@ -45,6 +45,8 @@ object Bench {
     graft.multimodal.Multimodal.imageHashes(spark, dir).count()
     // the decode-once video frame-feature silver (Y4M walk): m7/m11
     graft.multimodal.Multimodal.frameFeats(spark, dir).count()
+    // the content-addressed per-media feature silver: m2
+    graft.multimodal.Multimodal.mediaFeatureLeaf(spark, dir).count()
   }
 
   def main(args: Array[String]): Unit = {

@@ -557,7 +557,9 @@ object Graph {
       .select(lit(-1L).as("hop"), col("n_nodes"))
     reached.unionByName(unreached).crossJoin(broadcast(n))
       .select(col("hop"), col("n_nodes"),
-        expr("n_nodes * 1000 DIV n_total").as("share_milli"))
+        // empty-graph guard: ANSI DIV throws on 0 where DuckDB // NULLs
+        expr("CASE WHEN n_total = 0 THEN NULL" +
+          " ELSE n_nodes * 1000 DIV n_total END").as("share_milli"))
       .orderBy(col("hop"))
   }
 
@@ -634,15 +636,17 @@ object Graph {
       .agg(sum((lit(4).cast(dec38) * col("m") * col("e_c") -
         col("d_c").cast(dec38) * col("d_c"))).as("num"),
         max(col("m")).as("m"))
-      .select(expr("CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
-        s"(abs(num) * 1000 DIV (CAST(4 AS $dec38) * m * m)) AS BIGINT)")
+      .select(expr("CAST(CASE WHEN m = 0 THEN NULL ELSE " +
+        "CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+        s"(abs(num) * 1000 DIV (CAST(4 AS $dec38) * m * m)) END AS BIGINT)")
         .as("modularity_milli"))
     comm.crossJoin(broadcast(nTotal)).crossJoin(broadcast(q))
       .select(col("lbl").as("community"), col("n_nodes"), col("e_c"),
         when(col("n_nodes") > 1,
           expr("2 * e_c * 1000 DIV (n_nodes * (n_nodes - 1))"))
           .as("density_milli"),
-        expr("n_nodes * 1000 DIV n_total").as("share_milli"),
+        expr("CASE WHEN n_total = 0 THEN NULL" +
+          " ELSE n_nodes * 1000 DIV n_total END").as("share_milli"),
         col("modularity_milli"))
       .orderBy(col("n_nodes").desc, col("community"))
       .limit(LpaTopK)
@@ -687,8 +691,10 @@ object Graph {
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
        |  FROM (SELECT DISTINCT v FROM nbr) q),
        |q AS (
-       |  SELECT CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
-       |    (abs(num) * 1000 // (4 * m * m)) AS BIGINT) AS modularity_milli
+       |  SELECT CAST(CASE WHEN m = 0 THEN NULL ELSE
+       |    CASE WHEN num < 0 THEN -1 ELSE 1 END *
+       |    (abs(num) * 1000 // (4 * m * m)) END AS BIGINT)
+       |    AS modularity_milli
        |  FROM (
        |    SELECT CAST(SUM(4 * m * e_c - CAST(d_c AS HUGEINT) * d_c)
        |      AS HUGEINT) AS num, MAX(m) AS m
@@ -739,7 +745,9 @@ object Graph {
        |  FROM dist GROUP BY 1
        |  UNION ALL SELECT hop, n_nodes FROM unreached),
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM nodes)
-       |SELECT hop, n_nodes, n_nodes * 1000 // n_total AS share_milli
+       |SELECT hop, n_nodes,
+       |  CASE WHEN n_total = 0 THEN NULL
+       |    ELSE n_nodes * 1000 // n_total END AS share_milli
        |FROM hist CROSS JOIN nt
        |ORDER BY hop""".stripMargin
   }

@@ -154,11 +154,20 @@ object Regression {
       .withColumn("treated",
         when((col("store_id").cast("long") * 2654435761L) %
           1000000007L % 2 === 0L, 1L).otherwise(0L))
+    // empty-arm guard: Spark's ANSI DIV throws on a zero denominator
+    // where DuckDB's // yields NULL — a pathological assignment (every
+    // store hashing to one arm) must degrade to NULL in BOTH engines
+    def cellMean(t: Int, p: Int): String = {
+      val cond = s"treated = $t AND post = $p"
+      s"CASE WHEN count(CASE WHEN $cond THEN 1 END) = 0 THEN NULL ELSE " +
+        s"CAST(sum(CASE WHEN $cond THEN y_c END) AS decimal(38,0)) * 1000 " +
+        s"DIV count(CASE WHEN $cond THEN 1 END) END"
+    }
     val cells = base.agg(
-      expr("CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 1 AND post = 0 THEN 1 END)").cast("long").as("t_pre_milli"),
-      expr("CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 1 AND post = 1 THEN 1 END)").cast("long").as("t_post_milli"),
-      expr("CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 0 AND post = 0 THEN 1 END)").cast("long").as("c_pre_milli"),
-      expr("CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN y_c END) AS decimal(38,0)) * 1000 DIV count(CASE WHEN treated = 0 AND post = 1 THEN 1 END)").cast("long").as("c_post_milli"))
+      expr(cellMean(1, 0)).cast("long").as("t_pre_milli"),
+      expr(cellMean(1, 1)).cast("long").as("t_post_milli"),
+      expr(cellMean(0, 0)).cast("long").as("c_pre_milli"),
+      expr(cellMean(0, 1)).cast("long").as("c_post_milli"))
       .select(col("t_pre_milli"), col("t_post_milli"),
         col("c_pre_milli"), col("c_post_milli"),
         ((col("t_post_milli") - col("t_pre_milli")) -
@@ -194,9 +203,11 @@ object Regression {
   def didPromoSql(): String = {
     val w = DidWindowDays
     def cell(t: Int, p: Int): String =
-      s"CAST(CAST(SUM(CASE WHEN treated = $t AND post = $p THEN y_c END)" +
+      s"CAST(CASE WHEN COUNT(CASE WHEN treated = $t AND post = $p" +
+        s" THEN 1 END) = 0 THEN NULL ELSE" +
+        s" CAST(SUM(CASE WHEN treated = $t AND post = $p THEN y_c END)" +
         s" AS HUGEINT) * 1000 // COUNT(CASE WHEN treated = $t AND" +
-        s" post = $p THEN 1 END) AS BIGINT)"
+        s" post = $p THEN 1 END) END AS BIGINT)"
     val slopeNum = "(n * sty - st * sy)"
     val slopeDen = "(n * stt - st * st)"
     s"""WITH sd AS (${StoreDaily.rollupDecSql}),

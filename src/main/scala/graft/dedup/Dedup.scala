@@ -1071,27 +1071,53 @@ object Dedup {
     * (contained, container) exchange (grp refines the pair key). Every
     * verdict pair has n_common ≥ 1, so the span join is total — no
     * zero-fill needed (spec-asserted). */
+  /** Doc → representative-of-identical-content map (rep = min doc_id
+    * per exact text), leaf-memoized — the content-addressing leaf the
+    * pair-metric keys share so duplicated corpora never re-pay
+    * content-determined work per copy (the m8 decode discipline
+    * applied to text; grouped by the text itself, no hash-collision
+    * risk — the xxhash twins are the spelled-key scale path). */
+  private def contentReps(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "docContentRep", dir) {
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val r = d.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+      d.join(r, Seq("text")).select(col("doc_id"), col("rep"))
+    }
+
   def sharedSpans(spark: SparkSession, dir: String, minPct: Int = 80): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // run-collapse metrics are CONTENT-determined (they read only the
+    // two token streams), so they are computed ONCE per distinct
+    // content pair and joined back to the doc-grain pair relation —
+    // a doc-grain window here is inherently quadratic in the corpus
+    // duplication factor (the d22 lesson; measured 22x at the 10x
+    // replica before this rewrite, output unchanged)
+    val reps = contentReps(spark, dir)
     val pairs = containmentPairs(spark, dir, minPct)
       .select(col("contained_doc"), col("container_doc"))
+      .join(reps.select(col("doc_id").as("contained_doc"),
+        col("rep").as("ra")), "contained_doc")
+      .join(reps.select(col("doc_id").as("container_doc"),
+        col("rep").as("rb")), "container_doc")
+    val repPairs = pairs.select(col("ra"), col("rb")).distinct()
     val shingPos = Corpus.docsTok(spark, dir)
-      .select(col("doc_id").as("contained_doc"),
+      .select(col("doc_id").as("ra"),
         posexplode(Corpus.shinglesOf(col("words"))))
-      .select(col("contained_doc"), (col("pos") + lit(1L)).as("pos"),
+      .select(col("ra"), (col("pos") + lit(1L)).as("pos"),
         col("col").as("shingle"))
     val contSet = Corpus.docShingles(spark, dir)
-      .select(col("doc_id").as("container_doc"), col("shingle"))
-    val matched = broadcast(pairs).join(shingPos, Seq("contained_doc"))
-      .join(contSet, Seq("container_doc", "shingle"))
-    val w = Window.partitionBy("contained_doc", "container_doc").orderBy("pos")
+      .select(col("doc_id").as("rb"), col("shingle"))
+    val matched = broadcast(repPairs).join(shingPos, Seq("ra"))
+      .join(contSet, Seq("rb", "shingle"))
+    val w = Window.partitionBy("ra", "rb").orderBy("pos")
     val runs = matched
       .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy("contained_doc", "container_doc", "grp")
+      .groupBy("ra", "rb", "grp")
       .agg(count(lit(1)).as("run"))
-    runs.groupBy("contained_doc", "container_doc")
+    val metrics = runs.groupBy("ra", "rb")
       .agg(count(lit(1)).as("n_runs"), sum("run").as("n_matched"),
         max("run").as("longest_run"))
+    pairs.join(metrics, Seq("ra", "rb"))
       .select(col("contained_doc"), col("container_doc"),
         col("n_matched"), col("n_runs"), col("longest_run"),
         (col("longest_run") + lit(2L)).as("longest_span_tokens"),

@@ -168,15 +168,21 @@ object Multimodal {
     * `mapInPandas` shape: the lambda sees the partition ITERATOR, so
     * per-partition setup (codec contexts, model weights) happens once per
     * partition, not once per row. */
+  /** One full pass over the payload — the content-address key m2's
+    * dedup-before-decode path shares with [[extractFeatures]]. */
+  def payloadChecksum(bytes: Array[Byte]): Long = {
+    var c = 0L; var i = 0
+    while (i < bytes.length) { c = c * 31 + (bytes(i) & 0xff); i += 1 }
+    c
+  }
+
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init goes here (model session) — embedding stubbed;
       // header decode below is real byte parsing per row.
       rows.map { r =>
-        var checksum = 0L
-        var i = 0
-        while (i < r.bytes.length) { checksum = checksum * 31 + (r.bytes(i) & 0xff); i += 1 }
+        val checksum = payloadChecksum(r.bytes)
         val (fmt, dw, dh, ch) = ImageCodec.parseImageHeader(r.bytes) match {
           case Some(h) => (h.format, h.width, h.height, h.channels)
           case None => AudioCodec.parseWav(r.bytes) match {
@@ -218,14 +224,42 @@ object Multimodal {
     * a same-key equi-join both sides of which derive from one scan of
     * `documents`; at scale the feature side is the narrow one and
     * broadcasts or co-partitions on media_id. */
+  /** Per-media decoded feature leaf, CONTENT-ADDRESSED (the m8
+    * discipline) and leaf-memoized: features are a pure function of
+    * the payload, so byte-identical media share one decode — one cheap
+    * checksum pass per row builds the address, the full header-parse +
+    * feature walk runs only on the min-id representative per distinct
+    * payload, and rows recover their features by a (checksum, length)
+    * join. A duplicated lake (the exact-dup class m4/d1 exist to find)
+    * costs one decode per distinct payload instead of one per copy;
+    * the Silver makes repeated consumers (and Bench's one-shot sf1.0
+    * timings) pay it once per session. */
+  private[graft] def mediaFeatureLeaf(spark: SparkSession,
+                                      dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "mediaFeatures", dir) {
+      import spark.implicits._
+      val media = mediaFromDocs(spark, dir)
+      val ids = media.map(r =>
+          (r.media_id, payloadChecksum(r.bytes), r.bytes.length.toLong))
+        .toDF("media_id", "chk", "len")
+      val repIds = ids.groupBy(col("chk"), col("len"))
+        .agg(min(col("media_id")).as("media_id"))
+      val reps = media.join(broadcast(repIds.select(col("media_id"))),
+        Seq("media_id"), "left_semi").as[MediaRecord]
+      val repFeats = extractFeatures(reps).toDF()
+        .select(col("checksum").as("chk"), col("n_bytes").as("len"),
+          col("decoded_format"), col("decoded_w"), col("decoded_h"),
+          col("channels"), element_at(col("features"), 1).as("f0"))
+      ids.join(broadcast(repFeats), Seq("chk", "len"))
+        .select(col("media_id"), col("len").as("n_bytes"),
+          col("chk").as("checksum"), col("decoded_format"),
+          col("decoded_w"), col("decoded_h"), col("channels"), col("f0"))
+    }
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaFromDocs(spark, dir)
-    val feats = extractFeatures(media).toDF()
-      .select(col("media_id"), col("n_bytes"), col("checksum"),
-        col("decoded_format"), col("decoded_w"), col("decoded_h"),
-        col("channels"), element_at(col("features"), 1).as("f0"))
     frameSample(media)
-      .join(feats, Seq("media_id"))
+      .join(mediaFeatureLeaf(spark, dir), Seq("media_id"))
       .orderBy("media_id", "frame_idx")
   }
 
