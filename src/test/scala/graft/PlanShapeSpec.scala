@@ -125,8 +125,12 @@ class PlanShapeSpec extends GraftSpec {
     ("k3_column_profile", 6,
       "one narrow distinct exchange per column branch (6 pruned scans = " +
         "the table's bytes once; no 6x-row-width Expand shuffle)"),
-    ("d19_shared_spans", 1,
-      "pair relation broadcasts onto the positioned stream; runs/spans ride one pair-key exchange"),
+    ("d19_shared_spans", 3,
+      "run-collapse at DISTINCT-CONTENT grain (never quadratic in the " +
+        "duplication factor): distinct rep pairs broadcast onto the " +
+        "positioned stream, runs/spans ride one rep-pair exchange, and " +
+        "the doc-grain pair relation meets the metrics by two " +
+        "id-keyed decoration joins"),
     ("v18_probe_sweep", 11,
       "2 corpus-sized assignment windows (v4's build shape); all other exchanges are " +
         "query-set x levels eval plumbing; sweep + centroid joins broadcast"),
