@@ -299,7 +299,8 @@ object Linkage {
       .select(col("score_milli").as("tau_milli"), col("n_link"),
         col("n_true_link"),
         expr("n_true_link * 1000 DIV n_link").as("precision_milli"),
-        expr("n_true_link * 1000 DIV n_truth").as("recall_milli"))
+        expr("CASE WHEN n_truth = 0 THEN NULL " +
+          "ELSE n_true_link * 1000 DIV n_truth END").as("recall_milli"))
       .withColumn("f1_milli",
         expr("CASE WHEN precision_milli + recall_milli > 0 THEN " +
           "2 * precision_milli * recall_milli DIV " +
@@ -324,7 +325,8 @@ object Linkage {
        |pts AS (
        |  SELECT tau_milli, n_link, n_true_link,
        |    n_true_link * 1000 // n_link AS precision_milli,
-       |    n_true_link * 1000 // n_truth AS recall_milli
+       |    CASE WHEN n_truth = 0 THEN NULL
+       |      ELSE n_true_link * 1000 // n_truth END AS recall_milli
        |  FROM cum CROSS JOIN truth)
        |SELECT tau_milli, n_link, n_true_link, precision_milli, recall_milli,
        |  CASE WHEN precision_milli + recall_milli > 0 THEN

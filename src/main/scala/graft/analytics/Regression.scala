@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0) (worst term Σy·Σt²·Σw² ≈ 1e22 at sf1.0 — 16 digits
   * of headroom), and the coefficients come out as milli-cents via a
   * SIGN-EXPLICIT integer division (truncation toward zero written as
-  * sign(n·d)·(|n|·1000 div |d|)), because Spark's DIV truncates where
-  * DuckDB's // floors — they'd disagree on every negative slope.
-  * Both engines therefore compute bit-identical BIGINTs.
+  * sign(n·d)·(|n|·1000 div |d|)). Both Spark DIV and DuckDB // truncate
+  * toward zero (verified: -7 // 2 = -3 in DuckDB), so the sign-explicit
+  * form is clarity/defense, not behavioral necessity; either way both
+  * engines compute bit-identical BIGINTs.
   *
   * SCALE SHAPE — one (store, day) rollup of the fact table (the
   * shared rollupDec silver), then ONE store-keyed hash aggregate to

@@ -1123,7 +1123,8 @@ object Sketches {
     * oracle hash-matches (the statistical guarantee is the paper's;
     * the oracle certifies the arithmetic). Beside it: the EXACT
     * F2 = Σ freq² twin and the signed per-mille error, sign-explicit
-    * so Spark DIV (truncates) and DuckDB // (floors) agree.
+    * for clarity (both Spark DIV and DuckDB // truncate toward zero —
+    * verified: -7 // 2 = -3 in DuckDB — so they agree even unguarded).
     *
     * Scale shape — the reason AMS is first-class at 100 TB: the
     * sketch state is 12 longs TOTAL regardless of rows or key

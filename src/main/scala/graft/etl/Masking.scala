@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *     two values CAN collide, so the audit certifies the observed
   *     collision count instead of assuming zero.
   *  2. GENERALIZATION of the numeric quasi-identifier: `c_acctbal`
-  *     coarsens to $500 bands (cents DIV 50000).
+  *     coarsens to $500 bands via a sign-explicit FLOOR division of
+  *     cents by 50000. Both Spark `DIV` and DuckDB `//` truncate
+  *     toward zero, which would make band 0 span (−$500, $500) —
+  *     double-width — and merge the ~9% of negative-balance TPC-H
+  *     customers with small positive balances; the explicit floor
+  *     keeps every band uniformly $500 wide.
   *  3. K-ANONYMITY readout over the released quasi-identifier tuple
   *     (nation, segment, balance band) — Sweeney's k-anonymity: group
   *     sizes, the minimum, and how many ROWS sit in groups below
@@ -69,7 +74,9 @@ object Masking {
     val masked = c
       .withColumn("masked_name",
         concat(lit("Customer#"), maskedDigits(col("num"))))
-      .withColumn("band", expr("bal_c DIV 50000"))
+      .withColumn("band", expr(
+        "CASE WHEN bal_c >= 0 THEN bal_c DIV 50000 " +
+          "ELSE -((-bal_c + 49999) DIV 50000) END"))
     val names = masked
       .select(col("num"), col("masked_name"))
       .groupBy(col("num")).agg(min(col("masked_name")).as("m"))
@@ -93,7 +100,9 @@ object Masking {
         col("format_violations"),
         col("n_qi_groups"), col("min_group_size"), col("groups_lt_k"),
         col("rows_lt_k"),
-        expr("rows_lt_k * 1000 DIV n_customers").as("suppress_share_milli"))
+        expr("CASE WHEN n_customers = 0 THEN NULL " +
+          "ELSE rows_lt_k * 1000 DIV n_customers END")
+          .as("suppress_share_milli"))
   }
 
   def anonymizeAuditSql(): String =
@@ -104,7 +113,8 @@ object Masking {
        |  FROM customer),
        |masked AS (
        |  SELECT *, 'Customer#' || ${maskedDigitsSql("num")} AS masked_name,
-       |    bal_c // 50000 AS band
+       |    CASE WHEN bal_c >= 0 THEN bal_c // 50000
+       |      ELSE -((-bal_c + 49999) // 50000) END AS band
        |  FROM c),
        |names AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS distinct_before,
@@ -126,6 +136,7 @@ object Masking {
        |SELECT n_customers, distinct_before, distinct_after,
        |  distinct_before - distinct_after AS collisions, format_violations,
        |  n_qi_groups, min_group_size, groups_lt_k, rows_lt_k,
-       |  rows_lt_k * 1000 // n_customers AS suppress_share_milli
+       |  CASE WHEN n_customers = 0 THEN NULL
+       |    ELSE rows_lt_k * 1000 // n_customers END AS suppress_share_milli
        |FROM qi CROSS JOIN names""".stripMargin
 }

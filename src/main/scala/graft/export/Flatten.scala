@@ -686,10 +686,11 @@ object Flatten {
   /** Exact integer-cents dollar rendering `123.45` shared by both engines
     * (the float `{:,.2f}` of the reference is engine-divergent; thousands
     * separators are scoped out with it). Negative amounts format the
-    * ABSOLUTE value and prepend the sign explicitly: integer division
-    * disagrees across engines on negatives (Spark `DIV` truncates toward
-    * zero, DuckDB `//` floors) and `%` keeps the dividend's sign in both,
-    * so `-250` would otherwise render `-2.-50` vs `-3.-50`. */
+    * ABSOLUTE value and prepend the sign explicitly: both Spark `DIV`
+    * and DuckDB `//` truncate toward zero (verified: -7 // 2 = -3 in
+    * DuckDB), and `%` keeps the dividend's sign in both, so `-250`
+    * would otherwise render as `-2.-50`; the abs/sign form sidesteps
+    * the negative-operand rendering entirely. */
   private[graft] def moneySpark(cents: String): String =
     s"(CASE WHEN $cents < 0 THEN '-' ELSE '' END || " +
       s"CAST(abs($cents) DIV 100 AS STRING) || '.' || " +

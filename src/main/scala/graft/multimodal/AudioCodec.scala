@@ -17,8 +17,8 @@ case class WavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
   *    through javax.sound.sampled).
   *
   * Deterministic byte arithmetic throughout — safe inside per-partition
-  * maps, identical across executors. Waveform-level decode (the model
-  * embedding) remains [[Multimodal.decodeStub]]'s seam, exactly like
+  * maps, identical across executors. The decoded waveform feeds
+  * [[Multimodal.embed]]'s deterministic JL projection, exactly like
   * pixel decode for images. */
 object AudioCodec {
 
@@ -89,7 +89,23 @@ object AudioCodec {
   /** A canonical 8-bit mono PCM WAV: 44-byte header + `nSamples`
     * deterministic samples seeded by `seed`. */
   def wavBytes(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
-    require(sampleRate > 0 && nSamples > 0, "wav params must be positive")
+    require(nSamples > 0, "wav params must be positive")
+    val samples = new Array[Byte](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = ((i * 7 + seed) % 256).toByte
+      i += 1
+    }
+    wavBytesOf(sampleRate, samples)
+  }
+
+  /** [[wavBytes]] generalized to caller-supplied samples — the ENCODER
+    * leg of the codec (the resize/resample path re-encodes through
+    * this): 44-byte canonical header + the given 8-bit mono PCM
+    * samples, byte-deterministic. */
+  def wavBytesOf(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "wav params must be positive")
+    val nSamples = samples.length
     val out = new Array[Byte](44 + nSamples)
     def w16(i: Int, v: Int): Unit = {
       out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
@@ -109,11 +125,7 @@ object AudioCodec {
     w16(32, 1) // block align
     w16(34, 8) // bits per sample
     wtag(36, "data"); w32(40, nSamples.toLong)
-    var i = 0
-    while (i < nSamples) {
-      out(44 + i) = ((i * 7 + seed) % 256).toByte
-      i += 1
-    }
+    System.arraycopy(samples, 0, out, 44, nSamples)
     out
   }
 }

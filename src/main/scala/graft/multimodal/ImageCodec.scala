@@ -22,9 +22,9 @@ case class ImageHeader(format: String, width: Int, height: Int,
   *    (spec round-trips them through javax.imageio).
   *
   * Everything is deterministic byte arithmetic: safe inside codegen'd
-  * per-partition maps, identical across executors and JVMs. Pixel-level
-  * decode (the model-embedding seam) remains [[Multimodal.decodeStub]];
-  * header decode is the part a metadata pipeline needs and is real. */
+  * per-partition maps, identical across executors and JVMs. The
+  * [[pngPixels]] pixel plane feeds [[Multimodal.embed]]'s deterministic
+  * JL projection; header decode serves the metadata pipeline. */
 object ImageCodec {
 
   private def u32(b: Array[Byte], i: Int): Long =

@@ -38,10 +38,13 @@ case class MediaFeatures(
   * [[AudioCodec]]; the YUV4MPEG2 header + frame walk via [[VideoCodec]]
   * — pure JVM, deterministic) into decoded dimensions/rates and channel
   * counts — the routing metadata a real media pipeline extracts first.
-  * Only the MODEL EMBEDDING over the decoded tensors remains a stub
-  * ([[decodeStub]]: no model weights in this container); it produces a
-  * deterministic feature vector from the payload bytes.
-  * Everything around both — the binary column schema, the
+  * The MODEL EMBEDDING over the decoded tensors is [[embed]] — a
+  * deterministic Johnson–Lindenstrauss sign projection of the decoded
+  * pixel plane / waveform / luma frames (no learned weights ship in
+  * this container; the fixed projection stands in as the linear model,
+  * and byte-different payloads with identical decoded tensors embed
+  * identically — spec'd). Everything around it — the binary column
+  * schema, the
   * Dataset[MediaRecord] encoder, the per-partition batched iteration
   * (the Scala analogue of `mapInPandas`: one iterator per partition,
   * amortizing model/codec init across the partition's rows), the
@@ -150,18 +153,72 @@ object Multimodal {
   def patternOf(seed: Int): (Int, Int) => Byte =
     (x, y) => ((x * 7 + y * 13 + seed) % 251).toByte
 
-  /** STUB decode / embed: a rolling-hash "feature vector" of the payload.
-    * Swap for a real codec + model (e.g. an ONNX session initialized once
-    * per partition) without touching any caller. */
-  def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MODEL EMBEDDING over the DECODED tensor — a deterministic
+    * Johnson–Lindenstrauss sign projection standing in for learned
+    * weights (no model ships in this container; the fixed ±1
+    * projection IS a linear model, applied to genuinely decoded
+    * samples, so the embedding inherits the JL distance-preservation
+    * guarantee over the tensor space).
+    *
+    * The tensor is the REAL decode, routed by container: the inflated
+    * + unfiltered PNG pixel plane ([[ImageCodec.pngPixels]]), the WAV
+    * data-chunk waveform ([[AudioCodec.pcm8]]), or the streamed Y4M
+    * luma planes ([[VideoCodec.lumaFrames]]); a payload that decodes
+    * as none of those embeds its raw bytes (the honest fallback — a
+    * real pipeline quarantines them). Two byte-DIFFERENT payloads with
+    * identical pixels (e.g. the same image deflated at different
+    * levels) therefore embed IDENTICALLY — the property that proves
+    * the embedding derives from the decode, not the container bytes
+    * (spec'd in MultimodalSpec).
+    *
+    * Projection signs come from a splitmix64 stream keyed only by the
+    * global tensor element index (bit d of mix64(i) is dim d's sign),
+    * so the matrix is fixed across all media — embeddings are
+    * comparable — and the whole function is a pure per-row map:
+    * bit-reproducible under any partitioning, no state, no shuffle.
+    * Components are centered (sample − 128) and scaled by 1/(√n·128)
+    * so magnitudes are tensor-length-invariant. */
+  def embed(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    require(dim >= 1 && dim <= 64, "embed dim must be in [1, 64]")
     val acc = new Array[Long](dim)
-    var i = 0
-    while (i < bytes.length) {
-      val d = i % dim
-      acc(d) = (acc(d) * 131 + (bytes(i) & 0xff)) % 1000003L
-      i += 1
+    var n = 0L
+    def fold(plane: Array[Byte]): Unit = {
+      var i = 0
+      while (i < plane.length) {
+        val c = (plane(i) & 0xff) - 128
+        val h = mix64(n)
+        var d = 0
+        while (d < dim) {
+          if (((h >>> d) & 1L) == 1L) acc(d) += c else acc(d) -= c
+          d += 1
+        }
+        n += 1
+        i += 1
+      }
     }
-    acc.map(v => (v % 997).toFloat / 997f)
+    val decoded = ImageCodec.pngPixels(bytes) match {
+      case Some((_, _, px)) => fold(px); true
+      case None => AudioCodec.pcm8(bytes) match {
+        case Some(pcm) => fold(pcm); true
+        case None =>
+          val frames = VideoCodec.lumaFrames(bytes)
+          if (frames.hasNext) { frames.foreach(f => fold(f._2)); true }
+          else false
+      }
+    }
+    if (!decoded) fold(bytes)
+    if (n == 0L) new Array[Float](dim)
+    else {
+      val scale = 1.0 / (math.sqrt(n.toDouble) * 128.0)
+      acc.map(a => (a * scale).toFloat)
+    }
   }
 
   /** Feature extraction as a per-partition batched map — the
@@ -179,8 +236,9 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init goes here (model session) — embedding stubbed;
-      // header decode below is real byte parsing per row.
+      // per-partition init goes here (a real model session would load
+      // weights once per partition); header decode + the JL embedding
+      // below are real byte parsing per row.
       rows.map { r =>
         val checksum = payloadChecksum(r.bytes)
         val (fmt, dw, dh, ch) = ImageCodec.parseImageHeader(r.bytes) match {
@@ -194,31 +252,86 @@ object Multimodal {
           }
         }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
-          fmt, dw, dh, ch, decodeStub(r.bytes))
+          fmt, dw, dh, ch, embed(r.bytes))
       }
     }
   }
 
-  /** STUB resize: recompute target dims preserving aspect ratio (integer
-    * math, deterministic) and "re-encode" by truncating/padding the
-    * payload to a size proportional to the target area — a real
-    * implementation swaps the payload transform for a codec call; the
-    * schema contract (same columns, mutated bytes + dims) is what
-    * downstream operators depend on and what the spec checks. */
-  def resizeStub(media: Dataset[MediaRecord], maxDim: Int = 64): Dataset[MediaRecord] = {
+  /** Nearest-neighbor resample of a row-major plane — the pixel leg
+    * shared by the image and per-frame video resize paths. */
+  private def resamplePlane(px: Array[Byte], sw: Int, sh: Int,
+                            tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = px(sy * sw + x * sw / tw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize / downsample — full decode → resample → re-encode
+    * through the same pure-JVM codecs the parse path uses, per kind:
+    * image rows inflate to the pixel plane, nearest-neighbor resample
+    * to the aspect-preserving target, and re-encode as PNG
+    * ([[ImageCodec.pngBytesOf]] — real CRCs, deterministic deflate);
+    * video rows resample every luma frame and re-encode the Y4M
+    * stream (frame count preserved — resize is spatial); audio rows
+    * "resize" by DECIMATING the waveform by the same area ratio
+    * (stride sampling) and re-encoding the WAV container. Payloads
+    * that don't decode (none in the fixture lake) pass through
+    * untouched with clamped metadata — a real pipeline quarantines
+    * them rather than guessing. The schema contract downstream
+    * operators depend on is unchanged: same columns, mutated
+    * bytes + dims; a narrow per-row map, no shuffle, bytes never
+    * leave executors. */
+  def resizeMedia(media: Dataset[MediaRecord], maxDim: Int = 64): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { r =>
       val scaleNum = math.min(maxDim, math.max(r.width, r.height))
       val scaleDen = math.max(r.width, r.height)
       val w = math.max(1, r.width * scaleNum / scaleDen)
       val h = math.max(1, r.height * scaleNum / scaleDen)
-      val targetLen = math.max(1, math.min(r.bytes.length, w * h))
-      r.copy(bytes = java.util.Arrays.copyOf(r.bytes, targetLen), width = w, height = h)
+      ImageCodec.pngPixels(r.bytes) match {
+        case Some((sw, sh, px)) =>
+          val out = resamplePlane(px, sw, sh, w, h)
+          r.copy(bytes = ImageCodec.pngBytesOf(w, h,
+            (x, y) => out(y * w + x)), width = w, height = h)
+        case None => AudioCodec.parseWav(r.bytes) match {
+          case Some(hdr) if AudioCodec.pcm8(r.bytes).isDefined =>
+            val pcm = AudioCodec.pcm8(r.bytes).get
+            val target = math.max(1L,
+              pcm.length.toLong * (w.toLong * h) / (r.width.toLong * r.height))
+            val n = math.min(pcm.length.toLong, target).toInt
+            val sampled = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              sampled(i) = pcm((i.toLong * pcm.length / n).toInt)
+              i += 1
+            }
+            r.copy(bytes = AudioCodec.wavBytesOf(hdr.sampleRate, sampled),
+              width = w, height = h)
+          case _ => VideoCodec.parseY4m(r.bytes) match {
+            case Some(hd) =>
+              val frames = VideoCodec.lumaFrames(r.bytes).map { case (_, f) =>
+                resamplePlane(f, hd.width, hd.height, w, h)
+              }.toSeq
+              r.copy(bytes = VideoCodec.y4mBytes(w, h, hd.fpsNum, hd.fpsDen,
+                frames), width = w, height = h)
+            case None => r.copy(width = w, height = h)
+          }
+        }
+      }
     }
   }
 
-  /** m2: the driver-visible multimodal relation — decode-stub features
-    * per media row joined to the frame-sample explode, ordered for a
+  /** m2: the driver-visible multimodal relation — decoded-tensor
+    * features per media row joined to the frame-sample explode, ordered for a
     * deterministic dump. Rows-only at the correctness gate: binary
     * decode has no DuckDB analogue (same contract as s6/d5). The join is
     * a same-key equi-join both sides of which derive from one scan of
@@ -227,10 +340,15 @@ object Multimodal {
   /** Per-media decoded feature leaf, CONTENT-ADDRESSED (the m8
     * discipline) and leaf-memoized: features are a pure function of
     * the payload, so byte-identical media share one decode — one cheap
-    * checksum pass per row builds the address, the full header-parse +
+    * SHA-256 pass per row builds the address, the full header-parse +
     * feature walk runs only on the min-id representative per distinct
-    * payload, and rows recover their features by a (checksum, length)
-    * join. A duplicated lake (the exact-dup class m4/d1 exist to find)
+    * payload, and rows recover their features by an address join. The
+    * address is CRYPTOGRAPHIC (the contentReps discipline from text
+    * dedup): the weak 31-polynomial [[payloadChecksum]] remains a
+    * FEATURE column but no longer keys the dedup, so two distinct
+    * payloads colliding on (checksum, length) can no longer silently
+    * inherit a foreign representative's decoded header/features.
+    * A duplicated lake (the exact-dup class m4/d1 exist to find)
     * costs one decode per distinct payload instead of one per copy;
     * the Silver makes repeated consumers (and Bench's one-shot sf1.0
     * timings) pay it once per session. */
@@ -239,21 +357,23 @@ object Multimodal {
     graft.model.Silver.memoize(spark, "mediaFeatures", dir) {
       import spark.implicits._
       val media = mediaFromDocs(spark, dir)
-      val ids = media.map(r =>
-          (r.media_id, payloadChecksum(r.bytes), r.bytes.length.toLong))
-        .toDF("media_id", "chk", "len")
-      val repIds = ids.groupBy(col("chk"), col("len"))
+      val ids = media.toDF()
+        .select(col("media_id"), sha2(col("bytes"), 256).as("addr"))
+      val repIds = ids.groupBy(col("addr"))
         .agg(min(col("media_id")).as("media_id"))
       val reps = media.join(broadcast(repIds.select(col("media_id"))),
         Seq("media_id"), "left_semi").as[MediaRecord]
+      val repAddr = reps.toDF()
+        .select(col("media_id"), sha2(col("bytes"), 256).as("addr"))
       val repFeats = extractFeatures(reps).toDF()
-        .select(col("checksum").as("chk"), col("n_bytes").as("len"),
+        .join(broadcast(repAddr), Seq("media_id"))
+        .select(col("addr"), col("n_bytes"), col("checksum"),
           col("decoded_format"), col("decoded_w"), col("decoded_h"),
           col("channels"), element_at(col("features"), 1).as("f0"))
-      ids.join(broadcast(repFeats), Seq("chk", "len"))
-        .select(col("media_id"), col("len").as("n_bytes"),
-          col("chk").as("checksum"), col("decoded_format"),
-          col("decoded_w"), col("decoded_h"), col("channels"), col("f0"))
+      ids.join(broadcast(repFeats), Seq("addr"))
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          col("decoded_format"), col("decoded_w"), col("decoded_h"),
+          col("channels"), col("f0"))
     }
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -26,8 +26,8 @@ case class Y4mHeader(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
   *
   * Deterministic byte arithmetic throughout; the same bounds-hardened
   * cursor discipline as the WAV chunk walk (a malformed frame size
-  * exits the loop instead of wrapping negative). Frame-tensor model
-  * embedding remains [[Multimodal.decodeStub]]'s seam, exactly like
+  * exits the loop instead of wrapping negative). Frame tensors feed
+  * [[Multimodal.embed]]'s deterministic JL projection, exactly like
   * pixels and waveforms. */
 object VideoCodec {
 

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * arithmetic end-to-end. λ = 1000 > 0 makes det = λ² + λ·ΣfᵢᵀΣfⱼ…
   * strictly positive (A is positive definite), so no zero-division
   * branch exists. Factors come out in milli via the sign-explicit
-  * truncating division (Spark DIV truncates, DuckDB // floors — they
-  * disagree on negatives unless the sign is factored out).
+  * truncating division (both Spark DIV and DuckDB // truncate toward
+  * zero — verified: -7 // 2 = -3 in DuckDB — so the sign-explicit form
+  * is kept for clarity/defense, not behavioral necessity).
   *
   * SCALE SHAPE — one (customer, brand) rollup of the fact⋈orders⋈part
   * joins (brand side broadcast, orders join co-keyed with the j-family

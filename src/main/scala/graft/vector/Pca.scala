@@ -46,8 +46,9 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** Truncating (toward-zero) integer division as a portable SQL
-    * fragment: Spark `DIV` truncates while DuckDB `//` floors, so both
-    * sides spell out the sign/abs form and agree on negatives. */
+    * fragment. Both Spark `DIV` and DuckDB `//` already truncate toward
+    * zero (verified: -7 // 2 = -3 in DuckDB); the explicit sign/abs form
+    * is kept for clarity and as defense against engines that floor. */
   private def truncDiv(num: String, den: String, div: String): String =
     s"CASE WHEN $num < 0 THEN -((-($num)) $div $den) ELSE ($num) $div $den END"
 

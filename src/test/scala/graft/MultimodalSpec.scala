@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioCodec, ImageCodec, ImageHeader, Multimodal, WavHeader}
+import graft.multimodal.{AudioCodec, ImageCodec, ImageHeader, Multimodal, VideoCodec, WavHeader}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -544,5 +544,80 @@ class MultimodalSpec extends GraftSpec {
       // every keyframe lies inside its scene's extent
       sorted.foreach(s => assert(s._6 >= s._3 && s._6 <= s._4))
     }
+  }
+
+  /** Splice a tEXt ancillary chunk before IEND: the container bytes
+    * change, the decoded pixel plane does not — the probe that proves
+    * an "embedding" reads the decode, not the payload. */
+  private def pngWithAncillaryChunk(png: Array[Byte]): Array[Byte] = {
+    val data = "k graft".getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val iendOffset = png.length - 12 // IEND is the final 12 bytes
+    out.write(png, 0, iendOffset)
+    val len = data.length
+    out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+      (len >>> 8).toByte, len.toByte))
+    out.write("tEXt".getBytes("US-ASCII")); out.write(data)
+    val c = crc.getValue
+    out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+      (c >>> 8).toByte, c.toByte))
+    out.write(png, iendOffset, 12)
+    out.toByteArray
+  }
+
+  /** Splice a skippable LIST chunk between fmt and data (RIFF walk
+    * must skip it): container bytes change, the waveform does not. */
+  private def wavWithExtraChunk(wav: Array[Byte]): Array[Byte] = {
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N', 'F', 'O')
+    val out = new Array[Byte](wav.length + extra.length)
+    System.arraycopy(wav, 0, out, 0, 36) // RIFF header + fmt chunk
+    System.arraycopy(extra, 0, out, 36, extra.length)
+    System.arraycopy(wav, 36, out, 36 + extra.length, wav.length - 36)
+    val riffLen = (wav.length - 8) + extra.length
+    out(4) = riffLen.toByte; out(5) = (riffLen >>> 8).toByte
+    out(6) = (riffLen >>> 16).toByte; out(7) = (riffLen >>> 24).toByte
+    out
+  }
+
+  test("embed derives from the DECODED tensor: container-variant " +
+      "payloads embed identically; a content change moves the embedding") {
+    // image: same pixels, different container bytes (ancillary chunk)
+    val png = ImageCodec.pngBytesOf(20, 14,
+      (x, y) => ((x * 7 + y * 13) % 251).toByte)
+    val png2 = pngWithAncillaryChunk(png)
+    assert(!java.util.Arrays.equals(png, png2))
+    assert(ImageCodec.pngPixels(png2).isDefined, "variant must still decode")
+    assert(Multimodal.embed(png).toSeq === Multimodal.embed(png2).toSeq)
+    // one-pixel content change must move the embedding
+    val png3 = ImageCodec.pngBytesOf(20, 14, (x, y) =>
+      (((x * 7 + y * 13) % 251) + (if (x == 0 && y == 0) 50 else 0)).toByte)
+    assert(Multimodal.embed(png).toSeq !== Multimodal.embed(png3).toSeq)
+
+    // audio: same waveform, extra skippable RIFF chunk
+    val wav = AudioCodec.wavBytes(8000, 500, 7L)
+    val wav2 = wavWithExtraChunk(wav)
+    assert(!java.util.Arrays.equals(wav, wav2))
+    assert(AudioCodec.pcm8(wav2).isDefined, "variant must still decode")
+    assert(Multimodal.embed(wav).toSeq === Multimodal.embed(wav2).toSeq)
+
+    // video: same luma frames, different fps header tag
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(16 * 12)(i => ((i * 3 + f * 11) % 251).toByte))
+    val v1 = VideoCodec.y4mBytes(16, 12, 25, 1, frames)
+    val v2 = VideoCodec.y4mBytes(16, 12, 30, 1, frames)
+    assert(!java.util.Arrays.equals(v1, v2))
+    assert(Multimodal.embed(v1).toSeq === Multimodal.embed(v2).toSeq)
+  }
+
+  test("embed is bit-reproducible across partitionings (pure per-row map)") {
+    val media = Multimodal.mediaFromDocs(spark, sfDir)
+    val a = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(media.repartition(13)).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a.nonEmpty)
+    assert(a === b)
   }
 }

@@ -542,7 +542,8 @@ class R10iOpsSpec extends GraftSpec {
     val byNum = masked.groupBy(_._1).view.mapValues(_.head._2).toMap
     val distinctAfter = byNum.values.toSet.size.toLong
     assert(byNum.values.forall(_.matches("^Customer#[0-9]{9}$")))
-    val groups = rows.groupBy(r => (r._2, r._3, r._5 / 50000)).view
+    // banding is FLOOR division (uniform $500 bands incl. negatives)
+    val groups = rows.groupBy(r => (r._2, r._3, Math.floorDiv(r._5, 50000L))).view
       .mapValues(_.length.toLong).values.toSeq
     val row = graft.etl.Masking.anonymizeAudit(spark, sfDir).collect().head
     assert(row.getLong(0) == rows.length.toLong)

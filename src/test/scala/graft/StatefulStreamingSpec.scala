@@ -343,12 +343,26 @@ class StatefulStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
-  test("resize stub preserves schema contract and aspect ratio bounds") {
+  test("resizeMedia: resized payloads RE-DECODE to the resized dims " +
+      "(real codec round trip, schema contract preserved)") {
+    import graft.multimodal.{AudioCodec, ImageCodec, VideoCodec}
     val media = Multimodal.mediaFromDocs(spark, sfDir)
-    val resized = Multimodal.resizeStub(media, maxDim = 64)
+    val resized = Multimodal.resizeMedia(media, maxDim = 64)
     assert(resized.count() === media.count())
-    val bad = resized.filter(r => r.width > 64 || r.height > 64 ||
-      r.width < 1 || r.height < 1 || r.bytes.length < 1)
+    val bad = resized.filter { r =>
+      val boundsOk = r.width <= 64 && r.height <= 64 &&
+        r.width >= 1 && r.height >= 1 && r.bytes.length >= 1
+      val decodeOk = r.kind match {
+        case "image" => ImageCodec.pngPixels(r.bytes).exists {
+          case (w, h, _) => w == r.width && h == r.height
+        }
+        case "audio" => AudioCodec.pcm8(r.bytes).isDefined
+        case _ => VideoCodec.parseY4m(r.bytes).exists(h =>
+          h.width == r.width && h.height == r.height &&
+            h.nFrames == r.n_frames)
+      }
+      !(boundsOk && decodeOk)
+    }
     assert(bad.count() === 0)
   }
 
