@@ -789,4 +789,137 @@ object Graph {
        |JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
        |ORDER BY ra_micro DESC, cn DESC, sa, sb LIMIT $topK"""
       .stripMargin
+
+  /** Seed-set size for g8: the smallest node ids, like g6's landmark
+    * set — a deterministic stand-in for "the hero assortment". */
+  private val PprSeeds = 4
+
+  /** Power-iteration count for g8 — FIXED (declared semantics,
+    * mirrored by the oracle's unroll, e27's discipline). */
+  private val PprIters = 3
+
+  /** Readout size for g8 (rank desc, sku asc — a total order). */
+  private val PprTopK = 25
+
+  /** g8: PERSONALIZED PAGERANK (random walk with restart) at NODE
+    * grain over the support-pruned co-purchase graph — the
+    * "products related to the hero assortment" centrality that
+    * completes the graph family: e27 ranks the |types|²-bounded
+    * event-type graph; this is the node-grain version whose rank
+    * relation scales with the catalog. Walk mass restarts ONLY at the
+    * [[PprSeeds]] smallest node ids (the personalization vector),
+    * damping 850/1000, [[PprIters]] synchronous iterations in e27's
+    * pure integer micro-units (total mass 10⁶): per-edge contribution
+    * `(850 · ((rank · w) DIV wdeg)) DIV 1000`, inner division first so
+    * the widest product is rank·w — no doubles, every floor identical
+    * in both engines. The undirected graph is walked as both directed
+    * arcs weighted by co-purchase support; every node in the edge set
+    * has wdeg ≥ 1, so there are no dangling nodes by construction.
+    * Readout: top-[[PprTopK]] by (rank desc, sku asc) with seed flag
+    * and weighted degree.
+    *
+    * Scale shape: THE distributed PageRank kernel — each iteration is
+    * one rank⋈edges join on src plus one dst-keyed re-aggregation
+    * (edge-sized exchanges, never node-quadratic), lineage truncated
+    * per round (localCheckpoint) like d6/g4/g6/g7. Rank is node-sized
+    * and meets the edge stream by shuffle, NOT broadcast — at catalog
+    * scale that is the only shape that survives. The seed list is the
+    * one driver-side move: [[PprSeeds]] ids, a literal. */
+  def personalizedPagerank(spark: SparkSession, dir: String,
+                           minSupport: Int = 2): DataFrame = {
+    val de = Silver.memoize(spark, s"pprEdges:$minSupport", dir) {
+      val e = coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"), col("c"))
+      e.select(col("sa").as("src"), col("sb").as("dst"), col("c"))
+        .unionAll(e.select(col("sb").as("src"), col("sa").as("dst"), col("c")))
+    }
+    val wdeg = Silver.memoize(spark, s"pprWdeg:$minSupport", dir) {
+      de.groupBy(col("src")).agg(sum(col("c")).cast("long").as("wdeg"))
+    }
+    val nodes = wdeg.select(col("src").as("v"))
+    val seedIds = nodes.orderBy(col("v")).limit(PprSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    val nSeeds = math.max(seedIds.size.toLong, 1L)
+    val isSeed = col("v").isin(seedIds: _*)
+    // the iterated rank relation is itself a session silver (g6/g7's
+    // discipline) — repeated readers pay the power iterations once
+    val rank = Silver.memoize(spark, s"pprRank:$minSupport", dir) {
+      val base = when(isSeed, lit(150000L / nSeeds)).otherwise(lit(0L))
+      var r = nodes
+        .select(col("v"),
+          when(isSeed, lit(1000000L / nSeeds)).otherwise(lit(0L))
+            .as("rank_micro"))
+        .localCheckpoint()
+      for (_ <- 1 to PprIters) {
+        val contribs = de
+          .join(wdeg, "src")
+          .join(r.select(col("v").as("src"), col("rank_micro")), "src")
+          .select(col("dst"),
+            expr("(850 * ((rank_micro * c) DIV wdeg)) DIV 1000").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).cast("long").as("s"))
+        r = nodes
+          .join(contribs, nodes("v") === contribs("dst"), "left")
+          .select(col("v"),
+            (base + coalesce(col("s"), lit(0L))).as("rank_micro"))
+          .localCheckpoint()
+      }
+      r
+    }
+    rank.join(wdeg.select(col("src").as("v"), col("wdeg")), "v")
+      .select(col("v").as("sku"),
+        when(isSeed, 1L).otherwise(0L).as("is_seed"),
+        col("wdeg"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("sku"))
+      .limit(PprTopK)
+  }
+
+  def personalizedPagerankSql(minSupport: Int = 2): String = {
+    val iters = (1 to PprIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT de.dst AS v,
+         |    CAST(SUM((850 * ((r.rank_micro * de.c) // w.wdeg)) // 1000)
+         |      AS BIGINT) AS s
+         |  FROM de
+         |  JOIN wdeg w ON de.src = w.src
+         |  JOIN $prev r ON r.v = de.src
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.v,
+         |    (CASE WHEN sd.v IS NOT NULL THEN 150000 // ns.ns ELSE 0 END)
+         |      + COALESCE(c$i.s, 0) AS rank_micro
+         |  FROM nodes CROSS JOIN ns
+         |  LEFT JOIN seeds sd ON sd.v = nodes.v
+         |  LEFT JOIN c$i ON c$i.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    val last = s"r$PprIters"
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (
+       |  SELECT sa, sb, c FROM pairs WHERE c >= $minSupport),
+       |de AS MATERIALIZED (
+       |  SELECT sa AS src, sb AS dst, c FROM e
+       |  UNION ALL SELECT sb AS src, sa AS dst, c FROM e),
+       |wdeg AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(c) AS BIGINT) AS wdeg FROM de GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS v FROM wdeg),
+       |seeds AS MATERIALIZED (
+       |  SELECT v FROM nodes ORDER BY v LIMIT $PprSeeds),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds),
+       |r0 AS MATERIALIZED (
+       |  SELECT nodes.v,
+       |    CASE WHEN sd.v IS NOT NULL THEN 1000000 // ns.ns ELSE 0 END
+       |      AS rank_micro
+       |  FROM nodes CROSS JOIN ns
+       |  LEFT JOIN seeds sd ON sd.v = nodes.v),
+       |$iters
+       |SELECT $last.v AS sku,
+       |  CAST(CASE WHEN sd.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_seed,
+       |  w.wdeg,
+       |  CAST($last.rank_micro AS BIGINT) AS rank_micro
+       |FROM $last
+       |JOIN wdeg w ON w.src = $last.v
+       |LEFT JOIN seeds sd ON sd.v = $last.v
+       |ORDER BY rank_micro DESC, sku LIMIT $PprTopK""".stripMargin
+  }
 }

@@ -318,6 +318,10 @@ class PlanShapeSpec extends GraftSpec {
     ("e27_type_pagerank", 4,
       "edge/node relations are |types|-bounded localCheckpoints; each " +
         "iteration is a rank-edge join + dst agg over tiny inputs"),
+    ("g8_personalized_pagerank", 2,
+      "iterations truncate into localCheckpoint leaves; the readout " +
+        "is one rank-wdeg node-keyed join + TakeOrderedAndProject - " +
+        "never a global sort exchange"),
     ("a40_interpurchase_gaps", 3,
       "lag rides ONE custkey exchange; the bucket rollup (with its " +
         "distinct expand) is <=64 rows"),
