@@ -14,20 +14,36 @@ import org.apache.spark.sql.functions._
   * corpus bytes. At 100 TB the dictionary fits comfortably where the
   * corpus never would — this separation IS the scalable shape.
   *
-  * Per iteration: (1) adjacent-symbol pair counts, frequency-weighted
-  * — an explode + hash agg over the dictionary; (2) the best pair by
-  * (count DESC, pair ASC — a deterministic total order, so retries and
-  * partitionings agree) via TakeOrdered(1), never a global sort;
-  * (3) the merge applied to every word's symbol sequence as a single
-  * left-to-right fold (`aggregate` HOF: last symbol == left ∧ current
-  * == right → replace last with merged, else append — greedy
-  * non-overlapping, the BPE rule). The fold is codegen-free but
-  * narrow: no shuffle, and each iteration's dictionary is cached so
-  * lineage stays one step deep.
+  * Per ROUND — merges are selected in BATCHES, the fix for the
+  * sequential trainer's real-vocabulary latency wall (a 32k-merge
+  * vocabulary at one merge per Spark job is 32k driver round-trips;
+  * batching compatible merges cuts that ~[[Bpe.BatchWindow]]×):
+  * (1) adjacent-symbol pair counts, frequency-weighted — an explode +
+  * hash agg over the dictionary; (2) the top-[[Bpe.BatchWindow]]
+  * candidates by (count DESC, pair ASC — a deterministic total order,
+  * so retries and partitionings agree) via TakeOrdered, never a
+  * global sort; (3) candidate i is KEPT iff its symbol set {l,r} is
+  * DISJOINT from every higher-ranked candidate's — kept or not (the
+  * conservative, purely-relational compatibility rule both engines
+  * can evaluate identically; a greedy kept-only rule would need
+  * recursion). Disjointness is what makes batching sound: a merge
+  * can neither destroy nor create occurrences of a symbol-disjoint
+  * pair, so every kept pair's count — and the result of applying the
+  * whole batch — is exactly what sequential application would see;
+  * (4) all kept merges apply to every word's symbol sequence as
+  * composed left-to-right folds in ONE projection (`aggregate` HOF:
+  * last symbol == left ∧ current == right → replace last with merged,
+  * else append — greedy non-overlapping, the BPE rule). The fold is
+  * codegen-free but narrow: no shuffle, one cached dictionary per
+  * ROUND (not per merge), lineage one step deep.
   *
-  * ORACLE TWIN (r8): the trainer IS expressible in DuckDB once the
-  * fixed iteration count is UNROLLED (8 rounds of CTEs) and the
-  * symbol list is represented as a DOUBLE-DELIMITED STRING:
+  * ORACLE TWIN (r8; generalized to batched rounds in r11): the
+  * trainer IS expressible in DuckDB once the fixed ROUND count is
+  * UNROLLED ([[Bpe.Rounds]] rounds of CTEs, each applying up to
+  * [[Bpe.BatchWindow]] kept merges through nested `replace`s whose
+  * patterns come from scalar subqueries — an absent k-th merge
+  * COALESCEs to a chr(1)/chr(2) sentinel pair that never matches)
+  * and the symbol list is represented as a DOUBLE-DELIMITED STRING:
   * `||s1||s2||...||`. One global `replace(s, '|l||r|', '|lr|')` is
   * then exactly the greedy left-to-right non-overlapping BPE merge
   * fold: each match consumes ONE `|` from each side, leaving the
@@ -41,6 +57,14 @@ import org.apache.spark.sql.functions._
   * [[graft.BpeSpec]] additionally recomputes the whole trainer
   * in-process and asserts the merge table matches exactly. */
 object Bpe {
+
+  /** Batched training rounds (t20/t21's declared semantics — the
+    * oracle unrolls exactly this many CTE rounds). */
+  val Rounds = 4
+
+  /** Candidate window per round: the top-W pairs considered for one
+    * batch; kept merges per round range from 1 to W. */
+  val BatchWindow = 4
 
   /** Split a word into single-character symbols. */
   private def charsCol(word: Column): Column =
@@ -58,12 +82,27 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
           .otherwise(concat(acc, array(s))))
 
+  /** The batch-compatibility filter: candidate i (0-based, in
+    * (count DESC, pair ASC) order) survives iff its symbols are
+    * disjoint from EVERY higher-ranked candidate's — kept or not. */
+  private[graft] def keepCompatible[A](cands: Seq[((String, String), A)])
+      : Seq[((String, String), A)] =
+    cands.zipWithIndex.filter { case (((l, r), _), i) =>
+      cands.take(i).forall { case ((l2, r2), _) =>
+        l2 != l && l2 != r && r2 != l && r2 != r
+      }
+    }.map(_._1)
+
   /** The learned merge table: (merge_rank, left, right, merged,
-    * pair_count) for `nMerges` iterations. */
-  def train(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    * pair_count) over `rounds` batched rounds with a `window`-wide
+    * candidate batch per round; pair_count is the pre-round count
+    * (exact for every kept pair — disjointness guarantees the batch
+    * cannot perturb it). */
+  def train(spark: SparkSession, dir: String, rounds: Int = Rounds,
+            window: Int = BatchWindow): DataFrame = {
     import spark.implicits._
     // the dictionary is vocabulary-sized: coalesce to a few partitions so
-    // the 8 iteration jobs schedule a handful of real tasks instead of
+    // the round jobs schedule a handful of real tasks instead of
     // 32 near-empty ones (pure overhead at this relation size)
     var dict = Corpus.docsTok(spark, dir)
       .select(explode(col("words")).as("word"))
@@ -72,8 +111,9 @@ object Bpe {
       .coalesce(4)
       .cache()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var grank = 0L
     var exhausted = false
-    for (rank <- 1 to nMerges if !exhausted) {
+    for (_ <- 1 to rounds if !exhausted) {
       val pairs = dict
         .select(col("freq"),
           explode(arrays_zip(
@@ -82,16 +122,24 @@ object Bpe {
           ).as("p"))
         .groupBy(col("p.l").as("left"), col("p.r").as("right"))
         .agg(sum(col("freq")).as("pair_count"))
-      val best = pairs
+      // ONE driver round-trip per ROUND (window rows), not per merge
+      val cands = pairs
         .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (l, r, c) = (best(0).getAs[String]("left"),
-          best(0).getAs[String]("right"), best(0).getAs[Long]("pair_count"))
-        merges += ((rank.toLong, l, r, l + r, c))
-        val next = dict
-          .select(mergeCol(col("symbols"), l, r).as("symbols"), col("freq"))
-          .cache()
+        .limit(window).collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")) ->
+          r.getAs[Long]("pair_count")).toSeq
+      if (cands.nonEmpty) {
+        val kept = keepCompatible(cands)
+        kept.foreach { case ((l, r), c) =>
+          grank += 1
+          merges += ((grank, l, r, l + r, c))
+        }
+        // the whole batch applies in ONE projection: disjoint pairs
+        // compose order-independently, folds chained in rank order
+        val batched = kept.foldLeft(col("symbols")) {
+          case (acc, ((l, r), _)) => mergeCol(acc, l, r)
+        }
+        val next = dict.select(batched.as("symbols"), col("freq")).cache()
         next.count() // materialize before unpersisting the parent
         dict.unpersist()
         dict = next
@@ -116,8 +164,9 @@ object Bpe {
     * final dictionary carries each word's token count); [[graft.BpeSpec]]
     * additionally replays an in-process encoder over the same merge
     * table and the counts match exactly. */
-  def encode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val merges = train(spark, dir, nMerges).collect()
+  def encode(spark: SparkSession, dir: String, rounds: Int = Rounds,
+             window: Int = BatchWindow): DataFrame = {
+    val merges = train(spark, dir, rounds, window).collect()
       .sortBy(_.getAs[Long]("merge_rank"))
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
     def encodedWord(w: Column): Column =
@@ -138,24 +187,45 @@ object Bpe {
     * (see the object scaladoc for the equivalence argument). The split
     * array `a` is ['', s1, ..., sn, ''], so pairs live at indices
     * 2..len-2 against their successors. */
-  private def roundCteSql(i: Int): String = {
+  private def roundCteSql(i: Int, window: Int): String = {
     val prev = s"dict${i - 1}"
+    // up to `window` kept merges apply as nested replaces in ki order
+    // (innermost first); an absent k-th merge COALESCEs to the
+    // chr(1)/chr(2) sentinel pair, which never occurs in the delimited
+    // string, so its replace is a no-op — exhaustion-safe by
+    // construction (the r8 LEFT-JOIN discipline, scalar-subquery form)
+    val nested = (1 to window).foldLeft("d.s") { (acc, k) =>
+      s"replace($acc,\n" +
+        s"      COALESCE((SELECT '|' || l || '||' || r || '|' " +
+        s"FROM kept$i WHERE ki = $k), chr(1)),\n" +
+        s"      COALESCE((SELECT '|' || l || r || '|' " +
+        s"FROM kept$i WHERE ki = $k), chr(2)))"
+    }
     s""",
-       |pc$i AS (
+       |pc$i AS MATERIALIZED (
        |  SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
        |  FROM (SELECT string_split(s, '||') AS a, freq FROM $prev) t,
        |       unnest(range(2, len(a) - 1)) AS u(i)
        |  GROUP BY 1, 2),
-       |best$i AS (
-       |  SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |cand$i AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT l, r, c,
+       |      ROW_NUMBER() OVER (ORDER BY c DESC, l ASC, r ASC) AS ri
+       |    FROM pc$i) q
+       |  WHERE ri <= $window),
+       |kept$i AS MATERIALIZED (
+       |  SELECT a.l, a.r, a.c, ROW_NUMBER() OVER (ORDER BY a.ri) AS ki
+       |  FROM cand$i a
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cand$i b
+       |    WHERE b.ri < a.ri
+       |      AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))),
        |dict$i AS (
-       |  SELECT d.word,
-       |    COALESCE(replace(d.s, '|' || b.l || '||' || b.r || '|',
-       |      '|' || b.l || b.r || '|'), d.s) AS s, d.freq
-       |  FROM $prev d LEFT JOIN best$i b ON TRUE)""".stripMargin
+       |  SELECT d.word, $nested AS s, d.freq
+       |  FROM $prev d)""".stripMargin
   }
 
-  private def dictCtesSql(nMerges: Int): String =
+  private def dictCtesSql(rounds: Int, window: Int): String =
     s"""WITH wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
@@ -165,31 +235,32 @@ object Bpe {
        |    '||' || array_to_string(string_split(word, ''), '||') || '||' AS s,
        |    freq
        |  FROM wf)""".stripMargin +
-      (1 to nMerges).map(roundCteSql).mkString
+      (1 to rounds).map(roundCteSql(_, window)).mkString
 
-  /** DuckDB twin of [[train]] — the 8 iterations unrolled as CTE
-    * rounds. Exhaustion-safe like the Scala trainer: when pair counts
-    * run out before `nMerges`, `best_i` is empty, the LEFT JOIN +
-    * COALESCE in `dict_i` carries the dictionary through unchanged,
-    * and the empty `best_i` simply contributes no merge row — matching
-    * the trainer's early stop (a CROSS JOIN here would instead zero
-    * every later round's dictionary: total silent data loss). */
-  def trainSql(nMerges: Int = 8): String =
-    dictCtesSql(nMerges) + "\nSELECT * FROM (\n" +
-      (1 to nMerges).map(i =>
-        s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM best$i""")
+  /** DuckDB twin of [[train]] — the batched rounds unrolled as CTEs:
+    * per round the top-`window` candidates rank via ROW_NUMBER, the
+    * NOT EXISTS filter keeps exactly the higher-rank-disjoint ones,
+    * and the kept batch applies through the sentinel-guarded nested
+    * replaces. Global merge_rank = ROW_NUMBER over (round, ki). */
+  def trainSql(rounds: Int = Rounds, window: Int = BatchWindow): String =
+    dictCtesSql(rounds, window) +
+      "\nSELECT ROW_NUMBER() OVER (ORDER BY round, ki) AS merge_rank," +
+      """ "left", "right", merged, pair_count FROM (""" + "\n" +
+      (1 to rounds).map(i =>
+        s"""SELECT $i AS round, ki, l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM kept$i""")
         .mkString("\nUNION ALL\n") +
       "\n) ORDER BY merge_rank"
 
   /** DuckDB twin of [[encode]]: the trained per-word symbol strings
-    * (dict`nMerges`) ARE the encoded words — token count per word is
-    * its delimiter count, and documents re-aggregate the word relation. */
-  def encodeSql(nMerges: Int = 8): String =
-    dictCtesSql(nMerges) +
+    * (the final round's dictionary) ARE the encoded words — token
+    * count per word is its delimiter count, and documents re-aggregate
+    * the word relation. */
+  def encodeSql(rounds: Int = Rounds, window: Int = BatchWindow): String =
+    dictCtesSql(rounds, window) +
       s""",
          |wtok AS (
          |  SELECT word, CAST(len(string_split(s, '||')) - 2 AS BIGINT) AS ntok
-         |  FROM dict$nMerges),
+         |  FROM dict$rounds),
          |docw AS (
          |  SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
