@@ -28,6 +28,29 @@ object Bench {
     * keys hid below it. 40 keys covers everything above ~1 s at sf0.1. */
   private val Sf1TopN = 40
 
+  /** Co-resident JVM audit (the k10 false-flag fix: r8's one-off 30×
+    * slope was stray-JVM contention, diagnosed only by anecdote):
+    * pids of java processes that are neither this JVM nor its
+    * ancestors (the sbt launcher chain). Any hit means the timings
+    * shared the machine with another JVM — stamped into the result
+    * JSON so a slope flag from a dirty host is machine-readable
+    * instead of a SURVEY note. */
+  private def coResidentJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val excl = scala.collection.mutable.Set[Long]()
+      var h = java.util.Optional.of(ProcessHandle.current())
+      while (h.isPresent) { excl += h.get.pid(); h = h.get.parent() }
+      ProcessHandle.allProcesses().iterator().asScala
+        .filter(p => !excl.contains(p.pid()))
+        .filter(p => p.info().command()
+          .map[Boolean](c => c.endsWith("/java") || c.endsWith("\\java.exe")
+            || c == "java")
+          .orElse(false))
+        .map(_.pid()).toSeq
+    } catch { case _: Throwable => Seq.empty } // audit must never kill bench
+  }
+
   private def warm(spark: SparkSession, dir: String): Unit = {
     graft.etl.StoreDaily.rollupDec(spark, dir).count()
     graft.etl.StoreDaily.paymentDec(spark, dir).count()
@@ -84,6 +107,7 @@ object Bench {
     // shared host sees multi-second scheduling noise. Override with
     // SPARK_GRAFT_BENCH_ITERS=1 for one-shot.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val jvmsBefore = coResidentJvms()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // (key, median, cold): cold = the FIRST timed iteration, reported as
     // total_cold next to the median total so cross-round comparisons with
@@ -115,7 +139,12 @@ object Bench {
     // double-count totals: the full per-query map first (total_detail),
     // the scale-slope audits second, then the compact headline line
     // LAST — the driver keeps a bounded TAIL of stdout.
-    val detailLine = s"""{"metric":"total_detail","value":$total,"total_cold":$totalCold,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}"""
+    // contention stamp: sampled before AND after the timed loop — a
+    // JVM present at either probe could have shared the cores
+    val coJvms = (jvmsBefore ++ coResidentJvms()).distinct.sorted
+    val contended = coJvms.nonEmpty
+    val coJson = coJvms.mkString("[", ",", "]")
+    val detailLine = s"""{"metric":"total_detail","value":$total,"total_cold":$totalCold,"unit":"sec","sf":"$sfDir","iters":$iters,"contended":$contended,"co_jvm_pids":$coJson,"n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs}"""
     println(detailLine)
     val fullLines = scala.collection.mutable.ListBuffer[String](detailLine)
 
@@ -236,7 +265,7 @@ object Bench {
     val errsBrief = errors.take(3)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
       .mkString("{", ",", "}")
-    val headline = s"""{"metric":"total","value":$total,"total_cold":$totalCold,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errsBrief}"""
+    val headline = s"""{"metric":"total","value":$total,"total_cold":$totalCold,"unit":"sec","sf":"$sfDir","contended":$contended,"n_queries":${results.size},"n_failed":${errors.size},"errors":$errsBrief}"""
     println(headline)
     fullLines += headline
     // Repo-root artifact with EVERY line (BENCH_r07's driver tail kept

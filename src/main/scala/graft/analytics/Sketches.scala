@@ -1073,7 +1073,9 @@ object Sketches {
     * native sketch with RANK error <= n/accuracy (NativeQuantileSpec
     * asserts that bound against the collected per-store order
     * statistics). Rows-only by design: GK summary contents are
-    * implementation-defined, no cross-engine hash can exist.
+    * implementation-defined, no cross-engine hash can exist. The
+    * anchors THEMSELVES are SQL-expressible and ride the hash gate as
+    * the split-out [[quantileAnchors]] (sk21).
     *
     * Scale shape: ONE store-keyed exchange — the anchor's rank window
     * and the combined agg (GK partials + rank-hit conditional max)
@@ -1110,6 +1112,61 @@ object Sketches {
         col("p99_exact_cents"))
       .orderBy(col("store_id"))
   }
+
+  /** sk21: the ORACLE-GREEN half of sk19 — the positional exact-rank
+    * anchors alone (a34's rank-lookup definition: value at row
+    * ceil(q·n) of the cents-ordered per-store series, no
+    * interpolation), split out so the SQL-expressible columns ride the
+    * DuckDB hash gate while sk19 keeps the GK estimates rows-only
+    * (sketch register contents are implementation-defined — no
+    * cross-engine hash can exist for THOSE, but there was never a
+    * reason the anchors should share that exemption).
+    *
+    * Scale shape: identical to sk19's anchor leg — one store-keyed
+    * exchange carrying the rank window and the conditional-max agg. */
+  def quantileAnchors(spark: SparkSession, dir: String): DataFrame = {
+    val byStore = Window.partitionBy(col("store_id"))
+    val ordered = byStore.orderBy(col("cents"), col("l_orderkey"),
+      col("l_linenumber"))
+    Tables.sales(spark, dir)
+      .select(col("store_id"),
+        (col("line_total") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byStore))
+      .groupBy(col("store_id"))
+      .agg(max(col("n")).as("n_rows"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("p50_exact_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_exact_cents"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents")))
+          .as("p99_exact_cents"))
+      .orderBy(col("store_id"))
+  }
+
+  def quantileAnchorsSql(): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |c AS (
+       |  SELECT store_id, CAST(line_total * 100 AS BIGINT) AS cents,
+       |    l_orderkey, l_linenumber
+       |  FROM s),
+       |r AS (
+       |  SELECT store_id, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+       |    COUNT(*) OVER (PARTITION BY store_id) AS n
+       |  FROM c)
+       |SELECT store_id, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+       |    AS p50_exact_cents,
+       |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+       |    AS p90_exact_cents,
+       |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+       |    AS BIGINT) AS p99_exact_cents
+       |FROM r
+       |GROUP BY store_id
+       |ORDER BY store_id""".stripMargin
 
   /** sk20: AMS SECOND-MOMENT (F2) SKETCH, oracle-checked — the
     * Alon–Matias–Szegedy tug-of-war estimator (STOC 1996) for
