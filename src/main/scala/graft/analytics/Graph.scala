@@ -873,6 +873,96 @@ object Graph {
       .limit(PprTopK)
   }
 
+  /** Relaxation rounds for g9 — FIXED (declared semantics: distances
+    * realizable in ≤ this many edges; the oracle unrolls exactly
+    * these rounds, Bellman-Ford's bounded form). */
+  private val SsspRounds = 8
+
+  /** Seed-set size and readout size for g9 (g6's landmark discipline,
+    * g8's top-k cut). */
+  private val SsspSeeds = 8
+  private val SsspTopK = 25
+
+  /** g9: WEIGHTED SINGLE/MULTI-SOURCE SHORTEST PATHS over the
+    * support-pruned co-purchase graph — the min-plus (Bellman-Ford)
+    * kernel that completes the traversal class next to g6's
+    * unweighted BFS: edge length = 1000 DIV support + 1 (heavily
+    * co-purchased pairs are "close"), distance = the cheapest way to
+    * reach a product from the [[SsspSeeds]]-landmark set within
+    * [[SsspRounds]] relaxation rounds. All integer milli arithmetic —
+    * both engines fold identical BIGINTs. Readout: the [[SsspTopK]]
+    * nearest nodes by (distance asc, sku asc — total order) with the
+    * seed flag and the round-bounded eccentricity semantics declared
+    * above.
+    *
+    * Scale shape: each round is ONE dist⋈edges join on src + a
+    * dst-keyed min re-aggregation (edge-sized exchanges — the
+    * min-plus twin of g8's rank join-agg), sparse representation
+    * (unreached nodes absent), lineage truncated per round
+    * (localCheckpoint); the converged relation is a session silver.
+    * The top-k cut is TakeOrderedAndProject. */
+  def weightedSssp(spark: SparkSession, dir: String,
+                   minSupport: Int = 2): DataFrame = {
+    val de = Silver.memoize(spark, s"pprEdges:$minSupport", dir) {
+      val e = coPairs(spark, dir).filter(col("c") >= minSupport)
+        .select(col("sa"), col("sb"), col("c"))
+      e.select(col("sa").as("src"), col("sb").as("dst"), col("c"))
+        .unionAll(e.select(col("sb").as("src"), col("sa").as("dst"), col("c")))
+    }.withColumn("w", expr("1000 DIV c + 1"))
+    val nodes = de.select(col("src").as("v")).distinct()
+    val seeds = nodes.orderBy(col("v")).limit(SsspSeeds)
+    val dist = Silver.memoize(spark, s"sssp:$minSupport", dir) {
+      var d = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint()
+      for (_ <- 1 to SsspRounds) {
+        d = d.join(de, d("v") === de("src"))
+          .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+          .unionByName(d)
+          .groupBy(col("v")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+      }
+      d
+    }
+    dist
+      .join(seeds.select(col("v"), lit(1L).as("is_seed")), Seq("v"), "left")
+      .select(col("v").as("sku"), coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+        col("d").as("dist_milli"))
+      .orderBy(col("dist_milli").asc, col("sku").asc)
+      .limit(SsspTopK)
+  }
+
+  def weightedSsspSql(minSupport: Int = 2): String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |    SELECT v, d FROM $prev
+         |    UNION ALL
+         |    SELECT de.dst AS v, p.d + de.w AS d
+         |    FROM de JOIN $prev p ON p.v = de.src) q
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsCte,
+       |e AS MATERIALIZED (
+       |  SELECT sa, sb, c FROM pairs WHERE c >= $minSupport),
+       |de AS MATERIALIZED (
+       |  SELECT src, dst, 1000 // c + 1 AS w FROM (
+       |    SELECT sa AS src, sb AS dst, c FROM e
+       |    UNION ALL SELECT sb AS src, sa AS dst, c FROM e) q),
+       |nodes AS (SELECT DISTINCT src AS v FROM de),
+       |seeds AS MATERIALIZED (
+       |  SELECT v FROM nodes ORDER BY v LIMIT $SsspSeeds),
+       |d0 AS MATERIALIZED (
+       |  SELECT v, CAST(0 AS BIGINT) AS d FROM seeds),
+       |$rounds
+       |SELECT dd.v AS sku,
+       |  CAST(CASE WHEN sd.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_seed,
+       |  dd.d AS dist_milli
+       |FROM d$SsspRounds dd
+       |LEFT JOIN seeds sd ON sd.v = dd.v
+       |ORDER BY dist_milli ASC, sku ASC LIMIT $SsspTopK""".stripMargin
+  }
+
   def personalizedPagerankSql(minSupport: Int = 2): String = {
     val iters = (1 to PprIters).map { i =>
       val prev = s"r${i - 1}"

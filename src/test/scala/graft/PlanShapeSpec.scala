@@ -322,6 +322,10 @@ class PlanShapeSpec extends GraftSpec {
       "iterations truncate into localCheckpoint leaves; the readout " +
         "is one rank-wdeg node-keyed join + TakeOrderedAndProject - " +
         "never a global sort exchange"),
+    ("g9_weighted_sssp", 2,
+      "relaxation rounds truncate into the dist silver leaf; the " +
+        "readout is the node-sized seed distinct + a broadcast seed " +
+        "flag join + TakeOrderedAndProject"),
     ("a40_interpurchase_gaps", 3,
       "lag rides ONE custkey exchange; the bucket rollup (with its " +
         "distinct expand) is <=64 rows"),
