@@ -163,6 +163,89 @@ object Layout {
        |ORDER BY layout""".stripMargin
   }
 
+  /** k26: Z-ORDER LAYOUT APPLIED — k15 predicts file-stat pruning
+    * under a modeled z-order vs linear rewrite; this EXECUTES both
+    * rewrites (one physical parquet file per rowsPerFile-rank window,
+    * the exact-file placement discipline of [[LakeApply]]) and
+    * re-derives the k15 relation from the REAL files' row-group
+    * content: per physical file, min/max(sku, supp) via a
+    * `_metadata.file_path` rollup (k4's measurement leg), then the
+    * touched-file census under the same probe rectangle. The oracle
+    * stays k15's MODEL — a hash match proves the writer placed every
+    * row exactly where the plan ranked it, i.e. the OPTIMIZE
+    * ZORDER job delivered its promised pruning physically. A larger
+    * file size than k15's readout default keeps the applied lake a
+    * few hundred files at every SF (the slice-size-independence
+    * argument of the other applied keys).
+    *
+    * Scale shape: the rewrite is GlobalRank (one-RDD zipWithIndex,
+    * no global window) + the one-task-per-file shuffle; measurement
+    * is one (layout, file)-grain aggregate + a 2-row census. */
+  def zorderApplied(spark: SparkSession, dir: String,
+                    rowsPerFile: Int = 4096,
+                    skuLo: Long = 100L, skuHi: Long = 500L,
+                    suppLo: Long = 10L, suppHi: Long = 30L): DataFrame =
+    graft.model.Silver.memoize(spark, "k26ZorderApplied", dir) {
+      val rows = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").cast("long").as("sku"),
+          col("l_suppkey").cast("long").as("supp"),
+          col("l_orderkey"), col("l_linenumber"))
+      val dom = rows.agg(min(col("sku")).as("sku_lo"),
+        max(col("sku")).as("sku_hi"),
+        min(col("supp")).as("supp_lo"), max(col("supp")).as("supp_hi"))
+      val z = rows.crossJoin(broadcast(dom))
+        .withColumn("z", zValue(
+          scaled(col("sku"), col("sku_lo"), col("sku_hi")),
+          scaled(col("supp"), col("supp_lo"), col("supp_hi"))))
+        .select(col("sku"), col("supp"), col("l_orderkey"),
+          col("l_linenumber"), col("z"))
+      def keyed(name: String, ranked: DataFrame): DataFrame =
+        ranked.withColumn("layout", lit(name))
+          .withColumn("__fk", concat_ws("/", col("layout"),
+            expr(s"(rk - 1) DIV $rowsPerFile")))
+          .select(col("layout"), col("sku"), col("supp"),
+            col("l_orderkey"), col("l_linenumber"), col("__fk"))
+      val zRanked = keyed("zorder", graft.plans.GlobalRank.withRowNumber(
+        z, "rk", col("z"), col("l_orderkey"), col("l_linenumber")))
+      val linRanked = keyed("linear", graft.plans.GlobalRank.withRowNumber(
+        rows, "rk", col("sku"), col("supp"), col("l_orderkey"),
+        col("l_linenumber")))
+      val lakeDir = java.nio.file.Files
+        .createTempDirectory("graft-k26-lake").toString
+      LakeApply.lakeDirs(("k26", dir)) = lakeDir
+      LakeApply.writeExactFiles(zRanked.unionByName(linRanked),
+        Seq("layout"), "__fk", lakeDir)
+      val schema = org.apache.spark.sql.types.StructType(
+        zRanked.drop("__fk", "layout").schema.fields)
+        .add("layout", org.apache.spark.sql.types.StringType)
+      val lake = spark.read.schema(schema).parquet(lakeDir)
+      val fileStats = lake
+        .select(col("layout"), col("sku"), col("supp"),
+          col("_metadata.file_path").as("fp"))
+        .groupBy(col("layout"), col("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("sku")).as("sku_min"), max(col("sku")).as("sku_max"),
+          min(col("supp")).as("supp_min"), max(col("supp")).as("supp_max"))
+      val selected = lake.filter(col("layout") === "zorder" &&
+          col("sku").between(skuLo, skuHi) &&
+          col("supp").between(suppLo, suppHi))
+        .agg(count(lit(1)).as("n_rows_selected"))
+      fileStats.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          expr(s"CAST(SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) " +
+            "AS BIGINT)").as("n_touched"),
+          expr(s"SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) * 1000" +
+            " DIV COUNT(*)").as("touched_pct_milli"),
+          sum(col("n_rows")).as("n_rows_total"))
+        .crossJoin(broadcast(selected))
+        .orderBy(col("layout"))
+    }
+
+  /** k26's oracle IS k15's model at the applied file size — the whole
+    * point: prediction vs physical execution, hash-compared. */
+  def zorderAppliedSql(rowsPerFile: Int = 4096): String =
+    zorderPruningSql(rowsPerFile = rowsPerFile)
+
   /** The fixed representative workload k19 scores layouts against —
     * one predicate per query family the engine actually runs (date
     * range / single day / store drill / returns / sku point-lookup).

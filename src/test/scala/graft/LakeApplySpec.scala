@@ -153,4 +153,23 @@ class LakeApplySpec extends GraftSpec {
     if (untouchedUuids.nonEmpty && touchedUuids.nonEmpty)
       assert(untouchedUuids.intersect(touchedUuids).isEmpty)
   }
+
+  test("k26: physical file counts equal the relation; the z-order " +
+      "rewrite never touches more files than the linear one") {
+    val rel = graft.etl.Layout.zorderApplied(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(rel.keySet === Set("zorder", "linear"))
+    val root = LakeApply.lakeDirs(("k26", sfDir))
+    val onDisk = partFiles(root)
+      .groupBy(_.split("/").head)
+      .map { case (d, fs) => d.stripPrefix("layout=") -> fs.length.toLong }
+    rel.foreach { case (layout, (nFiles, _, nRows)) =>
+      assert(onDisk(layout) === nFiles, s"physical files for $layout")
+      assert(nRows === rel.values.head._3, "both layouts hold every row")
+    }
+    // the reason z-order exists: on the 2-d probe rectangle it must
+    // not lose to the linear (sku, supp) sort
+    assert(rel("zorder")._2 <= rel("linear")._2)
+  }
 }
