@@ -1556,6 +1556,90 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d29
+
+  /** Snapshot membership rule for d29: docs with `doc_id % 10 <
+    * SnapshotMod` are the already-ingested corpus; the rest are today's
+    * delta. Deterministic and SF-stable (the id space is dense). */
+  val SnapshotMod = 8L
+
+  /** d29: INCREMENTAL dedup — classify a DELTA of newly-arrived documents
+    * against the ingested SNAPSHOT without rescanning the corpus. This is
+    * the arrival-time shape of d1+d2: a production corpus is deduped once,
+    * then every ingest batch is checked against two *bounded indexes*
+    * maintained incrementally —
+    *   - the snapshot's distinct content identities (exact index), and
+    *   - the snapshot's distinct LSH band buckets (near-dup index,
+    *     d2's 16-minhash / 4-band family)
+    * — so per-batch work is proportional to the DELTA, never to the
+    * 100 TB corpus (the reference re-derives its lake from scratch per
+    * upload, process_upload.py:196-206; at corpus scale the index IS the
+    * state you keep instead). Each delta doc gets both raw hits and the
+    * precedence verdict exact > near > novel. A delta doc is `near` when
+    * it shares >= 1 band bucket with ANY snapshot doc — the same
+    * candidate rule d2 uses intra-corpus, here as a left-semi probe of
+    * the band index (no pair materialization at all). Intra-delta
+    * duplicates are deliberately out of scope: they are the ordinary
+    * d1/d2 pass over the (small) batch itself. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ds = docSids(spark, dir)
+    val snapBands = bandKeys(signaturesWideFrom(
+        ds.filter(col("doc_id") % 10 < SnapshotMod)))
+      .select(col("band"), col("bandkey")).distinct()
+    val deltaBands = bandKeys(signaturesWideFrom(
+      ds.filter(col("doc_id") % 10 >= SnapshotMod)))
+    val nearIds = deltaBands
+      .join(snapBands, Seq("band", "bandkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("near_hit", lit(true))
+    val docs = Corpus.docs(spark, dir)
+    val snapTexts = docs.filter(col("doc_id") % 10 < SnapshotMod)
+      .select(col("text")).distinct()
+    val delta = docs.filter(col("doc_id") % 10 >= SnapshotMod)
+    val exactIds = delta.join(snapTexts, Seq("text"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_hit", lit(true))
+    delta.select(col("doc_id"), col("source"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("near_hit"), lit(false)).as("near_dup"),
+        when(coalesce(col("exact_hit"), lit(false)), lit("exact"))
+          .when(coalesce(col("near_hit"), lit(false)), lit("near"))
+          .otherwise(lit("novel")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedupSql(): String =
+    s"""WITH sigs AS ($signaturesSql),
+       |bands AS (
+       |  SELECT doc_id, band, SUM(w * mh) AS bandkey
+       |  FROM sigs GROUP BY doc_id, band),
+       |snap_bands AS (
+       |  SELECT DISTINCT band, bandkey FROM bands
+       |  WHERE doc_id % 10 < $SnapshotMod),
+       |near AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b
+       |  JOIN snap_bands s ON b.band = s.band AND b.bandkey = s.bandkey
+       |  WHERE b.doc_id % 10 >= $SnapshotMod),
+       |snap_texts AS (
+       |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 < $SnapshotMod),
+       |delta AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id % 10 >= $SnapshotMod),
+       |exact AS (
+       |  SELECT d.doc_id FROM delta d JOIN snap_texts USING (text))
+       |SELECT d.doc_id, d.source,
+       |  (e.doc_id IS NOT NULL) AS exact_dup,
+       |  (n.doc_id IS NOT NULL) AS near_dup,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'novel' END AS verdict
+       |FROM delta d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN near n ON d.doc_id = n.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

@@ -693,6 +693,12 @@ class PlanShapeSpec extends GraftSpec {
       "the two-month slice shuffles ONCE at (col, batch, value) " +
         "grain; batch stats, distincts, and new/gone all derive from " +
         "that leaf; everything after is 5-row-bounded"),
+    ("d29_incremental_dedup", 4,
+      "delta probes the snapshot's two bounded indexes: snap-text " +
+        "distinct, the two per-doc signature aggregates, and the " +
+        "(band, bandkey) index distinct — the indexes then arrive at " +
+        "the delta by broadcast semi joins, the corpus never " +
+        "self-joins"),
     ("v36_als_recs", 8,
       "per-customer ridge solves ride the custkey exchanges (ratings " +
         "rollup + moment agg + rec window + final stitch); brand " +
