@@ -204,6 +204,50 @@ object Kpis {
        |GROUP BY ROLLUP(store_id, substr(sale_date, 1, 7))
        |ORDER BY store_level, month_level""".stripMargin
 
+  /** a63: full CUBE + grouping_id() — the (store × payment) revenue
+    * cube with ALL FOUR margins (cell, per-store, per-payment, grand),
+    * including the payment-only margin a ROLLUP (a33) structurally
+    * cannot produce, plus the grouping_id() bit vector itself so the
+    * Spark↔DuckDB set-encoding (store = high bit) is hash-certified
+    * rather than assumed. Scale shape: the fact table aggregates ONCE
+    * to the dimension-bounded (store, payment) grain and the CUBE's
+    * 4-way Expand runs over that tiny relation — cubing the raw fact
+    * would quadruple the shuffle input for identical output (Expand
+    * fans every input row to each grouping set). */
+  def cubeMargins(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.salesWithPayment(spark, dir)
+      .groupBy(col("store_id"), col("payment_method"))
+      .agg(sum(col("line_total")).as("gross_dec"),
+        count(lit(1)).as("n_lines"))
+    base.cube(col("store_id"), col("payment_method"))
+      .agg(sum(col("gross_dec")).as("gross"),
+        sum(col("n_lines")).as("n_lines_sum"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("store_id"), lit("ALL")).as("store_level"),
+        coalesce(col("payment_method"), lit("ALL")).as("payment_level"),
+        col("gid").cast("long").as("gid"),
+        col("gross").cast("double").as("total_sales"),
+        col("n_lines_sum").as("n_lines"))
+      .orderBy("gid", "store_level", "payment_level")
+  }
+
+  val cubeMarginsSql: String =
+    s"""WITH sp AS (${Tables.salesWithPaymentSql}),
+       |base AS (
+       |  SELECT store_id, payment_method, SUM(line_total) AS gross_dec,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM sp GROUP BY 1, 2)
+       |SELECT
+       |  COALESCE(store_id, 'ALL') AS store_level,
+       |  COALESCE(payment_method, 'ALL') AS payment_level,
+       |  CAST(GROUPING_ID(store_id, payment_method) AS BIGINT) AS gid,
+       |  CAST(SUM(gross_dec) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(n_lines) AS BIGINT) AS n_lines
+       |FROM base
+       |GROUP BY CUBE (store_id, payment_method)
+       |ORDER BY gid, store_level, payment_level""".stripMargin
+
   /** a31: MARKET-BASKET AFFINITY — sku co-occurrence with support and
     * lift over order baskets (l_orderkey groups), the association-rule
     * primitive behind "frequently bought together". The pair generator

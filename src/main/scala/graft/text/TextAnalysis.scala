@@ -2088,4 +2088,76 @@ object TextAnalysis {
        |FROM per_n GROUP BY doc_id, n_chars
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- t34
+
+  /** t34: VOCABULARY GROWTH (Heaps'-law readout) — cumulative distinct
+    * type count vs cumulative token count at ten corpus checkpoints, the
+    * curve that sizes a tokenizer vocabulary and predicts how many new
+    * types the next 10 TB of corpus will surface. Checkpoints are deciles
+    * of the doc_id space (ingest order). The scale-critical move: the
+    * cumulative distinct at checkpoint c is NOT ten distinct-counts over
+    * growing prefixes (10× corpus rescans) — each type contributes to
+    * exactly one decile via its FIRST-occurrence doc (one vocab-grain
+    * `min` aggregate), and the ten per-decile increments cumulate in a
+    * 10-row window. Token totals cumulate the same way. ttr_milli is the
+    * cumulative type/token ratio in exact integer milli. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.docsTok(spark, dir)
+    val nRel = toks.agg((max(col("doc_id")) + 1L).as("n_total"))
+    val docsDec = toks.crossJoin(nRel) // 1-row scalar broadcast
+      .select(expr("doc_id * 10 DIV n_total").as("decile"),
+        size(col("words")).cast("long").as("n_toks"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("n_toks")).as("new_tokens"))
+    val typesDec = toks
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(nRel)
+      .select(expr("first_doc * 10 DIV n_total").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDec.join(typesDec, Seq("decile"), "left")
+      .select(col("decile"), col("new_docs"), col("new_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("decile"),
+        sum(col("new_docs")).over(w).as("n_docs"),
+        sum(col("new_tokens")).over(w).as("n_tokens"),
+        sum(col("new_types")).over(w).as("n_types"))
+      .select(col("decile"), col("n_docs"), col("n_tokens"), col("n_types"),
+        expr("CASE WHEN n_tokens = 0 THEN NULL " +
+          "ELSE n_types * 1000 DIV n_tokens END").as("ttr_milli"))
+      .orderBy(col("decile"))
+  }
+
+  def vocabGrowthSql(): String = {
+    val ws = Corpus.wordsSqlExpr
+    s"""WITH n AS (SELECT MAX(doc_id) + 1 AS n_total FROM documents),
+       |docs_dec AS (
+       |  SELECT doc_id * 10 // n_total AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS new_docs,
+       |    CAST(SUM(len($ws)) AS BIGINT) AS new_tokens
+       |  FROM documents, n GROUP BY 1),
+       |first_doc AS (
+       |  SELECT word, MIN(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest($ws) AS word FROM documents)
+       |  GROUP BY word),
+       |types_dec AS (
+       |  SELECT fd * 10 // n_total AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS new_types
+       |  FROM first_doc, n GROUP BY 1),
+       |cum AS (
+       |  SELECT d.decile,
+       |    CAST(SUM(new_docs) OVER w AS BIGINT) AS n_docs,
+       |    CAST(SUM(new_tokens) OVER w AS BIGINT) AS n_tokens,
+       |    CAST(SUM(COALESCE(new_types, 0)) OVER w AS BIGINT) AS n_types
+       |  FROM docs_dec d LEFT JOIN types_dec t USING (decile)
+       |  WINDOW w AS (ORDER BY d.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT decile, n_docs, n_tokens, n_types,
+       |  CAST(CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE n_types * 1000 // n_tokens END AS BIGINT) AS ttr_milli
+       |FROM cum ORDER BY decile""".stripMargin
+  }
 }

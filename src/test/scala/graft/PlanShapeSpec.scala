@@ -699,6 +699,15 @@ class PlanShapeSpec extends GraftSpec {
         "(band, bandkey) index distinct — the indexes then arrive at " +
         "the delta by broadcast semi joins, the corpus never " +
         "self-joins"),
+    ("a63_cube_margins", 2,
+      "the fact table aggregates ONCE to (store, payment) grain; the " +
+        "CUBE's Expand and its grouping-set aggregate run over that " +
+        "dimension-bounded relation — cubing the raw fact would 4x " +
+        "the shuffle input"),
+    ("t34_vocab_growth", 3,
+      "one vocab-grain first-occurrence min + two 10-row decile " +
+        "aggregates; the cumulative window is a 10-row single " +
+        "partition, never a corpus sort"),
     ("v36_als_recs", 8,
       "per-customer ridge solves ride the custkey exchanges (ratings " +
         "rollup + moment agg + rec window + final stitch); brand " +

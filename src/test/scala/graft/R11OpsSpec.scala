@@ -117,6 +117,89 @@ class R11OpsSpec extends GraftSpec {
     assert(got === Map(8L -> "exact", 18L -> "near", 28L -> "novel"))
   }
 
+  test("k27: the lake physically evolves — v1 files lack discount_amount, " +
+      "v2 files lack payment_method, the merged read null-fills exactly") {
+    val audit = graft.etl.Evolution.schemaEvolution(spark, sfDir).collect()
+    val root = graft.etl.Evolution.lakeDirs(sfDir)
+    val v1 = spark.read.parquet(s"$root/gen=v1")
+    val v2 = spark.read.parquet(s"$root/gen=v2")
+    val base = Set("store_id", "sale_date", "sku", "quantity", "line_total")
+    assert(v1.schema.fieldNames.toSet === base + "payment_method")
+    assert(v2.schema.fieldNames.toSet === base + "discount_amount")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.schema.fieldNames.toSet ===
+      base + "payment_method" + "discount_amount" + "gen")
+    // absent columns null-fill per generation; present ones never do
+    assert(merged.filter(col("gen") === "v2" &&
+      col("payment_method").isNotNull).count() === 0L)
+    assert(merged.filter(col("gen") === "v1" &&
+      col("discount_amount").isNotNull).count() === 0L)
+    assert(merged.filter(col("line_total").isNull).count() === 0L)
+    // the money type survives the schema merge intact
+    assert(merged.schema("line_total").dataType ===
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    // audit relation reconciles with the physical per-generation counts
+    val got = audit.map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("v1", "payment_method")) === ((v1.count(), v1.count())))
+    assert(got(("v2", "payment_method")) === ((v2.count(), 0L)))
+    assert(got(("v1", "discount_amount")) === ((v1.count(), 0L)))
+    assert(got(("v2", "discount_amount")) === ((v2.count(), v2.count())))
+  }
+
+  test("t34: vocabulary growth matches a straight-line Scala recompute " +
+      "of the first-occurrence deciles") {
+    val docs = graft.text.Corpus.docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nTotal = docs.map(_._1).max + 1
+    def toksOf(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val docsDec = docs.groupBy(d => d._1 * 10 / nTotal).view
+      .mapValues(ds => (ds.size.toLong, ds.map(d => toksOf(d._2).size.toLong).sum))
+    val firstDoc = docs.flatMap(d => toksOf(d._2).map(_ -> d._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val typesDec = firstDoc.values.groupBy(fd => fd * 10 / nTotal).view
+      .mapValues(_.size.toLong).toMap
+    val deciles = docsDec.keys.toSeq.sorted
+    var (cd, ct, cy) = (0L, 0L, 0L)
+    val want = deciles.map { dec =>
+      val (nd, nt) = docsDec(dec)
+      cd += nd; ct += nt; cy += typesDec.getOrElse(dec, 0L)
+      (dec, cd, ct, cy, if (ct == 0) null else cy * 1000 / ct)
+    }
+    val got = graft.text.TextAnalysis.vocabGrowth(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // Heaps: types grow strictly slower than tokens after the first decile
+    assert(got.last._4 < got.last._3)
+  }
+
+  test("a63: every CUBE margin equals the brute-force re-aggregation of " +
+      "its cells, and gid encodes {store=2, payment=1}") {
+    val rows = graft.analytics.Kpis.cubeMargins(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val cells = rows.filter(_._3 == 0L)
+    assert(cells.nonEmpty)
+    def total(sel: ((String, String, Long, Double, Long)) => Boolean) =
+      (cells.filter(sel).map(_._5).sum,
+        math.round(cells.filter(sel).map(_._4).sum * 100))
+    rows.filter(_._3 == 1L).foreach { m => // payment folded out, store kept
+      assert(m._2 === "ALL")
+      assert(total(c => c._1 == m._1) === ((m._5, math.round(m._4 * 100))))
+    }
+    rows.filter(_._3 == 2L).foreach { m => // store folded out
+      assert(m._1 === "ALL")
+      assert(total(c => c._2 == m._2) === ((m._5, math.round(m._4 * 100))))
+    }
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length === 1 && grand.head._1 === "ALL" &&
+      grand.head._2 === "ALL")
+    assert(total(_ => true) ===
+      ((grand.head._5, math.round(grand.head._4 * 100))))
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
