@@ -1640,6 +1640,51 @@ object Dedup {
        |LEFT JOIN near n ON d.doc_id = n.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Pure per-document band-key computation over a shingle-id set —
+    * the probe form of [[bandKeys]] for the streaming twin. Bit-parity
+    * with the relational path: sid < P (~2^20) so `sid*a + b` stays
+    * far below Long overflow, and each band's weighted minhash sum is
+    * < 4·29791·P < 2^38, so encoding the band ordinal in the top bits
+    * (b << 48) is collision-free. Empty sid set (doc under 3 words) →
+    * no bands, same as the relational side emitting no signature row. */
+  def bandKeysOf(sids: Iterable[Long]): Array[Long] =
+    if (sids.isEmpty) Array.empty
+    else {
+      val mh = Array.tabulate(NumHashes)(j =>
+        sids.iterator.map(sid => (sid * aj(j) + bj(j)) % Corpus.P).min)
+      Array.tabulate(4)(b =>
+        (b.toLong << 48) |
+          (0 until 4).map(i => mh(4 * b + i) * bandWeight(i)).sum)
+    }
+
+  /** d29's snapshot LSH band index in PROBE form: the distinct
+    * (band, bandkey) set, band-encoded per [[bandKeysOf]]. Driver-side
+    * Set because the streaming twin broadcasts it to every probe task —
+    * at 100 TB this index lives in a shared KV/state store keyed the
+    * same way and the probe is a point lookup; the collect here is the
+    * test-scale stand-in for that seam (the BATCH key d29 never
+    * collects it — it joins the index distributively). */
+  def snapshotBandIndex(spark: SparkSession, dir: String): Set[Long] =
+    bandKeys(signaturesWideFrom(
+        docSids(spark, dir).filter(col("doc_id") % 10 < SnapshotMod)))
+      .select(col("band"), col("bandkey")).distinct()
+      .collect().map(r => (r.getLong(0) << 48) | r.getLong(1)).toSet
+
+  /** d29's snapshot exact-identity index: distinct snapshot texts, kept
+    * RELATIONAL (it joins the stream, stream-static). */
+  def snapshotTexts(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docs(spark, dir)
+      .filter(col("doc_id") % 10 < SnapshotMod)
+      .select(col("text")).distinct()
+
+  /** The corpus shingle dictionary as a driver map for the streaming
+    * twin's per-row sid lookup (vocabulary-sized, the same collect
+    * class as the trained-codebook keys; at real scale the dictionary
+    * is dropped for xxhash64 — see [[Corpus]]). */
+  def shingleDictMap(spark: SparkSession, dir: String): Map[String, Long] =
+    Corpus.shingleDict(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Materialize the tokenize-once silver relations shared by the dedup
     * family (d2/d4/d6/d7 read [[docSids]]; d9/d10 read [[docSidsXx]]).
     * In production these are written-once shingle tables; Bench calls this

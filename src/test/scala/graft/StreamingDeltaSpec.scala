@@ -1,0 +1,47 @@
+package graft
+
+import graft.streaming.{DeltaDoc, StreamingDelta}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The stateless stream-static twin of batch d29: same verdicts under
+  * any micro-batch split, duplicate (not conflicting) rows under
+  * re-delivery. */
+class StreamingDeltaSpec extends GraftSpec {
+
+  test("streaming delta classification replays bit-identical to batch " +
+      "d29 across uneven micro-batch splits, including re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = graft.dedup.Dedup.incrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getString(4))).toSeq
+    val delta = graft.text.Corpus.docs(spark, sfDir)
+      .filter(col("doc_id") % 10 >= graft.dedup.Dedup.SnapshotMod)
+      .select(col("doc_id"), col("text"), col("source")).as[DeltaDoc]
+      .collect().sortBy(_.doc_id)
+    assert(delta.nonEmpty)
+    val snapTexts = graft.dedup.Dedup.snapshotTexts(spark, sfDir)
+    val bandIdx = graft.dedup.Dedup.snapshotBandIndex(spark, sfDir)
+    val dict = graft.dedup.Dedup.shingleDictMap(spark, sfDir)
+    val input = MemoryStream[DeltaDoc]
+    val q = StreamingDelta.classify(input.toDS(), snapTexts, bandIdx, dict)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("delta_cls").start()
+    try {
+      val (b1, rest) = delta.splitAt(7)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // third batch includes a RE-DELIVERY of three batch-1 docs
+      input.addData((b3 ++ b1.take(3)).toIndexedSeq)
+      q.processAllAvailable()
+      val all = spark.table("delta_cls").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+          r.getString(4)))
+      // re-delivered docs re-emit IDENTICAL rows (idempotent verdicts)
+      assert(all.length === delta.length + 3)
+      assert(all.distinct.sortBy(_._1).toSeq === batch)
+    } finally q.stop()
+  }
+}
