@@ -569,6 +569,133 @@ object Similarity {
        |FROM rankedp WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** v38: DELTA-INDEX ANN — index FRESHNESS, the lifecycle gap every
+    * static ANN index has: vectors arriving after the IVF build must be
+    * searchable immediately, not after the next rebuild. The
+    * FAISS/Lucene refresh pattern: a MAIN inverted-file index over the
+    * snapshot (vec_id % 10 < 8, d29's corpus split) plus an UNINDEXED
+    * delta side-table (recent arrivals, bounded by the ingest window)
+    * that every query scans exhaustively; results merge at rank time
+    * and a compaction job later folds the delta into the main index
+    * (the d29/k24 plan-to-action loop, vector edition). Query cost =
+    * IVF probe (|cells|/nProbe pruning on the big side) + |delta|
+    * brute force — the delta leg broadcasts because it is ingest-
+    * window-bounded, never corpus-sized. `from_delta` tags each hit's
+    * provenance so the freshness SLA is observable per result. */
+  def deltaIndexAnn(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries,
+                    nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(spark, dir)
+    val snap = e.filter(col("vec_id") % 10 < 8)
+    val delta = e.filter(col("vec_id") % 10 >= 8)
+    val cents = snap.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
+        col("norm2").as("c_norm2"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("cent_vid"))) - 1)
+      .drop("cent_vid")
+    val assigned = {
+      val aff = snap.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(dotCol(col("embedding"), col("c_emb")),
+          col("norm2"), col("c_norm2")))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      aff.withColumn("crank", row_number().over(wv))
+        .filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"),
+          col("centroid_id").as("cell"),
+          col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
+    }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm2").as("q_norm2"))
+    val qprobe = {
+      val qaff = queries.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(dotCol(col("q_emb"), col("c_emb")),
+          col("q_norm2"), col("c_norm2")))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      qaff.withColumn("crank", row_number().over(wq))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("centroid_id").as("cell"),
+          col("q_emb"), col("q_norm2"))
+    }
+    val mainLeg = broadcast(qprobe).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        lit(false).as("from_delta"),
+        cosine(dotCol(col("q_emb"), col("n_emb")),
+          col("q_norm2"), col("n_norm2")).as("cosine"))
+    val deltaLeg = queries.crossJoin(broadcast(
+        delta.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"), col("norm2").as("n_norm2"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        lit(true).as("from_delta"),
+        cosine(dotCol(col("q_emb"), col("n_emb")),
+          col("q_norm2"), col("n_norm2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    mainLeg.unionByName(deltaLeg)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("from_delta"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def deltaIndexAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                       nCentroids: Int = 8, nProbe: Int = 2): String =
+    s"""WITH e AS ($withNormSql),
+       |snap AS (SELECT * FROM e WHERE vec_id % 10 < 8),
+       |delta AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
+       |cents AS (
+       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+       |  FROM snap ORDER BY vec_id LIMIT $nCentroids),
+       |aff AS (
+       |  SELECT s.vec_id, s.embedding, s.norm2, c.centroid_id,
+       |    ${dotSql("s.embedding", "c.c_emb")}
+       |      / sqrt(s.norm2 * c.c_norm2) AS ccos
+       |  FROM snap s CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id AS cell,
+       |    embedding AS n_emb, norm2 AS n_norm2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY ccos DESC, centroid_id ASC) AS crank FROM aff)
+       |  WHERE crank = 1),
+       |qaff AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+       |    e.norm2 AS q_norm2, c.centroid_id AS cell,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / sqrt(e.norm2 * c.c_norm2) AS ccos
+       |  FROM e CROSS JOIN cents c WHERE e.vec_id < $nQueries),
+       |qprobe AS (
+       |  SELECT query_id, cell, q_emb, q_norm2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY ccos DESC, cell ASC) AS crank FROM qaff)
+       |  WHERE crank <= $nProbe),
+       |main_leg AS (
+       |  SELECT p.query_id, a.neighbor_id, FALSE AS from_delta,
+       |    ${dotSql("p.q_emb", "a.n_emb")}
+       |      / sqrt(p.q_norm2 * a.n_norm2) AS cosine
+       |  FROM qprobe p JOIN assigned a USING (cell)
+       |  WHERE p.query_id <> a.neighbor_id),
+       |delta_leg AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    TRUE AS from_delta,
+       |    ${dotSql("q.embedding", "d.embedding")}
+       |      / sqrt(q.norm2 * d.norm2) AS cosine
+       |  FROM e q CROSS JOIN delta d
+       |  WHERE q.vec_id < $nQueries AND q.vec_id <> d.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM (SELECT * FROM main_leg UNION ALL SELECT * FROM delta_leg))
+       |SELECT query_id, rank, neighbor_id, from_delta, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def cosineNearDupSql(threshold: Double = 0.4): String =
     s"""WITH e AS ($withNormSql),
        |pairs AS (

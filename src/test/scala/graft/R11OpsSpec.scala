@@ -200,6 +200,53 @@ class R11OpsSpec extends GraftSpec {
       ((grand.head._5, math.round(grand.head._4 * 100))))
   }
 
+  test("v38: main hits are snapshot-resident, delta hits delta-resident, " +
+      "ranks contiguous and cosine-sorted, and fresh vectors surface") {
+    val rows = graft.vector.Similarity.deltaIndexAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // provenance tag == residence: the legs never leak into each other
+    rows.foreach { case (_, _, nid, fromDelta, _) =>
+      assert(fromDelta === (nid % 10 >= 8))
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._5).toSeq ===
+        sorted.map(_._5).sortBy(c => -c).toSeq)
+    }
+    // freshness: un-indexed arrivals actually surface in some top-k
+    assert(rows.exists(_._4))
+    // PROVABLE freshness: the delta leg is exhaustive, so any TRUE
+    // top-k neighbor that lives in the delta must appear (its merged
+    // rank can only improve when the candidate set shrinks to
+    // probed-cells ∪ delta). Exact ranks recomputed in-process with
+    // the same sequential float->double fold and tie-break.
+    val vecs = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val norm2 = vecs.map { case (id, v) => id -> dot(v, v) }
+    val k = 5
+    rows.map(_._1).distinct.foreach { q =>
+      val trueTopK = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, dot(vecs(q), vecs(n)) /
+          math.sqrt(norm2(q) * norm2(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(k)
+      val got = rows.filter(_._1 == q).map(_._3).toSet
+      trueTopK.filter(_._1 % 10 >= 8).foreach { case (n, _) =>
+        assert(got.contains(n),
+          s"query $q: delta-resident true neighbor $n missing")
+      }
+    }
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
