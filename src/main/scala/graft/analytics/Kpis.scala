@@ -209,16 +209,19 @@ object Kpis {
     * including the payment-only margin a ROLLUP (a33) structurally
     * cannot produce, plus the grouping_id() bit vector itself so the
     * Spark↔DuckDB set-encoding (store = high bit) is hash-certified
-    * rather than assumed. Scale shape: the fact table aggregates ONCE
-    * to the dimension-bounded (store, payment) grain and the CUBE's
-    * 4-way Expand runs over that tiny relation — cubing the raw fact
-    * would quadruple the shuffle input for identical output (Expand
-    * fans every input row to each grouping set). */
+    * rather than assumed. Scale shape: the cube reads the memoized
+    * payment silver (the orders join paid once corpus-wide, the a2/a6
+    * discipline), re-aggregates it to the dimension-bounded
+    * (store, payment) grain, and only then lets the CUBE's 4-way
+    * Expand run — cubing the raw fact would quadruple the shuffle
+    * input for identical output (Expand fans every input row to each
+    * grouping set). Decimal partials re-aggregate exactly, so the
+    * silver hop changes no value. */
   def cubeMargins(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.salesWithPayment(spark, dir)
+    val base = graft.etl.StoreDaily.paymentDec(spark, dir)
       .groupBy(col("store_id"), col("payment_method"))
-      .agg(sum(col("line_total")).as("gross_dec"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(col("gross_dec")).as("gross_dec"),
+        sum(col("txn")).as("n_lines"))
     base.cube(col("store_id"), col("payment_method"))
       .agg(sum(col("gross_dec")).as("gross"),
         sum(col("n_lines")).as("n_lines_sum"),

@@ -1177,4 +1177,92 @@ object CorpusPrep {
        |WHERE rank <= (n_docs * $quotaPct) // 100
        |ORDER BY rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- p22
+
+  /** p22: DOMAIN REWEIGHTING (DoReMi-shaped) — adjust the training
+    * mixture's per-source sampling weights by how HARD each source is
+    * for the reference LM: sources whose mean per-token surprisal (t13's
+    * unigram LM, integer milli-bits) exceeds the corpus mean get boosted,
+    * easy sources get damped, then weights renormalize over the baseline
+    * token shares. This is the published DoReMi step in single-shot form
+    * — the full method alternates reweight ↔ proxy-retrain, and with a
+    * FIXED reference model the R update rounds collapse to the closed
+    * form baseline_share × step^R, so the exponent is applied directly
+    * (R = [[ReweightRounds]]) instead of pretending a loop converges to
+    * anything new. All arithmetic is engine-exact: milli-bit means via
+    * integer DIV, the step clamped to [500, 2000] milli, step^4 kept in
+    * milli by two square-then-rescale rounds, and the final share is ONE
+    * IEEE division of two exact integers (both < 2^53). Scale: one
+    * corpus-grain exchange (the per-doc surprisal rollup t13 already
+    * pays), then everything is |sources|-sized. */
+  val ReweightRounds = 4
+  val ReweightEta = 8L // step = 1000 + excess/eta milli
+
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = TextAnalysis.lmSurprisal(spark, dir)
+      .join(Corpus.docs(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val dom = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_bits")).as("sum_bits"))
+    val tot = dom.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("sum_bits")).as("tot_bits"))
+    val stepped = dom.crossJoin(tot) // 1-row scalar broadcast
+      .withColumn("mean_milli", expr("sum_bits * 1000 DIV n_tokens"))
+      .withColumn("corpus_milli", expr("tot_bits * 1000 DIV tot_tokens"))
+      .withColumn("excess_milli", col("mean_milli") - col("corpus_milli"))
+      .withColumn("step_milli",
+        expr(s"GREATEST(500L, LEAST(2000L, 1000L + excess_milli DIV $ReweightEta))"))
+      .withColumn("b2", expr("step_milli * step_milli DIV 1000"))
+      .withColumn("boost_milli", expr("b2 * b2 DIV 1000"))
+      .withColumn("w", col("n_tokens") * col("boost_milli"))
+    val wtot = stepped.agg(sum(col("w")).as("w_tot"))
+    stepped.crossJoin(wtot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_milli"), col("excess_milli"), col("boost_milli"),
+        (col("w").cast("double") / col("w_tot").cast("double"))
+          .as("weight_share"))
+      .orderBy(col("source"))
+  }
+
+  def domainReweightSql(): String =
+    s"""WITH per_doc AS (${TextAnalysis.lmSurprisalSql}),
+       |dom AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(p.sum_bits) AS BIGINT) AS sum_bits
+       |  FROM per_doc p JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(SUM(sum_bits) AS BIGINT) AS tot_bits FROM dom),
+       |stepped AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    sum_bits * 1000 // n_tokens AS mean_milli,
+       |    sum_bits * 1000 // n_tokens - tot_bits * 1000 // tot_tokens
+       |      AS excess_milli
+       |  FROM dom CROSS JOIN tot),
+       |boosted AS (
+       |  SELECT *,
+       |    (GREATEST(500, LEAST(2000, 1000 + excess_milli // $ReweightEta))
+       |     * GREATEST(500, LEAST(2000, 1000 + excess_milli // $ReweightEta))
+       |     // 1000)
+       |    * (GREATEST(500, LEAST(2000, 1000 + excess_milli // $ReweightEta))
+       |       * GREATEST(500, LEAST(2000, 1000 + excess_milli // $ReweightEta))
+       |       // 1000)
+       |    // 1000 AS boost_milli
+       |  FROM stepped),
+       |wtot AS (
+       |  SELECT CAST(SUM(n_tokens * boost_milli) AS BIGINT) AS w_tot
+       |  FROM boosted)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(mean_milli AS BIGINT) AS mean_milli,
+       |  CAST(excess_milli AS BIGINT) AS excess_milli,
+       |  CAST(boost_milli AS BIGINT) AS boost_milli,
+       |  CAST(n_tokens * boost_milli AS DOUBLE) / CAST(w_tot AS DOUBLE)
+       |    AS weight_share
+       |FROM boosted CROSS JOIN wtot
+       |ORDER BY source""".stripMargin
 }

@@ -247,6 +247,72 @@ class R11OpsSpec extends GraftSpec {
     }
   }
 
+  test("k28: the lineage walker attributes join, window, generator, " +
+      "multi-source, and literal outputs on a synthetic two-table plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k28").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x")
+      .write.parquet(s"$tmp/alpha.parquet")
+    Seq((1L, 5L, "a,b"), (2L, 6L, "c")).toDF("id", "y", "tags")
+      .write.parquet(s"$tmp/beta.parquet")
+    val a = spark.read.parquet(s"$tmp/alpha.parquet")
+    val b = spark.read.parquet(s"$tmp/beta.parquet")
+    val q = a.join(b, Seq("id"))
+      .withColumn("rx",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("y"))))
+      .select(col("id"),
+        explode(split(col("tags"), ",")).as("tag"),
+        (col("x") + col("y")).as("xy"),
+        lit(1).as("one"),
+        col("rx"))
+    val got = graft.plans.ColumnLineage.lineageOf(q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("id", "alpha", "id"), // USING join binds the LEFT attribute
+      ("tag", "beta", "tags"), // through the generator
+      ("xy", "alpha", "x"), ("xy", "beta", "y"), // multi-source
+      ("one", "(literal)", "(literal)"),
+      ("rx", "alpha", "id"), ("rx", "beta", "y"))) // window part+order
+  }
+
+  test("p22: domain weights recompute from the t13 relation, shares sum " +
+      "to one, and the boost is exactly the clamped milli step to the 4th") {
+    val perDoc = graft.text.TextAnalysis.lmSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val src = graft.text.Corpus.docs(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val dom = perDoc.groupBy(d => src(d._1)).view.mapValues { ds =>
+      (ds.length.toLong, ds.map(_._2).sum, ds.map(_._3).sum)
+    }.toMap
+    val totT = dom.values.map(_._2).sum
+    val totB = dom.values.map(_._3).sum
+    val corpusMilli = totB * 1000 / totT
+    def boost(excess: Long): Long = {
+      // Scala Long '/' truncates toward zero — the DIV parity semantics
+      val step = math.max(500L, math.min(2000L, 1000L + excess / 8))
+      val b2 = step * step / 1000
+      b2 * b2 / 1000
+    }
+    val want = dom.toSeq.map { case (s, (nd, nt, sb)) =>
+      val mean = sb * 1000 / nt
+      val ex = mean - corpusMilli
+      (s, nd, nt, mean, ex, boost(ex))
+    }.sortBy(_._1)
+    val wTot = want.map(w => w._3 * w._6).sum
+    val got = graft.text.CorpusPrep.domainReweight(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5, g._6)).toSeq === want)
+    got.foreach { g =>
+      assert(g._7 === (g._3 * g._6).toDouble / wTot.toDouble)
+    }
+    assert(math.abs(got.map(_._7).sum - 1.0) < 1e-12)
+    // the update must actually discriminate at this SF
+    assert(got.map(_._6).distinct.length > 1)
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
