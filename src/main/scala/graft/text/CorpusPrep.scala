@@ -1203,10 +1203,15 @@ object CorpusPrep {
     val perDoc = TextAnalysis.lmSurprisal(spark, dir)
       .join(Corpus.docs(spark, dir).select(col("doc_id"), col("source")),
         Seq("doc_id"))
+    // cached: the |sources|-sized rollup feeds THREE consumers below
+    // (the corpus-total aggregate, the stepped projection, the weight
+    // normalizer) — without a cache each 1-row aggregate re-executes
+    // the whole corpus surprisal pipeline
     val dom = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("sum_bits")).as("sum_bits"))
+      .cache()
     val tot = dom.agg(sum(col("n_tokens")).as("tot_tokens"),
       sum(col("sum_bits")).as("tot_bits"))
     val stepped = dom.crossJoin(tot) // 1-row scalar broadcast

@@ -708,6 +708,18 @@ class PlanShapeSpec extends GraftSpec {
       "one vocab-grain first-occurrence min + two 10-row decile " +
         "aggregates; the cumulative window is a 10-row single " +
         "partition, never a corpus sort"),
+    ("v38_delta_index", 3,
+      "the snapshot assignment's one vec_id window exchange + the " +
+        "probed-cell meet; the delta side-table and the query set " +
+        "arrive ONLY by broadcast — neither ever shuffles the corpus"),
+    ("p22_domain_reweight", 3,
+      "the t13 surprisal pipeline's vocab + per-doc exchanges and ONE " +
+        "source-grain rollup (cached: three downstream consumers read " +
+        "the 5-row relation, not the corpus); everything after is " +
+        "|sources|-sized"),
+    ("k28_column_lineage", 0,
+      "pure driver-side plan traversal — the lineage relation is a " +
+        "local table, zero data read, zero exchanges"),
     ("v36_als_recs", 8,
       "per-customer ridge solves ride the custkey exchanges (ratings " +
         "rollup + moment agg + rec window + final stitch); brand " +
