@@ -339,6 +339,90 @@ object Series {
        |WHERE rnk = (n_pairs + 1) // 2
        |ORDER BY store_id""".stripMargin
 
+  /** a65: FORECAST + BACKTEST — the extrapolation step a55's
+    * decomposition and a52's changepoint feed: hold out the LAST
+    * [[ForecastH]] days of company daily net revenue, fit on the rest,
+    * and emit the per-day backtest of two reference forecasters:
+    *
+    *   fc_snaive_c  seasonal-naive-with-drift: the same-weekday value
+    *                one season back (lag 7 — inside the train window
+    *                for every holdout day because H = season length)
+    *                plus h·drift, drift = (last_train − first_train)
+    *                DIV (n_train − 1) cents/day
+    *   fc_naive_c   last train value carried flat (the no-skill
+    *                baseline every forecast must beat)
+    *
+    * The relation is the backtest itself — actuals next to both
+    * forecasts and their absolute errors, the honest eval a forecast
+    * ships with (M-competition discipline: always against naive).
+    * Exactness: integer cents end to end; drift uses truncating DIV
+    * (both engines truncate toward zero — the t32 verification).
+    *
+    * Scale shape: the series is DATE-grain (calendar-bounded, the a29
+    * argument): the rank/lag windows run over ~10³ rows regardless of
+    * fact scale; the corpus-sized work is the one upstream rollup the
+    * memoized silver already paid. */
+  val ForecastH = 7
+
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val netCents = ((col("gross_dec") - col("disc_dec")) * 100)
+      .cast(DecimalType(18, 0))
+    val series = StoreDaily.rollupDec(spark, dir)
+      .groupBy(col("sale_date"))
+      .agg(sum(netCents).cast(DecimalType(18, 0)).cast("long").as("net_c"))
+    val byDate = Window.orderBy(col("sale_date"))
+    val all = Window.partitionBy()
+    series
+      .withColumn("rn", row_number().over(byDate).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("lag7", lag(col("net_c"), ForecastH).over(byDate))
+      .withColumn("y_first",
+        max(when(col("rn") === 1, col("net_c"))).over(all))
+      .withColumn("y_last_train",
+        max(when(col("rn") === col("n") - ForecastH, col("net_c"))).over(all))
+      .withColumn("drift_c",
+        expr(s"(y_last_train - y_first) DIV (n - ${ForecastH + 1})"))
+      .filter(col("rn") > col("n") - ForecastH)
+      .withColumn("h", col("rn") - (col("n") - ForecastH))
+      .select(col("sale_date"), col("h"),
+        col("net_c").as("actual_c"),
+        (col("lag7") + col("h") * col("drift_c")).as("fc_snaive_c"),
+        col("y_last_train").as("fc_naive_c"))
+      .withColumn("err_snaive_c", abs(col("actual_c") - col("fc_snaive_c")))
+      .withColumn("err_naive_c", abs(col("actual_c") - col("fc_naive_c")))
+      .orderBy(col("sale_date"))
+  }
+
+  def forecastBacktestSql(): String =
+    s"""WITH sd AS (${StoreDaily.rollupDecSql}),
+       |series AS (
+       |  SELECT sale_date,
+       |    CAST(SUM((gross_dec - disc_dec) * 100) AS BIGINT) AS net_c
+       |  FROM sd GROUP BY sale_date),
+       |ranked AS (
+       |  SELECT sale_date, net_c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sale_date) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+       |    lag(net_c, $ForecastH) OVER (ORDER BY sale_date) AS lag7
+       |  FROM series),
+       |fitted AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN rn = 1 THEN net_c END) OVER () AS y_first,
+       |    MAX(CASE WHEN rn = n - $ForecastH THEN net_c END) OVER ()
+       |      AS y_last_train
+       |  FROM ranked),
+       |fc AS (
+       |  SELECT sale_date, rn - (n - $ForecastH) AS h, net_c AS actual_c,
+       |    lag7 + (rn - (n - $ForecastH))
+       |      * ((y_last_train - y_first) // (n - ${ForecastH + 1}))
+       |      AS fc_snaive_c,
+       |    y_last_train AS fc_naive_c
+       |  FROM fitted WHERE rn > n - $ForecastH)
+       |SELECT sale_date, h, actual_c, fc_snaive_c, fc_naive_c,
+       |  abs(actual_c - fc_snaive_c) AS err_snaive_c,
+       |  abs(actual_c - fc_naive_c) AS err_naive_c
+       |FROM fc ORDER BY sale_date""".stripMargin
+
   /** a55: CLASSICAL SEASONAL DECOMPOSITION (the moving-average
     * decomposition under STL's additive model: series = trend +
     * seasonal + remainder) of company daily net revenue — the readout

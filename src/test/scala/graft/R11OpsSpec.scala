@@ -313,6 +313,33 @@ class R11OpsSpec extends GraftSpec {
     assert(got.map(_._6).distinct.length > 1)
   }
 
+  test("a65: the backtest matches a straight-line recompute of " +
+      "seasonal-naive-with-drift over the same integer-cents series") {
+    val series = graft.etl.StoreDaily.rollupDec(spark, sfDir)
+      .select(col("sale_date"),
+        ((col("gross_dec") - col("disc_dec")) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(v => BigDecimal(v._2)).sum.toLongExact).toSeq
+      .sortBy(_._1)
+    val h = graft.analytics.Series.ForecastH
+    val n = series.length
+    assert(n > h + 1, "series long enough to fit")
+    val y = series.map(_._2)
+    val drift = (y(n - h - 1) - y(0)) / (n - h - 1) // Long /: truncates
+    val want = (1 to h).map { i =>
+      val idx = n - h + i - 1
+      val snaive = y(idx - h) + i * drift
+      (series(idx)._1, i.toLong, y(idx), snaive, y(n - h - 1),
+        math.abs(y(idx) - snaive), math.abs(y(idx) - y(n - h - 1)))
+    }
+    val got = graft.analytics.Series.forecastBacktest(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want)
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
