@@ -116,4 +116,59 @@ object Materialize {
         col("sales_dec").cast("double").as("total_sales"),
         col("total_transactions"), col("store_count"))
       .orderBy(col("sale_date"))
+
+  // ---------------------------------------------------------------- a66
+
+  /** The ingest boundary for a66: facts at or before this date are
+    * "yesterday's silver", facts after are "today's arrivals". Chosen
+    * mid-corpus so the boundary month (1995-06) STRADDLES it — the
+    * merge must genuinely combine partials with the same (store, month)
+    * key, not just concatenate disjoint ranges. */
+  val IngestBoundary = "1995-06-15"
+
+  /** a66: INCREMENTAL AGGREGATE MAINTENANCE — the IVM step that closes
+    * the incremental-lifecycle triad (d29 dedups the delta, v38 searches
+    * it, a66 folds it into the gold rollup): the monthly revenue rollup
+    * is maintained as base-silver ⊕ delta, where the base partial is
+    * PHYSICALLY MATERIALIZED to parquet (yesterday's silver, exactly
+    * what [[writeSummaries]] persists), today's delta is aggregated
+    * alone (work ∝ delta), and ⊕ is re-aggregation of the sum/count
+    * monoid over the union. The ORACLE recomputes the rollup from the
+    * full fact table, so the hash match is the machine-checked proof
+    * that partial-aggregate merge == full recompute — history is never
+    * rescanned, the algebra guarantees the same bytes. Decimal partials
+    * make ⊕ exact (the [[StoreDaily.paymentDec]] argument); a
+    * float-summed silver could not offer this contract. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "a66IncrementalRollup", dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-a66-silver").toString
+      def partial(pred: org.apache.spark.sql.Column): DataFrame =
+        graft.model.Tables.sales(spark, dir)
+          .filter(pred)
+          .groupBy(col("store_id"),
+            substring(col("sale_date"), 1, 7).as("month"))
+          .agg(sum(col("line_total")).as("gross_dec"),
+            count(lit(1)).as("n_lines"))
+      partial(col("sale_date") <= IngestBoundary)
+        .write.mode("overwrite").parquet(s"$root/base")
+      spark.read.parquet(s"$root/base")
+        .unionByName(partial(col("sale_date") > IngestBoundary))
+        .groupBy(col("store_id"), col("month"))
+        .agg(sum(col("gross_dec")).as("gross_dec"),
+          sum(col("n_lines")).as("n_lines"))
+        .select(col("store_id"), col("month"),
+          col("gross_dec").cast("double").as("total_sales"),
+          col("n_lines"))
+        .orderBy(col("store_id"), col("month"))
+    }
+
+  /** Full recompute from raw facts — what the merged silver must equal. */
+  def incrementalRollupSql(): String =
+    s"""SELECT store_id, substring(sale_date, 1, 7) AS month,
+       |  CAST(SUM(line_total) AS DOUBLE) AS total_sales,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM (${graft.model.Tables.salesSql})
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -340,6 +340,27 @@ class R11OpsSpec extends GraftSpec {
     assert(got === want)
   }
 
+  test("a66: merged base+delta partials equal a straight recompute, and " +
+      "the boundary month genuinely straddles the ingest split") {
+    val facts = Tables.sales(spark, sfDir)
+      .select(col("store_id"), col("sale_date"), col("line_total"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDecimal(2))))
+    val bnd = graft.etl.Materialize.IngestBoundary
+    val bndMonth = bnd.substring(0, 7)
+    // the merge is only a real test if the boundary month has facts on
+    // BOTH sides of the split
+    assert(facts.exists(f => f._2.startsWith(bndMonth) && f._2 <= bnd))
+    assert(facts.exists(f => f._2.startsWith(bndMonth) && f._2 > bnd))
+    val want = facts.groupBy(f => (f._1, f._2.substring(0, 7))).view
+      .mapValues(fs => (fs.map(_._3).sum.toDouble, fs.length.toLong))
+      .toMap
+    val got = graft.etl.Materialize.incrementalRollup(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
