@@ -103,6 +103,19 @@ object Linkage {
         col("size_c") === col("size_d") && lenC === col("blk"))
   }
 
+  /** The blocked candidate-pair relation (both blocking passes,
+    * deduplicated) — shared by [[scoredPairsPlan]] and er6's pattern
+    * census. */
+  private def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val clean = cleanView(spark, dir)
+    val dirtyB = dirtyBlocked(dirtyView(spark, dir))
+    val b1 = blockPass(clean, dirtyB, "brand")
+    val b2 = blockPass(clean, dirtyB, "type")
+    val cols = Seq("key_c", "key_d", "name_c", "name_d", "brand_c",
+      "brand_d", "type_c", "type_d").map(col)
+    b1.select(cols: _*).unionAll(b2.select(cols: _*)).distinct()
+  }
+
   private def scoredPairsPlan(spark: SparkSession, dir: String,
                               upper: Long, lower: Long): DataFrame = {
     val clean = cleanView(spark, dir)
@@ -137,16 +150,7 @@ object Linkage {
     // equi-key gains a term whose cardinality GROWS with the catalog —
     // cells stay O(n / (|brand||size||len|)), recall stays 1 by
     // construction, and the 3x replication is the whole cost.
-    val dirtyB = dirtyBlocked(dirty)
-    val b1 = blockPass(clean, dirtyB, "brand")
-    val b2 = blockPass(clean, dirtyB, "type")
-    val cands = b1.select(col("key_c"), col("key_d"), col("name_c"),
-        col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
-        col("type_d"))
-      .unionAll(b2.select(col("key_c"), col("key_d"), col("name_c"),
-        col("name_d"), col("brand_c"), col("brand_d"), col("type_c"),
-        col("type_d")))
-      .distinct()
+    val cands = candidates(spark, dir)
     val (wnA, wnD) = w("name"); val (wbA, wbD) = w("brand")
     val (wtA, wtD) = w("type")
     val scored = agreements(cands).crossJoin(broadcast(model))
@@ -181,6 +185,39 @@ object Linkage {
 
   /** The clean..scored CTE chain shared by [[fsLinkageSql]] and
     * [[entityClustersSql]] — the SQL twin of [[scoredPairs]]. */
+  /** The clean..cands CTE chain (views + blocking) shared by
+    * [[scoredCtesSql]] and er6's pattern census. */
+  private def baseCtesSql(): String =
+    s"""clean AS (
+       |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
+       |    p_type AS type_c, p_size AS size_c
+       |  FROM part),
+       |dirty AS (
+       |  SELECT p_partkey AS key_d,
+       |    substring(p_name, 1,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT))
+       |    || substring(p_name,
+       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT) + 2,
+       |      length(p_name)) AS name_d,
+       |    p_brand AS brand_d,
+       |    CASE WHEN p_partkey % 4 = 0 THEN 'UNKNOWN' ELSE p_type END AS type_d,
+       |    p_size AS size_d
+       |  FROM part),
+       |dirtyb AS (
+       |  SELECT d.*, length(name_d) + t.r AS blk
+       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r)),
+       |cands AS (
+       |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
+       |    type_c, type_d
+       |  FROM (
+       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
+       |      ON brand_c = brand_d AND size_c = size_d
+       |      AND length(name_c) = blk
+       |    UNION ALL
+       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
+       |      ON type_c = type_d AND size_c = size_d
+       |      AND length(name_c) = blk))""".stripMargin
+
   private def scoredCtesSql(): String = {
     def mlog2(x: String): String = {
       val b = s"(length(format('{:b}', $x)) - 1)"
@@ -197,41 +234,13 @@ object Linkage {
       }
       s"CAST(GREATEST(LEAST(SUM($a) * 1000 // COUNT(*), 999), 1) AS BIGINT) AS ${p}_$f"
     }.mkString(",\n    ")
-    s"""clean AS (
-       |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
-       |    p_type AS type_c, p_size AS size_c
-       |  FROM part),
-       |dirty AS (
-       |  SELECT p_partkey AS key_d,
-       |    substring(p_name, 1,
-       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT))
-       |    || substring(p_name,
-       |      CAST((p_partkey % 1000000007) * 2654435761 % length(p_name) AS INT) + 2,
-       |      length(p_name)) AS name_d,
-       |    p_brand AS brand_d,
-       |    CASE WHEN p_partkey % 4 = 0 THEN 'UNKNOWN' ELSE p_type END AS type_d,
-       |    p_size AS size_d
-       |  FROM part),
-       |m AS (
+    s"${baseCtesSql()},\n" +
+    s"""m AS (
        |  SELECT ${rateCols("m")}
        |  FROM clean JOIN dirty ON key_c = key_d),
        |u AS (
        |  SELECT ${rateCols("u")}
        |  FROM clean JOIN dirty ON key_c + 1 = key_d),
-       |dirtyb AS (
-       |  SELECT d.*, length(name_d) + t.r AS blk
-       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r)),
-       |cands AS (
-       |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
-       |    type_c, type_d
-       |  FROM (
-       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
-       |      ON brand_c = brand_d AND size_c = size_d
-       |      AND length(name_c) = blk
-       |    UNION ALL
-       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
-       |      ON type_c = type_d AND size_c = size_d
-       |      AND length(name_c) = blk)),
        |scored AS (
        |  SELECT key_c, key_d,
        |    (CASE WHEN levenshtein(name_c, name_d) <= 2
@@ -632,5 +641,138 @@ object Linkage {
       audit("type_size_len", "b2") + "\nUNION ALL\n" +
       audit("union", "(SELECT * FROM b1 UNION ALL SELECT * FROM b2)") +
       "\nORDER BY pass"
+  }
+
+  // ---------------------------------------------------------------- er6
+
+  /** EM iteration count for er6 (unrolled in both engines). */
+  val EmRounds = 3
+
+  private val EmFields = Seq("name", "brand", "type")
+
+  /** er6: UNSUPERVISED EM WEIGHT ESTIMATION — er1's m/u/λ parameters
+    * learned from the UNLABELED candidate pairs alone (the Splink/
+    * fastLink core): er1 derives m from the known true pairing — a
+    * luxury real linkage never has. EM needs only the agreement-pattern
+    * census: with K = 3 fields there are 2³ = 8 patterns, so after ONE
+    * corpus-sized aggregation everything is 8-row arithmetic.
+    *   E-step  w(p) = λ·Π m-terms / (λ·Π m + (1−λ)·Π u) per pattern
+    *   M-step  λ, m_k, u_k re-estimated from responsibility-weighted
+    *           pattern counts
+    * All milli-integer: products rescale DIV 1000 per factor in FIXED
+    * field order (name, brand, type — truncation per step, so the
+    * oracle replays bit-for-bit), estimates clamp to [1, 999]. The
+    * relation is one row per round — the convergence trace, not just
+    * the fixed point, is what a steward audits. The census collect is
+    * 8 rows (the codebook-collect pattern); the oracle runs the SAME
+    * unrolled algebra in pure SQL from scratch, so the hash match
+    * certifies the EM arithmetic, not the collect.
+    *
+    * Read the trace honestly: name and brand separate hard
+    * (m ≫ u), but the TYPE estimates invert (m_type < u_type at
+    * sf0.01) — the textbook BLOCKED-ESTIMATION BIAS: half the
+    * candidates were generated BY the type block, so type agreement is
+    * near-certain among non-matches too, and EM attributes it to the
+    * unmatched class. This is the documented reason production linkage
+    * (Splink) estimates each field's parameters from blocking rules
+    * that EXCLUDE that field; the trace surfaces the pathology instead
+    * of hiding it. */
+  def emWeights(spark: SparkSession, dir: String): DataFrame = {
+    val pats = candidates(spark, dir)
+      .select(
+        (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long")
+          .as("a_name"),
+        (col("brand_c") === col("brand_d")).cast("long").as("a_brand"),
+        (col("type_c") === col("type_d")).cast("long").as("a_type"))
+      .groupBy(col("a_name"), col("a_brand"), col("a_type"))
+      .agg(count(lit(1)).as("n_p"))
+      .collect()
+      .map(r => (Array(r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3)))
+    def clamp(x: Long): Long = math.max(1L, math.min(999L, x))
+    var lam = 100L
+    var m = Array(900L, 900L, 900L)
+    var u = Array(100L, 100L, 100L)
+    val trace = (1 to EmRounds).map { round =>
+      val w = pats.map { case (a, _) =>
+        val pm = a.zip(m).foldLeft(lam) { case (acc, (ai, mi)) =>
+          acc * (if (ai == 1L) mi else 1000L - mi) / 1000L
+        }
+        val pu = a.zip(u).foldLeft(1000L - lam) { case (acc, (ai, ui)) =>
+          acc * (if (ai == 1L) ui else 1000L - ui) / 1000L
+        }
+        pm * 1000L / math.max(1L, pm + pu)
+      }
+      val n = pats.map(_._2)
+      lam = clamp(w.zip(n).map { case (wi, ni) => wi * ni }.sum /
+        math.max(1L, n.sum))
+      m = Array.tabulate(3) { k =>
+        val num = pats.indices.map(i => w(i) * n(i) * pats(i)._1(k)).sum
+        val den = pats.indices.map(i => w(i) * n(i)).sum
+        clamp(num * 1000L / math.max(1L, den))
+      }
+      u = Array.tabulate(3) { k =>
+        val num = pats.indices
+          .map(i => (1000L - w(i)) * n(i) * pats(i)._1(k)).sum
+        val den = pats.indices.map(i => (1000L - w(i)) * n(i)).sum
+        clamp(num * 1000L / math.max(1L, den))
+      }
+      (round.toLong, lam, m(0), u(0), m(1), u(1), m(2), u(2))
+    }
+    import spark.implicits._
+    trace.toDF("round", "lambda_milli", "m_name", "u_name",
+      "m_brand", "u_brand", "m_type", "u_type")
+      .orderBy(col("round"))
+  }
+
+  def emWeightsSql(): String = {
+    def pmExpr(src: String, mPrefix: String): String =
+      EmFields.foldLeft(src) { (acc, f) =>
+        s"($acc * (CASE WHEN a_$f = 1 THEN ${mPrefix}_$f " +
+          s"ELSE 1000 - ${mPrefix}_$f END) // 1000)"
+      }
+    def mStep(round: Int): String = {
+      def est(k: String, wTerm: String): String =
+        s"CAST(GREATEST(1, LEAST(999, SUM($wTerm * n_p * a_$k) * 1000 " +
+          s"// GREATEST(1, SUM($wTerm * n_p)))) AS BIGINT)"
+      s"""p$round AS (
+         |  SELECT CAST($round AS BIGINT) AS round,
+         |    CAST(GREATEST(1, LEAST(999,
+         |      SUM(w * n_p) // GREATEST(1, SUM(n_p)))) AS BIGINT)
+         |      AS lambda,
+         |    ${est("name", "w")} AS m_name,
+         |    ${est("name", "(1000 - w)")} AS u_name,
+         |    ${est("brand", "w")} AS m_brand,
+         |    ${est("brand", "(1000 - w)")} AS u_brand,
+         |    ${est("type", "w")} AS m_type,
+         |    ${est("type", "(1000 - w)")} AS u_type
+         |  FROM w$round)""".stripMargin
+    }
+    def eStep(round: Int): String =
+      s"""e$round AS (
+         |  SELECT pt.*,
+         |    ${pmExpr("p.lambda", "p.m")} AS pm,
+         |    ${pmExpr("(1000 - p.lambda)", "p.u")} AS pu
+         |  FROM patterns pt CROSS JOIN p${round - 1} p),
+         |w$round AS (
+         |  SELECT *, pm * 1000 // GREATEST(1, pm + pu) AS w FROM e$round)""".stripMargin
+    val rounds = (1 to EmRounds)
+      .map(r => eStep(r) + ",\n" + mStep(r)).mkString(",\n")
+    val out = (1 to EmRounds).map(r =>
+      s"SELECT round, lambda AS lambda_milli, m_name, u_name, m_brand, " +
+        s"u_brand, m_type, u_type FROM p$r").mkString("\nUNION ALL\n")
+    s"WITH ${baseCtesSql()},\n" +
+      s"""patterns AS (
+         |  SELECT
+         |    CASE WHEN levenshtein(name_c, name_d) <= 2 THEN 1 ELSE 0 END
+         |      AS a_name,
+         |    CASE WHEN brand_c = brand_d THEN 1 ELSE 0 END AS a_brand,
+         |    CASE WHEN type_c = type_d THEN 1 ELSE 0 END AS a_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_p
+         |  FROM cands GROUP BY 1, 2, 3),
+         |p0 AS (SELECT 100 AS lambda, 900 AS m_name, 100 AS u_name,
+         |  900 AS m_brand, 100 AS u_brand, 900 AS m_type, 100 AS u_type),
+         |""".stripMargin +
+      rounds + "\n" + out + "\nORDER BY round"
   }
 }

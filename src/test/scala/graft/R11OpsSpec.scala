@@ -361,6 +361,23 @@ class R11OpsSpec extends GraftSpec {
     assert(got === want)
   }
 
+  test("er6: EM separates name and brand (m >> u) without labels, keeps " +
+      "lambda in (0,1000), and the trace is deterministic") {
+    val t1 = graft.analytics.Linkage.emWeights(spark, sfDir).collect()
+      .map(r => (0 to 7).map(r.getLong).toVector)
+    val t2 = graft.analytics.Linkage.emWeights(spark, sfDir).collect()
+      .map(r => (0 to 7).map(r.getLong).toVector)
+    assert(t1.toSeq === t2.toSeq)
+    assert(t1.map(_(0)).toSeq === Seq(1L, 2L, 3L))
+    val last = t1.last
+    assert(last(1) > 0L && last(1) < 1000L) // lambda
+    assert(last(2) > last(3) + 300L, "name must separate hard")
+    assert(last(4) > last(5) + 300L, "brand must separate hard")
+    // all estimates clamped into [1, 999]
+    t1.foreach(row => row.drop(1).foreach(v =>
+      assert(v >= 1L && v <= 999L)))
+  }
+
   test("g9: weighted SSSP matches an in-process Bellman-Ford over the " +
       "same pruned graph with the same round bound") {
     val baskets = Tables.sales(spark, sfDir)
