@@ -105,16 +105,18 @@ object Linkage {
 
   /** The blocked candidate-pair relation (both blocking passes,
     * deduplicated) — shared by [[scoredPairsPlan]] and er6's pattern
-    * census. */
-  private def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val clean = cleanView(spark, dir)
-    val dirtyB = dirtyBlocked(dirtyView(spark, dir))
-    val b1 = blockPass(clean, dirtyB, "brand")
-    val b2 = blockPass(clean, dirtyB, "type")
-    val cols = Seq("key_c", "key_d", "name_c", "name_d", "brand_c",
-      "brand_d", "type_c", "type_d").map(col)
-    b1.select(cols: _*).unionAll(b2.select(cols: _*)).distinct()
-  }
+    * census, MEMOIZED so the two blocked joins are priced once per
+    * session however many ER readouts run. */
+  private def candidates(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "erCandidates", dir) {
+      val clean = cleanView(spark, dir)
+      val dirtyB = dirtyBlocked(dirtyView(spark, dir))
+      val b1 = blockPass(clean, dirtyB, "brand")
+      val b2 = blockPass(clean, dirtyB, "type")
+      val cols = Seq("key_c", "key_d", "name_c", "name_d", "brand_c",
+        "brand_d", "type_c", "type_d").map(col)
+      b1.select(cols: _*).unionAll(b2.select(cols: _*)).distinct().cache()
+    }
 
   private def scoredPairsPlan(spark: SparkSession, dir: String,
                               upper: Long, lower: Long): DataFrame = {
