@@ -55,8 +55,7 @@ object Evolution {
 
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "k27SchemaEvolution", dir) {
-      val lakeDir = java.nio.file.Files
-        .createTempDirectory("graft-k27-lake").toString
+      val lakeDir = Scratch.tempDir("k27-lake")
       lakeDirs(dir) = lakeDir
       val sl = slice(spark, dir).persist()
       try {

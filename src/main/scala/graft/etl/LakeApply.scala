@@ -159,8 +159,7 @@ object LakeApply {
     * (lakeDir, data schema without partition columns). */
   private def buildSalesLake(spark: SparkSession, dir: String,
                              tag: String): (String, StructType) = {
-    val lakeDir = java.nio.file.Files
-      .createTempDirectory(s"graft-$tag-lake").toString
+    val lakeDir = Scratch.tempDir(s"$tag-lake")
     val slice = sliceSales(spark, dir)
       .withColumn("__fk", concat_ws("/", col("store_id"), col("sale_date")))
     writeExactFiles(slice, Seq("part_month", "store_id"), "__fk", lakeDir)
@@ -358,8 +357,7 @@ object LakeApply {
     * near-dup purge kept exactly the quality-selected keepers. */
   def dedupApplied(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "d28DedupApplied", dir) {
-      val lakeDir = java.nio.file.Files
-        .createTempDirectory("graft-d28-lake").toString
+      val lakeDir = Scratch.tempDir("d28-lake")
       lakeDirs(("d28", dir)) = lakeDir
       val docs = Tables.documents(spark, dir)
       val docsKeyed = docs.withColumn("__fk", col("source"))

@@ -210,8 +210,7 @@ object Layout {
       val linRanked = keyed("linear", graft.plans.GlobalRank.withRowNumber(
         rows, "rk", col("sku"), col("supp"), col("l_orderkey"),
         col("l_linenumber")))
-      val lakeDir = java.nio.file.Files
-        .createTempDirectory("graft-k26-lake").toString
+      val lakeDir = Scratch.tempDir("k26-lake")
       LakeApply.lakeDirs(("k26", dir)) = lakeDir
       LakeApply.writeExactFiles(zRanked.unionByName(linRanked),
         Seq("layout"), "__fk", lakeDir)

@@ -141,8 +141,7 @@ object Materialize {
     * float-summed silver could not offer this contract. */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame =
     graft.model.Silver.memoize(spark, "a66IncrementalRollup", dir) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-a66-silver").toString
+      val root = Scratch.tempDir("a66-silver")
       def partial(pred: org.apache.spark.sql.Column): DataFrame =
         graft.model.Tables.sales(spark, dir)
           .filter(pred)

@@ -234,8 +234,7 @@ object Ingest {
     * plan leaf, so repeated calls pay neither the write nor the read. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val viaOrc = graft.model.Silver.memoize(spark, "orcSales", dir) {
-      val orcDir = java.nio.file.Files
-        .createTempDirectory("graft-orc").toString
+      val orcDir = graft.etl.Scratch.tempDir("orc")
       graft.model.Tables.sales(spark, dir)
         .select(col("store_id"), col("sale_date"), col("sku"),
           col("quantity"), col("line_total"), col("discount_amount"))

@@ -36,8 +36,20 @@ object ColumnLineage {
     case _ => "(relation)"
   }
 
-  /** exprId → transitive set of (table, column) scan-leaf sources. */
+  /** exprId → transitive set of (table, column) scan-leaf sources.
+    * Memoized by plan-node IDENTITY: a plan that references the same
+    * subtree twice (self-union, self-join built from one DataFrame)
+    * shares ONE walk of it — without the cache the recursion is
+    * O(2^k) on k nested self-unions (LineagePropertiesSpec generates
+    * exactly that shape). The walk stays driver-side and linear in
+    * DISTINCT plan nodes. */
   private def attrSources(plan: LogicalPlan): Map[ExprId, Set[(String, String)]] = {
+    val memo = new java.util.IdentityHashMap[LogicalPlan, Map[ExprId, Set[(String, String)]]]()
+    def attrSourcesMemo(p: LogicalPlan): Map[ExprId, Set[(String, String)]] = {
+      val hit = memo.get(p)
+      if (hit != null) hit
+      else { val r = walk(p); memo.put(p, r); r }
+    }
     def refsOf(e: Expression,
                scope: Map[ExprId, Set[(String, String)]]): Set[(String, String)] =
       e.references.iterator
@@ -52,25 +64,25 @@ object ColumnLineage {
         case o => o.exprId -> refsOf(o, scope)
       }.toMap
 
-    plan match {
+    def walk(plan: LogicalPlan): Map[ExprId, Set[(String, String)]] = plan match {
       case lr: LogicalRelation =>
         val t = tableOf(lr)
         lr.output.map(a => a.exprId -> Set(t -> a.name)).toMap
       case p: Project =>
-        val scope = attrSources(p.child)
+        val scope = attrSourcesMemo(p.child)
         scope ++ named(p.projectList, scope)
       case a: Aggregate =>
-        val scope = attrSources(a.child)
+        val scope = attrSourcesMemo(a.child)
         scope ++ named(a.aggregateExpressions, scope)
       case w: Window =>
-        val scope = attrSources(w.child)
+        val scope = attrSourcesMemo(w.child)
         scope ++ named(w.windowExpressions, scope)
       case g: Generate =>
-        val scope = attrSources(g.child)
+        val scope = attrSourcesMemo(g.child)
         val genSrcs = refsOf(g.generator, scope)
         scope ++ g.generatorOutput.map(a => a.exprId -> genSrcs).toMap
       case e: Expand =>
-        val scope = attrSources(e.child)
+        val scope = attrSourcesMemo(e.child)
         // each output position unions the sources of every projection's
         // expression at that position (grouping-set semantics)
         scope ++ e.output.zipWithIndex.map { case (a, i) =>
@@ -78,9 +90,9 @@ object ColumnLineage {
             .map(row => refsOf(row(i), scope)).foldLeft(Set.empty[(String, String)])(_ ++ _)
         }.toMap
       case j: Join =>
-        attrSources(j.left) ++ attrSources(j.right)
+        attrSourcesMemo(j.left) ++ attrSourcesMemo(j.right)
       case u: Union =>
-        val childMaps = u.children.map(attrSources)
+        val childMaps = u.children.map(attrSourcesMemo)
         val merged = childMaps.reduce(_ ++ _)
         // a union output draws from the same ordinal of every branch
         merged ++ u.output.zipWithIndex.map { case (a, i) =>
@@ -88,13 +100,14 @@ object ColumnLineage {
             m.getOrElse(c.output(i).exprId, Set.empty[(String, String)])
           }.foldLeft(Set.empty[(String, String)])(_ ++ _)
         }.toMap
-      case u: UnaryNode => attrSources(u.child) // Filter/Sort/Limit/Alias/...
+      case u: UnaryNode => attrSourcesMemo(u.child) // Filter/Sort/Limit/Alias/...
       case l: LeafNode => // LogicalRDD / LocalRelation: the silver boundary
         l.output.map(a => a.exprId -> Set("(silver)" -> a.name)).toMap
       case o =>
-        o.children.map(attrSources)
+        o.children.map(attrSourcesMemo)
           .foldLeft(Map.empty[ExprId, Set[(String, String)]])(_ ++ _)
     }
+    attrSourcesMemo(plan)
   }
 
   /** The lineage relation of `df`: one row per (output column, source),

