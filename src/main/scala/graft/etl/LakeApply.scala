@@ -85,9 +85,12 @@ object LakeApply {
     * distinct value of `df(keyCol)` becomes EXACTLY ONE parquet file —
     * the file grain a real lake has and the property the applied-plan
     * keys are graded on. `keyCol` is dropped before writing. Dynamic
-    * partition overwrite: partitions absent from `df` are untouched. */
-  private[etl] def writeExactFiles(df: DataFrame, partCols: Seq[String],
-                                   keyCol: String, outDir: String): Unit = {
+    * partition overwrite: partitions absent from `df` are untouched.
+    * `mode = "append"` adds the placed files to existing partitions
+    * instead (the v39 index-append path). */
+  private[graft] def writeExactFiles(df: DataFrame, partCols: Seq[String],
+                                     keyCol: String, outDir: String,
+                                     mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
     // two consumers (key listing + the write) — pay the source scan once
     val src = df.persist()
@@ -112,7 +115,7 @@ object LakeApply {
         .write
         .partitionBy(partCols: _*)
         .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(outDir)
     } finally src.unpersist()
   }

@@ -61,12 +61,12 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("norm2", dotCol(col("embedding"), col("embedding")))
 
-  private val withNormSql: String =
+  private[vector] val withNormSql: String =
     s"""SELECT vec_id, embedding, label,
        |  ${dotSql("embedding", "embedding")} AS norm2
        |FROM embeddings""".stripMargin
 
-  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+  private[vector] def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot / sqrt(n2a * n2b)
 
   /** v1: brute-force cosine top-k — query vectors (vec_id < $nQueries) broadcast

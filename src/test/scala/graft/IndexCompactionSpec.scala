@@ -1,0 +1,103 @@
+package graft
+
+import graft.vector.{IndexCompaction, Similarity}
+import org.apache.spark.sql.functions._
+
+/** v39/v40 — the vector plan→action loop: the physical fold must leave
+  * an index whose query results and file layout match the algebraic
+  * prediction, and the pre-fold merged ranking (v38) must relate to the
+  * post-fold one exactly as IVF semantics dictate. */
+class IndexCompactionSpec extends GraftSpec {
+
+  private def v39 = IndexCompaction.compactionApplied(spark, sfDir)
+  private def v38 = Similarity.deltaIndexAnn(spark, sfDir)
+
+  test("post-fold: the side-table is drained (from_delta all false) " +
+      "and delta vectors are served from the index") {
+    val rows = v39.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getBoolean(3)), "no hit may come from a side-table")
+    // the fold is not vacuous: delta-batch vectors appear in results
+    assert(rows.exists(_.getBoolean(4)), "delta arrivals must be rankable")
+  }
+
+  test("post-fold CANDIDATES are a subset of pre-fold's: a shared hit " +
+      "keeps its exact score and provenance, and a post-only hit was " +
+      "merely DISPLACED pre-fold (every pre-fold top-k score dominates " +
+      "it), never invented by the fold") {
+    val preRows = v38.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    val pre = preRows.map { case (q, n, d, c) => (q, n) -> (d, c) }.toMap
+    // pre-fold's kth (weakest kept) score per query: anything post-fold
+    // ranks that pre-fold dropped must score at or below this cutoff —
+    // pre-fold's candidate set is a superset (exhaustive delta scan),
+    // so a post-only hit can only have been pushed out, not unseen
+    val preCutoff = preRows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._4).min
+    }
+    val post = v39.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4), r.getDouble(5)))
+    post.foreach { case (q, n, arrivedDelta, cos) =>
+      pre.get((q, n)) match {
+        case Some((wasDelta, preCos)) =>
+          assert(wasDelta === arrivedDelta, s"provenance flip for ($q,$n)")
+          assert(math.abs(preCos - cos) < 1e-12,
+            s"score drift for ($q,$n): $preCos vs $cos")
+        case None =>
+          assert(cos <= preCutoff(q) + 1e-12,
+            s"post-fold hit ($q,$n) at $cos outranks pre-fold's cutoff " +
+              s"${preCutoff(q)} — the fold may not invent candidates")
+      }
+    }
+  }
+
+  test("v40 measured inventory: exact file placement (1 snapshot file " +
+      "+ 1 delta file per touched cell) and zero row loss") {
+    val inv = IndexCompaction.cellInventory(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(inv.nonEmpty)
+    val total = inv.map(_._2).sum
+    val nVecs = graft.model.Tables.embeddings(spark, sfDir).count()
+    assert(total === nVecs, "every vector must land in exactly one cell")
+    inv.foreach { case (cell, n, nDelta, nFiles) =>
+      val nSnap = n - nDelta
+      val expected = (if (nSnap > 0) 1L else 0L) + (if (nDelta > 0) 1L else 0L)
+      assert(nFiles === expected,
+        s"cell $cell: $nFiles files, expected $expected " +
+          s"($nSnap snapshot + $nDelta delta rows)")
+    }
+    // the fold actually appended: some cell carries delta rows
+    assert(inv.exists(_._3 > 0))
+  }
+
+  test("the physical cells table read back equals the frozen-centroid " +
+      "assignment recomputed in memory (plan == action at row grain)") {
+    val indexDir = IndexCompaction.indexDirs.collectFirst {
+      case ((s, d), p) if d == sfDir && s == spark => p
+    }.getOrElse {
+      IndexCompaction.compactionApplied(spark, sfDir).count()
+      IndexCompaction.indexDirs((spark, sfDir))
+    }
+    val physical = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // recompute the assignment from scratch with the same algebra
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .withColumn("norm2", Similarity.dotCol(col("embedding"), col("embedding")))
+    val snapC = e.filter(col("vec_id") % 10 < IndexCompaction.SnapshotMod)
+      .orderBy(col("vec_id")).limit(8)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+    val expected = e.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val best = snapC.map { case (cid, c) =>
+        (dot(v, c) / math.sqrt(dot(v, v) * dot(c, c)), cid)
+      }.maxBy { case (cos, cid) => (cos, -cid) }._2
+      r.getLong(0) -> best
+    }.toMap
+    assert(physical === expected)
+  }
+}
