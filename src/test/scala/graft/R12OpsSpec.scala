@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 operator invariants: d30 index maintenance. */
+class R12OpsSpec extends GraftSpec {
+
+  test("d30: every formerly-novel doc classifies exact after the " +
+      "append; non-novel verdicts are unchanged") {
+    val rows = graft.dedup.Dedup.indexMaintenance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val novel = rows.filter(_._2 == "novel")
+    assert(novel.nonEmpty, "fixture must contain novel delta docs")
+    novel.foreach { case (id, _, after) =>
+      assert(after === "exact", s"doc $id stayed $after after the append")
+    }
+    rows.filterNot(_._2 == "novel").foreach { case (id, before, after) =>
+      assert(after === before,
+        s"doc $id flipped $before -> $after without an index change")
+    }
+  }
+
+  test("d30 verdict_before equals d29's verdicts (the maintenance key " +
+      "does not re-derive a different classification)") {
+    val d29 = graft.dedup.Dedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val d30 = graft.dedup.Dedup.indexMaintenance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d30 === d29)
+  }
+
+  test("d30 index growth is exactly the novel identities/buckets: " +
+      "append row counts match the distinct novel text and band sets") {
+    import graft.dedup.Dedup
+    // force the build, then read the physical index
+    Dedup.indexMaintenance(spark, sfDir).count()
+    val verdicts = Dedup.indexMaintenance(spark, sfDir)
+      .filter(col("verdict_before") === "novel").select("doc_id")
+    val docs = graft.text.Corpus.docs(spark, sfDir)
+    val novelTexts = docs.join(verdicts, Seq("doc_id"), "left_semi")
+      .select("text").distinct().count()
+    val snapTexts = docs
+      .filter(col("doc_id") % 10 < Dedup.SnapshotMod)
+      .select("text").distinct().count()
+    // the physical exact index after maintenance = snapshot ∪ novel
+    // (disjoint by novelty, so counts add)
+    val idxDir = Dedup.d30IndexDirs((spark, sfDir))
+    val physTexts = spark.read.parquet(s"$idxDir/texts").count()
+    assert(physTexts === snapTexts + novelTexts)
+  }
+}
