@@ -461,6 +461,23 @@ object Multimodal {
     acc
   }
 
+  /** Decode-once frame-hash silver: (media_id, frame_idx, frame_hash)
+    * over sampled frames of the really-decoded luma planes — m4's
+    * content-identity relation, memoized so m4 and m12's oracle-silver
+    * write share ONE video decode pass per session. */
+  private[graft] def frameHashes(spark: SparkSession, dir: String,
+                                 step: Int = 10): DataFrame =
+    graft.model.Silver.memoize(spark, s"frameHashes:$step", dir) {
+      import spark.implicits._
+      mediaFromDocs(spark, dir).filter(_.kind == "video").flatMap { r =>
+        VideoCodec.lumaFrames(r.bytes)
+          .filter { case (f, _) => f % step == 0 }
+          .map { case (f, plane) =>
+            (r.media_id, f, framePlaneHash(r.width, r.height, plane))
+          }
+      }.toDF("media_id", "frame_idx", "frame_hash")
+    }
+
   /** m4: CROSS-VIDEO FRAME DEDUP — d1's exact-dedup semantics applied to
     * sampled frames: identical frame content appearing in many videos
     * (intros, title cards, black frames) is training redundancy a video
@@ -475,15 +492,7 @@ object Multimodal {
     * shuffle carries 8-byte hashes. Rows-only like m2 (the frame hash
     * has no DuckDB analogue). */
   def frameDedup(spark: SparkSession, dir: String, step: Int = 10): DataFrame = {
-    import spark.implicits._
-    val media = mediaFromDocs(spark, dir)
-    val frames = media.filter(_.kind == "video").flatMap { r =>
-      VideoCodec.lumaFrames(r.bytes)
-        .filter { case (f, _) => f % step == 0 }
-        .map { case (f, plane) =>
-          (r.media_id, f, framePlaneHash(r.width, r.height, plane))
-        }
-    }.toDF("media_id", "frame_idx", "frame_hash")
+    val frames = frameHashes(spark, dir, step)
     val groups = frames.groupBy(col("frame_hash"))
       .agg(min(struct(col("media_id"), col("frame_idx"))).as("keeper"),
         count(lit(1)).as("group_size"))
@@ -960,4 +969,124 @@ object Multimodal {
         col("total_energy"), col("peak"))
       .orderBy(col("media_id"), col("segment_idx"))
   }
+
+  // ----------------------------------------------------- m12/m13/m14
+
+  /** Root of the FIXED-PATH fingerprint silver the DuckDB oracle reads.
+    * The decode halves of m4/m8/m10 (PNG inflate+unfilter, Y4M frame
+    * walk) have no SQL analogue — but their downstream pair/verdict
+    * algebra is plain SQL. These keys WRITE the decoded fingerprints to
+    * parquet at a path the oracle's read_parquet() can see, read them
+    * BACK, and run the algebra from the silver; the oracle runs its own
+    * algebra over the same files. The decode stays spec-certified (the
+    * javax recompute in MultimodalSpec); the algebra joins the hash
+    * gate — sk21's split discipline applied to the m-family. Each key
+    * overwrites its table before reading it back, so the oracle always
+    * compares against THIS run's decode. */
+  val OracleSilverRoot = "/tmp/graft_oracle_silver"
+
+  /** The frame-hash silver written where the oracle can read it, then
+    * read back (the algebra below runs over the PHYSICAL bytes the
+    * oracle sees, not the in-memory relation). */
+  private def frameHashSilver(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "m12FrameHashSilver", dir) {
+      frameHashes(spark, dir)
+        .write.mode("overwrite").parquet(s"$OracleSilverRoot/frame_hashes")
+      spark.read.parquet(s"$OracleSilverRoot/frame_hashes")
+    }
+
+  /** The image-fingerprint silver (aHash + pHash words), same contract. */
+  private def imageHashSilver(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "mImageHashSilver", dir) {
+      imageHashes(spark, dir)
+        .write.mode("overwrite").parquet(s"$OracleSilverRoot/image_hashes")
+      spark.read.parquet(s"$OracleSilverRoot/image_hashes")
+    }
+
+  /** m12: m4's dedup ALGEBRA under the hash gate — d1's keeper rule
+    * (first (media_id, frame_idx) per content group) over the
+    * materialized frame-hash silver, window-form so both engines
+    * express it identically over the same parquet bytes. */
+  def frameDedupApplied(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "m12FrameDedupApplied", dir) {
+      val silver = frameHashSilver(spark, dir)
+      val byHash = Window.partitionBy(col("frame_hash"))
+      val ranked = silver
+        .withColumn("rn", row_number().over(
+          byHash.orderBy(col("media_id"), col("frame_idx"))))
+        .withColumn("group_size", count(lit(1)).over(byHash))
+      val keepers = ranked.filter(col("rn") === 1)
+        .select(col("frame_hash"),
+          col("media_id").as("keeper_media_id"),
+          col("frame_idx").as("keeper_frame_idx"))
+      ranked.join(keepers, Seq("frame_hash"))
+        .select(col("media_id"), col("frame_idx"), col("frame_hash"),
+          col("group_size"), col("keeper_media_id"), col("keeper_frame_idx"),
+          (col("media_id") =!= col("keeper_media_id") ||
+            col("frame_idx") =!= col("keeper_frame_idx")).as("is_duplicate"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+
+  def frameDedupAppliedSql(): String =
+    s"""WITH silver AS (
+       |  SELECT * FROM read_parquet('$OracleSilverRoot/frame_hashes/*.parquet')),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY frame_hash
+       |      ORDER BY media_id, frame_idx) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY frame_hash) AS BIGINT)
+       |      AS group_size
+       |  FROM silver),
+       |keepers AS (
+       |  SELECT frame_hash, media_id AS keeper_media_id,
+       |    frame_idx AS keeper_frame_idx
+       |  FROM ranked WHERE rn = 1)
+       |SELECT r.media_id, r.frame_idx, r.frame_hash, r.group_size,
+       |  k.keeper_media_id, k.keeper_frame_idx,
+       |  (r.media_id <> k.keeper_media_id
+       |    OR r.frame_idx <> k.keeper_frame_idx) AS is_duplicate
+       |FROM ranked r JOIN keepers k USING (frame_hash)
+       |ORDER BY r.media_id, r.frame_idx""".stripMargin
+
+  /** m13: m8's near-dup algebra under the hash gate. The Spark side
+    * runs the PRODUCTION banded path over the re-read silver; the
+    * oracle brute-forces ALL pairs over the same files — so the hash
+    * match additionally certifies the 11-band blocking is COMPLETE at
+    * this corpus (pigeonhole at maxHamming ≤ 10), in-engine, not just
+    * in the spec's in-process check. */
+  def imageNearDupApplied(spark: SparkSession, dir: String,
+                          maxHamming: Int = 10): DataFrame =
+    graft.model.Silver.memoize(spark, "m13NearDupApplied", dir) {
+      bandedHammingPairs(imageHashSilver(spark, dir)
+        .select(col("media_id"), col("a0").as("h0"), col("a1").as("h1")),
+        maxHamming)
+    }
+
+  /** m14: m10's pHash twin of m13 — same silver, DCT fingerprint. */
+  def phashDupApplied(spark: SparkSession, dir: String,
+                      maxHamming: Int = 10): DataFrame =
+    graft.model.Silver.memoize(spark, "m14PhashApplied", dir) {
+      bandedHammingPairs(imageHashSilver(spark, dir)
+        .select(col("media_id"), col("p0").as("h0"), col("p1").as("h1")),
+        maxHamming)
+    }
+
+  private def hammingPairsSql(w0: String, w1: String,
+                              maxHamming: Int): String =
+    s"""WITH h AS (
+       |  SELECT media_id, $w0 AS h0, $w1 AS h1
+       |  FROM read_parquet('$OracleSilverRoot/image_hashes/*.parquet'))
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+       |    AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+       |  <= $maxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+
+  def imageNearDupAppliedSql(maxHamming: Int = 10): String =
+    hammingPairsSql("a0", "a1", maxHamming)
+
+  def phashDupAppliedSql(maxHamming: Int = 10): String =
+    hammingPairsSql("p0", "p1", maxHamming)
 }

@@ -49,4 +49,28 @@ class R12OpsSpec extends GraftSpec {
     val physTexts = spark.read.parquet(s"$idxDir/texts").count()
     assert(physTexts === snapTexts + novelTexts)
   }
+
+  test("m12 (silver-algebra form) is bit-identical to m4's in-memory " +
+      "frame dedup") {
+    import graft.multimodal.Multimodal
+    val m4 = Multimodal.frameDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getBoolean(6))).sortBy(x => (x._1, x._2))
+    val m12 = Multimodal.frameDedupApplied(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getBoolean(6))).sortBy(x => (x._1, x._2))
+    assert(m12 === m4)
+  }
+
+  test("m13/m14 (re-read silver) are bit-identical to m8/m10's " +
+      "in-memory banded near-dup pairs") {
+    import graft.multimodal.Multimodal
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(rows(Multimodal.imageNearDupApplied(spark, sfDir)) ===
+      rows(Multimodal.imageNearDup(spark, sfDir)))
+    assert(rows(Multimodal.phashDupApplied(spark, sfDir)) ===
+      rows(Multimodal.imagePHashDup(spark, sfDir)))
+  }
 }
