@@ -189,7 +189,28 @@ object Linkage {
     * [[entityClustersSql]] — the SQL twin of [[scoredPairs]]. */
   /** The clean..cands CTE chain (views + blocking) shared by
     * [[scoredCtesSql]] and er6's pattern census. */
+  // NOTE: viewsCtesSql is concatenated OUTSIDE any stripMargin — its
+  // body contains `||` string concats that a second stripMargin pass
+  // would corrupt into a single `|`.
   private def baseCtesSql(): String =
+    viewsCtesSql() + ",\n" +
+      s"""cands AS (
+         |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
+         |    type_c, type_d
+         |  FROM (
+         |    ${passCandsSql("brand")}
+         |    UNION ALL
+         |    ${passCandsSql("type")}))""".stripMargin
+
+  /** One blocking pass's joined candidate rows (er7 deduplicates per
+    * pass; [[baseCtesSql]] unions then deduplicates across passes). */
+  private def passCandsSql(blockCol: String): String =
+    s"""SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
+       |      ON ${blockCol}_c = ${blockCol}_d AND size_c = size_d
+       |      AND length(name_c) = blk""".stripMargin
+
+  /** The clean/dirty/dirtyb view CTEs alone (no blocking). */
+  private def viewsCtesSql(): String =
     s"""clean AS (
        |  SELECT p_partkey AS key_c, p_name AS name_c, p_brand AS brand_c,
        |    p_type AS type_c, p_size AS size_c
@@ -207,18 +228,7 @@ object Linkage {
        |  FROM part),
        |dirtyb AS (
        |  SELECT d.*, length(name_d) + t.r AS blk
-       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r)),
-       |cands AS (
-       |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
-       |    type_c, type_d
-       |  FROM (
-       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
-       |      ON brand_c = brand_d AND size_c = size_d
-       |      AND length(name_c) = blk
-       |    UNION ALL
-       |    SELECT clean.*, dirtyb.* FROM clean JOIN dirtyb
-       |      ON type_c = type_d AND size_c = size_d
-       |      AND length(name_c) = blk))""".stripMargin
+       |  FROM dirty d CROSS JOIN (VALUES (0), (1), (2)) t(r))""".stripMargin
 
   private def scoredCtesSql(): String = {
     def mlog2(x: String): String = {
@@ -678,7 +688,8 @@ object Linkage {
     * unmatched class. This is the documented reason production linkage
     * (Splink) estimates each field's parameters from blocking rules
     * that EXCLUDE that field; the trace surfaces the pathology instead
-    * of hiding it. */
+    * of hiding it — and er7 ([[leaveBlockOutWeights]]) applies exactly
+    * that discipline and recovers m > u for every field. */
   def emWeights(spark: SparkSession, dir: String): DataFrame = {
     val pats = candidates(spark, dir)
       .select(
@@ -777,4 +788,157 @@ object Linkage {
          |""".stripMargin +
       rounds + "\n" + out + "\nORDER BY round"
   }
+
+  // ---------------------------------------------------------------- er7
+
+  /** Per-pass candidate relations (deduplicated WITHIN each pass),
+    * memoized — er7 estimates each field from the pass that excludes
+    * its block. */
+  private def candidatesOfPass(spark: SparkSession, dir: String,
+                               blockCol: String): DataFrame =
+    graft.model.Silver.memoize(spark, s"erCandidates:$blockCol", dir) {
+      val clean = cleanView(spark, dir)
+      val dirtyB = dirtyBlocked(dirtyView(spark, dir))
+      val cols = Seq("key_c", "key_d", "name_c", "name_d", "brand_c",
+        "brand_d", "type_c", "type_d").map(col)
+      blockPass(clean, dirtyB, blockCol).select(cols: _*).distinct()
+    }
+
+  private def agreeCol(f: String): Column = f match {
+    case "name" =>
+      (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long")
+    case other => (col(s"${other}_c") === col(s"${other}_d")).cast("long")
+  }
+
+  /** er7: LEAVE-BLOCK-OUT EM — the Splink discipline er6's trace calls
+    * for. er6 pools BOTH blocking passes, so a field that is itself a
+    * blocking key (type: half the candidates agree on it by
+    * construction) gets its m/u INVERTED — the blocked-estimation bias
+    * er6 documents. The fix is structural, not numeric: estimate each
+    * field's parameters only from candidate passes whose blocking
+    * EXCLUDES that field —
+    *   - name and type from the BRAND-block pass (brand held fixed by
+    *     the join, so it contributes no signal there and is dropped
+    *     from that pass's model),
+    *   - brand from the TYPE-block pass (symmetrically).
+    * Each pass runs the same unrolled milli-integer 2-field EM as er6
+    * (fixed factor order: name first; truncation per step; clamp to
+    * [1, 999]; [[EmRounds]] rounds), each from ONE pattern census
+    * (2² = 4 rows) over its own blocked candidates. The oracle replays
+    * both unrolled EMs in pure SQL. LeaveBlockOutSpec asserts the bias
+    * is gone: m > u for all three fields, including type. */
+  def leaveBlockOutWeights(spark: SparkSession, dir: String): DataFrame = {
+    def census(blockCol: String, f1: String,
+               f2: String): Array[(Array[Long], Long)] =
+      candidatesOfPass(spark, dir, blockCol)
+        .select(agreeCol(f1).as("a1"), agreeCol(f2).as("a2"))
+        .groupBy(col("a1"), col("a2")).agg(count(lit(1)).as("n_p"))
+        .collect()
+        .map(r => (Array(r.getLong(0), r.getLong(1)), r.getLong(2)))
+    def clamp(x: Long): Long = math.max(1L, math.min(999L, x))
+    // the 4-row census fold — er6's arithmetic at K = 2
+    def em(pats: Array[(Array[Long], Long)]): (Array[Long], Array[Long]) = {
+      var lam = 100L
+      var m = Array(900L, 900L)
+      var u = Array(100L, 100L)
+      (1 to EmRounds).foreach { _ =>
+        val w = pats.map { case (a, _) =>
+          val pm = a.zip(m).foldLeft(lam) { case (acc, (ai, mi)) =>
+            acc * (if (ai == 1L) mi else 1000L - mi) / 1000L
+          }
+          val pu = a.zip(u).foldLeft(1000L - lam) { case (acc, (ai, ui)) =>
+            acc * (if (ai == 1L) ui else 1000L - ui) / 1000L
+          }
+          pm * 1000L / math.max(1L, pm + pu)
+        }
+        val n = pats.map(_._2)
+        lam = clamp(w.zip(n).map { case (wi, ni) => wi * ni }.sum /
+          math.max(1L, n.sum))
+        m = Array.tabulate(2) { k =>
+          clamp(pats.indices.map(i => w(i) * n(i) * pats(i)._1(k)).sum * 1000L /
+            math.max(1L, pats.indices.map(i => w(i) * n(i)).sum))
+        }
+        u = Array.tabulate(2) { k =>
+          clamp(pats.indices
+            .map(i => (1000L - w(i)) * n(i) * pats(i)._1(k)).sum * 1000L /
+            math.max(1L, pats.indices
+              .map(i => (1000L - w(i)) * n(i)).sum))
+        }
+      }
+      (m, u)
+    }
+    val (mB, uB) = em(census("brand", "name", "type"))
+    val (mT, uT) = em(census("type", "name", "brand"))
+    import spark.implicits._
+    Seq(
+      ("brand", "type", mT(1), uT(1)),
+      ("name", "brand", mB(0), uB(0)),
+      ("type", "brand", mB(1), uB(1)))
+      .toDF("field", "est_block", "m_milli", "u_milli")
+      .orderBy(col("field"))
+  }
+
+  /** One pass's unrolled 2-field EM as suffixed CTEs ending in
+    * `p$tag$EmRounds` with columns (lambda, m_$f1, u_$f1, m_$f2,
+    * u_$f2). */
+  private def emPassSql(tag: String, blockCol: String,
+                        f1: String, f2: String): String = {
+    def agreeSql(f: String): String = f match {
+      case "name" =>
+        "CASE WHEN levenshtein(name_c, name_d) <= 2 THEN 1 ELSE 0 END"
+      case o => s"CASE WHEN ${o}_c = ${o}_d THEN 1 ELSE 0 END"
+    }
+    def pmExpr(src: String, p: String): String =
+      Seq(f1, f2).foldLeft(src) { (acc, f) =>
+        s"($acc * (CASE WHEN a_$f = 1 THEN ${p}_$f " +
+          s"ELSE 1000 - ${p}_$f END) // 1000)"
+      }
+    def mStep(round: Int): String = {
+      def est(k: String, wTerm: String): String =
+        s"CAST(GREATEST(1, LEAST(999, SUM($wTerm * n_p * a_$k) * 1000 " +
+          s"// GREATEST(1, SUM($wTerm * n_p)))) AS BIGINT)"
+      s"""p$tag$round AS (
+         |  SELECT
+         |    CAST(GREATEST(1, LEAST(999,
+         |      SUM(w * n_p) // GREATEST(1, SUM(n_p)))) AS BIGINT) AS lambda,
+         |    ${est(f1, "w")} AS m_$f1,
+         |    ${est(f1, "(1000 - w)")} AS u_$f1,
+         |    ${est(f2, "w")} AS m_$f2,
+         |    ${est(f2, "(1000 - w)")} AS u_$f2
+         |  FROM w$tag$round)""".stripMargin
+    }
+    def eStep(round: Int): String =
+      s"""e$tag$round AS (
+         |  SELECT pt.*,
+         |    ${pmExpr("p.lambda", "p.m")} AS pm,
+         |    ${pmExpr("(1000 - p.lambda)", "p.u")} AS pu
+         |  FROM patterns_$tag pt CROSS JOIN p$tag${round - 1} p),
+         |w$tag$round AS (
+         |  SELECT *, pm * 1000 // GREATEST(1, pm + pu) AS w
+         |  FROM e$tag$round)""".stripMargin
+    s"""cands_$tag AS (
+       |  SELECT DISTINCT key_c, key_d, name_c, name_d, brand_c, brand_d,
+       |    type_c, type_d
+       |  FROM (${passCandsSql(blockCol)})),
+       |patterns_$tag AS (
+       |  SELECT ${agreeSql(f1)} AS a_$f1, ${agreeSql(f2)} AS a_$f2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_p
+       |  FROM cands_$tag GROUP BY 1, 2),
+       |p${tag}0 AS (SELECT 100 AS lambda, 900 AS m_$f1, 100 AS u_$f1,
+       |  900 AS m_$f2, 100 AS u_$f2),
+       |""".stripMargin +
+      (1 to EmRounds).map(r => eStep(r) + ",\n" + mStep(r)).mkString(",\n")
+  }
+
+  def leaveBlockOutWeightsSql(): String =
+    s"WITH ${viewsCtesSql()},\n" +
+      emPassSql("b", "brand", "name", "type") + ",\n" +
+      emPassSql("t", "type", "name", "brand") + "\n" +
+      s"""SELECT 'brand' AS field, 'type' AS est_block,
+         |  m_brand AS m_milli, u_brand AS u_milli FROM pt$EmRounds
+         |UNION ALL
+         |SELECT 'name', 'brand', m_name, u_name FROM pb$EmRounds
+         |UNION ALL
+         |SELECT 'type', 'brand', m_type, u_type FROM pb$EmRounds
+         |ORDER BY field""".stripMargin
 }

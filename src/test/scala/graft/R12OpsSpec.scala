@@ -62,6 +62,18 @@ class R12OpsSpec extends GraftSpec {
     assert(m12 === m4)
   }
 
+  test("er7: leave-block-out estimation removes er6's inversion — " +
+      "m > u for all three fields, including the blocked ones") {
+    val rows = graft.analytics.Linkage.leaveBlockOutWeights(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq === Seq("brand", "name", "type"))
+    rows.foreach { case (f, blk, m, u) =>
+      assert(f != blk, s"field $f estimated from its own block")
+      assert(m > u, s"field $f still inverted: m=$m u=$u (block $blk)")
+    }
+  }
+
   test("m13/m14 (re-read silver) are bit-identical to m8/m10's " +
       "in-memory banded near-dup pairs") {
     import graft.multimodal.Multimodal
