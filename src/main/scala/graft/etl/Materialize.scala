@@ -170,4 +170,108 @@ object Materialize {
        |FROM (${graft.model.Tables.salesSql})
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- a67
+
+  /** a67: INCREMENTAL EXACT DISTINCT — IVM past the sum/count monoid
+    * (a66's natural sequel): the per-store distinct-sku count
+    * maintained as OR-mergeable bitmap partials (sk17's discipline).
+    * Yesterday's (store, bucket) bitmaps are PHYSICALLY materialized to
+    * parquet (a binary column, one fixed 4 KB page per 32 768-key sku
+    * bucket), today's delta is aggregated alone (work ∝ delta), ⊕ is
+    * `bitmap_or_agg` over the union, and `bitmap_count` reads the
+    * answer. COUNT(DISTINCT) is NOT a sum-monoid — naive partials
+    * double-count keys seen on both sides of the boundary; the bitmap
+    * page is the classic exactly-mergeable representation. The oracle
+    * recomputes COUNT(DISTINCT sku) from the full fact table, so the
+    * hash match proves base ⊕ delta == full recompute on the OR monoid
+    * — history never rescanned, and unlike the HLL rung (sk1) the
+    * result is EXACT, so it rides the hash gate. */
+  def incrementalDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "a67IncrementalDistinct", dir) {
+      val root = Scratch.tempDir("a67-silver")
+      def buckets(pred: org.apache.spark.sql.Column): DataFrame =
+        graft.model.Tables.sales(spark, dir)
+          .filter(pred)
+          .groupBy(col("store_id"),
+            expr("bitmap_bucket_number(sku)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))")
+            .as("bm"))
+      buckets(col("sale_date") <= IngestBoundary)
+        .write.mode("overwrite").parquet(s"$root/base")
+      spark.read.parquet(s"$root/base")
+        .unionByName(buckets(col("sale_date") > IngestBoundary))
+        .groupBy(col("store_id"), col("bucket"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("store_id"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))
+        .orderBy(col("store_id"))
+    }
+
+  /** Full recompute — the merged bitmap fold must equal it exactly. */
+  def incrementalDistinctSql(): String =
+    s"""SELECT store_id,
+       |  CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_distinct_skus
+       |FROM (${graft.model.Tables.salesSql})
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- a68
+
+  /** a68: INCREMENTAL TOP-K — IVM on the Misra-Gries summary, the third
+    * non-trivially-mergeable rung (a66 sum/count, a67 OR-bitmap, a68
+    * heavy hitters). Yesterday's per-store MG sketch is PHYSICALLY
+    * persisted as a binary column ([[graft.functions.TopKSketch]]'s
+    * wire format — the DataSketches sketch-in-silver pattern), today's
+    * delta is sketched alone (work ∝ delta), and ⊕ is the
+    * mergeable-summaries combine ([[graft.functions.TopKMergeSketch]])
+    * folding the two sketch rows per store back into a summary. In the
+    * exactness regime (summarySize ≥ per-store distinct skus, sk4's
+    * anchor) the merged summary is EXACT with max_err = 0, so the
+    * DuckDB oracle — a full-recompute COUNT + ROW_NUMBER ranking —
+    * hash-certifies partial-merge == full recompute on an aggregate
+    * whose naive partials (per-slice top-k lists) would NOT merge
+    * correctly. */
+  def incrementalTopK(spark: SparkSession, dir: String,
+                      topK: Int = 5): DataFrame =
+    graft.model.Silver.memoize(spark, "a68IncrementalTopK", dir) {
+      val root = Scratch.tempDir("a68-silver")
+      val size = graft.analytics.Sketches.exactSummarySize
+      def sketch(pred: org.apache.spark.sql.Column): DataFrame =
+        graft.model.Tables.sales(spark, dir)
+          .filter(pred)
+          .groupBy(col("store_id"))
+          .agg(graft.functions.TopKByCount
+            .topKSketch(col("sku").cast("string"), size).as("sketch"))
+      sketch(col("sale_date") <= IngestBoundary)
+        .write.mode("overwrite").parquet(s"$root/base")
+      spark.read.parquet(s"$root/base")
+        .unionByName(sketch(col("sale_date") > IngestBoundary))
+        .groupBy(col("store_id"))
+        .agg(graft.functions.TopKByCount
+          .topKMergeSketch(col("sketch"), size).as("mg"))
+        .select(col("store_id"), col("mg.max_err").as("max_err"),
+          posexplode(slice(col("mg.items"), 1, topK)).as(Seq("idx", "item")))
+        .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
+          col("item.sku").as("sku"), col("item.est_count").as("est_count"),
+          col("max_err"))
+        .orderBy("store_id", "rank")
+    }
+
+  /** Full recompute + exact ranking — what the merged sketches must
+    * equal in the exactness regime (max_err pinned to 0). */
+  def incrementalTopKSql(topK: Int = 5): String =
+    s"""WITH s AS (${graft.model.Tables.salesSql}),
+       |counts AS (
+       |  SELECT store_id, CAST(sku AS VARCHAR) AS sku,
+       |    CAST(COUNT(*) AS BIGINT) AS est_count
+       |  FROM s GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT store_id, sku, est_count,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY store_id
+       |      ORDER BY est_count DESC, sku ASC) AS BIGINT) AS rank
+       |  FROM counts)
+       |SELECT store_id, rank, sku, est_count, CAST(0 AS BIGINT) AS max_err
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY store_id, rank""".stripMargin
 }

@@ -81,31 +81,12 @@ case class TopKByCount(
     b
   }
 
-  override def eval(b: MG): Any = {
-    val items = b.entries.toArray.sortBy { case (k, c) => (-c, k) }
-      .map { case (k, c) => InternalRow(UTF8String.fromString(k), c) }
-    InternalRow(new GenericArrayData(items.asInstanceOf[Array[Any]]), b.decs)
-  }
+  override def eval(b: MG): Any = TopKByCount.evalItems(b)
 
-  override def serialize(b: MG): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeLong(b.decs)
-    out.writeInt(b.size)
-    b.entries.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: MG): Array[Byte] = TopKByCount.serializeMG(b)
 
-  override def deserialize(bytes: Array[Byte]): MG = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val decs = in.readLong()
-    val n = in.readInt()
-    val m = mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
-    new MG(m, decs)
-  }
+  override def deserialize(bytes: Array[Byte]): MG =
+    TopKByCount.deserializeMG(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByCount =
     copy(mutableAggBufferOffset = newOffset)
@@ -221,8 +202,133 @@ object TopKByCount {
     b.reset(eff, cut)
   }
 
+  /** The summary struct type all three MG aggregates share. */
+  val SummaryType: DataType = StructType(Seq(
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("sku", StringType, nullable = false),
+      StructField("est_count", LongType, nullable = false))),
+      containsNull = false), nullable = false),
+    StructField("max_err", LongType, nullable = false)))
+
+  /** The summary as the output struct: items sorted (est desc, key asc),
+    * plus the one-sided error bound. */
+  def evalItems(b: MG): Any = {
+    val items = b.entries.toArray.sortBy { case (k, c) => (-c, k) }
+      .map { case (k, c) => InternalRow(UTF8String.fromString(k), c) }
+    InternalRow(new GenericArrayData(items.asInstanceOf[Array[Any]]), b.decs)
+  }
+
+  /** Wire format shared by shuffle partials (serialize/deserialize) and
+    * the PERSISTED sketch column ([[TopKSketch]]/[[TopKMergeSketch]]):
+    * decs, n, then (key, effective count) pairs. */
+  def serializeMG(b: MG): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(b.decs)
+    out.writeInt(b.size)
+    b.entries.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeMG(bytes: Array[Byte]): MG = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val decs = in.readLong()
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    new MG(m, decs)
+  }
+
   /** Column-API entry point. */
   def topKByCount(c: Column, summarySize: Int): Column =
     ColumnBridge.column(
       TopKByCount(ColumnBridge.expression(c), summarySize).toAggregateExpression())
+
+  /** Column-API: the PERSISTABLE sketch (binary) form. */
+  def topKSketch(c: Column, summarySize: Int): Column =
+    ColumnBridge.column(
+      TopKSketch(ColumnBridge.expression(c), summarySize).toAggregateExpression())
+
+  /** Column-API: fold persisted sketches back into a summary struct. */
+  def topKMergeSketch(c: Column, summarySize: Int): Column =
+    ColumnBridge.column(
+      TopKMergeSketch(ColumnBridge.expression(c), summarySize).toAggregateExpression())
+}
+
+/** [[TopKByCount]] with a BINARY result: the Misra-Gries summary in its
+  * wire format, for PERSISTING the partial (the DataSketches pattern —
+  * sketch columns in silver tables, merged at read). Same buffer, same
+  * update/merge algebra; only eval differs. */
+case class TopKSketch(
+    child: Expression,
+    summarySize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKByCount.MG] {
+  import TopKByCount.MG
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override val dataType: DataType = BinaryType
+  override def createAggregationBuffer(): MG = new MG(mutable.HashMap.empty, 0L)
+  override def update(b: MG, input: InternalRow): MG = {
+    val v = child.eval(input)
+    if (v != null) TopKByCount.updateOne(b, v.toString, summarySize)
+    b
+  }
+  override def merge(b: MG, other: MG): MG = {
+    TopKByCount.mergeInto(b, other, summarySize); b
+  }
+  override def eval(b: MG): Any = TopKByCount.serializeMG(b)
+  override def serialize(b: MG): Array[Byte] = TopKByCount.serializeMG(b)
+  override def deserialize(bytes: Array[Byte]): MG =
+    TopKByCount.deserializeMG(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "topk_sketch"
+}
+
+/** Fold a column of PERSISTED Misra-Gries sketches (the [[TopKSketch]]
+  * wire format) into one summary — the ⊕ of the mergeable-summaries
+  * contract, exposed as an aggregate so base ⊕ delta runs as ordinary
+  * partial aggregation over a sketch-valued silver table. */
+case class TopKMergeSketch(
+    child: Expression,
+    summarySize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKByCount.MG] {
+  import TopKByCount.MG
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override val dataType: DataType = TopKByCount.SummaryType
+  override def createAggregationBuffer(): MG = new MG(mutable.HashMap.empty, 0L)
+  override def update(b: MG, input: InternalRow): MG = {
+    val v = child.eval(input)
+    if (v != null)
+      TopKByCount.mergeInto(b,
+        TopKByCount.deserializeMG(v.asInstanceOf[Array[Byte]]), summarySize)
+    b
+  }
+  override def merge(b: MG, other: MG): MG = {
+    TopKByCount.mergeInto(b, other, summarySize); b
+  }
+  override def eval(b: MG): Any = TopKByCount.evalItems(b)
+  override def serialize(b: MG): Array[Byte] = TopKByCount.serializeMG(b)
+  override def deserialize(bytes: Array[Byte]): MG =
+    TopKByCount.deserializeMG(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMergeSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMergeSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "topk_merge_sketch"
 }

@@ -74,6 +74,32 @@ class R12OpsSpec extends GraftSpec {
     }
   }
 
+  test("a67: bitmap base ⊕ delta equals full-recompute exact distinct " +
+      "per store") {
+    val inc = graft.etl.Materialize.incrementalDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.model.Tables.sales(spark, sfDir)
+      .groupBy(col("store_id"))
+      .agg(countDistinct(col("sku")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
+  test("a68: persisted Misra-Gries sketches merge to the exact top-k " +
+      "(max_err 0) — partial-merge == full recompute on heavy hitters") {
+    val inc = graft.etl.Materialize.incrementalTopK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(inc.nonEmpty)
+    assert(inc.forall(_._5 == 0L), "exactness regime must pin max_err to 0")
+    // equals sk4's exact one-pass ranking
+    val oneShot = graft.analytics.Sketches.storeTopSellersExact(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(inc.sorted.toSeq === oneShot.sorted.toSeq)
+  }
+
   test("m13/m14 (re-read silver) are bit-identical to m8/m10's " +
       "in-memory banded near-dup pairs") {
     import graft.multimodal.Multimodal
