@@ -582,12 +582,23 @@ object Similarity {
     * brute force — the delta leg broadcasts because it is ingest-
     * window-bounded, never corpus-sized. `from_delta` tags each hit's
     * provenance so the freshness SLA is observable per result. */
-  def deltaIndexAnn(spark: SparkSession, dir: String, k: Int = 5,
-                    nQueries: Int = defaultNQueries,
-                    nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+  /** v38's standing query relation (query_id, q_emb, q_norm2) — shared
+    * with the streaming arrival twin so both score against the same
+    * bytes. */
+  private[graft] def deltaIndexQueries(spark: SparkSession, dir: String,
+                                       nQueries: Int = defaultNQueries): DataFrame =
+    withNorm(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm2").as("q_norm2"))
+
+  /** v38's STATIC half for the streaming twin: the snapshot IVF main
+    * leg, computed once (the index does not move as arrivals stream). */
+  private[graft] def deltaIndexMainLeg(spark: SparkSession, dir: String,
+                                       nQueries: Int = defaultNQueries,
+                                       nCentroids: Int = 8,
+                                       nProbe: Int = 2): DataFrame = {
     val e = withNorm(spark, dir)
     val snap = e.filter(col("vec_id") % 10 < 8)
-    val delta = e.filter(col("vec_id") % 10 >= 8)
     val cents = snap.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
         col("norm2").as("c_norm2"))
@@ -606,9 +617,7 @@ object Similarity {
           col("centroid_id").as("cell"),
           col("embedding").as("n_emb"), col("norm2").as("n_norm2"))
     }
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm2").as("q_norm2"))
+    val queries = deltaIndexQueries(spark, dir, nQueries)
     val qprobe = {
       val qaff = queries.crossJoin(broadcast(cents))
         .withColumn("ccos", cosine(dotCol(col("q_emb"), col("c_emb")),
@@ -620,12 +629,21 @@ object Similarity {
         .select(col("query_id"), col("centroid_id").as("cell"),
           col("q_emb"), col("q_norm2"))
     }
-    val mainLeg = broadcast(qprobe).join(assigned, Seq("cell"))
+    broadcast(qprobe).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         lit(false).as("from_delta"),
         cosine(dotCol(col("q_emb"), col("n_emb")),
           col("q_norm2"), col("n_norm2")).as("cosine"))
+  }
+
+  def deltaIndexAnn(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries,
+                    nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(spark, dir)
+    val delta = e.filter(col("vec_id") % 10 >= 8)
+    val queries = deltaIndexQueries(spark, dir, nQueries)
+    val mainLeg = deltaIndexMainLeg(spark, dir, nQueries, nCentroids, nProbe)
     val deltaLeg = queries.crossJoin(broadcast(
         delta.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("n_emb"), col("norm2").as("n_norm2"))))
