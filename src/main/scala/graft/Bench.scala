@@ -148,6 +148,56 @@ object Bench {
     println(detailLine)
     val fullLines = scala.collection.mutable.ListBuffer[String](detailLine)
 
+    // STEADY-STATE RESTAMP (the r11 k15 8.4-vs-1.5 s case): any key
+    // whose median landed >2x its committed prior gets an immediate
+    // steady-state re-profile — 3 back-to-back runs, median — stamped
+    // as its own metric line, so cross-round regression triage is
+    // machine-readable instead of an ADVICE footnote. The committed
+    // bench_full.json on disk IS the prior (the driver starts each
+    // round from the repo's last commit; this file is overwritten only
+    // at the very end of the run). Keys under 0.5 s are below
+    // local-mode scheduling noise and are never restamped.
+    if (sfDir.endsWith("sf0.1")) {
+      val prior: Map[String, Double] = try {
+        val src = scala.io.Source.fromFile("bench_full.json")
+        try {
+          src.getLines()
+            .find(_.contains("\"metric\":\"total_detail\"")) match {
+            case Some(line) =>
+              val qs = line.substring(line.indexOf("\"queries\":{"))
+              "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qs)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            case None => Map.empty
+          }
+        } finally src.close()
+      } catch { case _: Throwable => Map.empty[String, Double] }
+      val suspects = results.collect {
+        case (k, t) if t >= 0.5 && prior.getOrElse(k, -1.0) > 0 &&
+          t > 2.0 * prior(k) => k
+      }
+      if (suspects.nonEmpty) {
+        val steady = suspects.map { k =>
+          val ts = (1 to 3).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(k)(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          }
+          k -> (if (ts.isEmpty) -1.0 else median(ts))
+        }
+        val priorJson = suspects
+          .map(k => jstr(k) + ":" + r3(prior(k))).mkString("{", ",", "}")
+        val medianJson = suspects.map(k =>
+          jstr(k) + ":" + r3(results.toMap.apply(k))).mkString("{", ",", "}")
+        val steadyJson = steady
+          .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+        val line = s"""{"metric":"steady_state","n_keys":${steady.size},"prior":$priorJson,"median":$medianJson,"steady":$steadyJson}"""
+        println(line)
+        fullLines += line
+      }
+    }
+
     // SCALE-SLOPE audit (downward): re-run every key ONCE at the
     // next-smaller SF and compare the time ratio against the data
     // ratio — a key whose slope exceeds 2 x ratio hides a superlinear

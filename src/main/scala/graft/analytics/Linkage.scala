@@ -109,13 +109,13 @@ object Linkage {
     * session however many ER readouts run. */
   private def candidates(spark: SparkSession, dir: String): DataFrame =
     graft.model.Silver.memoize(spark, "erCandidates", dir) {
-      val clean = cleanView(spark, dir)
-      val dirtyB = dirtyBlocked(dirtyView(spark, dir))
-      val b1 = blockPass(clean, dirtyB, "brand")
-      val b2 = blockPass(clean, dirtyB, "type")
-      val cols = Seq("key_c", "key_d", "name_c", "name_d", "brand_c",
-        "brand_d", "type_c", "type_d").map(col)
-      b1.select(cols: _*).unionAll(b2.select(cols: _*)).distinct().cache()
+      // built FROM the memoized per-pass relations (not from fresh
+      // blocked joins): er7 needs each pass separately, so the whole ER
+      // family prices each blocked join exactly once per session and
+      // the union here is leaf ∪ leaf + distinct
+      candidatesOfPass(spark, dir, "brand")
+        .unionAll(candidatesOfPass(spark, dir, "type"))
+        .distinct().cache()
     }
 
   private def scoredPairsPlan(spark: SparkSession, dir: String,
