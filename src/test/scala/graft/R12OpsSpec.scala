@@ -100,6 +100,39 @@ class R12OpsSpec extends GraftSpec {
     assert(inc.sorted.toSeq === oneShot.sorted.toSeq)
   }
 
+  test("a68's sketch path under a TIGHT summary (non-exact regime): " +
+      "merged estimates stay one-sided under-counts within max_err, " +
+      "and every key with true count > max_err survives the merge") {
+    import graft.functions.TopKByCount
+    import spark.implicits._
+    // skewed synthetic stream split into two disjoint halves: the merge
+    // must honor the Misra-Gries bound even when both partials truncate
+    val keys = (1 to 40).flatMap(i => Seq.fill(41 - i)(s"k$i"))
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (h1, h2) = keys.zipWithIndex.partition(_._2 % 2 == 0)
+    val size = 8
+    def sketchOf(xs: Seq[String]) = xs.toDF("sku")
+      .agg(TopKByCount.topKSketch(org.apache.spark.sql.functions.col("sku"),
+        size).as("sketch"))
+    val merged = sketchOf(h1.map(_._1)).unionByName(sketchOf(h2.map(_._1)))
+      .agg(TopKByCount.topKMergeSketch(
+        org.apache.spark.sql.functions.col("sketch"), size).as("mg"))
+      .select("mg").collect().head.getStruct(0)
+    val maxErr = merged.getLong(1)
+    val items = merged.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(items.size <= size)
+    assert(maxErr > 0L, "the tight summary must actually truncate")
+    items.foreach { case (k, est) =>
+      assert(est <= truth(k), s"$k over-counted: $est > ${truth(k)}")
+      assert(truth(k) <= est + maxErr, s"$k outside the MG bound")
+    }
+    truth.filter(_._2 > maxErr).keys.foreach { k =>
+      assert(items.contains(k), s"heavy key $k (true ${truth(k)} > " +
+        s"max_err $maxErr) evicted — violates the MG guarantee")
+    }
+  }
+
   test("m13/m14 (re-read silver) are bit-identical to m8/m10's " +
       "in-memory banded near-dup pairs") {
     import graft.multimodal.Multimodal
