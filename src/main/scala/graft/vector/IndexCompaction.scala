@@ -219,6 +219,70 @@ object IndexCompaction {
         .orderBy(col("cell"))
     }
 
+  /** v41: FOLD-RECALL READOUT — the tradeoff v39's fold makes,
+    * quantified per query. Pre-fold v38 scans the delta EXHAUSTIVELY
+    * (recall-maximal freshness); post-fold the delta is indexed, so
+    * delta candidates arrive only via probed cells. This key full-joins
+    * the two top-k rankings and emits, per query, the overlap count,
+    * recall of the post-fold ranking against the pre-fold reference
+    * (the nProbe dial every IVF index trades on), and the delta-hit
+    * counts on each side. Both rankings are SQL-predictable, so the
+    * whole readout rides the hash gate — and the post side is the
+    * MEASURED physical index, so this is also a second independent
+    * certification of the fold. */
+  def foldRecall(spark: SparkSession, dir: String, k: Int = 5,
+                 nQueries: Int = defaultNQueries,
+                 nCentroids: Int = 8, nProbe: Int = 2): DataFrame =
+    graft.model.Silver.memoize(spark, "v41FoldRecall", dir) {
+      val pre = Similarity.deltaIndexAnn(spark, dir, k, nQueries,
+          nCentroids, nProbe)
+        .select(col("query_id"), col("neighbor_id"),
+          col("from_delta").cast("long").as("pre_delta"))
+        .withColumn("in_pre", lit(1L))
+      val post = compactionApplied(spark, dir, k, nQueries,
+          nCentroids, nProbe)
+        .select(col("query_id"), col("neighbor_id"),
+          col("arrived_in_delta").cast("long").as("post_delta"))
+        .withColumn("in_post", lit(1L))
+      pre.join(post, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy(col("query_id"))
+        .agg(
+          sum(when(col("in_pre") === 1L && col("in_post") === 1L, 1L)
+            .otherwise(0L)).as("n_common"),
+          sum(coalesce(col("pre_delta"), lit(0L))).as("n_delta_pre"),
+          sum(coalesce(col("post_delta"), lit(0L))).as("n_delta_post"))
+        .select(col("query_id"), col("n_common"),
+          expr(s"n_common * 1000 DIV $k").as("recall_milli"),
+          col("n_delta_pre"), col("n_delta_post"))
+        .orderBy(col("query_id"))
+    }
+
+  def foldRecallSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                    nCentroids: Int = 8, nProbe: Int = 2): String =
+    s"""WITH pre AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN from_delta THEN 1 ELSE 0 END AS pre_delta,
+       |    1 AS in_pre
+       |  FROM (${Similarity.deltaIndexAnnSql(k, nQueries, nCentroids, nProbe)})),
+       |post AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN arrived_in_delta THEN 1 ELSE 0 END AS post_delta,
+       |    1 AS in_post
+       |  FROM (${compactionAppliedSql(k, nQueries, nCentroids, nProbe)}))
+       |SELECT COALESCE(pre.query_id, post.query_id) AS query_id,
+       |  CAST(SUM(CASE WHEN in_pre = 1 AND in_post = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common,
+       |  CAST(SUM(CASE WHEN in_pre = 1 AND in_post = 1 THEN 1 ELSE 0 END)
+       |    * 1000 // $k AS BIGINT) AS recall_milli,
+       |  CAST(SUM(COALESCE(pre_delta, 0)) AS BIGINT) AS n_delta_pre,
+       |  CAST(SUM(COALESCE(post_delta, 0)) AS BIGINT) AS n_delta_post
+       |FROM pre
+       |FULL JOIN post
+       |  ON pre.query_id = post.query_id
+       |  AND pre.neighbor_id = post.neighbor_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def cellInventorySql(nCentroids: Int = 8): String =
     s"""WITH ${assignedCtesSql(nCentroids)}
        |SELECT cell,

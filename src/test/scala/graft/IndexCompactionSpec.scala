@@ -70,6 +70,22 @@ class IndexCompactionSpec extends GraftSpec {
     assert(inv.exists(_._3 > 0))
   }
 
+  test("v41: fold recall is consistent with the two rankings it reads " +
+      "(overlap recount) and every query retains at least one neighbor") {
+    val pre = v38.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val post = v39.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = graft.vector.IndexCompaction.foldRecall(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, nCommon, recall) =>
+      val expected = pre.filter(_._1 == q).map(_._2)
+        .intersect(post.filter(_._1 == q).map(_._2)).size.toLong
+      assert(nCommon === expected, s"query $q overlap miscounted")
+      assert(recall === nCommon * 1000L / 5L)
+      assert(nCommon >= 1L, s"query $q lost its entire pre-fold top-k")
+    }
+  }
+
   test("the physical cells table read back equals the frozen-centroid " +
       "assignment recomputed in memory (plan == action at row grain)") {
     val indexDir = IndexCompaction.indexDirs.collectFirst {
