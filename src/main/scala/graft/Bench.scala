@@ -28,6 +28,21 @@ object Bench {
     * keys hid below it. 40 keys covers everything above ~1 s at sf0.1. */
   private val Sf1TopN = 40
 
+  /** Slope-numerator adjudication (the r12 k13 false-flag fix: a 35.2 s
+    * transient median flagged slope 45.8 while the SAME artifact's
+    * steady-state stanza had restamped the key to 1.67 s). The slope
+    * section must use the best steady evidence available for the large-SF
+    * time: the committed-prior restamp if one ran, else a confirmation
+    * re-run taken only when the raw median would flag (the sf1.0
+    * section's keep-min rule). Pure so BenchSpec can pin the rule. */
+  private[graft] def adjudicatedBig(median: Double, steady: Option[Double],
+                                    confirm: Option[Double]): Double =
+    (Seq(median) ++ steady.filter(_ > 0) ++ confirm.filter(_ > 0)).min
+
+  private[graft] def slopeFlagged(bigEff: Double, smallT: Double,
+                                  ratio: Double): Boolean =
+    bigEff >= 0.25 && smallT > 0 && bigEff / smallT > 2 * ratio
+
   /** Co-resident JVM audit (the k10 false-flag fix: r8's one-off 30×
     * slope was stray-JVM contention, diagnosed only by anecdote):
     * pids of java processes that are neither this JVM nor its
@@ -157,6 +172,10 @@ object Bench {
     // round from the repo's last commit; this file is overwritten only
     // at the very end of the run). Keys under 0.5 s are below
     // local-mode scheduling noise and are never restamped.
+    // steady-state restamps feed the slope section below as the large-SF
+    // numerator (adjudicatedBig) — the committed prior both triggers the
+    // restamp and certifies which keys have steady evidence this run
+    var steadyMap = Map.empty[String, Double]
     if (sfDir.endsWith("sf0.1")) {
       val prior: Map[String, Double] = try {
         val src = scala.io.Source.fromFile("bench_full.json")
@@ -186,6 +205,7 @@ object Bench {
           }
           k -> (if (ts.isEmpty) -1.0 else median(ts))
         }
+        steadyMap = steady.filter(_._2 > 0).toMap
         val priorJson = suspects
           .map(k => jstr(k) + ":" + r3(prior(k))).mkString("{", ",", "}")
         val medianJson = suspects.map(k =>
@@ -229,17 +249,37 @@ object Bench {
           } catch { case _: Throwable => name -> -1.0 }
         }.toMap
         val big = results.toMap
+        // adjudicate the numerator BEFORE flagging (the r12 k13 false
+        // positive): steady restamps override transient medians; a key
+        // that would still flag and has no restamp gets one confirmation
+        // re-run at sfDir and keeps the min (the sf1.0 keep-min rule)
+        val bigEff = results.collect { case (k, tL) if tL >= 0 =>
+          val preEff = adjudicatedBig(tL, steadyMap.get(k), None)
+          val wouldFlag = slopeFlagged(preEff,
+            small.getOrElse(k, -1.0), ratio)
+          val confirm = if (wouldFlag && !steadyMap.contains(k)) {
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(k)(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          } else None
+          k -> adjudicatedBig(tL, steadyMap.get(k), confirm)
+        }.toMap
         val slopes = results.collect {
           case (k, tL) if tL >= 0 && small.getOrElse(k, -1.0) > 0 =>
-            k -> r3(tL / small(k))
+            k -> r3(bigEff(k) / small(k))
         }
-        val flagged = slopes.filter { case (k, s) =>
-          big(k) >= 0.25 && s > 2 * ratio }
+        val flagged = slopes.filter { case (k, _) =>
+          slopeFlagged(bigEff(k), small(k), ratio) }
+        val adjudicatedKeys = results.collect {
+          case (k, tL) if tL >= 0 && bigEff(k) < tL =>
+            jstr(k) + ":" + r3(bigEff(k))
+        }.mkString("{", ",", "}")
         val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
           .mkString("{", ",", "}")
         val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
           .mkString("{", ",", "}")
-        val line = s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"slopes":$slopesJson}"""
+        val line = s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"adjudicated":$adjudicatedKeys,"slopes":$slopesJson}"""
         println(line)
         fullLines += line
       }

@@ -61,12 +61,7 @@ case class TopKByCount(
 
   override def nullable: Boolean = false
 
-  override val dataType: DataType = StructType(Seq(
-    StructField("items", ArrayType(StructType(Seq(
-      StructField("sku", StringType, nullable = false),
-      StructField("est_count", LongType, nullable = false))), containsNull = false),
-      nullable = false),
-    StructField("max_err", LongType, nullable = false)))
+  override val dataType: DataType = TopKByCount.SummaryType
 
   override def createAggregationBuffer(): MG = new MG(mutable.HashMap.empty, 0L)
 

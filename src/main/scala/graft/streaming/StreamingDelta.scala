@@ -51,7 +51,10 @@ object StreamingDelta {
       // empty token on leading-whitespace docs (as does DuckDB's
       // string_split_regex), so trimming only here would shift the
       // stream's shingles off the batch path's on exactly those docs.
-      val sids = d.text.split("\\s+").toSeq.sliding(3)
+      // limit=-1: Spark SQL split (and DuckDB) also KEEP trailing empty
+      // tokens, which Java's default split drops — a trailing-whitespace
+      // doc must shingle identically on both paths.
+      val sids = d.text.split("\\s+", -1).toSeq.sliding(3)
         .filter(_.size == 3).map(_.mkString(" "))
         .toSet[String].flatMap(s => bDict.value.get(s))
       val near = Dedup.bandKeysOf(sids).exists(bIdx.value.contains)

@@ -60,4 +60,20 @@ class StreamingDeltaSpec extends GraftSpec {
       .map(_.mkString(" ")).toSeq
     assert(shingles.head === " alpha beta")
   }
+
+  test("stream tokenizer keeps the trailing empty token on " +
+      "trailing-whitespace docs, matching Spark split limit=-1") {
+    // mirror image of the leading-whitespace gap: Spark SQL split (limit
+    // -1) and DuckDB string_split_regex KEEP trailing empty tokens, while
+    // Java's default String.split drops them — the probe must use
+    // split("\\s+", -1) or a trailing-whitespace doc misses its final
+    // (w_{n-1}, w_n, "") shingle
+    val t = "alpha beta gamma delta  "
+    val streamTokens = t.split("\\s+", -1).toSeq
+    assert(streamTokens.last === "")
+    assert(t.split("\\s+").toSeq.last === "delta") // the buggy default
+    val shingles = streamTokens.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSeq
+    assert(shingles.last === "gamma delta ")
+  }
 }
