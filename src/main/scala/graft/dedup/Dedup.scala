@@ -192,11 +192,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
   }
 
-  private val signaturesSql: String =
+  private def signaturesSqlFrom(dsSql: String): String =
     s"""SELECT ds.doc_id, h.j, h.band, h.w,
        |  MIN((h.a * ds.sid + h.b) % ${Corpus.P}) AS mh
-       |FROM ($docSidsSql) ds CROSS JOIN ($hashParamsSql) h
+       |FROM ($dsSql) ds CROSS JOIN ($hashParamsSql) h
        |GROUP BY ds.doc_id, h.j, h.band, h.w""".stripMargin
+
+  private val signaturesSql: String = signaturesSqlFrom(docSidsSql)
 
   /** Shared-shingle pair relation: (doc_a, doc_b, n_common) via the
     * inverted-index self-join — the sub-quadratic candidate generator for
@@ -211,11 +213,18 @@ object Dedup {
   private def commonShingles(spark: SparkSession, dir: String): DataFrame =
     commonShinglesFrom(docSids(spark, dir))
 
-  private val commonShinglesSql: String =
+  /** All the d-family oracle SQL below is parameterized over the
+    * (doc_id, sid) relation so the xxhash twins (whose id assignment
+    * DuckDB cannot compute) can swap in a read_parquet() over the
+    * materialized [[graft.model.OracleSilver]] id silver — the algebra
+    * strings stay literally shared with the dictionary-id family. */
+  private def commonShinglesSqlFrom(dsSql: String): String =
     s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |FROM ($docSidsSql) a JOIN ($docSidsSql) b
+       |FROM ($dsSql) a JOIN ($dsSql) b
        |  ON a.sid = b.sid AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  private val commonShinglesSql: String = commonShinglesSqlFrom(docSidsSql)
 
   /** d2: MinHash + LSH near-dup candidates — 16 minhashes, 4 bands × 4
     * rows; docs sharing any band bucket become candidates; per candidate:
@@ -279,8 +288,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshSql: String =
-    s"""WITH sigs AS ($signaturesSql),
+  private def minhashLshSqlFrom(sketchSql: String, identSql: String): String =
+    s"""WITH sigs AS (${signaturesSqlFrom(sketchSql)}),
        |bands AS (
        |  SELECT doc_id, band, SUM(mh * w) AS bandkey
        |  FROM sigs GROUP BY doc_id, band),
@@ -296,14 +305,14 @@ object Dedup {
        |  JOIN sigs sa ON sa.doc_id = c.doc_a
        |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
        |  GROUP BY 1, 2, 3),
-       |ds AS ($docSidsSql),
+       |ds AS ($identSql),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
        |  FROM cands c
        |  JOIN ds a ON a.doc_id = c.doc_a
        |  JOIN ds b ON b.doc_id = c.doc_b AND b.sid = a.sid
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id)
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($identSql) GROUP BY doc_id)
        |SELECT e.doc_a, e.doc_b, e.n_common_bands,
        |  CAST(e.n_eq_minhash AS BIGINT) AS n_eq_minhash,
        |  CAST(e.n_eq_minhash AS DOUBLE) / 16.0 AS est_jaccard,
@@ -314,6 +323,8 @@ object Dedup {
        |JOIN sizes za ON za.doc_id = e.doc_a
        |JOIN sizes zb ON zb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
+  val minhashLshSql: String = minhashLshSqlFrom(docSidsSql, docSidsSql)
 
   // ---------------------------------------------------------------- d3
 
@@ -353,15 +364,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val simhashSql: String =
-    s"""WITH tokens AS (
-       |  SELECT doc_id, wid, COUNT(*) AS cnt,
-       |    ($A32 * wid + $B32) % $P32 AS h
-       |  FROM (
-       |    SELECT t.doc_id, d.wid
-       |    FROM (SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents) t
-       |    JOIN (${Corpus.wordDictSql}) d USING (word))
-       |  GROUP BY doc_id, wid),
+  /** The SimHash bit algebra over an explicit (doc_id, h, cnt) token-hash
+    * CTE — shared by d3 (dictionary ids hashed in-SQL) and d11 (xxhash64
+    * token hashes read from the oracle silver). */
+  private def simhashSqlFromTokens(tokensSql: String): String =
+    s"""WITH tokens AS ($tokensSql),
        |bits AS (SELECT b AS bit, CAST(2**b AS BIGINT) AS pw FROM range(32) t(b)),
        |weights AS (
        |  SELECT doc_id, bit, pw,
@@ -378,6 +385,15 @@ object Dedup {
        |  (simhash // 65536) % 256 AS band2,
        |  (simhash // 16777216) % 256 AS band3
        |FROM sig ORDER BY doc_id""".stripMargin
+
+  val simhashSql: String = simhashSqlFromTokens(
+    s"""SELECT doc_id, wid, COUNT(*) AS cnt,
+       |    ($A32 * wid + $B32) % $P32 AS h
+       |  FROM (
+       |    SELECT t.doc_id, d.wid
+       |    FROM (SELECT doc_id, unnest(${Corpus.wordsSqlExpr}) AS word FROM documents) t
+       |    JOIN (${Corpus.wordDictSql}) d USING (word))
+       |  GROUP BY doc_id, wid""".stripMargin)
 
   /** The DISTINCT-SIGNATURE candidate engine behind d8 and d22: hash
     * pairs (sh_a < sh_b) sharing at least one of the 4 signature bytes,
@@ -549,9 +565,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def ngramJaccardSql(threshold: Double = 0.2): String =
-    s"""WITH common AS ($commonShinglesSql),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($docSidsSql) GROUP BY doc_id)
+  private def ngramJaccardSqlFrom(dsSql: String, threshold: Double): String =
+    s"""WITH common AS (${commonShinglesSqlFrom(dsSql)}),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ($dsSql) GROUP BY doc_id)
        |SELECT c.doc_a, c.doc_b, c.n_common,
        |  za.sz AS size_a, zb.sz AS size_b,
        |  CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) AS jaccard
@@ -560,6 +576,9 @@ object Dedup {
        |JOIN sizes zb ON zb.doc_id = c.doc_b
        |WHERE CAST(c.n_common AS DOUBLE) / CAST(za.sz + zb.sz - c.n_common AS DOUBLE) >= $threshold
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  def ngramJaccardSql(threshold: Double = 0.2): String =
+    ngramJaccardSqlFrom(docSidsSql, threshold)
 
   /** d17: CONTAINMENT dedup — the asymmetric relation Jaccard cannot
     * see: a short document embedded (near-)verbatim in a longer one
@@ -663,11 +682,13 @@ object Dedup {
         col("n_candidates"))
   }
 
-  def lshEvalSql(threshold: Double = 0.5): String =
+  private def lshEvalSqlFrom(sketchSql: String, identSql: String,
+                             threshold: Double): String =
     s"""WITH cands AS (
-       |  SELECT doc_a, doc_b, est_jaccard, jaccard FROM ($minhashLshSql)),
+       |  SELECT doc_a, doc_b, est_jaccard, jaccard
+       |  FROM (${minhashLshSqlFrom(sketchSql, identSql)})),
        |true_pairs AS (
-       |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardSqlFrom(identSql, threshold)})),
        |missed AS (
        |  SELECT COUNT(*) AS fn_banding FROM true_pairs t
        |  WHERE NOT EXISTS (SELECT 1 FROM cands c
@@ -681,6 +702,9 @@ object Dedup {
        |  FROM cands)
        |SELECT conf.tp, conf.fp, conf.fn_estimate, missed.fn_banding, conf.n_candidates
        |FROM conf CROSS JOIN missed""".stripMargin
+
+  def lshEvalSql(threshold: Double = 0.5): String =
+    lshEvalSqlFrom(docSidsSql, docSidsSql, threshold)
 
   // ---------------------------------------------------------------- d6
 
@@ -815,9 +839,9 @@ object Dedup {
        |SELECT *, wasted_tokens * 1000 // total_tokens AS wasted_milli
        |FROM agg""".stripMargin
 
-  def dupClustersSql(threshold: Double = 0.5): String =
+  private def dupClustersSqlFrom(dsSql: String, threshold: Double): String =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (${ngramJaccardSql(threshold)})),
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardSqlFrom(dsSql, threshold)})),
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -837,6 +861,9 @@ object Dedup {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  def dupClustersSql(threshold: Double = 0.5): String =
+    dupClustersSqlFrom(docSidsSql, threshold)
+
   // ------------------------------------------------- xxhash scale variant
 
   /** (doc_id, sid) with RAW 64-bit xxhash64 shingle ids — the 100 TB id
@@ -846,24 +873,48 @@ object Dedup {
     * minhash family needs), so the full 64-bit hash applies unmodified
     * and collisions are ~|shingles|²/2⁶⁴ — negligible at any corpus size
     * (DedupSimilaritySpec asserts pair/cluster equality with the
-    * dictionary variants on the test corpus). */
+    * dictionary variants on the test corpus).
+    *
+    * Materialized as an ORACLE SILVER (the m12 discipline): DuckDB has
+    * no xxhash64, but once the id assignment is parquet bytes both
+    * engines can read, the ENTIRE downstream candidate/cluster/eval
+    * algebra joins the hash gate — the d-family twins stopped being
+    * rows-only in r13. */
   private def docSidsXx(spark: SparkSession, dir: String): DataFrame =
-    Silver.memoize(spark, "docSidsXx", dir) {
+    graft.model.OracleSilver.materialize(spark, "xx_ident_sids", dir) {
       Corpus.docShingles(spark, dir)
         .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
-        .cache()
     }
 
+  private def xxIdentSidsSql: String =
+    s"SELECT doc_id, sid FROM read_parquet('${graft.model.OracleSilver.sqlGlob("xx_ident_sids")}')"
+
+  /** (doc_id, sid) with xxhash64-mod-P shingle ids — the bounded-range
+    * id family the affine minhashes need; same oracle-silver contract. */
+  private def sketchSidsXx(spark: SparkSession, dir: String): DataFrame =
+    graft.model.OracleSilver.materialize(spark, "xx_sketch_sids", dir) {
+      Corpus.docShingles(spark, dir)
+        .select(col("doc_id"),
+          pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
+    }
+
+  private def xxSketchSidsSql: String =
+    s"SELECT doc_id, sid FROM read_parquet('${graft.model.OracleSilver.sqlGlob("xx_sketch_sids")}')"
+
   /** d9: scale twin of d4 — exact 3-shingle Jaccard pairs over xxhash64
-    * ids. Rows-only (xxhash64 has no DuckDB twin); value-equality with d4
-    * is spec-asserted instead. */
+    * ids, hash-gated via the id silver (value-equality with d4 is
+    * additionally spec-asserted). */
   def ngramJaccardXxhash(spark: SparkSession, dir: String,
                          threshold: Double = 0.2): DataFrame =
     ngramJaccardFrom(docSidsXx(spark, dir), threshold)
 
+  def ngramJaccardXxhashSql(threshold: Double = 0.2): String =
+    ngramJaccardSqlFrom(xxIdentSidsSql, threshold)
+
   /** d10: scale twin of d6 — connected components over the d9 edge set.
     * With d5 (minhash), d9, and d10, every dictionary-bound dedup
-    * operator has a no-global-sort path. Rows-only like d9. */
+    * operator has a no-global-sort path. Hash-gated via the d9 silver
+    * (the oracle replays the closure with WITH RECURSIVE). */
   private val clusterMemoXx =
     scala.collection.concurrent.TrieMap[(String, Double), DataFrame]()
 
@@ -873,18 +924,28 @@ object Dedup {
       dupClustersFrom(Corpus.docsTok(spark, dir),
         ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b"))))
 
+  def dupClustersXxhashSql(threshold: Double = 0.5): String =
+    dupClustersSqlFrom(xxIdentSidsSql, threshold)
+
   /** d11: scale twin of d3 — SimHash with per-token hashes straight from
     * xxhash64 (mod the 32-bit prime), skipping the word dictionary. The
     * bit-weight algebra is identical; signatures differ from d3 only by
     * the hash family (sketches are implementation-defined), so the spec
     * asserts structural invariants (byte bands recombine, 32-bit range)
-    * rather than value equality. Rows-only like d5/d9/d10. */
+    * AND the oracle replays the full bit algebra over the materialized
+    * token-hash silver (hash-gated since r13). */
+  private def simhashTokensXx(spark: SparkSession, dir: String): DataFrame =
+    graft.model.OracleSilver.materialize(spark, "xx_simhash_tokens", dir) {
+      Corpus.docsTok(spark, dir)
+        .select(col("doc_id"), explode(col("words")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h", pmod(xxhash64(col("word")), lit(P32)))
+        .select(col("doc_id"), col("h"), col("cnt"))
+    }
+
   def simhashXxhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Corpus.docsTok(spark, dir)
-      .select(col("doc_id"), explode(col("words")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", pmod(xxhash64(col("word")), lit(P32)))
+    val tokens = simhashTokensXx(spark, dir)
     val bits = spark.range(32).select(col("id").cast("long").as("bit"),
       expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
     val weights = tokens.crossJoin(broadcast(bits))
@@ -901,16 +962,16 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Bench-only (no DuckDB twin): the 100 TB MinHash variant — token ids
-    * from xxhash64 instead of the rank dictionary, dropping the global
-    * vocabulary sort entirely. Same band/bucket algebra as [[minhashLsh]].
-    * Registered without an oracleSql entry → driver's rows-only check. */
+  def simhashXxhashSql(): String = simhashSqlFromTokens(
+    s"SELECT doc_id, h, cnt FROM read_parquet('${graft.model.OracleSilver.sqlGlob("xx_simhash_tokens")}')")
+
+  /** d5: the 100 TB MinHash variant — token ids from xxhash64 instead of
+    * the rank dictionary, dropping the global vocabulary sort entirely.
+    * Same band/bucket algebra as [[minhashLsh]]; hash-gated via the
+    * mod-P id silver since r13. */
   def minhashPairsXxhash(spark: SparkSession, dir: String): DataFrame = {
-    val sids = Corpus.docShingles(spark, dir)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
-    val mins = (0 until NumHashes).map(j =>
-      min((col("sid") * aj(j) + bj(j)) % lit(Corpus.P)).as(s"mh$j"))
-    val sigs = sids.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sids = sketchSidsXx(spark, dir)
+    val sigs = signaturesWideFrom(sids)
     val bands = bandKeys(sigs)
     bands.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
@@ -921,25 +982,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def minhashPairsXxhashSql(): String =
+    s"""WITH sigs AS (${signaturesSqlFrom(xxSketchSidsSql)}),
+       |bands AS (
+       |  SELECT doc_id, band, SUM(mh * w) AS bandkey
+       |  FROM sigs GROUP BY doc_id, band)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_common_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** d13: scale twin of d7 — the LSH confusion eval over the
     * no-dictionary id path: sketch ids are xxhash64 mod P (d5's family,
     * bounded for the affine minhashes), identity ids are raw 64-bit
-    * xxhash64 (d9's family, exact set identity). Rows-only (xxhash64 has
-    * no DuckDB twin); DedupSimilaritySpec asserts the count algebra
-    * instead: tp + fn_estimate + fn_banding = |d9 true pairs|, and that
-    * total equals d7's, because d9 ≡ d4 pair-for-pair. With this, every
-    * dictionary-bound dedup operator — including the eval harness — has a
-    * no-global-sort path. */
+    * xxhash64 (d9's family, exact set identity). Hash-gated via BOTH id
+    * silvers since r13; DedupSimilaritySpec additionally asserts the
+    * count algebra: tp + fn_estimate + fn_banding = |d9 true pairs|, and
+    * that total equals d7's, because d9 ≡ d4 pair-for-pair. With this,
+    * every dictionary-bound dedup operator — including the eval harness —
+    * has a no-global-sort path. */
   def lshEvalXxhash(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
-    val sketchSids = Corpus.docShingles(spark, dir)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(Corpus.P)).as("sid"))
+                    threshold: Double = 0.5): DataFrame =
     lshEvalFrom(
-      minhashLshFrom(sketchSids, docSidsXx(spark, dir))
+      minhashLshFrom(sketchSidsXx(spark, dir), docSidsXx(spark, dir))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard")),
       ngramJaccardXxhash(spark, dir, threshold).select(col("doc_a"), col("doc_b")),
       threshold)
-  }
+
+  def lshEvalXxhashSql(threshold: Double = 0.5): String =
+    lshEvalSqlFrom(xxSketchSidsSql, xxIdentSidsSql, threshold)
 
   // ---------------------------------------------------------------- d15
 

@@ -555,15 +555,54 @@ object Multimodal {
     * executors; only media_id + 16 longs shuffle); the lag and the
     * running sum BOTH ride the single media_id exchange — one shuffle
     * total regardless of corpus size, and per-video frame counts bound
-    * the window state. Rows-only like m2/m4 (the frame features have no
-    * DuckDB analogue); the spec recomputes cuts and scene ids
-    * in-process from the same bytes. */
+    * the window state. Hash-gated since r13 via the frame-feature
+    * oracle silver (the decode half stays spec-certified); the spec
+    * additionally recomputes cuts and scene ids in-process from the
+    * same bytes. */
   def sceneCuts(spark: SparkSession, dir: String, step: Int = 10,
                 threshold: Long = 20000L): DataFrame =
     sceneFrames(spark, dir, step, threshold)
       .select(col("media_id"), col("frame_idx"),
         col("diff_energy"), col("is_cut"), col("scene_id"))
       .orderBy("media_id", "frame_idx")
+
+  /** The m7 cut/scene chain as oracle CTEs over the frame-feature
+    * silver — shared by m7's and m11's SQL. Long-form block unnest (no
+    * list lambdas): per-block lag, per-frame Σ|Δ| (NULL on each video's
+    * first frame, where no block has a predecessor), running cut sum. */
+  private def sceneFramesSqlCtes(step: Int, threshold: Long): String =
+    s"""f AS (
+       |  SELECT media_id, frame_idx, feat
+       |  FROM read_parquet('${graft.model.OracleSilver.sqlGlob(s"frame_feats_$step")}')),
+       |fb AS (
+       |  SELECT media_id, frame_idx,
+       |    generate_subscripts(feat, 1) AS b, unnest(feat) AS v
+       |  FROM f),
+       |lagged AS (
+       |  SELECT media_id, frame_idx, b, v,
+       |    LAG(v) OVER (PARTITION BY media_id, b ORDER BY frame_idx) AS pv
+       |  FROM fb),
+       |diff AS (
+       |  SELECT media_id, frame_idx,
+       |    CASE WHEN COUNT(pv) = 0 THEN NULL
+       |         ELSE CAST(SUM(ABS(v - pv)) AS BIGINT) END AS diff_energy
+       |  FROM lagged GROUP BY 1, 2),
+       |cuts AS (
+       |  SELECT media_id, frame_idx, diff_energy,
+       |    (diff_energy IS NULL OR diff_energy > $threshold) AS is_cut
+       |  FROM diff),
+       |scenes AS (
+       |  SELECT media_id, frame_idx, diff_energy, is_cut,
+       |    CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS scene_id
+       |  FROM cuts)""".stripMargin
+
+  def sceneCutsSql(step: Int = 10, threshold: Long = 20000L): String =
+    s"""WITH ${sceneFramesSqlCtes(step, threshold)}
+       |SELECT media_id, frame_idx, diff_energy, is_cut, scene_id
+       |FROM scenes ORDER BY media_id, frame_idx""".stripMargin
 
   /** Sampled frames with luma-grid features — the decoded-video silver
     * m7 and m11 share (one Y4M walk per session, like the image
@@ -582,12 +621,22 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "feat")
     }
 
+  /** The frame-feature silver written where the oracle can read it (the
+    * m12 discipline): the Y4M decode half stays spec-certified, and the
+    * downstream cut/scene/medoid algebra (m7/m11) joins the hash gate —
+    * both engines run it over these bytes. */
+  private def frameFeatSilver(spark: SparkSession, dir: String,
+                              step: Int): DataFrame =
+    graft.model.OracleSilver.materialize(spark, s"frame_feats_$step", dir) {
+      frameFeats(spark, dir, step)
+    }
+
   /** m7's frame relation decorated with cut flags and scene ids, the
     * feature vector retained for downstream consumers (m11). */
   private def sceneFrames(spark: SparkSession, dir: String, step: Int,
                           threshold: Long): DataFrame = {
     val byVideo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
-    frameFeats(spark, dir, step)
+    frameFeatSilver(spark, dir, step)
       .withColumn("prev_feat", lag(col("feat"), 1).over(byVideo))
       .withColumn("diff_energy",
         when(col("prev_feat").isNull, lit(null).cast("long")).otherwise(
@@ -618,8 +667,9 @@ object Multimodal {
     * medoid is computed at (frame, block) grain — 16 narrow rows per
     * sampled frame — via one (video, scene, block) sum, a join back,
     * and a min(struct) argmin per scene; per-video frame counts bound
-    * every group. Rows-only like m2/m4/m7 (frame features have no
-    * DuckDB analogue); MultimodalSpec recomputes the medoid from an
+    * every group. Hash-gated since r13 via the frame-feature oracle
+    * silver (the oracle replays scenes + medoid in SQL);
+    * MultimodalSpec additionally recomputes the medoid from an
     * independent decode walk. */
   def storyboard(spark: SparkSession, dir: String, step: Int = 10,
                  threshold: Long = 20000L): DataFrame = {
@@ -648,6 +698,36 @@ object Multimodal {
         col("disp_scaled"))
       .orderBy(col("media_id"), col("scene_id"))
   }
+
+  def storyboardSql(step: Int = 10, threshold: Long = 20000L): String =
+    s"""WITH ${sceneFramesSqlCtes(step, threshold)},
+       |sf AS (SELECT media_id, frame_idx, scene_id FROM scenes),
+       |fb2 AS (
+       |  SELECT s.media_id, s.scene_id, s.frame_idx,
+       |    generate_subscripts(f.feat, 1) AS b, unnest(f.feat) AS v
+       |  FROM sf s JOIN f USING (media_id, frame_idx)),
+       |sb AS (
+       |  SELECT media_id, scene_id, b, SUM(v) AS sv, COUNT(*) AS nf
+       |  FROM fb2 GROUP BY 1, 2, 3),
+       |disp AS (
+       |  SELECT fb2.media_id, fb2.scene_id, fb2.frame_idx,
+       |    CAST(SUM(ABS(sb.nf * fb2.v - sb.sv)) AS BIGINT) AS disp_scaled
+       |  FROM fb2 JOIN sb USING (media_id, scene_id, b)
+       |  GROUP BY 1, 2, 3),
+       |keyf AS (
+       |  SELECT media_id, scene_id, frame_idx AS keyframe_idx, disp_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY media_id, scene_id
+       |      ORDER BY disp_scaled, frame_idx) AS rn
+       |  FROM disp),
+       |extent AS (
+       |  SELECT media_id, scene_id, MIN(frame_idx) AS start_frame,
+       |    MAX(frame_idx) AS end_frame, CAST(COUNT(*) AS BIGINT) AS n_frames
+       |  FROM sf GROUP BY 1, 2)
+       |SELECT e.media_id, e.scene_id, e.start_frame, e.end_frame,
+       |  e.n_frames, k.keyframe_idx, k.disp_scaled
+       |FROM extent e JOIN keyf k
+       |  ON k.media_id = e.media_id AND k.scene_id = e.scene_id AND k.rn = 1
+       |ORDER BY e.media_id, e.scene_id""".stripMargin
 
   /** 8×8 AVERAGE HASH of a grayscale pixel buffer — the classic
     * perceptual fingerprint (block mean above/below the global mean,
@@ -936,13 +1016,24 @@ object Multimodal {
     * silence, keep speech) — the audio sibling of m7's scene cuts.
     * Window features are a narrow flatMap over the REAL RIFF decode
     * (m6); the lag-free run grouping, both segment windows and the
-    * rollup all ride ONE media_id exchange. Rows-only like m6 (the
-    * features derive from WAV byte parsing DuckDB cannot do);
-    * MultimodalSpec recomputes the segmentation in-process. */
+    * rollup all ride ONE media_id exchange. Hash-gated since r13 via
+    * the audio-window oracle silver (the WAV decode half stays
+    * spec-certified, like m6); MultimodalSpec additionally recomputes
+    * the segmentation in-process. */
+  /** The audio-window silver written where the oracle can read it — the
+    * WAV-decode half of m6 stays spec-certified; m9's run-collapse
+    * algebra joins the hash gate over these bytes. */
+  private def audioWindowSilver(spark: SparkSession, dir: String,
+                                windowSamples: Int): DataFrame =
+    graft.model.OracleSilver.materialize(
+      spark, s"audio_windows_$windowSamples", dir) {
+      audioWindows(spark, dir, windowSamples)
+    }
+
   def vadSegments(spark: SparkSession, dir: String,
                   windowSamples: Int = 1024,
                   thresholdMeanSq: Long = 5500L): DataFrame = {
-    val w = audioWindows(spark, dir, windowSamples)
+    val w = audioWindowSilver(spark, dir, windowSamples)
       .withColumn("window_idx", col("window_idx").cast("long"))
       .withColumn("active",
         col("energy") >= col("n_samples").cast("long") * thresholdMeanSq)
@@ -970,9 +1061,35 @@ object Multimodal {
       .orderBy(col("media_id"), col("segment_idx"))
   }
 
+  def vadSegmentsSql(windowSamples: Int = 1024,
+                     thresholdMeanSq: Long = 5500L): String =
+    s"""WITH w AS (
+       |  SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |    n_samples, energy, peak,
+       |    energy >= CAST(n_samples AS BIGINT) * $thresholdMeanSq AS active
+       |  FROM read_parquet('${graft.model.OracleSilver.sqlGlob(s"audio_windows_$windowSamples")}')),
+       |runs AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY window_idx)
+       |      - ROW_NUMBER() OVER (PARTITION BY media_id, active
+       |          ORDER BY window_idx) AS grp
+       |  FROM w),
+       |segs AS (
+       |  SELECT media_id, active, grp,
+       |    MIN(window_idx) AS start_window, MAX(window_idx) AS end_window,
+       |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(energy) AS BIGINT) AS total_energy, MAX(peak) AS peak
+       |  FROM runs GROUP BY 1, 2, 3)
+       |SELECT media_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+       |    ORDER BY start_window) AS BIGINT) AS segment_idx,
+       |  active, start_window, end_window, n_windows, total_energy, peak
+       |FROM segs ORDER BY media_id, segment_idx""".stripMargin
+
   // ----------------------------------------------------- m12/m13/m14
 
-  /** Root of the FIXED-PATH fingerprint silver the DuckDB oracle reads.
+  /** The oracle-readable fingerprint silvers (see
+    * [[graft.model.OracleSilver]] for the path/namespacing contract).
     * The decode halves of m4/m8/m10 (PNG inflate+unfilter, Y4M frame
     * walk) have no SQL analogue — but their downstream pair/verdict
     * algebra is plain SQL. These keys WRITE the decoded fingerprints to
@@ -980,27 +1097,16 @@ object Multimodal {
     * BACK, and run the algebra from the silver; the oracle runs its own
     * algebra over the same files. The decode stays spec-certified (the
     * javax recompute in MultimodalSpec); the algebra joins the hash
-    * gate — sk21's split discipline applied to the m-family. Each key
-    * overwrites its table before reading it back, so the oracle always
-    * compares against THIS run's decode. */
-  val OracleSilverRoot = "/tmp/graft_oracle_silver"
-
-  /** The frame-hash silver written where the oracle can read it, then
-    * read back (the algebra below runs over the PHYSICAL bytes the
-    * oracle sees, not the in-memory relation). */
+    * gate — sk21's split discipline applied to the m-family. */
   private def frameHashSilver(spark: SparkSession, dir: String): DataFrame =
-    graft.model.Silver.memoize(spark, "m12FrameHashSilver", dir) {
+    graft.model.OracleSilver.materialize(spark, "frame_hashes", dir) {
       frameHashes(spark, dir)
-        .write.mode("overwrite").parquet(s"$OracleSilverRoot/frame_hashes")
-      spark.read.parquet(s"$OracleSilverRoot/frame_hashes")
     }
 
   /** The image-fingerprint silver (aHash + pHash words), same contract. */
   private def imageHashSilver(spark: SparkSession, dir: String): DataFrame =
-    graft.model.Silver.memoize(spark, "mImageHashSilver", dir) {
+    graft.model.OracleSilver.materialize(spark, "image_hashes", dir) {
       imageHashes(spark, dir)
-        .write.mode("overwrite").parquet(s"$OracleSilverRoot/image_hashes")
-      spark.read.parquet(s"$OracleSilverRoot/image_hashes")
     }
 
   /** m12: m4's dedup ALGEBRA under the hash gate — d1's keeper rule
@@ -1029,7 +1135,7 @@ object Multimodal {
 
   def frameDedupAppliedSql(): String =
     s"""WITH silver AS (
-       |  SELECT * FROM read_parquet('$OracleSilverRoot/frame_hashes/*.parquet')),
+       |  SELECT * FROM read_parquet('${graft.model.OracleSilver.sqlGlob("frame_hashes")}')),
        |ranked AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY frame_hash
@@ -1075,7 +1181,7 @@ object Multimodal {
                               maxHamming: Int): String =
     s"""WITH h AS (
        |  SELECT media_id, $w0 AS h0, $w1 AS h1
-       |  FROM read_parquet('$OracleSilverRoot/image_hashes/*.parquet'))
+       |  FROM read_parquet('${graft.model.OracleSilver.sqlGlob("image_hashes")}'))
        |SELECT a.media_id AS media_a, b.media_id AS media_b,
        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
        |    AS BIGINT) AS hamming

@@ -248,19 +248,32 @@ object TextAnalysis {
     * global sort, no dictionary join at all. The fold algebra is
     * identical, so the defining property survives: equal token streams ⇒
     * equal fingerprints (spec-asserted against d1's exact text groups).
-    * Rows-only (no DuckDB xxhash64). */
-  def fingerprintXxhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.docsTok(spark, dir)
-      .select(col("doc_id"),
-        transform(col("words"),
-          w => pmod(xxhash64(w), lit(Corpus.P))).as("wids"))
-    d.select(
+    * Hash-gated since r13 via the oracle id silver: the xxhash64 id
+    * sequences are materialized to parquet (the m12 discipline) and both
+    * engines run the SAME rolling fold over the same bytes. */
+  private def xxWordIds(spark: SparkSession, dir: String): DataFrame =
+    graft.model.OracleSilver.materialize(spark, "xx_word_ids", dir) {
+      Corpus.docsTok(spark, dir)
+        .select(col("doc_id"),
+          transform(col("words"),
+            w => pmod(xxhash64(w), lit(Corpus.P))).as("wids"))
+    }
+
+  def fingerprintXxhash(spark: SparkSession, dir: String): DataFrame =
+    xxWordIds(spark, dir).select(
       col("doc_id"),
       aggregate(col("wids"), lit(0L),
         (acc, x) => (acc * lit(131L) + x) % lit(Corpus.P)).as("fingerprint"),
       size(col("wids")).cast("long").as("n_words")
     ).orderBy("doc_id")
-  }
+
+  def fingerprintXxhashSql(): String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), wids),
+       |              (acc, x) -> (acc * 131 + x) % ${Corpus.P}) AS fingerprint,
+       |  CAST(len(wids) AS BIGINT) AS n_words
+       |FROM read_parquet('${graft.model.OracleSilver.sqlGlob("xx_word_ids")}')
+       |ORDER BY doc_id""".stripMargin
 
   /** t7: repetition metrics per document — the Gopher-style repetition
     * filters a quality pipeline applies after t2's length/stopword rules:

@@ -487,12 +487,17 @@ object Similarity {
         // through the FIT-ONCE memo — v28's two legs, repeated bench
         // iterations and any later consumer share one fit instead of
         // re-running the iteration passes per invocation; norm2 is
-        // computed by the same HOF fold the donor path uses
+        // computed by the same HOF fold the donor path uses. The
+        // codebook is materialized as an ORACLE SILVER (the m12
+        // discipline) so DuckDB replays the trained ANN leg over the
+        // same float bytes — v28 joined the hash gate in r13.
         import spark.implicits._
-        Lloyd.ivfTrainedOnce(spark, dir, nCentroids, trainedIters).zipWithIndex
-          .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
-          .toDF("centroid_id", "c_emb")
-          .withColumn("c_norm2", dotColHof(col("c_emb"), col("c_emb")))
+        graft.model.OracleSilver.materialize(spark,
+          s"trained_centroids_${nCentroids}_$trainedIters", dir) {
+          Lloyd.ivfTrainedOnce(spark, dir, nCentroids, trainedIters).zipWithIndex
+            .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+            .toDF("centroid_id", "c_emb")
+        }.withColumn("c_norm2", dotColHof(col("c_emb"), col("c_emb")))
       } else e.orderBy(col("vec_id").asc).limit(nCentroids)
         .select(col("vec_id").as("cent_vid"), col("embedding").as("c_emb"),
           col("norm2").as("c_norm2"))
@@ -531,13 +536,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def ivfAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
-                nCentroids: Int = 8, nProbe: Int = 2): String =
-    s"""WITH e AS ($withNormSql),
-       |cents AS (
-       |  SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
+  /** The donor (first-nCentroids) coarse-quantizer CTE body — references
+    * the `e` CTE the caller provides. */
+  private def donorCentsSql(nCentroids: Int): String =
+    s"""SELECT vec_id AS cent_vid, embedding AS c_emb, norm2 AS c_norm2,
        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
-       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids""".stripMargin
+
+  /** The Lloyd-trained quantizer CTE body: centroids read from the
+    * oracle silver [[ivfRanked]] materializes, norms recomputed by the
+    * same fold both engines use. */
+  private def trainedCentsSql(nCentroids: Int, trainedIters: Int): String =
+    s"""SELECT centroid_id, c_emb,
+       |    ${dotSql("c_emb", "c_emb")} AS c_norm2
+       |  FROM read_parquet('${graft.model.OracleSilver.sqlGlob(
+            s"trained_centroids_${nCentroids}_$trainedIters")}')""".stripMargin
+
+  /** The v4 ANN pipeline over an explicit cents CTE (donor or trained). */
+  private def ivfAnnSqlWithCents(centsSql: String, k: Int, nQueries: Int,
+                                 nProbe: Int): String =
+    s"""WITH e AS ($withNormSql),
+       |cents AS ($centsSql),
        |aff AS (
        |  SELECT e.vec_id, e.embedding, e.norm2, c.centroid_id,
        |    ${dotSql("e.embedding", "c.c_emb")}
@@ -568,6 +587,10 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cell, cosine
        |FROM rankedp WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  def ivfAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                nCentroids: Int = 8, nProbe: Int = 2): String =
+    ivfAnnSqlWithCents(donorCentsSql(nCentroids), k, nQueries, nProbe)
 
   /** v38: DELTA-INDEX ANN — index FRESHNESS, the lifecycle gap every
     * static ANN index has: vectors arriving after the IVF build must be
@@ -2444,6 +2467,37 @@ object Similarity {
         ivfAnn(spark, dir, k, nQueries, trainedIters = trainedIters)
           .select("query_id", "neighbor_id")))
       .orderBy("method", "query_id")
+  }
+
+  /** v28's oracle: both ANN legs replayed end-to-end in SQL — the donor
+    * leg from first-nCentroids rows, the trained leg from the Lloyd
+    * codebook silver [[ivfRanked]] materializes — each scored against
+    * the brute-force truth. The Lloyd ITERATION itself stays out of SQL
+    * (t20's argument); what the gate certifies is that the trained
+    * centroids, once fit, drive the same assignment/probe/rank/recall
+    * algebra in both engines. */
+  def trainedRecallSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                       nCentroids: Int = 8, nProbe: Int = 2,
+                       trainedIters: Int = 5): String = {
+    def evalSql(method: String, annSql: String): String =
+      s"""SELECT '$method' AS method, t.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall
+         |FROM truth t LEFT JOIN ($annSql) a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKSql(k, nQueries)}))
+       |SELECT * FROM (
+       |${evalSql("donor", ivfAnnSql(k, nQueries, nCentroids, nProbe))}
+       |UNION ALL
+       |${evalSql("trained", ivfAnnSqlWithCents(
+            trainedCentsSql(nCentroids, trainedIters), k, nQueries, nProbe))}
+       |) ORDER BY method, query_id""".stripMargin
   }
 
   /** h2: RECIPROCAL-RANK FUSION — the standard hybrid-retrieval merge

@@ -21,24 +21,19 @@ class QueryRegistrySpec extends AnyFunSuite {
     "sk2_store_sku_approx" -> "HLL++ sketch values are implementation-defined",
     "sk3_store_top_sellers" -> "Misra-Gries summary contents are algorithm-defined",
     "sk5_domain_vocab_approx" -> "HLL++ sketch values are implementation-defined (t16 is the exact anchor)",
-    "d5_minhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d2)",
-    "d9_jaccard_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d4)",
-    "d10_clusters_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d6)",
-    "d11_simhash_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d3)",
-    "d13_lsh_eval_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of d7)",
-    "t8_fingerprint_xxhash" -> "xxhash64 ids not reproducible in DuckDB (scale twin of t4)",
+    // the xxhash twins (d5/d9/d10/d11/d13/t8) moved to the hash gate in
+    // r13: their id silvers are materialized via OracleSilver and the
+    // downstream algebra is SQL both engines run over the same bytes
     "m2_multimodal" -> "PNG/WAV/Y4M container parsing has no DuckDB analogue",
     "m4_frame_dedup" -> "frame hashes derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
     "m6_audio_windows" -> "features derive from WAV byte parsing DuckDB cannot do",
-    "m7_scene_cuts" -> "luma-grid features derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
+    // m7/m9/m11/v28 joined the hash gate in r13 via the OracleSilver
+    // feature/codebook silvers (the decode/fit halves stay spec-certified)
     "sk6_rolling_approx" -> "Datasketches HLL estimates are implementation-defined (e15 is the exact anchor)",
     "k4_clustering_audit" -> "Spark _metadata file ranges have no DuckDB analogue (SkewSpec asserts both layouts exactly)",
     "m8_image_near_dup" -> "aHashes derive from PNG pixel decode (inflate+unfilter) DuckDB cannot do; spec pins to javax.imageio",
     "sk9_audience_overlap" -> "Datasketches HLL estimates are implementation-defined (SketchesSpec brackets all four vs exact)",
-    "m9_vad_segments" -> "segments derive from WAV byte parsing DuckDB cannot do (MultimodalSpec recomputes the run-collapse)",
-    "v28_trained_recall" -> "Lloyd's fixed-point iteration has no single-expression SQL form (t20's argument); donor row equality with v6 and run-to-run determinism are spec-asserted",
     "m10_phash_dup" -> "pHashes derive from PNG pixel decode + DCT DuckDB cannot do (MultimodalSpec asserts banded-candidate completeness vs all-pairs)",
-    "m11_storyboard" -> "keyframe medoids derive from the Y4M frame-plane decode DuckDB cannot do (MultimodalSpec recomputes from an independent walk)",
     "sk12_hll_sweep" -> "HLL estimates are implementation-defined (SketchesSpec brackets every tier against the exact count)")
 
   test("every query key has an oracle or a declared rows-only reason") {
