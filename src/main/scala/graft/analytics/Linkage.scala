@@ -306,8 +306,14 @@ object Linkage {
     * size), so the single-partition window is a non-issue at any SF. */
   def thresholdSweep(spark: SparkSession, dir: String,
                      upper: Long = 2000L, lower: Long = 0L): DataFrame = {
+    sweepFrom(spark, dir, scoredPairs(spark, dir, upper, lower))
+  }
+
+  /** The er5 sweep algebra over an explicit scored relation — shared
+    * with er8's unbiased-weight re-sweep. */
+  private def sweepFrom(spark: SparkSession, dir: String,
+                        scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = scoredPairs(spark, dir, upper, lower)
     val nTruth = Tables.part(spark, dir).agg(count(lit(1)).as("n_truth"))
     val byScore = scored.groupBy(col("score_milli"))
       .agg(count(lit(1)).as("np"), sum(col("is_true")).as("nt"))
@@ -941,4 +947,105 @@ object Linkage {
          |UNION ALL
          |SELECT 'type', 'brand', m_type, u_type FROM pb$EmRounds
          |ORDER BY field""".stripMargin
+
+  // ---------------------------------------------------------------- er8
+
+  /** er8's scored relation: the er1 candidate pairs rescored with er7's
+    * LEAVE-BLOCK-OUT m/u instead of the supervised truth-derived rates —
+    * the parameters a production linkage (no labeled truth) would
+    * actually deploy. The three (m, u) pairs arrive as literals through
+    * a 3-row collect (codebook-sized, the Lloyd-centroid pattern);
+    * the weight arithmetic is the same milli-integer mlog2 as er1, so
+    * decision diffs against er1 are exactly the pairs whose scores
+    * straddle the weight gap (Er8Spec asserts this). */
+  private[graft] def unbiasedScoredPairs(spark: SparkSession, dir: String,
+                                         upper: Long = 2000L,
+                                         lower: Long = 0L): DataFrame =
+    graft.model.Silver.memoize(spark,
+      s"erUnbiasedScored_${upper}_$lower", dir) {
+      val wm = leaveBlockOutWeights(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      def wOf(f: String): (Column, Column) = {
+        val (m, u) = wm(f)
+        (mlog2(lit(m)) - mlog2(lit(u)),
+          mlog2(lit(1000L - m)) - mlog2(lit(1000L - u)))
+      }
+      val (wnA, wnD) = wOf("name")
+      val (wbA, wbD) = wOf("brand")
+      val (wtA, wtD) = wOf("type")
+      candidates(spark, dir)
+        .withColumn("score_milli",
+          when(agreeCol("name") === 1L, wnA).otherwise(wnD) +
+            when(agreeCol("brand") === 1L, wbA).otherwise(wbD) +
+            when(agreeCol("type") === 1L, wtA).otherwise(wtD))
+        .withColumn("decision",
+          when(col("score_milli") >= upper, "link")
+            .when(col("score_milli") <= lower, "non_link")
+            .otherwise("possible"))
+        .withColumn("is_true", (col("key_c") === col("key_d")).cast("long"))
+        .select(col("key_c"), col("key_d"), col("score_milli"),
+          col("decision"), col("is_true"))
+        .cache()
+    }
+
+  /** er8: the er5 threshold sweep RE-RUN under er7's unbiased weights —
+    * the close of the ER loop (estimate unbiased parameters → rescore →
+    * re-pick the operating point). The oracle replays the whole chain in
+    * SQL: both unrolled leave-block-out EMs, the literal-free rescore,
+    * and the cumulative sweep — end-to-end from the raw tables. */
+  def unbiasedSweep(spark: SparkSession, dir: String): DataFrame =
+    sweepFrom(spark, dir, unbiasedScoredPairs(spark, dir))
+
+  def unbiasedSweepSql(): String = {
+    def mlog2(x: String): String = {
+      val b = s"(length(format('{:b}', $x)) - 1)"
+      val p = s"CAST(power(2, $b) AS BIGINT)"
+      s"($b * 1000 + ($x - $p) * 1000 // $p)"
+    }
+    def wA(f: String) = s"(${mlog2(s"m_$f")} - ${mlog2(s"u_$f")})"
+    def wD(f: String) =
+      s"(${mlog2(s"1000 - m_$f")} - ${mlog2(s"1000 - u_$f")})"
+    s"WITH ${baseCtesSql()},\n" +
+      emPassSql("b", "brand", "name", "type") + ",\n" +
+      emPassSql("t", "type", "name", "brand") + ",\n" +
+      s"""weights AS (
+         |  SELECT pb.m_name, pb.u_name, pb.m_type, pb.u_type,
+         |    pt.m_brand, pt.u_brand
+         |  FROM pb$EmRounds pb CROSS JOIN pt$EmRounds pt),
+         |scored AS (
+         |  SELECT key_c, key_d,
+         |    (CASE WHEN levenshtein(name_c, name_d) <= 2
+         |       THEN ${wA("name")} ELSE ${wD("name")} END +
+         |     CASE WHEN brand_c = brand_d
+         |       THEN ${wA("brand")} ELSE ${wD("brand")} END +
+         |     CASE WHEN type_c = type_d
+         |       THEN ${wA("type")} ELSE ${wD("type")} END) AS score_milli,
+         |    CASE WHEN key_c = key_d THEN 1 ELSE 0 END AS is_true
+         |  FROM cands CROSS JOIN weights),
+         |by_score AS (
+         |  SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS np,
+         |    CAST(SUM(is_true) AS BIGINT) AS nt
+         |  FROM scored GROUP BY 1),
+         |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM part),
+         |cum AS (
+         |  SELECT score_milli AS tau_milli,
+         |    CAST(SUM(np) OVER w AS BIGINT) AS n_link,
+         |    CAST(SUM(nt) OVER w AS BIGINT) AS n_true_link
+         |  FROM by_score
+         |  WINDOW w AS (ORDER BY score_milli DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pts AS (
+         |  SELECT tau_milli, n_link, n_true_link,
+         |    n_true_link * 1000 // n_link AS precision_milli,
+         |    CASE WHEN n_truth = 0 THEN NULL
+         |      ELSE n_true_link * 1000 // n_truth END AS recall_milli
+         |  FROM cum CROSS JOIN truth)
+         |SELECT tau_milli, n_link, n_true_link, precision_milli,
+         |  recall_milli,
+         |  CASE WHEN precision_milli + recall_milli > 0 THEN
+         |    2 * precision_milli * recall_milli
+         |      // (precision_milli + recall_milli) ELSE 0 END AS f1_milli
+         |FROM pts
+         |ORDER BY tau_milli""".stripMargin
+  }
 }

@@ -55,6 +55,28 @@ object Similarity {
       s"[CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]), " +
       "(acc, v) -> acc + v)"
 
+  /** Per-dimension (min, max) over the embedding corpus, collected ONCE
+    * per (session, dir) — the shared quantizer statistics. Four keys
+    * (the int8 reconstruction silver, v5's quantizer, v19's sign codes,
+    * v29's geometry grid) previously re-ran this identical
+    * dimension-sized posexplode aggregate; the collect is bounded by
+    * |dims| rows, and at 100 TB it is a persisted stats table computed
+    * at index-build time, not a per-query pass. */
+  private val dimStatsMemo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), Array[(Double, Double)]]()
+
+  private[vector] def dimStats(spark: SparkSession,
+                               dir: String): Array[(Double, Double)] =
+    dimStatsMemo.getOrElseUpdate((spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min(col("x").cast("double")).as("dmin"),
+          max(col("x").cast("double")).as("dmax"))
+        .orderBy("pos")
+        .collect()
+        .map(r => (r.getDouble(1), r.getDouble(2))))
+
   /** Embeddings with the precomputed squared norm (one pass, reused by
     * every pairwise cosine — norms are never recomputed per pair). */
   private[vector] def withNorm(spark: SparkSession, dir: String): DataFrame =
@@ -819,14 +841,9 @@ object Similarity {
     * on any numeric element type. Shared by v7 and v14. */
   private def reconQuantized(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("dmin"),
-        max(col("x").cast("double")).as("dmax"))
-      .orderBy("pos")
-      .collect()
-    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
-    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val stats = dimStats(spark, dir)
+    val mins = array(stats.map(s => lit(s._1)): _*)
+    val maxs = array(stats.map(s => lit(s._2)): _*)
     val recon = transform(col("embedding"), (x, i) => {
       val dmin = element_at(mins, i + lit(1))
       val dmax = element_at(maxs, i + lit(1))
@@ -1022,14 +1039,9 @@ object Similarity {
     * go out CSV-joined (the repo's array-parity convention). */
   def quantize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("dmin"),
-        max(col("x").cast("double")).as("dmax"))
-      .orderBy("pos")
-      .collect()
-    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
-    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val stats = dimStats(spark, dir)
+    val mins = array(stats.map(s => lit(s._1)): _*)
+    val maxs = array(stats.map(s => lit(s._2)): _*)
     val qe = transform(col("embedding"), (x, i) => {
       val dmin = element_at(mins, i + lit(1))
       val dmax = element_at(maxs, i + lit(1))
@@ -2029,13 +2041,7 @@ object Similarity {
     * truth exactly like v6/v7. */
   private[graft] def signCodesOf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("dmin"),
-        max(col("x").cast("double")).as("dmax"))
-      .orderBy("pos")
-      .collect()
-    val mids = stats.map(r => (r.getDouble(1) + r.getDouble(2)) / 2.0)
+    val mids = dimStats(spark, dir).map(s => (s._1 + s._2) / 2.0)
     def word(lo: Int): Column =
       if (lo >= mids.length) lit(0L)
       else (lo until math.min(lo + 32, mids.length)).map { i =>
@@ -3012,14 +3018,9 @@ object Similarity {
     * divides per-dim first or widens to DECIMAL(38).) */
   def centroidGeometry(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("dmin"),
-        max(col("x").cast("double")).as("dmax"))
-      .orderBy("pos")
-      .collect()
-    val mins = array(stats.map(r => lit(r.getDouble(1))): _*)
-    val maxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val stats = dimStats(spark, dir)
+    val mins = array(stats.map(s => lit(s._1)): _*)
+    val maxs = array(stats.map(s => lit(s._2)): _*)
     val qe = transform(col("embedding"), (x, i) => {
       val dmin = element_at(mins, i + lit(1))
       val dmax = element_at(maxs, i + lit(1))
