@@ -283,6 +283,289 @@ object IndexCompaction {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- v42/v43
+
+  /** v42/v43: INDEX REBALANCE — the missing OPTIMIZE for the physical
+    * index. v39's fold appends one file per touched cell forever, and
+    * repeated folds SKEW cells (v26 measures exactly this); nothing
+    * re-split a hot cell until now. The rebalance:
+    *
+    *  1. measures post-fold cell populations from the live index and
+    *     marks cells whose population exceeds `hotMilli`/1000 x the mean
+    *     (integer-exact `n * nCentroids * 1000 > hotMilli * total`,
+    *     v26's skew readout as the dial). Production default is 2000
+    *     (2x the mean); the harness keys run at 1080 because the
+    *     fixture's donor cells are near-balanced - at 2x the split set
+    *     is empty and the key certifies nothing. The threshold is a
+    *     calibration knob exactly like m7's cut threshold;
+    *  2. Lloyd-trains 2 sub-centroids PER HOT CELL on that cell's
+    *     members only (every other cell frozen — the split is local,
+    *     [[Lloyd.ivfTrainFrom]]), materialized as an oracle silver so
+    *     DuckDB replays the sub-assignment from the same float bytes
+    *     (the v28 discipline: the fit stays out of SQL, its OUTPUT is
+    *     certified);
+    *  3. rewrites the split cells one-file-per-sub-cell into a second
+    *     GENERATION under the index root (`cells2`); the split parents
+    *     are de-listed rather than deleted — exactly a lake-format
+    *     rebalance commit (removeFiles(parent) + addFiles(children));
+    *     physical gen-1 files are never touched, so v39/v40/v41 read
+    *     the same bytes regardless of key execution order.
+    *
+    * Sub-cell ids are deterministic and SQL-predictable: the i-th hot
+    * cell (ordered by cell id) splits into nCentroids + 2i and
+    * nCentroids + 2i + 1.
+    *
+    * v42 emits the MEASURED live inventory (kept gen-1 cells with their
+    * v40 file structure, sub-cells with one file each); v43 re-runs the
+    * ANN against the rebalanced centroid table (kept centroids + trained
+    * sub-centroids) and the live cells. Both oracles predict the
+    * relation from the fact tables + the sub-centroid silver alone.
+    * IndexCompactionSpec asserts v41's containment discipline: queries
+    * whose probes touch no split cell rank IDENTICALLY pre- vs
+    * post-rebalance. */
+  val SubIters = 3
+
+  /** Hot-cell threshold in milli-of-mean (see scaladoc above). */
+  val HotMilliDefault = 1080L
+
+  private val rebalMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private def subCentTable(nCentroids: Int) = s"split_subcents_$nCentroids"
+
+  /** Build the rebalance generation (sub-centroid silver + `cells2`);
+    * returns the index root. One build per (session, sfDir). */
+  private def rebalancedIndex(spark: SparkSession, dir: String,
+                              nCentroids: Int,
+                              hotMilli: Long = HotMilliDefault): String =
+    rebalMemo.getOrElseUpdate((spark, dir), {
+      val indexDir = foldedIndex(spark, dir, nCentroids)
+      val cells = spark.read.parquet(s"$indexDir/cells")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      // hot cells from the MEASURED index (centroid-count-sized collect)
+      val counts = cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val total = counts.map(_._2).sum
+      val hotCells = counts
+        .collect { case (c, n) if n * nCentroids * 1000L > hotMilli * total => c }
+        .sorted
+      val e = withNorm(spark, dir)
+      // per-cell Lloyd: k=2 spherical sub-centroids from the 2
+      // lowest-vec_id members (the donor-init rule, cell-locally)
+      val subRows = hotCells.zipWithIndex.flatMap { case (c, i) =>
+        val members = e.join(
+          cells.filter(col("cell") === c).select("vec_id"), Seq("vec_id"))
+        val init = members.orderBy(col("vec_id").asc).limit(2)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        Lloyd.ivfTrainFrom(members, init, SubIters).zipWithIndex.map {
+          case (ce, s) => (c, s, nCentroids + 2 * i + s, ce.map(_.toFloat))
+        }
+      }.toSeq
+      import spark.implicits._
+      val silver = graft.model.OracleSilver.materialize(
+        spark, subCentTable(nCentroids), dir) {
+        subRows.toDF("parent_cell", "sub_idx", "new_cell", "c_emb")
+      }
+      // sub-assign each hot cell's members against ITS OWN sub-centroids
+      // (equi-join on parent_cell — never cross-cell), max cosine, ties
+      // to the lowest sub_idx; one file per new sub-cell.
+      val subCents = broadcast(silver
+        .withColumn("c_norm2", dotCol(col("c_emb"), col("c_emb"))))
+      val hotVecs = e.join(
+        cells.filter(col("cell").isin(hotCells.map(Int.box): _*))
+          .select(col("vec_id"), col("cell").as("parent_cell")),
+        Seq("vec_id"))
+      val ws = Window.partitionBy(col("vec_id"))
+        .orderBy(col("scos").desc, col("sub_idx").asc)
+      val assigned2 = hotVecs.join(subCents, Seq("parent_cell"))
+        .withColumn("scos", cosine(dotCol(col("embedding"), col("c_emb")),
+          col("norm2"), col("c_norm2")))
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") === 1)
+        .select(col("vec_id"), col("new_cell").as("cell"))
+      graft.etl.LakeApply.writeExactFiles(
+        assigned2.withColumn("__fk", col("cell").cast("string")),
+        Seq("cell"), "__fk", s"$indexDir/cells2")
+      indexDir
+    })
+
+  /** The LIVE post-rebalance cell set: gen-1 cells minus the de-listed
+    * split parents, plus the gen-2 sub-cells — with generation tags and
+    * `_metadata` file identity for the measured inventory. */
+  private def liveCells(spark: SparkSession, dir: String,
+                        nCentroids: Int): DataFrame = {
+    val indexDir = rebalancedIndex(spark, dir, nCentroids)
+    val parents = spark.read.parquet(
+        graft.model.OracleSilver.dirFor(subCentTable(nCentroids), dir))
+      .select(col("parent_cell")).distinct()
+    val gen1 = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("_metadata.file_path").as("__fp"))
+      .join(parents, col("cell") === col("parent_cell"), "left_anti")
+      .withColumn("generation", lit(1L))
+    // a fixture with no hot cell writes no gen-2 dir: the live set is
+    // then gen-1 unchanged (the rebalance is a measured no-op)
+    val gen2 =
+      if (new java.io.File(s"$indexDir/cells2").exists())
+        spark.read.parquet(s"$indexDir/cells2")
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("_metadata.file_path").as("__fp"))
+          .withColumn("generation", lit(2L))
+      else gen1.limit(0)
+    gen1.unionByName(gen2)
+  }
+
+  /** v42: the measured post-rebalance inventory. */
+  def rebalanceApplied(spark: SparkSession, dir: String,
+                       nCentroids: Int = 8): DataFrame =
+    graft.model.Silver.memoize(spark, "v42RebalanceApplied", dir) {
+      liveCells(spark, dir, nCentroids)
+        .groupBy(col("cell"), col("generation"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((col("vec_id") % 10 >= SnapshotMod).cast("long")).as("n_delta"),
+          countDistinct(col("__fp")).as("n_files"))
+        .orderBy(col("cell"))
+    }
+
+  /** The oracle CTE chain shared by v42/v43: predicted hot set, the
+    * sub-assignment from the silver, and the predicted live cell set. */
+  private def rebalCtesSql(nCentroids: Int): String =
+    s"""${assignedCtesSql(nCentroids)},
+       |cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM assigned GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+       |hot AS (
+       |  SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS split_rank
+       |  FROM cnt CROSS JOIN tot
+       |  WHERE n * $nCentroids * 1000 > $HotMilliDefault * total),
+       |subc AS (
+       |  SELECT parent_cell, sub_idx, new_cell, c_emb,
+       |    ${dotSql("c_emb", "c_emb")} AS c_norm2
+       |  FROM read_parquet('${graft.model.OracleSilver.sqlGlob(
+              subCentTable(nCentroids))}')),
+       |hotv AS (
+       |  SELECT a.neighbor_id AS vec_id, a.cell AS parent_cell,
+       |    a.n_emb, a.n_norm2
+       |  FROM assigned a JOIN hot h ON a.cell = h.cell),
+       |sass AS (
+       |  SELECT vec_id, new_cell AS cell FROM (
+       |    SELECT v.vec_id, s.new_cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${dotSql("v.n_emb", "s.c_emb")}
+       |          / sqrt(v.n_norm2 * s.c_norm2) DESC, s.sub_idx ASC) AS r
+       |    FROM hotv v JOIN subc s ON s.parent_cell = v.parent_cell)
+       |  WHERE r = 1),
+       |live AS (
+       |  SELECT neighbor_id AS vec_id, cell, 1 AS generation FROM assigned
+       |  WHERE cell NOT IN (SELECT cell FROM hot)
+       |  UNION ALL
+       |  SELECT vec_id, cell, 2 FROM sass)""".stripMargin
+
+  def rebalanceAppliedSql(nCentroids: Int = 8): String =
+    s"""WITH ${rebalCtesSql(nCentroids)}
+       |SELECT l.cell, CAST(l.generation AS BIGINT) AS generation,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CASE WHEN l.vec_id % 10 >= $SnapshotMod
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       |  CAST(CASE WHEN l.generation = 2 THEN 1 ELSE
+       |    CASE WHEN SUM(CASE WHEN l.vec_id % 10 < $SnapshotMod
+       |      THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+       |    + CASE WHEN SUM(CASE WHEN l.vec_id % 10 >= $SnapshotMod
+       |      THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+       |  END AS BIGINT) AS n_files
+       |FROM live l
+       |GROUP BY l.cell, l.generation
+       |ORDER BY l.cell""".stripMargin
+
+  /** v43: ANN from the REBALANCED index — probes ranked over the kept
+    * centroids plus the trained sub-centroids, candidates from the live
+    * cell set, scores from the fact-table floats. */
+  def rebalancedAnn(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = defaultNQueries,
+                    nCentroids: Int = 8, nProbe: Int = 2): DataFrame =
+    graft.model.Silver.memoize(spark, "v43RebalancedAnn", dir) {
+      val indexDir = rebalancedIndex(spark, dir, nCentroids)
+      val silver = spark.read.parquet(
+        graft.model.OracleSilver.dirFor(subCentTable(nCentroids), dir))
+      val kept = spark.read.parquet(s"$indexDir/centroids")
+        .join(silver.select(col("parent_cell")).distinct(),
+          col("centroid_id") === col("parent_cell"), "left_anti")
+        .select(col("centroid_id"), col("c_emb"), col("c_norm2"))
+      val cents = broadcast(kept.unionByName(
+        silver.select(col("new_cell").as("centroid_id"), col("c_emb"))
+          .withColumn("c_norm2", dotCol(col("c_emb"), col("c_emb")))))
+      val e = withNorm(spark, dir)
+      val queries = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm2").as("q_norm2"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("centroid_id").asc)
+      val qprobe = queries.crossJoin(cents)
+        .withColumn("qcos", cosine(dotCol(col("q_emb"), col("c_emb")),
+          col("q_norm2"), col("c_norm2")))
+        .withColumn("crank", row_number().over(wq))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("centroid_id").as("cell"),
+          col("q_emb"), col("q_norm2"))
+      val cells = liveCells(spark, dir, nCentroids)
+        .select(col("vec_id").as("neighbor_id"), col("cell"))
+      val scored = broadcast(qprobe).join(cells, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"), col("norm2").as("n_norm2")),
+          Seq("neighbor_id"))
+        .withColumn("cosine", cosine(dotCol(col("q_emb"), col("n_emb")),
+          col("q_norm2"), col("n_norm2")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cell"), (col("cell") >= nCentroids).as("from_split_cell"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+  def rebalancedAnnSql(k: Int = 5, nQueries: Int = defaultNQueries,
+                       nCentroids: Int = 8, nProbe: Int = 2): String =
+    s"""WITH ${rebalCtesSql(nCentroids)},
+       |allc AS (
+       |  SELECT centroid_id, c_emb, c_norm2 FROM cents
+       |  WHERE centroid_id NOT IN (SELECT cell FROM hot)
+       |  UNION ALL
+       |  SELECT new_cell, c_emb, c_norm2 FROM subc),
+       |qaff AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+       |    q.norm2 AS q_norm2, c.centroid_id AS cell,
+       |    ${dotSql("q.embedding", "c.c_emb")}
+       |      / sqrt(q.norm2 * c.c_norm2) AS qcos
+       |  FROM e q CROSS JOIN allc c WHERE q.vec_id < $nQueries),
+       |qprobe AS (
+       |  SELECT query_id, cell, q_emb, q_norm2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY qcos DESC, cell ASC) AS crank FROM qaff)
+       |  WHERE crank <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, p.q_emb, p.q_norm2, l.vec_id AS neighbor_id,
+       |    l.cell
+       |  FROM qprobe p JOIN live l USING (cell)
+       |  WHERE p.query_id <> l.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    ${dotSql("c.q_emb", "n.embedding")}
+       |      / sqrt(c.q_norm2 * n.norm2) AS cosine
+       |  FROM cand c JOIN e n ON n.vec_id = c.neighbor_id),
+       |rankedp AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cell,
+       |  (cell >= $nCentroids) AS from_split_cell, cosine
+       |FROM rankedp WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def cellInventorySql(nCentroids: Int = 8): String =
     s"""WITH ${assignedCtesSql(nCentroids)}
        |SELECT cell,

@@ -71,11 +71,23 @@ object Lloyd {
     * update), from the donor init. Returns nCentroids x dim doubles. */
   def ivfTrain(spark: SparkSession, dir: String, nCentroids: Int = 8,
                iters: Int = 4): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = Tables.embeddings(spark, dir)
+    val init: Array[Array[Double]] = Tables.embeddings(spark, dir)
       .orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val e = Tables.embeddings(spark, dir)
+    ivfTrainFrom(Tables.embeddings(spark, dir), init, iters)
+  }
+
+  /** The [[ivfTrain]] loop over an EXPLICIT vector relation and init —
+    * v42's per-cell sub-quantizer trainer (split a hot IVF cell by
+    * training k sub-centroids on that cell's members only, every other
+    * cell frozen). Identical decimal-exact arithmetic; `ivfTrain` is
+    * this function applied to the whole corpus with the donor init. */
+  def ivfTrainFrom(vecs: org.apache.spark.sql.DataFrame,
+                   init: Array[Array[Double]],
+                   iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = init
+    val e = vecs
       .select(col("embedding"))
       .withColumn("norm2",
         Similarity.dotColHof(col("embedding"), col("embedding")))

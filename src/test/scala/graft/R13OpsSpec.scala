@@ -53,4 +53,100 @@ class R13OpsSpec extends GraftSpec {
     val nTrue = scored.agg(sum(col("is_true"))).head.getLong(0)
     assert(sweep.last.getAs[Long]("n_true_link") === nTrue)
   }
+
+  // ------------------------------------------------------- v42/v43
+
+  test("v42: the rebalance conserves every vector exactly once, " +
+      "de-lists the split parents, and numbers sub-cells by the " +
+      "deterministic rule") {
+    import graft.vector.IndexCompaction
+    val nCentroids = 8
+    val pre = IndexCompaction.cellInventory(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val post = IndexCompaction.rebalanceApplied(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // hot set recomputed independently from the pre-fold inventory
+    val total = pre.values.sum
+    val hot = pre.collect {
+      case (c, n) if n * nCentroids * 1000L >
+        IndexCompaction.HotMilliDefault * total => c
+    }.toSeq.sorted
+    assert(hot.nonEmpty, "fixture must exercise the split path")
+    // conservation: no row lost or duplicated by the rewrite
+    assert(post.map(_._3).sum === total)
+    val gen1Cells = post.collect { case (c, 1L, _, _) => c }.toSet
+    val gen2Cells = post.collect { case (c, 2L, _, _) => c }.toSet
+    // split parents de-listed; every other gen-1 cell kept with its
+    // unchanged population and file structure
+    assert(gen1Cells === (pre.keySet -- hot))
+    post.collect { case (c, 1L, n, f) => (c, n, f) }.foreach {
+      case (c, n, f) =>
+        assert(n === pre(c))
+        assert(f === 2L) // snapshot file + fold-appended delta file
+    }
+    // sub-cell ids: the i-th hot cell splits into base+2i / base+2i+1,
+    // each written as exactly one file
+    val expected = hot.zipWithIndex.flatMap { case (_, i) =>
+      Seq(nCentroids + 2 * i, nCentroids + 2 * i + 1) }.toSet
+    assert(gen2Cells === expected)
+    post.collect { case (_, 2L, _, f) => f }.foreach(f => assert(f === 1L))
+    // each split parent's population is conserved across its two halves
+    val subsByParent = IndexCompaction.rebalanceApplied(spark, dir)
+      .filter(col("generation") === 2L).collect()
+      .map(r => r.getInt(0) -> r.getLong(2))
+      .groupBy { case (c, _) => hot((c - nCentroids) / 2) }
+    subsByParent.foreach { case (parent, halves) =>
+      assert(halves.map(_._2).sum === pre(parent))
+    }
+  }
+
+  test("v43: queries whose probes touch no split cell rank identically " +
+      "pre- vs post-rebalance (the v41 containment discipline)") {
+    import graft.vector.IndexCompaction
+    val nCentroids = 8
+    val nProbe = 2
+    val v39 = IndexCompaction.compactionApplied(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(5)))
+      .groupBy(_._1)
+    val v43 = IndexCompaction.rebalancedAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(5)))
+      .groupBy(_._1)
+    // probe sets recomputed independently, pure-Scala double arithmetic
+    // (the same strict left-to-right fold as the engine's dotCol)
+    val indexDir = IndexCompaction.indexDirs((spark, dir))
+    def vecsOf(df: org.apache.spark.sql.DataFrame, id: String,
+               emb: String): Array[(Int, Array[Double])] =
+      df.select(col(id).cast("int"), col(emb)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cosine(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val oldCents = vecsOf(
+      spark.read.parquet(s"$indexDir/centroids"), "centroid_id", "c_emb")
+    val subs = spark.read.parquet(graft.model.OracleSilver
+      .dirFor(s"split_subcents_$nCentroids", dir))
+    val parents = subs.select("parent_cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val subCents = vecsOf(subs, "new_cell", "c_emb")
+    val newCents = oldCents.filterNot(c => parents(c._1)) ++ subCents
+    val queries = vecsOf(graft.model.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10), "vec_id", "embedding")
+    def probes(q: Array[Double],
+               cents: Array[(Int, Array[Double])]): Set[Int] =
+      cents.map { case (id, c) => (id, cosine(q, c)) }
+        .sortBy { case (id, cc) => (-cc, id) }.take(nProbe).map(_._1).toSet
+    val unaffected = queries.filter { case (_, q) =>
+      probes(q, oldCents).intersect(parents).isEmpty &&
+        probes(q, newCents).forall(_ < nCentroids)
+    }.map(_._1.toLong)
+    assert(unaffected.nonEmpty,
+      "fixture must contain queries untouched by the split")
+    unaffected.foreach { qid =>
+      // identical (rank, neighbor, cosine) — displacement can only reach
+      // queries whose probes saw a split parent or child
+      assert(v43(qid).map(t => (t._3, t._4)).toSeq.sorted ===
+        v39(qid).map(t => (t._3, t._4)).toSeq.sorted, s"query $qid moved")
+    }
+  }
 }
