@@ -1,0 +1,191 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** a69: the COMPOSED incremental DAY-CLOSE — the medallion-close contract
+  * run as ONE commit, twice in a row.
+  *
+  * Every piece existed as its own hash-green key (a66 sum/count fold,
+  * a67 bitmap-distinct fold, a68 MG top-k fold, d30 dedup-index append,
+  * v39 vector-index fold); what did NOT exist was the COMPOSITION: a new
+  * day of facts arrives and every maintained silver folds from the same
+  * boundary, then the golds must equal full recompute. This key runs TWO
+  * CONSECUTIVE closes (base ≤ [[Close1]]; close 1 folds the (Close1,
+  * Close2] arrivals and PERSISTS its generation; close 2 folds the rest
+  * on top of the RE-READ generation-1 bytes) — the part no single-fold
+  * key exercises: each close's input is the previous close's physical
+  * output, exactly how a nightly pipeline compounds.
+  *
+  * Fold algebra per component:
+  *  - rollup: sum/count monoid re-aggregation (decimal-exact partials);
+  *  - distinct: OR-mergeable bitmap pages (`bitmap_or_agg`), folded and
+  *    re-persisted per close — a true multi-generation fold;
+  *  - top-k: Misra-Gries binary sketches in the mergeable-summaries
+  *    late-merge discipline — each close APPENDS its day's sketch rows
+  *    (the DataSketches sketch-in-silver pattern: partials accumulate,
+  *    the gold merges at read), the final merge is exact in the
+  *    exactness regime (a68's anchor);
+  *  - the dedup-index (d30) and vector-index (v39) maintenance legs join
+  *    the same commit via their established snapshot/delta boundaries
+  *    (doc_id/vec_id mod 10 — those tables carry no dates).
+  *
+  * Output is ONE long-form relation (component, key1, key2, metric,
+  * value) over all five maintained golds; the DuckDB oracle recomputes
+  * every component FROM THE RAW TABLES and projects the same long form —
+  * a single hash certifying the whole close. DayCloseSpec replays the
+  * generation-1 bytes against a direct ≤ Close2 recompute (the
+  * mid-generation contract the end-to-end hash cannot see). */
+object DayClose {
+
+  /** First close boundary — [[Materialize.IngestBoundary]], mid-corpus
+    * so the boundary month straddles it. */
+  val Close1: String = Materialize.IngestBoundary
+
+  /** Second close: the NEXT day's arrivals (nonempty at every test SF). */
+  val Close2: String = "1995-06-16"
+
+  /** Generation roots per (session, sfDir), exposed for the spec's
+    * mid-generation assertions. */
+  private[graft] val closeDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private def day0(c: Column): Column = c <= Close1
+  private def day1(c: Column): Column = c > Close1 && c <= Close2
+  private def day2(c: Column): Column = c > Close2
+
+  def dayClose(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "a69DayClose", dir) {
+      val root = closeDirs.getOrElseUpdate((spark, dir),
+        Scratch.tempDir("a69-closes"))
+      val sales = Tables.sales(spark, dir)
+      val sd = col("sale_date")
+
+      // ---- rollup: the sum/count monoid, folded close-over-close
+      def rollPartial(pred: Column): DataFrame = sales.filter(pred)
+        .groupBy(col("store_id"), substring(sd, 1, 7).as("month"))
+        .agg(sum(col("line_total")).as("gross_dec"),
+          count(lit(1)).as("n_lines"))
+      def rollFold(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b).groupBy(col("store_id"), col("month"))
+          .agg(sum(col("gross_dec")).as("gross_dec"),
+            sum(col("n_lines")).as("n_lines"))
+      rollPartial(day0(sd)).write.mode("overwrite").parquet(s"$root/roll0")
+      rollFold(spark.read.parquet(s"$root/roll0"), rollPartial(day1(sd)))
+        .write.mode("overwrite").parquet(s"$root/roll1")
+      val rollGold = rollFold(spark.read.parquet(s"$root/roll1"),
+        rollPartial(day2(sd)))
+
+      // ---- distinct: OR-mergeable bitmap pages, re-persisted per close
+      def pages(pred: Column): DataFrame = sales.filter(pred)
+        .groupBy(col("store_id"),
+          expr("bitmap_bucket_number(sku)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
+      def pageFold(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b).groupBy(col("store_id"), col("bucket"))
+          .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      pages(day0(sd)).write.mode("overwrite").parquet(s"$root/pages0")
+      pageFold(spark.read.parquet(s"$root/pages0"), pages(day1(sd)))
+        .write.mode("overwrite").parquet(s"$root/pages1")
+      val distinctGold = pageFold(spark.read.parquet(s"$root/pages1"),
+        pages(day2(sd)))
+        .groupBy(col("store_id"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))
+
+      // ---- top-k: MG sketches, late-merge (each close appends its rows)
+      val size = graft.analytics.Sketches.exactSummarySize
+      def sketches(pred: Column): DataFrame = sales.filter(pred)
+        .groupBy(col("store_id"))
+        .agg(graft.functions.TopKByCount
+          .topKSketch(col("sku").cast("string"), size).as("sketch"))
+      sketches(day0(sd)).write.mode("overwrite").parquet(s"$root/sk0")
+      spark.read.parquet(s"$root/sk0").unionByName(sketches(day1(sd)))
+        .write.mode("overwrite").parquet(s"$root/sk1")
+      val topkGold = spark.read.parquet(s"$root/sk1")
+        .unionByName(sketches(day2(sd)))
+        .groupBy(col("store_id"))
+        .agg(graft.functions.TopKByCount
+          .topKMergeSketch(col("sketch"), size).as("mg"))
+        .select(col("store_id"),
+          posexplode(slice(col("mg.items"), 1, 5)).as(Seq("idx", "item")))
+        .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
+          col("item.sku").as("sku"), col("item.est_count").as("est_count"))
+
+      // ---- the index-maintenance legs of the same commit
+      val dedupLeg = graft.dedup.Dedup.indexMaintenance(spark, dir)
+      val vectorLeg = graft.vector.IndexCompaction.compactionApplied(spark, dir)
+
+      // ---- one long-form relation over all five maintained golds
+      def longForm(component: String, key1: Column, key2: Column,
+                   metric: String, value: Column): Column =
+        struct(lit(component).as("component"), key1.as("key1"),
+          key2.as("key2"), lit(metric).as("metric"),
+          value.cast("double").as("value"))
+      val rollRows = rollGold.select(explode(array(
+        longForm("rollup", col("store_id"), col("month"),
+          "total_sales", col("gross_dec").cast("double")),
+        longForm("rollup", col("store_id"), col("month"),
+          "n_lines", col("n_lines")))).as("r")).select(col("r.*"))
+      val distinctRows = distinctGold.select(
+        longForm("distinct", col("store_id"), lit(""),
+          "n_distinct_skus", col("n_distinct_skus")).as("r"))
+        .select(col("r.*"))
+      val topkRows = topkGold.select(
+        longForm("topk", col("store_id"),
+          concat(col("rank").cast("string"), lit(":"), col("sku")),
+          "est_count", col("est_count")).as("r")).select(col("r.*"))
+      val dedupRows = dedupLeg.select(
+        longForm("dedup_index", col("doc_id").cast("string"),
+          concat(col("verdict_before"), lit("->"), col("verdict_after")),
+          "maintained", lit(1.0)).as("r")).select(col("r.*"))
+      val vectorRows = vectorLeg.select(
+        longForm("vector_index", col("query_id").cast("string"),
+          concat(col("rank").cast("string"), lit(":"),
+            col("neighbor_id").cast("string")),
+          "cosine", col("cosine")).as("r")).select(col("r.*"))
+      rollRows.unionByName(distinctRows).unionByName(topkRows)
+        .unionByName(dedupRows).unionByName(vectorRows)
+        .orderBy(col("component"), col("key1"), col("key2"), col("metric"))
+    }
+
+  /** Full recompute of all five golds from the raw tables, same long
+    * form — the one-hash certification of the whole close. */
+  def dayCloseSql(): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |roll AS (
+       |  SELECT store_id, substring(sale_date, 1, 7) AS month,
+       |    CAST(SUM(line_total) AS DOUBLE) AS total_sales,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM s GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT store_id,
+       |    CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_distinct_skus
+       |  FROM s GROUP BY 1),
+       |tk AS (${Materialize.incrementalTopKSql(5)}),
+       |dd AS (${graft.dedup.Dedup.indexMaintenanceSql()}),
+       |vx AS (${graft.vector.IndexCompaction.compactionAppliedSql()})
+       |SELECT * FROM (
+       |  SELECT 'rollup' AS component, store_id AS key1, month AS key2,
+       |    'total_sales' AS metric, total_sales AS value FROM roll
+       |  UNION ALL
+       |  SELECT 'rollup', store_id, month, 'n_lines',
+       |    CAST(n_lines AS DOUBLE) FROM roll
+       |  UNION ALL
+       |  SELECT 'distinct', store_id, '', 'n_distinct_skus',
+       |    CAST(n_distinct_skus AS DOUBLE) FROM dist
+       |  UNION ALL
+       |  SELECT 'topk', store_id,
+       |    CAST(rank AS VARCHAR) || ':' || sku, 'est_count',
+       |    CAST(est_count AS DOUBLE) FROM tk
+       |  UNION ALL
+       |  SELECT 'dedup_index', CAST(doc_id AS VARCHAR),
+       |    verdict_before || '->' || verdict_after, 'maintained',
+       |    CAST(1 AS DOUBLE) FROM dd
+       |  UNION ALL
+       |  SELECT 'vector_index', CAST(query_id AS VARCHAR),
+       |    CAST(rank AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR),
+       |    'cosine', cosine FROM vx
+       |) ORDER BY component, key1, key2, metric""".stripMargin
+}

@@ -54,6 +54,64 @@ class R13OpsSpec extends GraftSpec {
     assert(sweep.last.getAs[Long]("n_true_link") === nTrue)
   }
 
+  // ------------------------------------------------------- a69
+
+  test("a69: generation-1 bytes (the first close's persisted silvers) " +
+      "equal a direct recompute over facts at or before Close2 — the " +
+      "mid-generation contract the end-to-end hash cannot see") {
+    import graft.etl.DayClose
+    DayClose.dayClose(spark, dir).count() // force both closes
+    val root = DayClose.closeDirs((spark, dir))
+    val upTo = graft.model.Tables.sales(spark, dir)
+      .filter(col("sale_date") <= DayClose.Close2)
+    // the close-1 arrivals are nonempty: close 2 folds ON TOP of a
+    // genuinely advanced generation, not a copy of the base
+    val nDay1 = graft.model.Tables.sales(spark, dir)
+      .filter(col("sale_date") > DayClose.Close1 &&
+        col("sale_date") <= DayClose.Close2).count()
+    assert(nDay1 > 0, "fixture must have close-1 arrivals")
+    // rollup generation: re-aggregated partials == direct recompute
+    val gen1 = spark.read.parquet(s"$root/roll1")
+      .groupBy("store_id", "month")
+      .agg(sum(col("gross_dec")).cast("string").as("g"),
+        sum(col("n_lines")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getString(2)), r.getLong(3))).toSet
+    val direct = upTo
+      .groupBy(col("store_id"), substring(col("sale_date"), 1, 7).as("month"))
+      .agg(sum(col("line_total")).cast("string").as("g"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getString(2)), r.getLong(3))).toSet
+    assert(gen1 === direct)
+    // bitmap generation: folded pages count == direct COUNT(DISTINCT)
+    val pages1 = spark.read.parquet(s"$root/pages1")
+      .groupBy(col("store_id"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directD = upTo.groupBy(col("store_id"))
+      .agg(countDistinct(col("sku")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pages1 === directD)
+    // sketch generation: the accumulated sketch rows merge to the exact
+    // <= Close2 ranking (the late-merge leg of the exactness regime)
+    val size = graft.analytics.Sketches.exactSummarySize
+    val merged = spark.read.parquet(s"$root/sk1")
+      .groupBy(col("store_id"))
+      .agg(graft.functions.TopKByCount
+        .topKMergeSketch(col("sketch"), size).as("mg"))
+      .select(col("store_id"), explode(col("mg.items")).as("item"))
+      .select(col("store_id"), col("item.sku"), col("item.est_count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val directT = upTo.groupBy(col("store_id"),
+        col("sku").cast("string").as("sku"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(merged === directT)
+  }
+
   // ------------------------------------------------------- v42/v43
 
   test("v42: the rebalance conserves every vector exactly once, " +
