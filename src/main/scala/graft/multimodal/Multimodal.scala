@@ -707,7 +707,8 @@ object Multimodal {
        |    generate_subscripts(f.feat, 1) AS b, unnest(f.feat) AS v
        |  FROM sf s JOIN f USING (media_id, frame_idx)),
        |sb AS (
-       |  SELECT media_id, scene_id, b, SUM(v) AS sv, COUNT(*) AS nf
+       |  SELECT media_id, scene_id, b, CAST(SUM(v) AS BIGINT) AS sv,
+       |    COUNT(*) AS nf
        |  FROM fb2 GROUP BY 1, 2, 3),
        |disp AS (
        |  SELECT fb2.media_id, fb2.scene_id, fb2.frame_idx,
