@@ -566,6 +566,88 @@ object IndexCompaction {
        |FROM rankedp WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------- v44
+
+  /** v44: INDEX GC — k25's retention purge applied to the index. The
+    * rebalance DE-LISTED the split parents (the manifest remove-file
+    * action); their gen-1 files stayed on disk for time travel. GC
+    * physically deletes them once past retention. Executed on a CLONE
+    * of the index root (GC-of-a-snapshot: v39–v43's bytes stay
+    * immutable, so key execution order stays irrelevant — the same
+    * reasoning that kept the rebalance itself non-destructive). The
+    * key re-measures the live inventory from the GC'd clone, where
+    * reading `cells` needs NO de-list filter any more — the manifest
+    * filter is retired by the deletion. The oracle predicts the SAME
+    * relation as v42, so the hash match certifies the GC removed
+    * exactly the dead files and nothing else; the spec additionally
+    * asserts the parent partition dirs are gone and the kept files'
+    * names are untouched. */
+  private val gcMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private[graft] def gcIndex(spark: SparkSession, dir: String,
+                             nCentroids: Int): String =
+    gcMemo.getOrElseUpdate((spark, dir), {
+      val indexDir = rebalancedIndex(spark, dir, nCentroids)
+      val gcDir = graft.etl.Scratch.tempDir("v44-gc")
+      def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+        if (src.isDirectory) {
+          dst.mkdirs()
+          src.listFiles().foreach(f =>
+            copyTree(f, new java.io.File(dst, f.getName)))
+        } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      Seq("cells", "cells2").foreach { t =>
+        val src = new java.io.File(s"$indexDir/$t")
+        if (src.exists()) copyTree(src, new java.io.File(s"$gcDir/$t"))
+      }
+      // THE GC: physically delete the de-listed split parents' dirs
+      val parents = spark.read.parquet(
+          graft.model.OracleSilver.dirFor(subCentTable(nCentroids), dir))
+        .select(col("parent_cell")).distinct()
+        .collect().map(_.getInt(0))
+      parents.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$gcDir/cells/cell=$c"))
+      }
+      gcDir
+    })
+
+  /** v44: the measured live inventory from the GC'd clone — identical
+    * to v42's relation iff the GC deleted exactly the dead files. */
+  def gcApplied(spark: SparkSession, dir: String,
+                nCentroids: Int = 8): DataFrame =
+    graft.model.Silver.memoize(spark, "v44GcApplied", dir) {
+      val gcDir = gcIndex(spark, dir, nCentroids)
+      val gen1 = spark.read.parquet(s"$gcDir/cells")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("_metadata.file_path").as("__fp"))
+        .withColumn("generation", lit(1L))
+      val gen2 =
+        if (new java.io.File(s"$gcDir/cells2").exists())
+          spark.read.parquet(s"$gcDir/cells2")
+            .select(col("vec_id"), col("cell").cast("int").as("cell"),
+              col("_metadata.file_path").as("__fp"))
+            .withColumn("generation", lit(2L))
+        else gen1.limit(0)
+      gen1.unionByName(gen2)
+        .groupBy(col("cell"), col("generation"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((col("vec_id") % 10 >= SnapshotMod).cast("long")).as("n_delta"),
+          countDistinct(col("__fp")).as("n_files"))
+        .orderBy(col("cell"))
+    }
+
+  /** Same predicted relation as v42 — after a correct GC the live
+    * inventory is unchanged. */
+  def gcAppliedSql(nCentroids: Int = 8): String =
+    rebalanceAppliedSql(nCentroids)
+
   def cellInventorySql(nCentroids: Int = 8): String =
     s"""WITH ${assignedCtesSql(nCentroids)}
        |SELECT cell,

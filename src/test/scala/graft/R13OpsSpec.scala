@@ -158,6 +158,45 @@ class R13OpsSpec extends GraftSpec {
     }
   }
 
+  test("v44: GC physically deletes exactly the de-listed parent dirs; " +
+      "kept files untouched name-for-name; live inventory unchanged") {
+    import graft.vector.IndexCompaction
+    val nCentroids = 8
+    IndexCompaction.gcApplied(spark, dir).count() // force clone + GC
+    val gcDir = IndexCompaction.gcIndex(spark, dir, nCentroids)
+    val srcDir = IndexCompaction.indexDirs((spark, dir))
+    val parents = spark.read.parquet(graft.model.OracleSilver
+        .dirFor(s"split_subcents_$nCentroids", dir))
+      .select("parent_cell").distinct().collect().map(_.getInt(0))
+    assert(parents.nonEmpty)
+    // dead partition dirs are gone from the clone, present in the source
+    parents.foreach { c =>
+      assert(!new java.io.File(s"$gcDir/cells/cell=$c").exists(),
+        s"parent cell=$c survived GC")
+      assert(new java.io.File(s"$srcDir/cells/cell=$c").exists(),
+        s"GC must not touch the source index (cell=$c)")
+    }
+    // every kept file survives name-for-name (nothing over-deleted)
+    def files(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).map(f =>
+        f.getAbsolutePath.stripPrefix(root)).filter(_.endsWith(".parquet"))
+        .toSet
+    }
+    val keptSrc = files(s"$srcDir/cells").filterNot(p =>
+      parents.exists(c => p.contains(s"cell=$c/")))
+    assert(files(s"$gcDir/cells") === keptSrc)
+    assert(files(s"$gcDir/cells2") === files(s"$srcDir/cells2"))
+    // the live inventory is byte-identical to v42's (the hash-gate
+    // contract, asserted here row-for-row as well)
+    val v42 = IndexCompaction.rebalanceApplied(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val v44 = IndexCompaction.gcApplied(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(v44 === v42)
+  }
+
   test("v43: queries whose probes touch no split cell rank identically " +
       "pre- vs post-rebalance (the v41 containment discipline)") {
     import graft.vector.IndexCompaction
