@@ -43,6 +43,46 @@ object Bench {
                                   ratio: Double): Boolean =
     bigEff >= 0.25 && smallT > 0 && bigEff / smallT > 2 * ratio
 
+  /** sf1.0-section flag rule: 2.5 s noise floor, slope > 2 x the 10x data
+    * ratio vs the key's sf0.1 median. */
+  private[graft] def sf1Flagged(t: Double, sf01: Double): Boolean =
+    t >= 2.5 && sf01 > 0 && t > 20.0 * sf01
+
+  /** Two-stage sf1.0 adjudication (the r13 j25 case: a 29.6 s reading
+    * SURVIVED the single keep-min confirm while the committed run on
+    * identical code measured 2.24 s — two consecutive transients are
+    * still transients on a shared FS cache). A key whose first run would
+    * flag gets ONE confirmation run (keep-min: first-run codegen +
+    * footer-read one-offs); a key that STILL flags gets a 3x
+    * back-to-back steady profile and keeps min(confirm-min, steady
+    * median). The thunks are by-name so the extra runs are paid only
+    * when the cheaper evidence fails to clear the key — and both
+    * readings are returned for the artifact, so every suppressed OR
+    * surviving flag carries its own evidence. Pure modulo the thunks;
+    * BenchSpec replays the j25 scenario against it. */
+  private[graft] def adjudicateSf1(t1: Double, sf01: Double,
+                                   confirm: => Option[Double],
+                                   steady: => Seq[Double])
+      : (Double, Option[Double], Option[Double]) = {
+    var t = t1
+    var confirmUsed: Option[Double] = None
+    if (sf1Flagged(t, sf01)) {
+      confirm.filter(_ >= 0).foreach { c =>
+        confirmUsed = Some(c); t = math.min(t, c)
+      }
+    }
+    var steadyUsed: Option[Double] = None
+    if (sf1Flagged(t, sf01)) {
+      val ts = steady.filter(_ >= 0)
+      if (ts.nonEmpty) {
+        val st = median(ts)
+        steadyUsed = Some(st)
+        t = math.min(t, st)
+      }
+    }
+    (t, confirmUsed, steadyUsed)
+  }
+
   /** Co-resident JVM audit (the k10 false-flag fix: r8's one-off 30×
     * slope was stray-JVM contention, diagnosed only by anecdote):
     * pids of java processes that are neither this JVM nor its
@@ -252,7 +292,11 @@ object Bench {
         // adjudicate the numerator BEFORE flagging (the r12 k13 false
         // positive): steady restamps override transient medians; a key
         // that would still flag and has no restamp gets one confirmation
-        // re-run at sfDir and keeps the min (the sf1.0 keep-min rule)
+        // re-run at sfDir and keeps the min (the sf1.0 keep-min rule).
+        // Each confirm time is recorded in the artifact (the r13 ADVICE
+        // auditability ask): a suppressed flag stays explainable because
+        // the warm re-run that suppressed it is on the record.
+        val confirmTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
         val bigEff = results.collect { case (k, tL) if tL >= 0 =>
           val preEff = adjudicatedBig(tL, steadyMap.get(k), None)
           val wouldFlag = slopeFlagged(preEff,
@@ -260,7 +304,9 @@ object Bench {
           val confirm = if (wouldFlag && !steadyMap.contains(k)) {
             val t0 = System.nanoTime()
             try { SparkEntry.queries(k)(spark, sfDir).count()
-              Some((System.nanoTime() - t0) / 1e9)
+              val t = (System.nanoTime() - t0) / 1e9
+              confirmTimes(k) = t
+              Some(t)
             } catch { case _: Throwable => None }
           } else None
           k -> adjudicatedBig(tL, steadyMap.get(k), confirm)
@@ -279,7 +325,9 @@ object Bench {
           .mkString("{", ",", "}")
         val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
           .mkString("{", ",", "}")
-        val line = s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"adjudicated":$adjudicatedKeys,"slopes":$slopesJson}"""
+        val confirmJson = confirmTimes
+          .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+        val line = s"""{"metric":"scale_slope","sf_large":"$sfDir","sf_small":"$slopeDir","data_ratio":$ratio,"n_flagged":${flagged.size},"flagged":$flaggedJson,"adjudicated":$adjudicatedKeys,"confirm":$confirmJson,"slopes":$slopesJson}"""
         println(line)
         fullLines += line
       }
@@ -291,14 +339,15 @@ object Bench {
     // median — a documented sampling rule, not a stale list). The
     // sf0.01→sf0.1 slope can hide constants that only bite at the
     // next decade; this section pays one decade more on exactly the
-    // keys where it would show. Each key runs ONCE; a key whose single
-    // run would flag gets a CONFIRMATION run and keeps the min — the
-    // first run pays per-plan codegen + footer reads, a 2-4x one-off
-    // that would chronically over-flag (measured: sk3 16.1 s cold vs
-    // 5.7 s steady), but paying 2 runs on all N keys is not worth it
-    // when only would-flag keys need the disambiguation. Flag when
-    // time ratio > 2 x data ratio and the sf1.0 time clears a 2.5 s
-    // noise floor. Disable with SPARK_GRAFT_SF1=off.
+    // keys where it would show. Each key runs ONCE; would-flag keys
+    // escalate through [[adjudicateSf1]]'s two-stage rule (keep-min
+    // confirm, then a 3x steady profile — the first run pays per-plan
+    // codegen + footer reads, a 2-4x one-off that would chronically
+    // over-flag: sk3 measured 16.1 s cold vs 5.7 s steady; and r13's
+    // j25 showed even two consecutive runs can both be transient).
+    // Flag when time ratio > 2 x data ratio and the sf1.0 time clears
+    // a 2.5 s noise floor ([[sf1Flagged]]). Disable with
+    // SPARK_GRAFT_SF1=off.
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "off" &&
         sfDir.endsWith("sf0.1")) {
       try {
@@ -316,14 +365,15 @@ object Bench {
             -1.0
           }
         }
+        // [[adjudicateSf1]] carries the two-stage rule + its rationale
+        val sf1Confirm = scala.collection.mutable.LinkedHashMap[String, Double]()
+        val sf1Steady = scala.collection.mutable.LinkedHashMap[String, Double]()
         val sf1 = heavy.map { name =>
-          val t1 = timeOnce(name)
-          val wouldFlag = t1 >= 2.5 && big.getOrElse(name, -1.0) > 0 &&
-            t1 > 20.0 * big(name)
-          val t = if (wouldFlag) {
-            val t2 = timeOnce(name)
-            if (t2 >= 0) math.min(t1, t2) else t1
-          } else t1
+          val (t, c, st) = adjudicateSf1(
+            timeOnce(name), big.getOrElse(name, -1.0),
+            Some(timeOnce(name)), (1 to 3).map(_ => timeOnce(name)))
+          c.foreach(sf1Confirm(name) = _)
+          st.foreach(sf1Steady(name) = _)
           name -> t
         }
         val slopes = sf1.collect {
@@ -331,15 +381,19 @@ object Bench {
             k -> r3(t1 / big(k))
         }
         val sf1Map = sf1.toMap
-        val flagged = slopes.filter { case (k, s) =>
-          sf1Map(k) >= 2.5 && s > 20.0 }
+        val flagged = slopes.filter { case (k, _) =>
+          sf1Flagged(sf1Map(k), big(k)) }
         val timesJson = sf1.map { case (k, v) => jstr(k) + ":" + r3(v) }
           .mkString("{", ",", "}")
         val slopesJson = slopes.map { case (k, v) => jstr(k) + ":" + v }
           .mkString("{", ",", "}")
         val flaggedJson = flagged.map { case (k, v) => jstr(k) + ":" + v }
           .mkString("{", ",", "}")
-        val line = s"""{"metric":"scale_slope_sf1","sf_large":"target/sf1.0","sf_small":"$sfDir","data_ratio":10.0,"selection":"top${Sf1TopN}_by_sf0.1_median","n_keys":${sf1.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"times":$timesJson,"slopes":$slopesJson}"""
+        val sf1ConfirmJson = sf1Confirm
+          .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+        val sf1SteadyJson = sf1Steady
+          .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+        val line = s"""{"metric":"scale_slope_sf1","sf_large":"target/sf1.0","sf_small":"$sfDir","data_ratio":10.0,"selection":"top${Sf1TopN}_by_sf0.1_median","n_keys":${sf1.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"confirm":$sf1ConfirmJson,"steady":$sf1SteadyJson,"times":$timesJson,"slopes":$slopesJson}"""
         println(line)
         fullLines += line
       } catch { case e: Throwable =>

@@ -913,32 +913,39 @@ object Star {
        |GROUP BY 1, 2
        |ORDER BY nation_name, ship_year DESC""".stripMargin
 
-  /** j25: ASSORTMENT CHURN — the SET-OPERATION topology (EXCEPT /
-    * INTERSECT, the one relational-algebra family no other key
-    * exercises): per store, how many SKUs were dropped, added, and
-    * retained between two calendar years. Spark lowers
-    * `except`/`intersect` to LEFT ANTI / LEFT SEMI joins over the
-    * distinct'd inputs — co-keyed hash exchanges on (store, sku),
-    * no sorts — and the year predicates prune the fact scan
-    * ([[Tables.salesInRange]]). The three counters recombine on the
-    * store key FULL-outer (a store may only drop, only add, or sell
-    * in just one year), zero-filled. */
+  /** j25: ASSORTMENT CHURN — per store, how many SKUs were dropped,
+    * added, and retained between two calendar years. The SEMANTICS are
+    * the set-operation topology (EXCEPT / INTERSECT over the per-year
+    * distinct (store, sku) sets — the oracle SQL below keeps that exact
+    * algebra as the independent recompute), but the PLAN is the
+    * two-exchange membership form: the r13 shape paid five wide ops
+    * (2 distinct + 2 EXCEPT-as-anti-join + 1 INTERSECT-as-semi-join,
+    * each re-shuffling (store, sku)) where one pass suffices. Here the
+    * two year-pruned fact scans ([[Tables.salesInRange]]) union with a
+    * year-membership tag, ONE hash aggregate on (store, sku) folds the
+    * tags to per-pair membership flags (map-side combinable — partial
+    * max() collapses each scan partition to its distinct pairs before
+    * the exchange), and ONE store-keyed aggregate turns the flags into
+    * the three conditional counters. Every store with any sale in
+    * either year appears, zero-filled — identical output, oracle
+    * unchanged. */
   def assortmentChurn(spark: SparkSession, dir: String,
                       y1: Int = 1996, y2: Int = 1997): DataFrame = {
-    def skus(y: Int) =
+    def tagged(y: Int, in1: Int, in2: Int) =
       Tables.salesInRange(spark, dir, s"$y-01-01", s"$y-12-31")
-        .select(col("store_id"), col("sku")).distinct()
-    val a = skus(y1)
-    val b = skus(y2)
-    def perStore(df: DataFrame, as: String) =
-      df.groupBy(col("store_id")).agg(count(lit(1)).as(as))
-    perStore(a.except(b), "n_dropped")
-      .join(perStore(b.except(a), "n_added"), Seq("store_id"), "full")
-      .join(perStore(a.intersect(b), "n_retained"), Seq("store_id"), "full")
-      .select(col("store_id"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        coalesce(col("n_added"), lit(0L)).as("n_added"),
-        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .select(col("store_id"), col("sku"),
+          lit(in1).as("in1"), lit(in2).as("in2"))
+    tagged(y1, 1, 0).unionAll(tagged(y2, 0, 1))
+      .groupBy(col("store_id"), col("sku"))
+      .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+      .groupBy(col("store_id"))
+      .agg(
+        coalesce(sum(when(col("in1") === 1 && col("in2") === 0, 1L)),
+          lit(0L)).as("n_dropped"),
+        coalesce(sum(when(col("in1") === 0 && col("in2") === 1, 1L)),
+          lit(0L)).as("n_added"),
+        coalesce(sum(when(col("in1") === 1 && col("in2") === 1, 1L)),
+          lit(0L)).as("n_retained"))
       .orderBy(col("store_id"))
   }
 

@@ -448,11 +448,11 @@ class PlanShapeSpec extends GraftSpec {
       "the part existence leg is a LEFT SEMI (broadcast at test SF); " +
         "nation decorates supplier broadcast-side; the final agg is " +
         "|nations|x|years|-bounded"),
-    ("j25_assortment_churn", 12,
-      "set ops are legitimately exchange-heavy: two year-distincts + " +
-        "EXCEPT/EXCEPT/INTERSECT anti-semi lowering + three per-store " +
-        "rollups + the store-keyed full-outer recombination — every " +
-        "exchange keyed on (store, sku) or store, none data-skewed"),
+    ("j25_assortment_churn", 2,
+      "the r13 five-wide-op EXCEPT/INTERSECT lowering is rewritten to " +
+        "the membership form: one (store, sku) flag-fold over the " +
+        "union'd year scans + one store-keyed conditional-count rollup " +
+        "— the semantics (and the oracle SQL) stay the set-op algebra"),
     ("j26_demand_surplus", 3,
       "exceptAll lowers to signed per-key counts + replicate on the " +
         "(store, sku) hash; one store rollup"),
