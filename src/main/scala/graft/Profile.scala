@@ -16,7 +16,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("PROFILE_LOG_LEVEL", "ERROR"))
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>

@@ -248,34 +248,38 @@ object Sketches {
                           bits: Long = bloomBits): String =
     s"(($key % $bloomP) * $a + $b) % $bloomP % $bits"
 
-  /** All of [[bloomMaskOf]]'s masks for a WIDTH SWEEP in ONE action:
-    * the per-level builds are independent bit_or aggregates over the
-    * same key set, so a (level × hash) explode folds them together —
-    * one build-side scan and one Σ(level masks)-bounded collect where
-    * the per-level form pays one job per width. Values are identical
-    * (same position formula; sk11's oracle re-certifies). */
-  def bloomMasksOf(keys: DataFrame,
-                   levels: Seq[Long]): Map[Long, Array[Long]] = {
-    val posCols = levels.flatMap { m =>
-      bloomHashes.map { case (a, b) =>
-        struct(lit(m).as("m"), bloomPos(col("h"), a, b, m).as("pos"))
+  /** Fold the WIDEST mask down to a narrower power-of-two width on the
+    * driver: the affine family NESTS across widths — pos_m(h) =
+    * pos_M(h) mod m whenever m divides M (same h' = ((k mod P)·a + b)
+    * mod P, only the final modulus differs) — so the bit a build key
+    * sets at position p in the M-bit mask is exactly the bit it would
+    * set at p mod m in the m-bit mask, and the narrower mask is the
+    * OR-fold of the wider one's positions. |widest mask|-bounded
+    * driver work (a 2^16-bit walk), ZERO extra Spark jobs: the whole
+    * width sweep builds from ONE bit_or pass at the widest width
+    * (r13's sweep paid a (width × hash) explode — 5× the build rows —
+    * for bit-identical masks). CompositionSpec re-certifies equality
+    * with a from-scratch build at every width. */
+  private[graft] def foldMask(wide: Array[Long], bits: Long): Array[Long] = {
+    require(wide.length.toLong * 64 % bits == 0,
+      s"fold width $bits must divide the wide mask's ${wide.length * 64}")
+    val out = new Array[Long]((bits / 64).toInt)
+    var w = 0
+    while (w < wide.length) {
+      val word = wide(w)
+      if (word != 0L) {
+        var b = 0
+        while (b < 64) {
+          if ((word >>> b & 1L) == 1L) {
+            val q = (w.toLong * 64 + b) % bits
+            out((q / 64).toInt) |= 1L << (q % 64).toInt
+          }
+          b += 1
+        }
       }
+      w += 1
     }
-    val words = keys
-      .select(explode(array(posCols: _*)).as("mp"))
-      .select(col("mp.m").as("m"),
-        expr("mp.pos div 64").as("word"),
-        expr("shiftleft(1L, int(mp.pos % 64))").as("bit"))
-      .groupBy(col("m"), col("word")).agg(bit_or(col("bit")).as("mask"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (m, rs) =>
-        m -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
-      }
-    levels.map { m =>
-      val w = words.getOrElse(m, Map.empty)
-      m -> Array.tabulate((m / 64).toInt)(i => w.getOrElse(i.toLong, 0L))
-    }.toMap
+    out
   }
 
   /** Fold the LongType `h` column of `keys` into the fixed 1024-long
@@ -539,13 +543,20 @@ object Sketches {
     * the true-negative probe population (milli). One-sided at every
     * width (a Bloom filter never drops a true match — spec-asserted),
     * so the sweep reads as "what scan fraction does each 0.5..8 KB of
-    * broadcast budget buy". Shape: each width's mask is collected
-    * bounded by its own SIZE (bloomMaskOf's bit_or agg), the probe
-    * pass columns are literal-array map work (zero probe-sized
-    * shuffles — sk8's posture × 5), and the per-width reshape is a
-    * map-side stack into ONE ledger rollup. The affine hash family is
-    * engine-portable integer arithmetic, so unlike a murmur-backed
-    * filter the whole sweep is oracle-checked. */
+    * broadcast budget buy". Shape: ONE mask build at the widest width
+    * (bloomMaskOf's size-bounded bit_or agg) with every narrower mask
+    * derived by [[foldMask]]'s driver-side OR-fold (the affine family
+    * nests across widths — zero extra jobs), the probe pass columns
+    * are literal-array map work over hoisted shared hashes (zero
+    * probe-sized shuffles — sk8's posture × 5), and ALL five widths'
+    * counters come out of ONE global aggregate over the single probe
+    * scan — the r13 shape stacked the probe 5× (one row per width per
+    * probe row) before aggregating, a 5× aggregation-input constant
+    * that grew with every decade (5.2 s → 27.4 s → 765.6 s committed
+    * at sf0.1/sf1.0/sf10); the 5-row reshape now happens AFTER the
+    * rollup, on one row. The affine hash family is engine-portable
+    * integer arithmetic, so unlike a murmur-backed filter the whole
+    * sweep is oracle-checked. */
   def bloomSweep(spark: SparkSession, dir: String,
                  bitsLevels: Seq[Long] =
                    Seq(4096L, 8192L, 16384L, 32768L, 65536L)): DataFrame = {
@@ -554,44 +565,68 @@ object Sketches {
     val build = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k")).distinct().cache()
-    // every level's mask in ONE build job (bloomMasksOf), and the three
-    // affine hashes h_i = ((k mod P)·a_i + b_i) mod P hoisted to shared
-    // columns — each level's pass tests h_i mod m against its literal
-    // mask, instead of recomputing the full position chain 3×|levels|
-    // times per probe row
-    val masks = bloomMasksOf(build.select(col("k").as("h")), bitsLevels)
+    // ONE widest-mask build job; narrower widths fold on the driver.
+    // The three affine hashes h_i = ((k mod P)·a_i + b_i) mod P are
+    // hoisted to shared columns — each level's pass tests h_i mod m
+    // against its literal mask, instead of recomputing the full
+    // position chain 3×|levels| times per probe row
+    val widest = bitsLevels.max
+    val wideMask = bloomMaskOf(build.select(col("k").as("h")), widest)
+    val masks: Map[Long, Array[Long]] = bitsLevels.map(m =>
+      m -> (if (m == widest) wideMask else foldMask(wideMask, m))).toMap
+    // PASS-VECTOR table: T[p] (p ∈ [0, widest)) packs, in bit w, whether
+    // width m_w's mask has bit (p mod m_w) set. All widths' per-hash
+    // tests collapse to ONE widest-position lookup per hash — 3
+    // element_at per probe row where the per-width form paid
+    // |widths|×|hashes| (15) mask probes per row: the bit-test
+    // expression work was the measured per-row bottleneck, ~15× sk8's
+    // single-width probe at every decade. The table is driver-built,
+    // widest-bounded (2^16 longs), and rides the plan as one literal.
+    val passVec: Array[Long] = Array.tabulate(widest.toInt) { p =>
+      bitsLevels.zipWithIndex.foldLeft(0L) { case (acc, (m, w)) =>
+        val q = p % m
+        if ((masks(m)((q / 64).toInt) >>> (q % 64).toInt & 1L) == 1L)
+          acc | (1L << w)
+        else acc
+      }
+    }
     val probeH = bloomHashes.zipWithIndex.foldLeft(
       Tables.lineitem(spark, dir).select(col("l_orderkey"))) {
       case (d, ((a, b), i)) =>
-        d.withColumn(s"graft_h$i",
-          (pmod(col("l_orderkey"), lit(bloomP)) * lit(a) + lit(b)) % bloomP)
+        d.withColumn(s"graft_p$i",
+          (pmod(col("l_orderkey"), lit(bloomP)) * lit(a) + lit(b))
+            % bloomP % widest)
     }
-    val withPasses = bitsLevels.foldLeft(probeH) { (d, m) =>
-      val mask = masks(m)
-      val pass = bloomHashes.indices.map { i =>
-        expr(s"pmod(shiftright(element_at(graft_mask_$m, " +
-          s"int((graft_h$i % $m) div 64) + 1), int((graft_h$i % $m) % 64)), 2) = 1")
-      }.reduce(_ && _)
-      // single ArrayType literal — see withBloomPass's planning-cost note
-      d.withColumn(s"graft_mask_$m", typedlit(mask.toIndexedSeq))
-        .withColumn(s"pass_$m", pass)
-        .drop(s"graft_mask_$m")
-    }
-      .drop(bloomHashes.indices.map(i => s"graft_h$i"): _*)
+    // single ArrayType literal — see withBloomPass's planning-cost note
+    val withPv = probeH
+      .withColumn("graft_tbl", typedlit(passVec.toIndexedSeq))
+      .withColumn("graft_pv",
+        bloomHashes.indices.map(i =>
+          expr(s"element_at(graft_tbl, int(graft_p$i) + 1)"))
+          .reduce(_ bitwiseAND _))
+      .drop(("graft_tbl" +: bloomHashes.indices.map(i => s"graft_p$i")): _*)
     val isMatch = broadcast(build)
-    val stacked = withPasses
-      .join(isMatch, withPasses("l_orderkey") === isMatch("k"), "left")
+    val joined = withPv
+      .join(isMatch, withPv("l_orderkey") === isMatch("k"), "left")
       .withColumn("is_match", col("k").isNotNull)
-      .select(col("is_match"), expr(
+    // one probe-sized aggregate carrying every width's counters as
+    // parallel conditional sums over the pass-vector bits; the
+    // per-width ledger reshape is a stack over the SINGLE result row
+    def passBit(w: Int) = expr(s"shiftright(graft_pv, $w) % 2")
+    val aggCols = Seq(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match")) ++
+      bitsLevels.zipWithIndex.flatMap { case (m, w) => Seq(
+        sum(passBit(w)).as(s"n_pass_$m"),
+        sum(when(!col("is_match"), passBit(w)).otherwise(0L))
+          .as(s"n_fp_$m"))
+      }
+    joined.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("n_probe", "n_true_match",
         s"stack(${bitsLevels.size}, " +
-          bitsLevels.map(m => s"CAST($m AS BIGINT), pass_$m").mkString(", ") +
-          ") AS (m_bits, pass)"))
-    stacked.groupBy(col("m_bits"))
-      .agg(count(lit(1)).as("n_probe"),
-        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
-        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"),
-        sum(when(col("pass") && !col("is_match"), 1L).otherwise(0L))
-          .as("n_false_pos"))
+          bitsLevels.map(m => s"CAST($m AS BIGINT), n_pass_$m, n_fp_$m")
+            .mkString(", ") +
+          ") AS (m_bits, n_pass, n_false_pos)")
       .select(col("m_bits"), col("n_probe"), col("n_pass"),
         col("n_true_match"), col("n_false_pos"),
         expr("n_false_pos * 1000 div (n_probe - n_true_match)")

@@ -1697,6 +1697,17 @@ class CompositionSpec extends GraftSpec {
     // 16x more bits cannot hurt at these populations
     assert(rows.head.getAs[Long]("fpr_milli") >=
       rows.last.getAs[Long]("fpr_milli"))
+    // the driver-side fold is bit-identical to a from-scratch build at
+    // every width (the nesting property the one-pass sweep rests on)
+    import org.apache.spark.sql.functions.col
+    val build = graft.model.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("h")).distinct()
+    val wide = Sketches.bloomMaskOf(build, 65536L)
+    Seq(4096L, 8192L, 16384L, 32768L).foreach { m =>
+      assert(Sketches.foldMask(wide, m)
+        .sameElements(Sketches.bloomMaskOf(build, m)), s"width $m")
+    }
     // the m=65536 row IS sk8's configuration: totals must agree
     val sk8 = Sketches.bloomPrune(spark, sfDir).collect()
     val widest = rows.last
