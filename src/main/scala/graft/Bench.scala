@@ -220,14 +220,30 @@ object Bench {
       val prior: Map[String, Double] = try {
         val src = scala.io.Source.fromFile("bench_full.json")
         try {
-          src.getLines()
-            .find(_.contains("\"metric\":\"total_detail\"")) match {
-            case Some(line) =>
-              val qs = line.substring(line.indexOf("\"queries\":{"))
-              "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qs)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            case None => Map.empty
-          }
+          val lines = src.getLines().toList
+          def mapOf(line: String, field: String): Map[String, Double] =
+            line.indexOf("\"" + field + "\":{") match {
+              case -1 => Map.empty
+              case i =>
+                val seg = line.substring(i)
+                  .dropWhile(_ != '{').takeWhile(_ != '}')
+                "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(seg)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }
+          val medians = lines
+            .find(_.contains("\"metric\":\"total_detail\""))
+            .map(mapOf(_, "queries")).getOrElse(Map.empty)
+          // steady-vs-steady prior (the r13 k15 case: the committed
+          // MEDIAN was an r12 number while r13's own steady restamp had
+          // already measured 3.25 s — comparing the new median against
+          // the stale median re-flags a key the previous round already
+          // adjudicated). A key restamped last round carries its steady
+          // reading as THE prior, so cross-round triage compares like
+          // with like.
+          val steadies = lines
+            .find(_.contains("\"metric\":\"steady_state\""))
+            .map(mapOf(_, "steady")).getOrElse(Map.empty)
+          medians ++ steadies.filter(_._2 > 0)
         } finally src.close()
       } catch { case _: Throwable => Map.empty[String, Double] }
       val suspects = results.collect {

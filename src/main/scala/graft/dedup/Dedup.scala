@@ -1735,7 +1735,7 @@ object Dedup {
     * the corpus is never rescanned; the indexes only grow by appends. */
   /** d30's physical index root per (session, sfDir) — spec hook. */
   private[graft] val d30IndexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+    new graft.model.SessionMemo[String, String]()
 
   def indexMaintenance(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "d30IndexMaintenance", dir) {

@@ -50,7 +50,7 @@ object DayClose {
   /** Generation roots per (session, sfDir), exposed for the spec's
     * mid-generation assertions. */
   private[graft] val closeDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+    new graft.model.SessionMemo[String, String]()
 
   private def day0(c: Column): Column = c <= Close1
   private def day1(c: Column): Column = c > Close1 && c <= Close2

@@ -26,39 +26,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The SQL side stays consistent because [[graft.Verify]] dumps
   * `SparkEntry.oracleSql` (a def) AFTER running the queries in the SAME
-  * JVM: each write records its path here, and the SQL builders embed the
-  * recorded path — the oracle always reads exactly the bytes this run's
-  * queries wrote. The fallback (sf0.01, the driver's oracle scale) only
-  * applies when a SQL string is built before its query ran, which the
-  * driver's Verify-then-compare sequence never does for compared keys. */
+  * JVM: each WRITE records its path here (and only writes record —
+  * [[dirFor]] is pure derivation, because the index-GC/rebalance keys
+  * also call it on the READ path, and an r13 read-records-too design
+  * let a reader of one scale silently repoint another scale's SQL), and
+  * the SQL builders embed the recorded path — the oracle always reads
+  * exactly the bytes this run's queries wrote. A table never written
+  * this session embeds a sentinel path no run ever writes: building the
+  * SQL string still succeeds (Verify dumps the FULL oracleSql map even
+  * under a dev subset run), but a compare against it fails loudly at
+  * read_parquet instead of silently blessing stale bytes from an
+  * earlier run (the r13 sf0.01 fallback masked exactly that). */
 object OracleSilver {
 
   val root: String = "/tmp/graft_oracle_silver"
 
-  private val lastPath =
+  private val lastWrite =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Physical dir for silver `table` computed from scale dir `dir`. */
-  def dirFor(table: String, dir: String): String = {
-    val p = s"$root/${new java.io.File(dir).getName}/$table"
-    lastPath.put(table, p)
-    p
-  }
+  /** Physical dir for silver `table` under scale dir `dir` — pure path
+    * derivation, safe on read paths; never records. */
+  def dirFor(table: String, dir: String): String =
+    s"$root/${new java.io.File(dir).getName}/$table"
 
-  /** The path the most recent write of `table` used — what the SQL
-    * builders embed (same JVM, recorded at write time). */
+  /** The path the most recent [[materialize]] of `table` wrote — what
+    * the SQL builders embed (same JVM, recorded at write time). */
   def sqlGlob(table: String): String =
-    Option(lastPath.get(table)).getOrElse(s"$root/sf0.01/$table") +
+    Option(lastWrite.get(table))
+      .getOrElse(s"$root/never_written_this_session/$table") +
       "/*.parquet"
 
   /** Write `df` as the oracle-readable silver `table` for `dir`, read it
     * back, and leaf-memoize the read-back handle (the downstream algebra
-    * must run over the PHYSICAL bytes the oracle sees). */
+    * must run over the PHYSICAL bytes the oracle sees). The recording
+    * repeats on memoize HITS too: a later same-JVM run of the query at
+    * another scale re-materializes there, and whichever scale ran LAST
+    * owns the embedded path — matching Verify's run-then-dump order. */
   def materialize(spark: SparkSession, table: String, dir: String)
-                 (df: => DataFrame): DataFrame =
-    Silver.memoize(spark, s"oracleSilver:$table", dir) {
-      val path = dirFor(table, dir)
+                 (df: => DataFrame): DataFrame = {
+    val path = dirFor(table, dir)
+    val out = Silver.memoize(spark, s"oracleSilver:$table", dir) {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
+    lastWrite.put(table, path)
+    out
+  }
 }

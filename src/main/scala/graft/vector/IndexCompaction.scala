@@ -51,7 +51,7 @@ object IndexCompaction {
   /** Physical index roots per (session, sfDir) — built once, shared by
     * v39 and v40; exposed for the spec's file-level assertions. */
   private[graft] val indexDirs =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+    new graft.model.SessionMemo[String, String]()
 
   /** Rank-1 frozen-centroid assignment of `vecs` (vec_id, embedding,
     * norm2): max cosine, ties to the lowest centroid — v38's rule. */
@@ -291,13 +291,17 @@ object IndexCompaction {
     * re-split a hot cell until now. The rebalance:
     *
     *  1. measures post-fold cell populations from the live index and
-    *     marks cells whose population exceeds `hotMilli`/1000 x the mean
-    *     (integer-exact `n * nCentroids * 1000 > hotMilli * total`,
-    *     v26's skew readout as the dial). Production default is 2000
-    *     (2x the mean); the harness keys run at 1080 because the
-    *     fixture's donor cells are near-balanced - at 2x the split set
-    *     is empty and the key certifies nothing. The threshold is a
-    *     calibration knob exactly like m7's cut threshold;
+    *     marks cells whose population exceeds `HotMilliDefault`/1000 x the mean
+    *     (integer-exact `n * nCentroids * 1000 > HotMilliDefault *
+    *     total`, v26's skew readout as the dial). The SHIPPED constant
+    *     is 1080: the fixture's donor cells are near-balanced, and at a
+    *     production-style 2x-the-mean dial (2000) the split set is
+    *     empty and the key certifies nothing — a deployment would
+    *     recalibrate the constant exactly like m7's cut threshold. The
+    *     threshold is deliberately NOT a parameter: the build memoizes
+    *     per (session, dir) and the oracle SQL embeds the same
+    *     constant, so a per-call override could silently diverge the
+    *     engine from both (ADVICE r13);
     *  2. Lloyd-trains 2 sub-centroids PER HOT CELL on that cell's
     *     members only (every other cell frozen — the split is local,
     *     [[Lloyd.ivfTrainFrom]]), materialized as an oracle silver so
@@ -328,16 +332,14 @@ object IndexCompaction {
   /** Hot-cell threshold in milli-of-mean (see scaladoc above). */
   val HotMilliDefault = 1080L
 
-  private val rebalMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private val rebalMemo = new graft.model.SessionMemo[String, String]()
 
   private def subCentTable(nCentroids: Int) = s"split_subcents_$nCentroids"
 
   /** Build the rebalance generation (sub-centroid silver + `cells2`);
     * returns the index root. One build per (session, sfDir). */
   private def rebalancedIndex(spark: SparkSession, dir: String,
-                              nCentroids: Int,
-                              hotMilli: Long = HotMilliDefault): String =
+                              nCentroids: Int): String =
     rebalMemo.getOrElseUpdate((spark, dir), {
       val indexDir = foldedIndex(spark, dir, nCentroids)
       val cells = spark.read.parquet(s"$indexDir/cells")
@@ -348,7 +350,7 @@ object IndexCompaction {
         .map(r => (r.getInt(0), r.getLong(1)))
       val total = counts.map(_._2).sum
       val hotCells = counts
-        .collect { case (c, n) if n * nCentroids * 1000L > hotMilli * total => c }
+        .collect { case (c, n) if n * nCentroids * 1000L > HotMilliDefault * total => c }
         .sorted
       val e = withNorm(spark, dir)
       // per-cell Lloyd: k=2 spherical sub-centroids from the 2
@@ -582,8 +584,7 @@ object IndexCompaction {
     * exactly the dead files and nothing else; the spec additionally
     * asserts the parent partition dirs are gone and the kept files'
     * names are untouched. */
-  private val gcMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private val gcMemo = new graft.model.SessionMemo[String, String]()
 
   private[graft] def gcIndex(spark: SparkSession, dir: String,
                              nCentroids: Int): String =

@@ -124,8 +124,8 @@ object Lloyd {
     sx.divide(java.math.BigDecimal.valueOf(n), 30,
       java.math.RoundingMode.HALF_EVEN).doubleValue
 
-  private val ivfMemo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, Int, Int), Array[Array[Double]]]()
+  private val ivfMemo =
+    new graft.model.SessionMemo[(String, Int, Int), Array[Array[Double]]]()
 
   /** FIT-ONCE access to the trained IVF centroids — the index-lifecycle
     * contract: quantizers are fit once and versioned with the index,
@@ -141,7 +141,7 @@ object Lloyd {
   def ivfTrainedOnce(spark: SparkSession, dir: String, nCentroids: Int = 8,
                      iters: Int = 4,
                      persistDir: Option[String] = None): Array[Array[Double]] =
-    ivfMemo.getOrElseUpdate((spark, dir, nCentroids, iters), {
+    ivfMemo.getOrElseUpdate((spark, (dir, nCentroids, iters)), {
       persistDir.flatMap(IndexStore.readTrainedCentroids(spark, _))
         .getOrElse {
           val fit = ivfTrain(spark, dir, nCentroids, iters)

@@ -62,8 +62,8 @@ object Similarity {
     * dimension-sized posexplode aggregate; the collect is bounded by
     * |dims| rows, and at 100 TB it is a persisted stats table computed
     * at index-build time, not a per-query pass. */
-  private val dimStatsMemo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String), Array[(Double, Double)]]()
+  private val dimStatsMemo =
+    new graft.model.SessionMemo[String, Array[(Double, Double)]]()
 
   private[vector] def dimStats(spark: SparkSession,
                                dir: String): Array[(Double, Double)] =

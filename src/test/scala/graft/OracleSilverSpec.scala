@@ -3,15 +3,19 @@ package graft
 import graft.model.OracleSilver
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the oracle-silver path contract (ADVICE r12 medium): writes are
-  * namespaced by scale-factor basename so a multi-SF Bench session can
-  * never clobber one scale's bytes with another's, the SQL builders
-  * embed the path of the MOST RECENT write (same-JVM, recorded at write
-  * time), and the read-back relation is the physical bytes the oracle
-  * sees. */
+/** Pins the oracle-silver path contract (ADVICE r12 medium + r13 low):
+  * writes are namespaced by scale-factor basename so a multi-SF Bench
+  * session can never clobber one scale's bytes with another's, the SQL
+  * builders embed the path of the MOST RECENT WRITE (same-JVM, recorded
+  * ONLY at write time — dirFor is pure so read-path callers cannot
+  * repoint the SQL), a never-written table embeds a sentinel that fails
+  * loudly at read_parquet instead of matching stale bytes, and the
+  * read-back relation is the physical bytes the oracle sees. */
 class OracleSilverSpec extends GraftSpec {
 
-  test("dirFor namespaces by sf basename; sqlGlob tracks the last write") {
+  test("dirFor namespaces by sf basename and is pure; sqlGlob tracks " +
+      "the last WRITE only") {
+    import spark.implicits._
     val a = OracleSilver.dirFor("spec_probe", "/root/testdata/sf0.001")
     val b = OracleSilver.dirFor("spec_probe", "/root/testdata/sf0.01")
     assert(a !== b)
@@ -20,15 +24,23 @@ class OracleSilverSpec extends GraftSpec {
     // both under the shared fixed root (NOT delete-at-exit: the DuckDB
     // compare runs after the writer JVM exits)
     assert(a.startsWith(OracleSilver.root) && b.startsWith(OracleSilver.root))
+    // deriving a path records nothing...
+    assert(OracleSilver.sqlGlob("spec_probe").contains(
+      "never_written_this_session"))
+    // ...a write records; a later read-path dirFor at ANOTHER scale
+    // must NOT repoint the embedded SQL (the r13 read-records-too bug)
+    OracleSilver.materialize(spark, "spec_probe",
+      "/root/testdata/sf0.01") { Seq(1L).toDF("id") }
     assert(OracleSilver.sqlGlob("spec_probe") === s"$b/*.parquet")
     OracleSilver.dirFor("spec_probe", "/root/testdata/sf0.001")
-    assert(OracleSilver.sqlGlob("spec_probe") === s"$a/*.parquet")
+    assert(OracleSilver.sqlGlob("spec_probe") === s"$b/*.parquet")
   }
 
-  test("a table never written this session falls back to the driver's " +
-      "oracle scale (sf0.01)") {
+  test("a table never written this session embeds a loud sentinel, " +
+      "never a stale-byte match") {
     assert(OracleSilver.sqlGlob("spec_never_written") ===
-      s"${OracleSilver.root}/sf0.01/spec_never_written/*.parquet")
+      s"${OracleSilver.root}/never_written_this_session/" +
+        "spec_never_written/*.parquet")
   }
 
   test("materialize writes, reads back the physical bytes, and two " +
