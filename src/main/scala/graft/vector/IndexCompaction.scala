@@ -53,6 +53,22 @@ object IndexCompaction {
   private[graft] val indexDirs =
     new graft.model.SessionMemo[String, String]()
 
+  /** The manifest version the FOLD committed, per (session, sfDir) —
+    * the post-fold keys (v39/v40/v41) pin their reads to it so a later
+    * rebalance commit (which removes split-parent files from the
+    * CURRENT manifest) cannot change what they certify. */
+  private val foldCommits = new graft.model.SessionMemo[String, Int]()
+
+  /** Generation `gen`'s live files per the committed manifest — the
+    * ONLY way index readers here resolve data files (no directory
+    * listing, no existence probes: [[IndexManifest]]). Fails loudly on
+    * an uncommitted index. */
+  private def manifestGen(spark: SparkSession, indexDir: String,
+                          gen: Long, sub: String,
+                          version: Option[Int] = None): DataFrame =
+    IndexManifest.readGen(spark, indexDir, gen, sub, version).getOrElse(
+      sys.error(s"index at $indexDir has no committed gen-$gen files"))
+
   /** Rank-1 frozen-centroid assignment of `vecs` (vec_id, embedding,
     * norm2): max cosine, ties to the lowest centroid — v38's rule. */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
@@ -86,6 +102,9 @@ object IndexCompaction {
       graft.etl.LakeApply.writeExactFiles(
         assign(snap, cents).withColumn("__fk", col("cell").cast("string")),
         Seq("cell"), "__fk", s"$indexDir/cells")
+      // COMMIT 1: the snapshot build becomes visible atomically
+      IndexManifest.commit(indexDir,
+        IndexManifest.listFiles(indexDir, "cells").map((1L, _)))
       // THE FOLD: delta assigned against the frozen quantizer READ BACK
       // from the index (floats round-trip parquet bit-exactly, so the
       // loaded centroids are the built ones), appended one file per
@@ -96,6 +115,11 @@ object IndexCompaction {
         assign(delta, centsBack)
           .withColumn("__fk", col("cell").cast("string")),
         Seq("cell"), "__fk", s"$indexDir/cells", mode = "append")
+      // COMMIT 2: the fold's appended files join the live set in one
+      // rename — a reader during the append still sees the pre-fold
+      // index, never a partially-appended cell
+      foldCommits((spark, dir)) = IndexManifest.commit(indexDir,
+        IndexManifest.listFiles(indexDir, "cells").map((1L, _)))
       indexDir
     })
 
@@ -122,9 +146,12 @@ object IndexCompaction {
         .filter(col("crank") <= nProbe)
         .select(col("query_id"), col("centroid_id").as("cell"),
           col("q_emb"), col("q_norm2"))
-      // candidates from the PHYSICAL index: the partitioned cells table
-      // joined on the probed cells (the inverted-list seek)
-      val cells = spark.read.parquet(s"$indexDir/cells")
+      // candidates from the PHYSICAL index: the live files of the FOLD
+      // commit, joined on the probed cells (the inverted-list seek).
+      // The read pins the fold's manifest version: this key certifies
+      // the post-fold index whether or not a rebalance committed since.
+      val cells = manifestGen(spark, indexDir, 1L, "cells",
+          Some(foldCommits((spark, dir))))
         .select(col("vec_id").as("neighbor_id"), col("cell"))
       val scored = broadcast(qprobe).join(cells, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -209,7 +236,8 @@ object IndexCompaction {
                     nCentroids: Int = 8): DataFrame =
     graft.model.Silver.memoize(spark, "v40CellInventory", dir) {
       val indexDir = foldedIndex(spark, dir, nCentroids)
-      spark.read.parquet(s"$indexDir/cells")
+      manifestGen(spark, indexDir, 1L, "cells",
+          Some(foldCommits((spark, dir))))
         .select(col("cell"), col("vec_id"),
           col("_metadata.file_path").as("__fp"))
         .groupBy(col("cell"))
@@ -342,7 +370,7 @@ object IndexCompaction {
                               nCentroids: Int): String =
     rebalMemo.getOrElseUpdate((spark, dir), {
       val indexDir = foldedIndex(spark, dir, nCentroids)
-      val cells = spark.read.parquet(s"$indexDir/cells")
+      val cells = manifestGen(spark, indexDir, 1L, "cells")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
       // hot cells from the MEASURED index (centroid-count-sized collect)
       val counts = cells.groupBy(col("cell"))
@@ -390,45 +418,58 @@ object IndexCompaction {
       graft.etl.LakeApply.writeExactFiles(
         assigned2.withColumn("__fk", col("cell").cast("string")),
         Seq("cell"), "__fk", s"$indexDir/cells2")
+      // COMMIT 3 — the rebalance transaction: removeFiles(split
+      // parents) + addFiles(gen-2 sub-cells) promoted in ONE atomic
+      // rename. Until this line runs, every reader still resolves the
+      // pre-rebalance live set — the gen-2 bytes and the silver being
+      // on disk changes nothing (the r13 presence-derived reader could
+      // see both generations of a split cell in that window, or
+      // neither after a crash).
+      val parentSet = hotCells.toSet
+      val kept = IndexManifest.read(indexDir).filter { case (_, p) =>
+        !parentSet.exists(c => p.startsWith(s"cells/cell=$c/"))
+      }
+      IndexManifest.commit(indexDir,
+        kept ++ IndexManifest.listFiles(indexDir, "cells2").map((2L, _)))
       indexDir
     })
 
-  /** The LIVE post-rebalance cell set: gen-1 cells minus the de-listed
-    * split parents, plus the gen-2 sub-cells — with generation tags and
-    * `_metadata` file identity for the measured inventory. */
-  private def liveCells(spark: SparkSession, dir: String,
-                        nCentroids: Int): DataFrame = {
-    val indexDir = rebalancedIndex(spark, dir, nCentroids)
-    val parents = spark.read.parquet(
-        graft.model.OracleSilver.dirFor(subCentTable(nCentroids), dir))
-      .select(col("parent_cell")).distinct()
-    val gen1 = spark.read.parquet(s"$indexDir/cells")
-      .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        col("_metadata.file_path").as("__fp"))
-      .join(parents, col("cell") === col("parent_cell"), "left_anti")
-      .withColumn("generation", lit(1L))
-    // a fixture with no hot cell writes no gen-2 dir: the live set is
-    // then gen-1 unchanged (the rebalance is a measured no-op)
-    val gen2 =
-      if (new java.io.File(s"$indexDir/cells2").exists())
-        spark.read.parquet(s"$indexDir/cells2")
-          .select(col("vec_id"), col("cell").cast("int").as("cell"),
-            col("_metadata.file_path").as("__fp"))
-          .withColumn("generation", lit(2L))
-      else gen1.limit(0)
-    gen1.unionByName(gen2)
+  /** The LIVE cell set of the index at `indexDir`, resolved ONLY
+    * through its committed manifest: gen-1 entries (split parents are
+    * simply absent — the rebalance commit removed their files) plus the
+    * gen-2 sub-cells — with generation tags and `_metadata` file
+    * identity for the measured inventory. A fixture with no hot cell
+    * commits no gen-2 entries: the live set is then gen-1 unchanged
+    * (the rebalance is a measured no-op). */
+  private[graft] def liveCellsFrom(spark: SparkSession,
+                                   indexDir: String): DataFrame = {
+    def gen(g: Long, sub: String) =
+      IndexManifest.readGen(spark, indexDir, g, sub).map(_
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("_metadata.file_path").as("__fp"))
+        .withColumn("generation", lit(g)))
+    (gen(1L, "cells").toSeq ++ gen(2L, "cells2").toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(sys.error(s"index at $indexDir has no committed files"))
   }
+
+  private def liveCells(spark: SparkSession, dir: String,
+                        nCentroids: Int): DataFrame =
+    liveCellsFrom(spark, rebalancedIndex(spark, dir, nCentroids))
+
+  /** The (cell, generation) inventory readout shared by v42 and v44. */
+  private def inventoryOf(live: DataFrame): DataFrame =
+    live.groupBy(col("cell"), col("generation"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("vec_id") % 10 >= SnapshotMod).cast("long")).as("n_delta"),
+        countDistinct(col("__fp")).as("n_files"))
+      .orderBy(col("cell"))
 
   /** v42: the measured post-rebalance inventory. */
   def rebalanceApplied(spark: SparkSession, dir: String,
                        nCentroids: Int = 8): DataFrame =
     graft.model.Silver.memoize(spark, "v42RebalanceApplied", dir) {
-      liveCells(spark, dir, nCentroids)
-        .groupBy(col("cell"), col("generation"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum((col("vec_id") % 10 >= SnapshotMod).cast("long")).as("n_delta"),
-          countDistinct(col("__fp")).as("n_files"))
-        .orderBy(col("cell"))
+      inventoryOf(liveCells(spark, dir, nCentroids))
     }
 
   /** The oracle CTE chain shared by v42/v43: predicted hot set, the
@@ -603,18 +644,30 @@ object IndexCompaction {
         val src = new java.io.File(s"$indexDir/$t")
         if (src.exists()) copyTree(src, new java.io.File(s"$gcDir/$t"))
       }
-      // THE GC: physically delete the de-listed split parents' dirs
-      val parents = spark.read.parquet(
-          graft.model.OracleSilver.dirFor(subCentTable(nCentroids), dir))
-        .select(col("parent_cell")).distinct()
-        .collect().map(_.getInt(0))
-      parents.foreach { c =>
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(s"$gcDir/cells/cell=$c"))
+      // the clone keeps the source's committed manifest (+ audit trail)
+      Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(IndexManifest.Name))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(gcDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      // THE GC is manifest-driven: delete every data file the committed
+      // manifest does NOT list (the rebalance commit's removeFiles —
+      // the split parents' gen-1 files), then prune emptied partition
+      // dirs. The live set is untouched, so no new commit is needed:
+      // the same manifest stays valid over the smaller tree.
+      val live = IndexManifest.read(gcDir).map(_._2).toSet
+      Seq("cells", "cells2").foreach { sub =>
+        IndexManifest.listFiles(gcDir, sub)
+          .filterNot(live)
+          .foreach(p => new java.io.File(gcDir, p).delete(): Unit)
+        // prune partition dirs emptied by the deletes
+        Option(new java.io.File(gcDir, sub).listFiles()).toSeq.flatten
+          .filter(d => d.isDirectory &&
+            Option(d.listFiles()).forall(_.forall(!_.getName.endsWith(".parquet"))))
+          .foreach { d =>
+            Option(d.listFiles()).toSeq.flatten.foreach(_.delete(): Unit)
+            d.delete(): Unit
+          }
       }
       gcDir
     })
@@ -624,24 +677,7 @@ object IndexCompaction {
   def gcApplied(spark: SparkSession, dir: String,
                 nCentroids: Int = 8): DataFrame =
     graft.model.Silver.memoize(spark, "v44GcApplied", dir) {
-      val gcDir = gcIndex(spark, dir, nCentroids)
-      val gen1 = spark.read.parquet(s"$gcDir/cells")
-        .select(col("vec_id"), col("cell").cast("int").as("cell"),
-          col("_metadata.file_path").as("__fp"))
-        .withColumn("generation", lit(1L))
-      val gen2 =
-        if (new java.io.File(s"$gcDir/cells2").exists())
-          spark.read.parquet(s"$gcDir/cells2")
-            .select(col("vec_id"), col("cell").cast("int").as("cell"),
-              col("_metadata.file_path").as("__fp"))
-            .withColumn("generation", lit(2L))
-        else gen1.limit(0)
-      gen1.unionByName(gen2)
-        .groupBy(col("cell"), col("generation"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum((col("vec_id") % 10 >= SnapshotMod).cast("long")).as("n_delta"),
-          countDistinct(col("__fp")).as("n_files"))
-        .orderBy(col("cell"))
+      inventoryOf(liveCellsFrom(spark, gcIndex(spark, dir, nCentroids)))
     }
 
   /** Same predicted relation as v42 — after a correct GC the live

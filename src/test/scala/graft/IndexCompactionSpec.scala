@@ -116,4 +116,59 @@ class IndexCompactionSpec extends GraftSpec {
     }.toMap
     assert(physical === expected)
   }
+
+  test("manifest atomicity: a reader in the crash window between the " +
+      "gen-2 write and the manifest swap sees the PRE-rebalance index " +
+      "exactly — old or new, never torn") {
+    import graft.vector.IndexManifest
+    // build through the rebalance commit (v1 snapshot, v2 fold, v3
+    // rebalance)
+    IndexCompaction.rebalanceApplied(spark, sfDir).count()
+    val indexDir = IndexCompaction.indexDirs((spark, sfDir))
+    assert(new java.io.File(indexDir, s"${IndexManifest.Name}.v3").exists())
+    // clone the FULL physical tree — gen-2 files included — then roll
+    // the clone's manifest POINTER back to the fold commit: byte-for-
+    // byte the state a crash leaves between "cells2 fully written" and
+    // the atomic swap
+    val clone = graft.etl.Scratch.tempDir("manifest-crash")
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    copyTree(new java.io.File(indexDir), new java.io.File(clone))
+    def pointTo(v: Int): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(clone, s"${IndexManifest.Name}.v$v").toPath,
+        new java.io.File(clone, IndexManifest.Name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    pointTo(2)
+    def rowsOf(root: String) = IndexCompaction.liveCellsFrom(spark, root)
+      .select(col("vec_id"), col("cell"), col("generation"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pre = rowsOf(clone)
+    val post = rowsOf(indexDir)
+    // the crash-window reader sees the fold commit EXACTLY: no gen-2
+    // rows (though their bytes sit on disk), no sub-cell ids
+    assert(pre.nonEmpty && pre.forall(_._3 == 1L))
+    assert(pre.forall(_._2 < 8), "no sub-cell id may leak pre-swap")
+    // the committed reader sees the rebalance: split parents gone from
+    // gen-1, their vectors re-homed in gen-2 sub-cells — and the split
+    // is real in this fixture
+    val parentCells = pre.map(_._2).toSet -- post.filter(_._3 == 1L).map(_._2).toSet
+    assert(parentCells.nonEmpty, "fixture must split at least one cell")
+    assert(post.exists(_._3 == 2L))
+    assert(post.filter(_._3 == 1L).forall(r => !parentCells.contains(r._2)))
+    // never torn: both views hold the SAME vector population — a vector
+    // is in its parent cell (old view) or its sub-cell (new view),
+    // never both, never neither
+    assert(pre.map(_._1).sorted.toSeq === post.map(_._1).sorted.toSeq)
+    // crash recovery = re-promoting the rebalance commit: the clone's
+    // reader then equals the committed index's reader bit for bit
+    pointTo(3)
+    assert(rowsOf(clone).sorted.toSeq === post.sorted.toSeq)
+  }
 }
