@@ -1795,6 +1795,44 @@ object Dedup {
         .orderBy(col("doc_id"))
     }
 
+  /** a70's re-delivery leg: the SAME delta batch is delivered AGAIN to
+    * the already-maintained physical index ([[indexMaintenance]]'s
+    * output state). PutIfAbsent semantics make the re-delivery a no-op:
+    * NO delta doc may classify 'novel' on re-probe — a formerly-novel
+    * doc's own identity and band keys were appended (it re-probes
+    * exact), a formerly-exact doc matches the snapshot identity it
+    * always matched, and a formerly-near doc's band hit can only
+    * persist (indexes grow monotonically; its text was deliberately
+    * never appended, so 'exact' would be the WRONG bar). The relation
+    * is MEASURED from the physical index bytes; the oracle's
+    * prediction (every delta doc non-novel) is deliberately trivial —
+    * the hash certifies the maintained index lost no appended identity
+    * or band key, so a re-run close appends nothing. Reference
+    * analogue: the unconditional whole-object (store, date) overwrite,
+    * write-metrics/lambda_function.py:104. */
+  def redeliveryProbe(spark: SparkSession, dir: String): DataFrame = {
+    indexMaintenance(spark, dir) // builds + maintains the physical index
+    val indexDir = d30IndexDirs((spark, dir))
+    val isDelta = col("doc_id") % 10 >= SnapshotMod
+    val delta = Corpus.docs(spark, dir).filter(isDelta)
+    val exactIds = delta
+      .join(spark.read.parquet(s"$indexDir/texts"), Seq("text"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_hit", lit(true))
+    val nearIds = bandKeys(signaturesWideFrom(
+        docSids(spark, dir).filter(isDelta)))
+      .join(spark.read.parquet(s"$indexDir/bands"),
+        Seq("band", "bandkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("near_hit", lit(true))
+    delta.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("exact_hit"), lit(false)) ||
+          coalesce(col("near_hit"), lit(false))).as("not_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   def indexMaintenanceSql(): String =
     s"""WITH sigs AS ($signaturesSql),
        |bands AS (

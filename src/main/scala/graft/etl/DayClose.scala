@@ -56,6 +56,63 @@ object DayClose {
   private def day1(c: Column): Column = c > Close1 && c <= Close2
   private def day2(c: Column): Column = c > Close2
 
+  // ---- the shared component fold algebra (a69's close and a70's
+  // restated close run the SAME machinery over different arrival
+  // predicates — the restatement is a delivery-schedule change, never a
+  // different fold)
+
+  /** Rollup partial: the sum/count monoid at (store, month) grain. */
+  private def rollPartial(sales: DataFrame, pred: Column): DataFrame =
+    sales.filter(pred)
+      .groupBy(col("store_id"), substring(col("sale_date"), 1, 7).as("month"))
+      .agg(sum(col("line_total")).as("gross_dec"),
+        count(lit(1)).as("n_lines"))
+
+  private def rollFold(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("store_id"), col("month"))
+      .agg(sum(col("gross_dec")).as("gross_dec"),
+        sum(col("n_lines")).as("n_lines"))
+
+  /** Distinct partial: OR-mergeable bitmap pages. */
+  private def pages(sales: DataFrame, pred: Column): DataFrame =
+    sales.filter(pred)
+      .groupBy(col("store_id"),
+        expr("bitmap_bucket_number(sku)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
+
+  private def pageFold(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("store_id"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+
+  private def distinctOf(pagesDf: DataFrame): DataFrame =
+    pagesDf.groupBy(col("store_id"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))
+
+  /** Top-k partial: one MG sketch row per store (late-merge rows). */
+  private def sketches(sales: DataFrame, pred: Column): DataFrame =
+    sales.filter(pred)
+      .groupBy(col("store_id"))
+      .agg(graft.functions.TopKByCount
+        .topKSketch(col("sku").cast("string"),
+          graft.analytics.Sketches.exactSummarySize).as("sketch"))
+
+  private def topkOf(sketchRows: DataFrame): DataFrame =
+    sketchRows
+      .groupBy(col("store_id"))
+      .agg(graft.functions.TopKByCount
+        .topKMergeSketch(col("sketch"),
+          graft.analytics.Sketches.exactSummarySize).as("mg"))
+      .select(col("store_id"),
+        posexplode(slice(col("mg.items"), 1, 5)).as(Seq("idx", "item")))
+      .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
+        col("item.sku").as("sku"), col("item.est_count").as("est_count"))
+
+  private def longForm(component: String, key1: Column, key2: Column,
+                       metric: String, value: Column): Column =
+    struct(lit(component).as("component"), key1.as("key1"),
+      key2.as("key2"), lit(metric).as("metric"),
+      value.cast("double").as("value"))
+
   def dayClose(spark: SparkSession, dir: String): DataFrame =
     graft.model.Silver.memoize(spark, "a69DayClose", dir) {
       val root = closeDirs.getOrElseUpdate((spark, dir),
@@ -64,65 +121,37 @@ object DayClose {
       val sd = col("sale_date")
 
       // ---- rollup: the sum/count monoid, folded close-over-close
-      def rollPartial(pred: Column): DataFrame = sales.filter(pred)
-        .groupBy(col("store_id"), substring(sd, 1, 7).as("month"))
-        .agg(sum(col("line_total")).as("gross_dec"),
-          count(lit(1)).as("n_lines"))
-      def rollFold(a: DataFrame, b: DataFrame): DataFrame =
-        a.unionByName(b).groupBy(col("store_id"), col("month"))
-          .agg(sum(col("gross_dec")).as("gross_dec"),
-            sum(col("n_lines")).as("n_lines"))
-      rollPartial(day0(sd)).write.mode("overwrite").parquet(s"$root/roll0")
-      rollFold(spark.read.parquet(s"$root/roll0"), rollPartial(day1(sd)))
+      rollPartial(sales, day0(sd)).write.mode("overwrite")
+        .parquet(s"$root/roll0")
+      rollFold(spark.read.parquet(s"$root/roll0"),
+          rollPartial(sales, day1(sd)))
         .write.mode("overwrite").parquet(s"$root/roll1")
       val rollGold = rollFold(spark.read.parquet(s"$root/roll1"),
-        rollPartial(day2(sd)))
+        rollPartial(sales, day2(sd)))
 
       // ---- distinct: OR-mergeable bitmap pages, re-persisted per close
-      def pages(pred: Column): DataFrame = sales.filter(pred)
-        .groupBy(col("store_id"),
-          expr("bitmap_bucket_number(sku)").as("bucket"))
-        .agg(expr("bitmap_construct_agg(bitmap_bit_position(sku))").as("bm"))
-      def pageFold(a: DataFrame, b: DataFrame): DataFrame =
-        a.unionByName(b).groupBy(col("store_id"), col("bucket"))
-          .agg(expr("bitmap_or_agg(bm)").as("bm"))
-      pages(day0(sd)).write.mode("overwrite").parquet(s"$root/pages0")
-      pageFold(spark.read.parquet(s"$root/pages0"), pages(day1(sd)))
+      pages(sales, day0(sd)).write.mode("overwrite")
+        .parquet(s"$root/pages0")
+      pageFold(spark.read.parquet(s"$root/pages0"),
+          pages(sales, day1(sd)))
         .write.mode("overwrite").parquet(s"$root/pages1")
-      val distinctGold = pageFold(spark.read.parquet(s"$root/pages1"),
-        pages(day2(sd)))
-        .groupBy(col("store_id"))
-        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_skus"))
+      val distinctGold = distinctOf(pageFold(
+        spark.read.parquet(s"$root/pages1"), pages(sales, day2(sd))))
 
       // ---- top-k: MG sketches, late-merge (each close appends its rows)
-      val size = graft.analytics.Sketches.exactSummarySize
-      def sketches(pred: Column): DataFrame = sales.filter(pred)
-        .groupBy(col("store_id"))
-        .agg(graft.functions.TopKByCount
-          .topKSketch(col("sku").cast("string"), size).as("sketch"))
-      sketches(day0(sd)).write.mode("overwrite").parquet(s"$root/sk0")
-      spark.read.parquet(s"$root/sk0").unionByName(sketches(day1(sd)))
+      sketches(sales, day0(sd)).write.mode("overwrite")
+        .parquet(s"$root/sk0")
+      spark.read.parquet(s"$root/sk0")
+        .unionByName(sketches(sales, day1(sd)))
         .write.mode("overwrite").parquet(s"$root/sk1")
-      val topkGold = spark.read.parquet(s"$root/sk1")
-        .unionByName(sketches(day2(sd)))
-        .groupBy(col("store_id"))
-        .agg(graft.functions.TopKByCount
-          .topKMergeSketch(col("sketch"), size).as("mg"))
-        .select(col("store_id"),
-          posexplode(slice(col("mg.items"), 1, 5)).as(Seq("idx", "item")))
-        .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
-          col("item.sku").as("sku"), col("item.est_count").as("est_count"))
+      val topkGold = topkOf(spark.read.parquet(s"$root/sk1")
+        .unionByName(sketches(sales, day2(sd))))
 
       // ---- the index-maintenance legs of the same commit
       val dedupLeg = graft.dedup.Dedup.indexMaintenance(spark, dir)
       val vectorLeg = graft.vector.IndexCompaction.compactionApplied(spark, dir)
 
       // ---- one long-form relation over all five maintained golds
-      def longForm(component: String, key1: Column, key2: Column,
-                   metric: String, value: Column): Column =
-        struct(lit(component).as("component"), key1.as("key1"),
-          key2.as("key2"), lit(metric).as("metric"),
-          value.cast("double").as("value"))
       val rollRows = rollGold.select(explode(array(
         longForm("rollup", col("store_id"), col("month"),
           "total_sales", col("gross_dec").cast("double")),
@@ -187,5 +216,153 @@ object DayClose {
        |  SELECT 'vector_index', CAST(query_id AS VARCHAR),
        |    CAST(rank AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR),
        |    'cosine', cosine FROM vx
+       |) ORDER BY component, key1, key2, metric""".stripMargin
+
+  // ---------------------------------------------------------------- a70
+
+  /** a70's late-slice rule — k13's late feed: l_orderkey % 10 == 7,
+    * restricted to facts DATED in the closed period (≤ [[Close2]]).
+    * These rows miss their natural close and arrive only with close 2,
+    * as a CORRECTION to already-closed days. */
+  val LateMod = 10
+  val LateRes = 7
+
+  /** a70 generation roots per (session, sfDir) — spec hook. */
+  private[graft] val restateDirs =
+    new graft.model.SessionMemo[String, String]()
+
+  /** a70: the RESTATED day-close — the one nightly-pipeline event a69
+    * does not exercise: a LATE fact for an ALREADY-CLOSED day. The
+    * late slice (k13's feed, dated ≤ [[Close2]]) is WITHHELD from
+    * close 0 and close 1 — both generations persist WITHOUT it — and
+    * close 2 delivers it alongside the normal > [[Close2]] arrivals.
+    * Every dated gold folds the correction through the SAME algebra as
+    * its on-time arrivals ([[rollFold]]'s monoid add at (store, month)
+    * grain, [[pageFold]]'s bitmap OR, the MG sketch appended as one
+    * more late-merge row) — restatement is a delivery-schedule change,
+    * never a special case — and the golds must equal full recompute on
+    * the corrected facts (k13's merge-equals-recompute contract,
+    * composed through two persisted generations).
+    *
+    * The index legs join the commit as measured RE-DELIVERY probes: the
+    * restated close re-delivers the delta batch, and the PutIfAbsent
+    * discipline must make that a no-op — no delta doc re-probes 'novel'
+    * against the maintained dedup index ([[graft.dedup.Dedup
+    * .redeliveryProbe]]), every delta vector present EXACTLY once in
+    * the fold commit's live files ([[graft.vector.IndexCompaction
+    * .redeliveryProbe]]). Zero loss, zero double-ingest — measured from
+    * the physical bytes, predicted trivially by the oracle.
+    *
+    * Reference analogue: the unconditional (store, date) overwrite on
+    * re-delivery, write-metrics/lambda_function.py:104. DayCloseSpec
+    * replays correction-before (generation 1 must equal an on-time-only
+    * recompute — the late rows are really absent) and correction-after
+    * (the gold equals the full recompute). */
+  def restatedClose(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "a70RestatedClose", dir) {
+      val root = restateDirs.getOrElseUpdate((spark, dir),
+        Scratch.tempDir("a70-closes"))
+      val sales = Tables.sales(spark, dir)
+      val sd = col("sale_date")
+      val late = pmod(col("l_orderkey"), lit(LateMod)) === lit(LateRes) &&
+        sd <= lit(Close2)
+
+      // ---- rollup generations, correction withheld then folded late
+      rollPartial(sales, day0(sd) && !late).write.mode("overwrite")
+        .parquet(s"$root/roll0")
+      rollFold(spark.read.parquet(s"$root/roll0"),
+          rollPartial(sales, day1(sd) && !late))
+        .write.mode("overwrite").parquet(s"$root/roll1")
+      val rollGold = rollFold(spark.read.parquet(s"$root/roll1"),
+        rollPartial(sales, day2(sd) || late))
+
+      // ---- bitmap distinct through the same chain
+      pages(sales, day0(sd) && !late).write.mode("overwrite")
+        .parquet(s"$root/pages0")
+      pageFold(spark.read.parquet(s"$root/pages0"),
+          pages(sales, day1(sd) && !late))
+        .write.mode("overwrite").parquet(s"$root/pages1")
+      val distinctGold = distinctOf(pageFold(
+        spark.read.parquet(s"$root/pages1"),
+        pages(sales, day2(sd) || late)))
+
+      // ---- MG top-k: the correction is one more late-merge sketch row
+      sketches(sales, day0(sd) && !late).write.mode("overwrite")
+        .parquet(s"$root/sk0")
+      spark.read.parquet(s"$root/sk0")
+        .unionByName(sketches(sales, day1(sd) && !late))
+        .write.mode("overwrite").parquet(s"$root/sk1")
+      val topkGold = topkOf(spark.read.parquet(s"$root/sk1")
+        .unionByName(sketches(sales, day2(sd) || late)))
+
+      // ---- re-delivery probes of the maintained physical indexes
+      val dedupLeg = graft.dedup.Dedup.redeliveryProbe(spark, dir)
+      val vectorLeg =
+        graft.vector.IndexCompaction.redeliveryProbe(spark, dir)
+
+      val rollRows = rollGold.select(explode(array(
+        longForm("rollup", col("store_id"), col("month"),
+          "total_sales", col("gross_dec").cast("double")),
+        longForm("rollup", col("store_id"), col("month"),
+          "n_lines", col("n_lines")))).as("r")).select(col("r.*"))
+      val distinctRows = distinctGold.select(
+        longForm("distinct", col("store_id"), lit(""),
+          "n_distinct_skus", col("n_distinct_skus")).as("r"))
+        .select(col("r.*"))
+      val topkRows = topkGold.select(
+        longForm("topk", col("store_id"),
+          concat(col("rank").cast("string"), lit(":"), col("sku")),
+          "est_count", col("est_count")).as("r")).select(col("r.*"))
+      val dedupRows = dedupLeg.select(
+        longForm("dedup_index", col("doc_id").cast("string"),
+          lit("redelivered"), "not_novel",
+          col("not_novel").cast("double")).as("r")).select(col("r.*"))
+      val vectorRows = vectorLeg.select(
+        longForm("vector_index", col("vec_id").cast("string"),
+          lit("redelivered"), "present_once",
+          col("present_once")).as("r")).select(col("r.*"))
+      rollRows.unionByName(distinctRows).unionByName(topkRows)
+        .unionByName(dedupRows).unionByName(vectorRows)
+        .orderBy(col("component"), col("key1"), col("key2"), col("metric"))
+    }
+
+  /** Full recompute of the dated golds from the raw tables plus the
+    * trivial re-delivery predictions — the one-hash certification that
+    * the correction landed and the indexes did not double-ingest. */
+  def restatedCloseSql(): String =
+    s"""WITH s AS (${Tables.salesSql}),
+       |roll AS (
+       |  SELECT store_id, substring(sale_date, 1, 7) AS month,
+       |    CAST(SUM(line_total) AS DOUBLE) AS total_sales,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM s GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT store_id,
+       |    CAST(COUNT(DISTINCT sku) AS BIGINT) AS n_distinct_skus
+       |  FROM s GROUP BY 1),
+       |tk AS (${Materialize.incrementalTopKSql(5)}),
+       |dd AS (SELECT doc_id FROM documents
+       |       WHERE doc_id % 10 >= ${graft.dedup.Dedup.SnapshotMod}),
+       |vx AS (SELECT vec_id FROM embeddings
+       |       WHERE vec_id % 10 >= ${graft.vector.IndexCompaction.SnapshotMod})
+       |SELECT * FROM (
+       |  SELECT 'rollup' AS component, store_id AS key1, month AS key2,
+       |    'total_sales' AS metric, total_sales AS value FROM roll
+       |  UNION ALL
+       |  SELECT 'rollup', store_id, month, 'n_lines',
+       |    CAST(n_lines AS DOUBLE) FROM roll
+       |  UNION ALL
+       |  SELECT 'distinct', store_id, '', 'n_distinct_skus',
+       |    CAST(n_distinct_skus AS DOUBLE) FROM dist
+       |  UNION ALL
+       |  SELECT 'topk', store_id,
+       |    CAST(rank AS VARCHAR) || ':' || sku, 'est_count',
+       |    CAST(est_count AS DOUBLE) FROM tk
+       |  UNION ALL
+       |  SELECT 'dedup_index', CAST(doc_id AS VARCHAR), 'redelivered',
+       |    'not_novel', CAST(1 AS DOUBLE) FROM dd
+       |  UNION ALL
+       |  SELECT 'vector_index', CAST(vec_id AS VARCHAR), 'redelivered',
+       |    'present_once', CAST(1 AS DOUBLE) FROM vx
        |) ORDER BY component, key1, key2, metric""".stripMargin
 }

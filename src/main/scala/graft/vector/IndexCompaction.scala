@@ -247,6 +247,26 @@ object IndexCompaction {
         .orderBy(col("cell"))
     }
 
+  /** a70's re-delivery leg for the vector index: the delta batch
+    * re-arrives after the fold; the restated close's PutIfAbsent check
+    * finds every vec_id already live, so it appends nothing. Measured
+    * as the per-vec presence COUNT in the fold commit's live gen-1
+    * files (1 = present exactly once: zero loss, zero double-ingest),
+    * pinned to the fold's manifest version like every post-fold
+    * reader; the oracle predicts the constant-1 relation. */
+  def redeliveryProbe(spark: SparkSession, dir: String,
+                      nCentroids: Int = 8): DataFrame = {
+    val indexDir = foldedIndex(spark, dir, nCentroids)
+    val live = manifestGen(spark, indexDir, 1L, "cells",
+        Some(foldCommits((spark, dir))))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+    withNorm(spark, dir).filter(col("vec_id") % 10 >= SnapshotMod)
+      .select(col("vec_id"))
+      .join(live, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n"), lit(0L)).as("present_once"))
+      .orderBy(col("vec_id"))
+  }
+
   /** v41: FOLD-RECALL READOUT — the tradeoff v39's fold makes,
     * quantified per query. Pre-fold v38 scans the delta EXHAUSTIVELY
     * (recall-maximal freshness); post-fold the delta is indexed, so

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 operator pins: a70's restated close — the mid-generation
+  * states the end-to-end hash cannot see (correction-BEFORE: the late
+  * slice is genuinely absent from the persisted generations; correction-
+  * AFTER: the fold of the late delivery lands the golds exactly on the
+  * corrected recompute), plus the re-delivery no-op legs. */
+class R14OpsSpec extends GraftSpec {
+
+  private val dir = sfDir
+
+  test("a70 correction-before: generation-1 persists WITHOUT the late " +
+      "slice (an on-time-only recompute, strictly different from the " +
+      "corrected facts) — and the fixture's correction targets an " +
+      "already-closed day") {
+    import graft.etl.DayClose
+    DayClose.restatedClose(spark, dir).count() // force all three closes
+    val root = DayClose.restateDirs((spark, dir))
+    val sales = graft.model.Tables.sales(spark, dir)
+    val late = pmod(col("l_orderkey"), lit(DayClose.LateMod)) ===
+      lit(DayClose.LateRes) && col("sale_date") <= DayClose.Close2
+    // the correction is real: late rows dated in the FIRST closed period
+    assert(sales.filter(late && col("sale_date") <= DayClose.Close1)
+      .count() > 0, "fixture needs a correction to a close-1 day")
+    def rollOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("store_id"), substring(col("sale_date"), 1, 7).as("month"))
+      .agg(sum(col("line_total")).cast("string").as("g"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getString(2)), r.getLong(3))).toSet
+    val gen1 = spark.read.parquet(s"$root/roll1")
+      .groupBy("store_id", "month")
+      .agg(sum(col("gross_dec")).cast("string").as("g"),
+        sum(col("n_lines")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getString(2)), r.getLong(3))).toSet
+    val upTo = sales.filter(col("sale_date") <= DayClose.Close2)
+    // gen-1 == on-time-only recompute; != the corrected recompute
+    assert(gen1 === rollOf(upTo.filter(!late)))
+    assert(gen1 !== rollOf(upTo), "the late slice must be absent pre-close-2")
+  }
+
+  test("a70 correction-after: the folded golds equal full recompute on " +
+      "the corrected facts, and both re-delivery legs are measured " +
+      "no-ops") {
+    import graft.etl.DayClose
+    val out = DayClose.restatedClose(spark, dir)
+    val sales = graft.model.Tables.sales(spark, dir)
+    // rollup gold: fold-through-generations == direct recompute
+    val goldN = out.filter(col("component") === "rollup" &&
+        col("metric") === "n_lines")
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getDouble(4).toLong)).toSet
+    val directN = sales
+      .groupBy(col("store_id"), substring(col("sale_date"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(goldN === directN)
+    // distinct gold == COUNT(DISTINCT) over corrected facts
+    val goldD = out.filter(col("component") === "distinct")
+      .collect().map(r => r.getString(1) -> r.getDouble(4).toLong).toMap
+    val directD = sales.groupBy(col("store_id"))
+      .agg(countDistinct(col("sku")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(goldD === directD)
+    // re-delivery no-ops: every dedup doc non-novel, every vector
+    // present exactly once — all probe values are 1.0
+    val probes = out.filter(col("key2") === "redelivered").collect()
+    assert(probes.nonEmpty)
+    assert(probes.forall(_.getDouble(4) == 1.0),
+      "a re-delivered close must append nothing")
+  }
+}
