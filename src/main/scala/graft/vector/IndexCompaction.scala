@@ -401,15 +401,33 @@ object IndexCompaction {
         .collect { case (c, n) if n * nCentroids * 1000L > HotMilliDefault * total => c }
         .sorted
       val e = withNorm(spark, dir)
-      // per-cell Lloyd: k=2 spherical sub-centroids from the 2
-      // lowest-vec_id members (the donor-init rule, cell-locally)
+      // per-cell Lloyd, GROUPED: k=2 spherical sub-centroids per hot
+      // cell from its 2 lowest-vec_id members (the donor-init rule,
+      // cell-locally) — inits from ONE ranked pass over all hot
+      // members, then [[Lloyd.ivfTrainGrouped]] trains every cell in
+      // the same job per iteration (the r13 driver loop paid a
+      // sequential job chain per hot cell; bit-identical sub-centroids,
+      // R14OpsSpec-asserted)
+      val hotMembers = e.join(
+        cells.filter(col("cell").isin(hotCells.map(Int.box): _*))
+          .select(col("vec_id"), col("cell").as("parent_cell")),
+        Seq("vec_id"))
+      val wInit = Window.partitionBy(col("parent_cell"))
+        .orderBy(col("vec_id").asc)
+      val inits: Map[Int, Array[Array[Double]]] = hotMembers
+        .withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= 2)
+        .select(col("parent_cell"), col("rn"), col("embedding"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1))
+            .map(_.getSeq[Float](2).toArray.map(_.toDouble))
+        }
+      val fitted = if (hotCells.isEmpty) Map.empty[Int, Array[Array[Double]]]
+        else Lloyd.ivfTrainGrouped(hotMembers, inits, SubIters)
       val subRows = hotCells.zipWithIndex.flatMap { case (c, i) =>
-        val members = e.join(
-          cells.filter(col("cell") === c).select("vec_id"), Seq("vec_id"))
-        val init = members.orderBy(col("vec_id").asc).limit(2)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-        Lloyd.ivfTrainFrom(members, init, SubIters).zipWithIndex.map {
+        fitted(c).zipWithIndex.map {
           case (ce, s) => (c, s, nCentroids + 2 * i + s, ce.map(_.toFloat))
         }
       }.toSeq
@@ -423,13 +441,9 @@ object IndexCompaction {
       // to the lowest sub_idx; one file per new sub-cell.
       val subCents = broadcast(silver
         .withColumn("c_norm2", dotCol(col("c_emb"), col("c_emb"))))
-      val hotVecs = e.join(
-        cells.filter(col("cell").isin(hotCells.map(Int.box): _*))
-          .select(col("vec_id"), col("cell").as("parent_cell")),
-        Seq("vec_id"))
       val ws = Window.partitionBy(col("vec_id"))
         .orderBy(col("scos").desc, col("sub_idx").asc)
-      val assigned2 = hotVecs.join(subCents, Seq("parent_cell"))
+      val assigned2 = hotMembers.join(subCents, Seq("parent_cell"))
         .withColumn("scos", cosine(dotCol(col("embedding"), col("c_emb")),
           col("norm2"), col("c_norm2")))
         .withColumn("srank", row_number().over(ws))

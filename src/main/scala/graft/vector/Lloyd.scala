@@ -118,6 +118,72 @@ object Lloyd {
     cents
   }
 
+  /** GROUPED per-cell Lloyd — every hot cell's sub-quantizer trained in
+    * the SAME pass. The r13 rebalance looped hot cells on the driver,
+    * each iteration launching its own member join and [[ivfTrainFrom]]
+    * fit: bounded at the fixture's 8 centroids, but at a production IVF
+    * (thousands of cells, dozens hot) that is dozens of SEQUENTIAL
+    * Spark job chains. Here one job per Lloyd iteration covers all
+    * cells: the current (cell, sub_idx) centroids form a driver-built
+    * broadcast relation, every member scores against ITS OWN cell's
+    * sub-centroids via the co-keyed equi-join (never cross-cell), the
+    * argmax is a per-vector window (ties to the lowest sub_idx — the
+    * array-scan rule), and the mean update is ONE decimal-exact hash
+    * aggregate on (cell, sub_idx, dim) whose result is
+    * Σ|sub-codebooks|-sized. Per cell the arithmetic is BIT-IDENTICAL
+    * to [[ivfTrainFrom]] (same float-cast centroid dot, same
+    * double-norm scaling, same first-max tie, same decimal(38,18) sums
+    * and [[exactMean]]; empty codes keep their centroid) — R14OpsSpec
+    * replays the sequential per-cell fits against this and asserts
+    * equality, which is what keeps the v42 oracle silver byte-stable.
+    *
+    * `members` must carry (parent_cell, vec_id, embedding); `inits`
+    * maps each cell to its (≤ k) init centroids in sub_idx order. */
+  def ivfTrainGrouped(members: org.apache.spark.sql.DataFrame,
+                      inits: Map[Int, Array[Array[Double]]],
+                      iters: Int): Map[Int, Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = members.sparkSession
+    import spark.implicits._
+    var cents = inits
+    val e = members
+      .select(col("parent_cell"), col("vec_id"), col("embedding"))
+      .withColumn("norm2",
+        Similarity.dotColHof(col("embedding"), col("embedding")))
+    var it = 0
+    while (it < iters) {
+      val crows = cents.toSeq.flatMap { case (cell, arr) =>
+        arr.zipWithIndex.map { case (ce, s) =>
+          (cell, s, ce.map(_.toFloat).toSeq,
+            ce.foldLeft(0.0)((acc, v) => acc + v * v))
+        }
+      }
+      val cdf = broadcast(
+        crows.toDF("parent_cell", "sub_idx", "c_emb", "c_norm2"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("scos").desc, col("sub_idx").asc)
+      val sums = e.join(cdf, Seq("parent_cell"))
+        .withColumn("scos", Similarity.dotColHof(col("embedding"), col("c_emb"))
+          / sqrt(col("norm2") * col("c_norm2")))
+        .withColumn("srank", row_number().over(wv))
+        .filter(col("srank") === 1)
+        .select(col("parent_cell"), col("sub_idx"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("parent_cell", "sub_idx", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map { case (c, arr) => c -> arr.map(_.clone()) }
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          exactMean(r.getDecimal(3), r.getLong(4))
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Exact-sum / count at fixed scale+rounding: the only division in the
     * fit, pinned so the mean is a pure function of (sum, n). */
   private def exactMean(sx: java.math.BigDecimal, n: Long): Double =

@@ -42,6 +42,36 @@ class R14OpsSpec extends GraftSpec {
     assert(gen1 !== rollOf(upTo), "the late slice must be absent pre-close-2")
   }
 
+  test("grouped Lloyd: the rebalance's sub-centroid silver is " +
+      "bit-identical to a sequential per-cell ivfTrainFrom replay " +
+      "(the one-job-per-iteration trainer changes scheduling, never " +
+      "arithmetic)") {
+    import graft.vector.{IndexCompaction, Lloyd}
+    IndexCompaction.rebalanceApplied(spark, dir).count()
+    val indexDir = IndexCompaction.indexDirs((spark, dir))
+    val silver = spark.read.parquet(
+        graft.model.OracleSilver.dirFor("split_subcents_8", dir))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](3).toSeq)
+      .toMap
+    assert(silver.nonEmpty, "fixture must split at least one cell")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val e = graft.model.Tables.embeddings(spark, dir)
+    silver.keys.map(_._1).toSeq.distinct.foreach { c =>
+      val members = e.join(
+        cells.filter(col("cell") === c).select("vec_id"), Seq("vec_id"))
+      val init = members.orderBy(col("vec_id").asc).limit(2)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val seq = Lloyd.ivfTrainFrom(members, init, IndexCompaction.SubIters)
+      seq.zipWithIndex.foreach { case (ce, s) =>
+        assert(silver((c, s)) === ce.map(_.toFloat).toSeq,
+          s"cell $c sub $s diverged from the sequential fit")
+      }
+    }
+  }
+
   test("a70 correction-after: the folded golds equal full recompute on " +
       "the corrected facts, and both re-delivery legs are measured " +
       "no-ops") {
