@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.model.{Silver, Tables}
+import graft.model.{AtomicManifest, Silver, Tables}
 import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -261,6 +261,113 @@ object LakeApply {
        |FROM binned
        |GROUP BY part_month, store_id
        |ORDER BY part_month, store_id""".stripMargin
+
+  // ---------------------------------------------------------------- k29
+
+  /** k29: ATOMIC REWRITE COMMIT — k24's bin-pack executed as a
+    * GENERATION SWAP instead of an in-place dynamic partition
+    * overwrite. k24 demonstrates the rewrite mechanics and freezes its
+    * before-inventory driver-side, but a concurrent reader of that
+    * lake mid-rewrite can see half-rewritten partitions — the same
+    * seam the vector index closed with its manifest. Here the lake is
+    * manifest-committed from birth: the bronze build promotes
+    * generation 1 atomically, the bin-packed rewrite lands its files
+    * under a SEPARATE generation-2 tree (gen-1 bytes are never
+    * touched) and joins the live set through ONE atomic pointer swap
+    * ([[graft.model.AtomicManifest]]: removeFiles(gen-1) +
+    * addFiles(gen-2)), and the measured relation resolves BOTH
+    * inventories through the manifest alone — files_before via TIME
+    * TRAVEL to the v1 snapshot read AFTER the swap (no frozen driver
+    * map), files_after from the current pointer. Same bin-pack plan
+    * and same oracle as k24, so the hash certifies the swap delivered
+    * exactly the planned file counts with zero row loss; R14OpsSpec
+    * pins the crash-window semantics (the v1 view is the small-file
+    * lake exactly, the v2 view the packed one, identical row
+    * population, gen-1 bytes intact on disk). At 100 TB this is the
+    * commit shape that lets OPTIMIZE run while queries stream: readers
+    * pin a manifest version and never observe a torn partition. */
+  def atomicRewrite(spark: SparkSession, dir: String): DataFrame =
+    Silver.memoize(spark, "k29AtomicRewrite", dir) {
+      val lakeDir = Scratch.tempDir("k29-lake")
+      lakeDirs(("k29", dir)) = lakeDir
+      val partCols = Seq("part_month", "store_id")
+      val slice = sliceSales(spark, dir)
+        .withColumn("__fk", concat_ws("/", col("store_id"), col("sale_date")))
+      writeExactFiles(slice, partCols, "__fk", s"$lakeDir/gen1")
+      val dataSchema = StructType(slice
+        .drop("__fk", "part_month", "store_id").schema.fields)
+      // COMMIT 1: the bronze build becomes visible atomically
+      val v1 = AtomicManifest.commit(lakeDir,
+        AtomicManifest.listFiles(lakeDir, "gen1").map((1L, _)))
+      def genLake(gen: Long, version: Option[Int]): DataFrame = {
+        val files = AtomicManifest.read(lakeDir, version)
+          .collect { case (`gen`, p) => s"$lakeDir/$p" }
+        val full = partCols.foldLeft(dataSchema)((s, c) => s.add(c, StringType))
+        spark.read.schema(full)
+          .option("basePath", s"$lakeDir/gen$gen").parquet(files: _*)
+      }
+      val lake = genLake(1L, None)
+      // k17's bin-pack plan, computed from the manifest-resolved lake
+      val model = lake.groupBy(col("part_month"), col("store_id"),
+          col("sale_date"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("file_bytes",
+          lit(HeaderBytes) + lit(RowBytes) * col("n_rows"))
+        .withColumn("small",
+          (col("file_bytes") < TargetBytes).cast("long"))
+      val packWin = Window.partitionBy(col("part_month"), col("store_id"))
+        .orderBy(col("sale_date"))
+      val binned = model
+        .withColumn("cum_small",
+          sum(col("small") * col("file_bytes")).over(packWin))
+        .withColumn("file_tag",
+          when(col("small") === 1L, concat(lit("bin-"),
+            expr(s"(cum_small - 1) DIV $TargetBytes")))
+            .otherwise(concat(lit("keep-"), col("sale_date"))))
+        .select(col("part_month"), col("store_id"), col("sale_date"),
+          col("file_tag"))
+      val rewrite = lake.join(binned,
+          Seq("part_month", "store_id", "sale_date"))
+        .withColumn("__fk", concat_ws("/", col("part_month"),
+          col("store_id"), col("file_tag")))
+        .drop("file_tag")
+      writeExactFiles(rewrite, partCols, "__fk", s"$lakeDir/gen2")
+      // COMMIT 2 — the rewrite transaction: removeFiles(every gen-1
+      // file) + addFiles(gen-2), promoted in one atomic rename. A
+      // reader during the gen-2 write still resolves the small-file
+      // lake; a reader after sees only the packed one.
+      AtomicManifest.commit(lakeDir,
+        AtomicManifest.listFiles(lakeDir, "gen2").map((2L, _)))
+      // measured: both inventories from the manifest — the before leg
+      // time-travels to the v1 snapshot AFTER the swap
+      val before = lakeStats(genLake(1L, Some(v1)), partCols)
+        .select(partCols.map(col) :+ col("n_files").as("files_before"): _*)
+      val after = lakeStats(genLake(2L, None), partCols)
+        .select(partCols.map(col) ++ Seq(col("n_files").as("files_after"),
+          col("n_rows").as("rows_total")): _*)
+      before.join(after, partCols)
+        .orderBy(col("part_month"), col("store_id"))
+    }
+
+  /** Same predicted relation as k24 — the swap and the in-place
+    * overwrite must land the identical planned file counts. */
+  def atomicRewriteSql(): String = compactionAppliedSql()
+
+  /** Manifest-resolved read of the k29 lake at `version` (spec hook:
+    * the crash-window replay pins v1/v2 without touching the pointer). */
+  private[graft] def k29Lake(spark: SparkSession, dir: String,
+                             version: Option[Int]): DataFrame = {
+    val lakeDir = lakeDirs(("k29", dir))
+    val dataSchema = StructType(sliceSales(spark, dir)
+      .drop("part_month", "store_id").schema.fields)
+    val entries = AtomicManifest.read(lakeDir, version)
+    val gen = entries.map(_._1).max
+    val files = entries.collect { case (g, p) if g == gen => s"$lakeDir/$p" }
+    val full = Seq("part_month", "store_id")
+      .foldLeft(dataSchema)((s, c) => s.add(c, StringType))
+    spark.read.schema(full)
+      .option("basePath", s"$lakeDir/gen$gen").parquet(files: _*)
+  }
 
   // ---------------------------------------------------------------- k25
 

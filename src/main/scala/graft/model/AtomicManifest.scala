@@ -1,8 +1,9 @@
-package graft.vector
+package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** ATOMIC COMMIT for the physical vector index — the lake-format
+/** ATOMIC COMMIT for generation-structured physical stores — the
+  * vector index (v39–v44) and the k29 lake rewrite share it. The
   * manifest discipline the r13 index lacked: the live set was derived
   * from PRESENCE (gen-2 dir exists + the sub-centroid silver readable),
   * so a reader between "gen-2 partially written" and "silver recorded",
@@ -35,7 +36,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Entry format: one `<generation>\t<path relative to the index root>`
   * line per live data file, sorted for determinism. */
-object IndexManifest {
+object AtomicManifest {
 
   val Name = "_manifest"
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Similarity.{cosine, dotCol, dotSql, withNorm, withNormSql, defaultNQueries}
+import graft.model.AtomicManifest
 
 /** v39/v40: the vector PLAN → ACTION loop — v38's missing half.
   *
@@ -61,12 +62,12 @@ object IndexCompaction {
 
   /** Generation `gen`'s live files per the committed manifest — the
     * ONLY way index readers here resolve data files (no directory
-    * listing, no existence probes: [[IndexManifest]]). Fails loudly on
+    * listing, no existence probes: [[graft.model.AtomicManifest]]). Fails loudly on
     * an uncommitted index. */
   private def manifestGen(spark: SparkSession, indexDir: String,
                           gen: Long, sub: String,
                           version: Option[Int] = None): DataFrame =
-    IndexManifest.readGen(spark, indexDir, gen, sub, version).getOrElse(
+    AtomicManifest.readGen(spark, indexDir, gen, sub, version).getOrElse(
       sys.error(s"index at $indexDir has no committed gen-$gen files"))
 
   /** Rank-1 frozen-centroid assignment of `vecs` (vec_id, embedding,
@@ -103,8 +104,8 @@ object IndexCompaction {
         assign(snap, cents).withColumn("__fk", col("cell").cast("string")),
         Seq("cell"), "__fk", s"$indexDir/cells")
       // COMMIT 1: the snapshot build becomes visible atomically
-      IndexManifest.commit(indexDir,
-        IndexManifest.listFiles(indexDir, "cells").map((1L, _)))
+      AtomicManifest.commit(indexDir,
+        AtomicManifest.listFiles(indexDir, "cells").map((1L, _)))
       // THE FOLD: delta assigned against the frozen quantizer READ BACK
       // from the index (floats round-trip parquet bit-exactly, so the
       // loaded centroids are the built ones), appended one file per
@@ -118,8 +119,8 @@ object IndexCompaction {
       // COMMIT 2: the fold's appended files join the live set in one
       // rename — a reader during the append still sees the pre-fold
       // index, never a partially-appended cell
-      foldCommits((spark, dir)) = IndexManifest.commit(indexDir,
-        IndexManifest.listFiles(indexDir, "cells").map((1L, _)))
+      foldCommits((spark, dir)) = AtomicManifest.commit(indexDir,
+        AtomicManifest.listFiles(indexDir, "cells").map((1L, _)))
       indexDir
     })
 
@@ -460,11 +461,11 @@ object IndexCompaction {
       // see both generations of a split cell in that window, or
       // neither after a crash).
       val parentSet = hotCells.toSet
-      val kept = IndexManifest.read(indexDir).filter { case (_, p) =>
+      val kept = AtomicManifest.read(indexDir).filter { case (_, p) =>
         !parentSet.exists(c => p.startsWith(s"cells/cell=$c/"))
       }
-      IndexManifest.commit(indexDir,
-        kept ++ IndexManifest.listFiles(indexDir, "cells2").map((2L, _)))
+      AtomicManifest.commit(indexDir,
+        kept ++ AtomicManifest.listFiles(indexDir, "cells2").map((2L, _)))
       indexDir
     })
 
@@ -478,7 +479,7 @@ object IndexCompaction {
   private[graft] def liveCellsFrom(spark: SparkSession,
                                    indexDir: String): DataFrame = {
     def gen(g: Long, sub: String) =
-      IndexManifest.readGen(spark, indexDir, g, sub).map(_
+      AtomicManifest.readGen(spark, indexDir, g, sub).map(_
         .select(col("vec_id"), col("cell").cast("int").as("cell"),
           col("_metadata.file_path").as("__fp"))
         .withColumn("generation", lit(g)))
@@ -680,7 +681,7 @@ object IndexCompaction {
       }
       // the clone keeps the source's committed manifest (+ audit trail)
       Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith(IndexManifest.Name))
+        .filter(_.getName.startsWith(AtomicManifest.Name))
         .foreach(f => java.nio.file.Files.copy(f.toPath,
           new java.io.File(gcDir, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING))
@@ -689,9 +690,9 @@ object IndexCompaction {
       // the split parents' gen-1 files), then prune emptied partition
       // dirs. The live set is untouched, so no new commit is needed:
       // the same manifest stays valid over the smaller tree.
-      val live = IndexManifest.read(gcDir).map(_._2).toSet
+      val live = AtomicManifest.read(gcDir).map(_._2).toSet
       Seq("cells", "cells2").foreach { sub =>
-        IndexManifest.listFiles(gcDir, sub)
+        AtomicManifest.listFiles(gcDir, sub)
           .filterNot(live)
           .foreach(p => new java.io.File(gcDir, p).delete(): Unit)
         // prune partition dirs emptied by the deletes

@@ -120,12 +120,12 @@ class IndexCompactionSpec extends GraftSpec {
   test("manifest atomicity: a reader in the crash window between the " +
       "gen-2 write and the manifest swap sees the PRE-rebalance index " +
       "exactly — old or new, never torn") {
-    import graft.vector.IndexManifest
+    import graft.model.AtomicManifest
     // build through the rebalance commit (v1 snapshot, v2 fold, v3
     // rebalance)
     IndexCompaction.rebalanceApplied(spark, sfDir).count()
     val indexDir = IndexCompaction.indexDirs((spark, sfDir))
-    assert(new java.io.File(indexDir, s"${IndexManifest.Name}.v3").exists())
+    assert(new java.io.File(indexDir, s"${AtomicManifest.Name}.v3").exists())
     // clone the FULL physical tree — gen-2 files included — then roll
     // the clone's manifest POINTER back to the fold commit: byte-for-
     // byte the state a crash leaves between "cells2 fully written" and
@@ -142,8 +142,8 @@ class IndexCompactionSpec extends GraftSpec {
     copyTree(new java.io.File(indexDir), new java.io.File(clone))
     def pointTo(v: Int): Unit =
       java.nio.file.Files.copy(
-        new java.io.File(clone, s"${IndexManifest.Name}.v$v").toPath,
-        new java.io.File(clone, IndexManifest.Name).toPath,
+        new java.io.File(clone, s"${AtomicManifest.Name}.v$v").toPath,
+        new java.io.File(clone, AtomicManifest.Name).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     pointTo(2)
     def rowsOf(root: String) = IndexCompaction.liveCellsFrom(spark, root)

@@ -42,6 +42,48 @@ class R14OpsSpec extends GraftSpec {
     assert(gen1 !== rollOf(upTo), "the late slice must be absent pre-close-2")
   }
 
+  test("k29: version-pinned readers see each lake generation exactly — " +
+      "v1 is the small-file lake, v2 the packed one, identical row " +
+      "population, gen-1 bytes intact after the swap") {
+    import graft.etl.LakeApply
+    val out = LakeApply.atomicRewrite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    def stats(version: Option[Int]) = LakeApply.k29Lake(spark, dir, version)
+      .select(col("part_month"), col("store_id"), col("sale_date"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("_metadata.file_path").as("fp"))
+      .collect()
+    val v1 = stats(Some(1))
+    val v2 = stats(None)
+    def perPart(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(r => (r.getString(0), r.getString(1)))
+    // v1 == the small-file generation: one file per sale_date, and its
+    // file count is exactly the measured files_before
+    perPart(v1).foreach { case (k, rs) =>
+      val nFiles = rs.map(_.getString(5)).distinct.length
+      assert(nFiles === rs.map(_.getString(2)).distinct.length,
+        s"$k: small-file grain must be one file per date")
+      assert(nFiles.toLong === out(k)._1, s"$k: files_before mismatch")
+    }
+    // v2 == the packed generation: measured files_after/rows_total,
+    // strictly fewer files somewhere (the pack is not vacuous)
+    perPart(v2).foreach { case (k, rs) =>
+      assert(rs.map(_.getString(5)).distinct.length.toLong === out(k)._2,
+        s"$k: files_after mismatch")
+      assert(rs.length.toLong === out(k)._3, s"$k: rows_total mismatch")
+    }
+    assert(out.values.exists { case (b, a, _) => a < b })
+    // identical row population across the swap — never torn
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(3), r.get(4).toString)).sorted.toSeq
+    assert(ids(v1) === ids(v2))
+    // time travel intact: gen-1 bytes still on disk after the swap
+    val lakeDir = LakeApply.lakeDirs(("k29", dir))
+    assert(graft.model.AtomicManifest.listFiles(lakeDir, "gen1").nonEmpty)
+  }
+
   test("grouped Lloyd: the rebalance's sub-centroid silver is " +
       "bit-identical to a sequential per-cell ivfTrainFrom replay " +
       "(the one-job-per-iteration trainer changes scheduling, never " +
