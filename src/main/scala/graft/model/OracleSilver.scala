@@ -18,11 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The r12 fixed single-level path allowed a CROSS-SF clobber — Bench
   * runs the same key at sf0.1, sf0.01 (slope) and sf1.0 in one session,
-  * each overwriting the previous scale's bytes — closed here by
-  * namespacing every write with the sf basename. Concurrent same-host
-  * JVMs verifying the SAME scale factor would still race; the driver
-  * runs Verify → compare → Bench sequentially, so that interleaving
-  * does not occur on the graded surface.
+  * each overwriting the previous scale's bytes — closed by namespacing
+  * every write with the sf basename. The r13 residue (concurrent
+  * same-host JVMs verifying the SAME scale factor raced on one fixed
+  * path) is closed by a per-JVM RUN SEGMENT in the path: each JVM
+  * writes under its own `run-<pid>-<startMillis>` subtree and its SQL
+  * embeds its own paths, so two JVMs can verify the same scale
+  * concurrently without touching each other's bytes. Accumulation is
+  * pruned at first use: run subtrees whose files were last modified
+  * more than [[PruneAfterMillis]] ago are deleted (the driver's
+  * Verify → compare window is minutes; a day-old silver can have no
+  * live reader), never the current run's.
   *
   * The SQL side stays consistent because [[graft.Verify]] dumps
   * `SparkEntry.oracleSql` (a def) AFTER running the queries in the SAME
@@ -41,13 +47,50 @@ object OracleSilver {
 
   val root: String = "/tmp/graft_oracle_silver"
 
+  /** Stale-run retention: subtrees idle longer than this are pruned. */
+  val PruneAfterMillis: Long = 24L * 3600 * 1000
+
+  /** This JVM's run segment — pid + JVM start time: unique per live
+    * JVM, stable for the JVM lifetime (the SQL dump and the silvers it
+    * points at always agree). */
+  private[model] val runSeg: String = {
+    val pid = ProcessHandle.current().pid()
+    val t0 = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    s"run-$pid-$t0"
+  }
+
+  /** One-time stale-run prune (first dirFor in the JVM): delete sibling
+    * run subtrees idle past retention. Never the current run's; a
+    * failure to delete is ignored (another JVM may be pruning too). */
+  private lazy val pruned: Unit = {
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
+          .map(newestMtime)).max
+      else f.lastModified()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("run-") &&
+        d.getName != runSeg)
+      .filter(d => now - newestMtime(d) > PruneAfterMillis)
+      .foreach(d => try rm(d) catch { case _: Throwable => () })
+  }
+
   private val lastWrite =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Physical dir for silver `table` under scale dir `dir` — pure path
-    * derivation, safe on read paths; never records. */
-  def dirFor(table: String, dir: String): String =
-    s"$root/${new java.io.File(dir).getName}/$table"
+    * derivation (within this JVM's run subtree), safe on read paths;
+    * never records. */
+  def dirFor(table: String, dir: String): String = {
+    pruned
+    s"$root/$runSeg/${new java.io.File(dir).getName}/$table"
+  }
 
   /** The path the most recent [[materialize]] of `table` wrote — what
     * the SQL builders embed (same JVM, recorded at write time). */

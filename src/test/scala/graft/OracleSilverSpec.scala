@@ -21,6 +21,9 @@ class OracleSilverSpec extends GraftSpec {
     assert(a !== b)
     assert(a.endsWith("/sf0.001/spec_probe"))
     assert(b.endsWith("/sf0.01/spec_probe"))
+    // per-JVM run segment: concurrent same-host JVMs verifying the SAME
+    // scale write disjoint subtrees (and each JVM's SQL embeds its own)
+    assert(a.contains("/run-"))
     // both under the shared fixed root (NOT delete-at-exit: the DuckDB
     // compare runs after the writer JVM exits)
     assert(a.startsWith(OracleSilver.root) && b.startsWith(OracleSilver.root))
