@@ -14,7 +14,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val only = args.drop(1).toSet
+    // same extensions as Bench: plans must reflect the bench surface
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
