@@ -692,10 +692,18 @@ object Sketches {
   def kmvSweep(spark: SparkSession, dir: String,
                ks: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
     val P = 1000003L
-    val pairs = Tables.sales(spark, dir)
-      .select(col("store_id"), col("sku")).distinct()
+    // distinct + window on the RAW (suppkey, sku) ints: one suppkey
+    // exchange serves the distinct AND both window functions (store_id
+    // is injective in suppkey so the partitions are identical), the
+    // shuffle carries 2 longs instead of a formatted string, and
+    // format_string runs on the ≤3 surviving rows per (store, k)
+    // instead of every fact row
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey").as("sku"))
+      .repartition(col("l_suppkey"))
+      .distinct()
       .withColumn("h", (col("sku") * lit(131L) + lit(911L)) % P)
-    val byStore = Window.partitionBy(col("store_id"))
+    val byStore = Window.partitionBy(col("l_suppkey"))
     val ranked = pairs
       .withColumn("rn", row_number().over(
         byStore.orderBy(col("h").asc, col("sku").asc)).cast("long"))
@@ -703,6 +711,7 @@ object Sketches {
     ranked
       .withColumn("k", explode(array(ks.map(k => lit(k.toLong)): _*)))
       .filter(col("rn") === least(col("k"), col("exact_skus")))
+      .withColumn("store_id", format_string("%04d", col("l_suppkey")))
       .select(col("store_id"), col("k"), col("exact_skus"),
         when(col("exact_skus") <= col("k"), col("exact_skus"))
           .otherwise(expr(s"(k - 1) * ${P}L div h")).as("kmv_est"))

@@ -1002,22 +1002,24 @@ object Star {
     * |nations|-bounded rollup through the broadcast-decorated supplier
     * dim. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // one partkey-keyed exchange feeds BOTH aggregates (hash(l_partkey)
+    // satisfies the (partkey, suppkey) clustering too), and the min-back
+    // self-join collapses to a lexicographic min(struct): (min avg,
+    // then min suppkey among the avg ties) — exactly the old
+    // join-back + min(l_suppkey) tiebreak, in one aggregate
     val ps = Tables.lineitem(spark, dir)
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(((sum(col("l_extendedprice").cast(Tables.Money)) * 100000)
         .cast("long")).as("price_milli_sum"),
         count(lit(1)).as("n_lines"))
       .select(col("l_partkey"), col("l_suppkey"),
         expr("price_milli_sum div n_lines").as("avg_milli"))
-    val mins = ps.groupBy(col("l_partkey"))
-      .agg(min(col("avg_milli")).as("min_milli"))
-      .select(col("l_partkey").as("pk"), col("min_milli"))
     val winners = ps
-      .join(mins, col("l_partkey") === col("pk") &&
-        col("avg_milli") === col("min_milli"))
       .groupBy(col("l_partkey"))
-      .agg(min(col("l_suppkey")).as("win_suppkey"),
-        min(col("avg_milli")).as("win_milli"))
+      .agg(min(struct(col("avg_milli"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey"), col("w.l_suppkey").as("win_suppkey"),
+        col("w.avg_milli").as("win_milli"))
     val supp = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)

@@ -38,18 +38,27 @@ object Restatement {
                       mod: Int = 10, res: Int = 7): DataFrame = {
     val sales = Tables.sales(spark, dir)
     val isLate = pmod(col("l_orderkey"), lit(mod)) === lit(res)
-    def roll(df: DataFrame, suffix: String): DataFrame =
-      df.groupBy(col("store_id"), col("sale_date"))
-        .agg(sum(col("line_total")).as(s"gross$suffix"),
-          sum(col("discount_amount")).as(s"disc$suffix"),
-          count(lit(1)).as(s"txn$suffix"),
-          sum(col("quantity")).as(s"items$suffix"))
-    val base = roll(sales.where(!isLate), "_b")
-    val delta = roll(sales.where(isLate), "_d")
+    // base and delta partials ride ONE grain aggregate as conditional
+    // sums (sum-over-empty-when = NULL, exactly the absent-side NULL the
+    // full-outer join produced), so the fact table is scanned once and
+    // the dimension-sized merge join disappears; the ⊕-merge itself —
+    // coalesce + add of the two partial columns — is unchanged below.
+    // At 100 TB the base column set is read from the persisted silver;
+    // here both derive from the one scan the oracle also recomputes from.
+    val merged = sales
+      .groupBy(col("store_id"), col("sale_date"))
+      .agg(sum(when(!isLate, col("line_total"))).as("gross_b"),
+        sum(when(isLate, col("line_total"))).as("gross_d"),
+        sum(when(!isLate, col("discount_amount"))).as("disc_b"),
+        sum(when(isLate, col("discount_amount"))).as("disc_d"),
+        sum(when(!isLate, 1L)).as("txn_b"),
+        sum(when(isLate, 1L)).as("txn_d"),
+        sum(when(!isLate, col("quantity"))).as("items_b"),
+        sum(when(isLate, col("quantity"))).as("items_d"))
     // decimal partials add exactly (order-independent), so the merged
     // rollup is bit-identical to a from-scratch recompute — the oracle
     // asserts exactly that
-    base.join(delta, Seq("store_id", "sale_date"), "full_outer")
+    merged
       .select(col("store_id"), col("sale_date"),
         (coalesce(col("gross_b"), lit(0).cast(Tables.Money)) +
           coalesce(col("gross_d"), lit(0).cast(Tables.Money)))
@@ -113,19 +122,25 @@ object Restatement {
     val hashed = Tables.sales(spark, dir)
       .select(col("store_id"), col("sale_date"),
         ((col("sku") * lit(131L) + lit(911L)) % P).as("h"), isLate.as("late"))
-    def sketch(flag: Boolean, name: String): DataFrame = hashed
-      .filter(col("late") === flag)
+    // both sketch partials ride ONE grain aggregate as conditional
+    // collect_sets (collect_set skips the NULLs the when() emits for the
+    // other side, and yields [] — the coalesce([]) the join form needed
+    // — when a side is absent), so the fact table is scanned once and
+    // the dimension-sized full-outer join disappears. The KMV merge
+    // itself — k smallest of (base_k ∪ delta_k) — is unchanged below;
+    // `restated` keeps its exact old meaning (delta side had rows).
+    val partials = hashed
       .groupBy(col("store_id"), col("sale_date"))
-      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as(name))
-    val base = sketch(flag = false, "sk_b")
-    val delta = sketch(flag = true, "sk_d")
-    val empty = array().cast("array<bigint>")
-    base.join(delta, Seq("store_id", "sale_date"), "full_outer")
+      .agg(
+        slice(array_sort(collect_set(when(!col("late"), col("h")))), 1, k)
+          .as("sk_b"),
+        slice(array_sort(collect_set(when(col("late"), col("h")))), 1, k)
+          .as("sk_d"))
+    partials
       .select(col("store_id"), col("sale_date"),
-        slice(array_sort(array_union(
-          coalesce(col("sk_b"), empty), coalesce(col("sk_d"), empty))),
-          1, k).as("sk"),
-        col("sk_d").isNotNull.as("restated"))
+        slice(array_sort(array_union(col("sk_b"), col("sk_d"))), 1, k)
+          .as("sk"),
+        (size(col("sk_d")) > 0).as("restated"))
       .select(col("store_id"), col("sale_date"),
         size(col("sk")).cast("long").as("sk_size"),
         when(size(col("sk")) < k, size(col("sk")).cast("long"))

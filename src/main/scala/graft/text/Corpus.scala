@@ -62,10 +62,17 @@ object Corpus {
     * through one partition at 100 TB. Ids are identical either way
     * (the order is total: distinct words). */
   def wordDict(spark: SparkSession, dir: String): DataFrame =
-    graft.plans.GlobalRank.withRowNumber(
-      docsTok(spark, dir)
-        .select(explode(col("words")).as("word")).distinct(),
-      "wid", col("word").asc)
+    Silver.memoize(spark, "wordDict", dir) {
+      // memoized like docsTok: the dictionary is the ingest-time vocab
+      // silver every hashed-feature consumer (t4 family, d5, p21) reads;
+      // un-memoized, each CALL re-ran the explode+distinct+GlobalRank
+      // rank jobs (GlobalRank numbers eagerly), a fixed multi-job tax
+      // per consuming query at any data size
+      graft.plans.GlobalRank.withRowNumber(
+        docsTok(spark, dir)
+          .select(explode(col("words")).as("word")).distinct(),
+        "wid", col("word").asc)
+    }
 
   val wordDictSql: String =
     s"""SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid

@@ -1104,20 +1104,29 @@ object CorpusPrep {
         pmod(pmod(col("wid"), lit(999999929L)) * lit(2654435789L),
           lit(nBuckets.toLong)))
       .select(col("doc_id"), col("lang"), col("bucket"))
-    val counts = toks.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cr0"),
-        sum(when(col("lang") === target, 1L).otherwise(0L)).as("ct0"))
+    // ONE corpus pass: the (doc, bucket) term-frequency relation is the
+    // finest grain — the bucket model (counts) re-aggregates from it and
+    // the corpus totals re-aggregate from the bucket model (Σ per-bucket
+    // counts ≡ corpus token count), so the explode+dict join runs once
+    // where the r13 shape paid it three times (model, totals, scoring).
+    // localCheckpoint: docTf feeds two consumers (counts0, docW).
+    val docTf = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts0 = docTf.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("cr0"),
+        sum(when(col("lang") === target, col("tf")).otherwise(0L)).as("ct0"))
+      .localCheckpoint() // bucket-bounded; feeds counts AND totals
+    val counts = counts0
       .select(col("bucket"), (col("cr0") + 1L).as("cr"), (col("ct0") + 1L).as("ct"))
-    val totals = toks.agg(
-      (count(lit(1)) + lit(nBuckets.toLong)).as("tr"),
-      (sum(when(col("lang") === target, 1L).otherwise(0L))
-        + lit(nBuckets.toLong)).as("tt"))
+    val totals = counts0.agg(
+      (sum(col("cr0")) + lit(nBuckets.toLong)).as("tr"),
+      (sum(col("ct0")) + lit(nBuckets.toLong)).as("tt"))
     val weights = mlog2(mlog2(counts, "ct", "ml_ct"), "cr", "ml_cr")
       .crossJoin(broadcast(mlog2(mlog2(totals, "tt", "ml_tt"), "tr", "ml_tr")))
       .select(col("bucket"),
         (col("ml_ct") - col("ml_tt") - col("ml_cr") + col("ml_tr")).as("w_milli"))
-    val docW = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("tf"))
+    val docW = docTf
       .join(broadcast(weights), "bucket")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("tf") * col("w_milli")).as("dsir_milli_bits"))

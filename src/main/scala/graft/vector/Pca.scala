@@ -61,8 +61,15 @@ object Pca {
     val mu = xl.groupBy(col("pos"))
       .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
       .select(col("pos"), expr(truncDiv("sx", "n", "DIV")).as("mu"))
+    // hash-partition by vec_id BEFORE the checkpoint: the LogicalRDD
+    // leaf keeps its outputPartitioning, so each iteration's
+    // groupBy(vec_id) and the long⋈s vec_id join reuse this ONE
+    // exchange instead of re-shuffling the fact relation twice per
+    // round (guide §2.4: operations keyed the same way share one
+    // exchange) — 8 fact exchanges drop to 1 at iters = 4
     val long = xl.join(broadcast(mu), "pos")
       .select(col("vec_id"), col("pos"), (col("xq") - col("mu")).as("c"))
+      .repartition(col("vec_id"))
       .localCheckpoint()
     var v = long.select(col("pos")).distinct()
       .select(col("pos"), lit(10000L).as("v"))
