@@ -465,9 +465,13 @@ object Profile {
     * map-combinable count aggs + a key-sized equi-join per audited join
     * — never the data-sized join itself. */
   def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
-    def profile(name: String, left: DataFrame, lk: String,
+    // the three lineitem-side key-count relations come from k9's ONE
+    // stacked-scan silver instead of three separate fact scans
+    val liCounts = fkLineitemCounts(spark, dir)
+    def profile(name: String, ck: String,
                 right: DataFrame, rk: String): DataFrame = {
-      val a = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val a = liCounts.filter(col("key_col") === ck)
+        .select(col("k"), col("ca"))
       val b = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
       a.join(b, Seq("k"))
         .agg(count(lit(1)).as("n_shared_keys"),
@@ -476,12 +480,11 @@ object Profile {
         .select(lit(name).as("join_name"), col("n_shared_keys"),
           col("predicted_rows"), col("max_key_product"))
     }
-    val li = Tables.lineitem(spark, dir)
-    profile("lineitem_orders", li, "l_orderkey",
+    profile("lineitem_orders", "l_orderkey",
         Tables.orders(spark, dir), "o_orderkey")
-      .unionByName(profile("lineitem_part", li, "l_partkey",
+      .unionByName(profile("lineitem_part", "l_partkey",
         Tables.part(spark, dir), "p_partkey"))
-      .unionByName(profile("lineitem_supplier", li, "l_suppkey",
+      .unionByName(profile("lineitem_supplier", "l_suppkey",
         Tables.supplier(spark, dir), "s_suppkey"))
       .orderBy(col("join_name"))
   }
@@ -545,17 +548,22 @@ object Profile {
           .as("verdict"))
   }
 
-  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    // lineitem carries three FK columns: profile all three from ONE scan
-    // (k2's stack fan-out — map-side, no extra shuffle volume, the
-    // table's bytes read once instead of three times)
-    val liCounts = graft.model.Silver.memoize(spark, "fkLineitemCounts", dir) {
+  /** lineitem carries three FK columns: profile all three from ONE scan
+    * (k2's stack fan-out — map-side, no extra shuffle volume, the
+    * table's bytes read once instead of three times). Shared by k8/k9
+    * (and sk10 through k8) as one memoized key-count silver. */
+  private[analytics] def fkLineitemCounts(spark: SparkSession,
+                                          dir: String): DataFrame =
+    graft.model.Silver.memoize(spark, "fkLineitemCounts", dir) {
       Tables.lineitem(spark, dir)
         .select(expr("stack(3, 'l_orderkey', l_orderkey, " +
           "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) AS (key_col, k)"))
         .groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("ca"))
         .cache()
     }
+
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val liCounts = fkLineitemCounts(spark, dir)
     def liEdge(name: String, ck: String, parent: DataFrame, pk: String) =
       fkEdgeFromCounts(name,
         liCounts.filter(col("key_col") === ck).select(col("k"), col("ca")),

@@ -55,13 +55,17 @@ object Sketches {
     * are algorithm-defined, not SQL-expressible). */
   def storeTopSellers(spark: SparkSession, dir: String,
                       topK: Int = 5, summarySize: Int = 32): DataFrame =
-    Tables.sales(spark, dir)
-      .groupBy(col("store_id"))
+    Tables.lineitem(spark, dir)
+      // group on the raw supplier int and format the store id on the
+      // |stores| aggregated rows, not per fact row (store_id is
+      // injective in suppkey, so the grouping is identical)
+      .groupBy(col("l_suppkey"))
       // the summary keys are strings (its tie-break is key order): bind
       // the cast explicitly so the key space semantic is visible here
       .agg(graft.functions.TopKByCount
-        .topKByCount(col("sku").cast("string"), summarySize).as("mg"))
-      .select(col("store_id"), col("mg.max_err").as("max_err"),
+        .topKByCount(col("l_partkey").cast("string"), summarySize).as("mg"))
+      .select(format_string("%04d", col("l_suppkey")).as("store_id"),
+        col("mg.max_err").as("max_err"),
         posexplode(slice(col("mg.items"), 1, topK)).as(Seq("idx", "item")))
       .select(col("store_id"), (col("idx") + 1).cast("long").as("rank"),
         col("item.sku").as("sku"), col("item.est_count").as("est_count"),
@@ -415,22 +419,35 @@ object Sketches {
           })
         .groupBy(col("j"), col("bucket"))
         .agg(count(lit(1)).as(out))
-    def one(name: String, left: DataFrame, lk: String,
-            right: DataFrame, rk: String): DataFrame = {
-      val a = cells(left.select(col(lk).as("k")), "na")
-      val b = cells(right.select(col(rk).as("k")), "nb")
-      a.join(b, Seq("j", "bucket"))
-        .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("est_j"))
-        .agg(min(col("est_j")).as("est_rows"))
-        .select(lit(name).as("join_name"), col("est_rows"))
-    }
-    val li = Tables.lineitem(spark, dir)
-    val est = one("lineitem_orders", li, "l_orderkey",
-        Tables.orders(spark, dir), "o_orderkey")
-      .unionByName(one("lineitem_part", li, "l_partkey",
-        Tables.part(spark, dir), "p_partkey"))
-      .unionByName(one("lineitem_supplier", li, "l_suppkey",
+    // the three lineitem-side sketches come from ONE stacked scan
+    // (k9's fan-out move): fact bytes are read and bucket-aggregated
+    // once for all three audited joins; only the small dimension sides
+    // keep per-table passes
+    val liCells = Tables.lineitem(spark, dir)
+      .select(expr("stack(3, 'lineitem_orders', l_orderkey, " +
+        "'lineitem_part', l_partkey, 'lineitem_supplier', l_suppkey) " +
+        "AS (join_name, k)"))
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
+          when(col("j") === j, bucket(j, col("k"))).otherwise(acc)
+        })
+      .groupBy(col("join_name"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("na"))
+    def dimCells(name: String, right: DataFrame, rk: String): DataFrame =
+      cells(right.select(col(rk).as("k")), "nb")
+        .withColumn("join_name", lit(name))
+    val dims = dimCells("lineitem_orders", Tables.orders(spark, dir),
+        "o_orderkey")
+      .unionByName(dimCells("lineitem_part", Tables.part(spark, dir),
+        "p_partkey"))
+      .unionByName(dimCells("lineitem_supplier",
         Tables.supplier(spark, dir), "s_suppkey"))
+    val est = liCells.join(dims, Seq("join_name", "j", "bucket"))
+      .groupBy(col("join_name"), col("j"))
+      .agg(sum(col("na") * col("nb")).as("est_j"))
+      .groupBy(col("join_name"))
+      .agg(min(col("est_j")).as("est_rows"))
     est.join(Profile.joinCardinality(spark, dir)
         .select(col("join_name"), col("predicted_rows").as("exact_rows")),
         Seq("join_name"))

@@ -1424,15 +1424,22 @@ object Dedup {
                        minRun: Int = 2, minDocs: Int = 2,
                        topN: Int = 20): DataFrame = {
     val toks = Corpus.docsTok(spark, dir).select(col("doc_id"), col("words"))
+    // materialized once: the positioned shingle stream feeds the df agg
+    // AND the run-collapse join — un-checkpointed, the shingle explode
+    // (3-token string build per position) ran twice per call
     val pos = toks
       .select(col("doc_id"), posexplode(Corpus.shinglesOf(col("words"))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+      .localCheckpoint()
     val freq = pos.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf).select("sh")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = pos.join(freq, Seq("sh"))
+    // broadcast the df-thresholded template-shingle set (d15's
+    // discipline) so the full positioned stream is never shuffled by
+    // shingle text for this join
+    val runs = pos.join(broadcast(freq), Seq("sh"))
       .withColumn("rn", row_number().over(byDoc))
       .withColumn("grp", col("pos") - col("rn"))
       .groupBy(col("doc_id"), col("grp"))
@@ -1558,15 +1565,30 @@ object Dedup {
     val winDocs = wins.groupBy(col("win"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDf)
+    // materialized once: the candidate-pair relation now feeds three
+    // consumers (both stage-2 join legs' doc filters + the pair join
+    // itself) — un-checkpointed, stage 1's window aggregate would
+    // re-execute per reference
     val pairs = winDocs
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint()
+    // stage 2 only ever needs candidate-pair docs' shingles: semi-join
+    // the positioned stream down to the (tiny, broadcast) candidate doc
+    // set BEFORE the (doc_b, shingle) exchange — the r13 shape shuffled
+    // the FULL corpus shingle stream and dropped non-candidates at the
+    // join (guide §3.2: reduce the big side before shuffling it). The
+    // filtered stream is materialized once and feeds both join legs.
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shingPos = docsTok
       .select(col("doc_id"), posexplode(Corpus.shinglesOf(col("words"))))
       .select(col("doc_id"), (col("pos") + lit(1L)).as("pos"),
         col("col").as("shingle"))
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val matched = broadcast(pairs)
       .join(shingPos.select(col("doc_id").as("doc_a"),
         col("pos").as("pos_a"), col("shingle")), Seq("doc_a"))

@@ -36,11 +36,17 @@ object Compaction {
 
   def compactionPlan(spark: SparkSession, dir: String,
                      targetBytes: Long = 4096L): DataFrame = {
-    val files = Tables.sales(spark, dir)
-      .groupBy(col("sale_date"), col("store_id"))
+    // grain keys aggregate on the RAW ints (suppkey, day-truncated
+    // shipdate — to_date makes the grain identical to the string date
+    // at any timestamp resolution); format_string/date_format run once
+    // per (store, day) grain instead of per fact row, and the exchange
+    // carries (long, date) instead of two strings (guide §2.3)
+    val files = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"), col("l_suppkey"))
       .agg((lit(HeaderBytes) + lit(RowBytes) * count(lit(1))).as("file_bytes"))
-      .select(substring(col("sale_date"), 1, 7).as("part_month"),
-        col("store_id"), col("sale_date"), col("file_bytes"),
+      .select(date_format(col("d"), "yyyy-MM").as("part_month"),
+        format_string("%04d", col("l_suppkey")).as("store_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("sale_date"), col("file_bytes"),
         (col("file_bytes") < targetBytes).cast("long").as("small"))
     val packWin = Window.partitionBy(col("part_month"), col("store_id"))
       .orderBy(col("sale_date"))

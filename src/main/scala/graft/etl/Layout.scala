@@ -63,23 +63,29 @@ object Layout {
       .select(col("l_partkey").cast("long").as("sku"),
         col("l_suppkey").cast("long").as("supp"),
         col("l_orderkey"), col("l_linenumber"))
-    val selected = rows
-      .filter(col("sku").between(skuLo, skuHi) &&
-        col("supp").between(suppLo, suppHi))
-      .agg(count(lit(1)).as("n_rows_selected"))
     val dom = rows.agg(min(col("sku")).as("sku_lo"), max(col("sku")).as("sku_hi"),
       min(col("supp")).as("supp_lo"), max(col("supp")).as("supp_hi"))
+    // materialized once: GlobalRank evaluates its input twice (range
+    // sampling + the shuffle itself), so un-checkpointed the scan +
+    // bit-interleave lineage re-ran on both passes
     val z = rows.crossJoin(broadcast(dom))
       .withColumn("z", zValue(
         scaled(col("sku"), col("sku_lo"), col("sku_hi")),
         scaled(col("supp"), col("supp_lo"), col("supp_hi"))))
       .select(col("sku"), col("supp"), col("l_orderkey"),
         col("l_linenumber"), col("z"))
-    val zLayout = {
-      val ranked = graft.plans.GlobalRank.withRowNumber(
-        z, "rk", col("z"), col("l_orderkey"), col("l_linenumber"))
-      fileReadout("zorder", ranked, rowsPerFile, skuLo, skuHi, suppLo, suppHi)
-    }
+      .localCheckpoint()
+    // the probe-rectangle row count is layout-independent, so it rides
+    // the zorder layout's file-stat aggregate as one conditional sum
+    // instead of a third fact pass; the file-grain relation is tiny and
+    // feeds two consumers (readout + the selected scalar)
+    val zFiles = fileStats(graft.plans.GlobalRank.withRowNumber(
+        z, "rk", col("z"), col("l_orderkey"), col("l_linenumber")),
+        rowsPerFile, withSel = Some((skuLo, skuHi, suppLo, suppHi)))
+      .localCheckpoint()
+    val selected = zFiles.agg(sum(col("n_sel")).as("n_rows_selected"))
+    val zLayout =
+      statsReadout("zorder", zFiles, skuLo, skuHi, suppLo, suppHi)
     val linLayout = {
       val ranked = graft.plans.GlobalRank.withRowNumber(
         rows, "rk", col("sku"), col("supp"), col("l_orderkey"),
@@ -96,14 +102,38 @@ object Layout {
     s"CASE WHEN sku_min <= $skuHi AND sku_max >= $skuLo AND " +
       s"supp_min <= $suppHi AND supp_max >= $suppLo THEN 1 ELSE 0 END"
 
+  /** Per-modelled-file stats of a ranked layout; `withSel` adds the
+    * probe-rectangle row count as a conditional sum on the same pass. */
+  private def fileStats(ranked: DataFrame, rowsPerFile: Int,
+                        withSel: Option[(Long, Long, Long, Long)]): DataFrame = {
+    val base = Seq(count(lit(1)).as("n_rows"),
+      min(col("sku")).as("sku_min"), max(col("sku")).as("sku_max"),
+      min(col("supp")).as("supp_min"), max(col("supp")).as("supp_max"))
+    val aggs = base ++ withSel.map { case (sl, sh, pl, ph) =>
+      sum(when(col("sku").between(sl, sh) && col("supp").between(pl, ph),
+        1L).otherwise(0L)).as("n_sel")
+    }
+    ranked
+      .groupBy(expr(s"(rk - 1) DIV $rowsPerFile").as("file_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def statsReadout(name: String, stats: DataFrame,
+                           skuLo: Long, skuHi: Long,
+                           suppLo: Long, suppHi: Long): DataFrame =
+    stats.agg(
+      lit(name).as("layout"),
+      count(lit(1)).as("n_files"),
+      expr(s"CAST(SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) " +
+        "AS BIGINT)").as("n_touched"),
+      expr(s"SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) * 1000" +
+        " DIV COUNT(*)").as("touched_pct_milli"),
+      sum(col("n_rows")).as("n_rows_total"))
+
   private def fileReadout(name: String, ranked: DataFrame, rowsPerFile: Int,
                           skuLo: Long, skuHi: Long,
                           suppLo: Long, suppHi: Long): DataFrame =
-    ranked
-      .groupBy(expr(s"(rk - 1) DIV $rowsPerFile").as("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("sku")).as("sku_min"), max(col("sku")).as("sku_max"),
-        min(col("supp")).as("supp_min"), max(col("supp")).as("supp_max"))
+    fileStats(ranked, rowsPerFile, withSel = None)
       .agg(
         lit(name).as("layout"),
         count(lit(1)).as("n_files"),

@@ -778,7 +778,17 @@ object TextAnalysis {
     * recomputation: contrib is query-independent (BM25's tf·idf per
     * posting), so write-once query-many is exact. */
   def bm25Index(spark: SparkSession, dir: String,
-                maxDfPct: Int = 78): DataFrame = {
+                maxDfPct: Int = 78): DataFrame =
+    // memoized as the persisted-index silver the scaladoc promises
+    // (IndexStore.writeLexical is the write-once path): t15/h2/h4's
+    // query joins read the scored posting list as a leaf instead of
+    // re-running the tf/df pipeline per call
+    graft.model.Silver.memoize(spark, s"bm25Index:$maxDfPct", dir) {
+      bm25IndexBuild(spark, dir, maxDfPct)
+    }
+
+  private def bm25IndexBuild(spark: SparkSession, dir: String,
+                             maxDfPct: Int): DataFrame = {
     val toks = Corpus.docsTok(spark, dir)
     val totals = toks.agg(
       count(lit(1)).as("n_docs"),

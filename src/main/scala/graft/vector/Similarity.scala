@@ -1825,19 +1825,24 @@ object Similarity {
   /** One row per (doc, distinct word) under the df cap — h1's lexical
     * candidate universe, shared with h4's pseudo-qrels. */
   private def dfCappedWords(spark: SparkSession, dir: String,
-                            maxDfPct: Int): DataFrame = {
-    val allWords = graft.text.Corpus.docsTok(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
-    // one row per (doc, distinct word) -> the per-word window count IS
-    // the document frequency
-    val nDocs = graft.text.Corpus.docsTok(spark, dir)
-      .agg(count(lit(1)).as("n_docs"))
-    allWords
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
-      .select("doc_id", "word")
-  }
+                            maxDfPct: Int): DataFrame =
+    // memoized like bm25Index: the df-capped posting list is the
+    // inverted-index silver a lexical candidate stage persists at
+    // ingest; h1/h4 read it as a leaf instead of re-running the
+    // explode + df window per call (and per self-join branch)
+    graft.model.Silver.memoize(spark, s"dfCappedWords:$maxDfPct", dir) {
+      val allWords = graft.text.Corpus.docsTok(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
+      // one row per (doc, distinct word) -> the per-word window count IS
+      // the document frequency
+      val nDocs = graft.text.Corpus.docsTok(spark, dir)
+        .agg(count(lit(1)).as("n_docs"))
+      allWords
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
+        .select("doc_id", "word")
+    }
 
   def hybridSearch(spark: SparkSession, dir: String, nQueries: Int = 3,
                    minCommon: Int = 3, k: Int = 5,
@@ -2521,11 +2526,20 @@ object Similarity {
     * Cost: two query-set-sized top-k relations + query-set-sized
     * joins; corpus-sized work stays inside the two parents. */
   def rrfFusion(spark: SparkSession, dir: String, nQueries: Int = 3,
-                kIn: Int = 10, kOut: Int = 5): DataFrame = {
-    val lex = graft.text.TextAnalysis.bm25(spark, dir, nQueries, kIn)
+                kIn: Int = 10, kOut: Int = 5): DataFrame =
+    rrfFrom(
+      graft.text.TextAnalysis.bm25(spark, dir, nQueries, kIn),
+      cosineTopK(spark, dir, kIn, nQueries), kOut)
+
+  /** [[rrfFusion]] over PREBUILT parent rankings — lets a composite
+    * consumer (h4) compute each parent once and fuse from the shared
+    * relations instead of re-running the parents inside the fusion. */
+  private[graft] def rrfFrom(bm25In: DataFrame, cosineIn: DataFrame,
+                             kOut: Int): DataFrame = {
+    val lex = bm25In
       .select(col("query_id"), col("doc_id").as("doc"),
         col("rank").as("lex_rank"))
-    val sem = cosineTopK(spark, dir, kIn, nQueries)
+    val sem = cosineIn
       .select(col("query_id"), col("neighbor_id").as("doc"),
         col("rank").cast("long").as("sem_rank"))
     val fused = lex.join(sem, Seq("query_id", "doc"), "full_outer")
@@ -2708,8 +2722,10 @@ object Similarity {
   def rankerEval(spark: SparkSession, dir: String, nQueries: Int = 3,
                  k: Int = 5, maxDfPct: Int = defaultMaxDfPct): DataFrame = {
     val words = dfCappedWords(spark, dir, maxDfPct)
-    val rel = words.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), col("word"))
+    // the query side is nQueries docs' capped words — broadcast it so
+    // the corpus-sized posting list is never shuffled for the qrels join
+    val rel = broadcast(words.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("word")))
       .join(words, "word")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -2719,14 +2735,22 @@ object Similarity {
       disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
         when(rankCol === (i + 1).toLong, lit(d)).otherwise(acc)
       }
+    // each parent ranking computed ONCE at depth 2k and materialized
+    // (query-set-sized): bm25@k / cosine@k are rank-prefix filters of
+    // the same deterministic total order, and the fusion runs over the
+    // shared relations via rrfFrom — the r13 shape re-ran bm25 and
+    // cosine a second time inside rrfFusion
+    val lex2k = graft.text.TextAnalysis.bm25(spark, dir, nQueries, 2 * k)
+      .localCheckpoint()
+    val sem2k = cosineTopK(spark, dir, 2 * k, nQueries).localCheckpoint()
     val systems =
-      graft.text.TextAnalysis.bm25(spark, dir, nQueries, k)
+      lex2k.filter(col("rank") <= k)
         .select(lit("bm25").as("system"), col("query_id"),
           col("doc_id"), col("rank"))
-      .unionByName(cosineTopK(spark, dir, k, nQueries)
+      .unionByName(sem2k.filter(col("rank") <= k)
         .select(lit("cosine").as("system"), col("query_id"),
           col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank")))
-      .unionByName(rrfFusion(spark, dir, nQueries, kIn = 2 * k, kOut = k)
+      .unionByName(rrfFrom(lex2k, sem2k, kOut = k)
         .select(lit("rrf").as("system"), col("query_id"),
           col("doc").as("doc_id"), col("fused_rank").as("rank")))
     val scored = systems.join(rel, Seq("query_id", "doc_id"), "left")
