@@ -50,16 +50,19 @@ object Graph {
 
   /** Distinct (basket, item) pairs — the shared base of the pair leaf
     * and g3's item/basket supports, leaf-memoized so neither consumer
-    * re-pays the distinct. */
-  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    * re-pays the distinct. Shared with a31 (Kpis.basketAffinity), whose
+    * basket relation is definitionally identical. */
+  private[analytics] def baskets(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "graphBaskets", dir) {
       Tables.sales(spark, dir)
         .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
     }
 
   /** Distinct co-purchase pairs (sa < sb) with their support count —
-    * the shared edge universe of g1/g2/g3, leaf-memoized per session. */
-  private def coPairs(spark: SparkSession, dir: String): DataFrame =
+    * the shared edge universe of g1/g2/g3 AND a31's market-basket
+    * counts (one co-occurrence silver per session, the maintained
+    * co-purchase table an association-mining family shares at scale). */
+  private[analytics] def coPairs(spark: SparkSession, dir: String): DataFrame =
     Silver.memoize(spark, "coPairs", dir) {
       val baskets = this.baskets(spark, dir)
       baskets.select(col("order_id"), col("sku").as("sa"))

@@ -264,20 +264,18 @@ object Kpis {
     * driver merge, no global sort at any scale. */
   def basketAffinity(spark: SparkSession, dir: String,
                      topN: Int = 50): DataFrame = {
-    // cached: the distinct basket relation feeds four consumers below
-    // (order count, item counts, both sides of the pair join)
-    val baskets = Tables.sales(spark, dir)
-      .select(col("l_orderkey").as("order_id"), col("sku")).distinct()
-      .cache()
+    // the basket and co-pair relations are the graph family's memoized
+    // silvers (definitionally identical: distinct (order, sku) and
+    // sa < sb co-occurrence counts) — one session-priced co-purchase
+    // table serves g1/g2/g3 and this key instead of a31 rebuilding the
+    // self-join + pair aggregate per call
+    val baskets = Graph.baskets(spark, dir)
     val nOrders = baskets.select(col("order_id")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemN = baskets.groupBy(col("sku")).agg(count(lit(1)).as("n_item"))
-    val pairs = baskets.select(col("order_id"), col("sku").as("sku_a"))
-      .join(baskets.select(col("order_id"), col("sku").as("sku_b")),
-        Seq("order_id"))
-      .filter(col("sku_a") < col("sku_b"))
-      .groupBy(col("sku_a"), col("sku_b"))
-      .agg(count(lit(1)).as("pair_n"))
+    val pairs = Graph.coPairs(spark, dir)
+      .select(col("sa").as("sku_a"), col("sb").as("sku_b"),
+        col("c").as("pair_n"))
     // top-k FIRST, decorate after: the k rows are decided by (pair_n,
     // pair) alone, so joining the support counts before the cut paid
     // two pair-relation-sized joins for rows that were about to be
