@@ -66,10 +66,13 @@ class PushdownSpec extends GraftSpec {
       s"k7 documents scan widened: ${k7.map(_.requiredSchema.fieldNames.mkString(","))}")
     assert(k7.forall(!_.requiredSchema.fieldNames.contains("text")),
       "k7 must never read the text column")
-    // lineitem: the cardinality predictor needs only its 3 join keys
-    val k8 = scanOf("k8_join_cardinality", "lineitem")
-    assert(k8.nonEmpty && k8.forall(_.requiredSchema.fields.length <= 3),
-      s"k8 lineitem scans widened: ${k8.map(_.requiredSchema.fieldNames.mkString(","))}")
+    // lineitem: k8's fact scan moved inside the shared fkLineitemCounts
+    // silver (r14 — one stacked scan serves k8/k9/sk10), so its raw scan
+    // is no longer visible here; sk13 keeps the always-raw contract —
+    // the KMV sweep needs exactly its 2 key columns
+    val sk13 = scanOf("sk13_kmv_sweep", "lineitem")
+    assert(sk13.nonEmpty && sk13.forall(_.requiredSchema.fields.length <= 2),
+      s"sk13 lineitem scans widened: ${sk13.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
 
   test("a45: the Q6 probe pushes every predicate into the one fact scan") {
