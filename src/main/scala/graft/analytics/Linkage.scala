@@ -122,9 +122,15 @@ object Linkage {
                               upper: Long, lower: Long): DataFrame = {
     val clean = cleanView(spark, dir)
     val dirty = dirtyView(spark, dir)
+    // BOUNDED edit distance (guide §1.2 step 2 — per-task work): only
+    // the ≤2 verdict is consumed, so the banded threshold form computes
+    // O(len·2) cells and aborts early instead of the full O(len²) DP on
+    // every candidate pair; `>= 0` ⟺ distance ≤ threshold (the bounded
+    // form returns -1 above it). Bit-identical boolean; the oracle keeps
+    // DuckDB's plain levenshtein.
     def agreements(df: DataFrame): DataFrame = df
       .withColumn("a_name",
-        (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long"))
+        (levenshtein(col("name_c"), col("name_d"), 2) >= 0).cast("long"))
       .withColumn("a_brand", (col("brand_c") === col("brand_d")).cast("long"))
       .withColumn("a_type", (col("type_c") === col("type_d")).cast("long"))
     // m from the true pairing, u from the +1 offset pairing; milli, clamped
@@ -699,7 +705,9 @@ object Linkage {
   def emWeights(spark: SparkSession, dir: String): DataFrame = {
     val pats = candidates(spark, dir)
       .select(
-        (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long")
+        // bounded form: same ≤2 boolean at O(len·2) per pair (see
+        // [[scoredPairsPlan]]'s agreements note)
+        (levenshtein(col("name_c"), col("name_d"), 2) >= 0).cast("long")
           .as("a_name"),
         (col("brand_c") === col("brand_d")).cast("long").as("a_brand"),
         (col("type_c") === col("type_d")).cast("long").as("a_type"))
@@ -811,8 +819,10 @@ object Linkage {
     }
 
   private def agreeCol(f: String): Column = f match {
+    // bounded form: same ≤2 boolean at O(len·2) per pair (see
+    // [[scoredPairsPlan]]'s agreements note)
     case "name" =>
-      (levenshtein(col("name_c"), col("name_d")) <= 2).cast("long")
+      (levenshtein(col("name_c"), col("name_d"), 2) >= 0).cast("long")
     case other => (col(s"${other}_c") === col(s"${other}_d")).cast("long")
   }
 

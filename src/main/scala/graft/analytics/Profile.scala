@@ -732,9 +732,14 @@ object Profile {
       col("p_partkey").as("part_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand", "p_size"))
       .filter(col("part_a") < col("part_b"))
+      // BOUNDED edit distance: the threshold form computes the banded
+      // O(len·maxDist) DP and returns -1 above maxDist, so `>= 0` is
+      // exactly the old `<= maxDist` filter and surviving rows carry the
+      // identical exact distance (guide §1.2 step 2; the oracle keeps
+      // DuckDB's plain levenshtein)
       .withColumn("distance",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("distance") <= maxDist.toLong)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("distance") >= 0L)
       .select(col("p_brand").as("brand"),
         col("p_size").cast("long").as("size"),
         col("part_a"), col("part_b"),

@@ -287,13 +287,27 @@ object Series {
         datediff(to_date(col("sale_date")), lit("1992-01-01").cast("date"))
           .cast("long").as("x"),
         col("net_c").as("y"))
-    val a = pts.select(col("store_id"), col("x").as("x1"), col("y").as("y1"))
-    val b = pts.select(col("store_id"), col("x").as("x2"), col("y").as("y2"))
-    val pairs = a.join(b, Seq("store_id")).where(col("x1") < col("x2"))
-      .select(col("store_id"),
-        (col("y2") - col("y1")).as("dy"),
-        (col("x2") - col("x1")).as("dx"),
-        col("x1"), col("x2"))
+    // PAIR EXPANSION stays partition-local (guide §2.4): the ≤60 points
+    // collect into one x-sorted array per store (x is distinct per
+    // store, so struct sort = x sort) and every i<j pair is generated
+    // map-side by nested array transforms — the {x1 < x2} pair SET is
+    // identical to the old self-join's, the downstream rank windows are
+    // order-insensitive, and the groupBy + both windows + the explode
+    // all ride the ONE store_id exchange the trailing window already
+    // paid. The previous shape paid either a doubled window subtree
+    // (un-materialized self-join legs) or, checkpointed, a sort-merge
+    // self-join with two re-exchanges (LogicalRDD hides size stats, so
+    // the planner dropped the broadcast).
+    val pairs = pts
+      .groupBy(col("store_id"))
+      .agg(array_sort(collect_list(struct(col("x"), col("y")))).as("ps"))
+      .select(col("store_id"), explode(expr(
+        "flatten(transform(ps, (p, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), q -> " +
+          "struct(q.y - p.y AS dy, q.x - p.x AS dx, " +
+          "p.x AS x1, q.x AS x2))))")).as("pr"))
+      .select(col("store_id"), col("pr.dy").as("dy"),
+        col("pr.dx").as("dx"), col("pr.x1").as("x1"), col("pr.x2").as("x2"))
     val byStoreSlope = Window.partitionBy(col("store_id"))
       .orderBy((col("dy").cast("double") / col("dx").cast("double")).asc,
         col("dy").asc, col("dx").asc, col("x1").asc, col("x2").asc)

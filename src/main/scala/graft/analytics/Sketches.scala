@@ -410,30 +410,33 @@ object Sketches {
     val P = 1000003L
     def bucket(j: Int, k: Column): Column =
       ((k * lit(37L + 101L * j) + lit(17L + 61L * j)) % P) % width
-    def cells(keys: DataFrame, out: String): DataFrame =
+    // ONE explode + bucket fold serves both sides (r14 ADVICE: an inlined
+    // copy on the lineitem side could silently diverge from the dimension
+    // side if the affine family ever changed — breaking the one-sided
+    // estimate guarantee); extra grouping columns ride through untouched
+    def cells(keys: DataFrame, out: String,
+              extraGroup: Seq[String] = Nil): DataFrame =
       keys
-        .withColumn("j", explode(array((0 until depth).map(lit): _*)))
-        .withColumn("bucket",
-          (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
-            when(col("j") === j, bucket(j, col("k"))).otherwise(acc)
-          })
-        .groupBy(col("j"), col("bucket"))
+        // all `depth` buckets are computed ONCE per input row and
+        // posexploded (pos = j) — the explode-then-conditional-chain
+        // form re-evaluated the when-ladder on each of the `depth`
+        // duplicated rows (§1.2 step 2: 3× the expression work for the
+        // same rows); groups and counts are identical
+        .select((extraGroup.map(col) :+
+          posexplode(array((0 until depth).map(j => bucket(j, col("k"))): _*))
+            .as(Seq("j", "bucket"))): _*)
+        .groupBy((extraGroup :+ "j" :+ "bucket").map(col): _*)
         .agg(count(lit(1)).as(out))
     // the three lineitem-side sketches come from ONE stacked scan
     // (k9's fan-out move): fact bytes are read and bucket-aggregated
     // once for all three audited joins; only the small dimension sides
     // keep per-table passes
-    val liCells = Tables.lineitem(spark, dir)
-      .select(expr("stack(3, 'lineitem_orders', l_orderkey, " +
-        "'lineitem_part', l_partkey, 'lineitem_supplier', l_suppkey) " +
-        "AS (join_name, k)"))
-      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
-      .withColumn("bucket",
-        (0 until depth).foldLeft(lit(-1L)) { (acc, j) =>
-          when(col("j") === j, bucket(j, col("k"))).otherwise(acc)
-        })
-      .groupBy(col("join_name"), col("j"), col("bucket"))
-      .agg(count(lit(1)).as("na"))
+    val liCells = cells(
+      Tables.lineitem(spark, dir)
+        .select(expr("stack(3, 'lineitem_orders', l_orderkey, " +
+          "'lineitem_part', l_partkey, 'lineitem_supplier', l_suppkey) " +
+          "AS (join_name, k)")),
+      "na", extraGroup = Seq("join_name"))
     def dimCells(name: String, right: DataFrame, rk: String): DataFrame =
       cells(right.select(col(rk).as("k")), "nb")
         .withColumn("join_name", lit(name))
@@ -714,7 +717,13 @@ object Sketches {
     // is injective in suppkey so the partitions are identical), the
     // shuffle carries 2 longs instead of a formatted string, and
     // format_string runs on the ≤3 surviving rows per (store, k)
-    // instead of every fact row
+    // instead of every fact row.
+    // VOLUME TRADEOFF (r14 ADVICE, deliberate): repartition-first ships
+    // every raw fact pair across the one exchange — distinct-first would
+    // partial-dedup map-side but pay a second exchange for the window.
+    // At 16 B/row the raw volume is the cheaper side of that trade until
+    // per-store duplication is extreme; if a larger-SF bench ever flags
+    // sk13, flip to distinct-first and re-measure before shipping.
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_partkey").as("sku"))
       .repartition(col("l_suppkey"))

@@ -199,14 +199,17 @@ object Star {
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val p = broadcast(Tables.part(spark, dir)
       .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")))
+    // month key as year*100+month (injective; guide §2.3): the group key
+    // shuffles as one long and the 'yyyy-MM' string is formatted on the
+    // |months| output rows instead of every fact row
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mk"),
         (col("l_extendedprice").cast(Tables.Money) -
           round(col("l_extendedprice").cast(Tables.Money) *
             col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
     li.join(p, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("month"))
+      .groupBy(col("mk"))
       .agg(
         (sum(when(col("is_promo"), col("net_dec"))
           .otherwise(lit(0).cast(Tables.Money))) * 100).cast("long")
@@ -219,6 +222,10 @@ object Star {
       .withColumn("promo_milli",
         expr("CASE WHEN total_cents = 0 THEN NULL " +
           "ELSE promo_cents * 1000 DIV total_cents END"))
+      .select(format_string("%04d-%02d", expr("mk DIV 100"), col("mk") % 100)
+          .as("month"),
+        col("promo_cents"), col("total_cents"), col("n_lines"),
+        col("promo_milli"))
       .orderBy(col("month"))
   }
 
@@ -343,6 +350,10 @@ object Star {
       .groupBy(col("sale_year"), col("supp_nation"))
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("net_dec")) * 100).cast("long").as("revenue_cents"))
+      // materialized once: the (year, nation) aggregate feeds the
+      // year-totals broadcast subtree AND the share join — without this
+      // the whole fact join chain executed twice per call
+      .localCheckpoint()
     val yearTotals = byNation.groupBy(col("sale_year"))
       .agg(sum(col("revenue_cents")).cast("long").as("market_cents"))
       .select(col("sale_year").as("yt_year"), col("market_cents"))
@@ -589,9 +600,13 @@ object Star {
     * aggregate that Q18 uses, then meets orders co-keyed and rolls
     * up to the 5-row priority grid, with the share in exact milli. */
   def splitShipments(spark: SparkSession, dir: String): DataFrame = {
+    // month key as year*100+month: injective and order-isomorphic to the
+    // 'yyyy-MM' string, so min≠max is the identical boolean while the
+    // per-fact-row date_format string build disappears (guide §2.3
+    // narrower types; the oracle keeps the strftime form)
     val perOrder = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"))
       .groupBy(col("l_orderkey"))
       .agg((min(col("m")) =!= max(col("m"))).as("is_split"))
     perOrder
@@ -699,20 +714,21 @@ object Star {
     * data-sized exchange is fact⋈orders on the orderkey hash and the
     * final aggregate is |nations|²·|years|-bounded. */
   def tradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    // the fact⋈orders exchange carries the INT nationkeys (guide §2.3
+    // narrower types): nation names are unique, so grouping by key is
+    // injective and the two ~12-char strings decorate the
+    // |nations|²·|years| aggregate output via 25-row broadcasts instead
+    // of riding every fact row through the shuffle
     val nat = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
     val supp = broadcast(Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-      .join(nat, col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      .select(col("s_suppkey"), col("s_nationkey")))
     val cust = broadcast(Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-      .join(nat, col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      .select(col("c_custkey"), col("c_nationkey")))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("cust_nation"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("ship_year"),
@@ -721,9 +737,17 @@ object Star {
             col("l_discount").cast(Tables.Money), 2)).as("net_dec"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .groupBy(col("s_nationkey"), col("c_nationkey"), col("ship_year"))
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("net_dec")) * 100).cast("long").as("volume_cents"))
+      .join(broadcast(nat.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
+        col("n_lines"), col("volume_cents"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
 

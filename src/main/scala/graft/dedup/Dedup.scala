@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Broadcast cap for corpus-derived small sides (template-shingle set
+    * and kin): ~2M short strings ≈ low hundreds of MB framed, the safe
+    * end of guide §3.1's broadcast budget. Above it, fall back to a
+    * shuffle join — slower, never wrong, never an executor OOM. */
+  private val MaxBroadcastTemplates = 2000000L
+
   // ---------------------------------------------------------------- d1
 
   /** d1: exact dedup — canonical-keeper assignment per identical text.
@@ -1166,20 +1172,35 @@ object Dedup {
     // duplication factor (the d22 lesson; measured 22x at the 10x
     // replica before this rewrite, output unchanged)
     val reps = contentReps(spark, dir)
+    // materialized once: the pair relation feeds the rep-pair distinct,
+    // both broadcast doc-set filters below AND the final join-back —
+    // four consumers of one tiny relation
     val pairs = containmentPairs(spark, dir, minPct)
       .select(col("contained_doc"), col("container_doc"))
       .join(reps.select(col("doc_id").as("contained_doc"),
         col("rep").as("ra")), "contained_doc")
       .join(reps.select(col("doc_id").as("container_doc"),
         col("rep").as("rb")), "container_doc")
+      .localCheckpoint()
     val repPairs = pairs.select(col("ra"), col("rb")).distinct()
+    // guide §3.2: restrict BOTH token streams to the verdict pairs'
+    // doc sets BEFORE the shingle explode — the pair set is containment-
+    // thresholded (tiny), so without this the 3-shingle string build runs
+    // over the whole corpus on each side and the (rb, shingle) join
+    // shuffles the full corpus-wide distinct shingle stream (the 8-core
+    // bench paid ~20x the 32-core time on exactly that sort)
     val shingPos = Corpus.docsTok(spark, dir)
+      .join(broadcast(repPairs.select(col("ra").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("ra"),
         posexplode(Corpus.shinglesOf(col("words"))))
       .select(col("ra"), (col("pos") + lit(1L)).as("pos"),
         col("col").as("shingle"))
-    val contSet = Corpus.docShingles(spark, dir)
-      .select(col("doc_id").as("rb"), col("shingle"))
+    val contSet = Corpus.docsTok(spark, dir)
+      .join(broadcast(repPairs.select(col("rb").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("rb"),
+        explode(array_distinct(Corpus.shinglesOf(col("words")))).as("shingle"))
     val matched = broadcast(repPairs).join(shingPos, Seq("ra"))
       .join(contSet, Seq("rb", "shingle"))
     val w = Window.partitionBy("ra", "rb").orderBy("pos")
@@ -1316,27 +1337,51 @@ object Dedup {
     val truth = ngramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
     val truthN = truth.agg(count(lit(1)).as("n_truth"))
-    // INJECTIVE band keys: the band's minhashes joined as a delimited
-    // string, so bucket equality IS elementwise signature equality —
-    // a weighted integer sum (d2's bucketing shortcut) admits cross-
-    // signature collisions that would inflate this curve's candidate
-    // counts at corpus scale. A production system hashes this
-    // concatenation; the string form is the oracle-portable exact one.
+    // INJECTIVE band keys, joined as the RAW minhash columns: elementwise
+    // long equality is the injective discipline directly (a weighted
+    // integer sum admits cross-signature collisions; the old delimited-
+    // string form was injective too but built a string per corpus band
+    // row just to compare longs).
+    // BAND NESTING collapses the sweep to ONE self-join: with 16 hashes
+    // the r-row band b covers mh[r·b .. r·b+r−1], so an r=4 collision
+    // implies collisions on both constituent r=2 bands and an r=8
+    // collision on both its r=4 bands — cands(8) ⊆ cands(4) ⊆ cands(2).
+    // The widest set (r=2) is the only corpus-shaped join; r=4/r=8
+    // membership is re-derived per surviving pair from the two stored
+    // signatures (a candidate-pair-sized broadcast join), never from
+    // another corpus self-join. Output provably identical; the oracle
+    // keeps its three independent self-joins as the recompute.
+    val bk2 = {
+      val arr = array((0 until NumHashes / 2).map { b =>
+        struct(lit(b.toLong).as("band"),
+          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
+      }: _*)
+      sigs.select(col("doc_id"), explode(arr).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    }
+    val cands2 = bk2
+      .select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
+      .join(bk2.select(col("doc_id").as("doc_b"), col("band"),
+        col("k1"), col("k2")), Seq("band", "k1", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint() // feeds r=2 counts/hits AND the r=4/r=8 rescoring
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val wide = broadcast(cands2).join(sa, "doc_a").join(sb, "doc_b")
+    def collide(r: Int): Column =
+      (0 until NumHashes / r).map { b =>
+        (0 until r).map(i => col(s"a${r * b + i}") === col(s"b${r * b + i}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
     val perConfig = Seq(2, 4, 8).map { r =>
       val nBands = NumHashes / r
-      val arr = array((0 until nBands).map { b =>
-        struct(lit(b.toLong).as("band"),
-          concat_ws("|",
-            (0 until r).map(i => col(s"mh${r * b + i}")): _*).as("bandkey"))
-      }: _*)
-      val bk = sigs.select(col("doc_id"), explode(arr).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bandkey").as("bandkey"))
-      val cands = bk.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
-        .join(bk.select(col("doc_id").as("doc_b"), col("band"), col("bandkey")),
-          Seq("band", "bandkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val cands =
+        if (r == 2) cands2
+        else wide.filter(collide(r)).select(col("doc_a"), col("doc_b"))
       val counts = cands.agg(count(lit(1)).as("n_candidates"))
       val hits = cands.join(truth, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("n_hits"))
@@ -1434,12 +1479,19 @@ object Dedup {
     val freq = pos.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf).select("sh")
+      .localCheckpoint()
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     // broadcast the df-thresholded template-shingle set (d15's
     // discipline) so the full positioned stream is never shuffled by
-    // shingle text for this join
-    val runs = pos.join(broadcast(freq), Seq("sh"))
+    // shingle text for this join — but only while it FITS: the set is
+    // corpus-derived with no upper bound (a boilerplate-heavy 100 TB
+    // crawl could push it past executor memory), so past a row cap the
+    // join falls back to shuffle, which is merely slower, never wrong.
+    // The checkpoint makes the cardinality probe free of a second df agg.
+    val freqSide =
+      if (freq.count() <= MaxBroadcastTemplates) broadcast(freq) else freq
+    val runs = pos.join(freqSide, Seq("sh"))
       .withColumn("rn", row_number().over(byDoc))
       .withColumn("grp", col("pos") - col("rn"))
       .groupBy(col("doc_id"), col("grp"))

@@ -133,15 +133,8 @@ object Layout {
   private def fileReadout(name: String, ranked: DataFrame, rowsPerFile: Int,
                           skuLo: Long, skuHi: Long,
                           suppLo: Long, suppHi: Long): DataFrame =
-    fileStats(ranked, rowsPerFile, withSel = None)
-      .agg(
-        lit(name).as("layout"),
-        count(lit(1)).as("n_files"),
-        expr(s"CAST(SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) " +
-          "AS BIGINT)").as("n_touched"),
-        expr(s"SUM(${touchedExpr(skuLo, skuHi, suppLo, suppHi)}) * 1000" +
-          " DIV COUNT(*)").as("touched_pct_milli"),
-        sum(col("n_rows")).as("n_rows_total"))
+    statsReadout(name, fileStats(ranked, rowsPerFile, withSel = None),
+      skuLo, skuHi, suppLo, suppHi)
 
   def zorderPruningSql(rowsPerFile: Int = 512,
                        skuLo: Long = 100L, skuHi: Long = 500L,

@@ -36,8 +36,22 @@ object Restatement {
 
   def lateRestatement(spark: SparkSession, dir: String,
                       mod: Int = 10, res: Int = 7): DataFrame = {
-    val sales = Tables.sales(spark, dir)
-    val isLate = pmod(col("l_orderkey"), lit(mod)) === lit(res)
+    // grain keys stay the RAW (suppkey, calendar day): store_id is
+    // injective in l_suppkey and sale_date in the day, so grouping raw
+    // and formatting the ~53k grain rows is bit-identical while the
+    // per-fact-row format_string/date_format projection disappears and
+    // the exchange carries 2 narrow keys instead of 2 strings
+    // (guide §2.3 — the sk13/k17 discipline)
+    val money = col("l_extendedprice").cast(Tables.Money)
+    val sales = Tables.lineitem(spark, dir).select(
+      col("l_suppkey"),
+      to_date(col("l_shipdate")).as("d"),
+      money.as("line_total"),
+      round(money * col("l_discount").cast(Tables.Money), 2)
+        .as("discount_amount"),
+      col("l_quantity").cast("long").as("quantity"),
+      (pmod(col("l_orderkey"), lit(mod)) === lit(res)).as("late"))
+    val isLate = col("late")
     // base and delta partials ride ONE grain aggregate as conditional
     // sums (sum-over-empty-when = NULL, exactly the absent-side NULL the
     // full-outer join produced), so the fact table is scanned once and
@@ -46,7 +60,7 @@ object Restatement {
     // At 100 TB the base column set is read from the persisted silver;
     // here both derive from the one scan the oracle also recomputes from.
     val merged = sales
-      .groupBy(col("store_id"), col("sale_date"))
+      .groupBy(col("l_suppkey"), col("d"))
       .agg(sum(when(!isLate, col("line_total"))).as("gross_b"),
         sum(when(isLate, col("line_total"))).as("gross_d"),
         sum(when(!isLate, col("discount_amount"))).as("disc_b"),
@@ -59,7 +73,8 @@ object Restatement {
     // rollup is bit-identical to a from-scratch recompute — the oracle
     // asserts exactly that
     merged
-      .select(col("store_id"), col("sale_date"),
+      .select(format_string("%04d", col("l_suppkey")).as("store_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("sale_date"),
         (coalesce(col("gross_b"), lit(0).cast(Tables.Money)) +
           coalesce(col("gross_d"), lit(0).cast(Tables.Money)))
           .cast("double").as("gross"),
@@ -119,9 +134,12 @@ object Restatement {
                      k: Int = 64, mod: Int = 10, res: Int = 7): DataFrame = {
     val P = 1000003L
     val isLate = pmod(col("l_orderkey"), lit(mod)) === lit(res)
-    val hashed = Tables.sales(spark, dir)
-      .select(col("store_id"), col("sale_date"),
-        ((col("sku") * lit(131L) + lit(911L)) % P).as("h"), isLate.as("late"))
+    // raw (suppkey, day) grain keys for the same reason as
+    // [[lateRestatement]]: format on the grain rows, not the fact rows
+    val hashed = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("d"),
+        ((col("l_partkey") * lit(131L) + lit(911L)) % P).as("h"),
+        isLate.as("late"))
     // both sketch partials ride ONE grain aggregate as conditional
     // collect_sets (collect_set skips the NULLs the when() emits for the
     // other side, and yields [] — the coalesce([]) the join form needed
@@ -130,14 +148,15 @@ object Restatement {
     // itself — k smallest of (base_k ∪ delta_k) — is unchanged below;
     // `restated` keeps its exact old meaning (delta side had rows).
     val partials = hashed
-      .groupBy(col("store_id"), col("sale_date"))
+      .groupBy(col("l_suppkey"), col("d"))
       .agg(
         slice(array_sort(collect_set(when(!col("late"), col("h")))), 1, k)
           .as("sk_b"),
         slice(array_sort(collect_set(when(col("late"), col("h")))), 1, k)
           .as("sk_d"))
     partials
-      .select(col("store_id"), col("sale_date"),
+      .select(format_string("%04d", col("l_suppkey")).as("store_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("sale_date"),
         slice(array_sort(array_union(col("sk_b"), col("sk_d"))), 1, k)
           .as("sk"),
         (size(col("sk_d")) > 0).as("restated"))

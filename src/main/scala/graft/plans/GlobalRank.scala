@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -39,7 +40,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * evaluations, and that the work stays spread across partitions. */
 object GlobalRank {
 
-  /** Append a 1-based global `rankCol` under the total order `order`. */
+  /** Append a 1-based global `rankCol` under the total order `order`.
+    *
+    * The zip stays in InternalRow: `Dataset.rdd` would deserialize every
+    * row to an external `Row` and `createDataFrame` re-encode it — two
+    * per-row non-codegen closure passes (guide §1.2 step 2) paid by every
+    * ranked relation (k15 ranks the fact table twice). `toRdd` +
+    * an UnsafeProjection append + `internalCreateDataFrame` produce the
+    * same rows with one buffer-reusing projection per row; bit-parity is
+    * GlobalRankSpec's contract. */
   def withRowNumber(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "GlobalRank needs an ordering")
     val spark = df.sparkSession
@@ -48,10 +57,18 @@ object GlobalRank {
       .sortWithinPartitions(order: _*)
     val out = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
-    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(zipped, out)
+    val zipped = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions[org.apache.spark.sql.catalyst.InternalRow] { it =>
+        val rankRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(out)
+        it.map { case (row, i) =>
+          rankRow.update(0, i + 1L)
+          proj(joined(row, rankRow))
+        }
+      }
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(spark, zipped, out)
   }
 
   /** SQL-standard `ntile(buckets)` derived from a 1-based total-order

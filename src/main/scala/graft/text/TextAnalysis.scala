@@ -855,15 +855,23 @@ object TextAnalysis {
     * 1-row scalar; the argmin is a per-doc window over 5 rows riding
     * the doc-keyed score agg. Confusion output is |langs|² rows. */
   def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Corpus.docsTok(spark, dir)
+    // ONE tokenize+explode pass: the (doc, lang, word) tf grain is the
+    // shared parent of the model, the class token totals, the vocab/doc
+    // scalars AND the test side — un-materialized, Spark re-ran the
+    // corpus explode once per consumer (4 full passes per call), because
+    // identical non-exchange subtrees are never shared within a plan
+    val tf = Corpus.docsTok(spark, dir)
       .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
-    val train = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val train = tf.filter(pmod(col("doc_id"), lit(2L)) === 0L)
     // model: per-(lang, word) occurrence counts — vocab-bounded
     val model = train.groupBy(col("lang"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
     // class totals: tokens + docs per lang (5 rows), vocab + doc scalars
     val classTotals = train.groupBy(col("lang"))
-      .agg(count(lit(1)).as("tot_l"))
+      .agg(sum(col("tf")).as("tot_l"))
       .join(Corpus.docs(spark, dir)
         .filter(pmod(col("doc_id"), lit(2L)) === 0L)
         .groupBy(col("lang")).agg(count(lit(1)).as("nd_l")), Seq("lang"))
@@ -879,9 +887,9 @@ object TextAnalysis {
         .withColumn(out, expr("(b - 10) * 1000 + (q - p) * 1000 DIV p"))
         .drop("q", "b", "p")
     // test tokens with per-(doc, word) tf, exploded across the 5 classes
-    val testTf = toks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
-      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    val testTf = tf.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("word"),
+        col("tf"))
     val scoredTok = withBitsMilli(
       testTf
         .crossJoin(broadcast(classTotals.select(col("lang").as("c_lang"),
@@ -1043,6 +1051,10 @@ object TextAnalysis {
         explode(col("words")).as("word"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
     val byWord = Window.partitionBy("word")
+    // materialized once: the df-capped stats relation feeds the query
+    // terms, the posting-join candidates AND the scoring left join —
+    // un-checkpointed, the corpus explode + the word-window sort ran
+    // once per consumer (3 full passes per call)
     val stats = tfs
       .withColumn("df", count(lit(1)).over(byWord))
       .withColumn("cf", sum(col("tf")).over(byWord))
@@ -1050,6 +1062,7 @@ object TextAnalysis {
       .filter(col("df") * lit(100L) <= lit(maxDfPct.toLong) * col("n_docs"))
       .withColumn("cfp",
         greatest(expr("(cf * 1048576) DIV t_total"), lit(1L)))
+      .localCheckpoint()
     val qterms = stats.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("word"),
         col("cfp").as("q_cfp")).distinct()
@@ -1215,8 +1228,11 @@ object TextAnalysis {
       .select(col("word"), col("n"), explode(deletions(col("word"))).as("k"))
     val cands = eKeys.join(vKeys, Seq("k"))
       .select(col("entity"), col("word"), col("n")).distinct()
-      .withColumn("distance", levenshtein(col("entity"), col("word")))
-      .filter(col("distance") <= 1)
+      // bounded form: banded O(len·1) DP, -1 above the threshold, so
+      // `>= 0` is the old `<= 1` filter with identical surviving
+      // distances (guide §1.2 step 2)
+      .withColumn("distance", levenshtein(col("entity"), col("word"), 1))
+      .filter(col("distance") >= 0)
     val byEntity = Window.partitionBy(col("entity"))
       .orderBy(col("distance").asc, col("n").desc, col("word").asc)
     val best = cands.withColumn("rn", row_number().over(byEntity))

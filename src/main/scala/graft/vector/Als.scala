@@ -2,7 +2,6 @@ package graft.vector
 
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ALS-style matrix factorization HALF-STEP, exactly and distributed:
@@ -81,9 +80,24 @@ object Als {
         .cache()
     }
 
-  /** v36: per-customer rank-2 factors + best unpurchased brand. */
+  /** v36: per-customer rank-2 factors + best unpurchased brand.
+    *
+    * ONE custkey exchange (guide §2.4): the purchased set rides the
+    * moment aggregate as a `collect_set`, the 25-row brand dimension
+    * attaches as a single collected array (1-row broadcast), and the
+    * best unpurchased brand is an `array_max` over the scored
+    * candidate array — struct comparison is field-by-field, so
+    * (score, −bid) max IS the old (score DESC, bid ASC) window pick,
+    * and `array_max([]) = NULL` reproduces the left join's NULL rec
+    * for a customer who bought every brand. The previous shape paid
+    * a (custkey, bid) anti-join exchange, a window exchange and a
+    * stitch-back join on top of the solve aggregate — identical
+    * output, 4 exchanges fewer. */
   def alsRecs(spark: SparkSession, dir: String): DataFrame = {
     val dim = brandDim(spark, dir)
+    val dimArr = dim
+      .agg(collect_list(struct(col("bid"), col("f1"), col("f2")))
+        .as("brands"))
     val ratings = ratingsOf(spark, dir).join(broadcast(dim), Seq("bid"))
     val solved = ratings.groupBy(col("custkey")).agg(
         count(lit(1)).as("n_brands"),
@@ -91,30 +105,23 @@ object Als {
         sum(col("f1") * col("f2")).as("a12"),
         (sum(col("f2") * col("f2")) + Lambda).as("a22"),
         sum(col("r") * col("f1")).as("b1"),
-        sum(col("r") * col("f2")).as("b2"))
-      .select(col("custkey"), col("n_brands"),
+        sum(col("r") * col("f2")).as("b2"),
+        collect_set(col("bid")).as("purchased"))
+      .select(col("custkey"), col("n_brands"), col("purchased"),
         expr(milli(num1, detA, "div")).as("u1_milli"),
         expr(milli(num2, detA, "div")).as("u2_milli"))
-    // candidate recs: (customer × purchased)-sized anti set against the
-    // broadcast 25-row brand dim, scored with the solved factors
-    val purchased = ratings.select(col("custkey"), col("bid"))
-    val candidates = solved.select(col("custkey"), col("u1_milli"),
-        col("u2_milli"))
-      .crossJoin(broadcast(dim))
-      .join(purchased, Seq("custkey", "bid"), "left_anti")
-      .withColumn("score_milli",
-        col("u1_milli") * col("f1") + col("u2_milli") * col("f2"))
-    val wBest = Window.partitionBy(col("custkey"))
-      .orderBy(col("score_milli").desc, col("bid").asc)
-    val recs = candidates
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("custkey"), col("bid").as("rec_brand"),
-        col("score_milli").as("rec_score_milli"))
-    solved.join(recs, Seq("custkey"), "left")
+    solved.crossJoin(broadcast(dimArr))
+      .withColumn("pick", array_max(transform(
+        filter(col("brands"),
+          b => !array_contains(col("purchased"), b("bid"))),
+        b => struct(
+          (col("u1_milli") * b("f1") + col("u2_milli") * b("f2"))
+            .as("score"),
+          (-b("bid")).as("neg_bid"), b("bid").as("bid")))))
       .select(col("custkey"), col("n_brands"),
         col("u1_milli"), col("u2_milli"),
-        col("rec_brand"), col("rec_score_milli"))
+        col("pick")("bid").as("rec_brand"),
+        col("pick")("score").as("rec_score_milli"))
       .orderBy(col("custkey"))
   }
 

@@ -125,12 +125,15 @@ class PlanShapeSpec extends GraftSpec {
     ("k3_column_profile", 6,
       "one narrow distinct exchange per column branch (6 pruned scans = " +
         "the table's bytes once; no 6x-row-width Expand shuffle)"),
-    ("d19_shared_spans", 3,
+    ("d19_shared_spans", 5,
       "run-collapse at DISTINCT-CONTENT grain (never quadratic in the " +
-        "duplication factor): distinct rep pairs broadcast onto the " +
-        "positioned stream, runs/spans ride one rep-pair exchange, and " +
-        "the doc-grain pair relation meets the metrics by two " +
-        "id-keyed decoration joins"),
+        "duplication factor) with BOTH shingle streams broadcast-semi-" +
+        "filtered to the verdict-pair doc sets BEFORE their explode " +
+        "(r15): the five exchanges — rep-pair distinct, the two " +
+        "pair-doc-sized sides of the (container, shingle) meet, the " +
+        "rep-pair run window, the metrics join-back — are all pair-set " +
+        "or filtered-stream sized; the corpus-wide shingle stream is " +
+        "never built, let alone shuffled"),
     ("v18_probe_sweep", 11,
       "2 corpus-sized assignment windows (v4's build shape); all other exchanges are " +
         "query-set x levels eval plumbing; sweep + centroid joins broadcast"),

@@ -75,6 +75,31 @@ class PushdownSpec extends GraftSpec {
       s"sk13 lineitem scans widened: ${sk13.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
 
+  test("fkLineitemCounts silver reads exactly the 3 FK key columns") {
+    // r14 ADVICE: k8's raw-scan probe moved inside the shared silver, so
+    // nothing asserted the stacked scan's projection any more. Build the
+    // silver in a FRESH session (Silver.memoize is keyed by session
+    // identity) with leaf-materialization off, so the raw lineitem scan
+    // stays visible under the builder's cache node, and pin its schema.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.silver.leaf", "false")
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(walk)
+    }
+    val li = walk(SparkEntry.queries("k9_fk_integrity")(s2, sfDir)
+        .queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    assert(li.nonEmpty, "k9: raw lineitem scan not visible in fresh session")
+    assert(li.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_partkey", "l_suppkey")),
+      s"fkLineitemCounts scan widened: " +
+        li.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
   test("a45: the Q6 probe pushes every predicate into the one fact scan") {
     val li = scanOf("a45_forecast_revenue", "lineitem")
     assert(li.nonEmpty, "a45: no visible lineitem scan")
