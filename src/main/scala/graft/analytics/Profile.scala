@@ -912,12 +912,19 @@ object Profile {
     * predicate is the partition prune — the audit never touches the
     * lake's history beyond the two batches it compares. */
   def profileDrift(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.sales(spark, dir).select(
-      substring(col("sale_date"), 1, 7).as("m"),
-      col("quantity"),
-      (col("line_total") * 100).cast("long").as("cents"),
-      col("sku"),
-      col("store_id").cast("long").as("store"),
+    // RAW columns end to end (guide §2.3 — the sk13/k17 discipline):
+    // the month key is year*100+month (order-isomorphic to the
+    // 'yyyy-MM' substring, so the two anchor batches are identical),
+    // store is l_suppkey directly (= CAST(printf('%04d')) back), and
+    // no output column ever needs the formatted strings — the old
+    // shape built two strings per fact row just to pick two months
+    val s = Tables.lineitem(spark, dir).select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"),
+      col("l_quantity").cast("long").as("quantity"),
+      (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+        .as("cents"),
+      col("l_partkey").as("sku"),
+      col("l_suppkey").cast("long").as("store"),
       ascii(col("l_returnflag")).cast("long").as("rflag"))
     val months = s.select(col("m")).distinct()
     val mb = months.agg(max(col("m")).as("mb"))
